@@ -1,0 +1,202 @@
+"""Block substrate: turn text -> flat block arrays + windowed statistics.
+
+This is the engine's analogue of the reference's shared image kernels
+(/root/reference/src/imageLibCommon.cpp): every threshold-family stage
+splits a document's text into *blocks* and computes local windowed
+mean/variance of a per-block integer feature.  The windowed sums are
+computed with prefix sums over a flat array — the direct analogue of the
+reference's integral-image trick (binarizeSauvola.cpp:72: `cv::integral`)
+— so a whole Arrow batch of documents is processed in O(total blocks)
+numpy work with no per-row Python math.
+
+Edge policy: windows are *clamped* to the document's block range
+(ROWS BETWEEN p PRECEDING AND f FOLLOWING semantics), the analogue of the
+reference's BORDER_REPLICATE padding (binarizeSauvola.cpp:65).  This is
+deliberately chosen to coincide with SQL window-frame semantics so every
+stage has an exact DuckDB oracle.
+
+Float determinism contract (required for value-hash oracle parity):
+features are int64; window sums are exact integers; means/variances are
+derived with the exact same IEEE-754 float64 expressions the oracle SQL
+uses (`avg(x)`, `avg(x*x) - avg(x)*avg(x)`, `sqrt(greatest(v, 0))`).
+Integer sums stay far below 2^53, so accumulation order cannot change
+the result.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = [
+    "BlockFrame",
+    "split_words_blocks",
+    "split_line_blocks",
+    "window_mean_var",
+    "window_sum",
+    "doc_broadcast",
+    "join_kept",
+]
+
+
+@dataclass
+class BlockFrame:
+    """Flat block representation of a batch of documents.
+
+    ``doc_offsets[d]:doc_offsets[d+1]`` is the block index range of
+    document d; ``blocks`` holds the block strings; ``x`` the per-block
+    integer feature (default: character length of the block).
+    """
+
+    doc_offsets: np.ndarray  # int64, shape (ndocs + 1,)
+    blocks: list[str]
+    x: np.ndarray  # int64, shape (nblocks,)
+
+    @property
+    def ndocs(self) -> int:
+        return len(self.doc_offsets) - 1
+
+    @property
+    def nblocks(self) -> int:
+        return len(self.blocks)
+
+    def doc_of_block(self) -> np.ndarray:
+        """int64 doc index per block (np.repeat over offsets)."""
+        counts = np.diff(self.doc_offsets)
+        return np.repeat(np.arange(self.ndocs, dtype=np.int64), counts)
+
+    def block_idx_within_doc(self) -> np.ndarray:
+        """0-based block index within each document."""
+        starts = np.repeat(self.doc_offsets[:-1], np.diff(self.doc_offsets))
+        return np.arange(self.nblocks, dtype=np.int64) - starts
+
+
+def split_words_blocks(texts: list[str], words_per_block: int) -> BlockFrame:
+    """Split each text on single spaces into blocks of ``words_per_block``.
+
+    SQL-parity contract (see prlib_ray/oracles.py): words =
+    ``string_split(text, ' ')`` (empties preserved), 1-based word index i,
+    block id = (i-1) // words_per_block, block text = words re-joined
+    with ' '.  Empty text still yields one (empty) block, matching
+    ``string_split('', ' ') = ['']``.
+    """
+    offsets = np.empty(len(texts) + 1, dtype=np.int64)
+    offsets[0] = 0
+    blocks: list[str] = []
+    join = " ".join
+    for d, t in enumerate(texts):
+        words = t.split(" ")
+        nb = (len(words) + words_per_block - 1) // words_per_block
+        for b in range(nb):
+            blocks.append(join(words[b * words_per_block : (b + 1) * words_per_block]))
+        offsets[d + 1] = len(blocks)
+    x = np.fromiter((len(b) for b in blocks), dtype=np.int64, count=len(blocks))
+    return BlockFrame(doc_offsets=offsets, blocks=blocks, x=x)
+
+
+def split_line_blocks(texts: list[str]) -> BlockFrame:
+    """Split each text on newlines: one block per line (transcript turns)."""
+    offsets = np.empty(len(texts) + 1, dtype=np.int64)
+    offsets[0] = 0
+    blocks: list[str] = []
+    for d, t in enumerate(texts):
+        lines = t.split("\n")
+        blocks.extend(lines)
+        offsets[d + 1] = len(blocks)
+    x = np.fromiter((len(b) for b in blocks), dtype=np.int64, count=len(blocks))
+    return BlockFrame(doc_offsets=offsets, blocks=blocks, x=x)
+
+
+def _window_bounds(
+    frame: BlockFrame, preceding: int, following: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-block inclusive flat index bounds of the clamped window."""
+    counts = np.diff(frame.doc_offsets)
+    starts = np.repeat(frame.doc_offsets[:-1], counts)
+    ends = np.repeat(frame.doc_offsets[1:], counts) - 1  # inclusive
+    idx = np.arange(frame.nblocks, dtype=np.int64)
+    lo = np.maximum(starts, idx - preceding)
+    hi = np.minimum(ends, idx + following)
+    return lo, hi
+
+
+def window_sum(
+    values: np.ndarray, frame: BlockFrame, preceding: int, following: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact windowed sum + count of an int64 array over clamped frames."""
+    lo, hi = _window_bounds(frame, preceding, following)
+    csum = np.concatenate(([0], np.cumsum(values, dtype=np.int64)))
+    return csum[hi + 1] - csum[lo], (hi - lo + 1)
+
+
+def window_mean_var(
+    frame: BlockFrame, preceding: int, following: int, values: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Clamped-window mean, population variance and stddev of the feature.
+
+    Bit-identical to the oracle SQL
+    ``avg(x) OVER w``, ``avg(x*x) OVER w - avg(x) OVER w * avg(x) OVER w``
+    (clipped at 0), ``sqrt(...)`` with
+    ``w = (PARTITION BY doc ORDER BY idx ROWS BETWEEN p PRECEDING AND f FOLLOWING)``.
+    """
+    x = frame.x if values is None else values
+    s, cnt = window_sum(x, frame, preceding, following)
+    s2, _ = window_sum(x * x, frame, preceding, following)
+    cnt_f = cnt.astype(np.float64)
+    mean = s.astype(np.float64) / cnt_f
+    var = s2.astype(np.float64) / cnt_f - mean * mean
+    var = np.maximum(var, 0.0)
+    return mean, var, np.sqrt(var)
+
+
+def doc_broadcast(
+    values: np.ndarray, frame: BlockFrame, op: str
+) -> np.ndarray:
+    """Per-document aggregate of ``values`` broadcast back to every block.
+
+    op in {"min", "max", "sum", "mean"}.  The reference's "global"
+    statistics are per-image, i.e. per-document here (binarizeWolfJolion
+    needs global min intensity / max stddev: binarizeWolfJolion.cpp:114-130).
+    """
+    counts = np.diff(frame.doc_offsets)
+    out = np.empty(frame.ndocs, dtype=np.float64)
+    if op in ("min", "max"):
+        ufunc = np.minimum if op == "min" else np.maximum
+        agg = ufunc.reduceat(values.astype(np.float64), frame.doc_offsets[:-1])
+        # reduceat on an empty doc slice returns values[offset]; docs always
+        # have >= 1 block by construction, so no fixup needed.
+        out = agg
+    elif op == "sum":
+        csum = np.concatenate(([0], np.cumsum(values, dtype=np.float64)))
+        out = csum[frame.doc_offsets[1:]] - csum[frame.doc_offsets[:-1]]
+    elif op == "mean":
+        if values.dtype == np.int64:
+            csum = np.concatenate(([0], np.cumsum(values, dtype=np.int64)))
+            sums = (csum[frame.doc_offsets[1:]] - csum[frame.doc_offsets[:-1]]).astype(
+                np.float64
+            )
+        else:
+            csum = np.concatenate(([0], np.cumsum(values, dtype=np.float64)))
+            sums = csum[frame.doc_offsets[1:]] - csum[frame.doc_offsets[:-1]]
+        out = sums / counts.astype(np.float64)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown op {op!r}")
+    return np.repeat(out, counts)
+
+
+def join_kept(
+    frame: BlockFrame, keep: np.ndarray, sep: str = "\n"
+) -> list[str]:
+    """Join each document's kept blocks with ``sep`` (order preserved).
+
+    SQL parity: ``coalesce(string_agg(block, chr(10) ORDER BY bidx)
+    FILTER (WHERE keep), '')`` — a doc with no kept blocks yields ''.
+    """
+    out: list[str] = []
+    blocks = frame.blocks
+    offs = frame.doc_offsets
+    for d in range(frame.ndocs):
+        lo, hi = offs[d], offs[d + 1]
+        out.append(sep.join(blocks[i] for i in range(lo, hi) if keep[i]))
+    return out
