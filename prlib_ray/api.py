@@ -60,9 +60,6 @@ def build_queries() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
 
 def _register_more(queries, sql) -> None:
     """Extended families appended as they are implemented (see api_ext)."""
-    try:
-        from prlib_ray import api_ext
+    from prlib_ray import api_ext
 
-        api_ext.register(queries, sql)
-    except ImportError:
-        pass
+    api_ext.register(queries, sql)

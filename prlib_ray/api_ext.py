@@ -1,0 +1,74 @@
+"""Registration of the normalize/denoise/furniture/quality/thinning/crop
+families into the driver-facing query registry (see prlib_ray/api.py)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from prlib_ray import oracles_ext as osql
+from prlib_ray.stages import crop, denoise, furniture, normalize, quality, thinning
+
+
+def _doc_query(batch_fn, columns=("doc_id", "text")) -> Callable[[str], Any]:
+    def q(sf_dir: str):
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+        return ds.map_batches(batch_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    return q
+
+
+_DOC_OPS: list[tuple[str, Callable, str]] = [
+    # §2.5 normalization family
+    ("background_normalization", normalize.background_normalization_batch,
+     osql.BACKGROUND_NORMALIZATION),
+    ("clean_background_to_white", normalize.clean_background_batch,
+     osql.CLEAN_BACKGROUND),
+    ("gamma_correction", normalize.gamma_correction_batch, osql.GAMMA_CORRECTION),
+    ("color_balance", normalize.color_balance_batch, osql.COLOR_BALANCE),
+    ("correct_nuil", normalize.correct_nuil_batch, osql.CORRECT_NUIL),
+    ("simple_white_balance", normalize.simple_white_balance_batch,
+     osql.SIMPLE_WHITE_BALANCE),
+    # §2.3 denoise/deblur family
+    ("denoise_salt_pepper", denoise.denoise_salt_pepper_batch,
+     osql.DENOISE_SALT_PEPPER),
+    ("denoise_nlm", denoise.denoise_nlm_batch, osql.DENOISE_NLM),
+    ("basic_deblur", denoise.basic_deblur_batch, osql.BASIC_DEBLUR),
+    ("denoise_kuwahara", denoise.kuwahara_batch, osql.KUWAHARA),
+    ("wiener_filter", denoise.wiener_batch, osql.WIENER),
+    # §2.4 artifact removal
+    ("remove_lines", furniture.remove_lines_batch, osql.REMOVE_LINES),
+    ("remove_dots", furniture.remove_dots_batch, osql.REMOVE_DOTS),
+    ("remove_hole_punch", furniture.remove_hole_punch_batch,
+     osql.REMOVE_HOLE_PUNCH),
+    # §2.6 detectors + thinning
+    ("is_blurred", quality.blur_scores_batch, osql.BLUR_SCORES),
+    ("is_glared", quality.glare_scores_batch, osql.GLARE_SCORES),
+    ("thin_zhang_suen", thinning.thin_zhang_suen_batch, osql.THIN_ZHANG_SUEN),
+    ("thin_guo_hall", thinning.thin_guo_hall_batch, osql.THIN_GUO_HALL),
+    # §2.2 border detection / crop
+    ("document_contour", crop.document_contour_batch, osql.DOCUMENT_CONTOUR),
+    ("auto_crop", crop.autocrop_batch, osql.AUTOCROP),
+    ("find_hough_line_contour", crop.hough_region_batch, osql.HOUGH_REGION),
+    ("resize", crop.resize_batch, osql.RESIZE),
+    ("split_page", crop.split_page_batch, osql.SPLIT_PAGE),
+]
+
+
+def register(queries: dict[str, Callable[[str], Any]], sql: dict[str, str]) -> None:
+    for name, fn, oracle in _DOC_OPS:
+        queries[name] = _doc_query(fn)
+        sql[name] = oracle
+
+    def gray_world(sf_dir: str):
+        import ray.data as rd
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        return normalize.gray_world_balance(ds)
+
+    queries["gray_world_white_balance"] = gray_world
+    sql["gray_world_white_balance"] = osql.GRAY_WORLD

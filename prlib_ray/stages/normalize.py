@@ -1,0 +1,142 @@
+"""Normalization family (reference: src/background*, src/balance/*).
+
+Character/whitespace canonicalization — the analogue of background
+normalization, white balance and gamma LUTs.  All stateless
+``map_batches`` over Arrow; string kernels are pyarrow.compute (RE2 —
+the same regex engine DuckDB uses, which is what makes the oracles
+byte-exact).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from prlib_ray.blocks import join_kept, split_words_blocks, window_sum
+from prlib_ray.functions import textfns
+
+
+def _out(batch: pa.Table, clean, id_col: str = "doc_id") -> pa.Table:
+    return pa.table({id_col: batch[id_col], "clean_text": clean})
+
+
+def background_normalization_batch(batch: pa.Table) -> pa.Table:
+    """pixBackgroundNormSimple analogue (backgroundNormalization.cpp:51):
+    canonicalize whitespace runs to uniform background."""
+    t = pc.replace_substring_regex(batch["text"], pattern="[ \t\r\n]+", replacement=" ")
+    return _out(batch, pc.utf8_trim(t, characters=" \t\r\n"))
+
+
+def clean_background_batch(batch: pa.Table) -> pa.Table:
+    """pixCleanBackgroundToWhite analogue (cleanBackgroundToWhite.cpp:54):
+    force non-content to pure background — drop invisible chars, collapse
+    blank-line runs."""
+    t = batch["text"]
+    for ch in textfns.INVISIBLE:
+        t = pc.replace_substring(t, pattern=ch, replacement="")
+    t = pc.replace_substring_regex(t, pattern="\n{3,}", replacement="\n\n")
+    return _out(batch, t)
+
+
+def gamma_correction_batch(batch: pa.Table) -> pa.Table:
+    """LUT-based folding (gammaCorrection.cpp:65-97): curly quotes, dashes,
+    ellipsis, NBSP -> canonical ASCII, applied as a fixed replace chain."""
+    t = batch["text"]
+    for a, b in textfns.FOLD_PAIRS:
+        t = pc.replace_substring(t, pattern=a, replacement=b)
+    return _out(batch, t)
+
+
+def color_balance_batch(batch: pa.Table) -> pa.Table:
+    """Two-space normalization (balanceColor.cpp:52-87: BGR gamma then HSV
+    saturation gamma): byte-level fold then token-level lowercase."""
+    t = batch["text"]
+    for a, b in textfns.FOLD_PAIRS:
+        t = pc.replace_substring(t, pattern=a, replacement=b)
+    return _out(batch, pc.utf8_lower(t))
+
+
+def correct_nuil_batch(batch: pa.Table, *, words_per_block: int = 12) -> pa.Table:
+    """Non-uniform illumination correction (correctNUIL.cpp:40-52: per-channel
+    auto-invert + blackhat): section-dependent casing drift — a block is
+    lowercased when its 3-block window holds more uppercase than lowercase
+    letters."""
+    texts = batch["text"].to_pylist()
+    frame = split_words_blocks(texts, words_per_block)
+    barr = pa.array(frame.blocks, type=pa.string())
+    n_up = pc.count_substring_regex(barr, pattern="[A-Z]").to_numpy().astype(np.int64)
+    n_lo = pc.count_substring_regex(barr, pattern="[a-z]").to_numpy().astype(np.int64)
+    up_w, _ = window_sum(n_up, frame, 1, 1)
+    lo_w, _ = window_sum(n_lo, frame, 1, 1)
+    flip = up_w > lo_w
+    lowered = pc.utf8_lower(barr).to_pylist()
+    out_blocks = [lowered[i] if flip[i] else frame.blocks[i] for i in range(frame.nblocks)]
+    frame.blocks = out_blocks
+    keep = np.ones(frame.nblocks, dtype=bool)
+    return _out(batch, pa.array(join_kept(frame, keep), type=pa.string()))
+
+
+def simple_white_balance_batch(batch: pa.Table) -> pa.Table:
+    """Percentile-clip stretch (balanceSimpleWhite.cpp:53-97): per doc, words
+    longer than the 95th-percentile word length (k-th smallest with
+    k = ceil(19n/20), integer arithmetic to stay float-free) are truncated
+    to that length."""
+    texts = batch["text"].to_pylist()
+    out = []
+    for t in texts:
+        words = t.split(" ")
+        lens = sorted(len(w) for w in words)
+        n = len(lens)
+        k = (19 * n + 19) // 20  # exact ceil(0.95*n), no float
+        clip = lens[k - 1]
+        out.append(" ".join(w[:clip] for w in words))
+    return _out(batch, pa.array(out, type=pa.string()))
+
+
+def gray_world_balance(ds, *, id_col: str = "doc_id"):
+    """grayWorldWhiteBalance (balanceGrayWorldWhite.cpp:37-57): rescale each
+    channel (here: language group) to the common mean.
+
+    Scale pattern: partial (lang, sum, cnt) per batch inside map_batches ->
+    tiny groupby on the partials -> broadcast the means dict via ray.put ->
+    stateless map emits scaled = x * global_mean / lang_mean.  No shuffle
+    of the data itself.
+    """
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(b["text"])
+        tb = pa.table({"lang": b["lang"], "len": lens})
+        import pyarrow.compute as _pc
+
+        g = tb.group_by("lang").aggregate([("len", "sum"), ("len", "count")])
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    sums: dict[str, int] = {}
+    cnts: dict[str, int] = {}
+    for row in parts:
+        sums[row["lang"]] = sums.get(row["lang"], 0) + row["len_sum"]
+        cnts[row["lang"]] = cnts.get(row["lang"], 0) + row["len_count"]
+    total = sum(sums.values())
+    n = sum(cnts.values())
+    gmean = total / n
+    lang_means = {k: sums[k] / cnts[k] for k in sums}
+    ref = ray.put((gmean, lang_means))
+
+    def apply(b: pa.Table) -> pa.Table:
+        gm, lm = ray.get(ref)
+        lens = pc.utf8_length(b["text"]).to_numpy().astype(np.int64)
+        langs = b["lang"].to_pylist()
+        scaled = np.array(
+            [lens[i] * gm / lm[langs[i]] for i in range(len(langs))], dtype=np.float64
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "balanced_len": pa.array(scaled, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
