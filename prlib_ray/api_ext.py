@@ -72,3 +72,45 @@ def register(queries: dict[str, Callable[[str], Any]], sql: dict[str, str]) -> N
 
     queries["gray_world_white_balance"] = gray_world
     sql["gray_world_white_balance"] = osql.GRAY_WORLD
+
+    _register_reassemble(queries, sql)
+    _register_relational(queries, sql)
+
+
+def _register_reassemble(queries, sql) -> None:
+    from prlib_ray import oracles_rel as orel
+    from prlib_ray.stages import reassemble
+
+    # §2.2 geometry family, driven on the events table (conv = user_id)
+    pairs = [
+        ("reassemble_events", reassemble.reassemble_events, orel.REASSEMBLE_EVENTS),
+        ("find_angle", reassemble.find_angle_events, orel.FIND_ANGLE_EVENTS),
+        ("find_orientation", reassemble.find_orientation_events,
+         orel.FIND_ORIENTATION_EVENTS),
+        ("rotate", reassemble.rotate_events, orel.ROTATE_EVENTS),
+        ("deskew", reassemble.deskew_events, orel.DESKEW_EVENTS),
+    ]
+    for name, fn, oracle in pairs:
+        queries[name] = fn
+        sql[name] = oracle
+
+
+def _register_relational(queries, sql) -> None:
+    from prlib_ray import oracles_rel as orel
+    from prlib_ray import relational as rel
+
+    pairs = [
+        ("q1_pricing_summary", rel.q1_pricing_summary, orel.Q1),
+        ("q3_top_orders", rel.q3_top_orders, orel.Q3),
+        ("q5_local_supplier", rel.q5_local_supplier, orel.Q5),
+        ("orders_by_segment", rel.orders_by_segment, orel.ORDERS_BY_SEGMENT),
+        ("top_orders", rel.top_orders, orel.TOP_ORDERS),
+        ("distinct_event_types", rel.distinct_event_types,
+         orel.DISTINCT_EVENT_TYPES),
+        ("events_hourly_window", rel.events_hourly, orel.EVENTS_HOURLY),
+        ("sessionize", rel.sessionize, orel.SESSIONIZE),
+        ("asof_latest_order", rel.asof_latest_order, orel.ASOF_LATEST_ORDER),
+    ]
+    for name, fn, oracle in pairs:
+        queries[name] = fn
+        sql[name] = oracle

@@ -1,0 +1,142 @@
+"""DuckDB oracles for the reassembly family (events-table deskew ops) and
+the relational core.  Money sums use the identical
+``floor(x * 100 + 0.5)`` cents expression as the Ray side, making every
+aggregate an exact int64."""
+
+from __future__ import annotations
+
+REASSEMBLE_EVENTS = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+FROM events ORDER BY user_id, event_id"""
+
+_DIR_CTE = """
+flags AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN ts >= lag(ts) OVER w THEN 1 ELSE 0 END AS incflag,
+           CASE WHEN lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS firstflag
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+),
+dirs AS (
+    SELECT user_id,
+           CASE WHEN sum(CASE WHEN firstflag = 0 THEN incflag ELSE 0 END) * 2
+                     >= sum(1 - firstflag)
+                THEN 1 ELSE -1 END AS direction
+    FROM flags GROUP BY user_id
+)"""
+
+FIND_ANGLE_EVENTS = f"""
+WITH {_DIR_CTE}
+SELECT user_id, CAST(direction AS BIGINT) AS direction FROM dirs ORDER BY user_id"""
+
+FIND_ORIENTATION_EVENTS = """
+SELECT user_id,
+       CAST(CASE WHEN arg_min(ts, event_id) > arg_max(ts, event_id)
+            THEN 180 ELSE 0 END AS BIGINT) AS orientation
+FROM events GROUP BY user_id ORDER BY user_id"""
+
+ROTATE_EVENTS = """
+WITH o AS (
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n,
+           first_value(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fts,
+           last_value(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lts
+    FROM events
+)
+SELECT user_id, event_id,
+       CASE WHEN fts > lts THEN n - rn + 1 ELSE rn END AS seq
+FROM o ORDER BY user_id, event_id"""
+
+DESKEW_EVENTS = f"""
+WITH {_DIR_CTE},
+ranked AS (
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+)
+SELECT r.user_id, r.event_id,
+       CASE WHEN d.direction = 1 THEN r.rn ELSE r.n - r.rn + 1 END AS seq
+FROM ranked r JOIN dirs d ON r.user_id = d.user_id
+ORDER BY r.user_id, r.event_id"""
+
+_CENTS = "CAST(floor({expr} * 100 + 0.5) AS BIGINT)"
+
+Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum({_CENTS.format(expr='l_quantity')}) AS BIGINT) AS sum_qty_cents,
+       CAST(sum({_CENTS.format(expr='l_extendedprice')}) AS BIGINT) AS sum_base_cents,
+       CAST(sum({_CENTS.format(expr='l_extendedprice * (1.0 - l_discount)')}) AS BIGINT) AS sum_disc_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+Q3 = f"""
+SELECT l.l_orderkey,
+       CAST(sum({_CENTS.format(expr='l.l_extendedprice * (1.0 - l.l_discount)')}) AS BIGINT) AS revenue_cents,
+       o.o_orderdate
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01'
+  AND l.l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_cents DESC, l.l_orderkey
+LIMIT 10"""
+
+Q5 = f"""
+SELECT n.n_name,
+       CAST(sum({_CENTS.format(expr='l.l_extendedprice * (1.0 - l.l_discount)')}) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE c.c_nationkey = s.s_nationkey
+GROUP BY n.n_name ORDER BY n.n_name"""
+
+ORDERS_BY_SEGMENT = f"""
+SELECT c.c_mktsegment,
+       CAST(sum({_CENTS.format(expr='o.o_totalprice')}) AS BIGINT) AS sum_total_cents,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""
+
+TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""
+
+DISTINCT_EVENT_TYPES = """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+ORDER BY event_type"""
+
+EVENTS_HOURLY = f"""
+SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+       CAST(sum({_CENTS.format(expr='value')}) AS BIGINT) AS sum_value_cents,
+       count(*) AS n_events
+FROM events GROUP BY event_type, hour ORDER BY event_type, hour"""
+
+SESSIONIZE = """
+WITH d AS (
+    SELECT user_id,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+)
+SELECT user_id, CAST(1 + sum(brk) AS BIGINT) AS n_sessions
+FROM d GROUP BY user_id ORDER BY user_id"""
+
+ASOF_LATEST_ORDER = """
+SELECT e.event_id,
+       coalesce((SELECT o.o_orderkey FROM orders o
+                 WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1),
+                -1) AS latest_orderkey
+FROM events e ORDER BY e.event_id"""

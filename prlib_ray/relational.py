@@ -1,0 +1,373 @@
+"""Relational core: the engine's generic query operators over the star
+schema — scans with pruning, broadcast hash joins, partial+final
+aggregation, sort/limit, distinct, windowed and as-of operators.
+
+These are the "relational-operator summary" ops of SURVEY §2.7: every
+shuffle is minimized (aggregate partials inside ``map_batches``, small
+sides broadcast via ``ray.put``), mirroring how the pipeline must behave
+at 100 TB.
+
+Float determinism: money values are converted per row to integer cents
+with ``floor(x * 100 + 0.5)`` — the identical IEEE expression DuckDB
+evaluates — so all sums are exact int64 in any accumulation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+CUTOFF = "1996-01-01"
+
+
+def _cents(arr: np.ndarray) -> np.ndarray:
+    return np.floor(arr * 100.0 + 0.5).astype(np.int64)
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filtered scan -> per-batch partial aggregate ->
+    tiny final groupby.  Demonstrates the partial+final (combiner)
+    aggregation pattern — the shuffle moves one row per (batch x group),
+    not per input row."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+    cutoff = np.datetime64(CUTOFF, "us")
+
+    def partial(b: pa.Table) -> pa.Table:
+        mask = pc.less_equal(b["l_shipdate"], pa.scalar(cutoff))
+        b = b.filter(mask)
+        qty = b["l_quantity"].to_numpy()
+        price = b["l_extendedprice"].to_numpy()
+        disc = b["l_discount"].to_numpy()
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty_cents": pa.array(_cents(qty), type=pa.int64()),
+                "base_cents": pa.array(_cents(price), type=pa.int64()),
+                "disc_cents": pa.array(
+                    _cents(price * (1.0 - disc)), type=pa.int64()
+                ),
+                "one": pa.array(np.ones(len(qty), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_cents", "sum"), ("base_cents", "sum"),
+             ("disc_cents", "sum"), ("one", "sum")]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_cents_sum", alias_name="sum_qty_cents"),
+            Sum("base_cents_sum", alias_name="sum_base_cents"),
+            Sum("disc_cents_sum", alias_name="sum_disc_cents"),
+            Sum("one_sum", alias_name="count_order"),
+        )
+    )
+    return agg
+
+
+def q3_top_orders(sf_dir: str):
+    """TPC-H Q3 shape: two broadcast semi-joins (customer segment filter,
+    orders date filter) folded into the lineitem scan, partial aggregate,
+    global top-10 with a deterministic tie-break."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    cutoff = np.datetime64(CUTOFF, "us")
+    orders = orders[
+        orders["o_custkey"].isin(keys)
+        & (orders["o_orderdate"].to_numpy() < cutoff)
+    ]
+    odate = dict(zip(orders["o_orderkey"], orders["o_orderdate"]))
+    ref = ray.put(set(orders["o_orderkey"]))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        okeys = ray.get(ref)
+        mask_ship = pc.greater(b["l_shipdate"], pa.scalar(cutoff))
+        b = b.filter(mask_ship)
+        ok = np.fromiter(
+            (k in okeys for k in b["l_orderkey"].to_numpy()),
+            dtype=bool,
+            count=b.num_rows,
+        )
+        b = b.filter(pa.array(ok))
+        price = b["l_extendedprice"].to_numpy()
+        disc = b["l_discount"].to_numpy()
+        t = pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev": pa.array(_cents(price * (1.0 - disc)), type=pa.int64()),
+            }
+        )
+        return t.group_by("l_orderkey").aggregate([("rev", "sum")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_sum", alias_name="revenue_cents"))
+        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+    def attach(b: pa.Table) -> pa.Table:
+        dates = [odate[k] for k in b["l_orderkey"].to_pylist()]
+        return b.append_column(
+            "o_orderdate", pa.array(dates, type=pa.timestamp("us"))
+        )
+
+    return agg.map_batches(attach, batch_format="pyarrow")
+
+
+def q5_local_supplier(sf_dir: str):
+    """TPC-H Q5 shape: five broadcast dimension lookups folded into one
+    lineitem map, grouped by nation.  Only the tiny partials shuffle."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    supplier = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    customer = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    sup_nat = dict(zip(supplier["s_suppkey"], supplier["s_nationkey"]))
+    cust_nat = dict(zip(customer["c_custkey"], customer["c_nationkey"]))
+    ord_cust = dict(zip(orders["o_orderkey"], orders["o_custkey"]))
+    nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ref = ray.put((sup_nat, cust_nat, ord_cust, nat_name))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        sn, cn, oc, nn = ray.get(ref)
+        okeys = b["l_orderkey"].to_numpy()
+        skeys = b["l_suppkey"].to_numpy()
+        price = b["l_extendedprice"].to_numpy()
+        disc = b["l_discount"].to_numpy()
+        names, revs = [], []
+        for i in range(len(okeys)):
+            cust = oc.get(int(okeys[i]))
+            if cust is None:
+                continue
+            snat = sn.get(int(skeys[i]))
+            if snat is None or cn.get(cust) != snat:
+                continue
+            names.append(nn[snat])
+            revs.append(i)
+        rev = _cents(price[revs] * (1.0 - disc[revs]))
+        t = pa.table(
+            {
+                "n_name": pa.array(names, type=pa.string()),
+                "rev": pa.array(rev, type=pa.int64()),
+            }
+        )
+        return t.group_by("n_name").aggregate([("rev", "sum")])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_name")
+        .aggregate(Sum("rev_sum", alias_name="revenue_cents"))
+    )
+
+
+def orders_by_segment(sf_dir: str):
+    """Broadcast dimension join + grouped aggregate (counts + cents)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    ref = ray.put(seg)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        segs = [s[k] for k in b["o_custkey"].to_pylist()]
+        t = pa.table(
+            {
+                "c_mktsegment": pa.array(segs, type=pa.string()),
+                "cents": pa.array(
+                    _cents(b["o_totalprice"].to_numpy()), type=pa.int64()
+                ),
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("c_mktsegment").aggregate(
+            [("cents", "sum"), ("one", "sum")]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("cents_sum", alias_name="sum_total_cents"),
+            Sum("one_sum", alias_name="n_orders"),
+        )
+    )
+
+
+def top_orders(sf_dir: str):
+    """Global sort + limit with deterministic tie-break (no arithmetic —
+    the doubles pass through untouched, so hashes agree)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return ds.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(20)
+
+
+def distinct_event_types(sf_dir: str):
+    """Distinct (shuffle dedup) over a low-cardinality column."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    return ds.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: 1-hour buckets keyed by event_type.
+    Ray Data has no event-time windows; the bucket key is computed in the
+    map (epoch_us // 3.6e9) and aggregated partial+final."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        hour = us // 3_600_000_000
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "hour": pa.array(hour, type=pa.int64()),
+                "cents": pa.array(_cents(b["value"].to_numpy()), type=pa.int64()),
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by(["event_type", "hour"]).aggregate(
+            [("cents", "sum"), ("one", "sum")]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Sum("cents_sum", alias_name="sum_value_cents"),
+            Sum("one_sum", alias_name="n_events"),
+        )
+    )
+
+
+def sessionize(sf_dir: str):
+    """Session windows: per user, a new session starts after a >30min gap.
+    groupby(user).map_groups with sorted-ts vectorized gap detection."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    gap = np.timedelta64(30 * 60 * 1_000_000, "us")
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy())
+        n = 1 + int((np.diff(ts) > gap).sum()) if len(ts) else 0
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [np.int64(n)]}
+        )
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+def asof_latest_order(sf_dir: str):
+    """As-of join: for each event, the latest order of the same customer
+    with o_orderdate <= ts (ties -> max orderkey).  Small side broadcast
+    sorted per key; binary search per batch — no shuffle."""
+    import ray
+    import ray.data as rd
+
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+    by_cust: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for ck, grp in orders.groupby("o_custkey"):
+        by_cust[int(ck)] = (
+            grp["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64),
+            grp["o_orderkey"].to_numpy().astype(np.int64),
+        )
+    ref = ray.put(by_cust)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def lookup(b: pa.Table) -> pa.Table:
+        tbl = ray.get(ref)
+        users = b["user_id"].to_numpy()
+        ts = b["ts"].cast(pa.int64()).to_numpy()
+        out = np.full(b.num_rows, -1, dtype=np.int64)
+        for i in range(b.num_rows):
+            entry = tbl.get(int(users[i]))
+            if entry is None:
+                continue
+            dates, keys = entry
+            j = np.searchsorted(dates, ts[i], side="right")
+            if j > 0:
+                out[i] = keys[j - 1]
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "latest_orderkey": pa.array(out, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(lookup, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,63 @@
+"""Reassembly + relational core vs DuckDB oracles, through live Ray."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+CASES = [
+    "reassemble_events",
+    "find_angle",
+    "find_orientation",
+    "rotate",
+    "deskew",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_local_supplier",
+    "orders_by_segment",
+    "top_orders",
+    "distinct_event_types",
+    "events_hourly_window",
+    "sessionize",
+    "asof_latest_order",
+]
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from prlib_ray.api import build_queries
+
+    return build_queries()
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_matches_oracle(name, con, registry, ray_session, sf_dir):
+    queries, sql = registry
+    out = queries[name](sf_dir)
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    odf = con.execute(sql[name]).df()
+    cols = sorted(df.columns)
+    assert cols == sorted(odf.columns), f"{name}: schema mismatch"
+    a = df[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b), f"{name}: rowcount {len(a)} vs {len(b)}"
+    for c in cols:
+        x, y = a[c], b[c]
+        if x.dtype != y.dtype:
+            x, y = x.astype(str), y.astype(str)
+        assert x.equals(y), f"{name}: column {c} differs"
