@@ -75,6 +75,42 @@ def register(queries: dict[str, Callable[[str], Any]], sql: dict[str, str]) -> N
 
     _register_reassemble(queries, sql)
     _register_relational(queries, sql)
+    _register_data_ops(queries, sql)
+
+
+def _register_data_ops(queries, sql) -> None:
+    from prlib_ray import oracles_data as odata
+    from prlib_ray.stages import dedup, multimodal, similarity, text_analysis
+
+    # dedup family
+    queries["dedup_exact"] = dedup.exact_dedup
+    sql["dedup_exact"] = odata.EXACT_DEDUP
+    queries["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs
+    sql["dedup_ngram_jaccard"] = odata.NGRAM_JACCARD
+    queries["dedup_minhash_lsh"] = dedup.minhash_lsh_dedup  # probabilistic: rows-only
+    queries["dedup_simhash"] = _doc_query(dedup.simhash_batch)  # bit-level: rows-only
+
+    # text analysis
+    queries["token_count"] = _doc_query(text_analysis.token_count_batch)
+    sql["token_count"] = odata.TOKEN_COUNT
+    queries["quality_score"] = _doc_query(text_analysis.quality_score_batch)
+    sql["quality_score"] = odata.QUALITY_SCORE
+    queries["lang_id"] = _doc_query(text_analysis.lang_id_batch)
+    sql["lang_id"] = odata.LANG_ID
+    queries["fingerprint_md5"] = _doc_query(text_analysis.fingerprint_batch)
+    sql["fingerprint_md5"] = odata.FINGERPRINT
+    queries["fingerprint_winnow"] = _doc_query(text_analysis.winnow_batch)
+    sql["fingerprint_winnow"] = odata.WINNOW
+
+    # similarity search
+    queries["ann_neighbor_counts"] = similarity.ann_neighbor_counts
+    sql["ann_neighbor_counts"] = odata.ANN_NEIGHBOR_COUNTS
+    queries["ann_bruteforce_topk"] = similarity.ann_bruteforce_topk  # float ranking: rows-only
+    queries["ann_lsh_topk"] = similarity.ann_lsh_topk  # recall<1 by design: rows-only
+
+    # multimodal plumbing (decode kernel stubbed, metadata exact)
+    queries["multimodal_decode"] = multimodal.decode_pipeline
+    sql["multimodal_decode"] = odata.MULTIMODAL_DECODE
 
 
 def _register_reassemble(queries, sql) -> None:

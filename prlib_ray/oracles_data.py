@@ -1,0 +1,168 @@
+"""DuckDB oracles for the training-data operator families (dedup, text
+analysis, similarity, multimodal plumbing)."""
+
+from __future__ import annotations
+
+from prlib_ray.stages.text_analysis import LANG_MARKERS, STOPWORDS
+
+EXACT_DEDUP = """
+SELECT md5(text) AS h, min(doc_id) AS doc_id
+FROM documents GROUP BY text ORDER BY h"""
+
+NGRAM_JACCARD = """
+WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+words AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM sub
+),
+nz AS (
+    SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+    FROM words WHERE w <> ''
+),
+sh AS (
+    SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+    FROM nz a
+    JOIN nz b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+    JOIN nz c ON a.doc_id = c.doc_id AND c.j = a.j + 2
+),
+ds AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+    FROM ds x JOIN ds y ON x.s = y.s AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.c AS BIGINT) AS inter,
+       CAST(sa.n + sb.n - i.c AS BIGINT) AS uni
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE sa.n + sb.n - i.c > 0 AND 5 * i.c >= sa.n + sb.n - i.c
+ORDER BY i.doc_a, i.doc_b"""
+
+TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id"""
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+QUALITY_SCORE = f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+agg AS (
+    SELECT doc_id,
+           count(*) FILTER (WHERE w <> '') AS n_words,
+           count(*) FILTER (WHERE w IN ({_STOP_LIST})) AS n_stop
+    FROM words GROUP BY doc_id
+)
+SELECT d.doc_id, a.n_words, a.n_stop,
+       CAST(len(regexp_extract_all(d.text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+       (100 * a.n_stop) // greatest(a.n_words, 1) AS score_pct
+FROM documents d JOIN agg a ON d.doc_id = a.doc_id ORDER BY d.doc_id"""
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    counts = ",\n           ".join(
+        "count(*) FILTER (WHERE w IN ({})) AS c_{}".format(
+            ", ".join(f"'{m}'" for m in LANG_MARKERS[c]), c
+        )
+        for c in langs
+    )
+    # argmax with ties -> lexicographically smallest code: the CASE chain in
+    # ascending order with >= comparisons picks the first maximal element,
+    # matching Python's max() over the sorted language list.
+    cases = []
+    for i, c in enumerate(langs[:-1]):
+        conds = " AND ".join(f"c_{c} >= c_{o}" for o in langs[i + 1 :])
+        cases.append(f"WHEN {conds} THEN '{c}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+agg AS (
+    SELECT doc_id,
+           {counts}
+    FROM words GROUP BY doc_id
+)
+SELECT doc_id, {case_sql} AS lang_pred FROM agg ORDER BY doc_id"""
+
+
+LANG_ID = _lang_id_sql()
+
+FINGERPRINT = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g'), ' ')) AS fp
+FROM documents ORDER BY doc_id"""
+
+# winnowing: polynomial k-gram rolling hash (k=5, base 31, mod 1e9+7),
+# position selected when its hash equals the trailing-4-window min.
+WINNOW = """
+WITH pos AS (
+    SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS p
+    FROM documents WHERE length(text) >= 5
+),
+h AS (
+    SELECT doc_id, p,
+           (ascii(substr(text, CAST(p AS INTEGER), 1)) * 923521
+          + ascii(substr(text, CAST(p AS INTEGER) + 1, 1)) * 29791
+          + ascii(substr(text, CAST(p AS INTEGER) + 2, 1)) * 961
+          + ascii(substr(text, CAST(p AS INTEGER) + 3, 1)) * 31
+          + ascii(substr(text, CAST(p AS INTEGER) + 4, 1))) % 1000000007 AS hv
+    FROM pos
+),
+sel AS (
+    SELECT doc_id, hv,
+           min(hv) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+    FROM h
+)
+SELECT DISTINCT doc_id, CAST(hv AS BIGINT) AS h
+FROM sel WHERE hv = wmin ORDER BY doc_id, h"""
+
+ANN_NEIGHBOR_COUNTS = """
+WITH sub AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+),
+q AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
+    FROM sub
+),
+norms AS (SELECT vec_id, sum(qv * qv) AS nn FROM q GROUP BY vec_id),
+dots AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.qv * b.qv) AS dot
+    FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+),
+hits AS (
+    SELECT va, vb
+    FROM dots
+    JOIN norms na ON dots.va = na.vec_id
+    JOIN norms nb ON dots.vb = nb.vec_id
+    WHERE dot > 0
+      AND CAST(dot AS HUGEINT) * dot * 10000 >= 6400 * CAST(na.nn AS HUGEINT) * nb.nn
+),
+cnt AS (
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_neighbors FROM (
+        SELECT va AS vec_id FROM hits UNION ALL SELECT vb AS vec_id FROM hits
+    ) GROUP BY vec_id
+)
+SELECT s.vec_id, coalesce(c.n_neighbors, 0) AS n_neighbors
+FROM sub s LEFT JOIN cnt c ON s.vec_id = c.vec_id ORDER BY s.vec_id"""
+
+MULTIMODAL_DECODE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+       CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
+       CAST((octet_length(encode(text)) + 1023) // 1024 AS BIGINT) AS n_frames
+FROM documents ORDER BY doc_id"""

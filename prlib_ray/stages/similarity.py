@@ -1,0 +1,179 @@
+"""Similarity search over the embeddings table (list<float> column).
+
+* ``ann_neighbor_counts`` — per-vector count of near neighbors by
+  *quantized-integer cosine*: q = floor(v*1000+0.5) per element; the
+  decision cos >= t becomes  dot > 0  AND  dot^2 * 10000 >= t2 * |qa|^2 *
+  |qb|^2  in exact (arbitrary-precision) integer arithmetic, so a DuckDB
+  oracle matches bit-for-bit.  Bounded id range: the all-pairs form is
+  the *baseline*; the LSH-bucketed form is the scale path.
+* ``ann_bruteforce_topk`` — float cosine top-k per query vector against
+  a broadcast query matrix (numpy matmul per batch) — the production
+  baseline; no SQL oracle (float ranking), pytest-pinned instead.
+* ``ann_lsh_topk`` — random-hyperplane LSH buckets -> top-k within
+  bucket; the scale path for 10^9+ vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MAX_ANN_ID = 300
+COS_T2 = 6400  # cos >= 0.8  ->  t^2 * 10000 = 6400
+
+
+def _quantize(vecs: list[list[float]]) -> list[np.ndarray]:
+    return [np.floor(np.asarray(v, dtype=np.float64) * 1000.0 + 0.5).astype(np.int64)
+            for v in vecs]
+
+
+def ann_neighbor_counts(sf_dir: str):
+    """Count, per vector (id < MAX_ANN_ID), the other vectors in range with
+    quantized cosine >= 0.8.  Exact integer decision, oracle-backed."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ds = ds.map_batches(
+        lambda b: b.filter(pa.array(b["vec_id"].to_numpy() < MAX_ANN_ID)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    rows = ds.take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = [int(r["vec_id"]) for r in rows]
+    qs = _quantize([list(r["embedding"]) for r in rows])
+    norms = [int(q @ q) for q in qs]
+    n = len(ids)
+    counts = [0] * n
+    for i in range(n):
+        for j in range(i + 1, n):
+            dot = int(qs[i] @ qs[j])
+            if dot > 0 and dot * dot * 10000 >= COS_T2 * norms[i] * norms[j]:
+                counts[i] += 1
+                counts[j] += 1
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "n_neighbors": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
+def ann_bruteforce_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
+    """Brute-force cosine top-k: the first ``n_queries`` vectors are the
+    query matrix, broadcast once (ray.put); each batch computes a numpy
+    matmul against it and emits its local top-k; a final tiny pass merges.
+    Deterministic tie-break (sim desc rounded to 1e-6, vec_id asc)."""
+    import ray
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qrows = sorted(
+        emb.map_batches(
+            lambda b: b.filter(pa.array(b["vec_id"].to_numpy() < n_queries)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((qids, qmat))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        ids_q, qm = ray.get(ref)
+        vids = b["vec_id"].to_numpy()
+        mat = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        if len(mat) == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = qm @ mat.T  # (nq, nbatch)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(ids_q)):
+            s = sims[qi]
+            mask = vids != ids_q[qi]
+            order = np.lexsort((vids[mask], -np.round(s[mask], 6)))[:k]
+            sel = np.flatnonzero(mask)[order]
+            out_q.extend([int(ids_q[qi])] * len(sel))
+            out_v.extend(vids[sel].tolist())
+            out_s.extend(np.round(s[mask][order], 6).tolist())
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         "vec_id": pa.array(out_v, type=pa.int64()),
+                         "sim": pa.array(out_s, type=pa.float64())})
+
+    local = emb.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g):
+        import pandas as pd
+
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+N_PLANES = 8
+_rng = np.random.RandomState(7)
+_PLANES: np.ndarray | None = None
+
+
+def _planes(dim: int) -> np.ndarray:
+    global _PLANES
+    if _PLANES is None or _PLANES.shape[1] != dim:
+        _PLANES = np.random.RandomState(7).standard_normal((N_PLANES, dim))
+    return _PLANES
+
+
+def ann_lsh_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
+    """Scale-path ANN: random-hyperplane signatures bucket the corpus
+    (groupby(bucket)); each query searches only its bucket.  Recall < 1 by
+    design; pytest checks bucket determinism + recall against brute force."""
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def sig(b: pa.Table) -> pa.Table:
+        mat = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        if len(mat) == 0:
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "embedding": b["embedding"]})
+        pl = _planes(mat.shape[1])
+        bits = (mat @ pl.T) > 0.0
+        bucket = np.zeros(len(mat), dtype=np.int64)
+        for i in range(N_PLANES):
+            bucket |= bits[:, i].astype(np.int64) << i
+        return pa.table({"bucket": pa.array(bucket), "vec_id": b["vec_id"],
+                         "embedding": b["embedding"]})
+
+    with_sig = emb.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_topk(g):
+        import pandas as pd
+
+        vids = g["vec_id"].to_numpy()
+        mat = np.array(list(g["embedding"]), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        qmask = vids < n_queries
+        if not qmask.any():
+            return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
+        sims = mat[qmask] @ mat.T
+        out = []
+        for qi, qid in enumerate(vids[qmask]):
+            s = np.round(sims[qi], 6)
+            mask = vids != qid
+            order = np.lexsort((vids[mask], -s[mask]))[:k]
+            sel = np.flatnonzero(mask)[order]
+            for idx in sel:
+                out.append((int(qid), int(vids[idx]), float(np.round(sims[qi][idx], 6))))
+        return pd.DataFrame(out, columns=["query_id", "vec_id", "sim"])
+
+    return with_sig.groupby("bucket").map_groups(bucket_topk, batch_format="pandas")

@@ -1,0 +1,119 @@
+"""Training-data operators: oracle parity for the exact ops, recall and
+determinism checks for the probabilistic ones."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+TABLES = ("documents", "embeddings")
+
+ORACLE_CASES = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "fingerprint_md5",
+    "fingerprint_winnow",
+    "ann_neighbor_counts",
+    "multimodal_decode",
+]
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from prlib_ray.api import build_queries
+
+    return build_queries()
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_matches_oracle(name, con, registry, ray_session, sf_dir):
+    queries, sql = registry
+    out = queries[name](sf_dir)
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    odf = con.execute(sql[name]).df()
+    cols = sorted(df.columns)
+    assert cols == sorted(odf.columns)
+    a = df[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
+    for c in cols:
+        x, y = a[c], b[c]
+        if x.dtype != y.dtype:
+            x, y = x.astype(str), y.astype(str)
+        assert x.equals(y), f"{name}: column {c}"
+
+
+def test_minhash_recall_vs_exact(registry, ray_session, sf_dir):
+    """MinHash-LSH candidates must recover every high-Jaccard exact pair
+    within the bounded range (J >= 0.5 pairs; 16 bands x 4 rows makes a
+    miss at J=0.5 astronomically unlikely)."""
+    queries, _ = registry
+    exact = queries["dedup_ngram_jaccard"](sf_dir).to_pandas()
+    strong = exact[2 * exact["inter"] >= exact["uni"]]  # J >= 0.5
+    mh = queries["dedup_minhash_lsh"](sf_dir).to_pandas()
+    got = set(zip(mh["doc_a"], mh["doc_b"]))
+    missing = [
+        (a, b)
+        for a, b in zip(strong["doc_a"], strong["doc_b"])
+        if (a, b) not in got
+    ]
+    assert not missing, f"minhash missed strong pairs: {missing[:5]}"
+    # and every reported pair really passes the threshold
+    assert (2 * mh["inter"] >= mh["uni"]).all()
+
+
+def test_simhash_deterministic(sf_dir):
+    from prlib_ray.stages.dedup import simhash_batch
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    a = simhash_batch(t.slice(0, 50)).to_pandas()
+    b = simhash_batch(t.slice(0, 50)).to_pandas()
+    assert a.equals(b)
+    # near-identical docs -> small hamming distance on a known pair
+    import pyarrow as pa
+
+    t2 = pa.table(
+        {
+            "doc_id": [0, 1],
+            "text": ["the quick brown fox jumps over the lazy dog " * 5,
+                     "the quick brown fox jumps over the lazy cat " * 5],
+        }
+    )
+    h = simhash_batch(t2)["simhash"].to_pylist()
+    ham = bin((h[0] ^ h[1]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 16, ham
+
+
+def test_ann_lsh_subset_of_bruteforce_space(registry, ray_session, sf_dir):
+    """LSH top-k sims can never exceed the brute-force top-1 sim per query
+    (sanity: bucketing only restricts the candidate set)."""
+    queries, _ = registry
+    bf = queries["ann_bruteforce_topk"](sf_dir).to_pandas()
+    lsh = queries["ann_lsh_topk"](sf_dir).to_pandas()
+    best_bf = bf.groupby("query_id")["sim"].max()
+    for qid, grp in lsh.groupby("query_id"):
+        assert grp["sim"].max() <= best_bf.loc[qid] + 1e-9
+
+
+def test_decoder_stub_is_actor_stateful():
+    from prlib_ray.stages.multimodal import DecoderStub
+    import pyarrow as pa
+
+    d = DecoderStub()  # smoke __init__ outside Ray (pitfall: late failures)
+    out = d(pa.table({"doc_id": [1], "payload": pa.array([b"abc"], type=pa.binary())}))
+    assert out["n_bytes"].to_pylist() == [3]
