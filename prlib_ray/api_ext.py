@@ -112,6 +112,18 @@ def _register_data_ops(queries, sql) -> None:
     queries["multimodal_decode"] = multimodal.decode_pipeline
     sql["multimodal_decode"] = odata.MULTIMODAL_DECODE
 
+    # flagship transcript extraction (synthesized-fixture input; goldens are
+    # the straight-line reference in pytest — rng synth is not
+    # SQL-expressible, so the driver records a rows-only check)
+    from prlib_ray.pipelines.extract import flagship
+
+    def flagship_extract(sf_dir: str):
+        # spans (list<struct>) don't survive the driver's pandas hash path
+        # uniformly; project the hashable columns before the shuffle
+        return flagship(sf_dir, include_spans=False)
+
+    queries["flagship_extract"] = flagship_extract
+
 
 def _register_reassemble(queries, sql) -> None:
     from prlib_ray import oracles_rel as orel

@@ -1,0 +1,241 @@
+"""Partitioning, skew salting, and resumable partitioned output.
+
+SURVEY §4's explicit-design items:
+
+* conversation key statistics as a tiny partial+final aggregate
+* mega-thread salting: conversations above a turn-count threshold get a
+  composite shuffle key ``conv_id#shard`` so no single ``map_groups``
+  task holds a 10^5-turn conversation
+* resumable output: parquet partitioned by ``bucket = crc32(conv_id) %
+  B`` with a per-bucket ``_manifest.json`` (rows, stage version, input);
+  a rerun skips manifested buckets
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+STAGE_VERSION = 1
+
+
+def bucket_of(conv_id: str, num_buckets: int) -> int:
+    """Stable bucket (crc32, not PYTHONHASHSEED-dependent hash())."""
+    return zlib.crc32(conv_id.encode("utf-8")) % num_buckets
+
+
+def conv_stats(ds, *, merge: str = "driver"):
+    """Per-conversation (n_turns, covariance partials) — the tiny
+    aggregate used for both skew detection and direction repair.
+
+    One row per conv_id: n, sx, sy, sxy where x = turn_idx, y = seconds
+    since epoch.  All int64 (exact in any accumulation order).
+
+    merge="driver" (default): the per-batch partials (<= one row per
+    conv per batch) come back to the driver and a single pyarrow
+    group_by folds them — Ray's all-to-all Aggregate costs seconds of
+    fixed overhead that dwarfs this data size.  merge="distributed":
+    the same fold as a Ray groupby — the layout for corpora whose
+    *conversation count* itself exceeds driver memory (10^9+ convs).
+    Both produce identical integers."""
+
+    # prune to the three needed columns so a parquet-backed input only
+    # reads those column chunks
+    ds = ds.select_columns(["conv_id", "turn_idx", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b["turn_idx"].to_numpy().astype(np.int64)
+        y = b["ts"].cast(pa.int64()).to_numpy() // 1_000_000
+        t = pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "n": pa.array(np.ones(len(x), dtype=np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+            }
+        )
+        return t.group_by("conv_id").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxy", "sum")]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    if merge == "distributed":
+        from ray.data.aggregate import Sum
+
+        return partials.groupby("conv_id").aggregate(
+            Sum("n_sum", alias_name="n"),
+            Sum("sx_sum", alias_name="sx"),
+            Sum("sy_sum", alias_name="sy"),
+            Sum("sxy_sum", alias_name="sxy"),
+        )
+    import ray
+
+    tables = [ray.get(r) for r in partials.to_arrow_refs()]
+    big = pa.concat_tables([t for t in tables if t.num_rows])
+    out = big.group_by("conv_id").aggregate(
+        [("n_sum", "sum"), ("sx_sum", "sum"), ("sy_sum", "sum"), ("sxy_sum", "sum")]
+    )
+    return out.rename_columns(["conv_id", "n", "sx", "sy", "sxy"])
+
+
+def directions_and_sizes(stats) -> dict[str, tuple[int, int]]:
+    """conv_id -> (n_turns, direction) from the stats aggregate.
+
+    direction = sign of n*sxy - sx*sy (integer covariance of turn_idx vs
+    ts; exact, so distributed == straight-line).  cov == 0 (singleton
+    turns) -> +1."""
+    if isinstance(stats, pa.Table):
+        stats_rows = stats.to_pylist()
+    elif hasattr(stats, "take_all"):
+        stats_rows = stats.take_all()
+    else:
+        stats_rows = stats
+    out = {}
+    for r in stats_rows:
+        cov = r["n"] * r["sxy"] - r["sx"] * r["sy"]
+        out[r["conv_id"]] = (int(r["n"]), 1 if cov >= 0 else -1)
+    return out
+
+
+def add_order_idx(ds, meta_ref):
+    """Add only ``order_idx`` (direction-corrected final position) — the
+    sort-based reassembly needs no salt column (the range partitioner
+    bounds task sizes on its own)."""
+    import ray
+
+    def apply(b: pa.Table) -> pa.Table:
+        meta = ray.get(meta_ref)
+        convs = b["conv_id"].to_pylist()
+        tidx = b["turn_idx"].to_numpy().astype(np.int64)
+        uniq, inv = np.unique(np.asarray(convs, dtype=object), return_inverse=True)
+        n_u = np.fromiter((meta[c][0] for c in uniq), dtype=np.int64, count=len(uniq))
+        d_u = np.fromiter((meta[c][1] for c in uniq), dtype=np.int64, count=len(uniq))
+        order = np.where(d_u[inv] >= 0, tidx, n_u[inv] - 1 - tidx)
+        return b.append_column("order_idx", pa.array(order, type=pa.int64()))
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+NUM_BUCKETS_DEFAULT = 64
+
+
+def add_bucket_sorted(ds, *, num_buckets: int = NUM_BUCKETS_DEFAULT):
+    """Add ``bucket = crc32(conv_id) % B`` and sort each block locally by
+    (bucket, conv_id, order_idx) — the shuffle-free reassembly layout."""
+
+    def apply(b: pa.Table) -> pa.Table:
+        convs = b["conv_id"].to_pylist()
+        uniq, inv = np.unique(np.asarray(convs, dtype=object), return_inverse=True)
+        bk_u = np.fromiter(
+            (bucket_of(c, num_buckets) for c in uniq), dtype=np.int32,
+            count=len(uniq),
+        )
+        out = b.append_column("bucket", pa.array(bk_u[inv], type=pa.int32()))
+        order = np.lexsort(
+            (out["order_idx"].to_numpy(), inv, bk_u[inv])
+        )
+        return out.take(pa.array(order))
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_salted_key(ds, meta_ref, *, salt_threshold: int, shard_size: int):
+    """Add ``salt_key`` (= conv_id, or conv_id#shard for mega threads) and
+    ``order_idx`` (direction-corrected final position).
+
+    meta_ref: ray.ObjectRef of the directions_and_sizes dict (broadcast
+    once; at 10^12-turn scale this becomes a partitioned join on conv_id
+    instead of a driver broadcast — same dataflow, different physical op).
+    """
+    import ray
+
+    def apply(b: pa.Table) -> pa.Table:
+        meta = ray.get(meta_ref)
+        convs = b["conv_id"].to_pylist()
+        tidx = b["turn_idx"].to_numpy().astype(np.int64)
+        # vectorize the per-row lookup: resolve meta once per DISTINCT conv
+        uniq, inv = np.unique(np.asarray(convs, dtype=object), return_inverse=True)
+        n_u = np.fromiter((meta[c][0] for c in uniq), dtype=np.int64, count=len(uniq))
+        d_u = np.fromiter((meta[c][1] for c in uniq), dtype=np.int64, count=len(uniq))
+        n_row = n_u[inv]
+        d_row = d_u[inv]
+        order = np.where(d_row >= 0, tidx, n_row - 1 - tidx)
+        salt = convs  # reuse; only hot-conv rows get rewritten
+        hot_rows = np.flatnonzero((n_u > salt_threshold)[inv])
+        for i in hot_rows:
+            salt[i] = f"{convs[i]}#{order[i] // shard_size:06d}"
+        out = b.append_column("order_idx", pa.array(order, type=pa.int64()))
+        return out.append_column("salt_key", pa.array(salt, type=pa.string()))
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_partitioned(ds, out_dir: str, *, num_buckets: int = 16,
+                      skip_buckets: set[int] | None = None) -> list[dict]:
+    """Resumable sink: one directory per bucket + per-bucket manifest.
+
+    Returns the manifests written.  ``skip_buckets`` (from
+    ``finished_buckets``) lets a rerun skip completed partitions."""
+    import pyarrow.parquet as pq
+
+    skip = skip_buckets or set()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        if "bucket" in b.column_names:
+            out = b
+            buckets = b["bucket"].to_pylist()
+        else:
+            buckets = [
+                bucket_of(c, num_buckets) for c in b["conv_id"].to_pylist()
+            ]
+            out = b.append_column("bucket", pa.array(buckets, type=pa.int32()))
+        if skip:
+            keep = pa.array([bk not in skip for bk in buckets])
+            out = out.filter(keep)
+        return out
+
+    with_bucket = ds.map_batches(add_bucket, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    # single streaming pass; the writer splits by the partition column
+    with_bucket.write_parquet(out_dir, partition_cols=["bucket"])
+    manifests = []
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if not (name.startswith("bucket=") and os.path.isdir(path)):
+            continue
+        bkt = int(name.split("=", 1)[1])
+        if bkt in skip:
+            continue
+        rows = sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        manifest = {
+            "bucket": bkt,
+            "rows": int(rows),
+            "stage_version": STAGE_VERSION,
+        }
+        with open(os.path.join(path, "_manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        manifests.append(manifest)
+    return manifests
+
+
+def finished_buckets(out_dir: str) -> set[int]:
+    done = set()
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        mpath = os.path.join(out_dir, name, "_manifest.json")
+        if name.startswith("bucket=") and os.path.exists(mpath):
+            with open(mpath) as f:
+                m = json.load(f)
+            if m.get("stage_version") == STAGE_VERSION:
+                done.add(m["bucket"])
+    return done

@@ -1,0 +1,125 @@
+"""Flagship extraction: distributed output must equal the straight-line
+single-process golden exactly (FIXTURES.md discipline), under arbitrary
+partitioning and through the salted shuffle; partitioned output resumes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["spans"] = df["spans"].map(
+        lambda sp: ";".join(f"{s['start']}:{s['end']}:{s['kind']}" for s in sp)
+    )
+    df["ts"] = pd.to_datetime(df["ts"])
+    df["turn_idx"] = df["turn_idx"].astype(np.int64)
+    df["order_idx"] = df["order_idx"].astype(np.int64)
+    cols = ["conv_id", "turn_idx", "role", "tool", "ts", "clean_text", "spans", "order_idx"]
+    return (
+        df[cols]
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def golden(sf_dir):
+    from prlib_ray.pipelines.extract import reference_flagship
+
+    return _canon(reference_flagship(sf_dir))
+
+
+def test_flagship_matches_golden(ray_session, sf_dir, golden):
+    from prlib_ray.pipelines.extract import flagship
+
+    got = _canon(flagship(sf_dir).to_pandas())
+    assert len(got) == len(golden)
+    for c in golden.columns:
+        assert got[c].equals(golden[c]), f"column {c} differs"
+
+
+def test_flagship_partition_invariance(ray_session, sf_dir, golden):
+    """Same result with adversarial input partitioning (7 shuffled blocks)."""
+    from prlib_ray.fixtures import transcripts_dataset
+    from prlib_ray.pipelines.extract import extract_pipeline
+
+    ts = transcripts_dataset(sf_dir).repartition(7)
+    got = _canon(extract_pipeline(ts).to_pandas())
+    for c in golden.columns:
+        assert got[c].equals(golden[c]), f"column {c} differs"
+
+
+def test_sort_and_groupby_paths_equal(ray_session, sf_dir, golden):
+    """The sort-based physical plan and the salted-groupby plan must be
+    byte-identical (and both equal the golden)."""
+    from prlib_ray.fixtures import transcripts_dataset
+    from prlib_ray.pipelines.extract import extract_pipeline
+
+    got = _canon(
+        extract_pipeline(
+            transcripts_dataset(sf_dir), physical="groupby"
+        ).to_pandas()
+    )
+    for c in golden.columns:
+        assert got[c].equals(golden[c]), f"column {c} differs"
+
+
+def test_mega_thread_salting(ray_session, sf_dir):
+    """Mega conversations (doc_id % 211 == 0 -> 400 turns) must be sharded
+    into multiple groups yet produce contiguous order_idx 0..n-1."""
+    from prlib_ray.pipelines.extract import SALT_THRESHOLD, flagship
+
+    got = flagship(sf_dir).to_pandas()
+    mega = got[got["conv_id"] == "conv-00000000"]
+    assert len(mega) == 400 > SALT_THRESHOLD
+    assert sorted(mega["order_idx"]) == list(range(400))
+
+
+def test_reversed_conversation_repaired(ray_session, sf_dir):
+    """doc_id % 17 == 3 conversations have reversed timestamps; order_idx
+    must run opposite to turn_idx."""
+    from prlib_ray.pipelines.extract import flagship
+
+    got = flagship(sf_dir).to_pandas()
+    rev = got[got["conv_id"] == "conv-00000003"].sort_values("turn_idx")
+    n = len(rev)
+    assert n > 1
+    assert rev["order_idx"].tolist() == [n - 1 - i for i in range(n)]
+    fwd = got[got["conv_id"] == "conv-00000001"].sort_values("turn_idx")
+    assert fwd["order_idx"].tolist() == list(range(len(fwd)))
+
+
+def test_write_partitioned_resume(ray_session, sf_dir, tmp_path):
+    from prlib_ray.fixtures import transcripts_dataset
+    from prlib_ray.state import partitioning as part
+
+    ds = transcripts_dataset(sf_dir)
+    out = str(tmp_path / "out")
+    manifests = part.write_partitioned(ds, out, num_buckets=4)
+    assert {m["bucket"] for m in manifests} == {0, 1, 2, 3}
+    total = sum(m["rows"] for m in manifests)
+    assert total == ds.count()
+    # resume: everything finished -> nothing rewritten
+    done = part.finished_buckets(out)
+    assert done == {0, 1, 2, 3}
+    again = part.write_partitioned(ds, out, num_buckets=4, skip_buckets=done)
+    assert again == []
+
+
+def test_extract_turn_spans_cover_source():
+    from prlib_ray.stages.boilerplate import _clean_source, extract_turn
+
+    text = "Home | About | Products | Pricing | Contact\nreal content line with many words here\n--------\n“quoted line” with more actual content words\n(c) 2020 ExampleCorp Inc. All rights reserved. Privacy"
+    clean, spans = extract_turn(text)
+    src = _clean_source(text)
+    # spans tile the cleaned source exactly
+    assert spans[0]["start"] == 0
+    for a, b in zip(spans, spans[1:]):
+        assert b["start"] == a["end"] + 1
+    assert spans[-1]["end"] == len(src)
+    kinds = [s["kind"] for s in spans]
+    assert kinds[0] == "furniture" and kinds[2] == "furniture" and kinds[-1] == "furniture"
+    assert "content" in kinds
