@@ -124,6 +124,75 @@ def _register_data_ops(queries, sql) -> None:
 
     queries["flagship_extract"] = flagship_extract
 
+    _register_morph_and_joins(queries, sql)
+
+
+def _register_morph_and_joins(queries, sql) -> None:
+    from prlib_ray import oracles_morph as omorph
+    from prlib_ray.stages import crop
+    from prlib_ray.stages.morphology import binarize_morph_batch
+
+    # binarization morphIters epilogue (binarizeSauvola.cpp:125-134)
+    queries["binarize_sauvola_morph"] = _doc_query(binarize_morph_batch)
+    sql["binarize_sauvola_morph"] = omorph.binarize_morph_sql()
+
+    # warpCrop strict slice (warp.cpp:32-73): no fallback to full text
+    def warp_batch(b):
+        import numpy as np
+        import pyarrow as pa
+
+        from prlib_ray.blocks import split_words_blocks
+        from prlib_ray.stages.crop import _islands
+
+        texts = b["text"].to_pylist()
+        frame = split_words_blocks(texts, 12)
+        start, end, isum, dsum = _islands(frame)
+        ok = (start >= 0) & (20 * isum >= dsum)
+        offs = frame.doc_offsets
+        out = []
+        for d in range(frame.ndocs):
+            if ok[d]:
+                lo = offs[d] + start[d]
+                hi = offs[d] + end[d] + 1
+                out.append("\n".join(frame.blocks[lo:hi]))
+            else:
+                out.append("")
+        return pa.table(
+            {"doc_id": b["doc_id"], "clean_text": pa.array(out, type=pa.string())}
+        )
+
+    queries["warp_crop"] = _doc_query(warp_batch)
+    sql["warp_crop"] = omorph.warp_crop_sql()
+
+    # compareImages analogue via the native hash join (Dataset.join)
+    def compare_extractions(sf_dir: str):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from prlib_ray.stages import threshold
+
+        base = f"{sf_dir}/documents.parquet"
+        a = threshold.binarize(
+            rd.read_parquet(base, columns=["doc_id", "text"]), "sauvola"
+        )
+        b = threshold.binarize(
+            rd.read_parquet(base, columns=["doc_id", "text"]), "niblack"
+        )
+        joined = a.join(
+            b, "inner", num_partitions=8, on=("doc_id",), right_suffix="_b"
+        )
+
+        def flag(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            eq = pc.equal(t["clean_text"], t["clean_text_b"])
+            return pa.table({"doc_id": t["doc_id"], "equal": eq})
+
+        return joined.map_batches(flag, batch_format="pyarrow")
+
+    queries["compare_extractions"] = compare_extractions
+    sql["compare_extractions"] = omorph.compare_extractions_sql()
+
 
 def _register_reassemble(queries, sql) -> None:
     from prlib_ray import oracles_rel as orel

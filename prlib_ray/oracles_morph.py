@@ -1,0 +1,71 @@
+"""Oracles for the morphological post-pass, warpCrop, and the
+compareImages-style extraction-equality join."""
+
+from __future__ import annotations
+
+from prlib_ray.oracles import _BLOCKS_CTE, _select_clean, binarize_sql
+
+
+def binarize_morph_sql(rule: str = "sauvola", morph_iters: int = 2) -> str:
+    """Threshold keep-rule + iterated close (dilate then erode) via
+    lag/lead CTE chains — the exact mirror of morphology.morph_close."""
+    assert rule == "sauvola", "oracle emitted for the default rule"
+    keep0 = ("x > m * (CAST(1.0 AS DOUBLE) + CAST(0.01 AS DOUBLE) * "
+             "(s / CAST(128.0 AS DOUBLE) - CAST(1.0 AS DOUBLE)))")
+    ctes = [f"k0 AS (SELECT doc_id, bidx, block, ({keep0}) AS k FROM win)"]
+    cur = "k0"
+    for i in range(morph_iters):
+        d = f"d{i}"
+        e = f"e{i}"
+        ctes.append(f"""
+{d} AS (
+    SELECT doc_id, bidx, block,
+           (k OR (coalesce(lag(k) OVER w, FALSE)
+                  AND coalesce(lead(k) OVER w, FALSE))) AS k
+    FROM {cur} WINDOW w AS (PARTITION BY doc_id ORDER BY bidx)
+)""")
+        ctes.append(f"""
+{e} AS (
+    SELECT doc_id, bidx, block,
+           (k AND (coalesce(lag(k) OVER w, FALSE)
+                   OR coalesce(lead(k) OVER w, FALSE)
+                   OR (lag(k) OVER w IS NULL AND lead(k) OVER w IS NULL))) AS k
+    FROM {d} WINDOW w AS (PARTITION BY doc_id ORDER BY bidx)
+)""")
+        cur = e
+    body = ",".join(ctes)
+    return f"WITH {_BLOCKS_CTE},{body}\n{_select_clean('k', cur)}"
+
+
+WARP_CROP = None  # built below
+
+
+def warp_crop_sql() -> str:
+    """warpCrop strict slice: text cropped exactly to the detected span;
+    '' when no valid contour (no full-text fallback)."""
+    from prlib_ray.oracles_ext import _ISLANDS_CTE
+
+    return f"""
+WITH {_ISLANDS_CTE},
+gated AS (
+    SELECT doc_id, s, e FROM winner WHERE 20 * isum >= dsum
+)
+SELECT f.doc_id,
+       coalesce(string_agg(f.block, chr(10) ORDER BY f.bidx)
+                FILTER (WHERE g.s IS NOT NULL AND f.bidx BETWEEN g.s AND g.e),
+                '') AS clean_text
+FROM feat f LEFT JOIN gated g ON f.doc_id = g.doc_id
+GROUP BY f.doc_id ORDER BY f.doc_id"""
+
+
+def compare_extractions_sql() -> str:
+    """compareImages analogue (utils.cpp:37-86): exact-equality metric of
+    two operator outputs, joined per document."""
+    a = binarize_sql("sauvola")
+    b = binarize_sql("niblack")
+    return f"""
+WITH a AS ({a}),
+b AS ({b})
+SELECT a.doc_id, (a.clean_text = b.clean_text) AS equal
+FROM a JOIN b ON a.doc_id = b.doc_id
+ORDER BY a.doc_id"""
