@@ -193,6 +193,14 @@ def _register_morph_and_joins(queries, sql) -> None:
     queries["compare_extractions"] = compare_extractions
     sql["compare_extractions"] = omorph.compare_extractions_sql()
 
+    # source-format coverage: CSV / JSON-lines ingest roundtrips
+    from prlib_ray.sources import io as pio
+
+    queries["source_csv_roundtrip"] = pio.csv_roundtrip_counts
+    sql["source_csv_roundtrip"] = pio.ROUNDTRIP_SQL
+    queries["source_jsonl_roundtrip"] = pio.jsonl_roundtrip_counts
+    sql["source_jsonl_roundtrip"] = pio.ROUNDTRIP_SQL
+
 
 def _register_reassemble(queries, sql) -> None:
     from prlib_ray import oracles_rel as orel

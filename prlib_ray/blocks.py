@@ -59,7 +59,8 @@ class BlockFrame:
 
     @property
     def nblocks(self) -> int:
-        return len(self.blocks)
+        return len(self.x)  # x is always aligned; blocks may be elided
+        # by stats-only frames
 
     def doc_of_block(self) -> np.ndarray:
         """int64 doc index per block (np.repeat over offsets)."""

@@ -69,15 +69,19 @@ def extract_pipeline(ts_ds, *, reassemble: bool = True,
         # Default: stateless tasks.  The extract kernel's only "state" is
         # module-level compiled regexes, which warm workers already hold —
         # an actor pool would pay per-execution spin-up for nothing.
-        from prlib_ray.stages.boilerplate import extract_turns_batch
-
-        cleaned = ts_ds.map_batches(
+        from prlib_ray.stages.boilerplate import (
             extract_turns_batch,
+            extract_turns_batch_nospans,
+        )
+
+        fn = extract_turns_batch if include_spans else extract_turns_batch_nospans
+        cleaned = ts_ds.map_batches(
+            fn,
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=4096,
         )
-    if not include_spans:
+    if not include_spans and compute == "actors":
         cleaned = cleaned.map_batches(
             lambda b: b.drop_columns(["spans"]),
             batch_format="pyarrow",

@@ -112,100 +112,215 @@ def extract_turn(text: str) -> tuple[str, list[dict]]:
     return "\n".join(kept_lines), spans
 
 
-def _extract_batch_vectorized(texts: list[str]) -> tuple[list[str], list[list[dict]]]:
-    """Vectorized batch implementation of ``extract_turn`` — identical
-    output, but all regex work runs as RE2 Arrow kernels over the flat
-    line array and the window statistics use the prefix-sum machinery
-    (tests pin vectorized == scalar)."""
+def _byte_class_counts(values: pa.StringArray, table: np.ndarray) -> np.ndarray:
+    """Per-string count of bytes whose class indicator is 1.
+
+    For ASCII character classes this equals the regex per-*char* count on
+    any UTF-8 input (continuation/multibyte bytes are >= 0x80 and never in
+    the class) — a pure-numpy replacement for count_substring_regex."""
+    values = values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values
+    off = np.frombuffer(values.buffers()[1], dtype=np.int32)[
+        values.offset : values.offset + len(values) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(values.buffers()[2], dtype=np.uint8)
+    ind = table[data]
+    csum = np.concatenate(([0], np.cumsum(ind, dtype=np.int64)))
+    return csum[off[1:]] - csum[off[:-1]]
+
+
+def _byte_lens(values: pa.StringArray) -> np.ndarray:
+    values = values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values
+    off = np.frombuffer(values.buffers()[1], dtype=np.int32)[
+        values.offset : values.offset + len(values) + 1
+    ].astype(np.int64)
+    return off[1:] - off[:-1]
+
+
+_ALNUM_TABLE = np.zeros(256, dtype=np.int64)
+for _c in (list(range(48, 58)) + list(range(65, 91)) + list(range(97, 123))):
+    _ALNUM_TABLE[_c] = 1
+_SEP_TABLE = np.zeros(256, dtype=np.int64)
+for _c in (ord("-"), ord("="), ord("_")):
+    _SEP_TABLE[_c] = 1
+
+
+# one probe pattern covering every char the clean chain can touch; rows
+# without a hit skip the whole 10-kernel chain (most rows, most corpora)
+_CLEAN_PROBE = (
+    "[‘’“”–—… \x00-\x08\x0b\x0c\x0e-\x1f\x7f�]|[a-z]- "
+)
+
+
+def _clean_chain(arr: pa.Array) -> pa.Array:
     import pyarrow.compute as pc
 
-    from prlib_ray.blocks import BlockFrame, split_line_blocks, window_mean_var
-
-    cleaned_arr = pa.array(texts, type=pa.string())
     for a, b in FOLD_PAIRS:
-        cleaned_arr = pc.replace_substring(cleaned_arr, pattern=a, replacement=b)
-    cleaned_arr = pc.replace_substring_regex(
-        cleaned_arr, pattern="[\x00-\x08\x0b\x0c\x0e-\x1f\x7f�]", replacement=""
+        arr = pc.replace_substring(arr, pattern=a, replacement=b)
+    arr = pc.replace_substring_regex(
+        arr, pattern="[\x00-\x08\x0b\x0c\x0e-\x1f\x7f�]", replacement=""
     )
-    cleaned_arr = pc.replace_substring_regex(
-        cleaned_arr, pattern="([a-z])- ", replacement="\\1"
+    return pc.replace_substring_regex(
+        arr, pattern="([a-z])- ", replacement="\\1"
     )
-    srcs = cleaned_arr.to_pylist()
-    frame = split_line_blocks(srcs)
-    lines = pa.array(frame.blocks, type=pa.string())
-    nline = len(frame.blocks)
 
-    lens = frame.x
-    is_sep = pc.match_substring_regex(lines, pattern="^[-=_]{4,}$").to_numpy(
+
+def _extract_batch_arrow(texts_arr: pa.Array, *, with_spans: bool = True):
+    """Fully-Arrow batch kernel: identical output to ``extract_turn``
+    per row (tests pin it), but every per-line operation is an Arrow
+    kernel, a byte-table numpy pass over the string buffers, or a
+    prefix-sum window — no per-line Python.
+
+    Returns (clean_text: StringArray, spans: ListArray[SPAN_TYPE] | None
+    when ``with_spans`` is False — skipping span construction in
+    pipelines that drop them saves a full struct/list materialization)."""
+    import pyarrow.compute as pc
+
+    from prlib_ray.blocks import BlockFrame, window_mean_var
+
+    if isinstance(texts_arr, pa.ChunkedArray):
+        texts_arr = texts_arr.combine_chunks()
+    hit = pc.match_substring_regex(texts_arr, pattern=_CLEAN_PROBE).to_numpy(
         zero_copy_only=False
     )
-    low = pc.utf8_lower(lines)
+    hidx = np.flatnonzero(hit)
+    if len(hidx) == len(hit):
+        cleaned_arr = _clean_chain(texts_arr)
+    elif len(hidx) == 0:
+        cleaned_arr = texts_arr
+    else:
+        nidx = np.flatnonzero(~hit)
+        processed = _clean_chain(texts_arr.take(pa.array(hidx)))
+        untouched = texts_arr.take(pa.array(nidx))
+        merged = pa.concat_arrays(
+            [processed.combine_chunks() if isinstance(processed, pa.ChunkedArray)
+             else processed, untouched]
+        )
+        perm = np.empty(len(hit), dtype=np.int64)
+        perm[np.concatenate([hidx, nidx])] = np.arange(len(hit))
+        cleaned_arr = merged.take(pa.array(perm))
+    if isinstance(cleaned_arr, pa.ChunkedArray):
+        cleaned_arr = cleaned_arr.combine_chunks()
+
+    # split into the flat line array (list<string> offsets + values)
+    lv = pc.split_pattern(cleaned_arr, pattern="\n")
+    if isinstance(lv, pa.ChunkedArray):
+        lv = lv.combine_chunks()
+    doc_offsets = lv.offsets.to_numpy().astype(np.int64)
+    values = lv.values
+    nline = len(values)
+    ndocs = len(lv)
+
+    char_lens = pc.utf8_length(values).to_numpy().astype(np.int64)
+    byte_lens = _byte_lens(values)
+
+    # separator lines: every byte in [-=_], length >= 4 (all-ASCII by
+    # construction, so byte length == char length for matches)
+    sep_cnt = _byte_class_counts(values, _SEP_TABLE)
+    is_sep = (sep_cnt == byte_lens) & (byte_lens >= 4)
+
     is_marker = np.zeros(nline, dtype=bool)
     for m in ("cookie", "(c) ", "all rights reserved"):
-        is_marker |= pc.match_substring(low, pattern=m).to_numpy(
-            zero_copy_only=False
-        )
-    n_pipes = pc.count_substring(lines, pattern=" | ").to_numpy().astype(np.int64)
-    delinked = pc.replace_substring_regex(
-        lines, pattern="<a\\b[^>]*>|</a>|https?://[^ \n]+", replacement=""
-    )
-    link_chars = lens - pc.utf8_length(delinked).to_numpy().astype(np.int64)
-    furniture = is_sep | is_marker | (n_pipes >= 3) | (2 * link_chars > lens)
+        is_marker |= pc.match_substring(
+            values, pattern=m, ignore_case=True
+        ).to_numpy(zero_copy_only=False)
+    n_pipes = pc.count_substring(values, pattern=" | ").to_numpy().astype(np.int64)
 
-    alnum = pc.count_substring_regex(
-        lines, pattern="[A-Za-z0-9]"
-    ).to_numpy().astype(np.int64)
+    # link chars: run the (expensive) link regex only on probed lines
+    probe = (
+        pc.match_substring(values, pattern="http").to_numpy(zero_copy_only=False)
+        | pc.match_substring(values, pattern="<a").to_numpy(zero_copy_only=False)
+        | pc.match_substring(values, pattern="</a").to_numpy(zero_copy_only=False)
+    )
+    link_chars = np.zeros(nline, dtype=np.int64)
+    pidx = np.flatnonzero(probe)
+    if len(pidx):
+        sub = values.take(pa.array(pidx))
+        delinked = pc.replace_substring_regex(
+            sub, pattern="<a\\b[^>]*>|</a>|https?://[^ \n]+", replacement=""
+        )
+        link_chars[pidx] = char_lens[pidx] - pc.utf8_length(delinked).to_numpy()
+
+    furniture = is_sep | is_marker | (n_pipes >= 3) | (2 * link_chars > char_lens)
+
+    alnum = _byte_class_counts(values, _ALNUM_TABLE)
     candidate = ~furniture
     x = np.where(candidate, alnum, 0)
 
     # candidate-only sub-frame per turn for the windowed threshold
-    counts = np.diff(frame.doc_offsets)
-    doc = np.repeat(np.arange(frame.ndocs, dtype=np.int64), counts)
+    counts = np.diff(doc_offsets)
+    doc = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
     cand_idx = np.flatnonzero(candidate)
-    cand_doc = doc[cand_idx]
-    cand_counts = np.bincount(cand_doc, minlength=frame.ndocs)
-    cand_offsets = np.concatenate(([0], np.cumsum(cand_counts)))
     keep = np.zeros(nline, dtype=bool)
     if len(cand_idx):
+        cand_counts = np.bincount(doc[cand_idx], minlength=ndocs)
+        cand_offsets = np.concatenate(([0], np.cumsum(cand_counts)))
         sub = BlockFrame(
             doc_offsets=cand_offsets.astype(np.int64),
-            blocks=[""] * len(cand_idx),  # blocks unused for stats
+            blocks=[],  # unused for stats
             x=x[cand_idx],
         )
         m, _, s = window_mean_var(sub, WINDOW, WINDOW)
         t = m * (1.0 + SAUVOLA_K * (s / SAUVOLA_R - 1.0))
         keep[cand_idx] = x[cand_idx].astype(np.float64) > t
 
-    cleans, span_lists = [], []
-    offs = frame.doc_offsets
-    blocks = frame.blocks
-    for d in range(frame.ndocs):
-        lo, hi = int(offs[d]), int(offs[d + 1])
-        pos = 0
-        spans = []
-        kept = []
-        for i in range(lo, hi):
-            ln = blocks[i]
-            kind = "content" if keep[i] else (
-                "furniture" if furniture[i] else "boilerplate"
-            )
-            spans.append({"start": pos, "end": pos + len(ln), "kind": kind})
-            if keep[i]:
-                kept.append(ln)
-            pos += len(ln) + 1
-        cleans.append("\n".join(kept))
-        span_lists.append(spans)
-    return cleans, span_lists
+    # spans: vectorized char-offset construction (skipped when dropped)
+    spans = None
+    if with_spans:
+        step = char_lens + 1
+        glob = np.concatenate(([0], np.cumsum(step)))
+        doc_base = np.repeat(glob[doc_offsets[:-1]], counts)
+        starts = (glob[:-1] - doc_base).astype(np.int32)
+        ends = (starts + char_lens).astype(np.int32)
+        kind_np = np.where(
+            keep, "content", np.where(furniture, "furniture", "boilerplate")
+        )
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(starts, type=pa.int32()),
+                pa.array(ends, type=pa.int32()),
+                pa.array(kind_np, type=pa.string()),
+            ],
+            names=["start", "end", "kind"],
+        )
+        spans = pa.ListArray.from_arrays(
+            pa.array(doc_offsets, type=pa.int32()), struct
+        )
+
+    # clean_text: kept lines re-joined per doc, all in Arrow
+    keep_pa = pa.array(keep)
+    kept_values = values.filter(keep_pa)
+    kept_counts = np.bincount(doc[keep], minlength=ndocs)
+    kept_offsets = np.concatenate(([0], np.cumsum(kept_counts)))
+    kept_list = pa.ListArray.from_arrays(
+        pa.array(kept_offsets, type=pa.int32()), kept_values
+    )
+    clean = pc.binary_join(kept_list, "\n")
+    return clean, spans
+
+
+def _extract_batch_vectorized(texts: list[str]) -> tuple[list[str], list[list[dict]]]:
+    """List-in/list-out wrapper over the Arrow kernel (test surface)."""
+    clean, spans = _extract_batch_arrow(pa.array(texts, type=pa.string()))
+    return clean.to_pylist(), spans.to_pylist()
 
 
 def extract_turns_batch(batch: pa.Table) -> pa.Table:
     """Stateless-task form of the extract stage (same kernel)."""
-    texts = batch["text"].to_pylist()
-    cleans, span_lists = _extract_batch_vectorized(texts)
-    out = batch.drop_columns(["text"]).append_column(
-        "clean_text", pa.array(cleans, type=pa.string())
-    )
-    return out.append_column("spans", pa.array(span_lists, type=SPAN_TYPE))
+    col = batch["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    clean, spans = _extract_batch_arrow(col)
+    out = batch.drop_columns(["text"]).append_column("clean_text", clean)
+    return out.append_column("spans", spans.cast(SPAN_TYPE))
+
+
+def extract_turns_batch_nospans(batch: pa.Table) -> pa.Table:
+    """Span-free fast path (pipelines that drop spans skip building them)."""
+    col = batch["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    clean, _ = _extract_batch_arrow(col, with_spans=False)
+    return batch.drop_columns(["text"]).append_column("clean_text", clean)
 
 
 class ExtractTurns:
@@ -220,10 +335,5 @@ class ExtractTurns:
         self.n_processed = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        cleans, span_lists = _extract_batch_vectorized(texts)
-        self.n_processed += len(texts)
-        out = batch.drop_columns(["text"]).append_column(
-            "clean_text", pa.array(cleans, type=pa.string())
-        )
-        return out.append_column("spans", pa.array(span_lists, type=SPAN_TYPE))
+        self.n_processed += batch.num_rows
+        return extract_turns_batch(batch)

@@ -75,7 +75,7 @@ def conv_stats(ds, *, merge: str = "driver"):
         )
     import ray
 
-    tables = [ray.get(r) for r in partials.to_arrow_refs()]
+    tables = ray.get(list(partials.to_arrow_refs()))  # one batched get
     big = pa.concat_tables([t for t in tables if t.num_rows])
     out = big.group_by("conv_id").aggregate(
         [("n_sum", "sum"), ("sx_sum", "sum"), ("sy_sum", "sum"), ("sxy_sum", "sum")]
@@ -112,9 +112,23 @@ def add_order_idx(ds, meta_ref):
         meta = ray.get(meta_ref)
         convs = b["conv_id"].to_pylist()
         tidx = b["turn_idx"].to_numpy().astype(np.int64)
-        uniq, inv = np.unique(np.asarray(convs, dtype=object), return_inverse=True)
-        n_u = np.fromiter((meta[c][0] for c in uniq), dtype=np.int64, count=len(uniq))
-        d_u = np.fromiter((meta[c][1] for c in uniq), dtype=np.int64, count=len(uniq))
+        import pandas as pd
+
+        inv, uniq = pd.factorize(np.asarray(convs, dtype=object))
+        try:
+            n_u = np.fromiter(
+                (meta[c][0] for c in uniq), dtype=np.int64, count=len(uniq)
+            )
+            d_u = np.fromiter(
+                (meta[c][1] for c in uniq), dtype=np.int64, count=len(uniq)
+            )
+        except KeyError as e:
+            raise KeyError(
+                f"conversation {e.args[0]!r} missing from direction meta — "
+                "the stats pass and this pass saw different rows; input "
+                "must be deterministic across executions (avoid limit()/"
+                "random_sample() upstream of extract_pipeline)"
+            ) from e
         order = np.where(d_u[inv] >= 0, tidx, n_u[inv] - 1 - tidx)
         return b.append_column("order_idx", pa.array(order, type=pa.int64()))
 
@@ -129,8 +143,10 @@ def add_bucket_sorted(ds, *, num_buckets: int = NUM_BUCKETS_DEFAULT):
     (bucket, conv_id, order_idx) — the shuffle-free reassembly layout."""
 
     def apply(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
         convs = b["conv_id"].to_pylist()
-        uniq, inv = np.unique(np.asarray(convs, dtype=object), return_inverse=True)
+        inv, uniq = pd.factorize(np.asarray(convs, dtype=object))
         bk_u = np.fromiter(
             (bucket_of(c, num_buckets) for c in uniq), dtype=np.int32,
             count=len(uniq),
