@@ -28,7 +28,7 @@ SHARD_SIZE = 64
 
 def extract_pipeline(ts_ds, *, reassemble: bool = True,
                      include_spans: bool = True, physical: str = "bucket",
-                     compute: str = "tasks"):
+                     compute: str = "tasks", meta_via: str = "broadcast"):
     """Run the extraction DAG over a transcript Dataset.
 
     physical="bucket" (default): no all-to-all — emit the stable order as
@@ -42,6 +42,9 @@ def extract_pipeline(ts_ds, *, reassemble: bool = True,
     (tests assert both paths byte-equal) but pays per-group overhead, so
     it's the reference path, not the default.
     compute="tasks" (default) | "actors" for the extract stage.
+    meta_via="broadcast" (default; conv meta dict via ray.put) | "join"
+    (distributed stats + native hash join — the layout when the
+    conversation count itself exceeds driver memory).
     """
     import ray
 
@@ -89,6 +92,21 @@ def extract_pipeline(ts_ds, *, reassemble: bool = True,
         )
     if not reassemble:
         return cleaned
+
+    if meta_via == "join":
+        # 10^12-turn layout: stats stay distributed; direction reaches the
+        # rows through a hash join instead of a driver broadcast
+        if include_spans:
+            raise ValueError(
+                "meta_via='join' requires include_spans=False: Acero hash "
+                "joins do not support list<struct> payload columns — emit "
+                "spans in a later map or use meta_via='broadcast'"
+            )
+        stats_ds = part.conv_stats(ts_ds, merge="distributed")
+        ordered_in = part.add_order_idx_join(cleaned, stats_ds)
+        if physical == "sort":
+            return ordered_in.sort(["conv_id", "order_idx"])
+        return part.add_bucket_sorted(ordered_in)
 
     meta = part.directions_and_sizes(part.conv_stats(ts_ds))
     meta_ref = ray.put(meta)

@@ -135,6 +135,48 @@ def add_order_idx(ds, meta_ref):
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def add_order_idx_join(cleaned_ds, stats_ds, *, num_partitions: int | None = None):
+    """Join-based order assignment: the 10^12-turn layout.
+
+    The broadcast path ships a {conv_id: (n, dir)} dict to every task —
+    fine for 10^6 conversations, impossible for 10^9.  Here the per-conv
+    stats stay distributed: directions are computed on the (tiny) stats
+    Dataset, then hash-joined to the cleaned rows on conv_id with the
+    native ``Dataset.join``; order_idx is computed vectorized from the
+    joined columns.  Same integers as the broadcast path (tests assert
+    byte-equality)."""
+
+    def to_dir(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy()
+        cov = n * b["sxy"].to_numpy() - b["sx"].to_numpy() * b["sy"].to_numpy()
+        d = np.where(cov >= 0, 1, -1).astype(np.int64)
+        return pa.table({"conv_id": b["conv_id"], "n": pa.array(n),
+                         "dir": pa.array(d)})
+
+    dirs = stats_ds.map_batches(to_dir, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    if num_partitions is None:
+        # join aggregators are actors: more partitions than CPUs starves
+        # the producer stages and the pipeline stalls
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, ncpu // 2)
+    joined = cleaned_ds.join(
+        dirs, "inner", num_partitions=num_partitions, on=("conv_id",)
+    )
+
+    def apply(b: pa.Table) -> pa.Table:
+        tidx = b["turn_idx"].to_numpy().astype(np.int64)
+        n = b["n"].to_numpy().astype(np.int64)
+        d = b["dir"].to_numpy().astype(np.int64)
+        order = np.where(d >= 0, tidx, n - 1 - tidx)
+        out = b.drop_columns(["n", "dir"])
+        return out.append_column("order_idx", pa.array(order, type=pa.int64()))
+
+    return joined.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
 NUM_BUCKETS_DEFAULT = 64
 
 
@@ -227,14 +269,16 @@ def write_partitioned(ds, out_dir: str, *, num_buckets: int = 16,
         bkt = int(name.split("=", 1)[1])
         if bkt in skip:
             continue
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
         rows = sum(
-            pq.read_metadata(os.path.join(path, f)).num_rows
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
+            pq.read_metadata(os.path.join(path, f)).num_rows for f in files
         )
+        nbytes = sum(os.path.getsize(os.path.join(path, f)) for f in files)
         manifest = {
             "bucket": bkt,
             "rows": int(rows),
+            "bytes": int(nbytes),
+            "files": len(files),
             "stage_version": STAGE_VERSION,
         }
         with open(os.path.join(path, "_manifest.json"), "w") as f:

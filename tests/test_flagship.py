@@ -67,6 +67,31 @@ def test_sort_and_groupby_paths_equal(ray_session, sf_dir, golden):
         assert got[c].equals(golden[c]), f"column {c} differs"
 
 
+def test_join_meta_path_equals_broadcast(ray_session, sf_dir, golden):
+    """meta_via='join' (distributed stats + hash join) must be
+    byte-identical to the broadcast path and the golden (modulo spans,
+    which Acero joins cannot carry — include_spans=False)."""
+    import numpy as np
+    import pandas as pd
+
+    from prlib_ray.fixtures import transcripts_dataset
+    from prlib_ray.pipelines.extract import extract_pipeline
+
+    df = extract_pipeline(
+        transcripts_dataset(sf_dir), meta_via="join", include_spans=False
+    ).to_pandas()
+    df["ts"] = pd.to_datetime(df["ts"])
+    df["turn_idx"] = df["turn_idx"].astype(np.int64)
+    df["order_idx"] = df["order_idx"].astype(np.int64)
+    cols = ["conv_id", "turn_idx", "role", "tool", "ts", "clean_text", "order_idx"]
+    got = (
+        df[cols].sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    for c in cols:
+        assert got[c].equals(golden[c]), f"column {c} differs"
+
+
 def test_mega_thread_salting(ray_session, sf_dir):
     """Mega conversations (doc_id % 211 == 0 -> 400 turns) must be sharded
     into multiple groups yet produce contiguous order_idx 0..n-1."""
