@@ -11,11 +11,24 @@ from prlib_ray.stages import crop, denoise, furniture, normalize, quality, thinn
 
 
 def _doc_query(batch_fn, columns=("doc_id", "text")) -> Callable[[str], Any]:
+    def wrapped(b):
+        import pyarrow as pa
+
+        if b.num_rows == 0:
+            # run the kernel on a typed dummy row and slice to zero rows:
+            # keeps the output schema stable for empty read-task blocks
+            dummy = pa.table(
+                {c: pa.array([0] if c.endswith("_id") else [""])
+                 for c in b.column_names}
+            )
+            return batch_fn(dummy).slice(0, 0)
+        return batch_fn(b)
+
     def q(sf_dir: str):
         import ray.data as rd
 
         ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
-        return ds.map_batches(batch_fn, batch_format="pyarrow", zero_copy_batch=True)
+        return ds.map_batches(wrapped, batch_format="pyarrow", zero_copy_batch=True)
 
     return q
 

@@ -28,7 +28,8 @@ SHARD_SIZE = 64
 
 def extract_pipeline(ts_ds, *, reassemble: bool = True,
                      include_spans: bool = True, physical: str = "bucket",
-                     compute: str = "tasks", meta_via: str = "broadcast"):
+                     compute: str = "tasks", meta_via: str = "broadcast",
+                     num_buckets: int | None = None):
     """Run the extraction DAG over a transcript Dataset.
 
     physical="bucket" (default): no all-to-all — emit the stable order as
@@ -50,8 +51,6 @@ def extract_pipeline(ts_ds, *, reassemble: bool = True,
 
     from prlib_ray.stages.boilerplate import ExtractTurns
     from prlib_ray.state import partitioning as part
-
-    import ray
 
     if compute == "actors":
         # Actor-pool variant (the layout for genuinely stateful parser /
@@ -106,7 +105,10 @@ def extract_pipeline(ts_ds, *, reassemble: bool = True,
         ordered_in = part.add_order_idx_join(cleaned, stats_ds)
         if physical == "sort":
             return ordered_in.sort(["conv_id", "order_idx"])
-        return part.add_bucket_sorted(ordered_in)
+        return part.add_bucket_sorted(
+            ordered_in,
+            **({"num_buckets": num_buckets} if num_buckets else {}),
+        )
 
     meta = part.directions_and_sizes(part.conv_stats(ts_ds))
     meta_ref = ray.put(meta)
@@ -116,7 +118,10 @@ def extract_pipeline(ts_ds, *, reassemble: bool = True,
         # writer groups by bucket and a per-bucket consumer merges on
         # (conv_id, order_idx).  Everything scales like the map stages.
         ordered_in = part.add_order_idx(cleaned, meta_ref)
-        return part.add_bucket_sorted(ordered_in)
+        return part.add_bucket_sorted(
+            ordered_in,
+            **({"num_buckets": num_buckets} if num_buckets else {}),
+        )
     if physical == "sort":
         ordered_in = part.add_order_idx(cleaned, meta_ref)
         return ordered_in.sort(["conv_id", "order_idx"])
@@ -135,14 +140,18 @@ def extract_pipeline(ts_ds, *, reassemble: bool = True,
 
 
 def flagship(sf_dir: str, *, reassemble: bool = True,
-             include_spans: bool = True):
-    """Flagship extraction at ``sf_dir`` scale; returns a Dataset."""
+             include_spans: bool = True, **kw):
+    """Flagship extraction at ``sf_dir`` scale; returns a Dataset.
+
+    Extra keyword args (physical=, compute=, meta_via=) pass through to
+    ``extract_pipeline``."""
     from prlib_ray.fixtures import transcripts_dataset
 
     return extract_pipeline(
         transcripts_dataset(sf_dir),
         reassemble=reassemble,
         include_spans=include_spans,
+        **kw,
     )
 
 
