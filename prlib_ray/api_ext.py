@@ -121,6 +121,26 @@ def _register_data_ops(queries, sql) -> None:
     queries["ann_bruteforce_topk"] = similarity.ann_bruteforce_topk  # float ranking: rows-only
     queries["ann_lsh_topk"] = similarity.ann_lsh_topk  # recall<1 by design: rows-only
 
+    queries["dedup_embedding"] = similarity.embedding_near_dup_pairs
+    sql["dedup_embedding"] = odata.EMBEDDING_NEAR_DUP
+    queries["dedup_simhash_hamming"] = dedup.simhash_hamming_dedup  # rows-only
+
+    # config-driven pipeline assembly (SURVEY §2.7 extension surface)
+    def pipeline_chain(sf_dir: str):
+        from prlib_ray.pipeline import run_config
+
+        return run_config(
+            sf_dir,
+            [
+                {"stage": "normalize_whitespace"},
+                {"stage": "remove_lines"},
+                {"stage": "thin_zhang_suen"},
+            ],
+        )
+
+    queries["pipeline_chain"] = pipeline_chain
+    sql["pipeline_chain"] = odata.PIPELINE_CHAIN
+
     # multimodal plumbing (decode kernel stubbed, metadata exact)
     queries["multimodal_decode"] = multimodal.decode_pipeline
     sql["multimodal_decode"] = odata.MULTIMODAL_DECODE

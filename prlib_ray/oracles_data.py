@@ -159,6 +159,42 @@ cnt AS (
 SELECT s.vec_id, coalesce(c.n_neighbors, 0) AS n_neighbors
 FROM sub s LEFT JOIN cnt c ON s.vec_id = c.vec_id ORDER BY s.vec_id"""
 
+EMBEDDING_NEAR_DUP = """
+WITH sub AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+),
+q AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
+    FROM sub
+),
+norms AS (SELECT vec_id, sum(qv * qv) AS nn FROM q GROUP BY vec_id),
+dots AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.qv * b.qv) AS dot
+    FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+)
+SELECT va AS vec_a, vb AS vec_b
+FROM dots
+JOIN norms na ON dots.va = na.vec_id
+JOIN norms nb ON dots.vb = nb.vec_id
+WHERE dot > 0
+  AND CAST(dot AS HUGEINT) * dot * 10000 >= 9025 * CAST(na.nn AS HUGEINT) * nb.nn
+ORDER BY vec_a, vec_b"""
+
+# normalize_whitespace -> remove_lines -> thin_zhang_suen, composed
+# exactly as build_pipeline chains the batch functions
+PIPELINE_CHAIN = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(
+           regexp_replace(
+               trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g'),
+                    ' ' || chr(9) || chr(13) || chr(10)),
+               '-{4,}|={4,}|_{4,}', '', 'g')
+       ), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'), ' ') AS clean_text
+FROM documents ORDER BY doc_id"""
+
 MULTIMODAL_DECODE = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

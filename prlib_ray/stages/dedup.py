@@ -225,6 +225,93 @@ def minhash_lsh_dedup(sf_dir: str, *, jaccard_threshold: float = 0.5):
     )
 
 
+def simhash_hamming_dedup(sf_dir: str, *, max_hamming: int = 8):
+    """SimHash near-dup pairs: 4x16-bit band buckets (a pair within
+    hamming distance <= 16/band-count must collide on some band for
+    moderate distances) -> candidate pairs -> exact hamming verification.
+
+    Probabilistic candidate generation (banding misses pairs whose
+    differing bits spread across all 4 bands) -> rows-only check;
+    pytest pins determinism and the verification predicate."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sigs = ds.map_batches(
+        simhash_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def to_bands(b: pa.Table) -> pa.Table:
+        h = b["simhash"].to_numpy().astype(np.int64)
+        u = h.view(np.uint64) if h.dtype == np.int64 else h
+        ids, bands, keys = [], [], []
+        for did, v in zip(b["doc_id"].to_pylist(), u.tolist()):
+            v &= (1 << 64) - 1
+            for band in range(4):
+                ids.append(did)
+                bands.append(band)
+                keys.append((v >> (band * 16)) & 0xFFFF)
+        return pa.table(
+            {
+                "band": pa.array(bands, type=pa.int32()),
+                "key": pa.array(keys, type=pa.int32()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+            }
+        )
+
+    bands = sigs.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(g):
+        import pandas as pd
+
+        ids = sorted(set(g["doc_id"].tolist()))
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    cand = (
+        bands.groupby(["band", "key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(cand) == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
+            }
+        )
+    cand = cand.drop_duplicates().astype(np.int64)
+    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
+    sig_rows = sigs.map_batches(
+        lambda b: b.filter(
+            pa.array(np.isin(b["doc_id"].to_numpy(), np.asarray(need)))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    sig_of = {r["doc_id"]: int(r["simhash"]) & ((1 << 64) - 1) for r in sig_rows}
+    out_a, out_b, out_h = [], [], []
+    for da, db in sorted(zip(cand["doc_a"], cand["doc_b"])):
+        ham = bin(sig_of[int(da)] ^ sig_of[int(db)]).count("1")
+        if ham <= max_hamming:
+            out_a.append(int(da))
+            out_b.append(int(db))
+            out_h.append(ham)
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, type=pa.int64()),
+            "doc_b": pa.array(out_b, type=pa.int64()),
+            "hamming": pa.array(out_h, type=pa.int64()),
+        }
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def simhash_batch(batch: pa.Table) -> pa.Table:

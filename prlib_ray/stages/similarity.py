@@ -61,6 +61,39 @@ def ann_neighbor_counts(sf_dir: str):
     )
 
 
+def embedding_near_dup_pairs(sf_dir: str, *, t2: int = 9025):
+    """Embedding near-duplicate pairs: quantized cosine >= 0.95 (t2/10000)
+    over vec_id < MAX_ANN_ID — exact hugeint decision, oracle-backed."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ds = ds.map_batches(
+        lambda b: b.filter(pa.array(b["vec_id"].to_numpy() < MAX_ANN_ID)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    rows = ds.take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = [int(r["vec_id"]) for r in rows]
+    qs = _quantize([list(r["embedding"]) for r in rows])
+    norms = [int(q @ q) for q in qs]
+    out_a, out_b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            dot = int(qs[i] @ qs[j])
+            if dot > 0 and dot * dot * 10000 >= t2 * norms[i] * norms[j]:
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+    return pa.table(
+        {
+            "vec_a": pa.array(out_a, type=pa.int64()),
+            "vec_b": pa.array(out_b, type=pa.int64()),
+        }
+    )
+
+
 def ann_bruteforce_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
     """Brute-force cosine top-k: the first ``n_queries`` vectors are the
     query matrix, broadcast once (ray.put); each batch computes a numpy

@@ -20,6 +20,8 @@ ORACLE_CASES = [
     "fingerprint_winnow",
     "ann_neighbor_counts",
     "multimodal_decode",
+    "dedup_embedding",
+    "pipeline_chain",
 ]
 
 
@@ -117,3 +119,25 @@ def test_decoder_stub_is_actor_stateful():
     d = DecoderStub()  # smoke __init__ outside Ray (pitfall: late failures)
     out = d(pa.table({"doc_id": [1], "payload": pa.array([b"abc"], type=pa.binary())}))
     assert out["n_bytes"].to_pylist() == [3]
+
+
+def test_simhash_hamming_pairs_verified(registry, ray_session, sf_dir):
+    """Every emitted pair satisfies the hamming predicate against the
+    signatures, and the result is deterministic."""
+    queries, _ = registry
+    out = queries["dedup_simhash_hamming"](sf_dir).to_pandas()
+    import pyarrow.parquet as pq
+
+    from prlib_ray.stages.dedup import simhash_batch
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sig = dict(
+        zip(
+            simhash_batch(t)["doc_id"].to_pylist(),
+            [int(v) & ((1 << 64) - 1) for v in simhash_batch(t)["simhash"].to_pylist()],
+        )
+    )
+    for a, b, h in zip(out["doc_a"], out["doc_b"], out["hamming"]):
+        assert bin(sig[a] ^ sig[b]).count("1") == h <= 8
+    again = queries["dedup_simhash_hamming"](sf_dir).to_pandas()
+    assert out.equals(again)
