@@ -120,6 +120,7 @@ def _register_data_ops(queries, sql) -> None:
     sql["ann_neighbor_counts"] = odata.ANN_NEIGHBOR_COUNTS
     queries["ann_bruteforce_topk"] = similarity.ann_bruteforce_topk  # float ranking: rows-only
     queries["ann_lsh_topk"] = similarity.ann_lsh_topk  # recall<1 by design: rows-only
+    queries["ann_ivf_topk"] = similarity.ann_ivf_topk  # recall<1 by design: rows-only
 
     queries["dedup_embedding"] = similarity.embedding_near_dup_pairs
     sql["dedup_embedding"] = odata.EMBEDDING_NEAR_DUP

@@ -51,7 +51,8 @@ def main(argv: list[str] | None = None) -> int:
         num_buckets=args.num_buckets,
     )
     manifests = write_partitioned(
-        ds, args.out, num_buckets=args.num_buckets, skip_buckets=skip
+        ds, args.out, num_buckets=args.num_buckets, skip_buckets=skip,
+        with_counters=True,
     )
     summary = {
         "out": args.out,

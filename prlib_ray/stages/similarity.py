@@ -151,6 +151,95 @@ def ann_bruteforce_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def ann_ivf_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
+                 n_centroids: int = 16, nprobe: int = 2):
+    """IVF-style ANN, the second scale path: a deterministic centroid set
+    (the first ``n_centroids`` vectors, normalized) partitions the corpus
+    into inverted lists via ``groupby(centroid)``; each query probes its
+    ``nprobe`` nearest lists only.
+
+    Distributed shape: centroids + query matrix broadcast once
+    (``ray.put``); assignment is a numpy matmul per batch; the inverted
+    lists are the groupby buckets; per-bucket top-k merges in a tiny
+    final pass.  Recall < 1 by design -> rows-only; pytest bounds recall
+    against brute force."""
+    import ray
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    head = sorted(
+        emb.map_batches(
+            lambda b: b.filter(
+                pa.array(b["vec_id"].to_numpy() < max(n_centroids, n_queries))
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    mat = np.array([list(r["embedding"]) for r in head], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    cents = mat[:n_centroids]
+    qids = np.array([r["vec_id"] for r in head[:n_queries]], dtype=np.int64)
+    qmat = mat[:n_queries]
+    # each query's probed centroid lists (rounded sims, tie -> smallest id)
+    qsims = np.round(qmat @ cents.T, 6)
+    probes = {
+        int(qids[i]): set(np.lexsort((np.arange(n_centroids), -qsims[i]))[:nprobe].tolist())
+        for i in range(len(qids))
+    }
+    ref = ray.put((cents, qids, qmat, probes))
+
+    def assign(b: pa.Table) -> pa.Table:
+        c, _, _, _ = ray.get(ref)
+        m = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        if len(m) == 0:
+            return pa.table({"centroid": pa.array([], type=pa.int32()),
+                             "vec_id": b["vec_id"], "embedding": b["embedding"]})
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = np.round(m @ c.T, 6)
+        # argmax, ties -> smallest centroid index
+        bucket = np.argmax(sims, axis=1).astype(np.int32)
+        return pa.table({"centroid": pa.array(bucket),
+                         "vec_id": b["vec_id"], "embedding": b["embedding"]})
+
+    assigned = emb.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    def list_topk(g):
+        import pandas as pd
+
+        c0, qids_, qmat_, probes_ = ray.get(ref)
+        bucket = int(g["centroid"].iloc[0])
+        active = [i for i, q in enumerate(qids_) if bucket in probes_[int(q)]]
+        if not active:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
+        vids = g["vec_id"].to_numpy()
+        m = np.array(list(g["embedding"]), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = np.round(qmat_[active] @ m.T, 6)
+        out = []
+        for row, qi in enumerate(active):
+            qid = int(qids_[qi])
+            mask = vids != qid
+            order = np.lexsort((vids[mask], -sims[row][mask]))[:k]
+            sel = np.flatnonzero(mask)[order]
+            for idx in sel:
+                out.append((qid, int(vids[idx]), float(sims[row][idx])))
+        return pd.DataFrame(out, columns=["query_id", "vec_id", "sim"])
+
+    local = assigned.groupby("centroid").map_groups(list_topk, batch_format="pandas")
+
+    def merge(g):
+        import pandas as pd
+
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(k)
+
+    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 N_PLANES = 8
 _rng = np.random.RandomState(7)
 _PLANES: np.ndarray | None = None

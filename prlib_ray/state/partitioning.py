@@ -234,7 +234,8 @@ def add_salted_key(ds, meta_ref, *, salt_threshold: int, shard_size: int):
 
 
 def write_partitioned(ds, out_dir: str, *, num_buckets: int = 16,
-                      skip_buckets: set[int] | None = None) -> list[dict]:
+                      skip_buckets: set[int] | None = None,
+                      with_counters: bool = False) -> list[dict]:
     """Resumable sink: one directory per bucket + per-bucket manifest.
 
     Returns the manifests written.  ``skip_buckets`` (from
@@ -281,6 +282,24 @@ def write_partitioned(ds, out_dir: str, *, num_buckets: int = 16,
             "files": len(files),
             "stage_version": STAGE_VERSION,
         }
+        if with_counters:
+            # per-bucket lineage counters (one cheap column read per file)
+            convs: set[str] = set()
+            clean_chars = 0
+            for f in files:
+                fpath = os.path.join(path, f)
+                present = set(pq.read_schema(fpath).names)
+                cols = [c for c in ("conv_id", "clean_text") if c in present]
+                t = pq.read_table(fpath, columns=cols)
+                convs.update(t["conv_id"].to_pylist())
+                if "clean_text" in t.column_names:
+                    import pyarrow.compute as pc
+
+                    clean_chars += int(
+                        pc.sum(pc.utf8_length(t["clean_text"])).as_py() or 0
+                    )
+            manifest["n_convs"] = len(convs)
+            manifest["clean_chars"] = clean_chars
         with open(os.path.join(path, "_manifest.json"), "w") as f:
             json.dump(manifest, f)
         manifests.append(manifest)

@@ -101,6 +101,29 @@ def test_simhash_deterministic(sf_dir):
     assert ham <= 16, ham
 
 
+def test_ann_ivf_recall_and_bounds(registry, ray_session, sf_dir):
+    """IVF top-k: sims never exceed brute-force, <= k rows per query,
+    deterministic, and recall@k against brute force is nontrivial."""
+    queries, _ = registry
+    bf = queries["ann_bruteforce_topk"](sf_dir).to_pandas()
+    ivf = queries["ann_ivf_topk"](sf_dir).to_pandas()
+    best_bf = bf.groupby("query_id")["sim"].max()
+    hits = total = 0
+    for qid, grp in ivf.groupby("query_id"):
+        assert len(grp) <= 5
+        assert grp["sim"].max() <= best_bf.loc[qid] + 1e-9
+    for qid, grp in bf.groupby("query_id"):
+        want = set(grp["vec_id"])
+        got = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.2, f"IVF recall too low: {hits}/{total}"
+    again = queries["ann_ivf_topk"](sf_dir).to_pandas()
+    a = ivf.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    b = again.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_ann_lsh_subset_of_bruteforce_space(registry, ray_session, sf_dir):
     """LSH top-k sims can never exceed the brute-force top-1 sim per query
     (sanity: bucketing only restricts the candidate set)."""
