@@ -262,6 +262,7 @@ def _register_relational(queries, sql) -> None:
         ("q1_pricing_summary", rel.q1_pricing_summary, orel.Q1),
         ("q3_top_orders", rel.q3_top_orders, orel.Q3),
         ("q5_local_supplier", rel.q5_local_supplier, orel.Q5),
+        ("q6_forecast_revenue", rel.q6_forecast_revenue, orel.Q6),
         ("orders_by_segment", rel.orders_by_segment, orel.ORDERS_BY_SEGMENT),
         ("top_orders", rel.top_orders, orel.TOP_ORDERS),
         ("distinct_event_types", rel.distinct_event_types,

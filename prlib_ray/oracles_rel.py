@@ -101,6 +101,14 @@ JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE c.c_nationkey = s.s_nationkey
 GROUP BY n.n_name ORDER BY n.n_name"""
 
+Q6 = f"""
+SELECT CAST(sum({_CENTS.format(expr='l_extendedprice * l_discount')}) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24"""
+
 ORDERS_BY_SEGMENT = f"""
 SELECT c.c_mktsegment,
        CAST(sum({_CENTS.format(expr='o.o_totalprice')}) AS BIGINT) AS sum_total_cents,

@@ -209,6 +209,54 @@ def q5_local_supplier(sf_dir: str):
     )
 
 
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: pure filtered scan + global sum — the minimal
+    predicate-pushdown + single-aggregate pipeline (one partial row per
+    batch, no grouped shuffle at all)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    )
+    cutoff = np.datetime64(CUTOFF, "us")
+
+    def partial(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.less(b["l_shipdate"], pa.scalar(cutoff)),
+                pc.greater_equal(b["l_discount"], pa.scalar(0.05)),
+            ),
+            pc.and_(
+                pc.less_equal(b["l_discount"], pa.scalar(0.07)),
+                pc.less(b["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        b = b.filter(mask)
+        price = b["l_extendedprice"].to_numpy()
+        disc = b["l_discount"].to_numpy()
+        rev = _cents(price * disc)
+        return pa.table(
+            {
+                "rev": pa.array([int(rev.sum())], type=pa.int64()),
+                "n": pa.array([b.num_rows], type=pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    return pa.table(
+        {
+            "revenue_cents": pa.array(
+                [sum(p["rev"] for p in parts)], type=pa.int64()
+            ),
+            "n_items": pa.array([sum(p["n"] for p in parts)], type=pa.int64()),
+        }
+    )
+
+
 def orders_by_segment(sf_dir: str):
     """Broadcast dimension join + grouped aggregate (counts + cents)."""
     import ray
