@@ -17,14 +17,14 @@ from prlib_ray import oracles
 from prlib_ray.stages import threshold
 
 
-def _binarize_query(rule: str) -> Callable[[str], Any]:
+def _binarize_query(rule: str, **params) -> Callable[[str], Any]:
     def q(sf_dir: str):
         import ray.data as rd
 
         ds = rd.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
-        return threshold.binarize(ds, rule)
+        return threshold.binarize(ds, rule, **params)
 
     q.__name__ = f"binarize_{rule}"
     return q
@@ -39,6 +39,15 @@ def build_queries() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         name = f"binarize_{rule}"
         queries[name] = _binarize_query(rule)
         sql[name] = oracles.binarize_sql(rule)
+
+    # binarizeByLocalVariancesWithoutFilters: same rule, reference's
+    # lighter parameters (binarizeByLocalVariances.cpp:143-292)
+    queries["binarize_local_variances_nofilter"] = _binarize_query(
+        "local_variances", min_var=10.0
+    )
+    sql["binarize_local_variances_nofilter"] = oracles.binarize_sql(
+        "local_variances_nofilter"
+    )
 
     # corpus-global WolfJolion variant (aggregate-then-broadcast pattern);
     # the global min/max make it non-expressible as a per-row SQL mirror of

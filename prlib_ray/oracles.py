@@ -203,7 +203,11 @@ segstats AS (
 )"""
         keep = "seg_mean > doc_mean"
         return f"WITH {_BLOCKS_CTE},{cte}\n{_select_clean(keep, 'segstats')}"
-    if rule == "local_variances":
+    if rule in ("local_variances", "local_variances_nofilter"):
+        # the "_nofilter" reference variant
+        # (binarizeByLocalVariancesWithoutFilters, cpp:143-292) drops the
+        # pre/post filter passes and lowers minVar to 10
+        min_var = "10.0" if rule.endswith("nofilter") else "4.0"
         cte = """
 vagg AS (
     SELECT *, min(v) OVER (PARTITION BY doc_id) AS vmin,
@@ -211,7 +215,7 @@ vagg AS (
     FROM win
 )"""
         keep = ("v >= greatest(CAST(0.125 AS DOUBLE) * (vmax - vmin) + vmin, "
-                "CAST(4.0 AS DOUBLE))")
+                f"CAST({min_var} AS DOUBLE))")
         return f"WITH {_BLOCKS_CTE},{cte}\n{_select_clean(keep, 'vagg')}"
     if rule == "local_otsu":
         cte = """
