@@ -67,6 +67,20 @@ def test_sort_and_groupby_paths_equal(ray_session, sf_dir, golden):
         assert got[c].equals(golden[c]), f"column {c} differs"
 
 
+def test_actor_pool_compute_equals_tasks(ray_session, sf_dir, golden):
+    """compute='actors' (ExtractTurns pool) must match the task path."""
+    from prlib_ray.fixtures import transcripts_dataset
+    from prlib_ray.pipelines.extract import extract_pipeline
+
+    got = _canon(
+        extract_pipeline(
+            transcripts_dataset(sf_dir), compute="actors"
+        ).to_pandas()
+    )
+    for c in golden.columns:
+        assert got[c].equals(golden[c]), f"column {c} differs"
+
+
 def test_join_meta_path_equals_broadcast(ray_session, sf_dir, golden):
     """meta_via='join' (distributed stats + hash join) must be
     byte-identical to the broadcast path and the golden (modulo spans,
