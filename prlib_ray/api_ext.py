@@ -16,10 +16,21 @@ def _doc_query(batch_fn, columns=("doc_id", "text")) -> Callable[[str], Any]:
 
         if b.num_rows == 0:
             # run the kernel on a typed dummy row and slice to zero rows:
-            # keeps the output schema stable for empty read-task blocks
+            # keeps the output schema stable for empty read-task blocks.
+            # The dummy is built from the batch's ACTUAL schema (not name
+            # heuristics) so string ids / extra column types can't make
+            # the empty block's schema diverge from non-empty blocks.
+            def neutral(t: pa.DataType):
+                if pa.types.is_integer(t) or pa.types.is_floating(t):
+                    return pa.array([0], type=t)
+                if pa.types.is_string(t) or pa.types.is_large_string(t):
+                    return pa.array([""], type=t)
+                if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+                    return pa.array([b""], type=t)
+                return pa.array([None], type=t)
+
             dummy = pa.table(
-                {c: pa.array([0] if c.endswith("_id") else [""])
-                 for c in b.column_names}
+                {f.name: neutral(f.type) for f in b.schema}
             )
             return batch_fn(dummy).slice(0, 0)
         return batch_fn(b)

@@ -171,9 +171,12 @@ def reference_flagship(sf_dir: str) -> pd.DataFrame:
     for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
         rows = conv_rows(int(did), text)
         n = len(rows)
-        x = np.array([r["turn_idx"] for r in rows], dtype=np.int64)
-        y = np.array([r["ts"] // 1_000_000 for r in rows], dtype=np.int64)
-        cov = int(n * (x * y).sum() - x.sum() * y.sum())
+        # Python-int covariance: exact at any conversation size (the
+        # distributed path accumulates hi/lo int64 halves and recombines
+        # in Python ints — see partitioning.conv_stats)
+        xs = [int(r["turn_idx"]) for r in rows]
+        ys = [int(r["ts"]) // 1_000_000 for r in rows]
+        cov = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
         direction = 1 if cov >= 0 else -1
         for r in rows:
             clean, spans = extract_turn(r["text"])

@@ -455,6 +455,13 @@ def binarize_wolf_global(ds, *, k: float = 0.5, text_col: str = "text",
     import ray
 
     def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            # empty read-task / repartitioned block: no partial row (a
+            # min()/max() of an empty frame would raise)
+            return pa.table({
+                "x_min": pa.array([], type=pa.int64()),
+                "s_max": pa.array([], type=pa.float64()),
+            })
         frame = split_words_blocks(b[text_col].to_pylist(), words_per_block)
         _, _, s = window_mean_var(frame, preceding, following)
         return pa.table({
@@ -463,8 +470,8 @@ def binarize_wolf_global(ds, *, k: float = 0.5, text_col: str = "text",
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    x_min = float(min(p["x_min"] for p in parts))
-    s_max = max(1e-9, max(p["s_max"] for p in parts))
+    x_min = float(min((p["x_min"] for p in parts), default=0))
+    s_max = max(1e-9, max((p["s_max"] for p in parts), default=0.0))
     ref = ray.put((x_min, s_max))
 
     def apply(b: pa.Table) -> pa.Table:

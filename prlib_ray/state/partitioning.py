@@ -32,8 +32,14 @@ def conv_stats(ds, *, merge: str = "driver"):
     """Per-conversation (n_turns, covariance partials) — the tiny
     aggregate used for both skew detection and direction repair.
 
-    One row per conv_id: n, sx, sy, sxy where x = turn_idx, y = seconds
-    since epoch.  All int64 (exact in any accumulation order).
+    One row per conv_id: n, sx, sy, sxy_hi, sxy_lo where x = turn_idx,
+    y = seconds since epoch.  The x*y product sum is accumulated as two
+    int64 halves (hi = p >> 32, lo = p & 0xFFFFFFFF): a single int64
+    Σ x*y silently overflows for conversations above ~10^5 turns (epoch
+    seconds ≈ 2^31 each), i.e. exactly the mega-threads the direction
+    repair exists for.  The halves stay exact up to ~2^30 turns per
+    conversation in any accumulation order; the final covariance is
+    recombined in Python ints (arbitrary precision).
 
     merge="driver" (default): the per-batch partials (<= one row per
     conv per batch) come back to the driver and a single pyarrow
@@ -50,17 +56,20 @@ def conv_stats(ds, *, merge: str = "driver"):
     def partial(b: pa.Table) -> pa.Table:
         x = b["turn_idx"].to_numpy().astype(np.int64)
         y = b["ts"].cast(pa.int64()).to_numpy() // 1_000_000
+        p = x * y  # exact per row: turn_idx < 2^31, epoch-sec < 2^32
         t = pa.table(
             {
                 "conv_id": b["conv_id"],
                 "n": pa.array(np.ones(len(x), dtype=np.int64)),
                 "sx": pa.array(x),
                 "sy": pa.array(y),
-                "sxy": pa.array(x * y),
+                "sxy_hi": pa.array(p >> 32),
+                "sxy_lo": pa.array(p & 0xFFFFFFFF),
             }
         )
         return t.group_by("conv_id").aggregate(
-            [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxy", "sum")]
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy_hi", "sum"), ("sxy_lo", "sum")]
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -71,24 +80,27 @@ def conv_stats(ds, *, merge: str = "driver"):
             Sum("n_sum", alias_name="n"),
             Sum("sx_sum", alias_name="sx"),
             Sum("sy_sum", alias_name="sy"),
-            Sum("sxy_sum", alias_name="sxy"),
+            Sum("sxy_hi_sum", alias_name="sxy_hi"),
+            Sum("sxy_lo_sum", alias_name="sxy_lo"),
         )
     import ray
 
     tables = ray.get(list(partials.to_arrow_refs()))  # one batched get
     big = pa.concat_tables([t for t in tables if t.num_rows])
     out = big.group_by("conv_id").aggregate(
-        [("n_sum", "sum"), ("sx_sum", "sum"), ("sy_sum", "sum"), ("sxy_sum", "sum")]
+        [("n_sum", "sum"), ("sx_sum", "sum"), ("sy_sum", "sum"),
+         ("sxy_hi_sum", "sum"), ("sxy_lo_sum", "sum")]
     )
-    return out.rename_columns(["conv_id", "n", "sx", "sy", "sxy"])
+    return out.rename_columns(["conv_id", "n", "sx", "sy", "sxy_hi", "sxy_lo"])
 
 
 def directions_and_sizes(stats) -> dict[str, tuple[int, int]]:
     """conv_id -> (n_turns, direction) from the stats aggregate.
 
     direction = sign of n*sxy - sx*sy (integer covariance of turn_idx vs
-    ts; exact, so distributed == straight-line).  cov == 0 (singleton
-    turns) -> +1."""
+    ts; recombined from the hi/lo halves in Python ints — exact at any
+    conversation size, so distributed == straight-line).  cov == 0
+    (singleton turns) -> +1."""
     if isinstance(stats, pa.Table):
         stats_rows = stats.to_pylist()
     elif hasattr(stats, "take_all"):
@@ -97,7 +109,8 @@ def directions_and_sizes(stats) -> dict[str, tuple[int, int]]:
         stats_rows = stats
     out = {}
     for r in stats_rows:
-        cov = r["n"] * r["sxy"] - r["sx"] * r["sy"]
+        sxy = (int(r["sxy_hi"]) << 32) + int(r["sxy_lo"])
+        cov = int(r["n"]) * sxy - int(r["sx"]) * int(r["sy"])
         out[r["conv_id"]] = (int(r["n"]), 1 if cov >= 0 else -1)
     return out
 
@@ -147,10 +160,24 @@ def add_order_idx_join(cleaned_ds, stats_ds, *, num_partitions: int | None = Non
     byte-equality)."""
 
     def to_dir(b: pa.Table) -> pa.Table:
-        n = b["n"].to_numpy()
-        cov = n * b["sxy"].to_numpy() - b["sx"].to_numpy() * b["sy"].to_numpy()
-        d = np.where(cov >= 0, 1, -1).astype(np.int64)
-        return pa.table({"conv_id": b["conv_id"], "n": pa.array(n),
+        # cov = n*sxy - sx*sy exceeds int64 for mega-threads (n*sxy needs
+        # 63+ bits above ~5k-turn convs with epoch-second ts); recombine
+        # the hi/lo halves in Python ints — one op per CONVERSATION (the
+        # stats table is ~10^6x smaller than the turn data), so exactness
+        # costs nothing measurable.
+        d = np.fromiter(
+            (
+                1 if n_ * ((hi << 32) + lo) - sx_ * sy_ >= 0 else -1
+                for n_, sx_, sy_, hi, lo in zip(
+                    b["n"].to_pylist(), b["sx"].to_pylist(),
+                    b["sy"].to_pylist(), b["sxy_hi"].to_pylist(),
+                    b["sxy_lo"].to_pylist(),
+                )
+            ),
+            dtype=np.int64,
+            count=b.num_rows,
+        )
+        return pa.table({"conv_id": b["conv_id"], "n": b["n"],
                          "dir": pa.array(d)})
 
     dirs = stats_ds.map_batches(to_dir, batch_format="pyarrow",
@@ -239,10 +266,30 @@ def write_partitioned(ds, out_dir: str, *, num_buckets: int = 16,
     """Resumable sink: one directory per bucket + per-bucket manifest.
 
     Returns the manifests written.  ``skip_buckets`` (from
-    ``finished_buckets``) lets a rerun skip completed partitions."""
+    ``finished_buckets``) lets a rerun skip completed partitions.
+
+    Crash safety: a run that died mid-write leaves partial parquet files
+    in bucket dirs with no ``_manifest.json``; a rerun's
+    ``write_parquet`` would append new files ALONGSIDE the stale ones,
+    silently duplicating those buckets' rows (the manifest row count
+    sums all files, masking it).  So before writing, any bucket dir
+    without a valid current-version manifest is deleted and rebuilt
+    from scratch — the manifest is the commit record."""
+    import shutil
+
     import pyarrow.parquet as pq
 
     skip = skip_buckets or set()
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            path = os.path.join(out_dir, name)
+            if not (name.startswith("bucket=") and os.path.isdir(path)):
+                continue
+            bkt = int(name.split("=", 1)[1])
+            if bkt not in skip:
+                # about to be rewritten: clear it (covers both crashed
+                # manifest-less dirs and deliberate non-skip rebuilds)
+                shutil.rmtree(path)
 
     def add_bucket(b: pa.Table) -> pa.Table:
         if "bucket" in b.column_names:

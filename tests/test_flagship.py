@@ -148,6 +148,79 @@ def test_write_partitioned_resume(ray_session, sf_dir, tmp_path):
     assert again == []
 
 
+def test_mega_thread_cov_no_overflow(ray_session):
+    """A >5k-turn conversation with epoch-second timestamps overflows a
+    single-int64 n*sxy (needs 63+ bits); the hi/lo-split accumulation
+    must still get the covariance SIGN right in both meta paths."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from prlib_ray.state import partitioning as part
+
+    n = 6000
+    ts_us = [(1_700_000_000 - i) * 1_000_000 for i in range(n)]  # decreasing
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["mega"] * n),
+            "turn_idx": pa.array(range(n), type=pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array(["hello world"] * n),
+            "tool": pa.array([""] * n),
+            "ts": pa.array(ts_us, type=pa.timestamp("us")),
+        }
+    )
+    # exact Python-int ground truth
+    xs = list(range(n))
+    ys = [t // 1_000_000 for t in ts_us]
+    cov = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+    assert cov < 0  # decreasing ts -> negative covariance
+    assert abs(n * sum(a * b for a, b in zip(xs, ys))) > 2**63  # would wrap
+
+    ds = rd.from_arrow(tbl)
+    meta = part.directions_and_sizes(part.conv_stats(ds))
+    assert meta["mega"] == (n, -1)
+    # join path: same direction through to order_idx
+    stats = part.conv_stats(ds, merge="distributed")
+    ordered = part.add_order_idx_join(
+        ds.map_batches(lambda b: b, batch_format="pyarrow"), stats,
+        num_partitions=2,
+    ).to_pandas()
+    got = ordered.sort_values("turn_idx")["order_idx"].tolist()
+    assert got == [n - 1 - i for i in range(n)]
+
+
+def test_write_partitioned_crash_resume(ray_session, sf_dir, tmp_path):
+    """A crashed run leaves partial parquet in a manifest-less bucket dir;
+    the rerun must rebuild that bucket from scratch, not append."""
+    import os
+
+    from prlib_ray.fixtures import transcripts_dataset
+    from prlib_ray.state import partitioning as part
+
+    ds = transcripts_dataset(sf_dir)
+    out = str(tmp_path / "out")
+    part.write_partitioned(ds, out, num_buckets=4)
+    expect = ds.count()
+    # simulate the crash: bucket 2 lost its manifest mid-write
+    os.remove(os.path.join(out, "bucket=2", "_manifest.json"))
+    done = part.finished_buckets(out)
+    assert done == {0, 1, 3}
+    manifests = part.write_partitioned(ds, out, num_buckets=4, skip_buckets=done)
+    assert [m["bucket"] for m in manifests] == [2]
+    # no duplicated rows anywhere
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in sorted(os.listdir(out)):
+        bdir = os.path.join(out, name)
+        if not name.startswith("bucket="):
+            continue
+        for f in os.listdir(bdir):
+            if f.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(bdir, f)).num_rows
+    assert total == expect
+
+
 def test_extract_turn_spans_cover_source():
     from prlib_ray.stages.boilerplate import _clean_source, extract_turn
 
