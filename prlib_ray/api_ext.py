@@ -113,6 +113,8 @@ def _register_data_ops(queries, sql) -> None:
     sql["dedup_ngram_jaccard"] = odata.NGRAM_JACCARD
     queries["dedup_minhash_lsh"] = dedup.minhash_lsh_dedup  # probabilistic: rows-only
     queries["dedup_simhash"] = _doc_query(dedup.simhash_batch)  # bit-level: rows-only
+    # no-silent-caps observability for the LSH bucket explosion guard
+    queries["lsh_bucket_stats"] = dedup.lsh_bucket_stats  # minhash banding: rows-only
 
     # text analysis
     queries["token_count"] = _doc_query(text_analysis.token_count_batch)

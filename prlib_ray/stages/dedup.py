@@ -120,72 +120,176 @@ def _shingle_ids(text: str, k: int = 3) -> np.ndarray:
     )
 
 
+_P61 = np.uint64(MERSENNE)
+_AU = _A.astype(np.uint64)
+_BU = _B.astype(np.uint64)
+
+
+def _mod_p61(z: np.ndarray) -> np.ndarray:
+    """Fold z (uint64, z < 2^63) into [0, 2^61-1) exactly."""
+    z = (z & _P61) + (z >> np.uint64(61))
+    return np.where(z >= _P61, z - _P61, z)
+
+
+def _mulmod_p61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact (a*b) mod 2^61-1 for a, b < 2^61 in pure uint64 arithmetic.
+
+    Splits each factor into 32-bit halves; the cross terms are reduced
+    with 2^64 = 8 and 2^61 = 1 (mod p), every intermediate < 2^63.
+    """
+    a_hi, a_lo = a >> np.uint64(32), a & np.uint64(0xFFFFFFFF)
+    b_hi, b_lo = b >> np.uint64(32), b & np.uint64(0xFFFFFFFF)
+    hh = a_hi * b_hi                   # < 2^58   (term of 2^64 ≡ 8)
+    mid = a_hi * b_lo + a_lo * b_hi    # < 2^62   (term of 2^32)
+    ll = a_lo * b_lo                   # < 2^64
+    mid_hi = mid >> np.uint64(29)      # mid*2^32 = mid_hi*2^61 + mid_lo*2^32
+    mid_lo = mid & np.uint64((1 << 29) - 1)
+    ll_red = (ll & _P61) + (ll >> np.uint64(61))
+    z = hh * np.uint64(8) + mid_hi + (mid_lo << np.uint64(32)) + ll_red
+    return _mod_p61(z)
+
+
 def _minhash(sids: np.ndarray) -> np.ndarray:
-    """64 permutation minima via (a*x+b) mod 2^61-1 (object-int math to
-    avoid overflow; N_HASH x |shingles| kept small per call)."""
+    """64 permutation minima via (a*x+b) mod 2^61-1 — exact uint64
+    split-multiply arithmetic (no Python big-int objects in the hot path;
+    identical values to the arbitrary-precision formula)."""
     if len(sids) == 0:
         return np.full(N_HASH, MERSENNE, dtype=np.int64)
-    x = sids.astype(object)[None, :]
-    a = _A.astype(object)[:, None]
-    b = _B.astype(object)[:, None]
-    vals = (a * x + b) % MERSENNE
-    return np.array(vals.min(axis=1).tolist(), dtype=np.int64)
+    x = _mod_p61(_mod_p61(sids.astype(np.uint64)))[None, :]  # 2^64-range -> < p
+    vals = _mulmod_p61(_AU[:, None], x) + _BU[:, None]  # < 2p < 2^62
+    vals = np.where(vals >= _P61, vals - _P61, vals)
+    return vals.min(axis=1).astype(np.int64)
+
+
+LSH_BUCKET_CAP = 64  # all-pairs only up to this bucket size (see below)
+
+
+def _pair_indices(n: int, cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Within-bucket candidate pair indices with an explosion guard.
+
+    Buckets up to ``cap`` members emit all C(n,2) pairs (the plain LSH
+    contract).  A hot bucket — boilerplate-heavy corpora guarantee some
+    — would emit O(n^2) pairs with no bound (one 10^6-doc spam cluster =
+    5*10^11 pairs), so above ``cap`` we switch to sorted-neighborhood
+    pairing: each doc pairs with its next ``cap`` neighbors in doc_id
+    order, O(n*cap) pairs.  True duplicate clusters stay connected
+    (transitively) through neighborhood pairs; the cap is observable via
+    ``lsh_bucket_stats`` (no silent truncation)."""
+    if n < 2:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    if n <= cap:
+        return np.triu_indices(n, k=1)
+    offs = np.arange(1, cap + 1, dtype=np.int64)
+    i = np.repeat(np.arange(n, dtype=np.int64), cap)
+    j = i + np.tile(offs, n)
+    m = j < n
+    return i[m], j[m]
+
+
+def _join_partitions() -> int:
+    """Join aggregators are actors: more partitions than CPUs stalls the
+    pipeline (see NOTES); size to half the CPUs."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, ncpu // 2)
+
+
+def _pairs_from_buckets(bands, key_cols: list[str], cap: int = LSH_BUCKET_CAP,
+                        order_col: str | None = None):
+    """groupby(bucket) -> candidate pair Dataset (doc_a, doc_b), distinct.
+
+    The pairs stay distributed end-to-end: dedup across buckets is a
+    groupby on (doc_a, doc_b), not a driver-side drop_duplicates.
+
+    ``order_col``: when an over-cap bucket falls back to neighborhood
+    pairing, sort its members by this column instead of doc_id — for
+    SimHash the full signature value, so near-duplicates (numerically
+    close signatures) stay adjacent and survive the cap (Charikar-style
+    sorted-fingerprint neighborhoods)."""
+    from ray.data.aggregate import Count
+
+    def bucket_pairs(g):
+        import pandas as pd
+
+        raw = g["doc_id"].to_numpy().astype(np.int64)
+        uniq, first = np.unique(raw, return_index=True)
+        if order_col is not None and len(uniq) > cap:
+            order = np.argsort(
+                g[order_col].to_numpy()[first].astype(np.int64).view(np.uint64),
+                kind="stable",
+            )
+            ids = uniq[order]
+        else:
+            ids = uniq
+        i, j = _pair_indices(len(ids), cap)
+        a, b = ids[i], ids[j]
+        return pd.DataFrame(
+            {"doc_a": np.minimum(a, b), "doc_b": np.maximum(a, b)}
+        )
+
+    cand = bands.groupby(key_cols).map_groups(bucket_pairs, batch_format="pandas")
+    distinct = (
+        cand.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    # candidate pairs are the tiny side (linear in corpus by the cap);
+    # materialize once so the empty-set branch and the two verify joins
+    # don't re-execute the banding pipeline
+    return distinct.materialize()
+
+
+def _attach(pairs, payload, key: str, *, num_partitions: int):
+    """Hash-join a per-doc payload Dataset onto one side of the pairs."""
+    return pairs.join(
+        payload,
+        "inner",
+        num_partitions=num_partitions,
+        on=(key,),
+        right_on=("doc_id",),
+    )
 
 
 def minhash_lsh_dedup(sf_dir: str, *, jaccard_threshold: float = 0.5):
-    """MinHash+LSH near-dup detection, the web-scale layout:
+    """MinHash+LSH near-dup detection, the web-scale layout — fully
+    distributed, nothing funnels through the driver:
 
     1. map_batches: per doc -> 64 minhashes -> 16 band signatures ->
        explode to (band, sig, doc_id) rows
-    2. groupby(band, sig): buckets with >1 doc emit candidate pairs
-    3. exact-Jaccard verification of the (small) candidate set
-    Returns verified pairs (doc_a, doc_b) with integer (inter, uni).
-    """
+    2. groupby(band, sig): buckets emit candidate pairs (hot buckets
+       capped to sorted-neighborhood pairing, see _pair_indices);
+       distinct pairs via a (doc_a, doc_b) groupby
+    3. the docs' sorted shingle-id sets (uint64 blobs) hash-join onto
+       the pairs twice (Dataset.join), and exact-Jaccard verification
+       runs inside map_batches
+    Returns verified pairs (doc_a, doc_b, inter, uni), sorted for
+    deterministic output."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def to_bands(b: pa.Table) -> pa.Table:
-        ids, bands, sigs = [], [], []
+        ids, bands_, sigs = [], [], []
+        rows = N_HASH // N_BANDS
         for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
             mh = _minhash(_shingle_ids(t))
-            rows = N_HASH // N_BANDS
             for band in range(N_BANDS):
                 seg = mh[band * rows : (band + 1) * rows]
-                sig = hashlib.md5(seg.tobytes()).hexdigest()
                 ids.append(did)
-                bands.append(band)
-                sigs.append(sig)
+                bands_.append(band)
+                sigs.append(hashlib.md5(seg.tobytes()).hexdigest())
         return pa.table(
             {
-                "band": pa.array(bands, type=pa.int32()),
+                "band": pa.array(bands_, type=pa.int32()),
                 "sig": pa.array(sigs, type=pa.string()),
                 "doc_id": pa.array(ids, type=pa.int64()),
             }
         )
 
     bands = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
-
-    def bucket_pairs(g):
-        import pandas as pd
-
-        ids = sorted(g["doc_id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
-
-    cand = (
-        bands.groupby(["band", "sig"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    cand = cand.drop_duplicates().astype(np.int64) if len(cand) else cand
-    if len(cand) == 0:
+    cand = _pairs_from_buckets(bands, ["band", "sig"])
+    if cand.count() == 0:
         return pa.table(
             {
                 "doc_a": pa.array([], type=pa.int64()),
@@ -194,41 +298,122 @@ def minhash_lsh_dedup(sf_dir: str, *, jaccard_threshold: float = 0.5):
                 "uni": pa.array([], type=pa.int64()),
             }
         )
-    # verify: gather only candidate docs (small set) and compute exact Jaccard
-    need = set(cand["doc_a"]) | set(cand["doc_b"])
-    docs = ds.map_batches(
-        lambda b: b.filter(
-            pa.array(np.isin(b["doc_id"].to_numpy(), np.fromiter(need, dtype=np.int64)))
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).take_all()
-    sh = {r["doc_id"]: _shingles(r["text"]) for r in docs}
-    thr_num = int(jaccard_threshold * 100)
-    out_a, out_b, out_i, out_u = [], [], [], []
-    for da, db in sorted(zip(cand["doc_a"], cand["doc_b"])):
-        sa, sb = sh[da], sh[db]
-        inter = len(sa & sb)
-        union = len(sa) + len(sb) - inter
-        if union > 0 and 100 * inter >= thr_num * union:
-            out_a.append(int(da))
-            out_b.append(int(db))
-            out_i.append(inter)
-            out_u.append(union)
-    return pa.table(
-        {
-            "doc_a": pa.array(out_a, type=pa.int64()),
-            "doc_b": pa.array(out_b, type=pa.int64()),
-            "inter": pa.array(out_i, type=pa.int64()),
-            "uni": pa.array(out_u, type=pa.int64()),
-        }
+
+    def to_blob(b: pa.Table, col: str) -> pa.Table:
+        blobs, ns = [], []
+        for t in b["text"].to_pylist():
+            s = np.sort(_shingle_ids(t))
+            blobs.append(s.tobytes())
+            ns.append(len(s))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                f"sh_{col}": pa.array(blobs, type=pa.large_binary()),
+                f"n_{col}": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+    npart = _join_partitions()
+    blob_a = ds.map_batches(
+        lambda b: to_blob(b, "a"), batch_format="pyarrow", zero_copy_batch=True
     )
+    blob_b = ds.map_batches(
+        lambda b: to_blob(b, "b"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = _attach(
+        _attach(cand, blob_a, "doc_a", num_partitions=npart),
+        blob_b, "doc_b", num_partitions=npart,
+    )
+    thr_num = int(jaccard_threshold * 100)
+
+    def verify(b: pa.Table) -> pa.Table:
+        na = b["n_a"].to_numpy()
+        nb = b["n_b"].to_numpy()
+        sh_a = b["sh_a"].to_pylist()
+        sh_b = b["sh_b"].to_pylist()
+        inter = np.empty(b.num_rows, dtype=np.int64)
+        for i in range(b.num_rows):
+            # per-pair sorted-set intersection: the irreducible work
+            sa = np.frombuffer(sh_a[i], dtype=np.uint64)
+            sb = np.frombuffer(sh_b[i], dtype=np.uint64)
+            inter[i] = np.intersect1d(sa, sb, assume_unique=True).size
+        uni = na + nb - inter
+        keep = (uni > 0) & (100 * inter >= thr_num * uni)
+        return pa.table(
+            {
+                "doc_a": b["doc_a"].filter(pa.array(keep)),
+                "doc_b": b["doc_b"].filter(pa.array(keep)),
+                "inter": pa.array(inter[keep]),
+                "uni": pa.array(uni[keep]),
+            }
+        )
+
+    out = joined.map_batches(verify, batch_format="pyarrow")
+    # verified pairs are tiny; the sort only orders the result for
+    # deterministic downstream hashing
+    return out.sort(["doc_a", "doc_b"])
+
+
+def lsh_bucket_stats(sf_dir: str):
+    """Observability for the LSH bucket cap (no-silent-caps rule): per
+    band-bucket population histogram + how many buckets exceeded
+    LSH_BUCKET_CAP (those switched to sorted-neighborhood pairing)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_bands(b: pa.Table) -> pa.Table:
+        ids, bands_, sigs = [], [], []
+        rows = N_HASH // N_BANDS
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            mh = _minhash(_shingle_ids(t))
+            for band in range(N_BANDS):
+                seg = mh[band * rows : (band + 1) * rows]
+                ids.append(did)
+                bands_.append(band)
+                sigs.append(hashlib.md5(seg.tobytes()).hexdigest())
+        return pa.table(
+            {
+                "band": pa.array(bands_, type=pa.int32()),
+                "sig": pa.array(sigs, type=pa.string()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+            }
+        )
+
+    sizes = (
+        ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "sig"])
+        .aggregate(Count(alias_name="bucket_size"))
+    )
+
+    def flag(b: pa.Table) -> pa.Table:
+        sz = b["bucket_size"].to_numpy()
+        return pa.table(
+            {
+                "n_buckets": pa.array(np.ones(len(sz), dtype=np.int64)),
+                "bucket_size": pa.array(sz.astype(np.int64)),
+                "over_cap": pa.array((sz > LSH_BUCKET_CAP).astype(np.int64)),
+            }
+        )
+
+    agg = sizes.map_batches(flag, batch_format="pyarrow").aggregate(
+        Sum("n_buckets", alias_name="n_buckets"),
+        Max("bucket_size", alias_name="max_bucket"),
+        Sum("over_cap", alias_name="n_capped"),
+    )
+    return pa.table({k: pa.array([v], type=pa.int64()) for k, v in agg.items()})
 
 
 def simhash_hamming_dedup(sf_dir: str, *, max_hamming: int = 8):
     """SimHash near-dup pairs: 4x16-bit band buckets (a pair within
     hamming distance <= 16/band-count must collide on some band for
     moderate distances) -> candidate pairs -> exact hamming verification.
+
+    Fully distributed like minhash_lsh_dedup: candidate pairs stay a
+    Dataset (hot buckets capped), the signatures hash-join back onto the
+    pairs (Dataset.join x2), and the popcount verification is one
+    vectorized unpackbits pass inside map_batches.
 
     Probabilistic candidate generation (banding misses pairs whose
     differing bits spread across all 4 bands) -> rows-only check;
@@ -238,47 +423,32 @@ def simhash_hamming_dedup(sf_dir: str, *, max_hamming: int = 8):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sigs = ds.map_batches(
         simhash_batch, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).drop_columns(["simhash_hex"])
 
     def to_bands(b: pa.Table) -> pa.Table:
-        h = b["simhash"].to_numpy().astype(np.int64)
-        u = h.view(np.uint64) if h.dtype == np.int64 else h
-        ids, bands, keys = [], [], []
-        for did, v in zip(b["doc_id"].to_pylist(), u.tolist()):
-            v &= (1 << 64) - 1
-            for band in range(4):
-                ids.append(did)
-                bands.append(band)
-                keys.append((v >> (band * 16)) & 0xFFFF)
+        u = b["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        n = len(u)
+        keys = np.empty(4 * n, dtype=np.int32)
+        for band in range(4):
+            keys[band::4] = (
+                (u >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            ).astype(np.int32)
         return pa.table(
             {
-                "band": pa.array(bands, type=pa.int32()),
-                "key": pa.array(keys, type=pa.int32()),
-                "doc_id": pa.array(ids, type=pa.int64()),
+                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "key": pa.array(keys),
+                "doc_id": pa.array(
+                    np.repeat(b["doc_id"].to_numpy().astype(np.int64), 4)
+                ),
+                # carried so over-cap buckets can neighborhood-pair in
+                # signature order (near signatures = near duplicates)
+                "simhash": pa.array(np.repeat(u.view(np.int64), 4)),
             }
         )
 
     bands = sigs.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
-
-    def bucket_pairs(g):
-        import pandas as pd
-
-        ids = sorted(set(g["doc_id"].tolist()))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
-
-    cand = (
-        bands.groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    if len(cand) == 0:
+    cand = _pairs_from_buckets(bands, ["band", "key"], order_col="simhash")
+    if cand.count() == 0:
         return pa.table(
             {
                 "doc_a": pa.array([], type=pa.int64()),
@@ -286,29 +456,37 @@ def simhash_hamming_dedup(sf_dir: str, *, max_hamming: int = 8):
                 "hamming": pa.array([], type=pa.int64()),
             }
         )
-    cand = cand.drop_duplicates().astype(np.int64)
-    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
-    sig_rows = sigs.map_batches(
-        lambda b: b.filter(
-            pa.array(np.isin(b["doc_id"].to_numpy(), np.asarray(need)))
+
+    def rename(b: pa.Table, col: str) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], f"sig_{col}": b["simhash"]})
+
+    npart = _join_partitions()
+    joined = _attach(
+        _attach(
+            cand,
+            sigs.map_batches(lambda b: rename(b, "a"), batch_format="pyarrow"),
+            "doc_a", num_partitions=npart,
         ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).take_all()
-    sig_of = {r["doc_id"]: int(r["simhash"]) & ((1 << 64) - 1) for r in sig_rows}
-    out_a, out_b, out_h = [], [], []
-    for da, db in sorted(zip(cand["doc_a"], cand["doc_b"])):
-        ham = bin(sig_of[int(da)] ^ sig_of[int(db)]).count("1")
-        if ham <= max_hamming:
-            out_a.append(int(da))
-            out_b.append(int(db))
-            out_h.append(ham)
-    return pa.table(
-        {
-            "doc_a": pa.array(out_a, type=pa.int64()),
-            "doc_b": pa.array(out_b, type=pa.int64()),
-            "hamming": pa.array(out_h, type=pa.int64()),
-        }
+        sigs.map_batches(lambda b: rename(b, "b"), batch_format="pyarrow"),
+        "doc_b", num_partitions=npart,
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        xa = b["sig_a"].to_numpy().astype(np.int64).view(np.uint64)
+        xb = b["sig_b"].to_numpy().astype(np.int64).view(np.uint64)
+        x = (xa ^ xb).view(np.uint8).reshape(-1, 8)
+        ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+        keep = pa.array(ham <= max_hamming)
+        return pa.table(
+            {
+                "doc_a": b["doc_a"].filter(keep),
+                "doc_b": b["doc_b"].filter(keep),
+                "hamming": pa.array(ham[ham <= max_hamming]),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow").sort(
+        ["doc_a", "doc_b"]
     )
 
 
@@ -322,26 +500,43 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     is impractical to mirror in SQL).
     """
     texts = batch["text"].to_pylist()
-    out = []
-    for t in texts:
-        words = {w for w in t.split(" ") if w != ""}
-        acc = np.zeros(64, dtype=np.int64)
-        for w in sorted(words):
-            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-            for bit in range(64):
-                acc[bit] += 1 if (h >> bit) & 1 else -1
-        val = 0
-        for bit in range(64):
-            if acc[bit] > 0:
-                val |= 1 << bit
-        out.append(val - (1 << 64) if val >= (1 << 63) else val)  # plain ints
-    arr = np.array(out, dtype=np.int64)
+    ndocs = len(texts)
+    # distinct words per doc -> md5 (cached per batch: corpora repeat
+    # words heavily), then one vectorized bit pass over the whole batch
+    word_h: dict[str, bytes] = {}
+    doc_of: list[int] = []
+    hbytes: list[bytes] = []
+    for d, t in enumerate(texts):
+        for w in set(t.split(" ")):
+            if w == "":
+                continue
+            h = word_h.get(w)
+            if h is None:
+                # little-endian 8 bytes so unpackbits(bitorder="little")
+                # yields bits in (h >> bit) & 1 order, bit = 0..63
+                h = word_h[w] = hashlib.md5(w.encode()).digest()[:8][::-1]
+            doc_of.append(d)
+            hbytes.append(h)
+    vals_u = np.zeros(ndocs, dtype=np.uint64)
+    if hbytes:
+        mat = np.frombuffer(b"".join(hbytes), dtype=np.uint8).reshape(-1, 8)
+        bits = np.unpackbits(mat, axis=1, bitorder="little")  # (nwords, 64)
+        cnt = np.zeros((ndocs, 64), dtype=np.int64)
+        np.add.at(cnt, np.asarray(doc_of, dtype=np.int64), bits)
+        nw = np.bincount(
+            np.asarray(doc_of, dtype=np.int64), minlength=ndocs
+        )[:, None]
+        keep = 2 * cnt > nw  # acc = 2*ones - nwords > 0
+        vals_u = (
+            keep.astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]
+        ).sum(axis=1, dtype=np.uint64)
+    arr = vals_u.view(np.int64)  # bit 63 wraps negative, as documented
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "simhash": pa.array(arr),
             "simhash_hex": pa.array(
-                [format(v & ((1 << 64) - 1), "016x") for v in out], type=pa.string()
+                [format(v, "016x") for v in vals_u.tolist()], type=pa.string()
             ),
         }
     )
