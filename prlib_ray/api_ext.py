@@ -191,17 +191,17 @@ def _register_morph_and_joins(queries, sql) -> None:
         from prlib_ray.blocks import split_words_blocks
         from prlib_ray.stages.crop import _islands
 
-        texts = b["text"].to_pylist()
-        frame = split_words_blocks(texts, 12)
+        frame = split_words_blocks(b["text"], 12)
         start, end, isum, dsum = _islands(frame)
         ok = (start >= 0) & (20 * isum >= dsum)
         offs = frame.doc_offsets
+        blks = frame.block_strings()
         out = []
         for d in range(frame.ndocs):
             if ok[d]:
                 lo = offs[d] + start[d]
                 hi = offs[d] + end[d] + 1
-                out.append("\n".join(frame.blocks[lo:hi]))
+                out.append("\n".join(blks[lo:hi]))
             else:
                 out.append("")
         return pa.table(

@@ -28,6 +28,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import pyarrow as pa
 
 __all__ = [
     "BlockFrame",
@@ -45,13 +46,22 @@ class BlockFrame:
     """Flat block representation of a batch of documents.
 
     ``doc_offsets[d]:doc_offsets[d+1]`` is the block index range of
-    document d; ``blocks`` holds the block strings; ``x`` the per-block
-    integer feature (default: character length of the block).
+    document d; ``blocks`` holds the block strings — either a Python
+    list or a ``pa.StringArray`` (the Arrow tokenizer keeps them in
+    Arrow so downstream joins stay vectorized; call
+    ``block_strings()`` when Python strings are genuinely needed);
+    ``x`` the per-block integer feature (default: character length).
     """
 
     doc_offsets: np.ndarray  # int64, shape (ndocs + 1,)
-    blocks: list[str]
+    blocks: "list[str] | pa.StringArray"
     x: np.ndarray  # int64, shape (nblocks,)
+
+    def block_strings(self) -> list[str]:
+        """Block texts as a Python list (materialized once, cached)."""
+        if not isinstance(self.blocks, list):
+            self.blocks = self.blocks.to_pylist()
+        return self.blocks
 
     @property
     def ndocs(self) -> int:
@@ -73,7 +83,9 @@ class BlockFrame:
         return np.arange(self.nblocks, dtype=np.int64) - starts
 
 
-def split_words_blocks(texts: list[str], words_per_block: int) -> BlockFrame:
+def split_words_blocks(
+    texts: "list[str] | pa.Array | pa.ChunkedArray", words_per_block: int
+) -> BlockFrame:
     """Split each text on single spaces into blocks of ``words_per_block``.
 
     SQL-parity contract (see prlib_ray/oracles.py): words =
@@ -81,19 +93,54 @@ def split_words_blocks(texts: list[str], words_per_block: int) -> BlockFrame:
     block id = (i-1) // words_per_block, block text = words re-joined
     with ' '.  Empty text still yields one (empty) block, matching
     ``string_split('', ' ') = ['']``.
+
+    Fully Arrow: ``pc.split_pattern`` + offsets math (the technique
+    proven in boilerplate._extract_batch_arrow) — word/block boundaries,
+    the char-length feature and the block texts are all computed without
+    a Python loop.  ``blocks`` stays a ``pa.StringArray``; kept-block
+    joining (join_kept) consumes it in Arrow directly.
     """
-    offsets = np.empty(len(texts) + 1, dtype=np.int64)
-    offsets[0] = 0
-    blocks: list[str] = []
-    join = " ".join
-    for d, t in enumerate(texts):
-        words = t.split(" ")
-        nb = (len(words) + words_per_block - 1) // words_per_block
-        for b in range(nb):
-            blocks.append(join(words[b * words_per_block : (b + 1) * words_per_block]))
-        offsets[d + 1] = len(blocks)
-    x = np.fromiter((len(b) for b in blocks), dtype=np.int64, count=len(blocks))
-    return BlockFrame(doc_offsets=offsets, blocks=blocks, x=x)
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(texts, type=pa.string())
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    lv = pc.split_pattern(arr, pattern=" ")
+    if isinstance(lv, pa.ChunkedArray):
+        lv = lv.combine_chunks()
+    word_offs = lv.offsets.to_numpy().astype(np.int64)  # (ndocs+1,)
+    words = lv.values
+    nw = np.diff(word_offs)  # words per doc (>= 1: '' splits to [''])
+    nb = (nw + words_per_block - 1) // words_per_block
+    doc_offsets = np.concatenate(([0], np.cumsum(nb, dtype=np.int64)))
+    nblocks = int(doc_offsets[-1])
+    # per-block word ranges [w_start, w_end): contiguous and partitioning
+    # the flat word array (last block of doc d ends where doc d+1 starts)
+    b_in_doc = np.arange(nblocks, dtype=np.int64) - np.repeat(
+        doc_offsets[:-1], nb
+    )
+    w_start = np.repeat(word_offs[:-1], nb) + b_in_doc * words_per_block
+    w_end = np.minimum(
+        w_start + words_per_block, np.repeat(word_offs[1:], nb)
+    )
+    # x = char length of the re-joined block: sum of word char lengths
+    # plus the (k-1) single-space separators
+    wlen = pc.utf8_length(words).to_numpy().astype(np.int64)
+    csum = np.concatenate(([0], np.cumsum(wlen, dtype=np.int64)))
+    x = csum[w_end] - csum[w_start] + (w_end - w_start - 1)
+    block_list = pa.ListArray.from_arrays(
+        pa.array(np.concatenate((w_start, [word_offs[-1]])), type=pa.int32()),
+        words,
+    )
+    blocks_arr = pc.binary_join(block_list, " ")
+    if isinstance(blocks_arr, pa.ChunkedArray):
+        blocks_arr = blocks_arr.combine_chunks()
+    return BlockFrame(doc_offsets=doc_offsets, blocks=blocks_arr, x=x)
 
 
 def split_line_blocks(texts: list[str]) -> BlockFrame:
@@ -193,10 +240,25 @@ def join_kept(
 
     SQL parity: ``coalesce(string_agg(block, chr(10) ORDER BY bidx)
     FILTER (WHERE keep), '')`` — a doc with no kept blocks yields ''.
+
+    When the frame's blocks are a ``pa.StringArray`` (the Arrow
+    tokenizer path), the join is filter + ListArray + binary_join —
+    no per-doc Python.
     """
-    out: list[str] = []
     blocks = frame.blocks
     offs = frame.doc_offsets
+    if not isinstance(blocks, list):
+        import pyarrow.compute as pc
+
+        kept_vals = blocks.filter(pa.array(keep))
+        doc = frame.doc_of_block()
+        kept_counts = np.bincount(doc[keep], minlength=frame.ndocs)
+        loffs = np.concatenate(([0], np.cumsum(kept_counts, dtype=np.int64)))
+        lst = pa.ListArray.from_arrays(
+            pa.array(loffs, type=pa.int32()), kept_vals
+        )
+        return pc.binary_join(lst, sep).to_pylist()
+    out: list[str] = []
     for d in range(frame.ndocs):
         lo, hi = offs[d], offs[d + 1]
         out.append(sep.join(blocks[i] for i in range(lo, hi) if keep[i]))

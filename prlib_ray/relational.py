@@ -105,7 +105,10 @@ def q3_top_orders(sf_dir: str):
         & (orders["o_orderdate"].to_numpy() < cutoff)
     ]
     odate = dict(zip(orders["o_orderkey"], orders["o_orderdate"]))
-    ref = ray.put(set(orders["o_orderkey"]))
+    # broadcast the qualifying orderkeys as a SORTED array: the member
+    # test inside the map is one vectorized searchsorted, not a per-row
+    # Python set probe
+    ref = ray.put(np.sort(orders["o_orderkey"].to_numpy().astype(np.int64)))
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -116,11 +119,9 @@ def q3_top_orders(sf_dir: str):
         okeys = ray.get(ref)
         mask_ship = pc.greater(b["l_shipdate"], pa.scalar(cutoff))
         b = b.filter(mask_ship)
-        ok = np.fromiter(
-            (k in okeys for k in b["l_orderkey"].to_numpy()),
-            dtype=bool,
-            count=b.num_rows,
-        )
+        k = b["l_orderkey"].to_numpy().astype(np.int64)
+        idx = np.searchsorted(okeys, k)
+        ok = (idx < len(okeys)) & (okeys[np.minimum(idx, len(okeys) - 1)] == k)
         b = b.filter(pa.array(ok))
         price = b["l_extendedprice"].to_numpy()
         disc = b["l_discount"].to_numpy()
@@ -166,34 +167,45 @@ def q5_local_supplier(sf_dir: str):
     orders = pd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
-    sup_nat = dict(zip(supplier["s_suppkey"], supplier["s_nationkey"]))
-    cust_nat = dict(zip(customer["c_custkey"], customer["c_nationkey"]))
-    ord_cust = dict(zip(orders["o_orderkey"], orders["o_custkey"]))
-    nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    ref = ray.put((sup_nat, cust_nat, ord_cust, nat_name))
+    def _sorted_lookup(keys, vals):
+        k = np.asarray(keys, dtype=np.int64)
+        v = np.asarray(vals, dtype=np.int64)
+        order = np.argsort(k, kind="stable")
+        return k[order], v[order]
+
+    # broadcast side = sorted (key, value) arrays: each dimension lookup
+    # inside the map is one vectorized searchsorted over the batch
+    ok_k, ok_v = _sorted_lookup(orders["o_orderkey"], orders["o_custkey"])
+    ck_k, ck_v = _sorted_lookup(customer["c_custkey"], customer["c_nationkey"])
+    sk_k, sk_v = _sorted_lookup(supplier["s_suppkey"], supplier["s_nationkey"])
+    nat_arr = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
+    nat_arr[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+    ref = ray.put((ok_k, ok_v, ck_k, ck_v, sk_k, sk_v, nat_arr))
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
 
+    def _gather(keys, vals, probe):
+        """probe -> (value, found) via searchsorted on the sorted keys."""
+        idx = np.searchsorted(keys, probe)
+        safe = np.minimum(idx, len(keys) - 1)
+        found = (idx < len(keys)) & (keys[safe] == probe)
+        return vals[safe], found
+
     def partial(b: pa.Table) -> pa.Table:
-        sn, cn, oc, nn = ray.get(ref)
-        okeys = b["l_orderkey"].to_numpy()
-        skeys = b["l_suppkey"].to_numpy()
+        ok_k, ok_v, ck_k, ck_v, sk_k, sk_v, nn = ray.get(ref)
+        okeys = b["l_orderkey"].to_numpy().astype(np.int64)
+        skeys = b["l_suppkey"].to_numpy().astype(np.int64)
         price = b["l_extendedprice"].to_numpy()
         disc = b["l_discount"].to_numpy()
-        names, revs = [], []
-        for i in range(len(okeys)):
-            cust = oc.get(int(okeys[i]))
-            if cust is None:
-                continue
-            snat = sn.get(int(skeys[i]))
-            if snat is None or cn.get(cust) != snat:
-                continue
-            names.append(nn[snat])
-            revs.append(i)
-        rev = _cents(price[revs] * (1.0 - disc[revs]))
+        cust, has_o = _gather(ok_k, ok_v, okeys)
+        cnat, has_c = _gather(ck_k, ck_v, cust)
+        snat, has_s = _gather(sk_k, sk_v, skeys)
+        mask = has_o & has_c & has_s & (cnat == snat)
+        names = nn[snat[mask]]
+        rev = _cents(price[mask] * (1.0 - disc[mask]))
         t = pa.table(
             {
                 "n_name": pa.array(names, type=pa.string()),
@@ -400,17 +412,23 @@ def asof_latest_order(sf_dir: str):
 
     def lookup(b: pa.Table) -> pa.Table:
         tbl = ray.get(ref)
-        users = b["user_id"].to_numpy()
+        users = b["user_id"].to_numpy().astype(np.int64)
         ts = b["ts"].cast(pa.int64()).to_numpy()
         out = np.full(b.num_rows, -1, dtype=np.int64)
-        for i in range(b.num_rows):
-            entry = tbl.get(int(users[i]))
+        # group the batch's rows by user: ONE vectorized searchsorted per
+        # distinct user over all its events, not one per row
+        order = np.argsort(users, kind="stable")
+        uniq, starts = np.unique(users[order], return_index=True)
+        bounds = np.append(starts, len(users))
+        for u, lo, hi in zip(uniq.tolist(), bounds[:-1], bounds[1:]):
+            entry = tbl.get(u)
             if entry is None:
                 continue
             dates, keys = entry
-            j = np.searchsorted(dates, ts[i], side="right")
-            if j > 0:
-                out[i] = keys[j - 1]
+            rows = order[lo:hi]
+            j = np.searchsorted(dates, ts[rows], side="right")
+            sel = j > 0
+            out[rows[sel]] = keys[j[sel] - 1]
         return pa.table(
             {
                 "event_id": b["event_id"],

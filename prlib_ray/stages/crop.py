@@ -84,14 +84,15 @@ def autocrop_batch(batch: pa.Table, *, words_per_block: int = 12) -> pa.Table:
     start, end, isum, dsum = _islands(frame)
     ok = (start >= 0) & (20 * isum >= dsum)
     offs = frame.doc_offsets
+    blks = frame.block_strings()
     out = []
     for d in range(frame.ndocs):
         if ok[d]:
             lo = offs[d] + start[d]
             hi = offs[d] + end[d] + 1
-            out.append("\n".join(frame.blocks[lo:hi]))
+            out.append("\n".join(blks[lo:hi]))
         else:
-            out.append("\n".join(frame.blocks[offs[d] : offs[d + 1]]))
+            out.append("\n".join(blks[offs[d] : offs[d + 1]]))
     return pa.table(
         {"doc_id": batch["doc_id"], "clean_text": pa.array(out, type=pa.string())}
     )
@@ -107,14 +108,15 @@ def hough_region_batch(batch: pa.Table, *, words_per_block: int = 12) -> pa.Tabl
     texts = batch["text"].to_pylist()
     frame = split_words_blocks(texts, words_per_block)
     offs = frame.doc_offsets
+    blks = frame.block_strings()
     out = []
     for d in range(frame.ndocs):
         lo, hi = offs[d], offs[d + 1]
-        seps = [i for i in range(lo, hi) if sep.search(frame.blocks[i])]
+        seps = [i for i in range(lo, hi) if sep.search(blks[i])]
         if len(seps) >= 2 and seps[-1] - seps[0] > 1:
-            out.append("\n".join(frame.blocks[seps[0] + 1 : seps[-1]]))
+            out.append("\n".join(blks[seps[0] + 1 : seps[-1]]))
         else:
-            out.append("\n".join(frame.blocks[lo:hi]))
+            out.append("\n".join(blks[lo:hi]))
     return pa.table(
         {"doc_id": batch["doc_id"], "clean_text": pa.array(out, type=pa.string())}
     )

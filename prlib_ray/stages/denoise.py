@@ -30,7 +30,7 @@ def denoise_nlm_batch(batch: pa.Table, *, words_per_block: int = 12) -> pa.Table
     blocks of the same document (near-duplicate garbage runs)."""
     texts = batch["text"].to_pylist()
     frame = split_words_blocks(texts, words_per_block)
-    blocks = np.array(frame.blocks, dtype=object)
+    blocks = np.array(frame.block_strings(), dtype=object)
     doc = frame.doc_of_block()
     keep = np.ones(frame.nblocks, dtype=bool)
     for lag in (1, 2, 3):

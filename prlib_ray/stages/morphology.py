@@ -53,8 +53,7 @@ def binarize_morph_batch(batch: pa.Table, rule: str = "sauvola",
     if batch.num_rows == 0:
         return pa.table({"doc_id": batch["doc_id"],
                          "clean_text": pa.array([], type=pa.string())})
-    texts = batch["text"].to_pylist()
-    frame = split_words_blocks(texts, WORDS_PER_BLOCK)
+    frame = split_words_blocks(batch["text"], WORDS_PER_BLOCK)
     m, v, s = window_mean_var(frame, PRECEDING, FOLLOWING)
     keep = RULES[rule](frame, m, v, s,
                        {"preceding": PRECEDING, "following": FOLLOWING})

@@ -64,15 +64,18 @@ def correct_nuil_batch(batch: pa.Table, *, words_per_block: int = 12) -> pa.Tabl
     letters."""
     texts = batch["text"].to_pylist()
     frame = split_words_blocks(texts, words_per_block)
-    barr = pa.array(frame.blocks, type=pa.string())
+    barr = (
+        frame.blocks
+        if isinstance(frame.blocks, (pa.Array, pa.ChunkedArray))
+        else pa.array(frame.blocks, type=pa.string())
+    )
     n_up = pc.count_substring_regex(barr, pattern="[A-Z]").to_numpy().astype(np.int64)
     n_lo = pc.count_substring_regex(barr, pattern="[a-z]").to_numpy().astype(np.int64)
     up_w, _ = window_sum(n_up, frame, 1, 1)
     lo_w, _ = window_sum(n_lo, frame, 1, 1)
     flip = up_w > lo_w
-    lowered = pc.utf8_lower(barr).to_pylist()
-    out_blocks = [lowered[i] if flip[i] else frame.blocks[i] for i in range(frame.nblocks)]
-    frame.blocks = out_blocks
+    # selective lowercase, all-Arrow: if_else over the flip mask
+    frame.blocks = pc.if_else(pa.array(flip), pc.utf8_lower(barr), barr)
     keep = np.ones(frame.nblocks, dtype=bool)
     return _out(batch, pa.array(join_kept(frame, keep), type=pa.string()))
 

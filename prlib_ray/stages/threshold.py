@@ -150,22 +150,52 @@ def _median_window(frame: BlockFrame, radius: int = 1) -> np.ndarray:
     Exact parity with DuckDB `median(x) OVER (... ROWS BETWEEN radius
     PRECEDING AND radius FOLLOWING)`: median of an even count is the
     mean of the two middle values (a .5-exact float).
+
+    radius=1 (the only radius the rules use) is fully vectorized:
+    median-of-3 = a+b+c-min-max over shifted arrays, doc-edge windows of
+    2 are the .5-exact pair mean — no per-block Python.
     """
-    counts = np.diff(frame.doc_offsets)
-    starts = np.repeat(frame.doc_offsets[:-1], counts)
-    ends = np.repeat(frame.doc_offsets[1:], counts) - 1
-    idx = np.arange(frame.nblocks, dtype=np.int64)
-    lo = np.maximum(starts, idx - radius)
-    hi = np.minimum(ends, idx + radius)
-    out = np.empty(frame.nblocks, dtype=np.float64)
     x = frame.x
-    for i in range(frame.nblocks):
-        w = np.sort(x[lo[i] : hi[i] + 1])
-        n = len(w)
-        if n % 2:
-            out[i] = float(w[n // 2])
-        else:
-            out[i] = (float(w[n // 2 - 1]) + float(w[n // 2])) / 2.0
+    n = frame.nblocks
+    if radius != 1:  # pragma: no cover - generic fallback, unused by rules
+        counts = np.diff(frame.doc_offsets)
+        starts = np.repeat(frame.doc_offsets[:-1], counts)
+        ends = np.repeat(frame.doc_offsets[1:], counts) - 1
+        idx = np.arange(n, dtype=np.int64)
+        lo = np.maximum(starts, idx - radius)
+        hi = np.minimum(ends, idx + radius)
+        out = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            w = np.sort(x[lo[i] : hi[i] + 1])
+            k = len(w)
+            out[i] = (
+                float(w[k // 2]) if k % 2
+                else (float(w[k // 2 - 1]) + float(w[k // 2])) / 2.0
+            )
+        return out
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    doc = frame.doc_of_block()
+    has_prev = np.zeros(n, dtype=bool)
+    has_prev[1:] = doc[1:] == doc[:-1]
+    has_next = np.zeros(n, dtype=bool)
+    has_next[:-1] = doc[:-1] == doc[1:]
+    pv = np.empty(n, dtype=np.int64)
+    pv[0] = 0
+    pv[1:] = x[:-1]
+    nx = np.empty(n, dtype=np.int64)
+    nx[-1] = 0
+    nx[:-1] = x[1:]
+    out = x.astype(np.float64)  # singleton windows: the value itself
+    both = has_prev & has_next
+    a, b, c = pv[both], x[both], nx[both]
+    mx = np.maximum(np.maximum(a, b), c)
+    mn = np.minimum(np.minimum(a, b), c)
+    out[both] = (a + b + c - mx - mn).astype(np.float64)
+    left = ~has_prev & has_next  # first block of a >=2-block doc
+    out[left] = (x[left] + nx[left]) / 2.0
+    right = has_prev & ~has_next  # last block
+    out[right] = (pv[right] + x[right]) / 2.0
     return out
 
 
@@ -295,21 +325,56 @@ def _rule_local_otsu(frame: BlockFrame, m, v, s, p) -> np.ndarray:
     region = bidx // region_blocks
     # global region key
     key = doc * (1 << 32) + region
-    order = np.argsort(key, kind="stable")
+    n = frame.nblocks
+    if n == 0:
+        return np.zeros(0, dtype=bool)
     x = frame.x
-    keep = np.zeros(frame.nblocks, dtype=bool)
-    i = 0
+    # Vectorized per-region Otsu via segment-sorted prefix sums: sort all
+    # blocks by (region, x); inside each segment the ascending prefix
+    # (n0, s0) at each last-occurrence-of-a-distinct-value position IS
+    # the class-0 statistic for candidate threshold t = that value.  The
+    # score expression matches _otsu_threshold term-for-term (same IEEE
+    # tree), and "first max in ascending-t order" = smallest winning t.
+    order = np.lexsort((x, key))
     xs = x[order]
     ks = key[order]
-    n = frame.nblocks
-    while i < n:
-        j = i
-        while j < n and ks[j] == ks[i]:
-            j += 1
-        vals = xs[i:j]
-        t = _otsu_threshold(vals)
-        keep[order[i:j]] = vals > t
-        i = j
+    new_seg = np.empty(n, dtype=bool)
+    new_seg[0] = True
+    new_seg[1:] = ks[1:] != ks[:-1]
+    seg_starts = np.flatnonzero(new_seg)
+    seg_id = np.cumsum(new_seg) - 1  # 0-based segment per sorted pos
+    nseg = len(seg_starts)
+    seg_counts = np.diff(np.append(seg_starts, n))
+    csum = np.cumsum(xs, dtype=np.int64)
+    base = np.concatenate(([0], csum))[seg_starts]
+    s0 = csum - base[seg_id]  # inclusive prefix sum within segment
+    n0 = np.arange(n, dtype=np.int64) - seg_starts[seg_id] + 1
+    seg_len = seg_counts[seg_id]
+    seg_tot = (csum[seg_starts + seg_counts - 1] - base)[seg_id]
+    n1 = seg_len - n0
+    s1 = seg_tot - s0
+    # candidate = last sorted position of each distinct value, with a
+    # nonempty upper class (splitting at the max is excluded)
+    last_of_val = np.empty(n, dtype=bool)
+    last_of_val[-1] = True
+    last_of_val[:-1] = (xs[1:] != xs[:-1]) | new_seg[1:]
+    cand = last_of_val & (n1 > 0)
+    score = np.full(n, -1.0)
+    if cand.any():
+        mu0 = s0[cand] / n0[cand]
+        mu1 = s1[cand] / n1[cand]
+        score[cand] = n0[cand] * n1[cand] * (mu0 - mu1) * (mu0 - mu1)
+    seg_max = np.maximum.reduceat(score, seg_starts)
+    # first (ascending-t) candidate achieving the segment max wins
+    win = cand & (score == seg_max[seg_id])
+    widx = np.flatnonzero(win)
+    t_best = xs[seg_starts + seg_counts - 1].astype(np.float64)  # default:
+    # single-distinct-value segment -> t = the value (nothing exceeds)
+    if len(widx):
+        first_seg, first_pos = np.unique(seg_id[widx], return_index=True)
+        t_best[first_seg] = xs[widx[first_pos]].astype(np.float64)
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = xs > t_best[seg_id]
     return keep
 
 
@@ -414,8 +479,7 @@ def binarize_batch(
         return pa.table(
             {id_col: batch[id_col], "clean_text": pa.array([], type=pa.string())}
         )
-    texts = batch[text_col].to_pylist()
-    frame = split_words_blocks(texts, words_per_block)
+    frame = split_words_blocks(batch[text_col], words_per_block)
     m, v, s = window_mean_var(frame, preceding, following)
     params = dict(params)
     params.setdefault("preceding", preceding)
@@ -462,7 +526,7 @@ def binarize_wolf_global(ds, *, k: float = 0.5, text_col: str = "text",
                 "x_min": pa.array([], type=pa.int64()),
                 "s_max": pa.array([], type=pa.float64()),
             })
-        frame = split_words_blocks(b[text_col].to_pylist(), words_per_block)
+        frame = split_words_blocks(b[text_col], words_per_block)
         _, _, s = window_mean_var(frame, preceding, following)
         return pa.table({
             "x_min": pa.array([int(frame.x.min())], type=pa.int64()),
@@ -476,7 +540,7 @@ def binarize_wolf_global(ds, *, k: float = 0.5, text_col: str = "text",
 
     def apply(b: pa.Table) -> pa.Table:
         gx_min, gs_max = ray.get(ref)
-        frame = split_words_blocks(b[text_col].to_pylist(), words_per_block)
+        frame = split_words_blocks(b[text_col], words_per_block)
         m, v, s = window_mean_var(frame, preceding, following)
         t = m + k * (s / gs_max - 1.0) * (m - gx_min)
         keep = frame.x > t

@@ -32,7 +32,7 @@ def test_split_words_blocks_roundtrip(texts, wpb):
     frame = split_words_blocks(texts, wpb)
     offs = frame.doc_offsets
     for d, t in enumerate(texts):
-        blocks = frame.blocks[offs[d] : offs[d + 1]]
+        blocks = frame.block_strings()[offs[d] : offs[d + 1]]
         assert " ".join(blocks) == t
 
 
@@ -79,7 +79,7 @@ def test_join_kept_subset(texts, wpb, seed):
     offs = frame.doc_offsets
     for d in range(frame.ndocs):
         expected = "\n".join(
-            frame.blocks[i] for i in range(offs[d], offs[d + 1]) if keep[i]
+            frame.block_strings()[i] for i in range(offs[d], offs[d + 1]) if keep[i]
         )
         assert out[d] == expected
 
