@@ -40,6 +40,13 @@ def build_queries() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         queries[name] = _binarize_query(rule)
         sql[name] = oracles.binarize_sql(rule)
 
+    # FBCITB OPERATIONS flags (binarizeFBCITB.h:39-51): the edge-only and
+    # variance-only detection paths as param-driven query variants
+    queries["binarize_fbcitb_edges"] = _binarize_query("fbcitb", paths="edge")
+    sql["binarize_fbcitb_edges"] = oracles.binarize_sql("fbcitb_edges")
+    queries["binarize_fbcitb_var"] = _binarize_query("fbcitb", paths="var")
+    sql["binarize_fbcitb_var"] = oracles.binarize_sql("fbcitb_var")
+
     # binarizeByLocalVariancesWithoutFilters: same rule, reference's
     # lighter parameters (binarizeByLocalVariances.cpp:143-292)
     queries["binarize_local_variances_nofilter"] = _binarize_query(

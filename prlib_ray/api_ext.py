@@ -74,6 +74,9 @@ _DOC_OPS: list[tuple[str, Callable, str]] = [
     ("thin_guo_hall", thinning.thin_guo_hall_batch, osql.THIN_GUO_HALL),
     # §2.2 border detection / crop
     ("document_contour", crop.document_contour_batch, osql.DOCUMENT_CONTOUR),
+    ("document_contour_retry", crop.document_contour_retry_batch,
+     osql.DOCUMENT_CONTOUR_RETRY),
+    ("check_rectangle", crop.check_rectangle_batch, osql.CHECK_RECTANGLE),
     ("auto_crop", crop.autocrop_batch, osql.AUTOCROP),
     ("find_hough_line_contour", crop.hough_region_batch, osql.HOUGH_REGION),
     ("resize", crop.resize_batch, osql.RESIZE),
@@ -96,6 +99,12 @@ def register(queries: dict[str, Callable[[str], Any]], sql: dict[str, str]) -> N
 
     queries["gray_world_white_balance"] = gray_world
     sql["gray_world_white_balance"] = osql.GRAY_WORLD
+
+    # iterated anisotropic Kuwahara as an ACTOR-POOL stage (per-worker
+    # precomputed sector state + the reference's iterations param,
+    # kuwaharaFilter.cpp:34, :164-166)
+    queries["denoise_kuwahara_iterated"] = denoise.kuwahara_iterated
+    sql["denoise_kuwahara_iterated"] = osql.KUWAHARA_ITERATED
 
     _register_reassemble(queries, sql)
     _register_relational(queries, sql)
@@ -179,9 +188,22 @@ def _register_morph_and_joins(queries, sql) -> None:
     from prlib_ray.stages import crop
     from prlib_ray.stages.morphology import binarize_morph_batch
 
-    # binarization morphIters epilogue (binarizeSauvola.cpp:125-134)
-    queries["binarize_sauvola_morph"] = _doc_query(binarize_morph_batch)
-    sql["binarize_sauvola_morph"] = omorph.binarize_morph_sql()
+    # binarization morphIters epilogue for the whole family, with the
+    # reference's per-op iteration defaults (binarizeSauvola.cpp:125-134
+    # morphIters=2; binarizeNiblack.h:43-47 =2; binarizeWolfJolion.h =2;
+    # binarizeFeng.h:46-53 =2; binarizeLocalOtsu.h:50-57 =1;
+    # binarizeCOCOCLUST.h:50-56 =4.  binarizeNICK.h morphIters=0 -> the
+    # plain binarize_nick query IS its reference default, no variant.)
+    import functools
+
+    for mrule, iters in [("sauvola", 2), ("niblack", 2), ("wolf", 2),
+                         ("feng", 2), ("local_otsu", 1), ("cococlust", 4)]:
+        mname = f"binarize_{mrule}_morph"
+        queries[mname] = _doc_query(
+            functools.partial(binarize_morph_batch, rule=mrule,
+                              morph_iters=iters)
+        )
+        sql[mname] = omorph.binarize_morph_sql(mrule, iters)
 
     # warpCrop strict slice (warp.cpp:32-73): no fallback to full text
     def warp_batch(b):

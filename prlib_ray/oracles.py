@@ -89,18 +89,21 @@ GROUP BY doc_id
 ORDER BY doc_id"""
 
 
-def binarize_sql(rule: str) -> str:
-    """Oracle SQL for prlib_ray.stages.threshold.RULES[rule]."""
+def _rule_parts(rule: str) -> tuple[str, str, str]:
+    """(extra_ctes, keep_expr, source_cte) for one threshold rule.
+
+    ``extra_ctes`` is appended after the shared block/window skeleton;
+    ``keep_expr`` evaluates the rule's keep decision over ``source_cte``
+    (which always exposes doc_id, bidx, block).  Shared by the plain
+    binarize oracles and the morph-epilogue oracles."""
     if rule == "sauvola":
         keep = ("x > m * (CAST(1.0 AS DOUBLE) + CAST(0.01 AS DOUBLE) * "
                 "(s / CAST(128.0 AS DOUBLE) - CAST(1.0 AS DOUBLE)))")
-        return f"WITH {_BLOCKS_CTE}\n{_select_clean(keep, 'win')}"
+        return "", keep, "win"
     if rule == "niblack":
-        keep = "x > m + CAST(0.25 AS DOUBLE) * s"
-        return f"WITH {_BLOCKS_CTE}\n{_select_clean(keep, 'win')}"
+        return "", "x > m + CAST(0.25 AS DOUBLE) * s", "win"
     if rule == "nick":
-        keep = "x > m + CAST(-0.125 AS DOUBLE) * sqrt(s * s + m * m)"
-        return f"WITH {_BLOCKS_CTE}\n{_select_clean(keep, 'win')}"
+        return "", "x > m + CAST(-0.125 AS DOUBLE) * sqrt(s * s + m * m)", "win"
     if rule == "wolf":
         cte = """
 docagg AS (
@@ -111,7 +114,7 @@ docagg AS (
 )"""
         keep = ("x > m + CAST(0.5 AS DOUBLE) * (s / s_max - CAST(1.0 AS DOUBLE))"
                 " * (m - x_min)")
-        return f"WITH {_BLOCKS_CTE},{cte}\n{_select_clean(keep, 'docagg')}"
+        return "," + cte, keep, "docagg"
     if rule == "feng":
         cte = """
 docagg AS (
@@ -125,16 +128,13 @@ docagg AS (
             " + CAST(0.25 AS DOUBLE) * ((s / rs) * (s / rs)) * (m - x_min)"
             " + CAST(0.04 AS DOUBLE) * ((s / rs) * (s / rs)) * x_min"
         )
-        return f"WITH {_BLOCKS_CTE},{cte}\n{_select_clean(keep, 'docagg')}"
+        return "," + cte, keep, "docagg"
     if rule == "pure_adaptive":
-        keep = "cnt * x > sm - 2 * cnt"
-        return f"WITH {_BLOCKS_CTE}\n{_select_clean(keep, 'win')}"
+        return "", "cnt * x > sm - 2 * cnt", "win"
     if rule == "pure_adaptive_gaussian":
-        keep = "wt * x > wx - 2 * wt"
-        return f"WITH {_BLOCKS_CTE},{_GAUSS_CTE}\n{_select_clean(keep, 'gw')}"
+        return "," + _GAUSS_CTE, "wt * x > wx - 2 * wt", "gw"
     if rule == "at":
-        keep = "med > m - CAST(2.0 AS DOUBLE)"
-        return f"WITH {_BLOCKS_CTE},{_MED_CTE}\n{_select_clean(keep, 'med3')}"
+        return "," + _MED_CTE, "med > m - CAST(2.0 AS DOUBLE)", "med3"
     if rule == "agt":
         cte = """
 medgw AS (
@@ -143,7 +143,7 @@ medgw AS (
     FROM gw
 )"""
         keep = "med > CAST(wx AS DOUBLE) / wt - CAST(2.0 AS DOUBLE)"
-        return f"WITH {_BLOCKS_CTE},{_GAUSS_CTE},{cte}\n{_select_clean(keep, 'medgw')}"
+        return "," + _GAUSS_CTE + "," + cte, keep, "medgw"
     if rule == "gat":
         cte = """
 g1 AS (
@@ -156,8 +156,7 @@ g1 AS (
     FROM win
     WINDOW dw AS (PARTITION BY doc_id ORDER BY bidx)
 )"""
-        keep = "CAST(gx AS DOUBLE) / gt > m - CAST(2.0 AS DOUBLE)"
-        return f"WITH {_BLOCKS_CTE},{cte}\n{_select_clean(keep, 'g1')}"
+        return "," + cte, "CAST(gx AS DOUBLE) / gt > m - CAST(2.0 AS DOUBLE)", "g1"
     if rule == "mokji":
         cte = """
 pairs AS (
@@ -174,16 +173,19 @@ thr AS (
 joined AS (
     SELECT p.*, thr.t FROM pairs p JOIN thr USING (doc_id)
 )"""
-        keep = "x > t"
-        return f"WITH {_BLOCKS_CTE},{cte}\n{_select_clean(keep, 'joined')}"
-    if rule == "fbcitb":
+        return "," + cte, "x > t", "joined"
+    if rule in ("fbcitb", "fbcitb_edges"):
         cte = """
 edges AS (
     SELECT *, coalesce(abs(x - lag(x) OVER (PARTITION BY doc_id ORDER BY bidx)), 0) AS pd
     FROM win
 )"""
-        keep = "pd > 8 OR v > CAST(9.0 AS DOUBLE)"
-        return f"WITH {_BLOCKS_CTE},{cte}\n{_select_clean(keep, 'edges')}"
+        keep = ("pd > 8" if rule == "fbcitb_edges"
+                else "pd > 8 OR v > CAST(9.0 AS DOUBLE)")
+        return "," + cte, keep, "edges"
+    if rule == "fbcitb_var":
+        # OPERATIONS flag: variance path only (binarizeFBCITB.h:39-51)
+        return "", "v > CAST(9.0 AS DOUBLE)", "win"
     if rule == "cococlust":
         cte = """
 brk AS (
@@ -201,8 +203,7 @@ segstats AS (
               avg(x) OVER (PARTITION BY doc_id) AS doc_mean
     FROM seg
 )"""
-        keep = "seg_mean > doc_mean"
-        return f"WITH {_BLOCKS_CTE},{cte}\n{_select_clean(keep, 'segstats')}"
+        return "," + cte, "seg_mean > doc_mean", "segstats"
     if rule in ("local_variances", "local_variances_nofilter"):
         # the "_nofilter" reference variant
         # (binarizeByLocalVariancesWithoutFilters, cpp:143-292) drops the
@@ -216,7 +217,7 @@ vagg AS (
 )"""
         keep = ("v >= greatest(CAST(0.125 AS DOUBLE) * (vmax - vmin) + vmin, "
                 f"CAST({min_var} AS DOUBLE))")
-        return f"WITH {_BLOCKS_CTE},{cte}\n{_select_clean(keep, 'vagg')}"
+        return "," + cte, keep, "vagg"
     if rule == "local_otsu":
         cte = """
 feat2 AS (SELECT doc_id, bidx, block, x, bidx // 5 AS region FROM win),
@@ -246,8 +247,7 @@ decided AS (
            CASE WHEN p.t IS NULL THEN FALSE ELSE f.x > p.t END AS keepb
     FROM feat2 f LEFT JOIN pick p ON f.doc_id = p.doc_id AND f.region = p.region
 )"""
-        keep = "keepb"
-        return f"WITH {_BLOCKS_CTE},{cte}\n{_select_clean(keep, 'decided')}"
+        return "," + cte, "keepb", "decided"
     if rule == "native_adaptive":
         cte = """
 docn AS (
@@ -275,8 +275,14 @@ k2 AS (
 )"""
         keep = ("keep1 AND NOT ((pk IS NOT NULL OR nk IS NOT NULL) "
                 "AND coalesce(pk, FALSE) = FALSE AND coalesce(nk, FALSE) = FALSE)")
-        return f"WITH {_BLOCKS_CTE},{cte}\n{_select_clean(keep, 'k2')}"
+        return "," + cte, keep, "k2"
     raise KeyError(rule)
+
+
+def binarize_sql(rule: str) -> str:
+    """Oracle SQL for prlib_ray.stages.threshold.RULES[rule]."""
+    ctes, keep, source = _rule_parts(rule)
+    return f"WITH {_BLOCKS_CTE}{ctes}\n{_select_clean(keep, source)}"
 
 
 def wolf_global_sql() -> str:

@@ -262,6 +262,89 @@ SELECT f.doc_id,
 FROM feat f LEFT JOIN gated g ON f.doc_id = g.doc_id
 GROUP BY f.doc_id ORDER BY f.doc_id"""
 
+def _retry_pass(src: str, suffix: str) -> str:
+    """One islands pass over a named content-mask CTE (doc_id, bidx,
+    block, x, c) -> winner{suffix}."""
+    return f"""
+grp{suffix} AS (
+    SELECT *, bidx - row_number() OVER (PARTITION BY doc_id, c ORDER BY bidx) AS gid
+    FROM {src}
+),
+islands{suffix} AS (
+    SELECT doc_id, min(bidx) AS s, max(bidx) AS e, sum(x) AS isum
+    FROM grp{suffix} WHERE c GROUP BY doc_id, gid
+),
+winner{suffix} AS (
+    SELECT i.doc_id, i.s, i.e, i.isum, d.dsum
+    FROM islands{suffix} i JOIN docsum d ON i.doc_id = d.doc_id
+    QUALIFY row_number() OVER (PARTITION BY i.doc_id
+                               ORDER BY i.isum DESC, i.s ASC) = 1
+)"""
+
+
+def _dilate_cte(src: str, dst: str) -> str:
+    return f"""
+{dst} AS (
+    SELECT doc_id, bidx, block, x,
+           (c OR coalesce(lag(c) OVER w, FALSE)
+              OR coalesce(lead(c) OVER w, FALSE)) AS c
+    FROM {src} WINDOW w AS (PARTITION BY doc_id ORDER BY bidx)
+)"""
+
+
+_OK = "w{n}.s IS NOT NULL AND 20 * w{n}.isum >= w{n}.dsum"
+
+DOCUMENT_CONTOUR_RETRY = f"""
+WITH {_BLOCKS_CTE},
+docsum AS (
+    SELECT doc_id, sum(x) AS dsum FROM feat GROUP BY doc_id
+),
+c0 AS (SELECT doc_id, bidx, block, x, (x >= 20) AS c FROM feat),{_dilate_cte('c0', 'c1')},{_dilate_cte('c1', 'c2')},{_retry_pass('c0', '0')},{_retry_pass('c1', '1')},{_retry_pass('c2', '2')}
+SELECT d.doc_id,
+       CAST(CASE WHEN {_OK.format(n=0)} THEN w0.s
+                 WHEN {_OK.format(n=1)} THEN w1.s
+                 WHEN {_OK.format(n=2)} THEN w2.s ELSE -1 END AS BIGINT) AS span_start,
+       CAST(CASE WHEN {_OK.format(n=0)} THEN w0.e
+                 WHEN {_OK.format(n=1)} THEN w1.e
+                 WHEN {_OK.format(n=2)} THEN w2.e ELSE -1 END AS BIGINT) AS span_end,
+       CAST(CASE WHEN {_OK.format(n=0)} THEN 0
+                 WHEN {_OK.format(n=1)} THEN 1
+                 WHEN {_OK.format(n=2)} THEN 2 ELSE -1 END AS BIGINT) AS n_retries
+FROM documents d
+LEFT JOIN winner0 w0 ON d.doc_id = w0.doc_id
+LEFT JOIN winner1 w1 ON d.doc_id = w1.doc_id
+LEFT JOIN winner2 w2 ON d.doc_id = w2.doc_id
+ORDER BY d.doc_id"""
+
+CHECK_RECTANGLE = f"""
+WITH {_ISLANDS_CTE},
+island_blocks AS (
+    SELECT w.doc_id, f.bidx, f.x, w.s, w.e, w.isum, w.dsum,
+           lag(f.x) OVER (PARTITION BY w.doc_id ORDER BY f.bidx) AS prev_x
+    FROM winner w JOIN feat f
+      ON f.doc_id = w.doc_id AND f.bidx BETWEEN w.s AND w.e
+),
+gates AS (
+    SELECT doc_id,
+           max(s) AS s, max(e) AS e, max(isum) AS isum, max(dsum) AS dsum,
+           max(CASE WHEN bidx = s THEN x END) AS xf,
+           max(CASE WHEN bidx = e THEN x END) AS xl,
+           max(x) AS mx,
+           max(abs(x - prev_x)) FILTER (WHERE prev_x IS NOT NULL) AS max_adj
+    FROM island_blocks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(g.s, -1) AS BIGINT) AS span_start,
+       CAST(coalesce(g.e, -1) AS BIGINT) AS span_end,
+       coalesce(20 * g.isum >= g.dsum, FALSE) AS area_ok,
+       coalesce(100 * least(g.xf, g.xl) >= 85 * greatest(g.xf, g.xl), FALSE) AS side_ok,
+       coalesce(coalesce(2 * g.max_adj <= g.mx, TRUE) AND g.s IS NOT NULL, FALSE) AS angle_ok,
+       coalesce((20 * g.isum >= g.dsum)
+                AND (100 * least(g.xf, g.xl) >= 85 * greatest(g.xf, g.xl))
+                AND coalesce(2 * g.max_adj <= g.mx, TRUE), FALSE) AS quad_ok
+FROM documents d LEFT JOIN gates g ON d.doc_id = g.doc_id
+ORDER BY d.doc_id"""
+
 HOUGH_REGION = f"""
 WITH {_BLOCKS_CTE},
 seps AS (
@@ -292,3 +375,42 @@ FROM words GROUP BY doc_id ORDER BY doc_id"""
 
 SPLIT_PAGE = """
 SELECT doc_id, text AS clean_text FROM documents ORDER BY doc_id"""
+
+
+def _kuwahara_iter_sql(iterations: int = 2) -> str:
+    """Nested-CTE mirror of denoise.KuwaharaIterated: each iteration is
+    one-sided window mean/var (CURRENT ROW inclusive), lower-variance
+    side wins, floor(m + 0.5) re-quantization keeps every iteration's
+    input integer (exact window sums on both sides)."""
+    ctes = ["it0 AS (SELECT doc_id, bidx, x FROM feat)"]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""
+s{i} AS (
+    SELECT doc_id, bidx,
+           avg(x) OVER lw AS ml,
+           greatest(avg(x*x) OVER lw - avg(x) OVER lw * avg(x) OVER lw,
+                    CAST(0.0 AS DOUBLE)) AS vl,
+           avg(x) OVER rw AS mr,
+           greatest(avg(x*x) OVER rw - avg(x) OVER rw * avg(x) OVER rw,
+                    CAST(0.0 AS DOUBLE)) AS vr
+    FROM it{i-1}
+    WINDOW lw AS (PARTITION BY doc_id ORDER BY bidx
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           rw AS (PARTITION BY doc_id ORDER BY bidx
+                  ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
+)""")
+        ctes.append(f"""
+it{i} AS (
+    SELECT doc_id, bidx,
+           CAST(floor((CASE WHEN vl <= vr THEN ml ELSE mr END)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS x
+    FROM s{i}
+)""")
+    body = ",".join(ctes)
+    return f"""
+WITH {_BLOCKS_CTE},{body}
+SELECT doc_id, bidx, x AS smoothed_q FROM it{iterations}
+ORDER BY doc_id, bidx"""
+
+
+KUWAHARA_ITERATED = _kuwahara_iter_sql(2)

@@ -3,16 +3,17 @@ compareImages-style extraction-equality join."""
 
 from __future__ import annotations
 
-from prlib_ray.oracles import _BLOCKS_CTE, _select_clean, binarize_sql
+from prlib_ray.oracles import _BLOCKS_CTE, _rule_parts, _select_clean, binarize_sql
 
 
 def binarize_morph_sql(rule: str = "sauvola", morph_iters: int = 2) -> str:
     """Threshold keep-rule + iterated close (dilate then erode) via
-    lag/lead CTE chains — the exact mirror of morphology.morph_close."""
-    assert rule == "sauvola", "oracle emitted for the default rule"
-    keep0 = ("x > m * (CAST(1.0 AS DOUBLE) + CAST(0.01 AS DOUBLE) * "
-             "(s / CAST(128.0 AS DOUBLE) - CAST(1.0 AS DOUBLE)))")
-    ctes = [f"k0 AS (SELECT doc_id, bidx, block, ({keep0}) AS k FROM win)"]
+    lag/lead CTE chains — the exact mirror of morphology.morph_close.
+    Works for EVERY rule via the shared _rule_parts decomposition (the
+    reference runs the epilogue after every windowed binarization with
+    per-op iteration defaults, e.g. binarizeSauvola.cpp:125-134)."""
+    rule_ctes, keep0, source = _rule_parts(rule)
+    ctes = [f"k0 AS (SELECT doc_id, bidx, block, ({keep0}) AS k FROM {source})"]
     cur = "k0"
     for i in range(morph_iters):
         d = f"d{i}"
@@ -34,7 +35,7 @@ def binarize_morph_sql(rule: str = "sauvola", morph_iters: int = 2) -> str:
 )""")
         cur = e
     body = ",".join(ctes)
-    return f"WITH {_BLOCKS_CTE},{body}\n{_select_clean('k', cur)}"
+    return f"WITH {_BLOCKS_CTE}{rule_ctes},{body}\n{_select_clean('k', cur)}"
 
 
 WARP_CROP = None  # built below

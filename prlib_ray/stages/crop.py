@@ -22,12 +22,13 @@ from prlib_ray.blocks import BlockFrame, split_words_blocks
 CONTENT_FLOOR = 20  # a block with >= this many chars is "content"
 
 
-def _islands(frame: BlockFrame):
+def _islands(frame: BlockFrame, content: np.ndarray | None = None):
     """Per doc: winning island (start_bidx, end_bidx, island_sum, doc_sum).
 
     Islands are maximal runs of consecutive content blocks; winner has the
     largest character sum, ties -> earliest.  (-1, -1) when no content
-    block exists.
+    block exists.  ``content`` overrides the default mask (the retry
+    loop passes a dilated mask).
     """
     x = frame.x
     offs = frame.doc_offsets
@@ -35,7 +36,8 @@ def _islands(frame: BlockFrame):
     end = np.full(frame.ndocs, -1, dtype=np.int64)
     isum = np.zeros(frame.ndocs, dtype=np.int64)
     dsum = np.zeros(frame.ndocs, dtype=np.int64)
-    content = x >= CONTENT_FLOOR
+    if content is None:
+        content = x >= CONTENT_FLOOR
     for d in range(frame.ndocs):
         lo, hi = offs[d], offs[d + 1]
         dsum[d] = int(x[lo:hi].sum())
@@ -71,6 +73,102 @@ def document_contour_batch(batch: pa.Table, *, words_per_block: int = 12) -> pa.
             "doc_id": batch["doc_id"],
             "span_start": pa.array(np.where(ok, start, -1), type=pa.int64()),
             "span_end": pa.array(np.where(ok, end, -1), type=pa.int64()),
+        }
+    )
+
+
+def _dilate(content: np.ndarray, frame: BlockFrame) -> np.ndarray:
+    """One in-document dilation of the content mask (a block adjacent to
+    a content block becomes content) — the retry loop's growing-kernel
+    morphology (autoCrop.cpp:107-128)."""
+    doc = frame.doc_of_block()
+    prev_c = np.zeros_like(content)
+    prev_c[1:] = content[:-1] & (doc[1:] == doc[:-1])
+    next_c = np.zeros_like(content)
+    next_c[:-1] = content[1:] & (doc[:-1] == doc[1:])
+    return content | prev_c | next_c
+
+
+def document_contour_retry_batch(
+    batch: pa.Table, *, words_per_block: int = 12, max_retries: int = 2
+) -> pa.Table:
+    """documentContour WITH the reference's morphology retry loop
+    (autoCrop.cpp:105-128): when no valid contour passes the minArea
+    gate, dilate the edge image and retry, up to 2 times with a growing
+    kernel.  Analogue: re-scan islands over an iteratively dilated
+    content mask; the first pass whose winning island clears the 5% mass
+    gate wins; all passes fail -> (-1, -1)."""
+    frame = split_words_blocks(batch["text"], words_per_block)
+    content = frame.x >= CONTENT_FLOOR
+    span_s = np.full(frame.ndocs, -1, dtype=np.int64)
+    span_e = np.full(frame.ndocs, -1, dtype=np.int64)
+    found = np.zeros(frame.ndocs, dtype=bool)
+    n_retries = np.zeros(frame.ndocs, dtype=np.int64)
+    for attempt in range(max_retries + 1):
+        start, end, isum, dsum = _islands(frame, content)
+        ok = (start >= 0) & (20 * isum >= dsum) & ~found
+        span_s[ok] = start[ok]
+        span_e[ok] = end[ok]
+        n_retries[ok] = attempt
+        found |= ok
+        if found.all() or attempt == max_retries:
+            break
+        content = _dilate(content, frame)
+    n_retries[~found] = -1
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "span_start": pa.array(span_s, type=pa.int64()),
+            "span_end": pa.array(span_e, type=pa.int64()),
+            "n_retries": pa.array(n_retries, type=pa.int64()),
+        }
+    )
+
+
+def check_rectangle_batch(batch: pa.Table, *, words_per_block: int = 12) -> pa.Table:
+    """Quadrangle-validity helper family analogue (autoCropUtils.cpp:58-365:
+    CheckRectangle side-ratio >= 0.85, corner angles >= 160deg, area
+    window; cropVerticesOrdering canonical corner order).
+
+    The winning island's validity gates, all exact integer arithmetic:
+    * area_ok  — island holds >= 5% of the document's character mass
+      (the minArea gate, autoCropUtils.cpp:224-235)
+    * side_ok  — the island's first and last block lengths (the two
+      "parallel sides") within ratio 0.85: 100*min >= 85*max
+      (CheckRectangle side-ratio, autoCropUtils.cpp:198-222)
+    * angle_ok — no interior corner sharper than half a side: every
+      adjacent in-island length jump satisfies 2*|dx| <= max block len
+      (the >=160deg straight-corner check)
+    * quad_ok  — all three (isQuadrangle)
+    Span endpoints are emitted canonically ordered (start <= end), the
+    cropVerticesOrdering analogue."""
+    frame = split_words_blocks(batch["text"], words_per_block)
+    start, end, isum, dsum = _islands(frame)
+    x = frame.x
+    offs = frame.doc_offsets
+    has = start >= 0
+    area_ok = has & (20 * isum >= dsum)
+    side_ok = np.zeros(frame.ndocs, dtype=bool)
+    angle_ok = np.zeros(frame.ndocs, dtype=bool)
+    for d in np.flatnonzero(has):
+        lo = int(offs[d] + start[d])
+        hi = int(offs[d] + end[d])  # inclusive
+        xf, xl = int(x[lo]), int(x[hi])
+        side_ok[d] = 100 * min(xf, xl) >= 85 * max(xf, xl)
+        seg = x[lo : hi + 1]
+        mx = int(seg.max())
+        adj = np.abs(np.diff(seg))
+        angle_ok[d] = len(adj) == 0 or int(2 * adj.max()) <= mx
+    quad_ok = area_ok & side_ok & angle_ok
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "span_start": pa.array(np.where(has, start, -1), type=pa.int64()),
+            "span_end": pa.array(np.where(has, end, -1), type=pa.int64()),
+            "area_ok": pa.array(area_ok),
+            "side_ok": pa.array(side_ok),
+            "angle_ok": pa.array(angle_ok),
+            "quad_ok": pa.array(quad_ok),
         }
     )
 

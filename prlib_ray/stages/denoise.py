@@ -85,6 +85,67 @@ def wiener_batch(batch: pa.Table, *, words_per_block: int = 12) -> pa.Table:
     )
 
 
+class KuwaharaIterated:
+    """Actor-pool Kuwahara with the reference's two missing pieces:
+
+    * ``iterations`` (kuwaharaFilter.cpp:164-166: the filter re-runs on
+      its own output ``iterations`` times)
+    * once-per-worker precomputed state (cpp:34 ``div_circle_initialize``
+      builds the sector-weight tables once per process) — here the
+      one-sided window geometry per radius, built in ``__init__``.
+
+    Each iteration smooths the integer feature to the lower-variance
+    side-window mean and re-quantizes with floor(m + 0.5) so every
+    iteration's input stays integer-exact (the SQL oracle mirrors the
+    identical nested expression, see oracles_ext.KUWAHARA_ITERATED).
+    """
+
+    def __init__(self, iterations: int = 2, radius: int = 2,
+                 words_per_block: int = 12):
+        self.iterations = iterations
+        self.words_per_block = words_per_block
+        # per-worker precomputed window geometry (the div_circle analogue):
+        # (preceding, following) pairs of the two competing sectors
+        self.sectors = ((radius, 0), (0, radius))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        frame = split_words_blocks(batch["text"], self.words_per_block)
+        cur = frame.x
+        (lp, lf), (rp, rf) = self.sectors
+        for _ in range(self.iterations):
+            ml, vl, _ = window_mean_var(frame, lp, lf, values=cur)
+            mr, vr, _ = window_mean_var(frame, rp, rf, values=cur)
+            sel = np.where(vl <= vr, ml, mr)
+            cur = np.floor(sel + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": _repeat_ids(batch["doc_id"], frame),
+                "bidx": pa.array(frame.block_idx_within_doc(), type=pa.int64()),
+                "smoothed_q": pa.array(cur, type=pa.int64()),
+            }
+        )
+
+
+def kuwahara_iterated(sf_dir: str, *, iterations: int = 2):
+    """Driver query: KuwaharaIterated as an actor pool (stateful stage
+    pattern: setup in __init__ once per actor, work in __call__)."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    pool = max(2, int(ncpu * 2 // 3))  # leave producer headroom
+    return ds.map_batches(
+        KuwaharaIterated,
+        fn_constructor_kwargs={"iterations": iterations},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=(1, pool),
+        num_cpus=1,
+    )
+
+
 def _one_sided(frame, preceding: int, following: int):
     return window_mean_var(frame, preceding, following)
 

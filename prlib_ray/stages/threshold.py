@@ -265,8 +265,15 @@ def _rule_fbcitb(frame: BlockFrame, m, v, s, p) -> np.ndarray:
     # (binarizeFBCITB.cpp:164-236: edges || variance map -> contours -> keep).
     # Analogue: keep if the block sits on an "edge" (|x - prev_x| > E) or in
     # a high-variance window (v > V).
+    #
+    # The reference's OPERATIONS flag enum (binarizeFBCITB.h:39-51) selects
+    # which detection paths run; mirrored by the ``paths`` param:
+    # "both" (default) | "edge" | "var" — flag-driven operator fusion
+    # stays config, not code (registered as binarize_fbcitb_edges /
+    # binarize_fbcitb_var query variants).
     e = p.get("edge", 8)
     vmin = p.get("var_min", 9.0)
+    paths = p.get("paths", "both")
     x = frame.x
     doc = frame.doc_of_block()
     prev_diff = np.zeros(frame.nblocks, dtype=np.int64)
@@ -274,7 +281,13 @@ def _rule_fbcitb(frame: BlockFrame, m, v, s, p) -> np.ndarray:
     same = np.zeros(frame.nblocks, dtype=bool)
     same[1:] = doc[1:] == doc[:-1]
     prev_diff = np.where(same, prev_diff, 0)
-    return (prev_diff > e) | (v > vmin)
+    edge_keep = prev_diff > e
+    var_keep = v > vmin
+    if paths == "edge":
+        return edge_keep
+    if paths == "var":
+        return var_keep
+    return edge_keep | var_keep
 
 
 def _rule_cococlust(frame: BlockFrame, m, v, s, p) -> np.ndarray:
