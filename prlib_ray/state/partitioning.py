@@ -260,6 +260,63 @@ def add_salted_key(ds, meta_ref, *, salt_threshold: int, shard_size: int):
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
 
 
+class _CounterSink:
+    """Streaming per-bucket lineage counters (clean_chars sum + distinct
+    conversations), fed from the write stage's map tasks — manifests no
+    longer need a second driver-side read of the written parquet.
+
+    Distinct conversations are tracked as 64-bit md5-prefix hash sets
+    (8 B per conversation, collision odds ~n^2/2^65); the 10^9-conv
+    upgrade path is an HLL sketch behind the same ``add`` interface.
+    Counters are lineage metrics: a retried write task may double-count
+    chars (the conv sets are idempotent); authoritative row/byte counts
+    still come from the written files' parquet metadata."""
+
+    def __init__(self):
+        self.chars: dict[int, int] = {}
+        self.convs: dict[int, set[int]] = {}
+
+    def add(self, chars: dict[int, int], convs: dict[int, list[int]]) -> None:
+        for b, c in chars.items():
+            self.chars[b] = self.chars.get(b, 0) + c
+        for b, hs in convs.items():
+            self.convs.setdefault(b, set()).update(hs)
+
+    def totals(self) -> tuple[dict[int, int], dict[int, int]]:
+        return {b: len(s) for b, s in self.convs.items()}, dict(self.chars)
+
+
+def _counter_partials(out: pa.Table) -> tuple[dict, dict]:
+    """Per-batch (bucket -> clean_chars, bucket -> conv-hash list)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    buckets = np.asarray(out["bucket"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+    chars: dict[int, int] = {}
+    convs: dict[int, list[int]] = {}
+    if "clean_text" in out.column_names:
+        lens = pc.utf8_length(out["clean_text"]).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+    else:
+        lens = np.zeros(len(buckets), dtype=np.int64)
+    order = np.argsort(buckets, kind="stable")
+    ub, starts = np.unique(buckets[order], return_index=True)
+    bounds = np.append(starts, len(buckets))
+    conv_col = out["conv_id"].to_numpy(zero_copy_only=False)
+    for b, lo, hi in zip(ub.tolist(), bounds[:-1], bounds[1:]):
+        rows = order[lo:hi]
+        chars[b] = int(lens[rows].sum())
+        uniq = set(conv_col[rows])
+        convs[b] = [
+            int.from_bytes(hashlib.md5(c.encode()).digest()[:8], "big")
+            for c in uniq
+        ]
+    return chars, convs
+
+
 def write_partitioned(ds, out_dir: str, *, num_buckets: int = 16,
                       skip_buckets: set[int] | None = None,
                       with_counters: bool = False) -> list[dict]:
@@ -291,6 +348,12 @@ def write_partitioned(ds, out_dir: str, *, num_buckets: int = 16,
                 # manifest-less dirs and deliberate non-skip rebuilds)
                 shutil.rmtree(path)
 
+    sink = None
+    if with_counters:
+        import ray
+
+        sink = ray.remote(num_cpus=0)(_CounterSink).remote()
+
     def add_bucket(b: pa.Table) -> pa.Table:
         if "bucket" in b.column_names:
             out = b
@@ -303,12 +366,29 @@ def write_partitioned(ds, out_dir: str, *, num_buckets: int = 16,
         if skip:
             keep = pa.array([bk not in skip for bk in buckets])
             out = out.filter(keep)
+        if sink is not None and out.num_rows:
+            import ray
+
+            chars, convs = _counter_partials(out)
+            # block on the ack: the partial is applied before this map
+            # task completes, so write completion implies counter
+            # completeness (no in-flight-message race with totals())
+            ray.get(sink.add.remote(chars, convs))
         return out
 
     with_bucket = ds.map_batches(add_bucket, batch_format="pyarrow",
                                  zero_copy_batch=True)
     # single streaming pass; the writer splits by the partition column
     with_bucket.write_parquet(out_dir, partition_cols=["bucket"])
+    counter_convs: dict[int, int] = {}
+    counter_chars: dict[int, int] = {}
+    if sink is not None:
+        import ray
+
+        # the write has completed, so every add.remote partial has been
+        # submitted; one get drains the actor
+        counter_convs, counter_chars = ray.get(sink.totals.remote())
+        ray.kill(sink)
     manifests = []
     for name in sorted(os.listdir(out_dir)):
         path = os.path.join(out_dir, name)
@@ -330,23 +410,10 @@ def write_partitioned(ds, out_dir: str, *, num_buckets: int = 16,
             "stage_version": STAGE_VERSION,
         }
         if with_counters:
-            # per-bucket lineage counters (one cheap column read per file)
-            convs: set[str] = set()
-            clean_chars = 0
-            for f in files:
-                fpath = os.path.join(path, f)
-                present = set(pq.read_schema(fpath).names)
-                cols = [c for c in ("conv_id", "clean_text") if c in present]
-                t = pq.read_table(fpath, columns=cols)
-                convs.update(t["conv_id"].to_pylist())
-                if "clean_text" in t.column_names:
-                    import pyarrow.compute as pc
-
-                    clean_chars += int(
-                        pc.sum(pc.utf8_length(t["clean_text"])).as_py() or 0
-                    )
-            manifest["n_convs"] = len(convs)
-            manifest["clean_chars"] = clean_chars
+            # per-bucket lineage counters, streamed from the write
+            # stage's own map tasks (no second read of written parquet)
+            manifest["n_convs"] = counter_convs.get(bkt, 0)
+            manifest["clean_chars"] = counter_chars.get(bkt, 0)
         with open(os.path.join(path, "_manifest.json"), "w") as f:
             json.dump(manifest, f)
         manifests.append(manifest)
