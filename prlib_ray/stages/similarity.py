@@ -151,18 +151,43 @@ def ann_bruteforce_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def _train_centroids(train: np.ndarray, n_centroids: int,
+                     iters: int = 5) -> np.ndarray:
+    """Deterministic spherical k-means: init = first ``n_centroids``
+    normalized vectors, ``iters`` Lloyd rounds with rounded-cosine
+    argmax assignment (ties -> smallest centroid) and renormalized
+    means; an emptied cluster keeps its previous centroid.  Pure
+    function of the training slice — identical on every run/worker."""
+    cents = train[:n_centroids].copy()
+    for _ in range(iters):
+        sims = np.round(train @ cents.T, 6)
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                v = train[m].sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    cents[c] = v / n
+    return cents
+
+
 def ann_ivf_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
-                 n_centroids: int = 16, nprobe: int = 2):
-    """IVF-style ANN, the second scale path: a deterministic centroid set
-    (the first ``n_centroids`` vectors, normalized) partitions the corpus
-    into inverted lists via ``groupby(centroid)``; each query probes its
-    ``nprobe`` nearest lists only.
+                 n_centroids: int = 32, nprobe: int = 4,
+                 train_n: int = 256):
+    """IVF-style ANN, the second scale path: TRAINED centroids
+    (deterministic spherical k-means over the first ``train_n`` vectors,
+    see _train_centroids) partition the corpus into inverted lists via
+    ``groupby(centroid)``; each query probes its ``nprobe`` nearest
+    lists only.
 
     Distributed shape: centroids + query matrix broadcast once
     (``ray.put``); assignment is a numpy matmul per batch; the inverted
-    lists are the groupby buckets; per-bucket top-k merges in a tiny
-    final pass.  Recall < 1 by design -> rows-only; pytest bounds recall
-    against brute force."""
+    lists are the groupby buckets (expected population n/n_centroids —
+    scale n_centroids with corpus size to bound per-list work, which is
+    LINEAR in list size); per-bucket top-k merges in a tiny final pass.
+    Recall < 1 by design -> rows-only; pytest bounds recall against
+    brute force."""
     import ray
     import ray.data as rd
 
@@ -172,7 +197,9 @@ def ann_ivf_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
     head = sorted(
         emb.map_batches(
             lambda b: b.filter(
-                pa.array(b["vec_id"].to_numpy() < max(n_centroids, n_queries))
+                pa.array(
+                    b["vec_id"].to_numpy() < max(train_n, n_queries)
+                )
             ),
             batch_format="pyarrow", zero_copy_batch=True,
         ).take_all(),
@@ -180,7 +207,7 @@ def ann_ivf_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
     )
     mat = np.array([list(r["embedding"]) for r in head], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    cents = mat[:n_centroids]
+    cents = _train_centroids(mat, n_centroids)
     qids = np.array([r["vec_id"] for r in head[:n_queries]], dtype=np.int64)
     qmat = mat[:n_queries]
     # each query's probed centroid lists (rounded sims, tie -> smallest id)
@@ -240,27 +267,67 @@ def ann_ivf_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
-N_PLANES = 8
-_rng = np.random.RandomState(7)
-_PLANES: np.ndarray | None = None
+N_PLANES = 10  # 1024 buckets at fixture scale; production sizes this with
+# log2(corpus): ~20 planes for 10^9 vectors keeps buckets ~10^3 while the
+# SAME multi-probe mechanics recover recall
 
 
-def _planes(dim: int) -> np.ndarray:
-    global _PLANES
-    if _PLANES is None or _PLANES.shape[1] != dim:
-        _PLANES = np.random.RandomState(7).standard_normal((N_PLANES, dim))
-    return _PLANES
+def _planes(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
+    """Deterministic hyperplanes (fixed seed, identical on every worker)."""
+    return np.random.RandomState(7).standard_normal((n_planes, dim))
 
 
-def ann_lsh_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
+def _multi_probe(sig: int, n_planes: int, radius: int) -> set[int]:
+    """All bucket signatures within hamming distance <= radius of sig."""
+    from itertools import combinations
+
+    out = {sig}
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            out.add(sig ^ flip)
+    return out
+
+
+def ann_lsh_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
+                 n_planes: int = N_PLANES, probe_radius: int = 3):
     """Scale-path ANN: random-hyperplane signatures bucket the corpus
-    (groupby(bucket)); each query searches only its bucket.  Recall < 1 by
-    design; pytest checks bucket determinism + recall against brute force."""
+    (groupby(bucket)); each query MULTI-PROBES every bucket within
+    hamming distance ``probe_radius`` of its own signature (176 of 1024
+    buckets at the defaults), so recall no longer depends on the
+    query's exact bucket while per-bucket work stays n/2^n_planes.
+    The query matrix is broadcast (ray.put); each probed bucket scans
+    its own vectors only — work per bucket is LINEAR in bucket
+    population (no all-pairs matmul).  Recall < 1 by design -> rows
+    -only; pytest bounds recall against brute force."""
+    import ray
     import ray.data as rd
 
     emb = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
+    qrows = sorted(
+        emb.map_batches(
+            lambda b: b.filter(pa.array(b["vec_id"].to_numpy() < n_queries)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    pl = _planes(qmat.shape[1], n_planes)
+    qbits = (qmat @ pl.T) > 0.0
+    probes: dict[int, set[int]] = {}
+    for i in range(len(qids)):
+        s = 0
+        for j in range(n_planes):
+            if qbits[i, j]:
+                s |= 1 << j
+        probes[int(qids[i])] = _multi_probe(s, n_planes, probe_radius)
+    ref = ray.put((qids, qmat, probes))
 
     def sig(b: pa.Table) -> pa.Table:
         mat = np.array(b["embedding"].to_pylist(), dtype=np.float64)
@@ -268,10 +335,9 @@ def ann_lsh_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
             return pa.table({"bucket": pa.array([], type=pa.int64()),
                              "vec_id": pa.array([], type=pa.int64()),
                              "embedding": b["embedding"]})
-        pl = _planes(mat.shape[1])
-        bits = (mat @ pl.T) > 0.0
+        bits = (mat @ _planes(mat.shape[1], n_planes).T) > 0.0
         bucket = np.zeros(len(mat), dtype=np.int64)
-        for i in range(N_PLANES):
+        for i in range(n_planes):
             bucket |= bits[:, i].astype(np.int64) << i
         return pa.table({"bucket": pa.array(bucket), "vec_id": b["vec_id"],
                          "embedding": b["embedding"]})
@@ -281,21 +347,33 @@ def ann_lsh_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
     def bucket_topk(g):
         import pandas as pd
 
+        qids_, qmat_, probes_ = ray.get(ref)
+        bucket = int(g["bucket"].iloc[0])
+        active = [i for i in range(len(qids_))
+                  if bucket in probes_[int(qids_[i])]]
+        if not active:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
         vids = g["vec_id"].to_numpy()
         mat = np.array(list(g["embedding"]), dtype=np.float64)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        qmask = vids < n_queries
-        if not qmask.any():
-            return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
-        sims = mat[qmask] @ mat.T
+        sims = np.round(qmat_[active] @ mat.T, 6)
         out = []
-        for qi, qid in enumerate(vids[qmask]):
-            s = np.round(sims[qi], 6)
+        for row, qi in enumerate(active):
+            qid = int(qids_[qi])
             mask = vids != qid
-            order = np.lexsort((vids[mask], -s[mask]))[:k]
+            order = np.lexsort((vids[mask], -sims[row][mask]))[:k]
             sel = np.flatnonzero(mask)[order]
             for idx in sel:
-                out.append((int(qid), int(vids[idx]), float(np.round(sims[qi][idx], 6))))
+                out.append((qid, int(vids[idx]), float(sims[row][idx])))
         return pd.DataFrame(out, columns=["query_id", "vec_id", "sim"])
 
-    return with_sig.groupby("bucket").map_groups(bucket_topk, batch_format="pandas")
+    local = with_sig.groupby("bucket").map_groups(
+        bucket_topk, batch_format="pandas"
+    )
+
+    def merge(g):
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(k)
+
+    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
