@@ -32,33 +32,44 @@ def _islands(frame: BlockFrame, content: np.ndarray | None = None):
     """
     x = frame.x
     offs = frame.doc_offsets
+    n = frame.nblocks
     start = np.full(frame.ndocs, -1, dtype=np.int64)
     end = np.full(frame.ndocs, -1, dtype=np.int64)
     isum = np.zeros(frame.ndocs, dtype=np.int64)
-    dsum = np.zeros(frame.ndocs, dtype=np.int64)
     if content is None:
         content = x >= CONTENT_FLOOR
-    for d in range(frame.ndocs):
-        lo, hi = offs[d], offs[d + 1]
-        dsum[d] = int(x[lo:hi].sum())
-        best_s = best_e = -1
-        best_sum = -1
-        i = lo
-        while i < hi:
-            if content[i]:
-                j = i
-                run = 0
-                while j < hi and content[j]:
-                    run += int(x[j])
-                    j += 1
-                if run > best_sum:
-                    best_sum = run
-                    best_s, best_e = i - lo, j - 1 - lo
-                i = j
-            else:
-                i += 1
-        if best_sum >= 0:
-            start[d], end[d], isum[d] = best_s, best_e, best_sum
+    csum = np.concatenate(([0], np.cumsum(x, dtype=np.int64)))
+    dsum = csum[offs[1:]] - csum[offs[:-1]]
+    if n == 0 or not content.any():
+        return start, end, isum, dsum
+    # vectorized run detection: a run starts at a content block whose
+    # in-document predecessor is not content
+    doc = frame.doc_of_block()
+    prev_c = np.zeros(n, dtype=bool)
+    prev_c[1:] = content[:-1] & (doc[1:] == doc[:-1])
+    run_start_mask = content & ~prev_c
+    cpos = np.flatnonzero(content)
+    rid = np.cumsum(run_start_mask)[cpos] - 1  # run id per content block
+    first = np.ones(len(cpos), dtype=bool)
+    first[1:] = rid[1:] != rid[:-1]
+    last = np.zeros(len(cpos), dtype=bool)
+    last[:-1] = rid[1:] != rid[:-1]
+    last[-1] = True
+    run_s = cpos[first]
+    run_e = cpos[last]
+    run_sum = np.add.reduceat(x[cpos], np.flatnonzero(first))
+    run_doc = doc[run_s]
+    # winner per doc: largest sum, ties -> earliest start (= the strictly
+    # -greater scan of the scalar version)
+    order = np.lexsort((run_s, -run_sum, run_doc))
+    docs_sorted = run_doc[order]
+    pick = np.ones(len(order), dtype=bool)
+    pick[1:] = docs_sorted[1:] != docs_sorted[:-1]
+    win = order[pick]
+    wd = run_doc[win]
+    start[wd] = run_s[win] - offs[wd]
+    end[wd] = run_e[win] - offs[wd]
+    isum[wd] = run_sum[win]
     return start, end, isum, dsum
 
 

@@ -85,16 +85,42 @@ def simple_white_balance_batch(batch: pa.Table) -> pa.Table:
     longer than the 95th-percentile word length (k-th smallest with
     k = ceil(19n/20), integer arithmetic to stay float-free) are truncated
     to that length."""
-    texts = batch["text"].to_pylist()
-    out = []
-    for t in texts:
-        words = t.split(" ")
-        lens = sorted(len(w) for w in words)
-        n = len(lens)
-        k = (19 * n + 19) // 20  # exact ceil(0.95*n), no float
-        clip = lens[k - 1]
-        out.append(" ".join(w[:clip] for w in words))
-    return _out(batch, pa.array(out, type=pa.string()))
+    arr = batch["text"]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lv = pc.split_pattern(arr, pattern=" ")
+    if isinstance(lv, pa.ChunkedArray):
+        lv = lv.combine_chunks()
+    offs = lv.offsets.to_numpy().astype(np.int64)
+    words = lv.values
+    nw = np.diff(offs)
+    wlen = pc.utf8_length(words).to_numpy().astype(np.int64)
+    doc_of_word = np.repeat(np.arange(len(nw), dtype=np.int64), nw)
+    # per-doc k-th smallest length, k = ceil(19n/20) (exact integer 95th
+    # percentile): one global (doc, len) sort + segment offset math
+    order = np.lexsort((wlen, doc_of_word))
+    k = (19 * nw + 19) // 20
+    clip_doc = wlen[order[offs[:-1] + k - 1]]
+    clip_w = clip_doc[doc_of_word]
+    need = wlen > clip_w
+    if need.any():
+        # truncate only the over-percentile words (typically ~5%) in
+        # Python — codepoint slicing matches utf8_length counting — and
+        # permute them back into the flat word array
+        idx = np.flatnonzero(need)
+        keep_idx = np.flatnonzero(~need)
+        trunc = pa.array(
+            [w[:c] for w, c in zip(
+                words.take(pa.array(idx)).to_pylist(), clip_w[idx]
+            )],
+            type=pa.string(),
+        )
+        merged = pa.concat_arrays([trunc, words.take(pa.array(keep_idx))])
+        perm = np.empty(len(words), dtype=np.int64)
+        perm[np.concatenate([idx, keep_idx])] = np.arange(len(words))
+        words = merged.take(pa.array(perm))
+    lst = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), words)
+    return _out(batch, pc.binary_join(lst, " "))
 
 
 def gray_world_balance(ds, *, id_col: str = "doc_id"):

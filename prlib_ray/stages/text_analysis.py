@@ -39,24 +39,38 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _flat_words(batch: pa.Table):
+    """(words values array, doc index per word, ndocs) via split_pattern."""
+    arr = batch["text"]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lv = pc.split_pattern(arr, pattern=" ")
+    if isinstance(lv, pa.ChunkedArray):
+        lv = lv.combine_chunks()
+    offs = lv.offsets.to_numpy().astype(np.int64)
+    doc_of_word = np.repeat(
+        np.arange(len(lv), dtype=np.int64), np.diff(offs)
+    )
+    return lv.values, doc_of_word, len(lv)
+
+
 def quality_score_batch(batch: pa.Table) -> pa.Table:
     """Quality scoring: stopword/punct/length signals, integer outputs.
 
     score_pct = (100 * n_stop) // max(n_words, 1) — integer arithmetic so
-    the oracle hash is exact.
-    """
-    texts = batch["text"].to_pylist()
-    stop = set(STOPWORDS)
-    n_words, n_stop = [], []
-    for t in texts:
-        ws = [w for w in t.split(" ") if w != ""]
-        n_words.append(len(ws))
-        n_stop.append(sum(1 for w in ws if w in stop))
+    the oracle hash is exact.  Word/stopword counting is one
+    split_pattern + is_in pass over the flat word array (no per-row
+    Python split loop)."""
+    words, doc_of_word, ndocs = _flat_words(batch)
+    nonempty = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+    is_stop = pc.is_in(
+        words, value_set=pa.array(STOPWORDS, type=pa.string())
+    ).to_numpy(zero_copy_only=False)
+    nw = np.bincount(doc_of_word[nonempty], minlength=ndocs).astype(np.int64)
+    ns = np.bincount(doc_of_word[is_stop], minlength=ndocs).astype(np.int64)
     n_punct = pc.cast(
         pc.count_substring_regex(batch["text"], pattern=PUNCT_PATTERN), pa.int64()
     )
-    nw = np.array(n_words, dtype=np.int64)
-    ns = np.array(n_stop, dtype=np.int64)
     score = (100 * ns) // np.maximum(nw, 1)
     return pa.table(
         {
@@ -72,19 +86,23 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
 def lang_id_batch(batch: pa.Table) -> pa.Table:
     """Language ID: marker-stopword vote, argmax with lexicographic
     tie-break (ties -> smallest language code)."""
-    texts = batch["text"].to_pylist()
+    words, doc_of_word, ndocs = _flat_words(batch)
     langs = sorted(LANG_MARKERS)
-    sets = {c: set(LANG_MARKERS[c]) for c in langs}
-    pred = []
-    for t in texts:
-        ws = t.split(" ")
-        counts = {c: sum(1 for w in ws if w in sets[c]) for c in langs}
-        best = max(langs, key=lambda c: (counts[c], ))  # max count; ties ->
-        # max() keeps the FIRST maximal element in iteration order, and
-        # langs is sorted ascending -> smallest code wins ties.
-        pred.append(best)
+    counts = np.zeros((len(langs), ndocs), dtype=np.int64)
+    for li, c in enumerate(langs):
+        hit = pc.is_in(
+            words, value_set=pa.array(LANG_MARKERS[c], type=pa.string())
+        ).to_numpy(zero_copy_only=False)
+        counts[li] = np.bincount(doc_of_word[hit], minlength=ndocs)
+    # argmax keeps the FIRST maximal row and langs is sorted ascending ->
+    # smallest code wins ties (same rule as the scalar max())
+    best = np.argmax(counts, axis=0)
+    lang_arr = np.array(langs, dtype=object)
     return pa.table(
-        {"doc_id": batch["doc_id"], "lang_pred": pa.array(pred, type=pa.string())}
+        {
+            "doc_id": batch["doc_id"],
+            "lang_pred": pa.array(lang_arr[best], type=pa.string()),
+        }
     )
 
 
@@ -128,14 +146,13 @@ def winnow_batch(batch: pa.Table) -> pa.Table:
         h = np.zeros(n - KGRAM + 1, dtype=np.int64)
         for j in range(KGRAM):
             h = (h + ords[j : j + len(h)] * pows[j]) % MOD
-        sel = set()
-        for p in range(len(h)):
-            lo = max(0, p - WIN + 1)
-            if h[p] == h[lo : p + 1].min():
-                sel.add(int(h[p]))
-        for v in sorted(sel):
-            out_id.append(did)
-            out_h.append(v)
+        # trailing-window min via one padded sliding_window_view (the
+        # clamped left edge becomes +inf padding) — no per-position loop
+        padded = np.concatenate((np.full(WIN - 1, np.iinfo(np.int64).max), h))
+        wmin = np.lib.stride_tricks.sliding_window_view(padded, WIN).min(axis=1)
+        sel = np.unique(h[h == wmin])
+        out_id.extend([did] * len(sel))
+        out_h.extend(sel.tolist())
     return pa.table(
         {
             "doc_id": pa.array(out_id, type=pa.int64()),
