@@ -162,6 +162,7 @@ def _minhash(sids: np.ndarray) -> np.ndarray:
 
 
 LSH_BUCKET_CAP = 64  # all-pairs only up to this bucket size (see below)
+N_DEDUP_PARTS = 64  # coarse hash partitions for the exact pair-distinct
 
 
 def _pair_indices(n: int, cap: int) -> tuple[np.ndarray, np.ndarray]:
@@ -200,14 +201,13 @@ def _pairs_from_buckets(bands, key_cols: list[str], cap: int = LSH_BUCKET_CAP,
     """groupby(bucket) -> candidate pair Dataset (doc_a, doc_b), distinct.
 
     The pairs stay distributed end-to-end: dedup across buckets is a
-    groupby on (doc_a, doc_b), not a driver-side drop_duplicates.
+    coarse hash-partitioned distinct, not a driver-side drop_duplicates.
 
     ``order_col``: when an over-cap bucket falls back to neighborhood
     pairing, sort its members by this column instead of doc_id — for
     SimHash the full signature value, so near-duplicates (numerically
     close signatures) stay adjacent and survive the cap (Charikar-style
     sorted-fingerprint neighborhoods)."""
-    from ray.data.aggregate import Count
 
     def bucket_pairs(g):
         import pandas as pd
@@ -229,10 +229,26 @@ def _pairs_from_buckets(bands, key_cols: list[str], cap: int = LSH_BUCKET_CAP,
         )
 
     cand = bands.groupby(key_cols).map_groups(bucket_pairs, batch_format="pandas")
+    # Distinct over (doc_a, doc_b): NOT a per-pair-key groupby — Ray's
+    # aggregate pays per-GROUP Python overhead, catastrophic at ~10^5+
+    # distinct pairs (measured 124 s for 467k keys at sf0.1).  Instead
+    # hash-partition the pairs into a few coarse groups and run one
+    # vectorized drop_duplicates per group: same exact distinct, the
+    # group count stays O(cluster cores) regardless of pair count.
+    def add_part(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy().astype(np.int64).view(np.uint64)
+        bb = b["doc_b"].to_numpy().astype(np.int64).view(np.uint64)
+        part = ((a * np.uint64(0x9E3779B97F4A7C15) ^ bb)
+                % np.uint64(N_DEDUP_PARTS)).astype(np.int32)
+        return b.append_column("part", pa.array(part))
+
+    def drop_dups(g):
+        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+
     distinct = (
-        cand.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+        cand.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(drop_dups, batch_format="pandas")
     )
     # candidate pairs are the tiny side (linear in corpus by the cap);
     # materialize once so the empty-set branch and the two verify joins
@@ -299,7 +315,7 @@ def minhash_lsh_dedup(sf_dir: str, *, jaccard_threshold: float = 0.5):
             }
         )
 
-    def to_blob(b: pa.Table, col: str) -> pa.Table:
+    def to_blob(b: pa.Table) -> pa.Table:
         blobs, ns = [], []
         for t in b["text"].to_pylist():
             s = np.sort(_shingle_ids(t))
@@ -308,17 +324,27 @@ def minhash_lsh_dedup(sf_dir: str, *, jaccard_threshold: float = 0.5):
         return pa.table(
             {
                 "doc_id": b["doc_id"],
-                f"sh_{col}": pa.array(blobs, type=pa.large_binary()),
-                f"n_{col}": pa.array(ns, type=pa.int64()),
+                "sh": pa.array(blobs, type=pa.large_binary()),
+                "n_sh": pa.array(ns, type=pa.int64()),
             }
         )
 
+    def rename_blob(b: pa.Table, col: str) -> pa.Table:
+        return pa.table(
+            {"doc_id": b["doc_id"], f"sh_{col}": b["sh"], f"n_{col}": b["n_sh"]}
+        )
+
     npart = _join_partitions()
-    blob_a = ds.map_batches(
-        lambda b: to_blob(b, "a"), batch_format="pyarrow", zero_copy_batch=True
+    # the shingle blobs are md5-heavy: build ONCE, materialize, derive
+    # both join sides with a cheap rename (not two recomputations)
+    blob = ds.map_batches(
+        to_blob, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    blob_a = blob.map_batches(
+        lambda b: rename_blob(b, "a"), batch_format="pyarrow"
     )
-    blob_b = ds.map_batches(
-        lambda b: to_blob(b, "b"), batch_format="pyarrow", zero_copy_batch=True
+    blob_b = blob.map_batches(
+        lambda b: rename_blob(b, "b"), batch_format="pyarrow"
     )
     joined = _attach(
         _attach(cand, blob_a, "doc_a", num_partitions=npart),
@@ -421,9 +447,11 @@ def simhash_hamming_dedup(sf_dir: str, *, max_hamming: int = 8):
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # signatures feed the banding AND both join sides: materialize once
+    # (tiny: doc_id + int64) instead of recomputing the md5-heavy batch
     sigs = ds.map_batches(
         simhash_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).drop_columns(["simhash_hex"])
+    ).drop_columns(["simhash_hex"]).materialize()
 
     def to_bands(b: pa.Table) -> pa.Table:
         u = b["simhash"].to_numpy().astype(np.int64).view(np.uint64)
