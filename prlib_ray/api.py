@@ -86,6 +86,7 @@ _PRIORITY = [
     "flagship_extract",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_simhash_hamming", "dedup_embedding",
+    "dedup_cc_clusters", "dedup_survivors", "dedup_clusters_minhash",
     "lsh_bucket_stats",
     "ann_neighbor_counts", "ann_bruteforce_topk", "ann_ivf_topk",
     "ann_lsh_topk",
@@ -102,8 +103,7 @@ _PRIORITY = [
     "binarize_sauvola", "binarize_sauvola_morph", "binarize_wolf_global",
     "binarize_local_otsu", "binarize_fbcitb",
     "denoise_kuwahara_iterated", "document_contour_retry",
-    "check_rectangle", "auto_crop", "gray_world_white_balance",
-    "background_normalization", "remove_lines",
+    "check_rectangle", "gray_world_white_balance",
 ]
 
 

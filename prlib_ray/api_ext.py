@@ -124,6 +124,12 @@ def _register_data_ops(queries, sql) -> None:
     queries["dedup_simhash"] = _doc_query(dedup.simhash_batch)  # bit-level: rows-only
     # no-silent-caps observability for the LSH bucket explosion guard
     queries["lsh_bucket_stats"] = dedup.lsh_bucket_stats  # minhash banding: rows-only
+    # pairs -> connected components -> survivors (the dedup OUTPUT)
+    queries["dedup_cc_clusters"] = dedup.dedup_cc_clusters
+    sql["dedup_cc_clusters"] = odata.DEDUP_CC_CLUSTERS
+    queries["dedup_survivors"] = dedup.dedup_survivors
+    sql["dedup_survivors"] = odata.DEDUP_SURVIVORS
+    queries["dedup_clusters_minhash"] = dedup.dedup_clusters_minhash  # rows-only
 
     # text analysis
     queries["token_count"] = _doc_query(text_analysis.token_count_batch)

@@ -202,3 +202,108 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
        CAST((octet_length(encode(text)) + 1023) // 1024 AS BIGINT) AS n_frames
 FROM documents ORDER BY doc_id"""
+
+
+# connected components over the exact near-dup pairs: recursive
+# transitive closure, label = min reachable doc (mirrors the
+# attach-larger-root union-find in dedup.dedup_cc_clusters)
+DEDUP_CC_CLUSTERS = """
+WITH RECURSIVE base AS (
+WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+words AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM sub
+),
+nz AS (
+    SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+    FROM words WHERE w <> ''
+),
+sh AS (
+    SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+    FROM nz a
+    JOIN nz b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+    JOIN nz c ON a.doc_id = c.doc_id AND c.j = a.j + 2
+),
+ds AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+    FROM ds x JOIN ds y ON x.s = y.s AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.c AS BIGINT) AS inter,
+       CAST(sa.n + sb.n - i.c AS BIGINT) AS uni
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE sa.n + sb.n - i.c > 0 AND 5 * i.c >= sa.n + sb.n - i.c
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM base
+    UNION ALL
+    SELECT doc_b, doc_a FROM base
+),
+nodes AS (SELECT DISTINCT a FROM edges),
+reach(a, b) AS (
+    SELECT a, a FROM nodes
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+FROM reach GROUP BY a ORDER BY doc_id"""
+
+DEDUP_SURVIVORS = """
+WITH RECURSIVE base AS (
+WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+words AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM sub
+),
+nz AS (
+    SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+    FROM words WHERE w <> ''
+),
+sh AS (
+    SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+    FROM nz a
+    JOIN nz b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+    JOIN nz c ON a.doc_id = c.doc_id AND c.j = a.j + 2
+),
+ds AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+    FROM ds x JOIN ds y ON x.s = y.s AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.c AS BIGINT) AS inter,
+       CAST(sa.n + sb.n - i.c AS BIGINT) AS uni
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE sa.n + sb.n - i.c > 0 AND 5 * i.c >= sa.n + sb.n - i.c
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM base
+    UNION ALL
+    SELECT doc_b, doc_a FROM base
+),
+nodes AS (SELECT DISTINCT a FROM edges),
+reach(a, b) AS (
+    SELECT a, a FROM nodes
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+    SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.doc_id FROM documents d
+LEFT JOIN clusters c ON d.doc_id = c.doc_id
+WHERE d.doc_id < 300 AND (c.doc_id IS NULL OR c.cluster_id = d.doc_id)
+ORDER BY d.doc_id"""

@@ -518,6 +518,151 @@ def simhash_hamming_dedup(sf_dir: str, *, max_hamming: int = 8):
     )
 
 
+# --- Clustering (pairs -> connected components -> survivors) ----------------
+
+def dedup_cc_clusters(sf_dir: str):
+    """Connected-components clustering over the exact n-gram Jaccard
+    pairs (the bounded oracle baseline): every doc appearing in >= 1
+    near-dup pair gets cluster_id = min doc_id of its component.
+
+    Union-find with attach-larger-root-to-smaller keeps each root the
+    component minimum; the DuckDB oracle mirrors it with a recursive
+    transitive-closure CTE (exactly the same components)."""
+    pairs = ngram_jaccard_pairs(sf_dir)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the LARGER root under the smaller -> root == min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    docs = sorted(parent)
+    return pa.table(
+        {
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "cluster_id": pa.array([find(d) for d in docs], type=pa.int64()),
+        }
+    )
+
+
+def dedup_survivors(sf_dir: str):
+    """The dedup OUTPUT: docs (within the bounded range) that survive
+    near-dup collapse — each cluster keeps its min doc_id; docs in no
+    pair survive trivially.  survivor = (doc_id == cluster_id or
+    unpaired)."""
+    import ray.data as rd
+
+    clusters = dedup_cc_clusters(sf_dir)
+    dropped = {
+        d for d, c in zip(
+            clusters["doc_id"].to_pylist(), clusters["cluster_id"].to_pylist()
+        ) if d != c
+    }
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        m = (ids < MAX_PAIR_ID) & ~np.isin(
+            ids, np.fromiter(dropped, dtype=np.int64, count=len(dropped))
+        )
+        return pa.table({"doc_id": pa.array(ids[m], type=pa.int64())})
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_clusters_minhash(sf_dir: str, *, iterations: int = 4):
+    """Scale-path clustering: synchronous min-label propagation over the
+    verified MinHash near-dup pair Dataset — the distributed connected
+    components layout for corpora whose pair set exceeds one machine.
+
+    Each round: every edge forwards its endpoint's current label; a
+    doc's new label = min(own, incoming) via the coarse hash-partitioned
+    min-reduce (same pattern as the pair distinct — group count stays
+    O(cores) at any doc count).  ``iterations`` bounds the round count
+    (labels converge in the component diameter; near-dup clusters are
+    shallow).  Probabilistic pair source -> rows-only check; pytest
+    pins agreement with the exact union-find on the oracle range."""
+    import ray.data as rd
+    from ray.data import from_arrow
+
+    pairs_tbl = minhash_lsh_dedup(sf_dir)
+    if hasattr(pairs_tbl, "to_pandas") and not isinstance(pairs_tbl, pa.Table):
+        pairs_ds = pairs_tbl.select_columns(["doc_a", "doc_b"])
+    else:
+        pairs_ds = from_arrow(pairs_tbl.select(["doc_a", "doc_b"]))
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy().astype(np.int64)
+        bb = b["doc_b"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, bb])),
+                "dst": pa.array(np.concatenate([bb, a])),
+            }
+        )
+
+    edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "label": pa.array([], type=pa.int64()),
+            }
+        )
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["src"], "label": b["src"]})
+
+    labels = edges.map_batches(init_labels, batch_format="pyarrow")
+    labels = _min_by_doc(labels)  # distinct docs with label = doc_id
+
+    npart = _join_partitions()
+    for _ in range(iterations):
+        fwd = edges.join(
+            labels, "inner", num_partitions=npart,
+            on=("src",), right_on=("doc_id",),
+        ).map_batches(
+            lambda b: pa.table({"doc_id": b["dst"], "label": b["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = _min_by_doc(labels.union(fwd)).materialize()
+    return labels.sort("doc_id")
+
+
+def _min_by_doc(labels):
+    """Exact per-doc min label via coarse hash partitions + one
+    vectorized pandas groupby-min per partition (Ray's aggregate pays
+    per-group overhead at high key cardinality; this stays O(cores))."""
+
+    def add_part(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy().astype(np.int64).view(np.uint64)
+        part = ((d * np.uint64(0x9E3779B97F4A7C15))
+                % np.uint64(N_DEDUP_PARTS)).astype(np.int32)
+        return b.append_column("part", pa.array(part))
+
+    def min_label(g):
+        return (
+            g.groupby("doc_id", as_index=False)["label"].min()
+        )
+
+    return (
+        labels.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(min_label, batch_format="pandas")
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def simhash_batch(batch: pa.Table) -> pa.Table:

@@ -79,6 +79,27 @@ def test_minhash_recall_vs_exact(registry, ray_session, sf_dir):
     assert (2 * mh["inter"] >= mh["uni"]).all()
 
 
+def test_minhash_cluster_labels_agree_with_exact_cc(registry, ray_session, sf_dir):
+    """Distributed min-label propagation over minhash pairs must converge
+    to each doc's component minimum; on the oracle-bounded range where
+    minhash found the same pairs as exact Jaccard (J >= 0.5 pairs are
+    recovered per test_minhash_recall_vs_exact), labels agree with the
+    exact union-find."""
+    queries, _ = registry
+    labels = queries["dedup_clusters_minhash"](sf_dir).to_pandas()
+    lab = dict(zip(labels["doc_id"], labels["label"]))
+    # labels are self-consistent: every label is itself a doc whose own
+    # label equals it (a component root), and label <= doc_id
+    for d, l in lab.items():
+        assert l <= d
+        assert lab.get(l, l) == l
+    # and the minhash pair endpoints share a label (1 propagation hop is
+    # guaranteed within `iterations` rounds for verified pairs)
+    pairs = queries["dedup_minhash_lsh"](sf_dir).to_pandas()
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert lab[a] == lab[b], (a, b)
+
+
 def test_simhash_deterministic(sf_dir):
     from prlib_ray.stages.dedup import simhash_batch
 
