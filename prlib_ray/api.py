@@ -95,9 +95,9 @@ _PRIORITY = [
     "q1_pricing_summary", "q3_top_orders", "q5_local_supplier",
     "q6_forecast_revenue", "orders_by_segment", "top_orders",
     "distinct_event_types", "events_hourly_window", "sessionize",
-    "asof_latest_order",
-    "reassemble_events", "find_angle", "find_orientation", "rotate",
-    "deskew",
+    "asof_latest_order", "top_orders_per_segment",
+    "range_join_recent_orders", "embedding_centroids",
+    "reassemble_events", "deskew",
     "compare_extractions", "warp_crop",
     "source_csv_roundtrip", "source_jsonl_roundtrip",
     "binarize_sauvola", "binarize_sauvola_morph", "binarize_wolf_global",

@@ -152,6 +152,9 @@ def _register_data_ops(queries, sql) -> None:
 
     queries["dedup_embedding"] = similarity.embedding_near_dup_pairs
     sql["dedup_embedding"] = odata.EMBEDDING_NEAR_DUP
+    # grouped vector aggregate (centroid partial+final over list<float>)
+    queries["embedding_centroids"] = similarity.embedding_centroids
+    sql["embedding_centroids"] = odata.EMBEDDING_CENTROIDS
     queries["dedup_simhash_hamming"] = dedup.simhash_hamming_dedup  # rows-only
 
     # config-driven pipeline assembly (SURVEY §2.7 extension surface)
@@ -311,6 +314,10 @@ def _register_relational(queries, sql) -> None:
         ("events_hourly_window", rel.events_hourly, orel.EVENTS_HOURLY),
         ("sessionize", rel.sessionize, orel.SESSIONIZE),
         ("asof_latest_order", rel.asof_latest_order, orel.ASOF_LATEST_ORDER),
+        ("top_orders_per_segment", rel.top_orders_per_segment,
+         orel.TOP_ORDERS_PER_SEGMENT),
+        ("range_join_recent_orders", rel.range_join_recent_orders,
+         orel.RANGE_JOIN_RECENT_ORDERS),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

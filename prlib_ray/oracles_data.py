@@ -307,3 +307,15 @@ SELECT d.doc_id FROM documents d
 LEFT JOIN clusters c ON d.doc_id = c.doc_id
 WHERE d.doc_id < 300 AND (c.doc_id IS NULL OR c.cluster_id = d.doc_id)
 ORDER BY d.doc_id"""
+
+
+EMBEDDING_CENTROIDS = """
+WITH q AS (
+    SELECT label,
+           generate_subscripts(embedding, 1) AS pos,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
+    FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+       CAST(sum(qv) AS BIGINT) AS sum_q, CAST(count(*) AS BIGINT) AS n_vecs
+FROM q GROUP BY label, pos ORDER BY label, pos"""

@@ -148,3 +148,20 @@ SELECT e.event_id,
                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1),
                 -1) AS latest_orderkey
 FROM events e ORDER BY e.event_id"""
+
+
+TOP_ORDERS_PER_SEGMENT = """
+SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+QUALIFY row_number() OVER (PARTITION BY c.c_mktsegment
+                           ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) <= 3
+ORDER BY c.c_mktsegment, o.o_totalprice DESC, o.o_orderkey"""
+
+RANGE_JOIN_RECENT_ORDERS = """
+SELECT e.event_id,
+       CAST(count(o.o_orderdate) AS BIGINT) AS n_recent_orders
+FROM events e LEFT JOIN orders o
+  ON o.o_custkey = e.user_id
+ AND o.o_orderdate <= e.ts
+ AND o.o_orderdate >= e.ts - INTERVAL 7 DAY
+GROUP BY e.event_id ORDER BY e.event_id"""

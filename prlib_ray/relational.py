@@ -387,6 +387,110 @@ def sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
 
 
+def top_orders_per_segment(sf_dir: str, *, k: int = 3):
+    """Window-function shape: rank() OVER (PARTITION BY segment ORDER BY
+    totalprice DESC) <= k.  Physical plan: per-batch local top-k per
+    segment inside map_batches (a combiner — only k rows per (batch x
+    segment) shuffle), then a tiny per-segment merge.  Deterministic
+    tie-break (totalprice DESC, orderkey ASC); the doubles pass through
+    untouched so hashes agree."""
+    import ray
+    import ray.data as rd
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)
+        segs = np.asarray([seg[c] for c in b["o_custkey"].to_pylist()],
+                          dtype=object)
+        keys = b["o_orderkey"].to_numpy().astype(np.int64)
+        price = b["o_totalprice"].to_numpy()
+        out_s, out_k, out_p = [], [], []
+        order = np.lexsort((keys, -price))
+        seen: dict[str, int] = {}
+        for i in order:
+            s = segs[i]
+            c = seen.get(s, 0)
+            if c < k:
+                seen[s] = c + 1
+                out_s.append(s)
+                out_k.append(int(keys[i]))
+                out_p.append(float(price[i]))
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(out_s, type=pa.string()),
+                "o_orderkey": pa.array(out_k, type=pa.int64()),
+                "o_totalprice": pa.array(out_p, type=pa.float64()),
+            }
+        )
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return local.groupby("c_mktsegment").map_groups(merge, batch_format="pandas")
+
+
+def range_join_recent_orders(sf_dir: str, *, days: int = 7):
+    """Range (interval) join: per event, how many orders of the same
+    customer fall in [ts - days, ts].  Broadcast per-customer sorted
+    order dates; per distinct user in a batch, the count is
+    searchsorted(right) - searchsorted(left) — two vectorized binary
+    searches, no shuffle (the small side ships once via ray.put)."""
+    import ray
+    import ray.data as rd
+
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).sort_values(["o_custkey", "o_orderdate"], kind="mergesort")
+    by_cust: dict[int, np.ndarray] = {
+        int(ck): grp["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        for ck, grp in orders.groupby("o_custkey")
+    }
+    ref = ray.put(by_cust)
+    span = days * 86_400_000_000  # us
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def count_range(b: pa.Table) -> pa.Table:
+        tbl = ray.get(ref)
+        users = b["user_id"].to_numpy().astype(np.int64)
+        ts = b["ts"].cast(pa.int64()).to_numpy()
+        out = np.zeros(b.num_rows, dtype=np.int64)
+        order = np.argsort(users, kind="stable")
+        uniq, starts = np.unique(users[order], return_index=True)
+        bounds = np.append(starts, len(users))
+        for u, lo, hi in zip(uniq.tolist(), bounds[:-1], bounds[1:]):
+            dates = tbl.get(u)
+            if dates is None:
+                continue
+            rows = order[lo:hi]
+            r = np.searchsorted(dates, ts[rows], side="right")
+            l = np.searchsorted(dates, ts[rows] - span, side="left")
+            out[rows] = r - l
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "n_recent_orders": pa.array(out, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(count_range, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def asof_latest_order(sf_dir: str):
     """As-of join: for each event, the latest order of the same customer
     with o_orderdate <= ts (ties -> max orderkey).  Small side broadcast

@@ -94,6 +94,57 @@ def embedding_near_dup_pairs(sf_dir: str, *, t2: int = 9025):
     )
 
 
+def embedding_centroids(sf_dir: str):
+    """Grouped VECTOR aggregate: per label, the element-wise sum of the
+    quantized embeddings + member count (centroid = sum_q/n downstream).
+
+    Partial+final combiner over a list<float> column: each batch
+    reduces to one (label x dim) integer matrix (numpy add.at), the
+    final groupby moves only ~labels x dim tiny rows.  Quantized-int
+    sums are exact in any order -> DuckDB oracle matches bit-for-bit."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        labels = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(labels) == 0:
+            return pa.table({
+                "label": pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+                "sum_q": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            })
+        mat = np.asarray(b["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(mat * 1000.0 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        dim = q.shape[1]
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim)),
+                "pos": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                                        len(uniq))),
+                "sum_q": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(counts, dim)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "pos"])
+        .aggregate(
+            Sum("sum_q", alias_name="sum_q"),
+            Sum("n", alias_name="n_vecs"),
+        )
+    )
+
+
 def ann_bruteforce_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
     """Brute-force cosine top-k: the first ``n_queries`` vectors are the
     query matrix, broadcast once (ray.put); each batch computes a numpy
