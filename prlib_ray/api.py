@@ -97,11 +97,11 @@ _PRIORITY = [
     "distinct_event_types", "events_hourly_window", "sessionize",
     "asof_latest_order", "top_orders_per_segment",
     "range_join_recent_orders", "embedding_centroids",
+    "set_ops_users_customers", "approx_distinct_users",
     "reassemble_events", "deskew",
     "compare_extractions", "warp_crop",
     "source_csv_roundtrip", "source_jsonl_roundtrip",
     "binarize_sauvola", "binarize_sauvola_morph", "binarize_wolf_global",
-    "binarize_local_otsu", "binarize_fbcitb",
     "denoise_kuwahara_iterated", "document_contour_retry",
     "check_rectangle", "gray_world_white_balance",
 ]

@@ -318,7 +318,12 @@ def _register_relational(queries, sql) -> None:
          orel.TOP_ORDERS_PER_SEGMENT),
         ("range_join_recent_orders", rel.range_join_recent_orders,
          orel.RANGE_JOIN_RECENT_ORDERS),
+        ("set_ops_users_customers", rel.set_ops_users_customers,
+         orel.SET_OPS_USERS_CUSTOMERS),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn
         sql[name] = oracle
+    # mergeable-sketch pattern; approximate by design -> rows-only
+    # (pytest bounds the relative error against the exact count)
+    queries["approx_distinct_users"] = rel.approx_distinct_users

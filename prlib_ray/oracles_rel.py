@@ -165,3 +165,15 @@ FROM events e LEFT JOIN orders o
  AND o.o_orderdate <= e.ts
  AND o.o_orderdate >= e.ts - INTERVAL 7 DAY
 GROUP BY e.event_id ORDER BY e.event_id"""
+
+SET_OPS_USERS_CUSTOMERS = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+c AS (SELECT DISTINCT c_custkey FROM customer)
+SELECT CAST((SELECT count(*) FROM u JOIN c ON u.user_id = c.c_custkey) AS BIGINT)
+           AS n_intersect,
+       CAST((SELECT count(*) FROM u
+             WHERE user_id NOT IN (SELECT c_custkey FROM c)) AS BIGINT)
+           AS n_users_only,
+       CAST((SELECT count(*) FROM c
+             WHERE c_custkey NOT IN (SELECT user_id FROM u)) AS BIGINT)
+           AS n_customers_only"""

@@ -387,6 +387,113 @@ def sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
 
 
+def set_ops_users_customers(sf_dir: str):
+    """Set operations: |distinct event users ∩ customer keys|,
+    |users ∖ customers|, |customers ∖ users| — one row of exact counts.
+
+    Physical plan: the distinct user set reduces per batch (np.unique
+    partials), the customer key side broadcasts sorted; both set
+    differences are searchsorted membership tests — no shuffle."""
+    import ray
+    import ray.data as rd
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    ckeys = np.sort(cust["c_custkey"].to_numpy().astype(np.int64))
+    ref = ray.put(ckeys)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = np.unique(b["user_id"].to_numpy().astype(np.int64))
+        return pa.table({"user_id": pa.array(u)})
+
+    # per-batch distinct partials -> one small driver fold (distinct
+    # users << events; the full-scale layout is the coarse-partition
+    # distinct used in stages/dedup.py)
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    users = np.unique(np.fromiter((r["user_id"] for r in parts),
+                                  dtype=np.int64, count=len(parts)))
+    ck = ray.get(ref)
+    idx = np.searchsorted(ck, users)
+    in_cust = (idx < len(ck)) & (ck[np.minimum(idx, len(ck) - 1)] == users)
+    n_inter = int(in_cust.sum())
+    return pa.table(
+        {
+            "n_intersect": pa.array([n_inter], type=pa.int64()),
+            "n_users_only": pa.array([len(users) - n_inter], type=pa.int64()),
+            "n_customers_only": pa.array([len(ck) - n_inter], type=pa.int64()),
+        }
+    )
+
+
+HLL_P = 12  # 4096 registers; rel. error ~1.04/sqrt(m) ~ 1.6%
+
+
+def approx_distinct_users(sf_dir: str):
+    """HyperLogLog distinct-user sketch — the mergeable-sketch pattern:
+    each batch reduces to a 2^12-register maxima vector (one tiny row),
+    registers fold with elementwise max in any order, the estimate is
+    computed once at the end (standard alpha_m bias correction +
+    linear-counting small-range correction).
+
+    Approximate by design -> rows-only driver check; pytest bounds the
+    relative error against the exact distinct count."""
+    import hashlib
+
+    import ray.data as rd
+
+    m = 1 << HLL_P
+
+    def partial(b: pa.Table) -> pa.Table:
+        regs = np.zeros(m, dtype=np.uint8)
+        u = np.unique(b["user_id"].to_numpy().astype(np.int64))
+        # md5-based 64-bit hash: stable across workers, no seed deps
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(int(x).to_bytes(8, "big")).digest()[:8], "big"
+                )
+                for x in u
+            ),
+            dtype=np.uint64,
+            count=len(u),
+        )
+        reg_idx = (hs >> np.uint64(64 - HLL_P)).astype(np.int64)
+        rest = hs << np.uint64(HLL_P)  # remaining 64-HLL_P bits, top-aligned
+        # rank = leading zeros of `rest` + 1 (capped by the field width)
+        lz = np.full(len(hs), 64 - HLL_P, dtype=np.uint8)
+        nz = rest != 0
+        # float log2 is unsafe at 64 bits; count leading zeros with the
+        # standard shift-normalize halving steps, vectorized
+        v = rest[nz]
+        acc = np.zeros(v.shape, dtype=np.uint64)
+        for s_bits in (32, 16, 8, 4, 2, 1):
+            mask = v < (np.uint64(1) << np.uint64(64 - s_bits))
+            acc += np.where(mask, np.uint64(s_bits), np.uint64(0))
+            v = np.where(mask, v << np.uint64(s_bits), v)
+        lz[nz] = acc.astype(np.uint8)
+        rank = np.minimum(lz + 1, 64 - HLL_P + 1).astype(np.uint8)
+        np.maximum.at(regs, reg_idx, rank)
+        return pa.table({"regs": pa.array([regs.tobytes()], type=pa.large_binary())})
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    regs = np.zeros(m, dtype=np.uint8)
+    for r in parts:
+        regs = np.maximum(regs, np.frombuffer(r["regs"], dtype=np.uint8))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.float64(2.0) ** (-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)  # linear counting, small-range
+    return pa.table({"approx_distinct": pa.array([int(round(est))],
+                                                 type=pa.int64())})
+
+
 def top_orders_per_segment(sf_dir: str, *, k: int = 3):
     """Window-function shape: rank() OVER (PARTITION BY segment ORDER BY
     totalprice DESC) <= k.  Physical plan: per-batch local top-k per

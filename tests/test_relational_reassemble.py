@@ -25,7 +25,27 @@ CASES = [
     "events_hourly_window",
     "sessionize",
     "asof_latest_order",
+    "top_orders_per_segment",
+    "range_join_recent_orders",
+    "set_ops_users_customers",
+    "embedding_centroids",
+    "dedup_cc_clusters",
+    "dedup_survivors",
 ]
+
+
+def test_hll_relative_error(ray_session, sf_dir):
+    """HLL approx distinct within the sketch's expected error of the
+    exact distinct-user count (m=4096 -> sigma ~1.6%; bound at 5%)."""
+    import duckdb
+
+    from prlib_ray.relational import approx_distinct_users
+
+    approx = approx_distinct_users(sf_dir)["approx_distinct"][0].as_py()
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    assert abs(approx - exact) <= max(0.05 * exact, 2), (approx, exact)
 
 
 @pytest.fixture(scope="module")
