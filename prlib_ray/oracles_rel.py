@@ -177,3 +177,19 @@ SELECT CAST((SELECT count(*) FROM u JOIN c ON u.user_id = c.c_custkey) AS BIGINT
        CAST((SELECT count(*) FROM c
              WHERE c_custkey NOT IN (SELECT user_id FROM u)) AS BIGINT)
            AS n_customers_only"""
+
+
+EVENTS_HOPPING = f"""
+WITH t AS (
+    SELECT event_type, epoch_us(ts) AS us, value FROM events
+),
+w AS (
+    SELECT event_type, (us // 1800000000) * 1800000000 AS ws, value FROM t
+    UNION ALL
+    SELECT event_type, (us // 1800000000) * 1800000000 - 1800000000 AS ws, value
+    FROM t
+)
+SELECT event_type, CAST(ws AS BIGINT) AS win_start,
+       CAST(sum({_CENTS.format(expr='value')}) AS BIGINT) AS sum_value_cents,
+       count(*) AS n_events
+FROM w GROUP BY event_type, ws ORDER BY event_type, ws"""

@@ -369,6 +369,55 @@ def events_hourly(sf_dir: str):
     )
 
 
+HOP_US = 1_800_000_000  # 30 min hop, 60 min window = 2 hops
+
+
+def events_hopping_window(sf_dir: str):
+    """Hopping (sliding) window aggregate: 1-hour windows every 30 min —
+    each event lands in exactly 2 windows (size = 2 x hop).  The fan-out
+    is a vectorized duplicate inside the per-batch partial (2 rows per
+    event BEFORE the combiner collapses them to one row per
+    (type, window) per batch), so the shuffle stays tiny."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        ws1 = (us // HOP_US) * HOP_US
+        cents = _cents(b["value"].to_numpy())
+        types = b["event_type"]
+        t = pa.table(
+            {
+                "event_type": pa.concat_arrays(
+                    [types.combine_chunks(), types.combine_chunks()]
+                ) if isinstance(types, pa.ChunkedArray) else pa.concat_arrays(
+                    [types, types]
+                ),
+                "win_start": pa.array(
+                    np.concatenate([ws1, ws1 - HOP_US]), type=pa.int64()
+                ),
+                "cents": pa.array(np.concatenate([cents, cents])),
+                "one": pa.array(np.ones(2 * b.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by(["event_type", "win_start"]).aggregate(
+            [("cents", "sum"), ("one", "sum")]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "win_start"])
+        .aggregate(
+            Sum("cents_sum", alias_name="sum_value_cents"),
+            Sum("one_sum", alias_name="n_events"),
+        )
+    )
+
+
 def sessionize(sf_dir: str):
     """Session windows: per user, a new session starts after a >30min gap.
     groupby(user).map_groups with sorted-ts vectorized gap detection."""

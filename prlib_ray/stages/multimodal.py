@@ -60,6 +60,80 @@ class DecoderStub:
         )
 
 
+class ResizerStub:
+    """Actor-pool resize stage (the decode -> transform -> re-encode
+    shape): bound the longest side to ``max_dim`` with exact integer
+    scaling.  The pixel transform is stubbed (no image libs in this
+    env); the geometry arithmetic, actor signature, batch sizing and
+    output layout are real and oracle-checked."""
+
+    def __init__(self, max_dim: int = 256):
+        self.max_dim = max_dim  # once-per-actor "kernel setup"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy().astype(np.int64)
+        h = batch["height"].to_numpy().astype(np.int64)
+        n = batch["n_bytes"].to_numpy().astype(np.int64)
+        m = np.maximum(w, h)
+        big = m > self.max_dim
+        safe_m = np.maximum(m, 1)
+        out_w = np.where(big, (w * self.max_dim) // safe_m, w)
+        out_h = np.where(big, (h * self.max_dim) // safe_m, h)
+        out_bytes = np.minimum(n, np.maximum(out_w * out_h, 1))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "out_w": pa.array(out_w),
+                "out_h": pa.array(out_h),
+                "out_bytes": pa.array(out_bytes),
+            }
+        )
+
+
+def resize_pipeline(sf_dir: str, *, max_dim: int = 256):
+    """encode -> decode pool -> resize pool (chained actor-pool stages
+    over the binary column; small batches for wide rows)."""
+    decoded = decode_pipeline(sf_dir)
+    return decoded.map_batches(
+        ResizerStub,
+        fn_constructor_kwargs={"max_dim": max_dim},
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=2,
+        num_cpus=1,
+    )
+
+
+def frame_sample_batch(batch: pa.Table, *, every: int = 4) -> pa.Table:
+    """Frame sampling: one row per kept frame (frame 0, every-th after)
+    — the 1-row -> N-rows flat_map shape over multimodal metadata,
+    fully vectorized (repeat + global arange offsets)."""
+    nf = batch["n_frames"].to_numpy().astype(np.int64)
+    n_keep = (nf + every - 1) // every
+    ids = np.repeat(batch["doc_id"].to_numpy().astype(np.int64), n_keep)
+    # per-row local arange via global arange minus repeated starts
+    starts = np.concatenate(([0], np.cumsum(n_keep)))
+    local = np.arange(int(starts[-1]), dtype=np.int64) - np.repeat(
+        starts[:-1], n_keep
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "frame_idx": pa.array(local * every),
+        }
+    )
+
+
+def frame_sample_pipeline(sf_dir: str, *, every: int = 4):
+    """encode -> decode pool -> frame-sample explode."""
+    decoded = decode_pipeline(sf_dir)
+    return decoded.map_batches(
+        lambda b: frame_sample_batch(b, every=every),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def decode_pipeline(sf_dir: str):
     """encode -> actor-pool decode.  Small batches + modest pool: wide
     binary rows must not blow a worker heap (SURVEY §4 memory note)."""
