@@ -318,6 +318,8 @@ def _register_relational(queries, sql) -> None:
          orel.DISTINCT_EVENT_TYPES),
         ("events_hourly_window", rel.events_hourly, orel.EVENTS_HOURLY),
         ("events_hopping_window", rel.events_hopping_window, orel.EVENTS_HOPPING),
+        ("events_late_by_watermark", rel.events_late_by_watermark,
+         orel.EVENTS_LATE_WATERMARK),
         ("sessionize", rel.sessionize, orel.SESSIONIZE),
         ("asof_latest_order", rel.asof_latest_order, orel.ASOF_LATEST_ORDER),
         ("top_orders_per_segment", rel.top_orders_per_segment,

@@ -193,3 +193,16 @@ SELECT event_type, CAST(ws AS BIGINT) AS win_start,
        CAST(sum({_CENTS.format(expr='value')}) AS BIGINT) AS sum_value_cents,
        count(*) AS n_events
 FROM w GROUP BY event_type, ws ORDER BY event_type, ws"""
+
+EVENTS_LATE_WATERMARK = """
+WITH w AS (
+    SELECT event_type, ts,
+           max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+    FROM events
+)
+SELECT event_type,
+       CAST(count(*) FILTER (WHERE wm IS NOT NULL
+                             AND ts < wm - INTERVAL 10 MINUTE) AS BIGINT) AS n_late,
+       count(*) AS n_events
+FROM w GROUP BY event_type ORDER BY event_type"""

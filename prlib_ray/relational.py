@@ -34,6 +34,7 @@ def q1_pricing_summary(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
+    cutoff = np.datetime64(CUTOFF, "us")
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=[
@@ -44,8 +45,11 @@ def q1_pricing_summary(sf_dir: str):
             "l_discount",
             "l_shipdate",
         ],
+        # predicate pushed into the parquet scan: row groups outside the
+        # date range never leave storage (the in-map mask stays as the
+        # semantic source of truth; it is a no-op on pre-filtered rows)
+        filter=(pc.field("l_shipdate") <= pa.scalar(cutoff)),
     )
-    cutoff = np.datetime64(CUTOFF, "us")
 
     def partial(b: pa.Table) -> pa.Table:
         mask = pc.less_equal(b["l_shipdate"], pa.scalar(cutoff))
@@ -113,6 +117,7 @@ def q3_top_orders(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") > pa.scalar(cutoff)),  # scan pushdown
     )
 
     def partial(b: pa.Table) -> pa.Table:
@@ -228,11 +233,17 @@ def q6_forecast_revenue(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
+    cutoff = np.datetime64(CUTOFF, "us")
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") < pa.scalar(cutoff))
+            & (pc.field("l_discount") >= pa.scalar(0.05))
+            & (pc.field("l_discount") <= pa.scalar(0.07))
+            & (pc.field("l_quantity") < pa.scalar(24.0))
+        ),  # full predicate pushed into the scan
     )
-    cutoff = np.datetime64(CUTOFF, "us")
 
     def partial(b: pa.Table) -> pa.Table:
         mask = pc.and_(
@@ -367,6 +378,39 @@ def events_hourly(sf_dir: str):
             Sum("one_sum", alias_name="n_events"),
         )
     )
+
+
+def events_late_by_watermark(sf_dir: str, *, lateness_min: int = 10):
+    """Watermark semantics, deterministically: scanning each
+    event_type's stream in event_id (arrival) order, the watermark
+    before event i is max(ts of earlier arrivals) - allowed_lateness;
+    an arrival with ts below that watermark is LATE (would be dropped /
+    side-channeled by a streaming engine).  Emits per-type late counts.
+
+    Vectorized per group: running max via np.maximum.accumulate over
+    the arrival order — no per-event Python."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts"]
+    )
+    late_us = np.timedelta64(lateness_min * 60 * 1_000_000, "us")
+
+    def count_late(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="mergesort")
+        ts = g["ts"].to_numpy()
+        run_max = np.maximum.accumulate(ts)
+        late = np.zeros(len(ts), dtype=bool)
+        late[1:] = ts[1:] < run_max[:-1] - late_us  # first arrival never late
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_late": [np.int64(late.sum())],
+                "n_events": [np.int64(len(ts))],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(count_late, batch_format="pandas")
 
 
 HOP_US = 1_800_000_000  # 30 min hop, 60 min window = 2 hops
