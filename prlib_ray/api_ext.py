@@ -247,6 +247,39 @@ def _register_morph_and_joins(queries, sql) -> None:
     queries["warp_crop"] = _doc_query(warp_batch)
     sql["warp_crop"] = omorph.warp_crop_sql()
 
+    # warpCrop (points) variant (warp.cpp:76-102): validates the corner
+    # points BEFORE delegating to the coords transform — here the
+    # CheckRectangle gates (area/side/angle) must all pass or the crop
+    # is refused ('' like the strict coords variant on gate failure)
+    def warp_points_batch(b):
+        import pyarrow as pa
+
+        from prlib_ray.stages.crop import check_rectangle_batch
+
+        gates = check_rectangle_batch(b)
+        frame_quad = gates["quad_ok"].to_numpy(zero_copy_only=False)
+        starts = gates["span_start"].to_numpy()
+        ends = gates["span_end"].to_numpy()
+        from prlib_ray.blocks import split_words_blocks
+
+        frame = split_words_blocks(b["text"], 12)
+        offs = frame.doc_offsets
+        blks = frame.block_strings()
+        out = []
+        for d in range(frame.ndocs):
+            if frame_quad[d]:
+                lo = offs[d] + starts[d]
+                hi = offs[d] + ends[d] + 1
+                out.append("\n".join(blks[lo:hi]))
+            else:
+                out.append("")
+        return pa.table(
+            {"doc_id": b["doc_id"], "clean_text": pa.array(out, type=pa.string())}
+        )
+
+    queries["warp_crop_points"] = _doc_query(warp_points_batch)
+    sql["warp_crop_points"] = omorph.warp_crop_points_sql()
+
     # compareImages analogue via the native hash join (Dataset.join)
     def compare_extractions(sf_dir: str):
         import pyarrow as pa
@@ -275,6 +308,68 @@ def _register_morph_and_joins(queries, sql) -> None:
 
     queries["compare_extractions"] = compare_extractions
     sql["compare_extractions"] = omorph.compare_extractions_sql()
+
+    # compareImages FULL semantics (utils.cpp:37-86): per-document
+    # fraction of exactly-equal lines between two operator outputs;
+    # shape mismatch (different line counts) -> 0 like the reference's
+    # 0.0 on size/type mismatch.  Integer (n_eq, n_lines) outputs.
+    def compare_extraction_fraction(sf_dir: str):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from prlib_ray.stages import threshold
+
+        base = f"{sf_dir}/documents.parquet"
+        a = threshold.binarize(
+            rd.read_parquet(base, columns=["doc_id", "text"]), "sauvola"
+        )
+        b = threshold.binarize(
+            rd.read_parquet(base, columns=["doc_id", "text"]), "niblack"
+        )
+        joined = a.join(
+            b, "inner", num_partitions=8, on=("doc_id",), right_suffix="_b"
+        )
+
+        def frac(t: pa.Table) -> pa.Table:
+            ca = t["clean_text"]
+            cb = t["clean_text_b"]
+            if isinstance(ca, pa.ChunkedArray):
+                ca = ca.combine_chunks()
+            if isinstance(cb, pa.ChunkedArray):
+                cb = cb.combine_chunks()
+            la = pc.split_pattern(ca, pattern="\n")
+            lb = pc.split_pattern(cb, pattern="\n")
+            if isinstance(la, pa.ChunkedArray):
+                la = la.combine_chunks()
+            if isinstance(lb, pa.ChunkedArray):
+                lb = lb.combine_chunks()
+            na = np.diff(la.offsets.to_numpy().astype(np.int64))
+            nb = np.diff(lb.offsets.to_numpy().astype(np.int64))
+            same = na == nb
+            n_eq = np.zeros(t.num_rows, dtype=np.int64)
+            if same.any():
+                sa = la.filter(pa.array(same))
+                sb = lb.filter(pa.array(same))
+                eq = pc.equal(sa.values, sb.values).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                csum = np.concatenate(([0], np.cumsum(eq)))
+                offs = sa.offsets.to_numpy().astype(np.int64)
+                n_eq[same] = csum[offs[1:]] - csum[offs[:-1]]
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_eq": pa.array(n_eq),
+                    "n_lines": pa.array(np.maximum(na, nb)),
+                }
+            )
+
+        return joined.map_batches(frac, batch_format="pyarrow")
+
+    queries["compare_extraction_fraction"] = compare_extraction_fraction
+    sql["compare_extraction_fraction"] = omorph.compare_fraction_sql()
 
     # source-format coverage: CSV / JSON-lines ingest roundtrips
     from prlib_ray.sources import io as pio

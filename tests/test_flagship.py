@@ -221,6 +221,37 @@ def test_write_partitioned_crash_resume(ray_session, sf_dir, tmp_path):
     assert total == expect
 
 
+def test_streamed_counters_match_files(ray_session, sf_dir, tmp_path):
+    """with_counters=True counters stream from the write stage's own map
+    tasks; they must equal what a full re-read of the written files
+    computes (the old driver-side implementation's ground truth)."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from prlib_ray.pipelines.extract import flagship
+    from prlib_ray.state.partitioning import write_partitioned
+
+    out = str(tmp_path / "out")
+    ds = flagship(sf_dir, include_spans=False)
+    manifests = write_partitioned(ds, out, num_buckets=8, with_counters=True)
+    assert manifests
+    for m in manifests:
+        convs: set[str] = set()
+        chars = 0
+        bdir = os.path.join(out, f"bucket={m['bucket']}")
+        for f in os.listdir(bdir):
+            if f.endswith(".parquet"):
+                t = pq.read_table(
+                    os.path.join(bdir, f), columns=["conv_id", "clean_text"]
+                )
+                convs.update(t["conv_id"].to_pylist())
+                chars += int(pc.sum(pc.utf8_length(t["clean_text"])).as_py() or 0)
+        assert m["n_convs"] == len(convs), m
+        assert m["clean_chars"] == chars, m
+
+
 def test_extract_turn_spans_cover_source():
     from prlib_ray.stages.boilerplate import _clean_source, extract_turn
 
