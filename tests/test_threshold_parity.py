@@ -57,3 +57,32 @@ def test_batch_split_invariance(docs):
 
     split = pd.concat([p.to_pandas() for p in parts], ignore_index=True)
     assert whole.equals(split)
+
+
+def test_vectorized_local_otsu_matches_scalar_reference():
+    """The segment-sorted prefix-sum Otsu must agree with the scalar
+    per-region _otsu_threshold spec on randomized block features."""
+    import numpy as np
+
+    from prlib_ray.blocks import BlockFrame
+    from prlib_ray.stages.threshold import _otsu_threshold, _rule_local_otsu
+
+    rng = np.random.RandomState(11)
+    for trial in range(20):
+        ndocs = rng.randint(1, 8)
+        counts = rng.randint(1, 23, size=ndocs)
+        offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        x = rng.randint(0, 12, size=int(offs[-1])).astype(np.int64)
+        frame = BlockFrame(doc_offsets=offs, blocks=[], x=x)
+        got = _rule_local_otsu(frame, None, None, None, {"region_blocks": 5})
+        # scalar reference: per (doc, region) threshold then x > t
+        want = np.zeros(len(x), dtype=bool)
+        bidx = frame.block_idx_within_doc()
+        doc = frame.doc_of_block()
+        for d in range(ndocs):
+            for r in range(int(bidx[offs[d + 1] - 1] // 5) + 1):
+                sel = np.flatnonzero((doc == d) & (bidx // 5 == r))
+                if len(sel):
+                    t = _otsu_threshold(x[sel])
+                    want[sel] = x[sel] > t
+        assert (got == want).all(), f"trial {trial} differs"
