@@ -285,36 +285,6 @@ def minhash_lsh_dedup(sf_dir: str, *, jaccard_threshold: float = 0.5):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def to_bands(b: pa.Table) -> pa.Table:
-        ids, bands_, sigs = [], [], []
-        rows = N_HASH // N_BANDS
-        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            mh = _minhash(_shingle_ids(t))
-            for band in range(N_BANDS):
-                seg = mh[band * rows : (band + 1) * rows]
-                ids.append(did)
-                bands_.append(band)
-                sigs.append(hashlib.md5(seg.tobytes()).hexdigest())
-        return pa.table(
-            {
-                "band": pa.array(bands_, type=pa.int32()),
-                "sig": pa.array(sigs, type=pa.string()),
-                "doc_id": pa.array(ids, type=pa.int64()),
-            }
-        )
-
-    bands = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
-    cand = _pairs_from_buckets(bands, ["band", "sig"])
-    if cand.count() == 0:
-        return pa.table(
-            {
-                "doc_a": pa.array([], type=pa.int64()),
-                "doc_b": pa.array([], type=pa.int64()),
-                "inter": pa.array([], type=pa.int64()),
-                "uni": pa.array([], type=pa.int64()),
-            }
-        )
-
     def to_blob(b: pa.Table) -> pa.Table:
         blobs, ns = [], []
         for t in b["text"].to_pylist():
@@ -329,17 +299,50 @@ def minhash_lsh_dedup(sf_dir: str, *, jaccard_threshold: float = 0.5):
             }
         )
 
+    # the shingle-id sets are the md5-heavy substrate shared by BOTH the
+    # banding and the verification joins: compute ONCE, materialize; the
+    # minhash signatures then derive from the stored uint64 blobs (no
+    # second md5 pass over the corpus)
+    blob = ds.map_batches(
+        to_blob, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def to_bands(b: pa.Table) -> pa.Table:
+        ids, bands_, sigs = [], [], []
+        rows = N_HASH // N_BANDS
+        for did, sh in zip(b["doc_id"].to_pylist(), b["sh"].to_pylist()):
+            mh = _minhash(np.frombuffer(sh, dtype=np.uint64))
+            for band in range(N_BANDS):
+                seg = mh[band * rows : (band + 1) * rows]
+                ids.append(did)
+                bands_.append(band)
+                sigs.append(hashlib.md5(seg.tobytes()).hexdigest())
+        return pa.table(
+            {
+                "band": pa.array(bands_, type=pa.int32()),
+                "sig": pa.array(sigs, type=pa.string()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+            }
+        )
+
+    bands = blob.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
+    cand = _pairs_from_buckets(bands, ["band", "sig"])
+    if cand.count() == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "inter": pa.array([], type=pa.int64()),
+                "uni": pa.array([], type=pa.int64()),
+            }
+        )
+
     def rename_blob(b: pa.Table, col: str) -> pa.Table:
         return pa.table(
             {"doc_id": b["doc_id"], f"sh_{col}": b["sh"], f"n_{col}": b["n_sh"]}
         )
 
     npart = _join_partitions()
-    # the shingle blobs are md5-heavy: build ONCE, materialize, derive
-    # both join sides with a cheap rename (not two recomputations)
-    blob = ds.map_batches(
-        to_blob, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
     blob_a = blob.map_batches(
         lambda b: rename_blob(b, "a"), batch_format="pyarrow"
     )
