@@ -152,6 +152,8 @@ def _register_data_ops(queries, sql) -> None:
 
     queries["dedup_embedding"] = similarity.embedding_near_dup_pairs
     sql["dedup_embedding"] = odata.EMBEDDING_NEAR_DUP
+    # the scale path: LSH candidates + exact hugeint verify (rows-only)
+    queries["dedup_embedding_lsh"] = similarity.embedding_near_dup_lsh
     # grouped vector aggregate (centroid partial+final over list<float>)
     queries["embedding_centroids"] = similarity.embedding_centroids
     sql["embedding_centroids"] = odata.EMBEDDING_CENTROIDS

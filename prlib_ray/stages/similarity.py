@@ -145,6 +145,121 @@ def embedding_centroids(sf_dir: str):
     )
 
 
+def embedding_near_dup_lsh(sf_dir: str, *, t2: int = 9025,
+                           n_bands: int = 6, planes_per_band: int = 8):
+    """Embedding near-dup pairs, the SCALE path of ``dedup_embedding``:
+    BANDED hyperplane LSH (n_bands independent plane sets; a pair is a
+    candidate if it collides in ANY band — at cos >= 0.95 the per-band
+    collision odds are ~0.43, so 6 bands catch ~96%) generates
+    candidates with the shared hot-bucket guard; the quantized integer
+    vectors hash-join back onto the pairs; the exact hugeint cosine
+    decision (dot^2 * 10000 >= t2 * |a|^2 * |b|^2) verifies each
+    candidate — the same fully-distributed layout as MinHash dedup.
+
+    Probabilistic candidate generation -> rows-only; pytest pins that
+    every emitted pair is in the exact all-pairs baseline and measures
+    recall."""
+    import ray.data as rd
+
+    from prlib_ray.stages.dedup import _join_partitions, _pairs_from_buckets
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def blobify(b: pa.Table) -> pa.Table:
+        vecs = b["embedding"].to_pylist()
+        qs = _quantize(vecs)
+        return pa.table(
+            {
+                "doc_id": b["vec_id"],  # shared pair machinery keys on doc_id
+                "qb": pa.array([q.tobytes() for q in qs],
+                               type=pa.large_binary()),
+                "nq": pa.array([int(q @ q) for q in qs], type=pa.int64()),
+            }
+        )
+
+    blob = emb.map_batches(
+        blobify, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    total_planes = n_bands * planes_per_band
+
+    def sig(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"band": pa.array([], type=pa.int32()),
+                             "bucket": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        mat = np.stack([
+            np.frombuffer(x, dtype=np.int64) for x in b["qb"].to_pylist()
+        ]).astype(np.float64)
+        bits = (mat @ _planes(mat.shape[1], total_planes).T) > 0.0
+        n = len(mat)
+        bands_col = np.repeat(
+            np.arange(n_bands, dtype=np.int32)[None, :], n, axis=0
+        ).reshape(-1)
+        buckets = np.zeros((n, n_bands), dtype=np.int64)
+        for band in range(n_bands):
+            for i in range(planes_per_band):
+                buckets[:, band] |= (
+                    bits[:, band * planes_per_band + i].astype(np.int64) << i
+                )
+        return pa.table(
+            {
+                "band": pa.array(bands_col),
+                "bucket": pa.array(buckets.reshape(-1)),
+                "doc_id": pa.array(
+                    np.repeat(
+                        b["doc_id"].to_numpy().astype(np.int64), n_bands
+                    )
+                ),
+            }
+        )
+
+    bands = blob.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
+    cand = _pairs_from_buckets(bands, ["band", "bucket"])
+    if cand.count() == 0:
+        return pa.table({"vec_a": pa.array([], type=pa.int64()),
+                         "vec_b": pa.array([], type=pa.int64())})
+
+    def rename(b: pa.Table, col: str) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], f"qb_{col}": b["qb"],
+                         f"nq_{col}": b["nq"]})
+
+    npart = _join_partitions()
+    joined = cand.join(
+        blob.map_batches(lambda b: rename(b, "a"), batch_format="pyarrow"),
+        "inner", num_partitions=npart, on=("doc_a",), right_on=("doc_id",),
+    ).join(
+        blob.map_batches(lambda b: rename(b, "b"), batch_format="pyarrow"),
+        "inner", num_partitions=npart, on=("doc_b",), right_on=("doc_id",),
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        qa = b["qb_a"].to_pylist()
+        qb_ = b["qb_b"].to_pylist()
+        na = b["nq_a"].to_pylist()
+        nb = b["nq_b"].to_pylist()
+        keep = np.zeros(b.num_rows, dtype=bool)
+        for i in range(b.num_rows):
+            va = np.frombuffer(qa[i], dtype=np.int64)
+            vb = np.frombuffer(qb_[i], dtype=np.int64)
+            dot = int(va @ vb)
+            # exact arbitrary-precision decision (dot^2*10^4 exceeds
+            # int64); one Python-int compare per CANDIDATE pair only
+            keep[i] = dot > 0 and dot * dot * 10000 >= t2 * na[i] * nb[i]
+        k = pa.array(keep)
+        return pa.table({"vec_a": b["doc_a"].filter(k),
+                         "vec_b": b["doc_b"].filter(k)})
+
+    verified = joined.map_batches(verify, batch_format="pyarrow").materialize()
+    if verified.count() == 0:
+        # keep the output schema stable for empty results (an empty
+        # Dataset's pandas conversion loses column names)
+        return pa.table({"vec_a": pa.array([], type=pa.int64()),
+                         "vec_b": pa.array([], type=pa.int64())})
+    return verified.sort(["vec_a", "vec_b"])
+
+
 def ann_bruteforce_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
     """Brute-force cosine top-k: the first ``n_queries`` vectors are the
     query matrix, broadcast once (ray.put); each batch computes a numpy

@@ -195,3 +195,60 @@ def test_simhash_hamming_pairs_verified(registry, ray_session, sf_dir):
         assert bin(sig[a] ^ sig[b]).count("1") == h <= 8
     again = queries["dedup_simhash_hamming"](sf_dir).to_pandas()
     assert out.equals(again)
+
+
+def test_embedding_lsh_subset_and_recall(registry, ray_session, sf_dir, tmp_path):
+    """Every LSH-path near-dup pair must be verified-exact (subset of the
+    exact all-pairs baseline) with high recall.  The driver fixture has
+    NO near-dup embeddings (max pairwise cosine ~0.47), so the test
+    plants true duplicate clusters: 30 bases x 3 jittered copies
+    (cos ~0.99) among 210 random vectors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from prlib_ray.stages.similarity import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    dim = 32
+    vecs = []
+    for b in range(30):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for _ in range(3):
+            v = base + 0.02 * rng.standard_normal(dim)
+            vecs.append(v / np.linalg.norm(v))
+    for _ in range(210):
+        v = rng.standard_normal(dim)
+        vecs.append(v / np.linalg.norm(v))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32).tolist() for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    d = str(tmp_path / "emb")
+    import os
+
+    os.makedirs(d)
+    pq.write_table(tbl, f"{d}/embeddings.parquet")
+
+    exact = embedding_near_dup_pairs(d, t2=9025)
+    exact_set = set(zip(exact["vec_a"].to_pylist(), exact["vec_b"].to_pylist()))
+    assert len(exact_set) >= 60, "planted clusters must yield dup pairs"
+    lsh = embedding_near_dup_lsh(d)
+    lsh = lsh.to_pandas() if hasattr(lsh, "to_pandas") else lsh.to_pandas()
+    got = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    assert got <= exact_set, f"false positives: {sorted(got - exact_set)[:5]}"
+    recall = len(got & exact_set) / len(exact_set)
+    assert recall >= 0.9, f"embedding LSH recall {recall}"
+    # driver fixture (no dups): end-to-end empty result keeps its schema
+    queries, _ = registry
+    e = queries["dedup_embedding_lsh"](sf_dir)
+    e = e.to_pandas() if hasattr(e, "to_pandas") else e.to_pandas()
+    assert list(e.columns) == ["vec_a", "vec_b"] and len(e) == 0
