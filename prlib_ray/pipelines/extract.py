@@ -94,15 +94,30 @@ def extract_pipeline(ts_ds, *, reassemble: bool = True,
 
     if meta_via == "join":
         # 10^12-turn layout: stats stay distributed; direction reaches the
-        # rows through a hash join instead of a driver broadcast
+        # rows through a hash join instead of a driver broadcast.  Acero
+        # joins reject every list-typed payload column, so spans travel
+        # PACKED as plain binary columns through the join and unpack to
+        # list<struct> afterwards (boilerplate.extract_turns_batch_
+        # packed_spans / unpack_spans_batch).
         if include_spans:
-            raise ValueError(
-                "meta_via='join' requires include_spans=False: Acero hash "
-                "joins do not support list<struct> payload columns — emit "
-                "spans in a later map or use meta_via='broadcast'"
+            from prlib_ray.stages.boilerplate import (
+                extract_turns_batch_packed_spans,
+                unpack_spans_batch,
+            )
+
+            cleaned = ts_ds.map_batches(
+                extract_turns_batch_packed_spans,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=4096,
             )
         stats_ds = part.conv_stats(ts_ds, merge="distributed")
         ordered_in = part.add_order_idx_join(cleaned, stats_ds)
+        if include_spans:
+            ordered_in = ordered_in.map_batches(
+                unpack_spans_batch, batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
         if physical == "sort":
             return ordered_in.sort(["conv_id", "order_idx"])
         return part.add_bucket_sorted(

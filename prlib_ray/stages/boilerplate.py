@@ -323,6 +323,85 @@ def extract_turns_batch_nospans(batch: pa.Table) -> pa.Table:
     return batch.drop_columns(["text"]).append_column("clean_text", clean)
 
 
+def _binary_from_flat(flat: np.ndarray, row_offsets: np.ndarray) -> pa.Array:
+    """Zero-copy-ish BinaryArray: row i's value = flat[row_offsets[i]:
+    row_offsets[i+1]] serialized — one buffer, no per-row Python."""
+    item = flat.dtype.itemsize
+    offs = (row_offsets * item).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), len(row_offsets) - 1,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())],
+    )
+
+
+# span kind codes for the packed (join-safe) representation
+_KIND_CODES = ("content", "furniture", "boilerplate")
+
+
+def extract_turns_batch_packed_spans(batch: pa.Table) -> pa.Table:
+    """Spans as three PLAIN BINARY columns (packed int32 starts/ends +
+    uint8 kind codes): Acero hash joins reject every list-typed payload
+    column, so this is the spans representation that survives the
+    meta_via='join' path; unpack_spans_batch restores list<struct>
+    after the join."""
+    import pyarrow.compute as pc
+
+    col = batch["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    clean, spans = _extract_batch_arrow(col, with_spans=True)
+    # repack the list<struct> parts into flat buffers
+    struct = spans.values
+    loffs = spans.offsets.to_numpy().astype(np.int64)
+    starts = struct.field("start").to_numpy().astype(np.int32)
+    ends = struct.field("end").to_numpy().astype(np.int32)
+    kind_idx = pc.index_in(
+        struct.field("kind"), value_set=pa.array(_KIND_CODES)
+    ).to_numpy(zero_copy_only=False).astype(np.uint8)
+    out = batch.drop_columns(["text"]).append_column("clean_text", clean)
+    out = out.append_column("spans_start_bin", _binary_from_flat(starts, loffs))
+    out = out.append_column("spans_end_bin", _binary_from_flat(ends, loffs))
+    return out.append_column("spans_kind_bin", _binary_from_flat(kind_idx, loffs))
+
+
+def unpack_spans_batch(batch: pa.Table) -> pa.Table:
+    """Inverse of the packed representation: rebuild the spans
+    list<struct> column from the three binary columns (one flat
+    concat + one offsets pass, no per-row Python)."""
+    from prlib_ray.schema import SPAN_TYPE
+
+    def flat(col, dtype):
+        """(values restricted to this array's rows, list offsets)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset : col.offset + len(col) + 1
+        ].astype(np.int64)
+        vals = np.frombuffer(col.buffers()[2], dtype=dtype)
+        item = np.dtype(dtype).itemsize
+        lo = off[0] // item
+        n = int((off[-1] - off[0]) // item)
+        return vals[lo : lo + n], (off - off[0]) // item
+
+    starts, loffs = flat(batch["spans_start_bin"], np.int32)
+    ends, _ = flat(batch["spans_end_bin"], np.int32)
+    kinds, _ = flat(batch["spans_kind_bin"], np.uint8)
+    kind_arr = pa.array(np.asarray(_KIND_CODES, dtype=object)[kinds],
+                        type=pa.string())
+    struct = pa.StructArray.from_arrays(
+        [pa.array(starts, type=pa.int32()),
+         pa.array(ends, type=pa.int32()), kind_arr],
+        names=["start", "end", "kind"],
+    )
+    spans = pa.ListArray.from_arrays(
+        pa.array(loffs, type=pa.int32()), struct
+    ).cast(SPAN_TYPE)
+    out = batch.drop_columns(
+        ["spans_start_bin", "spans_end_bin", "spans_kind_bin"]
+    )
+    return out.append_column("spans", spans)
+
+
 class ExtractTurns:
     """Actor-pool stage: compiled patterns live once per actor.
 

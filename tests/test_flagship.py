@@ -106,6 +106,22 @@ def test_join_meta_path_equals_broadcast(ray_session, sf_dir, golden):
         assert got[c].equals(golden[c]), f"column {c} differs"
 
 
+def test_join_meta_path_with_packed_spans(ray_session, sf_dir, golden):
+    """meta_via='join' WITH spans: the packed-binary spans survive the
+    Acero join and unpack byte-identically to the broadcast path's
+    list<struct> (full golden equality including spans)."""
+    from prlib_ray.fixtures import transcripts_dataset
+    from prlib_ray.pipelines.extract import extract_pipeline
+
+    got = _canon(
+        extract_pipeline(
+            transcripts_dataset(sf_dir), meta_via="join", include_spans=True
+        ).to_pandas()
+    )
+    for c in golden.columns:
+        assert got[c].equals(golden[c]), f"column {c} differs"
+
+
 def test_mega_thread_salting(ray_session, sf_dir):
     """Mega conversations (doc_id % 211 == 0 -> 400 turns) must be sharded
     into multiple groups yet produce contiguous order_idx 0..n-1."""
