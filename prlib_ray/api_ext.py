@@ -229,19 +229,16 @@ def _register_morph_and_joins(queries, sql) -> None:
         from prlib_ray.blocks import split_words_blocks
         from prlib_ray.stages.crop import _islands
 
+        from prlib_ray.blocks import join_kept
+
         frame = split_words_blocks(b["text"], 12)
         start, end, isum, dsum = _islands(frame)
         ok = (start >= 0) & (20 * isum >= dsum)
-        offs = frame.doc_offsets
-        blks = frame.block_strings()
-        out = []
-        for d in range(frame.ndocs):
-            if ok[d]:
-                lo = offs[d] + start[d]
-                hi = offs[d] + end[d] + 1
-                out.append("\n".join(blks[lo:hi]))
-            else:
-                out.append("")
+        bidx = frame.block_idx_within_doc()
+        doc = frame.doc_of_block()
+        # strict slice: gate-failing docs keep NOTHING ('' fallback)
+        keep = ok[doc] & (bidx >= start[doc]) & (bidx <= end[doc])
+        out = join_kept(frame, keep)
         return pa.table(
             {"doc_id": b["doc_id"], "clean_text": pa.array(out, type=pa.string())}
         )
@@ -259,22 +256,16 @@ def _register_morph_and_joins(queries, sql) -> None:
         from prlib_ray.stages.crop import check_rectangle_batch
 
         gates = check_rectangle_batch(b)
-        frame_quad = gates["quad_ok"].to_numpy(zero_copy_only=False)
+        quad_ok = gates["quad_ok"].to_numpy(zero_copy_only=False)
         starts = gates["span_start"].to_numpy()
         ends = gates["span_end"].to_numpy()
-        from prlib_ray.blocks import split_words_blocks
+        from prlib_ray.blocks import join_kept, split_words_blocks
 
         frame = split_words_blocks(b["text"], 12)
-        offs = frame.doc_offsets
-        blks = frame.block_strings()
-        out = []
-        for d in range(frame.ndocs):
-            if frame_quad[d]:
-                lo = offs[d] + starts[d]
-                hi = offs[d] + ends[d] + 1
-                out.append("\n".join(blks[lo:hi]))
-            else:
-                out.append("")
+        bidx = frame.block_idx_within_doc()
+        doc = frame.doc_of_block()
+        keep = quad_ok[doc] & (bidx >= starts[doc]) & (bidx <= ends[doc])
+        out = join_kept(frame, keep)
         return pa.table(
             {"doc_id": b["doc_id"], "clean_text": pa.array(out, type=pa.string())}
         )

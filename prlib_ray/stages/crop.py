@@ -188,22 +188,23 @@ def autocrop_batch(batch: pa.Table, *, words_per_block: int = 12) -> pa.Table:
     """documentContour + warpCrop: slice text to the winning island; when no
     valid region is found the document passes through uncropped (the
     reference returns false and leaves output = input)."""
-    texts = batch["text"].to_pylist()
-    frame = split_words_blocks(texts, words_per_block)
+    from prlib_ray.blocks import join_kept
+
+    frame = split_words_blocks(batch["text"], words_per_block)
     start, end, isum, dsum = _islands(frame)
     ok = (start >= 0) & (20 * isum >= dsum)
-    offs = frame.doc_offsets
-    blks = frame.block_strings()
-    out = []
-    for d in range(frame.ndocs):
-        if ok[d]:
-            lo = offs[d] + start[d]
-            hi = offs[d] + end[d] + 1
-            out.append("\n".join(blks[lo:hi]))
-        else:
-            out.append("\n".join(blks[offs[d] : offs[d + 1]]))
+    bidx = frame.block_idx_within_doc()
+    doc = frame.doc_of_block()
+    # keep = the winning window for gated docs, everything otherwise —
+    # the whole crop is one Arrow filter + binary_join (join_kept)
+    keep = np.where(
+        ok[doc], (bidx >= start[doc]) & (bidx <= end[doc]), True
+    )
     return pa.table(
-        {"doc_id": batch["doc_id"], "clean_text": pa.array(out, type=pa.string())}
+        {
+            "doc_id": batch["doc_id"],
+            "clean_text": pa.array(join_kept(frame, keep), type=pa.string()),
+        }
     )
 
 
@@ -211,23 +212,43 @@ def hough_region_batch(batch: pa.Table, *, words_per_block: int = 12) -> pa.Tabl
     """findHoughLineContour analogue (houghLine.cpp:177-257): the region
     strictly between the first and last separator-run blocks (----/====/
     ____); fewer than 2 separator blocks -> full text."""
-    import re
+    import pyarrow.compute as pc
 
-    sep = re.compile(r"-{4,}|={4,}|_{4,}")
-    texts = batch["text"].to_pylist()
-    frame = split_words_blocks(texts, words_per_block)
-    offs = frame.doc_offsets
-    blks = frame.block_strings()
-    out = []
-    for d in range(frame.ndocs):
-        lo, hi = offs[d], offs[d + 1]
-        seps = [i for i in range(lo, hi) if sep.search(blks[i])]
-        if len(seps) >= 2 and seps[-1] - seps[0] > 1:
-            out.append("\n".join(blks[seps[0] + 1 : seps[-1]]))
-        else:
-            out.append("\n".join(blks[lo:hi]))
+    from prlib_ray.blocks import join_kept
+
+    frame = split_words_blocks(batch["text"], words_per_block)
+    blocks = frame.blocks
+    if isinstance(blocks, list):
+        blocks = pa.array(blocks, type=pa.string())
+    is_sep = pc.match_substring_regex(
+        blocks, pattern="-{4,}|={4,}|_{4,}"
+    ).to_numpy(zero_copy_only=False)
+    n = frame.nblocks
+    doc = frame.doc_of_block()
+    idx = np.arange(n, dtype=np.int64)
+    # per-doc first/last separator flat index, vectorized
+    first = np.full(frame.ndocs, -1, dtype=np.int64)
+    last = np.full(frame.ndocs, -1, dtype=np.int64)
+    sp = np.flatnonzero(is_sep)
+    if len(sp):
+        sd = doc[sp]
+        f_mask = np.ones(len(sp), dtype=bool)
+        f_mask[1:] = sd[1:] != sd[:-1]
+        first[sd[f_mask]] = sp[f_mask]
+        l_mask = np.zeros(len(sp), dtype=bool)
+        l_mask[:-1] = sd[1:] != sd[:-1]
+        l_mask[-1] = True
+        last[sd[l_mask]] = sp[l_mask]
+    # docs with >= 2 separators and a nonempty strict interior keep only
+    # the blocks strictly between them; everything else passes through
+    nsep = np.bincount(doc[is_sep], minlength=frame.ndocs)
+    gated = (nsep >= 2) & (last - first > 1)
+    keep = np.where(gated[doc], (idx > first[doc]) & (idx < last[doc]), True)
     return pa.table(
-        {"doc_id": batch["doc_id"], "clean_text": pa.array(out, type=pa.string())}
+        {
+            "doc_id": batch["doc_id"],
+            "clean_text": pa.array(join_kept(frame, keep), type=pa.string()),
+        }
     )
 
 

@@ -135,18 +135,23 @@ def frame_sample_pipeline(sf_dir: str, *, every: int = 4):
 
 
 def decode_pipeline(sf_dir: str):
-    """encode -> actor-pool decode.  Small batches + modest pool: wide
-    binary rows must not blow a worker heap (SURVEY §4 memory note)."""
+    """encode -> actor-pool decode.  Small batches + a pool sized to
+    2/3 of the CPUs (producer headroom; a fixed tiny pool would bound
+    throughput at cluster scale, an all-CPU pool starves the encode
+    stage): wide binary rows must not blow a worker heap (SURVEY §4)."""
+    import ray
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = ds.map_batches(
         encode_payload_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    pool = max(2, int(ncpu * 2 // 3))
     return ds.map_batches(
         DecoderStub,
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=2,
+        concurrency=(1, pool),
         num_cpus=1,
     )
