@@ -254,11 +254,29 @@ def hough_region_batch(batch: pa.Table, *, words_per_block: int = 12) -> pa.Tabl
 
 def resize_batch(batch: pa.Table, *, max_words: int = 60) -> pa.Table:
     """resize (resize.cpp:33-58): bound document size before expensive
-    stages — keep the first ``max_words`` words."""
-    texts = batch["text"].to_pylist()
-    out = [" ".join(t.split(" ")[:max_words]) for t in texts]
+    stages — keep the first ``max_words`` words (one split_pattern +
+    clipped list offsets + binary_join, no per-doc Python)."""
+    import pyarrow.compute as pc
+
+    arr = batch["text"]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lv = pc.split_pattern(arr, pattern=" ")
+    if isinstance(lv, pa.ChunkedArray):
+        lv = lv.combine_chunks()
+    offs = lv.offsets.to_numpy().astype(np.int64)
+    clipped_ends = np.minimum(offs[:-1] + max_words, offs[1:])
+    nw = np.diff(offs)
+    keep = np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(
+        offs[:-1], nw
+    ) < max_words
+    kept = lv.values.filter(pa.array(keep))
+    new_offs = np.concatenate(
+        ([0], np.cumsum(clipped_ends - offs[:-1], dtype=np.int64))
+    )
+    lst = pa.ListArray.from_arrays(pa.array(new_offs, type=pa.int32()), kept)
     return pa.table(
-        {"doc_id": batch["doc_id"], "clean_text": pa.array(out, type=pa.string())}
+        {"doc_id": batch["doc_id"], "clean_text": pc.binary_join(lst, " ")}
     )
 
 

@@ -28,8 +28,7 @@ def denoise_nlm_batch(batch: pa.Table, *, words_per_block: int = 12) -> pa.Table
     """fastNlMeansDenoising analogue (denoiseNLM.cpp:29-32): patch-similarity
     noise removal — drop a block exactly duplicating any of the previous 3
     blocks of the same document (near-duplicate garbage runs)."""
-    texts = batch["text"].to_pylist()
-    frame = split_words_blocks(texts, words_per_block)
+    frame = split_words_blocks(batch["text"], words_per_block)
     blocks = np.array(frame.block_strings(), dtype=object)
     doc = frame.doc_of_block()
     keep = np.ones(frame.nblocks, dtype=bool)
@@ -54,8 +53,7 @@ def kuwahara_batch(batch: pa.Table, *, words_per_block: int = 12) -> pa.Table:
     smoothing — each block's feature becomes the mean of whichever side
     window (left incl. self vs right incl. self, radius 2) has the lower
     variance, preserving block-boundary edges."""
-    texts = batch["text"].to_pylist()
-    frame = split_words_blocks(texts, words_per_block)
+    frame = split_words_blocks(batch["text"], words_per_block)
     ml, vl, _ = _one_sided(frame, preceding=2, following=0)
     mr, vr, _ = _one_sided(frame, preceding=0, following=2)
     smoothed = np.where(vl <= vr, ml, mr)
@@ -72,8 +70,7 @@ def wiener_batch(batch: pa.Table, *, words_per_block: int = 12) -> pa.Table:
     """Wiener deconvolution analogue (wienerFilter.cpp:158-200): invert the
     blur kernel — restored feature = 2*x - window mean (exact inverse of a
     mean blur in expectation), emitted as a per-block restoration score."""
-    texts = batch["text"].to_pylist()
-    frame = split_words_blocks(texts, words_per_block)
+    frame = split_words_blocks(batch["text"], words_per_block)
     m, _, _ = window_mean_var(frame, 2, 2)
     restored = 2.0 * frame.x.astype(np.float64) - m
     return pa.table(

@@ -38,18 +38,30 @@ def remove_hole_punch_batch(batch: pa.Table) -> pa.Table:
     within the 10% border margin (cpp:66-84).  Analogue: the recurring
     marker token 'dup' is dropped only when it sits in the first or last
     ceil(10%) of a document's words; identical tokens mid-document stay."""
-    texts = batch["text"].to_pylist()
-    out = []
-    for t in texts:
-        words = t.split(" ")
-        n = len(words)
-        margin = (n + 9) // 10  # exact ceil(n/10), no float
-        kept = [
-            w
-            for i, w in enumerate(words, start=1)
-            if not (w == "dup" and (i <= margin or i > n - margin))
-        ]
-        out.append(" ".join(kept))
+    import numpy as np
+
+    arr = batch["text"]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lv = pc.split_pattern(arr, pattern=" ")
+    if isinstance(lv, pa.ChunkedArray):
+        lv = lv.combine_chunks()
+    offs = lv.offsets.to_numpy().astype(np.int64)
+    words = lv.values
+    nw = np.diff(offs)
+    doc = np.repeat(np.arange(len(nw), dtype=np.int64), nw)
+    i1 = np.arange(len(words), dtype=np.int64) - np.repeat(offs[:-1], nw) + 1
+    margin = (nw + 9) // 10  # exact ceil(n/10), no float
+    is_dup = pc.equal(words, "dup").to_numpy(zero_copy_only=False)
+    border = (i1 <= margin[doc]) | (i1 > (nw - margin)[doc])
+    keep = ~(is_dup & border)
+    kept = words.filter(pa.array(keep))
+    kept_counts = np.bincount(doc[keep], minlength=len(nw))
+    lst = pa.ListArray.from_arrays(
+        pa.array(np.concatenate(([0], np.cumsum(kept_counts))),
+                 type=pa.int32()),
+        kept,
+    )
     return pa.table(
-        {"doc_id": batch["doc_id"], "clean_text": pa.array(out, type=pa.string())}
+        {"doc_id": batch["doc_id"], "clean_text": pc.binary_join(lst, " ")}
     )

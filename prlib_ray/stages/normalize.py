@@ -62,8 +62,7 @@ def correct_nuil_batch(batch: pa.Table, *, words_per_block: int = 12) -> pa.Tabl
     auto-invert + blackhat): section-dependent casing drift — a block is
     lowercased when its 3-block window holds more uppercase than lowercase
     letters."""
-    texts = batch["text"].to_pylist()
-    frame = split_words_blocks(texts, words_per_block)
+    frame = split_words_blocks(batch["text"], words_per_block)
     barr = (
         frame.blocks
         if isinstance(frame.blocks, (pa.Array, pa.ChunkedArray))

@@ -28,8 +28,7 @@ def blur_scores_batch(batch: pa.Table, *, words_per_block: int = 12) -> pa.Table
     Interior blocks only for lapm/lapv/teng; documents with < 3 blocks
     score 0.0.  Integer sums -> exact float64 (oracle contract).
     """
-    texts = batch["text"].to_pylist()
-    frame = split_words_blocks(texts, words_per_block)
+    frame = split_words_blocks(batch["text"], words_per_block)
     x = frame.x
     doc = frame.doc_of_block()
     nd = frame.ndocs
@@ -81,7 +80,7 @@ def blur_scores_batch(batch: pa.Table, *, words_per_block: int = 12) -> pa.Table
             "lapv": pa.array(lapv, type=pa.float64()),
             "teng": pa.array(teng, type=pa.float64()),
             "glvn": pa.array(glvn, type=pa.float64()),
-            "is_blurred": pa.array(np.zeros(len(texts), dtype=bool)),
+            "is_blurred": pa.array(np.zeros(batch.num_rows, dtype=bool)),
         }
     )
 
@@ -90,12 +89,22 @@ def glare_scores_batch(batch: pa.Table) -> pa.Table:
     """isGlared analogue: glare = an overexposed run — here the longest
     unbroken token (base64/binary dump detection).  Flag constant false
     (glareDetection.cpp:27-30 stub)."""
-    texts = batch["text"].to_pylist()
-    max_run = [max(len(w) for w in t.split(" ")) for t in texts]
+    import pyarrow.compute as pc
+
+    arr = batch["text"]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lv = pc.split_pattern(arr, pattern=" ")
+    if isinstance(lv, pa.ChunkedArray):
+        lv = lv.combine_chunks()
+    offs = lv.offsets.to_numpy().astype(np.int64)
+    wlen = pc.utf8_length(lv.values).to_numpy().astype(np.int64)
+    # per-doc max token length in one reduceat (every doc has >= 1 word)
+    max_run = np.maximum.reduceat(wlen, offs[:-1]) if len(wlen) else wlen
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "max_token_len": pa.array(max_run, type=pa.int64()),
-            "is_glared": pa.array(np.zeros(len(texts), dtype=bool)),
+            "is_glared": pa.array(np.zeros(batch.num_rows, dtype=bool)),
         }
     )
