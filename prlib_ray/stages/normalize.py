@@ -156,10 +156,14 @@ def gray_world_balance(ds, *, id_col: str = "doc_id"):
     def apply(b: pa.Table) -> pa.Table:
         gm, lm = ray.get(ref)
         lens = pc.utf8_length(b["text"]).to_numpy().astype(np.int64)
-        langs = b["lang"].to_pylist()
-        scaled = np.array(
-            [lens[i] * gm / lm[langs[i]] for i in range(len(langs))], dtype=np.float64
-        )
+        # per-distinct-lang mean lookup, then one vectorized expression
+        # with the identical left-to-right IEEE tree (len * gm / mean)
+        import pandas as pd
+
+        inv, uniq = pd.factorize(np.asarray(b["lang"].to_pylist(), dtype=object))
+        means = np.fromiter((lm[c] for c in uniq), dtype=np.float64,
+                            count=len(uniq))
+        scaled = lens * gm / means[inv]
         return pa.table(
             {
                 "doc_id": b["doc_id"],

@@ -109,12 +109,14 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Document fingerprint: md5 of the normalized skeleton (lowercase,
     alnum+space, collapsed) — a canonical content hash."""
-    from prlib_ray.functions.textfns import skeleton_zhang_suen
-
-    texts = batch["text"].to_pylist()
+    # skeletonize the whole column in Arrow (lower + strip + collapse),
+    # then md5 each skeleton (the hash itself is the per-doc cost)
+    sk = pc.utf8_lower(batch["text"])
+    sk = pc.replace_substring_regex(sk, pattern="[^a-z0-9 ]", replacement="")
+    sk = pc.replace_substring_regex(sk, pattern=" +", replacement=" ")
+    sk = pc.utf8_trim(sk, characters=" ")
     fps = [
-        hashlib.md5(skeleton_zhang_suen(t).encode("utf-8")).hexdigest()
-        for t in texts
+        hashlib.md5(t.encode("utf-8")).hexdigest() for t in sk.to_pylist()
     ]
     return pa.table(
         {"doc_id": batch["doc_id"], "fp": pa.array(fps, type=pa.string())}
