@@ -249,11 +249,24 @@ def _pairs_from_buckets(bands, key_cols: list[str], cap: int = LSH_BUCKET_CAP,
         cand.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
         .map_groups(drop_dups, batch_format="pandas")
+        # normalize non-empty blocks to the exact (doc_a, doc_b) schema
+        .map_batches(_pair_schema, batch_format="pyarrow")
+        # mostly-empty partitions (small corpora) yield SCHEMA-LESS empty
+        # pandas blocks which BYPASS map UDFs and crash the downstream
+        # join aggregators; repartition coalesces them into real blocks
+        .repartition(_join_partitions())
     )
     # candidate pairs are the tiny side (linear in corpus by the cap);
     # materialize once so the empty-set branch and the two verify joins
     # don't re-execute the banding pipeline
     return distinct.materialize()
+
+
+def _pair_schema(b: pa.Table) -> pa.Table:
+    if b.num_rows == 0 or "doc_a" not in b.column_names:
+        return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                         "doc_b": pa.array([], type=pa.int64())})
+    return pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"]})
 
 
 def _attach(pairs, payload, key: str, *, num_partitions: int):
@@ -350,7 +363,10 @@ def minhash_lsh_dedup(sf_dir: str, *, jaccard_threshold: float = 0.5):
         lambda b: rename_blob(b, "b"), batch_format="pyarrow"
     )
     joined = _attach(
-        _attach(cand, blob_a, "doc_a", num_partitions=npart),
+        # repartition between the chained joins: sparse first-join
+        # output can hold schema-less empty partitions that crash the
+        # second join's aggregators (same empty-block pitfall as above)
+        _attach(cand, blob_a, "doc_a", num_partitions=npart).repartition(npart),
         blob_b, "doc_b", num_partitions=npart,
     )
     thr_num = int(jaccard_threshold * 100)
@@ -497,7 +513,7 @@ def simhash_hamming_dedup(sf_dir: str, *, max_hamming: int = 8):
             cand,
             sigs.map_batches(lambda b: rename(b, "a"), batch_format="pyarrow"),
             "doc_a", num_partitions=npart,
-        ),
+        ).repartition(npart),  # coalesce empty partitions between joins
         sigs.map_batches(lambda b: rename(b, "b"), batch_format="pyarrow"),
         "doc_b", num_partitions=npart,
     )
@@ -659,10 +675,20 @@ def _min_by_doc(labels):
             g.groupby("doc_id", as_index=False)["label"].min()
         )
 
+    def label_schema(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "doc_id" not in b.column_names:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "label": pa.array([], type=pa.int64())})
+        return pa.table({"doc_id": b["doc_id"], "label": b["label"]})
+
     return (
         labels.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
         .map_groups(min_label, batch_format="pandas")
+        .map_batches(label_schema, batch_format="pyarrow")
+        # coalesce schema-less empty blocks (they bypass map UDFs and
+        # would crash the next round's join)
+        .repartition(_join_partitions())
     )
 
 

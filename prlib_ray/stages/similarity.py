@@ -229,7 +229,7 @@ def embedding_near_dup_lsh(sf_dir: str, *, t2: int = 9025,
     joined = cand.join(
         blob.map_batches(lambda b: rename(b, "a"), batch_format="pyarrow"),
         "inner", num_partitions=npart, on=("doc_a",), right_on=("doc_id",),
-    ).join(
+    ).repartition(npart).join(  # coalesce empty partitions between joins
         blob.map_batches(lambda b: rename(b, "b"), batch_format="pyarrow"),
         "inner", num_partitions=npart, on=("doc_b",), right_on=("doc_id",),
     )
@@ -373,6 +373,8 @@ def ann_ivf_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
     )
     mat = np.array([list(r["embedding"]) for r in head], dtype=np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    n_centroids = min(n_centroids, len(mat))  # tiny-corpus guard
+    nprobe = min(nprobe, n_centroids)
     cents = _train_centroids(mat, n_centroids)
     qids = np.array([r["vec_id"] for r in head[:n_queries]], dtype=np.int64)
     qmat = mat[:n_queries]

@@ -1,0 +1,82 @@
+"""Pathological-corpus robustness: empty/whitespace/unicode/control-char
+texts and a 4000-word doc through the operators whose distributed
+plumbing is shape-sensitive (sparse candidate sets -> empty Ray blocks
+bypass map UDFs and can reach join aggregators schema-less)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("edge_sf"))
+    rng = np.random.RandomState(3)
+    texts = [
+        "",
+        " ",
+        "   multi   space   runs   ",
+        "x",
+        "é ü ñ 中文 🙂 mixed unicode words",
+        "\n\n\nnewlines\n\n\nonly\n\n\n",
+        "dup " * 50,
+        " ".join(rng.choice(
+            ["alpha", "beta", "gamma", "-----", "=====)", "(c) corp"],
+            size=4000,
+        ).tolist()),
+        "\x00\x01 control\x7f chars �",
+        "‘curly’ “quotes” –— …",
+    ]
+    n = len(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(["en"] * n, type=pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    vecs = rng.standard_normal((20, 8)).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(20), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in range(20)], type=pa.int32()),
+    }), os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+EDGE_CASES = [
+    # the sparse-candidate join pipelines (previously crashed on empty
+    # schema-less blocks) + the tiny-corpus IVF guard + representatives
+    "dedup_minhash_lsh",
+    "dedup_simhash_hamming",
+    "dedup_clusters_minhash",
+    "dedup_embedding_lsh",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "dedup_cc_clusters",
+    "dedup_survivors",
+    "binarize_sauvola",
+    "binarize_local_otsu",
+    "auto_crop",
+    "simple_white_balance",
+    "quality_score",
+    "multimodal_frame_sample",
+]
+
+
+@pytest.mark.parametrize("name", EDGE_CASES)
+def test_edge_corpus_runs(name, edge_dir, ray_session):
+    from prlib_ray.api import build_queries
+
+    queries, _ = build_queries()
+    out = queries[name](edge_dir)
+    n = (
+        out.count()
+        if hasattr(out, "count") and not isinstance(out, pa.Table)
+        else out.num_rows
+    )
+    assert n >= 0
