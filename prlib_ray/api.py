@@ -87,6 +87,7 @@ _PRIORITY = [
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_simhash_hamming", "dedup_embedding",
     "dedup_cc_clusters", "dedup_survivors", "dedup_clusters_minhash",
+    "dedup_embedding_lsh",
     "lsh_bucket_stats",
     "ann_neighbor_counts", "ann_bruteforce_topk", "ann_ivf_topk",
     "ann_lsh_topk",
@@ -101,7 +102,7 @@ _PRIORITY = [
     "reassemble_events", "deskew",
     "compare_extractions", "warp_crop",
     "source_csv_roundtrip", "source_jsonl_roundtrip",
-    "binarize_sauvola", "binarize_sauvola_morph", "binarize_wolf_global",
+    "binarize_sauvola", "binarize_sauvola_morph",
     "denoise_kuwahara_iterated", "document_contour_retry",
     "check_rectangle", "gray_world_white_balance",
 ]
