@@ -404,7 +404,7 @@ def lsh_bucket_stats(sf_dir: str):
     band-bucket population histogram + how many buckets exceeded
     LSH_BUCKET_CAP (those switched to sorted-neighborhood pairing)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Max, Sum
+    from ray.data.aggregate import Max, Sum
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -426,18 +426,50 @@ def lsh_bucket_stats(sf_dir: str):
             }
         )
 
+    # bucket sizes via the coarse-partition pattern (a per-bucket-key
+    # Ray aggregate pays per-GROUP overhead — catastrophic at 10^6+
+    # buckets): per-batch (band, sig, cnt) partials, hash-partitioned
+    # into N_DEDUP_PARTS groups, one vectorized pandas sum per group
+    def partial_counts(b: pa.Table) -> pa.Table:
+        return b.group_by(["band", "sig"]).aggregate([("doc_id", "count")])
+
+    def add_part(b: pa.Table) -> pa.Table:
+        import zlib
+
+        part = np.fromiter(
+            (
+                zlib.crc32(f"{band}:{sig}".encode()) % N_DEDUP_PARTS
+                for band, sig in zip(
+                    b["band"].to_pylist(), b["sig"].to_pylist()
+                )
+            ),
+            dtype=np.int32,
+            count=b.num_rows,
+        )
+        return b.append_column("part", pa.array(part))
+
+    def sum_counts(g):
+        return (
+            g.groupby(["band", "sig"], as_index=False)["doc_id_count"].sum()
+        )
+
     sizes = (
         ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "sig"])
-        .aggregate(Count(alias_name="bucket_size"))
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sum_counts, batch_format="pandas")
     )
 
     def flag(b: pa.Table) -> pa.Table:
-        sz = b["bucket_size"].to_numpy()
+        if b.num_rows == 0 or "doc_id_count" not in b.column_names:
+            sz = np.zeros(0, dtype=np.int64)
+        else:
+            sz = b["doc_id_count"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "n_buckets": pa.array(np.ones(len(sz), dtype=np.int64)),
-                "bucket_size": pa.array(sz.astype(np.int64)),
+                "bucket_size": pa.array(sz),
                 "over_cap": pa.array((sz > LSH_BUCKET_CAP).astype(np.int64)),
             }
         )
