@@ -115,13 +115,13 @@ def run_bench() -> dict:
     # N->4N cluster's per-node disks do (see BASELINE.md note).
     # min of 2 in-session reps: shared-host noise swings single runs by
     # up to ~30% (BASELINE.md); min is the standard robust estimator.
-    headline = None
+    headline_reps: list[float] = []
     for _ in range(2):
         t0 = time.time()
         ts = rd.read_parquet(tpath)
         n_turns = extract_pipeline(ts, include_spans=False).count()
-        rep = time.time() - t0
-        headline = rep if headline is None else min(headline, rep)
+        headline_reps.append(round(time.time() - t0, 3))
+    headline = min(headline_reps)
     queries["flagship_extract"] = round(headline, 3)
 
     if os.environ.get("PRLIB_BENCH_HEADLINE_ONLY"):
@@ -134,6 +134,10 @@ def run_bench() -> dict:
             "num_cpus": NUM_CPUS,
             "n_turns": int(n_turns),
             "turns_per_sec": round(n_turns / headline, 1),
+            # every in-session rep, disclosed (the headline is their min;
+            # both scaling legs run this same code so the estimator is
+            # symmetric across legs)
+            "headline_reps_sec": headline_reps,
         }
         ray.shutdown()
         return result
@@ -181,6 +185,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_turns": int(n_turns),
         "turns_per_sec": round(n_turns / headline, 1),
+        "headline_reps_sec": headline_reps,
     }
     ray.shutdown()
     return result
@@ -213,18 +218,32 @@ def run_scaling() -> dict:
     # Reps run INTERLEAVED (A/B/A/B...) so shared-host load drift hits
     # both legs equally; every rep is reported, the min (the standard
     # noise-robust estimator) defines the headline efficiency.
+    # Pre-registered protocol (round 3): >= 5 interleaved fresh-process
+    # reps per leg; report the MEDIAN efficiency as the headline claim
+    # and the best-rep efficiency alongside it (round 2's best-of-N
+    # estimator, kept for comparability); the host-capacity control
+    # (tools/host_capacity_control.py) should run in the same hour.
     n_lo = int(os.environ.get("PRLIB_SCALING_LO", "4"))
     n_hi = 4 * n_lo
-    reps = int(os.environ.get("PRLIB_SCALING_REPS", "2"))
+    reps = int(os.environ.get("PRLIB_SCALING_REPS", "5"))
     runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
     for _ in range(reps):
         for n in (n_lo, n_hi):
             runs[n].append(leg_once(n))
+
+    def med(vals: list[float]) -> float:
+        s = sorted(vals)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+
     lo = min(runs[n_lo], key=lambda r: r["value"])
     hi = min(runs[n_hi], key=lambda r: r["value"])
     tput_lo = lo["turns_per_sec"]
     tput_hi = hi["turns_per_sec"]
-    eff = (tput_hi / tput_lo) / 4
+    med_lo = med([r["turns_per_sec"] for r in runs[n_lo]])
+    med_hi = med([r["turns_per_sec"] for r in runs[n_hi]])
+    eff_best = (tput_hi / tput_lo) / 4
+    eff_median = (med_hi / med_lo) / 4
     out = {
         "metric": "scaling_efficiency",
         "n_lo": n_lo,
@@ -233,10 +252,15 @@ def run_scaling() -> dict:
         f"sec_{n_hi}": hi["value"],
         f"turns_per_sec_{n_lo}": tput_lo,
         f"turns_per_sec_{n_hi}": tput_hi,
+        f"median_turns_per_sec_{n_lo}": round(med_lo, 1),
+        f"median_turns_per_sec_{n_hi}": round(med_hi, 1),
         f"all_reps_turns_per_sec_{n_lo}": [r["turns_per_sec"] for r in runs[n_lo]],
         f"all_reps_turns_per_sec_{n_hi}": [r["turns_per_sec"] for r in runs[n_hi]],
         "reps": reps,
-        "scaling_efficiency": round(eff, 3),
+        # headline claim = median (pre-registered); best kept alongside
+        "scaling_efficiency": round(eff_median, 3),
+        "scaling_efficiency_median": round(eff_median, 3),
+        "scaling_efficiency_best": round(eff_best, 3),
         "sf": SF_DIR,
         "n_turns": lo.get("n_turns"),
     }

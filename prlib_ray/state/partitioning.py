@@ -28,7 +28,15 @@ def bucket_of(conv_id: str, num_buckets: int) -> int:
     return zlib.crc32(conv_id.encode("utf-8")) % num_buckets
 
 
-def conv_stats(ds, *, merge: str = "driver"):
+# conv_stats merge="auto": above this many partial rows (>= distinct
+# conversations), the final fold runs as a distributed groupby instead of
+# a driver-side pyarrow group_by.  Partial rows are bounded by convs x
+# batches, so this is a conservative proxy for "conversation count
+# exceeds driver memory".  Module-level so tests can lower it.
+CONV_STATS_DISTRIBUTED_THRESHOLD = 2_000_000
+
+
+def conv_stats(ds, *, merge: str = "auto"):
     """Per-conversation (n_turns, covariance partials) — the tiny
     aggregate used for both skew detection and direction repair.
 
@@ -41,13 +49,16 @@ def conv_stats(ds, *, merge: str = "driver"):
     conversation in any accumulation order; the final covariance is
     recombined in Python ints (arbitrary precision).
 
-    merge="driver" (default): the per-batch partials (<= one row per
-    conv per batch) come back to the driver and a single pyarrow
-    group_by folds them — Ray's all-to-all Aggregate costs seconds of
-    fixed overhead that dwarfs this data size.  merge="distributed":
-    the same fold as a Ray groupby — the layout for corpora whose
-    *conversation count* itself exceeds driver memory (10^9+ convs).
-    Both produce identical integers."""
+    merge="driver": the per-batch partials (<= one row per conv per
+    batch) come back to the driver and a single pyarrow group_by folds
+    them — Ray's all-to-all Aggregate costs seconds of fixed overhead
+    that dwarfs this data size.  merge="distributed": the same fold as
+    a Ray groupby — the layout for corpora whose *conversation count*
+    itself exceeds driver memory (10^9+ convs).  merge="auto"
+    (default): materialize the partials, count them (cheap: the
+    partials are ~conversation-sized, not turn-sized) and pick
+    "distributed" above CONV_STATS_DISTRIBUTED_THRESHOLD rows.  All
+    modes produce identical integers."""
 
     # prune to the three needed columns so a parquet-backed input only
     # reads those column chunks
@@ -73,6 +84,15 @@ def conv_stats(ds, *, merge: str = "driver"):
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    if merge == "auto":
+        # the partials are the gate's own input: materialize once so the
+        # count and the chosen fold both reuse them (no re-execution)
+        partials = partials.materialize()
+        merge = (
+            "distributed"
+            if partials.count() > CONV_STATS_DISTRIBUTED_THRESHOLD
+            else "driver"
+        )
     if merge == "distributed":
         from ray.data.aggregate import Sum
 
@@ -268,15 +288,26 @@ class _CounterSink:
     Distinct conversations are tracked as 64-bit md5-prefix hash sets
     (8 B per conversation, collision odds ~n^2/2^65); the 10^9-conv
     upgrade path is an HLL sketch behind the same ``add`` interface.
-    Counters are lineage metrics: a retried write task may double-count
-    chars (the conv sets are idempotent); authoritative row/byte counts
+
+    ``add`` is IDEMPOTENT per batch: each partial carries a
+    deterministic content-derived batch key (md5 over the batch's
+    bucket/conv/length arrays) and a re-sent partial — a retried or
+    speculative write map task replays its adds — is dropped, so
+    clean_chars cannot double-count under task retry.  (Two *distinct*
+    batches share a key only if they hold identical rows, in which case
+    the dedup is also the right answer.)  Authoritative row/byte counts
     still come from the written files' parquet metadata."""
 
     def __init__(self):
         self.chars: dict[int, int] = {}
         self.convs: dict[int, set[int]] = {}
+        self.seen: set[bytes] = set()
 
-    def add(self, chars: dict[int, int], convs: dict[int, list[int]]) -> None:
+    def add(self, batch_key: bytes, chars: dict[int, int],
+            convs: dict[int, list[int]]) -> None:
+        if batch_key in self.seen:
+            return  # retried/speculative task replaying its partial
+        self.seen.add(batch_key)
         for b, c in chars.items():
             self.chars[b] = self.chars.get(b, 0) + c
         for b, hs in convs.items():
@@ -286,8 +317,10 @@ class _CounterSink:
         return {b: len(s) for b, s in self.convs.items()}, dict(self.chars)
 
 
-def _counter_partials(out: pa.Table) -> tuple[dict, dict]:
-    """Per-batch (bucket -> clean_chars, bucket -> conv-hash list)."""
+def _counter_partials(out: pa.Table) -> tuple[bytes, dict, dict]:
+    """Per-batch (batch_key, bucket -> clean_chars, bucket -> conv-hash
+    list).  batch_key is a deterministic content hash so the sink can
+    drop replayed partials from retried tasks."""
     import hashlib
 
     import pyarrow.compute as pc
@@ -314,29 +347,46 @@ def _counter_partials(out: pa.Table) -> tuple[dict, dict]:
             int.from_bytes(hashlib.md5(c.encode()).digest()[:8], "big")
             for c in uniq
         ]
-    return chars, convs
+    key = hashlib.md5()
+    key.update(buckets.tobytes())
+    key.update(lens.tobytes())
+    key.update("\x00".join(conv_col.tolist()).encode("utf-8"))
+    return key.digest(), chars, convs
 
 
 def write_partitioned(ds, out_dir: str, *, num_buckets: int = 16,
                       skip_buckets: set[int] | None = None,
-                      with_counters: bool = False) -> list[dict]:
+                      with_counters: bool = False,
+                      clean: bool = False) -> list[dict]:
     """Resumable sink: one directory per bucket + per-bucket manifest.
 
     Returns the manifests written.  ``skip_buckets`` (from
-    ``finished_buckets``) lets a rerun skip completed partitions.
+    ``finished_buckets``) lets a rerun skip completed partitions;
+    when ``None`` (the default) the skip set is derived from
+    ``finished_buckets(out_dir)`` internally, so a bare rerun RESUMES —
+    committed buckets are never silently deleted or rewritten.  Pass
+    ``clean=True`` (or an explicit smaller ``skip_buckets``) to opt
+    into rebuilding committed buckets.
 
     Crash safety: a run that died mid-write leaves partial parquet files
     in bucket dirs with no ``_manifest.json``; a rerun's
     ``write_parquet`` would append new files ALONGSIDE the stale ones,
     silently duplicating those buckets' rows (the manifest row count
     sums all files, masking it).  So before writing, any bucket dir
-    without a valid current-version manifest is deleted and rebuilt
-    from scratch — the manifest is the commit record."""
+    that is about to be rewritten — crashed manifest-less dirs, plus
+    manifested dirs deliberately excluded from the skip set — is
+    deleted and rebuilt from scratch; the manifest is the commit
+    record."""
     import shutil
 
     import pyarrow.parquet as pq
 
-    skip = skip_buckets or set()
+    if clean:
+        skip: set[int] = set() if skip_buckets is None else set(skip_buckets)
+    elif skip_buckets is None:
+        skip = finished_buckets(out_dir)
+    else:
+        skip = set(skip_buckets)
     if os.path.isdir(out_dir):
         for name in os.listdir(out_dir):
             path = os.path.join(out_dir, name)
@@ -369,11 +419,11 @@ def write_partitioned(ds, out_dir: str, *, num_buckets: int = 16,
         if sink is not None and out.num_rows:
             import ray
 
-            chars, convs = _counter_partials(out)
+            key, chars, convs = _counter_partials(out)
             # block on the ack: the partial is applied before this map
             # task completes, so write completion implies counter
             # completeness (no in-flight-message race with totals())
-            ray.get(sink.add.remote(chars, convs))
+            ray.get(sink.add.remote(key, chars, convs))
         return out
 
     with_bucket = ds.map_batches(add_bucket, batch_format="pyarrow",

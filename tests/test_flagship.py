@@ -282,3 +282,76 @@ def test_extract_turn_spans_cover_source():
     kinds = [s["kind"] for s in spans]
     assert kinds[0] == "furniture" and kinds[2] == "furniture" and kinds[-1] == "furniture"
     assert "content" in kinds
+
+
+def test_write_partitioned_default_resume(ray_session, sf_dir, tmp_path):
+    """A bare rerun (no skip_buckets) must RESUME — committed buckets are
+    neither deleted nor rewritten by default; clean=True opts into the
+    full rebuild."""
+    import os
+
+    from prlib_ray.fixtures import transcripts_dataset
+    from prlib_ray.state import partitioning as part
+
+    ds = transcripts_dataset(sf_dir)
+    out = str(tmp_path / "out")
+    first = part.write_partitioned(ds, out, num_buckets=4)
+    assert {m["bucket"] for m in first} == {0, 1, 2, 3}
+    mtimes = {
+        n: os.path.getmtime(os.path.join(out, n, "_manifest.json"))
+        for n in os.listdir(out) if n.startswith("bucket=")
+    }
+    # bare rerun: everything already committed -> nothing written
+    again = part.write_partitioned(ds, out, num_buckets=4)
+    assert again == []
+    for n, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, n, "_manifest.json")) == t
+    # clean=True: full rebuild, all four manifests rewritten
+    rebuilt = part.write_partitioned(ds, out, num_buckets=4, clean=True)
+    assert {m["bucket"] for m in rebuilt} == {0, 1, 2, 3}
+    assert sum(m["rows"] for m in rebuilt) == ds.count()
+
+
+def test_counter_sink_idempotent_add():
+    """A retried write task replays its partial; the sink must drop the
+    duplicate (keyed by the content-derived batch key)."""
+    import pyarrow as pa
+
+    from prlib_ray.state.partitioning import _counter_partials, _CounterSink
+
+    tbl = pa.table(
+        {
+            "bucket": pa.array([0, 0, 1], type=pa.int32()),
+            "conv_id": pa.array(["a", "b", "c"]),
+            "clean_text": pa.array(["xx", "yyy", "z"]),
+        }
+    )
+    key, chars, convs = _counter_partials(tbl)
+    sink = _CounterSink()
+    sink.add(key, chars, convs)
+    sink.add(key, chars, convs)  # replay (task retry)
+    n_convs, n_chars = sink.totals()
+    assert n_chars == {0: 5, 1: 1}
+    assert n_convs == {0: 2, 1: 1}
+
+
+def test_conv_stats_auto_gate(ray_session, sf_dir, monkeypatch):
+    """merge="auto" picks the distributed fold above the threshold and
+    the driver fold below it — identical integers either way."""
+    import pyarrow as pa
+
+    from prlib_ray.fixtures import transcripts_dataset
+    from prlib_ray.state import partitioning as part
+
+    ds = transcripts_dataset(sf_dir)
+    drv = part.conv_stats(ds, merge="driver")
+    assert isinstance(drv, pa.Table)  # small corpus -> driver fold
+    auto_small = part.conv_stats(ds, merge="auto")
+    assert isinstance(auto_small, pa.Table)
+
+    monkeypatch.setattr(part, "CONV_STATS_DISTRIBUTED_THRESHOLD", 1)
+    auto_big = part.conv_stats(ds, merge="auto")
+    assert not isinstance(auto_big, pa.Table)  # Dataset: distributed fold
+    a = part.directions_and_sizes(drv)
+    b = part.directions_and_sizes(auto_big)
+    assert a == b
