@@ -21,9 +21,33 @@ import pyarrow.compute as pc
 
 CUTOFF = "1996-01-01"
 
+# Broadcast-vs-partitioned gate for the fact-side joins (as-of / range
+# join): below this many order rows the per-customer index broadcasts via
+# ray.put; above it the events and orders co-partition by customer hash
+# and probe inside map_groups (no driver materialization of a fact
+# table).  Module-level so tests can force the partitioned path.
+FACT_BROADCAST_MAX_ROWS = 2_000_000
+
 
 def _cents(arr: np.ndarray) -> np.ndarray:
     return np.floor(arr * 100.0 + 0.5).astype(np.int64)
+
+
+def _collect_columns(ds, cols: list[str]) -> dict[str, np.ndarray]:
+    """Driver-side fold of a (small) Dataset's columns into numpy arrays.
+
+    The scan/filter/prune all ran DISTRIBUTED; only the pruned result
+    columns come back (one batched ray.get of the block refs) — the
+    pattern for deriving a broadcast side without a driver-side
+    pd.read_parquet of the table."""
+    import pyarrow as _pa
+    import ray
+
+    tables = [t for t in ray.get(list(ds.to_arrow_refs())) if t.num_rows]
+    if not tables:
+        return {c: np.zeros(0, dtype=np.int64) for c in cols}
+    big = _pa.concat_tables([t.select(cols) for t in tables])
+    return {c: big[c].to_numpy(zero_copy_only=False) for c in cols}
 
 
 def q1_pricing_summary(sf_dir: str):
@@ -88,31 +112,61 @@ def q1_pricing_summary(sf_dir: str):
 
 
 def q3_top_orders(sf_dir: str):
-    """TPC-H Q3 shape: two broadcast semi-joins (customer segment filter,
-    orders date filter) folded into the lineitem scan, partial aggregate,
-    global top-10 with a deterministic tie-break."""
+    """TPC-H Q3 shape: two semi-joins (customer segment filter, orders
+    date filter) folded into the lineitem scan, partial aggregate, global
+    top-10 with a deterministic tie-break.
+
+    Scale design (no driver-side fact materialization anywhere):
+    * the BUILDING custkeys come from a DISTRIBUTED pruned/filtered scan
+      of customer; only the key column folds back (bloom/semi-join
+      stand-in, sorted for vectorized searchsorted probes);
+    * qualifying orders stay a Dataset (pruned scan + pushdown date
+      filter + broadcast-key semi-join in map_batches); only their
+      orderkey column folds back for the lineitem semi-join broadcast;
+    * the final date attach probes that same orders DATASET with the 10
+      winning keys (distributed filter + take of <= 10 rows) — no
+      {orderkey: date} dict of a fact table ever exists."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    cust = pd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    cutoff = np.datetime64(CUTOFF, "us")
+    cust_ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=(pc.field("c_mktsegment") == pa.scalar("BUILDING")),
     )
-    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    orders = pd.read_parquet(
+    ckeys = np.sort(
+        _collect_columns(cust_ds, ["c_custkey"])["c_custkey"].astype(np.int64)
+    )
+    ckeys_ref = ray.put(ckeys)
+
+    ord_ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") < pa.scalar(cutoff)),
     )
-    cutoff = np.datetime64(CUTOFF, "us")
-    orders = orders[
-        orders["o_custkey"].isin(keys)
-        & (orders["o_orderdate"].to_numpy() < cutoff)
-    ]
-    odate = dict(zip(orders["o_orderkey"], orders["o_orderdate"]))
-    # broadcast the qualifying orderkeys as a SORTED array: the member
-    # test inside the map is one vectorized searchsorted, not a per-row
-    # Python set probe
-    ref = ray.put(np.sort(orders["o_orderkey"].to_numpy().astype(np.int64)))
+
+    def semi_cust(b: pa.Table) -> pa.Table:
+        ck = ray.get(ckeys_ref)
+        b = b.filter(pc.less(b["o_orderdate"], pa.scalar(cutoff)))
+        k = b["o_custkey"].to_numpy().astype(np.int64)
+        idx = np.searchsorted(ck, k)
+        ok = (idx < len(ck)) & (ck[np.minimum(idx, len(ck) - 1)] == k)
+        b = b.filter(pa.array(ok))
+        return pa.table(
+            {"o_orderkey": b["o_orderkey"], "o_orderdate": b["o_orderdate"]}
+        )
+
+    # qualifying orders: a Dataset, materialized once (feeds both the
+    # orderkey broadcast and the final 10-key date probe)
+    qual = ord_ds.map_batches(
+        semi_cust, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    okeys = np.sort(
+        _collect_columns(qual, ["o_orderkey"])["o_orderkey"].astype(np.int64)
+    )
+    ref = ray.put(okeys)
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -138,21 +192,41 @@ def q3_top_orders(sf_dir: str):
         )
         return t.group_by("l_orderkey").aggregate([("rev", "sum")])
 
-    agg = (
+    top = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("l_orderkey")
         .aggregate(Sum("rev_sum", alias_name="revenue_cents"))
         .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
         .limit(10)
+        .take_all()  # exactly 10 rows: the query RESULT, not a fact side
     )
+    win_keys = np.sort(np.array([r["l_orderkey"] for r in top], dtype=np.int64))
+    win_ref = ray.put(win_keys)
 
-    def attach(b: pa.Table) -> pa.Table:
-        dates = [odate[k] for k in b["l_orderkey"].to_pylist()]
-        return b.append_column(
-            "o_orderdate", pa.array(dates, type=pa.timestamp("us"))
-        )
+    def probe_dates(b: pa.Table) -> pa.Table:
+        wk = ray.get(win_ref)
+        k = b["o_orderkey"].to_numpy().astype(np.int64)
+        idx = np.searchsorted(wk, k)
+        ok = (idx < len(wk)) & (wk[np.minimum(idx, len(wk) - 1)] == k)
+        return b.filter(pa.array(ok))
 
-    return agg.map_batches(attach, batch_format="pyarrow")
+    date_rows = qual.map_batches(
+        probe_dates, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # <= 10 rows
+    odate = {r["o_orderkey"]: r["o_orderdate"] for r in date_rows}
+    return pa.table(
+        {
+            "l_orderkey": pa.array(
+                [r["l_orderkey"] for r in top], type=pa.int64()
+            ),
+            "revenue_cents": pa.array(
+                [r["revenue_cents"] for r in top], type=pa.int64()
+            ),
+            "o_orderdate": pa.array(
+                [odate[r["l_orderkey"]] for r in top], type=pa.timestamp("us")
+            ),
+        }
+    )
 
 
 def q5_local_supplier(sf_dir: str):
@@ -162,16 +236,32 @@ def q5_local_supplier(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
-    supplier = pd.read_parquet(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    # every lookup side is built from a DISTRIBUTED pruned scan; only the
+    # two needed columns fold back to the driver (orders is a fact table
+    # — at the 100-TB design point the o_orderkey->o_custkey map becomes
+    # a co-partitioned join like _probe_join's; the folded-array form is
+    # the broadcast stand-in the fixtures' scale permits)
+    nation = _collect_columns(
+        rd.read_parquet(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]),
+        ["n_nationkey", "n_name"],
     )
-    customer = pd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    supplier = _collect_columns(
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]),
+        ["s_suppkey", "s_nationkey"],
     )
-    orders = pd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    customer = _collect_columns(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"]),
+        ["c_custkey", "c_nationkey"],
     )
+    orders = _collect_columns(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"]),
+        ["o_orderkey", "o_custkey"],
+    )
+
     def _sorted_lookup(keys, vals):
         k = np.asarray(keys, dtype=np.int64)
         v = np.asarray(vals, dtype=np.int64)
@@ -184,7 +274,7 @@ def q5_local_supplier(sf_dir: str):
     ck_k, ck_v = _sorted_lookup(customer["c_custkey"], customer["c_nationkey"])
     sk_k, sk_v = _sorted_lookup(supplier["s_suppkey"], supplier["s_nationkey"])
     nat_arr = np.empty(int(nation["n_nationkey"].max()) + 1, dtype=object)
-    nat_arr[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy()
+    nat_arr[nation["n_nationkey"].astype(np.int64)] = nation["n_name"]
     ref = ray.put((ok_k, ok_v, ck_k, ck_v, sk_k, sk_v, nat_arr))
 
     ds = rd.read_parquet(
@@ -280,28 +370,49 @@ def q6_forecast_revenue(sf_dir: str):
     )
 
 
+def _segment_lookup(sf_dir: str):
+    """Broadcast-side customer->segment lookup: sorted custkey array +
+    parallel segment-CODE array + the code->name table.  Probes are one
+    vectorized searchsorted + integer gather per batch (the q5 pattern) —
+    no per-row Python dict access.  Built from a DISTRIBUTED pruned scan
+    (customer is a dimension; only the two columns fold back)."""
+    import ray.data as rd
+
+    cust_ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    cols = _collect_columns(cust_ds, ["c_custkey", "c_mktsegment"])
+    keys = cols["c_custkey"].astype(np.int64)
+    names, codes = np.unique(cols["c_mktsegment"].astype(object), return_inverse=True)
+    order = np.argsort(keys, kind="stable")
+    return keys[order], codes[order].astype(np.int64), names.astype(object)
+
+
+def _seg_of(keys: np.ndarray, codes: np.ndarray, probe: np.ndarray) -> np.ndarray:
+    """probe custkeys -> segment codes (all customers exist by FK)."""
+    return codes[np.searchsorted(keys, probe)]
+
+
 def orders_by_segment(sf_dir: str):
-    """Broadcast dimension join + grouped aggregate (counts + cents)."""
+    """Broadcast dimension join + grouped aggregate (counts + cents).
+    The segment lookup is sorted-array searchsorted + a dictionary-coded
+    gather — vectorized end to end."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    cust = pd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    seg = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
-    ref = ray.put(seg)
+    ref = ray.put(_segment_lookup(sf_dir))
 
     ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
     def partial(b: pa.Table) -> pa.Table:
-        s = ray.get(ref)
-        segs = [s[k] for k in b["o_custkey"].to_pylist()]
+        keys, codes, names = ray.get(ref)
+        seg_codes = _seg_of(keys, codes, b["o_custkey"].to_numpy().astype(np.int64))
         t = pa.table(
             {
-                "c_mktsegment": pa.array(segs, type=pa.string()),
+                "c_mktsegment": pa.array(names[seg_codes], type=pa.string()),
                 "cents": pa.array(
                     _cents(b["o_totalprice"].to_numpy()), type=pa.int64()
                 ),
@@ -490,8 +601,11 @@ def set_ops_users_customers(sf_dir: str):
     import ray
     import ray.data as rd
 
-    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
-    ckeys = np.sort(cust["c_custkey"].to_numpy().astype(np.int64))
+    cust = _collect_columns(
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]),
+        ["c_custkey"],
+    )
+    ckeys = np.sort(cust["c_custkey"].astype(np.int64))
     ref = ray.put(ckeys)
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
@@ -597,10 +711,7 @@ def top_orders_per_segment(sf_dir: str, *, k: int = 3):
     import ray
     import ray.data as rd
 
-    cust = pd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    seg_ref = ray.put(_segment_lookup(sf_dir))
 
     ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -608,27 +719,32 @@ def top_orders_per_segment(sf_dir: str, *, k: int = 3):
     )
 
     def local_topk(b: pa.Table) -> pa.Table:
-        seg = ray.get(seg_ref)
-        segs = np.asarray([seg[c] for c in b["o_custkey"].to_pylist()],
-                          dtype=object)
+        skeys, scodes, names = ray.get(seg_ref)
+        seg_codes = _seg_of(
+            skeys, scodes, b["o_custkey"].to_numpy().astype(np.int64)
+        )
         keys = b["o_orderkey"].to_numpy().astype(np.int64)
         price = b["o_totalprice"].to_numpy()
-        out_s, out_k, out_p = [], [], []
+        # vectorized per-segment top-k: global (price desc, key asc)
+        # order, then a stable re-sort by segment keeps that order
+        # within each segment; rank-within-segment = position - segment
+        # start, computed from run boundaries — no per-row Python loop
         order = np.lexsort((keys, -price))
-        seen: dict[str, int] = {}
-        for i in order:
-            s = segs[i]
-            c = seen.get(s, 0)
-            if c < k:
-                seen[s] = c + 1
-                out_s.append(s)
-                out_k.append(int(keys[i]))
-                out_p.append(float(price[i]))
+        by_seg = np.argsort(seg_codes[order], kind="stable")
+        rows = order[by_seg]
+        segs_r = seg_codes[rows]
+        is_start = np.r_[True, segs_r[1:] != segs_r[:-1]]
+        starts = np.flatnonzero(is_start)
+        run_id = np.cumsum(is_start) - 1
+        rank = np.arange(len(rows)) - starts[run_id]
+        keep = rows[rank < k]
         return pa.table(
             {
-                "c_mktsegment": pa.array(out_s, type=pa.string()),
-                "o_orderkey": pa.array(out_k, type=pa.int64()),
-                "o_totalprice": pa.array(out_p, type=pa.float64()),
+                "c_mktsegment": pa.array(
+                    names[seg_codes[keep]], type=pa.string()
+                ),
+                "o_orderkey": pa.array(keys[keep], type=pa.int64()),
+                "o_totalprice": pa.array(price[keep], type=pa.float64()),
             }
         )
 
@@ -642,102 +758,207 @@ def top_orders_per_segment(sf_dir: str, *, k: int = 3):
     return local.groupby("c_mktsegment").map_groups(merge, batch_format="pandas")
 
 
-def range_join_recent_orders(sf_dir: str, *, days: int = 7):
-    """Range (interval) join: per event, how many orders of the same
-    customer fall in [ts - days, ts].  Broadcast per-customer sorted
-    order dates; per distinct user in a batch, the count is
-    searchsorted(right) - searchsorted(left) — two vectorized binary
-    searches, no shuffle (the small side ships once via ray.put)."""
+# --- as-of / range join: shared probe kernels + size-gated layouts ----------
+#
+# Both queries probe a per-customer time-sorted order index.  The index
+# is represented as three GLOBAL arrays sorted by (custkey, date[, key])
+# — a customer's slice is found with two searchsorteds — which works
+# identically whether the arrays cover the whole table (broadcast path)
+# or one co-partition (partitioned path).  The probe itself is one
+# vectorized searchsorted per DISTINCT customer in the probe set.
+
+N_COPART = 64  # co-partitions for the fact-fact probe layout
+
+
+def _asof_probe_sorted(ev_key, ev_ts, ock, ot, oid) -> np.ndarray:
+    """latest oid with ot <= ev_ts among rows of the same key; -1 if none.
+    (ock, ot, oid) must be lexsorted by (ock, ot, oid) — ties resolve to
+    the max orderkey of the max qualifying date."""
+    out = np.full(len(ev_key), -1, dtype=np.int64)
+    order = np.argsort(ev_key, kind="stable")
+    uniq, starts = np.unique(ev_key[order], return_index=True)
+    bounds = np.append(starts, len(ev_key))
+    olo = np.searchsorted(ock, uniq, side="left")
+    ohi = np.searchsorted(ock, uniq, side="right")
+    for i in range(len(uniq)):
+        if olo[i] == ohi[i]:
+            continue
+        rows = order[bounds[i]:bounds[i + 1]]
+        dates = ot[olo[i]:ohi[i]]
+        keys = oid[olo[i]:ohi[i]]
+        j = np.searchsorted(dates, ev_ts[rows], side="right")
+        sel = j > 0
+        out[rows[sel]] = keys[j[sel] - 1]
+    return out
+
+
+def _range_probe_sorted(ev_key, ev_ts, span, ock, ot) -> np.ndarray:
+    """count of rows with same key and ot in [ev_ts - span, ev_ts]."""
+    out = np.zeros(len(ev_key), dtype=np.int64)
+    order = np.argsort(ev_key, kind="stable")
+    uniq, starts = np.unique(ev_key[order], return_index=True)
+    bounds = np.append(starts, len(ev_key))
+    olo = np.searchsorted(ock, uniq, side="left")
+    ohi = np.searchsorted(ock, uniq, side="right")
+    for i in range(len(uniq)):
+        if olo[i] == ohi[i]:
+            continue
+        rows = order[bounds[i]:bounds[i + 1]]
+        dates = ot[olo[i]:ohi[i]]
+        r = np.searchsorted(dates, ev_ts[rows], side="right")
+        left = np.searchsorted(dates, ev_ts[rows] - span, side="left")
+        out[rows] = r - left
+    return out
+
+
+def _orders_sorted_arrays(tbl: pa.Table, with_keys: bool):
+    """(ock, ot[, oid]) lexsorted by (custkey, date[, orderkey])."""
+    ck = tbl["o_custkey"].to_numpy().astype(np.int64)
+    t = tbl["o_orderdate"].cast(pa.int64()).to_numpy()
+    if with_keys:
+        oid = tbl["o_orderkey"].to_numpy().astype(np.int64)
+        order = np.lexsort((oid, t, ck))
+        return ck[order], t[order], oid[order]
+    order = np.lexsort((t, ck))
+    return ck[order], t[order], None
+
+
+def _probe_join(sf_dir: str, *, with_keys: bool, out_col: str,
+                probe, via: str = "auto"):
+    """Shared physical plan for as-of / range join.
+
+    via="broadcast": the orders index (pruned columns only, scanned
+    DISTRIBUTED, folded to sorted arrays) ships once via ray.put and
+    every events batch probes it — right for order sides that fit a
+    worker heap.  via="partitioned": events and orders co-partition by
+    hash(customer) (one groupby — no driver materialization of either
+    fact table) and the same probe kernel runs per co-partition — the
+    10^12-row layout.  via="auto" (default) picks by the orders row
+    count vs FACT_BROADCAST_MAX_ROWS.  Both paths produce identical
+    integers (pytest asserts equality)."""
     import ray
     import ray.data as rd
 
-    orders = pd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
-    ).sort_values(["o_custkey", "o_orderdate"], kind="mergesort")
-    by_cust: dict[int, np.ndarray] = {
-        int(ck): grp["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        for ck, grp in orders.groupby("o_custkey")
-    }
-    ref = ray.put(by_cust)
+    cols = ["o_custkey", "o_orderdate"] + (["o_orderkey"] if with_keys else [])
+    ord_ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+    if via == "auto":
+        # parquet count comes from file metadata — no scan
+        via = ("broadcast" if ord_ds.count() <= FACT_BROADCAST_MAX_ROWS
+               else "partitioned")
+    ev_ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    if via == "broadcast":
+        arrs = _collect_columns(ord_ds, cols)
+        tbl = pa.table({c: pa.array(arrs[c]) for c in cols})
+        ock, ot, oid = _orders_sorted_arrays(tbl, with_keys)
+        ref = ray.put((ock, ot, oid))
+
+        def lookup(b: pa.Table) -> pa.Table:
+            ock_, ot_, oid_ = ray.get(ref)
+            users = b["user_id"].to_numpy().astype(np.int64)
+            ts = b["ts"].cast(pa.int64()).to_numpy()
+            vals = probe(users, ts, ock_, ot_, oid_)
+            return pa.table(
+                {"event_id": b["event_id"],
+                 out_col: pa.array(vals, type=pa.int64())}
+            )
+
+        return ev_ds.map_batches(
+            lookup, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # partitioned: normalize both sides to (key, t, id, side), tag with
+    # part = hash(key) % N_COPART, one hash shuffle co-locates each
+    # customer's events AND orders, then the probe kernel runs per part.
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def ev_norm(b: pa.Table) -> pa.Table:
+        key = b["user_id"].to_numpy().astype(np.int64)
+        part = ((key.view(np.uint64) * gold) % np.uint64(N_COPART)).astype(np.int32)
+        return pa.table(
+            {
+                "part": pa.array(part),
+                "key": pa.array(key),
+                "t": pa.array(b["ts"].cast(pa.int64()).to_numpy()),
+                "id": pa.array(b["event_id"].to_numpy().astype(np.int64)),
+                "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def ord_norm(b: pa.Table) -> pa.Table:
+        key = b["o_custkey"].to_numpy().astype(np.int64)
+        part = ((key.view(np.uint64) * gold) % np.uint64(N_COPART)).astype(np.int32)
+        oid = (b["o_orderkey"].to_numpy().astype(np.int64) if with_keys
+               else np.zeros(b.num_rows, dtype=np.int64))
+        return pa.table(
+            {
+                "part": pa.array(part),
+                "key": pa.array(key),
+                "t": pa.array(b["o_orderdate"].cast(pa.int64()).to_numpy()),
+                "id": pa.array(oid),
+                "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+            }
+        )
+
+    both = ev_ds.map_batches(
+        ev_norm, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        ord_ds.map_batches(ord_norm, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def probe_group(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        o = g[side == 0]
+        e = g[side == 1]
+        if len(e) == 0:
+            return pd.DataFrame({"event_id": np.zeros(0, dtype=np.int64),
+                                 out_col: np.zeros(0, dtype=np.int64)})
+        ock_ = o["key"].to_numpy()
+        ot_ = o["t"].to_numpy()
+        oid_ = o["id"].to_numpy()
+        order = np.lexsort((oid_, ot_, ock_))
+        vals = probe(e["key"].to_numpy(), e["t"].to_numpy(),
+                     ock_[order], ot_[order], oid_[order])
+        return pd.DataFrame(
+            {"event_id": e["id"].to_numpy(), out_col: vals}
+        )
+
+    out = both.groupby("part").map_groups(probe_group, batch_format="pandas")
+
+    def fix_schema(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "event_id" not in b.column_names:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             out_col: pa.array([], type=pa.int64())})
+        return pa.table({"event_id": b["event_id"].cast(pa.int64()),
+                         out_col: b[out_col].cast(pa.int64())})
+
+    return out.map_batches(fix_schema, batch_format="pyarrow")
+
+
+def range_join_recent_orders(sf_dir: str, *, days: int = 7, via: str = "auto"):
+    """Range (interval) join: per event, how many orders of the same
+    customer fall in [ts - days, ts].  Size-gated physical plan: the
+    per-customer sorted date index broadcasts when the order side is
+    small, else events/orders co-partition by customer hash and the same
+    searchsorted probe runs per partition (see _probe_join)."""
     span = days * 86_400_000_000  # us
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
-    )
+    def probe(users, ts, ock, ot, oid):
+        return _range_probe_sorted(users, ts, span, ock, ot)
 
-    def count_range(b: pa.Table) -> pa.Table:
-        tbl = ray.get(ref)
-        users = b["user_id"].to_numpy().astype(np.int64)
-        ts = b["ts"].cast(pa.int64()).to_numpy()
-        out = np.zeros(b.num_rows, dtype=np.int64)
-        order = np.argsort(users, kind="stable")
-        uniq, starts = np.unique(users[order], return_index=True)
-        bounds = np.append(starts, len(users))
-        for u, lo, hi in zip(uniq.tolist(), bounds[:-1], bounds[1:]):
-            dates = tbl.get(u)
-            if dates is None:
-                continue
-            rows = order[lo:hi]
-            r = np.searchsorted(dates, ts[rows], side="right")
-            l = np.searchsorted(dates, ts[rows] - span, side="left")
-            out[rows] = r - l
-        return pa.table(
-            {
-                "event_id": b["event_id"],
-                "n_recent_orders": pa.array(out, type=pa.int64()),
-            }
-        )
-
-    return ds.map_batches(count_range, batch_format="pyarrow", zero_copy_batch=True)
+    return _probe_join(sf_dir, with_keys=False, out_col="n_recent_orders",
+                       probe=probe, via=via)
 
 
-def asof_latest_order(sf_dir: str):
+def asof_latest_order(sf_dir: str, *, via: str = "auto"):
     """As-of join: for each event, the latest order of the same customer
-    with o_orderdate <= ts (ties -> max orderkey).  Small side broadcast
-    sorted per key; binary search per batch — no shuffle."""
-    import ray
-    import ray.data as rd
+    with o_orderdate <= ts (ties -> max orderkey; -1 if none).  Same
+    size-gated broadcast/co-partitioned plan as the range join."""
 
-    orders = pd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    ).sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
-    by_cust: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for ck, grp in orders.groupby("o_custkey"):
-        by_cust[int(ck)] = (
-            grp["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64),
-            grp["o_orderkey"].to_numpy().astype(np.int64),
-        )
-    ref = ray.put(by_cust)
+    def probe(users, ts, ock, ot, oid):
+        return _asof_probe_sorted(users, ts, ock, ot, oid)
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
-    )
-
-    def lookup(b: pa.Table) -> pa.Table:
-        tbl = ray.get(ref)
-        users = b["user_id"].to_numpy().astype(np.int64)
-        ts = b["ts"].cast(pa.int64()).to_numpy()
-        out = np.full(b.num_rows, -1, dtype=np.int64)
-        # group the batch's rows by user: ONE vectorized searchsorted per
-        # distinct user over all its events, not one per row
-        order = np.argsort(users, kind="stable")
-        uniq, starts = np.unique(users[order], return_index=True)
-        bounds = np.append(starts, len(users))
-        for u, lo, hi in zip(uniq.tolist(), bounds[:-1], bounds[1:]):
-            entry = tbl.get(u)
-            if entry is None:
-                continue
-            dates, keys = entry
-            rows = order[lo:hi]
-            j = np.searchsorted(dates, ts[rows], side="right")
-            sel = j > 0
-            out[rows[sel]] = keys[j[sel] - 1]
-        return pa.table(
-            {
-                "event_id": b["event_id"],
-                "latest_orderkey": pa.array(out, type=pa.int64()),
-            }
-        )
-
-    return ds.map_batches(lookup, batch_format="pyarrow", zero_copy_batch=True)
+    return _probe_join(sf_dir, with_keys=True, out_col="latest_orderkey",
+                       probe=probe, via=via)

@@ -81,3 +81,35 @@ def test_matches_oracle(name, con, registry, ray_session, sf_dir):
         if x.dtype != y.dtype:
             x, y = x.astype(str), y.astype(str)
         assert x.equals(y), f"{name}: column {c} differs"
+
+
+def _normalize(res):
+    import pandas as pd
+
+    if hasattr(res, "to_pandas") and not isinstance(res, pd.DataFrame):
+        res = res.to_pandas()
+    return res.sort_values(list(res.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("fn_name", ["asof_latest_order",
+                                     "range_join_recent_orders"])
+def test_probe_join_partitioned_equals_broadcast(ray_session, sf_dir, fn_name):
+    """The co-partitioned (10^12-row) layout must produce the exact
+    integers of the broadcast layout."""
+    from prlib_ray import relational as rel
+
+    fn = getattr(rel, fn_name)
+    bc = _normalize(fn(sf_dir, via="broadcast"))
+    part = _normalize(fn(sf_dir, via="partitioned"))
+    assert bc.equals(part), f"{fn_name}: partitioned != broadcast"
+
+
+def test_probe_join_auto_gate(ray_session, sf_dir, monkeypatch):
+    """via='auto' flips to the partitioned layout above the row-count
+    threshold and stays exact."""
+    from prlib_ray import relational as rel
+
+    base = _normalize(rel.asof_latest_order(sf_dir, via="broadcast"))
+    monkeypatch.setattr(rel, "FACT_BROADCAST_MAX_ROWS", 1)
+    auto = _normalize(rel.asof_latest_order(sf_dir))  # now partitioned
+    assert base.equals(auto)
