@@ -269,6 +269,77 @@ def _pair_schema(b: pa.Table) -> pa.Table:
     return pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"]})
 
 
+def _blobify_batch(b: pa.Table) -> pa.Table:
+    """doc -> sorted-unique shingle-id uint64 blob (+ count).  The one
+    md5-heavy pass; both the banding and the verification joins reuse
+    the stored blobs."""
+    blobs, ns = [], []
+    for t in b["text"].to_pylist():
+        s = np.sort(_shingle_ids(t))
+        blobs.append(s.tobytes())
+        ns.append(len(s))
+    return pa.table(
+        {
+            "doc_id": b["doc_id"],
+            "sh": pa.array(blobs, type=pa.large_binary()),
+            "n_sh": pa.array(ns, type=pa.int64()),
+        }
+    )
+
+
+def _bands_from_blob_batch(b: pa.Table) -> pa.Table:
+    """(band, sig, doc_id) rows from stored shingle blobs — THE band
+    generation, shared by ``minhash_lsh_dedup`` and ``lsh_bucket_stats``
+    so the observability stats can never desynchronize from the pairs
+    they describe (one definition of the banding, two consumers)."""
+    ids, bands_, sigs = [], [], []
+    rows = N_HASH // N_BANDS
+    for did, sh in zip(b["doc_id"].to_pylist(), b["sh"].to_pylist()):
+        mh = _minhash(np.frombuffer(sh, dtype=np.uint64))
+        for band in range(N_BANDS):
+            seg = mh[band * rows : (band + 1) * rows]
+            ids.append(did)
+            bands_.append(band)
+            sigs.append(hashlib.md5(seg.tobytes()).hexdigest())
+    return pa.table(
+        {
+            "band": pa.array(bands_, type=pa.int32()),
+            "sig": pa.array(sigs, type=pa.string()),
+            "doc_id": pa.array(ids, type=pa.int64()),
+        }
+    )
+
+
+def _pairwise_intersection_counts(sh_a: list[bytes], sh_b: list[bytes],
+                                  na: np.ndarray, nb: np.ndarray) -> np.ndarray:
+    """|A_i ∩ B_i| per pair, where each side is a SORTED-UNIQUE uint64
+    blob — one vectorized pass over the whole batch instead of a
+    per-pair np.intersect1d loop.
+
+    Both sides of a pair concatenate into one (pair_id, value) stream;
+    after a lexsort by (pair_id, value), an adjacent equal (pair_id,
+    value) duplicate can only be a cross-side match (each side is unique
+    within a pair), so the intersection count is a bincount of adjacent
+    duplicates per pair."""
+    n = len(sh_a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    va = (np.frombuffer(b"".join(sh_a), dtype=np.uint64)
+          if sh_a else np.zeros(0, dtype=np.uint64))
+    vb = (np.frombuffer(b"".join(sh_b), dtype=np.uint64)
+          if sh_b else np.zeros(0, dtype=np.uint64))
+    pid = np.concatenate([
+        np.repeat(np.arange(n, dtype=np.int64), na.astype(np.int64)),
+        np.repeat(np.arange(n, dtype=np.int64), nb.astype(np.int64)),
+    ])
+    vals = np.concatenate([va, vb])
+    order = np.lexsort((vals, pid))
+    p = pid[order]
+    v = vals[order]
+    dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+    return np.bincount(p[1:][dup], minlength=n).astype(np.int64)
+
+
 def _attach(pairs, payload, key: str, *, num_partitions: int):
     """Hash-join a per-doc payload Dataset onto one side of the pairs."""
     return pairs.join(
@@ -298,47 +369,17 @@ def minhash_lsh_dedup(sf_dir: str, *, jaccard_threshold: float = 0.5):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def to_blob(b: pa.Table) -> pa.Table:
-        blobs, ns = [], []
-        for t in b["text"].to_pylist():
-            s = np.sort(_shingle_ids(t))
-            blobs.append(s.tobytes())
-            ns.append(len(s))
-        return pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "sh": pa.array(blobs, type=pa.large_binary()),
-                "n_sh": pa.array(ns, type=pa.int64()),
-            }
-        )
-
     # the shingle-id sets are the md5-heavy substrate shared by BOTH the
     # banding and the verification joins: compute ONCE, materialize; the
     # minhash signatures then derive from the stored uint64 blobs (no
     # second md5 pass over the corpus)
     blob = ds.map_batches(
-        to_blob, batch_format="pyarrow", zero_copy_batch=True
+        _blobify_batch, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    def to_bands(b: pa.Table) -> pa.Table:
-        ids, bands_, sigs = [], [], []
-        rows = N_HASH // N_BANDS
-        for did, sh in zip(b["doc_id"].to_pylist(), b["sh"].to_pylist()):
-            mh = _minhash(np.frombuffer(sh, dtype=np.uint64))
-            for band in range(N_BANDS):
-                seg = mh[band * rows : (band + 1) * rows]
-                ids.append(did)
-                bands_.append(band)
-                sigs.append(hashlib.md5(seg.tobytes()).hexdigest())
-        return pa.table(
-            {
-                "band": pa.array(bands_, type=pa.int32()),
-                "sig": pa.array(sigs, type=pa.string()),
-                "doc_id": pa.array(ids, type=pa.int64()),
-            }
-        )
-
-    bands = blob.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
+    bands = blob.map_batches(
+        _bands_from_blob_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
     cand = _pairs_from_buckets(bands, ["band", "sig"])
     if cand.count() == 0:
         return pa.table(
@@ -374,14 +415,9 @@ def minhash_lsh_dedup(sf_dir: str, *, jaccard_threshold: float = 0.5):
     def verify(b: pa.Table) -> pa.Table:
         na = b["n_a"].to_numpy()
         nb = b["n_b"].to_numpy()
-        sh_a = b["sh_a"].to_pylist()
-        sh_b = b["sh_b"].to_pylist()
-        inter = np.empty(b.num_rows, dtype=np.int64)
-        for i in range(b.num_rows):
-            # per-pair sorted-set intersection: the irreducible work
-            sa = np.frombuffer(sh_a[i], dtype=np.uint64)
-            sb = np.frombuffer(sh_b[i], dtype=np.uint64)
-            inter[i] = np.intersect1d(sa, sb, assume_unique=True).size
+        inter = _pairwise_intersection_counts(
+            b["sh_a"].to_pylist(), b["sh_b"].to_pylist(), na, nb
+        )
         uni = na + nb - inter
         keep = (uni > 0) & (100 * inter >= thr_num * uni)
         return pa.table(
@@ -407,24 +443,6 @@ def lsh_bucket_stats(sf_dir: str):
     from ray.data.aggregate import Max, Sum
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    def to_bands(b: pa.Table) -> pa.Table:
-        ids, bands_, sigs = [], [], []
-        rows = N_HASH // N_BANDS
-        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            mh = _minhash(_shingle_ids(t))
-            for band in range(N_BANDS):
-                seg = mh[band * rows : (band + 1) * rows]
-                ids.append(did)
-                bands_.append(band)
-                sigs.append(hashlib.md5(seg.tobytes()).hexdigest())
-        return pa.table(
-            {
-                "band": pa.array(bands_, type=pa.int32()),
-                "sig": pa.array(sigs, type=pa.string()),
-                "doc_id": pa.array(ids, type=pa.int64()),
-            }
-        )
 
     # bucket sizes via the coarse-partition pattern (a per-bucket-key
     # Ray aggregate pays per-GROUP overhead — catastrophic at 10^6+
@@ -454,7 +472,10 @@ def lsh_bucket_stats(sf_dir: str):
         )
 
     sizes = (
-        ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(_blobify_batch, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .map_batches(_bands_from_blob_batch, batch_format="pyarrow",
+                     zero_copy_batch=True)
         .map_batches(partial_counts, batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
@@ -632,7 +653,7 @@ def dedup_survivors(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def dedup_clusters_minhash(sf_dir: str, *, iterations: int = 4):
+def dedup_clusters_minhash(sf_dir: str, *, max_iterations: int = 64):
     """Scale-path clustering: synchronous min-label propagation over the
     verified MinHash near-dup pair Dataset — the distributed connected
     components layout for corpora whose pair set exceeds one machine.
@@ -640,10 +661,14 @@ def dedup_clusters_minhash(sf_dir: str, *, iterations: int = 4):
     Each round: every edge forwards its endpoint's current label; a
     doc's new label = min(own, incoming) via the coarse hash-partitioned
     min-reduce (same pattern as the pair distinct — group count stays
-    O(cores) at any doc count).  ``iterations`` bounds the round count
-    (labels converge in the component diameter; near-dup clusters are
-    shallow).  Probabilistic pair source -> rows-only check; pytest
-    pins agreement with the exact union-find on the oracle range."""
+    O(cores) at any doc count).  The loop runs TO A FIXPOINT: labels
+    only decrease, so an unchanged label sum between rounds (one cheap
+    Sum aggregate over the tiny label Dataset) proves no label moved —
+    a duplicate chain of any diameter gets one cluster.
+    ``max_iterations`` is a hard safety bound; hitting it without
+    convergence raises instead of returning silently split labels.
+    Probabilistic pair source -> rows-only check; pytest pins agreement
+    with the exact union-find on the oracle range."""
     import ray.data as rd
     from ray.data import from_arrow
 
@@ -652,6 +677,12 @@ def dedup_clusters_minhash(sf_dir: str, *, iterations: int = 4):
         pairs_ds = pairs_tbl.select_columns(["doc_a", "doc_b"])
     else:
         pairs_ds = from_arrow(pairs_tbl.select(["doc_a", "doc_b"]))
+    return _propagate_min_labels(pairs_ds, max_iterations=max_iterations)
+
+
+def _propagate_min_labels(pairs_ds, *, max_iterations: int = 64):
+    """Min-label propagation to fixpoint over a (doc_a, doc_b) pair
+    Dataset; returns (doc_id, label) sorted by doc_id."""
 
     def sym(b: pa.Table) -> pa.Table:
         a = b["doc_a"].to_numpy().astype(np.int64)
@@ -676,10 +707,19 @@ def dedup_clusters_minhash(sf_dir: str, *, iterations: int = 4):
         return pa.table({"doc_id": b["src"], "label": b["src"]})
 
     labels = edges.map_batches(init_labels, batch_format="pyarrow")
-    labels = _min_by_doc(labels)  # distinct docs with label = doc_id
+    labels = _min_by_doc(labels).materialize()  # distinct docs, label = doc_id
+
+    def _label_sum(lb) -> int:
+        # labels only decrease under min-propagation, so sum(label) is
+        # strictly monotone until the fixpoint: equal sums <=> converged
+        from ray.data.aggregate import Sum
+
+        agg = lb.aggregate(Sum("label", alias_name="s"))
+        return int(agg["s"])
 
     npart = _join_partitions()
-    for _ in range(iterations):
+    prev = _label_sum(labels)
+    for _ in range(max_iterations):
         fwd = edges.join(
             labels, "inner", num_partitions=npart,
             on=("src",), right_on=("doc_id",),
@@ -688,7 +728,14 @@ def dedup_clusters_minhash(sf_dir: str, *, iterations: int = 4):
             batch_format="pyarrow",
         )
         labels = _min_by_doc(labels.union(fwd)).materialize()
-    return labels.sort("doc_id")
+        cur = _label_sum(labels)
+        if cur == prev:
+            return labels.sort("doc_id")
+        prev = cur
+    raise RuntimeError(
+        f"min-label propagation did not converge in {max_iterations} "
+        "rounds — component diameter exceeds the safety bound"
+    )
 
 
 def _min_by_doc(labels):

@@ -252,3 +252,65 @@ def test_embedding_lsh_subset_and_recall(registry, ray_session, sf_dir, tmp_path
     e = queries["dedup_embedding_lsh"](sf_dir)
     e = e.to_pandas() if hasattr(e, "to_pandas") else e.to_pandas()
     assert list(e.columns) == ["vec_a", "vec_b"] and len(e) == 0
+
+
+def test_min_label_propagation_long_chain(ray_session):
+    """A duplicate chain with min-label eccentricity > 4 (the old fixed
+    round count) must still collapse to ONE cluster: the loop now runs
+    to a fixpoint, not a fixed iteration budget."""
+    import pyarrow as pa
+    from ray.data import from_arrow
+
+    from prlib_ray.stages.dedup import _propagate_min_labels
+
+    n = 12  # path graph 0-1-2-...-11: label 0 needs 11 rounds to reach 11
+    pairs = pa.table(
+        {
+            "doc_a": pa.array(list(range(n - 1)), type=pa.int64()),
+            "doc_b": pa.array(list(range(1, n)), type=pa.int64()),
+        }
+    )
+    labels = _propagate_min_labels(from_arrow(pairs)).to_pandas()
+    assert sorted(labels["doc_id"]) == list(range(n))
+    assert set(labels["label"]) == {0}
+
+
+def test_min_label_propagation_iteration_guard(ray_session):
+    """Hitting the hard cap without convergence raises (no silently
+    split labels)."""
+    import pyarrow as pa
+    import pytest as _pytest
+    from ray.data import from_arrow
+
+    from prlib_ray.stages.dedup import _propagate_min_labels
+
+    pairs = pa.table(
+        {
+            "doc_a": pa.array(list(range(7)), type=pa.int64()),
+            "doc_b": pa.array(list(range(1, 8)), type=pa.int64()),
+        }
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        _propagate_min_labels(from_arrow(pairs), max_iterations=2)
+
+
+def test_pairwise_intersection_counts_vectorized():
+    """The lexsort dup-count kernel must equal per-pair np.intersect1d."""
+    import numpy as np
+
+    from prlib_ray.stages.dedup import _pairwise_intersection_counts
+
+    rng = np.random.RandomState(3)
+    sh_a, sh_b, na, nb, expect = [], [], [], [], []
+    for _ in range(50):
+        a = np.unique(rng.randint(0, 40, size=rng.randint(0, 12)).astype(np.uint64))
+        b = np.unique(rng.randint(0, 40, size=rng.randint(0, 12)).astype(np.uint64))
+        sh_a.append(np.sort(a).tobytes())
+        sh_b.append(np.sort(b).tobytes())
+        na.append(len(a))
+        nb.append(len(b))
+        expect.append(np.intersect1d(a, b, assume_unique=True).size)
+    got = _pairwise_intersection_counts(
+        sh_a, sh_b, np.array(na, dtype=np.int64), np.array(nb, dtype=np.int64)
+    )
+    assert got.tolist() == expect
