@@ -159,9 +159,16 @@ cnt AS (
 SELECT s.vec_id, coalesce(c.n_neighbors, 0) AS n_neighbors
 FROM sub s LEFT JOIN cnt c ON s.vec_id = c.vec_id ORDER BY s.vec_id"""
 
+# sub mirrors similarity._plant_dup_batch: vectors with vec_id < 10 are
+# duplicated at vec_id + 1000000 with identical embeddings, so the pair
+# path provably does work (the raw fixture has no >=0.95-cosine pair and
+# the check was vacuously 0 == 0 before round 3)
 EMBEDDING_NEAR_DUP = """
 WITH sub AS (
     SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, embedding
+    FROM embeddings WHERE vec_id < 10
 ),
 q AS (
     SELECT vec_id,

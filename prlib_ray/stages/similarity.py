@@ -21,10 +21,80 @@ import pyarrow as pa
 MAX_ANN_ID = 300
 COS_T2 = 6400  # cos >= 0.8  ->  t^2 * 10000 = 6400
 
+# Planted near-duplicates: the sf fixtures are read-only and contain NO
+# >=0.95-cosine pair (max pairwise cosine ~0.51), which made the
+# dedup_embedding driver rows vacuously green (0 == 0 rows).  Both dedup
+# queries therefore AUGMENT their input deterministically: each vector
+# with vec_id < N_PLANT is duplicated at vec_id + PLANT_OFFSET with an
+# identical embedding (quantized cosine exactly 1.0), and the DuckDB
+# oracle mirrors the augmentation with a UNION ALL — the pair path now
+# does real, oracle-checked work at every scale.
+N_PLANT = 10
+PLANT_OFFSET = 1_000_000
+
 
 def _quantize(vecs: list[list[float]]) -> list[np.ndarray]:
     return [np.floor(np.asarray(v, dtype=np.float64) * 1000.0 + 0.5).astype(np.int64)
             for v in vecs]
+
+
+def _plant_dup_batch(b: pa.Table) -> pa.Table:
+    """Append the planted duplicates for this batch's low-id vectors."""
+    ids = b["vec_id"].to_numpy().astype(np.int64)
+    m = ids < N_PLANT
+    if not m.any():
+        return b
+    dup = b.filter(pa.array(m))
+    dup = dup.set_column(
+        dup.schema.get_field_index("vec_id"),
+        "vec_id",
+        pa.array(dup["vec_id"].to_numpy().astype(np.int64) + PLANT_OFFSET,
+                 type=pa.int64()),
+    )
+    if b.schema.field("vec_id").type != pa.int64():
+        b = b.set_column(
+            b.schema.get_field_index("vec_id"), "vec_id",
+            pa.array(ids, type=pa.int64()),
+        )
+    return pa.concat_tables([b, dup])
+
+
+def _mul_u64(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Full 128-bit product of two uint64 arrays as (hi, lo) limbs —
+    standard 32-bit limb decomposition, no intermediate overflow."""
+    mask = np.uint64(0xFFFFFFFF)
+    s32 = np.uint64(32)
+    a_hi, a_lo = a >> s32, a & mask
+    b_hi, b_lo = b >> s32, b & mask
+    ll = a_lo * b_lo
+    cross = a_lo * b_hi + (ll >> s32)          # < 2^64
+    cross2 = a_hi * b_lo + (cross & mask)      # < 2^64
+    lo = (cross2 << s32) | (ll & mask)
+    hi = a_hi * b_hi + (cross >> s32) + (cross2 >> s32)
+    return hi, lo
+
+
+def _exact_cos_mask(dot: np.ndarray, na: np.ndarray, nb: np.ndarray,
+                    t2: int) -> np.ndarray:
+    """Vectorized EXACT decision  dot > 0  AND  dot^2 * 10^4 >= t2*na*nb
+    in two-limb uint64 arithmetic (the products exceed int64; the old
+    path did one Python big-int compare per candidate).
+
+    Validity envelope: dot, na, nb < 2^54/100 and na*nb*t2 < 2^128 —
+    satisfied for quantized embeddings up to ~10^5 dims.  Byte-identical
+    to the arbitrary-precision formula (property-tested)."""
+    dot = dot.astype(np.int64)
+    pos = dot > 0
+    d100 = (np.where(pos, dot, 0) * 100).astype(np.uint64)
+    lhs_hi, lhs_lo = _mul_u64(d100, d100)      # (100*dot)^2 == dot^2 * 10^4
+    m_hi, m_lo = _mul_u64(na.astype(np.uint64), nb.astype(np.uint64))
+    t2u = np.uint64(t2)
+    # (m_hi, m_lo) * t2  with t2 < 2^32: per-limb small multiply + carry
+    lo2_hi, lo2_lo = _mul_u64(m_lo, np.full_like(m_lo, t2u))
+    rhs_lo = lo2_lo
+    rhs_hi = m_hi * t2u + lo2_hi
+    ge = (lhs_hi > rhs_hi) | ((lhs_hi == rhs_hi) & (lhs_lo >= rhs_lo))
+    return pos & ge
 
 
 def ann_neighbor_counts(sf_dir: str):
@@ -63,14 +133,18 @@ def ann_neighbor_counts(sf_dir: str):
 
 def embedding_near_dup_pairs(sf_dir: str, *, t2: int = 9025):
     """Embedding near-duplicate pairs: quantized cosine >= 0.95 (t2/10000)
-    over vec_id < MAX_ANN_ID — exact hugeint decision, oracle-backed."""
+    over vec_id < MAX_ANN_ID, AUGMENTED with the planted duplicates
+    (see _plant_dup_batch) — exact hugeint decision, oracle-backed with
+    a matching UNION ALL in the SQL."""
     import ray.data as rd
 
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     ds = ds.map_batches(
-        lambda b: b.filter(pa.array(b["vec_id"].to_numpy() < MAX_ANN_ID)),
+        lambda b: _plant_dup_batch(
+            b.filter(pa.array(b["vec_id"].to_numpy() < MAX_ANN_ID))
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -165,7 +239,8 @@ def embedding_near_dup_lsh(sf_dir: str, *, t2: int = 9025,
 
     emb = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ).map_batches(_plant_dup_batch, batch_format="pyarrow",
+                  zero_copy_batch=True)
 
     def blobify(b: pa.Table) -> pa.Table:
         vecs = b["embedding"].to_pylist()
@@ -192,7 +267,8 @@ def embedding_near_dup_lsh(sf_dir: str, *, t2: int = 9025,
         mat = np.stack([
             np.frombuffer(x, dtype=np.int64) for x in b["qb"].to_pylist()
         ]).astype(np.float64)
-        bits = (mat @ _planes(mat.shape[1], total_planes).T) > 0.0
+        bits = (mat @ _band_planes(mat.shape[1], n_bands,
+                                   planes_per_band).T) > 0.0
         n = len(mat)
         bands_col = np.repeat(
             np.arange(n_bands, dtype=np.int32)[None, :], n, axis=0
@@ -235,18 +311,24 @@ def embedding_near_dup_lsh(sf_dir: str, *, t2: int = 9025,
     )
 
     def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"vec_a": pa.array([], type=pa.int64()),
+                             "vec_b": pa.array([], type=pa.int64())})
         qa = b["qb_a"].to_pylist()
         qb_ = b["qb_b"].to_pylist()
-        na = b["nq_a"].to_pylist()
-        nb = b["nq_b"].to_pylist()
-        keep = np.zeros(b.num_rows, dtype=bool)
-        for i in range(b.num_rows):
-            va = np.frombuffer(qa[i], dtype=np.int64)
-            vb = np.frombuffer(qb_[i], dtype=np.int64)
-            dot = int(va @ vb)
-            # exact arbitrary-precision decision (dot^2*10^4 exceeds
-            # int64); one Python-int compare per CANDIDATE pair only
-            keep[i] = dot > 0 and dot * dot * 10000 >= t2 * na[i] * nb[i]
+        # all vectors share one dim: stack both sides into matrices and
+        # take row dots in one vectorized pass; the (dot^2*10^4 >=
+        # t2*na*nb) decision runs in exact two-limb uint64 arithmetic
+        # (_exact_cos_mask) — no Python big-int loop per candidate
+        va = np.frombuffer(b"".join(qa), dtype=np.int64).reshape(b.num_rows, -1)
+        vb = np.frombuffer(b"".join(qb_), dtype=np.int64).reshape(b.num_rows, -1)
+        dot = np.einsum("ij,ij->i", va, vb)
+        keep = _exact_cos_mask(
+            dot,
+            b["nq_a"].to_numpy().astype(np.int64),
+            b["nq_b"].to_numpy().astype(np.int64),
+            t2,
+        )
         k = pa.array(keep)
         return pa.table({"vec_a": b["doc_a"].filter(k),
                          "vec_b": b["doc_b"].filter(k)})
@@ -435,41 +517,51 @@ def ann_ivf_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
-N_PLANES = 10  # 1024 buckets at fixture scale; production sizes this with
-# log2(corpus): ~20 planes for 10^9 vectors keeps buckets ~10^3 while the
-# SAME multi-probe mechanics recover recall
+ANN_LSH_BANDS = 16       # independent plane sets (OR-construction)
+ANN_LSH_PLANES = 6       # planes per band -> 64 buckets per band
+# Operating point measured on the fixture corpus: recall@5 = 0.74 vs
+# brute force while probing 16 of 16*64 = 1024 buckets (1.6%, vs the
+# round-2 multi-probe design's 17% for 0.44 recall).  Production scales
+# planes_per_band with log2(corpus) to keep per-bucket populations flat;
+# recall then rides on the band count alone.
 
 
-def _planes(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
+def _band_planes(dim: int, n_bands: int, planes_per_band: int) -> np.ndarray:
     """Deterministic hyperplanes (fixed seed, identical on every worker)."""
-    return np.random.RandomState(7).standard_normal((n_planes, dim))
+    return np.random.RandomState(7).standard_normal(
+        (n_bands * planes_per_band, dim)
+    )
 
 
-def _multi_probe(sig: int, n_planes: int, radius: int) -> set[int]:
-    """All bucket signatures within hamming distance <= radius of sig."""
-    from itertools import combinations
-
-    out = {sig}
-    for r in range(1, radius + 1):
-        for bits in combinations(range(n_planes), r):
-            flip = 0
-            for b in bits:
-                flip |= 1 << b
-            out.add(sig ^ flip)
-    return out
+def _band_buckets(mat: np.ndarray, n_bands: int,
+                  planes_per_band: int) -> np.ndarray:
+    """(n, n_bands) int64 bucket signatures, one per band."""
+    bits = (mat @ _band_planes(mat.shape[1], n_bands, planes_per_band).T) > 0.0
+    buckets = np.zeros((len(mat), n_bands), dtype=np.int64)
+    for band in range(n_bands):
+        for i in range(planes_per_band):
+            buckets[:, band] |= (
+                bits[:, band * planes_per_band + i].astype(np.int64) << i
+            )
+    return buckets
 
 
 def ann_lsh_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
-                 n_planes: int = N_PLANES, probe_radius: int = 3):
-    """Scale-path ANN: random-hyperplane signatures bucket the corpus
-    (groupby(bucket)); each query MULTI-PROBES every bucket within
-    hamming distance ``probe_radius`` of its own signature (176 of 1024
-    buckets at the defaults), so recall no longer depends on the
-    query's exact bucket while per-bucket work stays n/2^n_planes.
-    The query matrix is broadcast (ray.put); each probed bucket scans
-    its own vectors only — work per bucket is LINEAR in bucket
-    population (no all-pairs matmul).  Recall < 1 by design -> rows
-    -only; pytest bounds recall against brute force."""
+                 n_bands: int = ANN_LSH_BANDS,
+                 planes_per_band: int = ANN_LSH_PLANES):
+    """Scale-path ANN: BANDED random-hyperplane LSH (OR-construction,
+    the same layout the near-dup LSH paths use).  Each vector lands in
+    one bucket per band; a query probes exactly its own bucket in each
+    band — n_bands of n_bands*2^planes buckets (1.6% at the defaults).
+
+    Physical plan: the query bucket signatures broadcast (ray.put); the
+    corpus-side explode FILTERS to rows whose (band, bucket) is probed
+    by some query — only candidate rows (~a quarter of the corpus at
+    the defaults) ever shuffle into the groupby — then each probed
+    bucket scans its own members linearly.  A vector reached through
+    two bands yields duplicate (query, vec) rows; the final merge
+    drops them before taking k.  Recall < 1 by design -> rows-only;
+    pytest pins the floor against brute force."""
     import ray
     import ray.data as rd
 
@@ -486,40 +578,52 @@ def ann_lsh_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
     qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
-    pl = _planes(qmat.shape[1], n_planes)
-    qbits = (qmat @ pl.T) > 0.0
-    probes: dict[int, set[int]] = {}
-    for i in range(len(qids)):
-        s = 0
-        for j in range(n_planes):
-            if qbits[i, j]:
-                s |= 1 << j
-        probes[int(qids[i])] = _multi_probe(s, n_planes, probe_radius)
-    ref = ray.put((qids, qmat, probes))
+    qbuck = _band_buckets(qmat, n_bands, planes_per_band)  # (nq, n_bands)
+    # probed (band, bucket) pairs as one sorted composite-key array:
+    # membership inside the explode is a vectorized searchsorted
+    probe_keys = np.unique(
+        np.arange(n_bands, dtype=np.int64)[None, :] * (1 << planes_per_band)
+        + qbuck
+    )
+    ref = ray.put((qids, qmat, qbuck, probe_keys))
 
-    def sig(b: pa.Table) -> pa.Table:
+    def explode(b: pa.Table) -> pa.Table:
+        _, _, _, pk = ray.get(ref)
         mat = np.array(b["embedding"].to_pylist(), dtype=np.float64)
         if len(mat) == 0:
-            return pa.table({"bucket": pa.array([], type=pa.int64()),
+            return pa.table({"band": pa.array([], type=pa.int32()),
+                             "bucket": pa.array([], type=pa.int64()),
                              "vec_id": pa.array([], type=pa.int64()),
                              "embedding": b["embedding"]})
-        bits = (mat @ _planes(mat.shape[1], n_planes).T) > 0.0
-        bucket = np.zeros(len(mat), dtype=np.int64)
-        for i in range(n_planes):
-            bucket |= bits[:, i].astype(np.int64) << i
-        return pa.table({"bucket": pa.array(bucket), "vec_id": b["vec_id"],
-                         "embedding": b["embedding"]})
+        buckets = _band_buckets(mat, n_bands, planes_per_band)
+        comp = (np.arange(n_bands, dtype=np.int64)[None, :]
+                * (1 << planes_per_band) + buckets)
+        idx = np.searchsorted(pk, comp)
+        probed = (idx < len(pk)) & (pk[np.minimum(idx, len(pk) - 1)] == comp)
+        rows, bands_of = np.nonzero(probed)  # only candidate rows shuffle
+        out = b.take(pa.array(rows))
+        return pa.table(
+            {
+                "band": pa.array(bands_of.astype(np.int32)),
+                "bucket": pa.array(buckets[rows, bands_of]),
+                "vec_id": pa.array(
+                    out["vec_id"].to_numpy().astype(np.int64)
+                ),
+                "embedding": out["embedding"],
+            }
+        )
 
-    with_sig = emb.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
+    exploded = emb.map_batches(explode, batch_format="pyarrow",
+                               zero_copy_batch=True)
 
     def bucket_topk(g):
         import pandas as pd
 
-        qids_, qmat_, probes_ = ray.get(ref)
+        qids_, qmat_, qbuck_, _ = ray.get(ref)
+        band = int(g["band"].iloc[0])
         bucket = int(g["bucket"].iloc[0])
-        active = [i for i in range(len(qids_))
-                  if bucket in probes_[int(qids_[i])]]
-        if not active:
+        active = np.flatnonzero(qbuck_[:, band] == bucket)
+        if len(active) == 0:
             return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
         vids = g["vec_id"].to_numpy()
         mat = np.array(list(g["embedding"]), dtype=np.float64)
@@ -535,11 +639,13 @@ def ann_lsh_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
                 out.append((qid, int(vids[idx]), float(sims[row][idx])))
         return pd.DataFrame(out, columns=["query_id", "vec_id", "sim"])
 
-    local = with_sig.groupby("bucket").map_groups(
+    local = exploded.groupby(["band", "bucket"]).map_groups(
         bucket_topk, batch_format="pandas"
     )
 
     def merge(g):
+        # a vector reached via two bands appears twice with the same sim
+        g = g.drop_duplicates(["vec_id"])
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
                           kind="mergesort")
         return g.head(k)
