@@ -91,7 +91,8 @@ _PRIORITY = [
     "lsh_bucket_stats",
     "ann_neighbor_counts", "ann_bruteforce_topk", "ann_ivf_topk",
     "ann_lsh_topk",
-    "token_count", "quality_score", "lang_id", "fingerprint_md5",
+    "token_count", "token_count_subword", "quality_score", "lang_id",
+    "fingerprint_md5",
     "fingerprint_winnow", "multimodal_decode", "pipeline_chain",
     "q1_pricing_summary", "q3_top_orders", "q5_local_supplier",
     "q6_forecast_revenue", "orders_by_segment", "top_orders",

@@ -134,6 +134,10 @@ def _register_data_ops(queries, sql) -> None:
     # text analysis
     queries["token_count"] = _doc_query(text_analysis.token_count_batch)
     sql["token_count"] = odata.TOKEN_COUNT
+    queries["token_count_subword"] = _doc_query(
+        text_analysis.token_count_subword_batch
+    )
+    sql["token_count_subword"] = odata.TOKEN_COUNT_SUBWORD
     queries["quality_score"] = _doc_query(text_analysis.quality_score_batch)
     sql["quality_score"] = odata.QUALITY_SCORE
     queries["lang_id"] = _doc_query(text_analysis.lang_id_batch)

@@ -48,6 +48,13 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
 FROM documents ORDER BY doc_id"""
 
+# mirrors text_analysis.SUBWORD_PATTERN (RE2 in DuckDB too)
+TOKEN_COUNT_SUBWORD = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))
+            AS BIGINT) AS n_subword_tokens
+FROM documents ORDER BY doc_id"""
+
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 QUALITY_SCORE = f"""

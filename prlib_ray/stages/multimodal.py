@@ -30,19 +30,44 @@ def encode_payload_batch(batch: pa.Table) -> pa.Table:
 
 
 class DecoderStub:
-    """Actor-pool decode stage: __init__ = once-per-actor model load
-    (stubbed), __call__ = per-batch vectorized decode (stubbed to
-    deterministic geometry derived from payload size)."""
+    """Actor-pool decode stage: __init__ = once-per-actor model load,
+    __call__ = per-batch decode.
+
+    The decoder is REAL where an image library exists: PIL is imported
+    once per actor (the model-load slot) and any payload it can open
+    yields actual (width, height, n_frames).  Payloads PIL cannot open
+    — including every payload in this environment, which has no image
+    libs and synthesizes text blobs — fall back to the deterministic
+    geometry stub the DuckDB oracle pins (the driver's documents-table
+    payloads are never decodable images, so the oracle holds on both
+    paths)."""
 
     def __init__(self):
-        # Real pipeline: load libjpeg/ffmpeg/model weights here, ONCE.
+        # once-per-actor library/model load; optional import so the
+        # stage works identically in lib-less environments
+        try:
+            from PIL import Image  # type: ignore[import-not-found]
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
         self.model_loaded = True
         self.frame_bytes = 1024
 
     def _decode(self, payload: bytes) -> tuple[int, int, int, int]:
+        if self._pil is not None:
+            import io
+
+            try:
+                with self._pil.open(io.BytesIO(payload)) as im:
+                    w, h = im.size
+                    return (len(payload), int(w), int(h),
+                            int(getattr(im, "n_frames", 1)))
+            except Exception:
+                pass  # not a decodable image -> deterministic stub
         n = len(payload)
-        # STUB: a real decoder returns actual dims; this fake is
-        # deterministic so tests and oracles can pin it.
+        # STUB: deterministic fake geometry so tests and oracles can pin
+        # it in environments without image libraries.
         return n, n % 640, n % 480, (n + self.frame_bytes - 1) // self.frame_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:

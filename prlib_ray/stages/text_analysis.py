@@ -39,6 +39,24 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# BPE-ish subword proxy: letter runs chunk into <=4-char pieces, each
+# digit and each non-space symbol is its own token — a deterministic
+# regex stand-in for a learned tokenizer's piece count (the quantity a
+# training-data pipeline budgets by).  RE2 on both sides (Arrow
+# count_substring_regex / DuckDB regexp_extract_all), so the oracle is
+# exact.
+SUBWORD_PATTERN = r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_count_subword_batch(batch: pa.Table) -> pa.Table:
+    """Subword (BPE-ish) token counting — see SUBWORD_PATTERN."""
+    n = pc.count_substring_regex(batch["text"], pattern=SUBWORD_PATTERN)
+    return pa.table(
+        {"doc_id": batch["doc_id"],
+         "n_subword_tokens": pc.cast(n, pa.int64())}
+    )
+
+
 def _flat_words(batch: pa.Table):
     """(words values array, doc index per word, ndocs) via split_pattern."""
     arr = batch["text"]

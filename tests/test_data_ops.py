@@ -346,3 +346,33 @@ def test_exact_cos_mask_matches_bigint():
     )
     assert (got == want).all()
     assert got[0] and got[1]  # exact-equality boundaries kept
+
+
+def test_decoder_real_path_with_pil():
+    """When PIL exists, DecoderStub decodes real geometry; skipped in
+    lib-less environments (the stub path is oracle-pinned elsewhere)."""
+    import io
+
+    import pytest as _pytest
+
+    PIL = _pytest.importorskip("PIL.Image")
+    from prlib_ray.stages.multimodal import DecoderStub
+
+    im = PIL.new("RGB", (37, 21))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    payload = buf.getvalue()
+    d = DecoderStub()
+    n, w, h, f = d._decode(payload)
+    assert (n, w, h, f) == (len(payload), 37, 21, 1)
+
+
+def test_decoder_stub_fallback_on_undecodable():
+    """Non-image payloads take the deterministic stub path regardless of
+    whether PIL is installed (the oracle contract)."""
+    from prlib_ray.stages.multimodal import DecoderStub
+
+    d = DecoderStub()
+    p = b"not an image" * 100
+    n = len(p)
+    assert d._decode(p) == (n, n % 640, n % 480, (n + 1023) // 1024)
