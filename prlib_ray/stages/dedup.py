@@ -198,10 +198,18 @@ def _join_partitions() -> int:
 
 def _pairs_from_buckets(bands, key_cols: list[str], cap: int = LSH_BUCKET_CAP,
                         order_col: str | None = None):
-    """groupby(bucket) -> candidate pair Dataset (doc_a, doc_b), distinct.
+    """bucket rows -> candidate pair Dataset (doc_a, doc_b), distinct.
 
     The pairs stay distributed end-to-end: dedup across buckets is a
     coarse hash-partitioned distinct, not a driver-side drop_duplicates.
+
+    Bucketing itself is ALSO coarse-partitioned: a per-bucket-key Ray
+    groupby means one Python group call per DISTINCT bucket (docs x
+    bands of them — measured 12 s of pure scheduling overhead at sf0.1
+    vs ~2 s for the same pairs through 64 coarse parts).  Rows hash by
+    bucket key into N_DEDUP_PARTS groups; inside each part a run-length
+    pass visits only multi-member buckets (singletons — the vast
+    majority — are skipped wholesale).
 
     ``order_col``: when an over-cap bucket falls back to neighborhood
     pairing, sort its members by this column instead of doc_id — for
@@ -209,26 +217,72 @@ def _pairs_from_buckets(bands, key_cols: list[str], cap: int = LSH_BUCKET_CAP,
     close signatures) stay adjacent and survive the cap (Charikar-style
     sorted-fingerprint neighborhoods)."""
 
-    def bucket_pairs(g):
+    def add_bucket_part(b: pa.Table) -> pa.Table:
+        import zlib
+
+        n = b.num_rows
+        acc = np.zeros(n, dtype=np.uint64)
+        for c in key_cols:
+            col = b[c]
+            if pa.types.is_integer(col.type):
+                v = col.to_numpy().astype(np.int64).view(np.uint64)
+            else:
+                v = np.fromiter(
+                    (zlib.crc32(s.encode()) for s in col.to_pylist()),
+                    dtype=np.uint64, count=n,
+                )
+            acc = (acc * np.uint64(0x100000001B3)) ^ (
+                v * np.uint64(0x9E3779B97F4A7C15)
+            )
+        part = (acc % np.uint64(N_DEDUP_PARTS)).astype(np.int32)
+        return b.append_column("part", pa.array(part))
+
+    def part_pairs(g):
         import pandas as pd
 
-        raw = g["doc_id"].to_numpy().astype(np.int64)
-        uniq, first = np.unique(raw, return_index=True)
-        if order_col is not None and len(uniq) > cap:
-            order = np.argsort(
-                g[order_col].to_numpy()[first].astype(np.int64).view(np.uint64),
-                kind="stable",
-            )
-            ids = uniq[order]
-        else:
-            ids = uniq
-        i, j = _pair_indices(len(ids), cap)
-        a, b = ids[i], ids[j]
-        return pd.DataFrame(
-            {"doc_a": np.minimum(a, b), "doc_b": np.maximum(a, b)}
+        # one composite bucket code per row; rows of a bucket are all in
+        # this part (part = hash of the bucket key)
+        codes = g.groupby(list(key_cols), sort=False).ngroup().to_numpy()
+        doc = g["doc_id"].to_numpy().astype(np.int64)
+        ordv = (g[order_col].to_numpy().astype(np.int64)
+                if order_col is not None else None)
+        order = np.argsort(codes, kind="stable")
+        codes_s = codes[order]
+        doc_s = doc[order]
+        bounds = np.flatnonzero(
+            np.r_[True, codes_s[1:] != codes_s[:-1], True]
         )
+        sizes = np.diff(bounds)
+        out_a, out_b = [], []
+        for bi in np.flatnonzero(sizes >= 2):  # multi-member buckets only
+            lo, hi = bounds[bi], bounds[bi + 1]
+            raw = doc_s[lo:hi]
+            uniq, first = np.unique(raw, return_index=True)
+            if len(uniq) < 2:
+                continue
+            if order_col is not None and len(uniq) > cap:
+                o = np.argsort(
+                    ordv[order][lo:hi][first].view(np.uint64), kind="stable"
+                )
+                ids = uniq[o]
+            else:
+                ids = uniq
+            i, j = _pair_indices(len(ids), cap)
+            a, b_ = ids[i], ids[j]
+            out_a.append(np.minimum(a, b_))
+            out_b.append(np.maximum(a, b_))
+        if not out_a:
+            return pd.DataFrame({"doc_a": np.zeros(0, dtype=np.int64),
+                                 "doc_b": np.zeros(0, dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
 
-    cand = bands.groupby(key_cols).map_groups(bucket_pairs, batch_format="pandas")
+    cand = (
+        bands.map_batches(add_bucket_part, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pandas")
+    )
     # Distinct over (doc_a, doc_b): NOT a per-pair-key groupby — Ray's
     # aggregate pays per-GROUP Python overhead, catastrophic at ~10^5+
     # distinct pairs (measured 124 s for 467k keys at sf0.1).  Instead
