@@ -91,7 +91,8 @@ _PRIORITY = [
     "lsh_bucket_stats",
     "ann_neighbor_counts", "ann_bruteforce_topk", "ann_ivf_topk",
     "ann_lsh_topk",
-    "token_count", "token_count_subword", "quality_score", "lang_id",
+    "token_count", "token_count_subword", "quality_score",
+    "repetition_stats", "lang_id",
     "fingerprint_md5",
     "fingerprint_winnow", "multimodal_decode", "pipeline_chain",
     "q1_pricing_summary", "q3_top_orders", "q5_local_supplier",

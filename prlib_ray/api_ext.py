@@ -140,6 +140,10 @@ def _register_data_ops(queries, sql) -> None:
     sql["token_count_subword"] = odata.TOKEN_COUNT_SUBWORD
     queries["quality_score"] = _doc_query(text_analysis.quality_score_batch)
     sql["quality_score"] = odata.QUALITY_SCORE
+    queries["repetition_stats"] = _doc_query(
+        text_analysis.repetition_stats_batch
+    )
+    sql["repetition_stats"] = odata.REPETITION_STATS
     queries["lang_id"] = _doc_query(text_analysis.lang_id_batch)
     sql["lang_id"] = odata.LANG_ID
     queries["fingerprint_md5"] = _doc_query(text_analysis.fingerprint_batch)

@@ -55,6 +55,30 @@ SELECT doc_id,
             AS BIGINT) AS n_subword_tokens
 FROM documents ORDER BY doc_id"""
 
+# mirrors text_analysis.repetition_stats_batch; LEFT JOIN keeps docs
+# with zero non-empty words (Ray emits zeros for them via bincount)
+REPETITION_STATS = """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (
+    SELECT doc_id, w, count(*) AS c FROM words WHERE w <> ''
+    GROUP BY doc_id, w
+),
+agg AS (
+    SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+           max(c) AS top_count
+    FROM freq GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(coalesce(a.top_count, 0) AS BIGINT) AS top_count,
+       CAST((100 * coalesce(a.top_count, 0))
+            // greatest(coalesce(a.n_words, 0), 1) AS BIGINT) AS rep_pct
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id"""
+
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 QUALITY_SCORE = f"""

@@ -610,25 +610,41 @@ def set_ops_users_customers(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
 
+    n_parts = 64  # coarse distinct partitions (each user in exactly one)
+
     def partial(b: pa.Table) -> pa.Table:
         u = np.unique(b["user_id"].to_numpy().astype(np.int64))
-        return pa.table({"user_id": pa.array(u)})
+        part = ((u.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                % np.uint64(n_parts)).astype(np.int32)
+        return pa.table({"part": pa.array(part), "user_id": pa.array(u)})
 
-    # per-batch distinct partials -> one small driver fold (distinct
-    # users << events; the full-scale layout is the coarse-partition
-    # distinct used in stages/dedup.py)
-    parts = ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True).take_all()
-    users = np.unique(np.fromiter((r["user_id"] for r in parts),
-                                  dtype=np.int64, count=len(parts)))
+    def part_counts(g: pd.DataFrame) -> pd.DataFrame:
+        # exact per-part distinct + membership vs the broadcast keys;
+        # parts partition the user space, so the per-part counts sum to
+        # the global answer — the coarse-partition distinct layout (no
+        # driver fold of the user set)
+        ck = ray.get(ref)
+        u = np.unique(g["user_id"].to_numpy())
+        idx = np.searchsorted(ck, u)
+        in_cust = (idx < len(ck)) & (ck[np.minimum(idx, len(ck) - 1)] == u)
+        return pd.DataFrame(
+            {"n_users": [np.int64(len(u))],
+             "n_inter": [np.int64(in_cust.sum())]}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(part_counts, batch_format="pandas")
+        .take_all()
+    )
+    n_users = int(sum(r["n_users"] for r in counts))
+    n_inter = int(sum(r["n_inter"] for r in counts))
     ck = ray.get(ref)
-    idx = np.searchsorted(ck, users)
-    in_cust = (idx < len(ck)) & (ck[np.minimum(idx, len(ck) - 1)] == users)
-    n_inter = int(in_cust.sum())
     return pa.table(
         {
             "n_intersect": pa.array([n_inter], type=pa.int64()),
-            "n_users_only": pa.array([len(users) - n_inter], type=pa.int64()),
+            "n_users_only": pa.array([n_users - n_inter], type=pa.int64()),
             "n_customers_only": pa.array([len(ck) - n_inter], type=pa.int64()),
         }
     )

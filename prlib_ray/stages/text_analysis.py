@@ -101,6 +101,40 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Repetition-ratio quality signal: per doc, total words, distinct
+    words, the top word's frequency and rep_pct = (100*top)//max(n,1) —
+    the boilerplate/spam indicator a training-data filter thresholds on.
+
+    Fully vectorized: one split_pattern + dictionary_encode over the
+    flat word array, then (doc, word-code) composite-key np.unique for
+    the frequency table — no per-row Python."""
+    words, doc_of_word, ndocs = _flat_words(batch)
+    nonempty = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+    codes_arr = pc.dictionary_encode(words)
+    codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = int(codes.max()) + 1 if len(codes) else 1
+    d = doc_of_word[nonempty]
+    c = codes[nonempty]
+    nw = np.bincount(d, minlength=ndocs).astype(np.int64)
+    key = d * vocab + c
+    uniq, counts = np.unique(key, return_counts=True)
+    udoc = uniq // vocab
+    n_distinct = np.bincount(udoc, minlength=ndocs).astype(np.int64)
+    top = np.zeros(ndocs, dtype=np.int64)
+    np.maximum.at(top, udoc, counts.astype(np.int64))
+    rep = (100 * top) // np.maximum(nw, 1)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(nw),
+            "n_distinct": pa.array(n_distinct),
+            "top_count": pa.array(top),
+            "rep_pct": pa.array(rep),
+        }
+    )
+
+
 def lang_id_batch(batch: pa.Table) -> pa.Table:
     """Language ID: marker-stopword vote, argmax with lexicographic
     tie-break (ties -> smallest language code)."""
