@@ -422,6 +422,11 @@ def _register_relational(queries, sql) -> None:
          orel.TOP_ORDERS_PER_SEGMENT),
         ("range_join_recent_orders", rel.range_join_recent_orders,
          orel.RANGE_JOIN_RECENT_ORDERS),
+        ("split_assign", rel.split_assign_counts, orel.SPLIT_ASSIGN),
+        ("customers_without_orders", rel.customers_without_orders,
+         orel.CUSTOMERS_WITHOUT_ORDERS),
+        ("segment_price_quantiles", rel.segment_price_quantiles,
+         orel.SEGMENT_PRICE_QUANTILES),
         ("set_ops_users_customers", rel.set_ops_users_customers,
          orel.SET_OPS_USERS_CUSTOMERS),
     ]

@@ -206,3 +206,44 @@ SELECT event_type,
                              AND ts < wm - INTERVAL 10 MINUTE) AS BIGINT) AS n_late,
        count(*) AS n_events
 FROM w GROUP BY event_type ORDER BY event_type"""
+
+
+# mirrors relational.split_assign_counts: two-hex-char lexicographic
+# compare on lowercase md5 == numeric compare on the first hash byte
+SPLIT_ASSIGN = """
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'fa' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'fd' THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1 ORDER BY split"""
+
+CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_no_order
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""
+
+# exact grouped quantiles with the Ray side's index rule: value at
+# 0-based sorted index (q*(n-1))//100, ties broken by orderkey
+SEGMENT_PRICE_QUANTILES = f"""
+WITH base AS (
+    SELECT c.c_mktsegment AS seg,
+           {_CENTS.format(expr='o.o_totalprice')} AS cents,
+           o.o_orderkey AS ok
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+t AS (
+    SELECT seg, cents,
+           row_number() OVER (PARTITION BY seg ORDER BY cents, ok) AS rn,
+           count(*) OVER (PARTITION BY seg) AS n
+    FROM base
+)
+SELECT seg AS c_mktsegment,
+       CAST(max(CASE WHEN rn = 1 + (50 * (n - 1)) // 100 THEN cents END)
+            AS BIGINT) AS p50_cents,
+       CAST(max(CASE WHEN rn = 1 + (90 * (n - 1)) // 100 THEN cents END)
+            AS BIGINT) AS p90_cents,
+       CAST(max(n) AS BIGINT) AS n_orders
+FROM t GROUP BY seg ORDER BY seg"""

@@ -978,3 +978,156 @@ def asof_latest_order(sf_dir: str, *, via: str = "auto"):
 
     return _probe_join(sf_dir, with_keys=True, out_col="latest_orderkey",
                        probe=probe, via=via)
+
+
+def split_assign_counts(sf_dir: str):
+    """Deterministic train/val/test split assignment — the dataset-prep
+    op every training pipeline runs before tokenization.  split =
+    first md5 hex byte of str(doc_id): < 0xfa train (~250/256), < 0xfd
+    val, else test.  The two-hex-char LEXICOGRAPHIC compare equals the
+    numeric compare (fixed-width lowercase hex), so DuckDB's md5()
+    mirrors it exactly.  Per-batch partial counts -> tiny final groupby
+    (no shuffle of the rows themselves)."""
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        h2 = [hashlib.md5(str(int(i)).encode()).hexdigest()[:2] for i in ids]
+        splits = np.asarray(
+            ["train" if h < "fa" else ("val" if h < "fd" else "test")
+             for h in h2],
+            dtype=object,
+        )
+        t = pa.table(
+            {
+                "split": pa.array(splits, type=pa.string()),
+                "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+            }
+        )
+        return t.group_by("split").aggregate([("one", "sum")])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("split")
+        .aggregate(Sum("one_sum", alias_name="n_docs"))
+    )
+
+
+CWO_CUTOFF = "2001-01-01"
+
+
+def customers_without_orders(sf_dir: str):
+    """Windowed anti-join: per market segment, customers with NO order on
+    or after CWO_CUTOFF (lapsed customers — the churn query).  The
+    distinct recent-order custkeys (bounded by the customer dimension)
+    come from a per-batch unique + driver fold and broadcast sorted; the
+    anti-probe is one searchsorted per batch.  The date filter is pushed
+    to the parquet scan, so only recent row groups leave storage."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cutoff = np.datetime64(CWO_CUTOFF, "us")
+    ord_ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= pa.scalar(cutoff)),
+    )
+
+    def uniq(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["o_orderdate"], pa.scalar(cutoff)))
+        return pa.table(
+            {"k": pa.array(np.unique(b["o_custkey"].to_numpy().astype(np.int64)))}
+        )
+
+    have = np.unique(
+        _collect_columns(
+            ord_ds.map_batches(uniq, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            ["k"],
+        )["k"]
+    )
+    ref = ray.put(have)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        hk = ray.get(ref)
+        k = b["c_custkey"].to_numpy().astype(np.int64)
+        idx = np.searchsorted(hk, k)
+        has = (idx < len(hk)) & (hk[np.minimum(idx, len(hk) - 1)] == k)
+        b = b.filter(pa.array(~has))
+        t = pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("c_mktsegment").aggregate([("one", "sum")])
+
+    return (
+        cust.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("one_sum", alias_name="n_no_order"))
+    )
+
+
+def segment_price_quantiles(sf_dir: str):
+    """Exact grouped quantiles: per market segment, the order-total
+    cents at the 50th and 90th percentile, deterministic tie-break by
+    orderkey — value at sorted index floor(q*(n-1)) (mirrored in SQL
+    with row_number over (cents, orderkey)).  Physical plan: segment
+    attach via the broadcast searchsorted lookup, then one map_groups
+    per segment (5 groups; at higher group cardinality this becomes the
+    coarse-partition pattern)."""
+    import ray
+    import ray.data as rd
+
+    ref = ray.put(_segment_lookup(sf_dir))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def attach(b: pa.Table) -> pa.Table:
+        keys, codes, names = ray.get(ref)
+        seg = _seg_of(keys, codes, b["o_custkey"].to_numpy().astype(np.int64))
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(names[seg], type=pa.string()),
+                "cents": pa.array(_cents(b["o_totalprice"].to_numpy())),
+                "o_orderkey": pa.array(
+                    b["o_orderkey"].to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["o_orderkey"].to_numpy(),
+                            g["cents"].to_numpy()))
+        cents = g["cents"].to_numpy()[order]
+        n = len(cents)
+        p50 = int(cents[(50 * (n - 1)) // 100])
+        p90 = int(cents[(90 * (n - 1)) // 100])
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [g["c_mktsegment"].iloc[0]],
+                "p50_cents": [np.int64(p50)],
+                "p90_cents": [np.int64(p90)],
+                "n_orders": [np.int64(n)],
+            }
+        )
+
+    return (
+        ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_mktsegment")
+        .map_groups(quant, batch_format="pandas")
+    )
