@@ -95,18 +95,21 @@ _PRIORITY = [
     "repetition_stats", "lang_id",
     "fingerprint_md5",
     "fingerprint_winnow", "multimodal_decode", "pipeline_chain",
-    "split_assign",
+    "split_assign", "mix_sources", "shuffle_head", "decontaminate",
+    "pack_sequences",
     "q1_pricing_summary", "q3_top_orders", "q5_local_supplier",
-    "q6_forecast_revenue", "orders_by_segment", "top_orders",
-    "distinct_event_types", "events_hourly_window", "sessionize",
+    "q6_forecast_revenue", "orders_by_segment",
+    "events_hourly_window", "sessionize",
     "asof_latest_order", "top_orders_per_segment",
     "range_join_recent_orders", "embedding_centroids",
     "customers_without_orders", "segment_price_quantiles",
     "set_ops_users_customers", "approx_distinct_users",
     "reassemble_events", "deskew",
-    "compare_extractions", "warp_crop",
-    "source_csv_roundtrip", "source_jsonl_roundtrip",
+    "warp_crop",
+    "source_csv_roundtrip",
     "binarize_sauvola", "denoise_kuwahara_iterated",
+    "top_orders", "distinct_event_types", "compare_extractions",
+    "source_jsonl_roundtrip",
 ]
 
 

@@ -167,6 +167,19 @@ def _register_data_ops(queries, sql) -> None:
     sql["embedding_centroids"] = odata.EMBEDDING_CENTROIDS
     queries["dedup_simhash_hamming"] = dedup.simhash_hamming_dedup  # rows-only
 
+    # dataset-prep family: mixing, epoch shuffle, decontamination, packing
+    from prlib_ray import oracles_prep as oprep
+    from prlib_ray.stages import dataset_prep
+
+    queries["mix_sources"] = dataset_prep.mix_sources
+    sql["mix_sources"] = oprep.MIX_SOURCES
+    queries["shuffle_head"] = dataset_prep.shuffle_head
+    sql["shuffle_head"] = oprep.SHUFFLE_HEAD
+    queries["decontaminate"] = dataset_prep.decontaminate
+    sql["decontaminate"] = oprep.DECONTAMINATE
+    queries["pack_sequences"] = dataset_prep.pack_sequences
+    sql["pack_sequences"] = oprep.PACK_SEQUENCES
+
     # config-driven pipeline assembly (SURVEY §2.7 extension surface)
     def pipeline_chain(sf_dir: str):
         from prlib_ray.pipeline import run_config

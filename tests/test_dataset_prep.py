@@ -1,0 +1,156 @@
+"""Dataset-prep operators: oracle parity + structural invariants
+(packing conservation, decontamination brute-force, shuffle determinism,
+mixing rate bounds)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from prlib_ray.api import build_queries
+
+    return build_queries()
+
+
+PREP_CASES = ["mix_sources", "shuffle_head", "decontaminate",
+              "pack_sequences"]
+
+
+@pytest.mark.parametrize("name", PREP_CASES)
+def test_prep_matches_oracle(name, con, registry, ray_session, sf_dir):
+    queries, sql = registry
+    out = queries[name](sf_dir)
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    odf = con.execute(sql[name]).df()
+    cols = sorted(df.columns)
+    assert cols == sorted(odf.columns)
+    a = df[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
+    for c in cols:
+        x, y = a[c], b[c]
+        if x.dtype != y.dtype:
+            x, y = x.astype(str), y.astype(str)
+        assert x.equals(y), f"{name}: column {c}"
+
+
+def test_pack_sequences_is_exact_global_prefix_sum(ray_session, sf_dir):
+    """The distributed two-level prefix sum must equal the straight-line
+    single-threaded cumsum over doc_id order, and packing must conserve
+    tokens (each doc's bin span covers exactly its tokens)."""
+    import re
+
+    from prlib_ray.stages.dataset_prep import PACK_BUDGET, pack_sequences
+
+    t = pq.read_table(sf_dir + "/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+    pat = re.compile("[A-Za-z0-9]+")
+    ntok = np.asarray(
+        [len(pat.findall(s)) for s in t["text"].to_pylist()], dtype=np.int64
+    )
+    o = np.argsort(ids)
+    ids, ntok = ids[o], ntok[o]
+    starts = np.cumsum(ntok) - ntok
+
+    df = pack_sequences(sf_dir).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert np.array_equal(df["doc_id"].to_numpy(), ids)
+    assert np.array_equal(df["tok_start"].to_numpy(), starts)
+    assert np.array_equal(df["first_bin"].to_numpy(), starts // PACK_BUDGET)
+    last = np.where(ntok > 0, (starts + ntok - 1) // PACK_BUDGET,
+                    starts // PACK_BUDGET)
+    nb = np.where(ntok > 0, last - starts // PACK_BUDGET + 1, 0)
+    assert np.array_equal(df["n_bins"].to_numpy(), nb)
+    # conservation: the stream ends at the total token count
+    assert starts[-1] + ntok[-1] == int(ntok.sum())
+
+
+def test_decontaminate_matches_bruteforce_strings(ray_session, sf_dir):
+    """The hashed-n-gram probe must agree with literal string-tuple
+    matching (guards the 64-bit combine against semantic drift)."""
+    from prlib_ray.stages.dataset_prep import (DECON_BENCH_MOD, DECON_NGRAM,
+                                               decontaminate)
+
+    t = pq.read_table(sf_dir + "/documents.parquet",
+                      columns=["doc_id", "text", "source"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    srcs = t["source"].to_pylist()
+
+    def grams(s):
+        w = s.split(" ")
+        return {
+            tuple(w[i:i + DECON_NGRAM])
+            for i in range(len(w) - DECON_NGRAM + 1)
+        }
+
+    bench = set()
+    for i, s in zip(ids, texts):
+        if i % DECON_BENCH_MOD == 0:
+            bench |= grams(s)
+    expected = {}
+    for i, s, src in zip(ids, texts, srcs):
+        if i % DECON_BENCH_MOD == 0:
+            continue
+        nd, nc = expected.get(src, (0, 0))
+        expected[src] = (nd + 1, nc + (1 if grams(s) & bench else 0))
+
+    df = decontaminate(sf_dir).to_pandas()
+    got = {
+        r.source: (int(r.n_docs), int(r.n_contaminated))
+        for r in df.itertuples()
+    }
+    assert got == expected
+    assert sum(c for _, c in got.values()) > 0, "vacuous fixture"
+
+
+def test_shuffle_head_deterministic_and_ranked(ray_session, sf_dir):
+    from prlib_ray.stages.dataset_prep import (SHUFFLE_K, SHUFFLE_SALT,
+                                               shuffle_head)
+
+    a = shuffle_head(sf_dir).to_pandas()
+    b = shuffle_head(sf_dir).to_pandas()
+    assert a.equals(b)
+    assert list(a["rank"]) == list(range(1, len(a) + 1))
+    assert a["doc_id"].is_unique
+    assert len(a) == min(
+        SHUFFLE_K, pq.read_metadata(sf_dir + "/documents.parquet").num_rows
+    )
+    # the hash column really is the salted md5, and ranks follow it
+    hs = [
+        hashlib.md5((SHUFFLE_SALT + str(int(i))).encode()).hexdigest()
+        for i in a["doc_id"]
+    ]
+    assert list(a["h"]) == hs
+    assert list(a["h"]) == sorted(a["h"])
+
+
+def test_mix_sources_rates(ray_session, sf_dir):
+    from prlib_ray.stages.dataset_prep import mix_sources
+
+    df = mix_sources(sf_dir).to_pandas()
+    assert (df["n_kept"] <= df["n_total"]).all()
+    for r in df.itertuples():
+        k = int(r.source[3:]) % 4
+        if k == 0:  # rate 1.0 sources keep everything
+            assert r.n_kept == r.n_total
+        else:  # sampled sources must actually drop something at 25 docs
+            assert r.n_kept < r.n_total
