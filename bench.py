@@ -169,7 +169,8 @@ def run_bench() -> dict:
                  "binarize_native_adaptive", "q1_pricing_summary",
                  "q3_top_orders", "q5_local_supplier", "deskew",
                  "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_hamming",
-                 "ann_ivf_topk", "token_count"):
+                 "ann_ivf_topk", "token_count", "decontaminate",
+                 "pack_sequences", "mix_sources"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

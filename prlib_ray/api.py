@@ -96,18 +96,19 @@ _PRIORITY = [
     "fingerprint_md5",
     "fingerprint_winnow", "multimodal_decode", "pipeline_chain",
     "split_assign", "mix_sources", "shuffle_head", "decontaminate",
-    "pack_sequences",
+    "pack_sequences", "chunk_tokens", "pii_scan", "source_term_stats",
+    "length_filter_p95",
     "q1_pricing_summary", "q3_top_orders", "q5_local_supplier",
-    "q6_forecast_revenue", "orders_by_segment",
+    "orders_by_segment",
     "events_hourly_window", "sessionize",
     "asof_latest_order", "top_orders_per_segment",
     "range_join_recent_orders", "embedding_centroids",
     "customers_without_orders", "segment_price_quantiles",
     "set_ops_users_customers", "approx_distinct_users",
     "reassemble_events", "deskew",
-    "warp_crop",
-    "source_csv_roundtrip",
     "binarize_sauvola", "denoise_kuwahara_iterated",
+    # tail (still sim+pytest covered; recorded green in earlier rounds)
+    "q6_forecast_revenue", "warp_crop", "source_csv_roundtrip",
     "top_orders", "distinct_event_types", "compare_extractions",
     "source_jsonl_roundtrip",
 ]

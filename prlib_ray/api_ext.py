@@ -179,6 +179,14 @@ def _register_data_ops(queries, sql) -> None:
     sql["decontaminate"] = oprep.DECONTAMINATE
     queries["pack_sequences"] = dataset_prep.pack_sequences
     sql["pack_sequences"] = oprep.PACK_SEQUENCES
+    queries["chunk_tokens"] = dataset_prep.chunk_tokens
+    sql["chunk_tokens"] = oprep.CHUNK_TOKENS
+    queries["pii_scan"] = dataset_prep.pii_scan
+    sql["pii_scan"] = oprep.PII_SCAN
+    queries["source_term_stats"] = dataset_prep.source_term_stats
+    sql["source_term_stats"] = oprep.SOURCE_TERM_STATS
+    queries["length_filter_p95"] = dataset_prep.length_filter_p95
+    sql["length_filter_p95"] = oprep.LENGTH_FILTER_P95
 
     # config-driven pipeline assembly (SURVEY §2.7 extension surface)
     def pipeline_chain(sf_dir: str):

@@ -86,3 +86,106 @@ SELECT doc_id,
                  ELSE (tok_start + ntok - 1) // 256 - tok_start // 256 + 1
             END AS BIGINT) AS n_bins
 FROM c ORDER BY doc_id"""
+
+# mirrors dataset_prep.chunk_tokens: overlapping 128-token windows at
+# stride 96; greatest(0, ·) makes the trunc-vs-floor division question
+# moot for short docs (both sides land on one chunk)
+CHUNK_TOKENS = """
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+               AS ntok
+    FROM documents
+),
+n AS (
+    SELECT doc_id, ntok,
+           CASE WHEN ntok = 0 THEN 0
+                ELSE 1 + greatest(0, (ntok - 128 + 95) // 96)
+           END AS nc
+    FROM t
+),
+sel AS (
+    SELECT doc_id, ntok,
+           unnest(generate_series(0, CAST(nc - 1 AS BIGINT))) AS i
+    FROM n WHERE nc > 0
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * 96 AS BIGINT) AS tok_lo,
+       CAST(least(i * 96 + 128, ntok) AS BIGINT) AS tok_hi
+FROM sel ORDER BY doc_id, chunk_idx"""
+
+# mirrors dataset_prep.pii_scan, including the deterministic PII
+# augmentation (the raw corpus has no PII-shaped strings — without the
+# planted tails this check would be vacuous); RE2 both sides, email
+# stripped before phone in the redaction-length pass
+PII_SCAN = """
+WITH a AS (
+    SELECT source,
+           text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com now'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' call 555-0199' ELSE '' END
+               AS t
+    FROM documents
+),
+m AS (
+    SELECT source,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+'))
+                AS BIGINT) AS ne,
+           CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS np,
+           CAST(length(t) - length(
+                regexp_replace(
+                    regexp_replace(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '', 'g'),
+                    '555-[0-9]{4}', '', 'g')) AS BIGINT) AS nr
+    FROM a
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN ne + np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_with_pii,
+       CAST(sum(ne) AS BIGINT) AS n_email,
+       CAST(sum(np) AS BIGINT) AS n_phone,
+       CAST(sum(nr) AS BIGINT) AS n_chars_redacted
+FROM m GROUP BY source ORDER BY source"""
+
+# mirrors dataset_prep.length_filter_p95: exact p95 = token count at
+# 0-based sorted index (95*(N-1))//100
+LENGTH_FILTER_P95 = """
+WITH t AS (
+    SELECT source,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+               AS ntok
+    FROM documents
+),
+p AS (
+    SELECT min(ntok) AS p95 FROM (
+        SELECT ntok,
+               row_number() OVER (ORDER BY ntok) AS rn,
+               count(*) OVER () AS n
+        FROM t
+    ) WHERE rn = 1 + (95 * (n - 1)) // 100
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN ntok > (SELECT p95 FROM p) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_long,
+       CAST((SELECT p95 FROM p) AS BIGINT) AS p95_tokens
+FROM t GROUP BY source ORDER BY source"""
+
+# mirrors dataset_prep.source_term_stats: per-source vocabulary profile
+SOURCE_TERM_STATS = """
+WITH words AS (
+    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tc AS (
+    SELECT source, w, count(*) AS c FROM words WHERE w <> ''
+    GROUP BY source, w
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(c) AS BIGINT) AS top_count
+FROM tc GROUP BY source ORDER BY source"""

@@ -386,3 +386,344 @@ def pack_sequences(sf_dir: str):
         )
 
     return small.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking (1 doc row -> N chunk rows)
+
+CHUNK_WINDOW = 128  # tokens per chunk
+CHUNK_STRIDE = 96   # overlap = CHUNK_WINDOW - CHUNK_STRIDE
+
+
+def chunk_tokens(sf_dir: str):
+    """Context-window chunking: explode each document into overlapping
+    CHUNK_WINDOW-token windows at CHUNK_STRIDE (the retrieval/training
+    chunker).  Pure per-batch flat explode — token counting is one Arrow
+    regex pass, the row expansion one np.repeat/arange, no shuffle at
+    any scale."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    W, S = CHUNK_WINDOW, CHUNK_STRIDE
+
+    def explode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table(
+                {"doc_id": z, "chunk_idx": z, "tok_lo": z, "tok_hi": z}
+            )
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        ntok = pc.cast(
+            pc.count_substring_regex(b["text"], pattern=TOKEN_PATTERN),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        nc = np.where(
+            ntok == 0, 0, 1 + np.maximum(0, (ntok - W + S - 1) // S)
+        ).astype(np.int64)
+        total = int(nc.sum())
+        doc_rep = np.repeat(ids, nc)
+        ntok_rep = np.repeat(ntok, nc)
+        base = np.repeat(np.cumsum(nc) - nc, nc)
+        ci = np.arange(total, dtype=np.int64) - base
+        lo = ci * S
+        hi = np.minimum(lo + W, ntok_rep)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep),
+                "chunk_idx": pa.array(ci),
+                "tok_lo": pa.array(lo),
+                "tok_hi": pa.array(hi),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# PII scanning (deterministically augmented input — the raw corpus
+# contains no PII-shaped strings, which would make the check vacuous;
+# the oracle mirrors the same augmentation with string concat)
+
+PII_EMAIL_MOD = 7    # doc_id % 7 == 0 -> planted email
+PII_PHONE_MOD = 11   # doc_id % 11 == 0 -> planted phone number
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+PII_PHONE_PATTERN = r"555-[0-9]{4}"
+
+
+def _augment_pii(ids: np.ndarray, texts: pa.Array) -> pa.Array:
+    tails = np.asarray(
+        [
+            ((" contact user%d@example.com now" % i) if i % PII_EMAIL_MOD == 0
+             else "")
+            + (" call 555-0199" if i % PII_PHONE_MOD == 0 else "")
+            for i in ids
+        ],
+        dtype=object,
+    )
+    return pc.binary_join_element_wise(
+        texts, pa.array(tails, type=pa.string()), ""
+    )
+
+
+def pii_scan(sf_dir: str):
+    """PII scrubbing scan: per source, docs containing PII, email/phone
+    match counts, and the chars a redaction pass would remove.  Counting
+    and redaction-length are Arrow regex kernels; per-batch partial
+    counts -> tiny groupby (document rows never shuffle)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table(
+                {"source": pa.array([], type=pa.string()),
+                 "one_sum": z, "pii_sum": z, "email_sum": z,
+                 "phone_sum": z, "red_sum": z}
+            )
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        text = _augment_pii(ids, b["text"])
+        ne = pc.cast(
+            pc.count_substring_regex(text, pattern=PII_EMAIL_PATTERN),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        np_ = pc.cast(
+            pc.count_substring_regex(text, pattern=PII_PHONE_PATTERN),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        red = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                text, pattern=PII_EMAIL_PATTERN, replacement=""
+            ),
+            pattern=PII_PHONE_PATTERN,
+            replacement="",
+        )
+        nred = (
+            pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+            - pc.utf8_length(red).to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "source": b["source"],
+                "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+                "pii": pa.array(((ne + np_) > 0).astype(np.int64)),
+                "email": pa.array(ne),
+                "phone": pa.array(np_),
+                "red": pa.array(nred.astype(np.int64)),
+            }
+        )
+        return t.group_by("source").aggregate(
+            [("one", "sum"), ("pii", "sum"), ("email", "sum"),
+             ("phone", "sum"), ("red", "sum")]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("one_sum", alias_name="n_docs"),
+            Sum("pii_sum", alias_name="n_docs_with_pii"),
+            Sum("email_sum", alias_name="n_email"),
+            Sum("phone_sum", alias_name="n_phone"),
+            Sum("red_sum", alias_name="n_chars_redacted"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# percentile length filter (exact distributed quantile over a bounded
+# integer domain)
+
+LENGTH_PCT = 95
+
+
+def length_filter_p95(sf_dir: str):
+    """Length-outlier filter: exact corpus-wide p95 of the token count
+    (value at 0-based sorted index (95*(N-1))//100), then per-source
+    totals and how many docs exceed it.
+
+    The quantile is EXACT and distributed without any sort: token
+    counts live in a bounded integer domain, so a per-batch
+    np.unique histogram partial + a tiny (value, count) groupby gives
+    the full distribution; the driver folds the (small) histogram,
+    walks the cumsum to the index, and the second pass probes with a
+    captured scalar.  Texts are dropped after the first map — only
+    (source, ntok) int/str rows flow."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from prlib_ray.relational import _collect_columns
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def to_ntok(b: pa.Table) -> pa.Table:
+        ntok = pc.cast(
+            pc.count_substring_regex(b["text"], pattern=TOKEN_PATTERN),
+            pa.int64(),
+        )
+        return pa.table({"source": b["source"], "ntok": ntok})
+
+    small = ds.map_batches(
+        to_ntok, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def hist(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"val": z, "c": z})
+        vals, cnts = np.unique(
+            b["ntok"].to_numpy().astype(np.int64), return_counts=True
+        )
+        return pa.table(
+            {"val": pa.array(vals), "c": pa.array(cnts.astype(np.int64))}
+        )
+
+    h = _collect_columns(
+        small.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("val")
+        .aggregate(Sum("c", alias_name="n")),
+        ["val", "n"],
+    )
+    vals = h["val"].astype(np.int64)
+    cnts = h["n"].astype(np.int64)
+    o = np.argsort(vals)
+    vals, cnts = vals[o], cnts[o]
+    total = int(cnts.sum())
+    k = (LENGTH_PCT * (total - 1)) // 100  # 0-based index into the sort
+    p95 = int(vals[np.searchsorted(np.cumsum(cnts), k + 1)])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table(
+                {"source": pa.array([], type=pa.string()),
+                 "one_sum": z, "long_sum": z}
+            )
+        ntok = b["ntok"].to_numpy().astype(np.int64)
+        t = pa.table(
+            {
+                "source": b["source"],
+                "one": pa.array(np.ones(len(ntok), dtype=np.int64)),
+                "long": pa.array((ntok > p95).astype(np.int64)),
+            }
+        )
+        return t.group_by("source").aggregate([("one", "sum"), ("long", "sum")])
+
+    agg = (
+        small.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("one_sum", alias_name="n_total"),
+            Sum("long_sum", alias_name="n_long"),
+        )
+    )
+
+    def attach_p95(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "p95_tokens",
+            pa.array(np.full(b.num_rows, p95, dtype=np.int64)),
+        )
+
+    return agg.map_batches(attach_p95, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# per-source term statistics (hierarchical wide-key aggregation)
+
+
+def source_term_stats(sf_dir: str):
+    """Per-source corpus term stats: total non-empty words, distinct
+    terms, and the hottest term's count — the vocabulary profile a
+    mixing/filtering decision reads.
+
+    Hierarchical aggregation: per-batch (source, term) partial counts
+    (composite-key np.unique over dictionary codes) pre-combine BEFORE
+    the shuffle, so the exchanged rows are bounded by per-batch
+    vocabulary, not word count; a (source, term) groupby folds the
+    partials, then a per-source groupby reduces to 3 numbers.  The
+    word stream itself never shuffles."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"source": pa.array([], type=pa.string()),
+                 "term": pa.array([], type=pa.string()),
+                 "c_sum": pa.array([], type=pa.int64())}
+            )
+        words, doc_of_word, _ = _flat_words(b)
+        src = np.asarray(b["source"].to_pylist(), dtype=object)
+        usrc, src_code = np.unique(src, return_inverse=True)
+        nonempty = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        dict_arr = pc.dictionary_encode(words)
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        term_of_code = np.asarray(dict_arr.dictionary.to_pylist(),
+                                  dtype=object)
+        vocab = len(term_of_code) if len(term_of_code) else 1
+        s = src_code[doc_of_word[nonempty]]
+        c = codes[nonempty]
+        key = s * vocab + c
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "source": pa.array(usrc[(uniq // vocab).astype(np.int64)],
+                                   type=pa.string()),
+                "term": pa.array(term_of_code[(uniq % vocab).astype(np.int64)],
+                                 type=pa.string()),
+                "c_sum": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    per_term = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "term"])
+        .aggregate(Sum("c_sum", alias_name="c"))
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table(
+                {"source": pa.array([], type=pa.string()),
+                 "w_sum": z, "d_sum": z, "t_max": z}
+            )
+        t = pa.table(
+            {
+                "source": b["source"],
+                "w": b["c"],
+                "d": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "t": b["c"],
+            }
+        )
+        return t.group_by("source").aggregate(
+            [("w", "sum"), ("d", "sum"), ("t", "max")]
+        )
+
+    return (
+        per_term.map_batches(fold, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("w_sum", alias_name="n_words"),
+            Sum("d_sum", alias_name="n_distinct"),
+            Max("t_max", alias_name="top_count"),
+        )
+    )

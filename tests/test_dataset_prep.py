@@ -30,7 +30,8 @@ def registry():
 
 
 PREP_CASES = ["mix_sources", "shuffle_head", "decontaminate",
-              "pack_sequences"]
+              "pack_sequences", "chunk_tokens", "pii_scan",
+              "source_term_stats", "length_filter_p95"]
 
 
 @pytest.mark.parametrize("name", PREP_CASES)
@@ -141,6 +142,42 @@ def test_shuffle_head_deterministic_and_ranked(ray_session, sf_dir):
     ]
     assert list(a["h"]) == hs
     assert list(a["h"]) == sorted(a["h"])
+
+
+def test_chunk_tokens_covers_stream(ray_session, sf_dir):
+    """Chunks must tile each doc: first window starts at 0, the last
+    reaches n_tokens, and consecutive windows overlap by exactly
+    WINDOW - STRIDE (except a shorter final window)."""
+    from prlib_ray.stages.dataset_prep import (CHUNK_STRIDE, CHUNK_WINDOW,
+                                               chunk_tokens)
+
+    df = chunk_tokens(sf_dir).to_pandas().sort_values(
+        ["doc_id", "chunk_idx"]).reset_index(drop=True)
+    assert (df["tok_hi"] > df["tok_lo"]).all()
+    for doc_id, g in df.groupby("doc_id"):
+        lo = g["tok_lo"].to_numpy()
+        hi = g["tok_hi"].to_numpy()
+        assert lo[0] == 0
+        assert np.array_equal(
+            lo, np.arange(len(g), dtype=np.int64) * CHUNK_STRIDE
+        )
+        # every token index < max(hi) is inside some window
+        assert (hi[:-1] - lo[1:] >= 0).all() or len(g) == 1
+        assert (hi[:-1] == lo[:-1] + CHUNK_WINDOW).all()
+
+
+def test_pii_scan_plants_are_found(ray_session, sf_dir):
+    from prlib_ray.stages.dataset_prep import (PII_EMAIL_MOD, PII_PHONE_MOD,
+                                               pii_scan)
+
+    t = pq.read_table(sf_dir + "/documents.parquet", columns=["doc_id"])
+    ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+    df = pii_scan(sf_dir).to_pandas()
+    assert int(df["n_email"].sum()) == int((ids % PII_EMAIL_MOD == 0).sum())
+    assert int(df["n_phone"].sum()) == int((ids % PII_PHONE_MOD == 0).sum())
+    assert int(df["n_docs"].sum()) == len(ids)
+    assert int(df["n_docs_with_pii"].sum()) > 0
+    assert (df["n_chars_redacted"] > 0).any()
 
 
 def test_mix_sources_rates(ray_session, sf_dir):
