@@ -97,7 +97,7 @@ _PRIORITY = [
     "fingerprint_winnow", "multimodal_decode", "pipeline_chain",
     "split_assign", "mix_sources", "shuffle_head", "decontaminate",
     "pack_sequences", "chunk_tokens", "pii_scan", "source_term_stats",
-    "length_filter_p95",
+    "length_filter_p95", "sample_per_source",
     "q1_pricing_summary", "q3_top_orders", "q5_local_supplier",
     "orders_by_segment",
     "events_hourly_window", "sessionize",

@@ -187,6 +187,8 @@ def _register_data_ops(queries, sql) -> None:
     sql["source_term_stats"] = oprep.SOURCE_TERM_STATS
     queries["length_filter_p95"] = dataset_prep.length_filter_p95
     sql["length_filter_p95"] = oprep.LENGTH_FILTER_P95
+    queries["sample_per_source"] = dataset_prep.sample_per_source
+    sql["sample_per_source"] = oprep.SAMPLE_PER_SOURCE
 
     # config-driven pipeline assembly (SURVEY §2.7 extension surface)
     def pipeline_chain(sf_dir: str):

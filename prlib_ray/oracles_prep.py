@@ -32,6 +32,23 @@ WITH h AS (
 SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rank, doc_id, h
 FROM h ORDER BY h LIMIT 100"""
 
+# mirrors dataset_prep.sample_per_source: per-source seeded shuffle,
+# first K ranked (md5 is collision-free on these ids, so the order —
+# and therefore rank — is total)
+SAMPLE_PER_SOURCE = """
+WITH h AS (
+    SELECT source, doc_id,
+           md5('sample:' || CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+),
+r AS (
+    SELECT source, doc_id, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM h
+)
+SELECT source, CAST(rn AS BIGINT) AS rank, doc_id, h
+FROM r WHERE rn <= 10 ORDER BY source, rank"""
+
 # mirrors dataset_prep.decontaminate: benchmark = doc_id % 97 == 0;
 # a training doc is contaminated iff it shares any 3-word n-gram (split
 # on single spaces, windows inside one doc) with the benchmark slice.

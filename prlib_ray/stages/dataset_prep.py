@@ -152,6 +152,78 @@ def shuffle_head(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# stratified per-source sample (grouped top-K combiner)
+
+SAMPLE_SALT = "sample:"
+SAMPLE_PER_SOURCE = 10
+
+
+def sample_per_source(sf_dir: str):
+    """Stratified sampling: the first SAMPLE_PER_SOURCE docs of each
+    source's seeded shuffle (order = md5(salt || doc_id)) — the
+    per-domain holdout picker.  Grouped top-K as a combiner: each batch
+    keeps at most K rows PER SOURCE (vectorized run-boundary rank mask,
+    no Python loop), so the per-source groupby only shuffles
+    K x sources x batches candidate rows, never the corpus."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    K = SAMPLE_PER_SOURCE
+
+    def _ranked_topk(src: np.ndarray, ids: np.ndarray, hs: np.ndarray):
+        """(keep mask applied) arrays sorted by (source, h), rank 1..K."""
+        order = np.lexsort((hs, src))
+        src_s, ids_s, hs_s = src[order], ids[order], hs[order]
+        new = np.r_[True, src_s[1:] != src_s[:-1]]
+        run_start = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        rank = np.arange(len(src_s)) - run_start[run_id]
+        keep = rank < K
+        return src_s[keep], ids_s[keep], hs_s[keep], (rank[keep] + 1)
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"source": pa.array([], type=pa.string()),
+                 "doc_id": pa.array([], type=pa.int64()),
+                 "h": pa.array([], type=pa.string())}
+            )
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        src = np.asarray(b["source"].to_pylist(), dtype=object)
+        hs = np.asarray(
+            [hashlib.md5((SAMPLE_SALT + str(int(i))).encode()).hexdigest()
+             for i in ids],
+            dtype=object,
+        )
+        s, i, h, _ = _ranked_topk(src, ids, hs)
+        return pa.table(
+            {
+                "source": pa.array(s, type=pa.string()),
+                "doc_id": pa.array(i),
+                "h": pa.array(h, type=pa.string()),
+            }
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        src = g["source"].to_numpy().astype(object)
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        hs = g["h"].to_numpy().astype(object)
+        s, i, h, r = _ranked_topk(src, ids, hs)
+        return pd.DataFrame(
+            {"source": s, "rank": r.astype(np.int64), "doc_id": i, "h": h}
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination
 
 DECON_BENCH_MOD = 97  # doc_id % 97 == 0 -> held-out "benchmark" doc

@@ -31,7 +31,8 @@ def registry():
 
 PREP_CASES = ["mix_sources", "shuffle_head", "decontaminate",
               "pack_sequences", "chunk_tokens", "pii_scan",
-              "source_term_stats", "length_filter_p95"]
+              "source_term_stats", "length_filter_p95",
+              "sample_per_source"]
 
 
 @pytest.mark.parametrize("name", PREP_CASES)
