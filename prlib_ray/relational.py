@@ -139,12 +139,13 @@ def q3_top_orders(sf_dir: str):
     * the BUILDING custkeys come from a DISTRIBUTED pruned/filtered scan
       of customer; only the key column folds back (bloom/semi-join
       stand-in, sorted for vectorized searchsorted probes);
-    * qualifying orders stay a Dataset (pruned scan + pushdown date
-      filter + broadcast-key semi-join in map_batches); only their
-      orderkey column folds back for the lineitem semi-join broadcast;
-    * the final date attach probes that same orders DATASET with the 10
-      winning keys (distributed filter + take of <= 10 rows) — no
-      {orderkey: date} dict of a fact table ever exists."""
+    * qualifying orders are computed distributed (pruned scan + pushdown
+      date filter + broadcast-key semi-join in map_batches); ONE fold
+      brings back the (orderkey, orderdate) pair — the lineitem
+      semi-join broadcast set plus the date needed for the final attach
+      (searchsorted on the 10 winning keys, driver-side) — so no
+      {orderkey: date} dict of a fact table ever exists and the whole
+      query is three execution rounds, not five."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
@@ -177,14 +178,19 @@ def q3_top_orders(sf_dir: str):
             {"o_orderkey": b["o_orderkey"], "o_orderdate": b["o_orderdate"]}
         )
 
-    # qualifying orders: a Dataset, materialized once (feeds both the
-    # orderkey broadcast and the final 10-key date probe)
-    qual = ord_ds.map_batches(
-        semi_cust, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-    okeys = np.sort(
-        _collect_columns(qual, ["o_orderkey"])["o_orderkey"].astype(np.int64)
+    # qualifying orders: ONE distributed pass folds back the pruned
+    # (orderkey, orderdate) pair — the semi-join broadcast set plus the
+    # 8 bytes/key needed for the final date attach, so no separate
+    # materialize + date-probe execution rounds exist
+    qual_cols = _collect_columns(
+        ord_ds.map_batches(
+            semi_cust, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["o_orderkey", "o_orderdate"],
     )
+    order = np.argsort(qual_cols["o_orderkey"].astype(np.int64))
+    okeys = qual_cols["o_orderkey"].astype(np.int64)[order]
+    odates = qual_cols["o_orderdate"][order]
     ref = ray.put(okeys)
 
     ds = rd.read_parquet(
@@ -219,31 +225,18 @@ def q3_top_orders(sf_dir: str):
         .limit(10)
         .take_all()  # exactly 10 rows: the query RESULT, not a fact side
     )
-    win_keys = np.sort(np.array([r["l_orderkey"] for r in top], dtype=np.int64))
-    win_ref = ray.put(win_keys)
-
-    def probe_dates(b: pa.Table) -> pa.Table:
-        wk = ray.get(win_ref)
-        k = b["o_orderkey"].to_numpy().astype(np.int64)
-        idx = np.searchsorted(wk, k)
-        ok = (idx < len(wk)) & (wk[np.minimum(idx, len(wk) - 1)] == k)
-        return b.filter(pa.array(ok))
-
-    date_rows = qual.map_batches(
-        probe_dates, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()  # <= 10 rows
-    odate = {r["o_orderkey"]: r["o_orderdate"] for r in date_rows}
+    # date attach: searchsorted into the already-folded qualifying-order
+    # arrays, driver-side, on exactly the 10 winning rows
+    win_keys = np.array([r["l_orderkey"] for r in top], dtype=np.int64)
+    pos = np.searchsorted(okeys, win_keys)
+    win_dates = odates[pos]
     return pa.table(
         {
-            "l_orderkey": pa.array(
-                [r["l_orderkey"] for r in top], type=pa.int64()
-            ),
+            "l_orderkey": pa.array(win_keys, type=pa.int64()),
             "revenue_cents": pa.array(
                 [r["revenue_cents"] for r in top], type=pa.int64()
             ),
-            "o_orderdate": pa.array(
-                [odate[r["l_orderkey"]] for r in top], type=pa.timestamp("us")
-            ),
+            "o_orderdate": pa.array(win_dates, type=pa.timestamp("us")),
         }
     )
 
