@@ -104,10 +104,11 @@ _PRIORITY = [
     "asof_latest_order", "top_orders_per_segment",
     "range_join_recent_orders", "embedding_centroids",
     "customers_without_orders", "segment_price_quantiles",
+    "unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction",
     "set_ops_users_customers", "approx_distinct_users",
     "reassemble_events", "deskew",
-    "binarize_sauvola", "denoise_kuwahara_iterated",
     # tail (still sim+pytest covered; recorded green in earlier rounds)
+    "binarize_sauvola", "denoise_kuwahara_iterated",
     "q6_forecast_revenue", "warp_crop", "source_csv_roundtrip",
     "top_orders", "distinct_event_types", "compare_extractions",
     "source_jsonl_roundtrip",

@@ -190,6 +190,18 @@ def _register_data_ops(queries, sql) -> None:
     queries["sample_per_source"] = dataset_prep.sample_per_source
     sql["sample_per_source"] = oprep.SAMPLE_PER_SOURCE
 
+    # corpus-statistics family: corpus-wide side tables (vocabulary /
+    # document frequency / cross-doc n-gram counts) attached back per doc
+    from prlib_ray import oracles_corpus as ocorp
+    from prlib_ray.stages import corpus_stats
+
+    queries["unigram_freq_score"] = corpus_stats.unigram_freq_score
+    sql["unigram_freq_score"] = ocorp.UNIGRAM_FREQ_SCORE
+    queries["tfidf_top_term"] = corpus_stats.tfidf_top_term
+    sql["tfidf_top_term"] = ocorp.TFIDF_TOP_TERM
+    queries["dup_ngram_fraction"] = corpus_stats.dup_ngram_fraction
+    sql["dup_ngram_fraction"] = ocorp.DUP_NGRAM_FRACTION
+
     # config-driven pipeline assembly (SURVEY §2.7 extension surface)
     def pipeline_chain(sf_dir: str):
         from prlib_ray.pipeline import run_config

@@ -1,0 +1,80 @@
+"""DuckDB oracles for the corpus-statistics operators
+(stages/corpus_stats.py).
+
+Tokenization is the module's shared convention: split on single
+spaces; empty tokens are dropped for the word/term ops and retained
+inside n-gram windows (the same convention as oracles_prep's
+decontamination 3-grams).  The Ray side operates on md5-derived window
+hashes; equal windows always collide, so the string-gram SQL here is
+the exact mirror (the collision assumption is pinned by a brute-force
+test, tests/test_corpus_stats.py).
+"""
+
+# mirrors corpus_stats.unigram_freq_score: corpus-wide word counts
+# joined back per occurrence; docs with no non-empty words drop out
+UNIGRAM_FREQ_SCORE = """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+nz AS (SELECT doc_id, w FROM words WHERE w <> ''),
+vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM nz GROUP BY w)
+SELECT n.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(v.c) AS BIGINT) AS freq_sum,
+       CAST(min(v.c) AS BIGINT) AS min_freq
+FROM nz n JOIN vocab v USING (w)
+GROUP BY n.doc_id ORDER BY n.doc_id"""
+
+# mirrors corpus_stats.tfidf_top_term: argmax of tf/df per doc (N is a
+# per-corpus constant, so maximizing tf/df maximizes tf-idf), ties by
+# the lexically smallest term.  tf*1.0/df is the same IEEE double
+# division the Ray side evaluates on exact-int operands.
+TFIDF_TOP_TERM = """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+nz AS (SELECT doc_id, w FROM words WHERE w <> ''),
+tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       FROM nz GROUP BY doc_id, w),
+df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM nz GROUP BY w),
+s AS (
+    SELECT tf.doc_id, tf.w, tf.tf, df.df,
+           row_number() OVER (PARTITION BY tf.doc_id
+                              ORDER BY tf.tf * 1.0 / df.df DESC, tf.w ASC)
+               AS rn
+    FROM tf JOIN df USING (w)
+)
+SELECT doc_id, w AS term, tf, df FROM s WHERE rn = 1 ORDER BY doc_id"""
+
+# mirrors corpus_stats.dup_ngram_fraction: 8-word windows inside one
+# doc (NULL-propagating || drops the short tails exactly like the Ray
+# side's same-doc mask); a window is duplicated iff its gram occurs in
+# >= 2 distinct docs; counts are WINDOW occurrences, not distinct grams
+DUP_NGRAM_FRACTION = """
+WITH words AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+),
+ng AS (
+    SELECT doc_id,
+           w || ' ' || lead(w, 1) OVER p || ' ' || lead(w, 2) OVER p
+             || ' ' || lead(w, 3) OVER p || ' ' || lead(w, 4) OVER p
+             || ' ' || lead(w, 5) OVER p || ' ' || lead(w, 6) OVER p
+             || ' ' || lead(w, 7) OVER p AS g
+    FROM words WINDOW p AS (PARTITION BY doc_id ORDER BY i)
+),
+v AS (SELECT doc_id, g FROM ng WHERE g IS NOT NULL),
+dup AS (
+    SELECT g FROM v GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN g IN (SELECT g FROM dup) THEN 1 ELSE 0 END)
+            AS BIGINT) AS dup_windows,
+       CAST((100 * sum(CASE WHEN g IN (SELECT g FROM dup) THEN 1 ELSE 0
+                       END))
+            // greatest(count(*), 1) AS BIGINT) AS dup_pct
+FROM v GROUP BY doc_id ORDER BY doc_id"""

@@ -1,0 +1,530 @@
+"""Corpus-level statistics operators for training-data curation:
+unigram corpus-frequency scoring (rare-word quality signal), per-doc
+TF-IDF top term, and the Gopher-style duplicate-n-gram fraction.
+
+These need a CORPUS-WIDE side table (vocabulary counts / document
+frequencies / cross-document n-gram counts) attached back to every
+document — the canonical two-pass shape of large-scale data curation.
+The vocabulary side is size-gated like relational._probe_join:
+
+* below ``VOCAB_BROADCAST_MAX_ROWS`` the folded (word, count) arrays
+  broadcast once via ``ray.put`` and every batch probes with one
+  ``np.searchsorted`` (zero extra shuffle);
+* above it the exploded per-doc word rows hash-join the vocabulary
+  Dataset (``Dataset.join``) and fold per doc through the
+  coarse-partition pattern (dedup.py:165) — no driver materialization
+  of a corpus-sized table ever happens.
+
+``via="auto"`` picks the layout from the counted vocab size; pytest
+pins the two layouts byte-equal.
+
+All outputs are integers/strings (plus one exactly-mirrored float
+ordering for the TF-IDF argmax), so every op has an exact DuckDB
+oracle (oracles_corpus.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from prlib_ray.stages.dataset_prep import _word_hashes
+from prlib_ray.stages.text_analysis import _flat_words
+
+# Broadcast-vs-join gate for the vocabulary side.  Raw-word vocabularies
+# are zipfian: even web-scale corpora stay in the 10^8 range, but the
+# join layout exists for when they don't.
+VOCAB_BROADCAST_MAX_ROWS = 5_000_000
+
+# Coarse shuffle partitions for the per-doc fold on the join path — the
+# dedup.py coarse-partition discipline (one vectorized pass per part,
+# never a per-doc Ray group).
+N_CORPUS_PARTS = 32
+
+
+def _n_join_parts() -> int:
+    """Join aggregators are ACTORS: sizing num_partitions above the CPU
+    count stalls the pipeline (dedup._join_partitions lesson, NOTES_r2).
+    Half the CPUs, floor 2."""
+    from prlib_ray.stages.dedup import _join_partitions
+
+    return _join_partitions()
+
+DUP_NGRAM = 8  # window size for the duplicate-n-gram fraction
+
+# Odd 64-bit mixing multipliers, one per n-gram position (extends the
+# 3-slot scheme of dataset_prep._ngram_ids to order-8 windows; equal
+# word windows always collide, unequal ones with ~2^-64 probability —
+# pinned against a string-tuple brute force in tests).
+_POS_MULT = np.array(
+    [
+        0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+        0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD,
+        0xC4CEB9FE1A85EC53, 0x2545F4914F6CDD1D,
+    ],
+    dtype=np.uint64,
+)
+
+
+# ---------------------------------------------------------------------------
+# shared vocabulary-side builders
+
+
+def _word_count_partial(b: pa.Table) -> pa.Table:
+    """Per-batch (word, occurrences) partial — dictionary codes +
+    bincount, empty words dropped; the pre-combine before the vocab
+    groupby so the shuffle moves per-batch vocabulary, not words."""
+    if b.num_rows == 0:
+        return pa.table(
+            {"w": pa.array([], type=pa.string()),
+             "c": pa.array([], type=pa.int64())}
+        )
+    words, _, _ = _flat_words(b)
+    nonempty = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+    dict_arr = pc.dictionary_encode(words)
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    terms = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
+    cnt = np.bincount(codes[nonempty], minlength=len(terms)).astype(np.int64)
+    keep = cnt > 0
+    return pa.table(
+        {"w": pa.array(terms[keep], type=pa.string()),
+         "c": pa.array(cnt[keep])}
+    )
+
+
+def _doc_freq_partial(b: pa.Table) -> pa.Table:
+    """Per-batch (word, n_docs_containing) partial.  Rows are whole
+    documents, so per-batch per-doc distinctness is complete."""
+    if b.num_rows == 0:
+        return pa.table(
+            {"w": pa.array([], type=pa.string()),
+             "c": pa.array([], type=pa.int64())}
+        )
+    words, doc_of_word, _ = _flat_words(b)
+    nonempty = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+    dict_arr = pc.dictionary_encode(words)
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    terms = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
+    key = doc_of_word[nonempty] * max(len(terms), 1) + codes[nonempty]
+    uniq = np.unique(key)  # distinct (doc, word)
+    df = np.bincount(
+        (uniq % max(len(terms), 1)).astype(np.int64), minlength=len(terms)
+    ).astype(np.int64)
+    keep = df > 0
+    return pa.table(
+        {"w": pa.array(terms[keep], type=pa.string()),
+         "c": pa.array(df[keep])}
+    )
+
+
+def _vocab_dataset(sf_dir: str, partial_fn):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return (
+        ds.map_batches(partial_fn, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="n"))
+    )
+
+
+def _resolve_via(via: str, vocab) -> tuple[str, object]:
+    """('broadcast'|'join', materialized vocab Dataset).  The count that
+    drives the gate is metadata-cheap on the materialized result."""
+    mat = vocab.materialize()
+    if via == "auto":
+        via = ("broadcast" if mat.count() <= VOCAB_BROADCAST_MAX_ROWS
+               else "join")
+    return via, mat
+
+
+def _rename_vocab(mat):
+    """(w, n) -> (vw, n) so the hash join's key columns can't collide."""
+    def ren(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["vw", "n"])
+
+    return mat.map_batches(ren, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _fold_vocab(mat) -> tuple[np.ndarray, np.ndarray]:
+    from prlib_ray.relational import _collect_columns
+
+    cols = _collect_columns(mat, ["w", "n"])
+    w = cols["w"].astype(object)
+    n = cols["n"].astype(np.int64)
+    o = np.argsort(w, kind="stable")
+    return w[o], n[o]
+
+
+# ---------------------------------------------------------------------------
+# unigram corpus-frequency score (rare-word quality signal)
+
+
+def unigram_freq_score(sf_dir: str, *, via: str = "auto"):
+    """Per doc: word count, summed corpus frequency of its words, and
+    the rarest word's corpus count — the signal a rare-token / OCR-junk
+    filter thresholds on (docs full of corpus-rare words score low).
+
+    Two passes: (1) corpus vocabulary counts (per-batch partial +
+    word groupby); (2) per-doc attach, size-gated broadcast-vs-join as
+    documented in the module docstring.  Docs with zero non-empty words
+    drop out (inner-join semantics, mirrored by the oracle)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    via, vocab_mat = _resolve_via(via, _vocab_dataset(sf_dir, _word_count_partial))
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    if via == "broadcast":
+        vw, vn = _fold_vocab(vocab_mat)
+        ref = ray.put((vw, vn))
+
+        def score(b: pa.Table) -> pa.Table:
+            z = pa.array([], type=pa.int64())
+            if b.num_rows == 0:
+                return pa.table(
+                    {"doc_id": z, "n_words": z, "freq_sum": z, "min_freq": z}
+                )
+            vw, vn = ray.get(ref)
+            words, doc_of_word, ndocs = _flat_words(b)
+            nonempty = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+            w = np.asarray(words.to_pylist(), dtype=object)[nonempty]
+            d = doc_of_word[nonempty]
+            cnt = vn[np.searchsorted(vw, w)]  # every word is in the vocab
+            nw = np.bincount(d, minlength=ndocs).astype(np.int64)
+            fs = np.bincount(d, weights=cnt, minlength=ndocs).astype(np.int64)
+            # per-doc min over the (already doc-ordered) word stream
+            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            mins = np.zeros(ndocs, dtype=np.int64)
+            if len(d):
+                mins[d[starts]] = np.minimum.reduceat(cnt, starts)
+            keep = nw > 0
+            ids = b["doc_id"].to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[keep]),
+                    "n_words": pa.array(nw[keep]),
+                    "freq_sum": pa.array(fs[keep]),
+                    "min_freq": pa.array(mins[keep]),
+                }
+            )
+
+        return docs.map_batches(score, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    # join layout: exploded per-doc (word, occurrences) rows hash-join
+    # the vocabulary; per-doc sums/min via groupby aggregation
+    def explode(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table(
+                {"doc_id": z, "w": pa.array([], type=pa.string()), "tf": z}
+            )
+        words, doc_of_word, _ = _flat_words(b)
+        nonempty = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        dict_arr = pc.dictionary_encode(words)
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        terms = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
+        vocab = max(len(terms), 1)
+        key = doc_of_word[nonempty] * vocab + codes[nonempty]
+        uniq, tf = np.unique(key, return_counts=True)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[(uniq // vocab).astype(np.int64)]),
+                "w": pa.array(terms[(uniq % vocab).astype(np.int64)],
+                              type=pa.string()),
+                "tf": pa.array(tf.astype(np.int64)),
+            }
+        )
+
+    joined = (
+        docs.map_batches(explode, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .repartition(N_CORPUS_PARTS)  # coalesce empty/sparse blocks pre-join
+        .join(_rename_vocab(vocab_mat), "inner",
+              num_partitions=_n_join_parts(), on=("w",), right_on=("vw",))
+    )
+
+    def weighted(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table(
+                {"doc_id": z, "nw": z, "fs": z, "mn": z}
+            )
+        tf = b["tf"].to_numpy().astype(np.int64)
+        n = b["n"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "nw": pa.array(tf),
+                "fs": pa.array(tf * n),
+                "mn": pa.array(n),
+            }
+        )
+
+    return (
+        joined.map_batches(weighted, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(
+            Sum("nw", alias_name="n_words"),
+            Sum("fs", alias_name="freq_sum"),
+            Min("mn", alias_name="min_freq"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-doc TF-IDF top term
+
+
+def tfidf_top_term(sf_dir: str, *, via: str = "auto"):
+    """Per doc, the term maximizing tf/df (N is constant per corpus, so
+    the idf log is order-irrelevant), ties broken by the lexically
+    smallest term — the one-word topic label a curation dashboard shows.
+
+    The df side is the size-gated vocabulary pattern; the per-doc argmax
+    is a vectorized run-boundary pass (lexsort by (doc, -score, term)),
+    driver-free in both layouts.  The float tf/df ordering is the same
+    IEEE division DuckDB evaluates (exact-int operands), so the oracle
+    hash is exact."""
+    import ray
+    import ray.data as rd
+
+    via, df_mat = _resolve_via(via, _vocab_dataset(sf_dir, _doc_freq_partial))
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _argmax(ids, terms, tf, df):
+        """Per-doc winner of (tf/df desc, term asc); inputs unordered."""
+        score = tf / df
+        order = np.lexsort((terms, -score, ids))
+        i, t = ids[order], terms[order]
+        s_tf, s_df = tf[order], df[order]
+        first = np.r_[True, i[1:] != i[:-1]]
+        return i[first], t[first], s_tf[first], s_df[first]
+
+    if via == "broadcast":
+        vw, vdf = _fold_vocab(df_mat)
+        ref = ray.put((vw, vdf))
+
+        def top_term(b: pa.Table) -> pa.Table:
+            z = pa.array([], type=pa.int64())
+            if b.num_rows == 0:
+                return pa.table(
+                    {"doc_id": z, "term": pa.array([], type=pa.string()),
+                     "tf": z, "df": z}
+                )
+            vw, vdf = ray.get(ref)
+            words, doc_of_word, _ = _flat_words(b)
+            nonempty = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+            dict_arr = pc.dictionary_encode(words)
+            codes = dict_arr.indices.to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            terms = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
+            vocab = max(len(terms), 1)
+            key = doc_of_word[nonempty] * vocab + codes[nonempty]
+            uniq, tf = np.unique(key, return_counts=True)
+            d_idx = (uniq // vocab).astype(np.int64)
+            t_arr = terms[(uniq % vocab).astype(np.int64)]
+            df = vdf[np.searchsorted(vw, t_arr)]
+            ids = b["doc_id"].to_numpy().astype(np.int64)
+            di, dt, dtf, ddf = _argmax(
+                ids[d_idx], t_arr, tf.astype(np.int64), df
+            )
+            return pa.table(
+                {
+                    "doc_id": pa.array(di),
+                    "term": pa.array(dt, type=pa.string()),
+                    "tf": pa.array(dtf),
+                    "df": pa.array(ddf),
+                }
+            )
+
+        return docs.map_batches(top_term, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    # join layout: (doc, term, tf) rows join the df Dataset, per-doc
+    # argmax through coarse partitions (never a per-doc Ray group)
+    def explode(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table(
+                {"doc_id": z, "w": pa.array([], type=pa.string()),
+                 "tf": z, "part": z}
+            )
+        words, doc_of_word, _ = _flat_words(b)
+        nonempty = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        dict_arr = pc.dictionary_encode(words)
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        terms = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
+        vocab = max(len(terms), 1)
+        key = doc_of_word[nonempty] * vocab + codes[nonempty]
+        uniq, tf = np.unique(key, return_counts=True)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        d = ids[(uniq // vocab).astype(np.int64)]
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "w": pa.array(terms[(uniq % vocab).astype(np.int64)],
+                              type=pa.string()),
+                "tf": pa.array(tf.astype(np.int64)),
+                "part": pa.array((d % N_CORPUS_PARTS).astype(np.int64)),
+            }
+        )
+
+    joined = (
+        docs.map_batches(explode, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .repartition(N_CORPUS_PARTS)
+        .join(_rename_vocab(df_mat), "inner",
+              num_partitions=_n_join_parts(), on=("w",), right_on=("vw",))
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        terms = g["w"].to_numpy().astype(object)
+        tf = g["tf"].to_numpy().astype(np.int64)
+        df = g["n"].to_numpy().astype(np.int64)
+        di, dt, dtf, ddf = _argmax(ids, terms, tf, df)
+        return pd.DataFrame(
+            {"doc_id": di, "term": dt.astype(object), "tf": dtf, "df": ddf}
+        )
+
+    return joined.groupby("part").map_groups(per_part, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# duplicate-n-gram fraction (Gopher-style boilerplate signal)
+
+
+def _window_ids(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(uint64 window ids, doc index per window) for all DUP_NGRAM-word
+    windows staying inside one document.  One split pass, one
+    unique-word md5 pass, DUP_NGRAM vectorized multiply-adds."""
+    words, doc_of_word, _ = _flat_words(b)
+    n = DUP_NGRAM
+    if len(words) < n:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    h = _word_hashes(words)
+    d = doc_of_word
+    m = len(h) - n + 1
+    valid = d[:m] == d[n - 1:]
+    g = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            g += h[j: m + j] * _POS_MULT[j]
+    return g[valid], d[:m][valid]
+
+
+def dup_ngram_fraction(sf_dir: str):
+    """Per doc: total DUP_NGRAM-word windows, how many repeat in at
+    least one OTHER document, and the integer percentage — the
+    Gopher-style duplicate-n-gram boilerplate fraction.
+
+    Physical plan: per-batch explode to distinct (window id, doc,
+    occurrences) rows (pre-combined — within-doc repeats never
+    shuffle as separate rows); window ids hash into N_CORPUS_PARTS
+    coarse partitions so each part resolves cross-document sharing in
+    one vectorized pass (a window id never spans parts); per-doc
+    partials then fold through a doc groupby.  Only integer rows
+    shuffle, and each window id moves once per containing doc."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table(
+                {"g": pa.array([], type=pa.uint64()), "doc_id": z,
+                 "c": z, "part": z}
+            )
+        g, d = _window_ids(b)
+        if len(g) == 0:  # non-empty batch, but no doc long enough
+            return pa.table(
+                {"g": pa.array([], type=pa.uint64()), "doc_id": z,
+                 "c": z, "part": z}
+            )
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        # distinct (window, doc) with occurrence counts, vectorized
+        order = np.lexsort((d, g))
+        gs, ds_ = g[order], d[order]
+        new = np.r_[True, (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])]
+        starts = np.flatnonzero(new)
+        c = np.diff(np.r_[starts, len(gs)]).astype(np.int64)
+        gu, du = gs[starts], ds_[starts]
+        return pa.table(
+            {
+                "g": pa.array(gu),
+                "doc_id": pa.array(ids[du]),
+                "c": pa.array(c),
+                "part": pa.array(
+                    (gu % np.uint64(N_CORPUS_PARTS)).astype(np.int64)
+                ),
+            }
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        gid = g["g"].to_numpy().astype(np.uint64)
+        doc = g["doc_id"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        order = np.argsort(gid, kind="stable")
+        gs, doc_s, c_s = gid[order], doc[order], c[order]
+        new = np.r_[True, gs[1:] != gs[:-1]]
+        run = np.cumsum(new) - 1
+        ndocs = np.bincount(run)  # (window, doc) rows are distinct
+        dup = ndocs[run] >= 2
+        # per-doc partial within this part
+        ud, inv = np.unique(doc_s, return_inverse=True)
+        tot = np.bincount(inv, weights=c_s).astype(np.int64)
+        dupc = np.bincount(inv, weights=c_s * dup).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": ud, "tot": tot, "dup": dupc}
+        )
+
+    agg = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("tot", alias_name="n_windows"),
+            Sum("dup", alias_name="dup_windows"),
+        )
+    )
+
+    def pct(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "n_windows": pa.array([], type=pa.int64()),
+                 "dup_windows": pa.array([], type=pa.int64()),
+                 "dup_pct": pa.array([], type=pa.int64())}
+            )
+        nw = b["n_windows"].to_numpy().astype(np.int64)
+        dw = b["dup_windows"].to_numpy().astype(np.int64)
+        return b.append_column(
+            "dup_pct", pa.array((100 * dw) // np.maximum(nw, 1))
+        )
+
+    return agg.map_batches(pct, batch_format="pyarrow", zero_copy_batch=True)

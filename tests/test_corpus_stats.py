@@ -1,0 +1,159 @@
+"""Corpus-statistics operators: oracle parity, broadcast-vs-join layout
+equality, and the window-hash collision assumption pinned against a
+string-tuple brute force."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from prlib_ray.api import build_queries
+
+    return build_queries()
+
+
+CASES = ["unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction"]
+
+
+def _cmp(df, odf, name):
+    cols = sorted(df.columns)
+    assert cols == sorted(odf.columns), f"{name}: schema"
+    a = df[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
+    for c in cols:
+        x, y = a[c], b[c]
+        if x.dtype != y.dtype:
+            x, y = x.astype(str), y.astype(str)
+        assert x.equals(y), f"{name}: column {c}"
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_corpus_matches_oracle(name, con, registry, ray_session, sf_dir):
+    queries, sql = registry
+    df = queries[name](sf_dir).to_pandas()
+    _cmp(df, con.execute(sql[name]).df(), name)
+
+
+@pytest.mark.parametrize("op", ["unigram_freq_score", "tfidf_top_term"])
+def test_broadcast_join_layouts_byte_equal(op, ray_session, sf_dir):
+    """The size-gated vocabulary attach must give identical results in
+    the broadcast and distributed-join layouts."""
+    from prlib_ray.stages import corpus_stats
+
+    fn = getattr(corpus_stats, op)
+    a = fn(sf_dir, via="broadcast").to_pandas()
+    b = fn(sf_dir, via="join").to_pandas()
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    # join path may emit different int dtypes from pandas groupby
+    for c in cols:
+        x, y = a[c], b[c]
+        if x.dtype != y.dtype:
+            x, y = x.astype(str), y.astype(str)
+        assert x.equals(y), f"{op}/{c}"
+
+
+def test_window_ids_match_string_tuple_brute_force():
+    """Equal 8-word windows always collide under the md5-word-hash
+    positional combine, and the fixture corpus produces no cross-gram
+    collisions — so the uint64 id space is an exact mirror of string
+    8-grams on this data."""
+    from prlib_ray.stages.corpus_stats import DUP_NGRAM, _window_ids
+
+    texts = [
+        "a b c d e f g h i j",
+        "z y a b c d e f g h",  # shares the a..h window
+        "one two three four five six seven eight",
+        "",
+        "short text",
+        "a b c d e f g h",  # exactly one window, equal to doc 0's first
+    ]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    g, d = _window_ids(tbl)
+
+    # brute force: string tuples
+    grams, docs = [], []
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        for j in range(len(w) - DUP_NGRAM + 1):
+            grams.append(tuple(w[j : j + DUP_NGRAM]))
+            docs.append(i)
+    assert len(g) == len(grams)
+    assert list(d) == docs
+    # id equality == tuple equality, pairwise
+    for i in range(len(g)):
+        for j in range(i + 1, len(g)):
+            assert (g[i] == g[j]) == (grams[i] == grams[j]), (i, j)
+
+
+def test_dup_ngram_counts_on_constructed_corpus(ray_session, tmp_path):
+    """A corpus with one shared 8-gram between two docs and one doc of
+    pure repetition gets exactly the hand-computed window counts."""
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    texts = [
+        f"intro {shared} outro",  # 3 windows, 1 dup (the shared one)
+        f"{shared}",  # 1 window, dup
+        "unique u2 u3 u4 u5 u6 u7 u8 u9",  # 2 windows, 0 dup
+        "tiny",  # no windows -> absent from output
+    ]
+    pq.write_table(
+        pa.table({"doc_id": [0, 1, 2, 3], "text": texts}),
+        tmp_path / "documents.parquet",
+    )
+    from prlib_ray.stages.corpus_stats import dup_ngram_fraction
+
+    df = (
+        dup_ngram_fraction(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert df["doc_id"].tolist() == [0, 1, 2]
+    assert df["n_windows"].tolist() == [3, 1, 2]
+    assert df["dup_windows"].tolist() == [1, 1, 0]
+    assert df["dup_pct"].tolist() == [33, 100, 0]
+
+
+def test_unigram_min_freq_is_corpus_global(ray_session, tmp_path):
+    """min_freq must reflect CORPUS-wide counts, not per-batch counts —
+    a word appearing once in each of two docs has corpus frequency 2."""
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["common rare1", "common rare1", "common"],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    from prlib_ray.stages.corpus_stats import unigram_freq_score
+
+    df = (
+        unigram_freq_score(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # corpus counts: common=3, rare1=2
+    assert df["n_words"].tolist() == [2, 2, 1]
+    assert df["freq_sum"].tolist() == [5, 5, 3]
+    assert df["min_freq"].tolist() == [2, 2, 3]
