@@ -170,7 +170,9 @@ def run_bench() -> dict:
                  "q3_top_orders", "q5_local_supplier", "deskew",
                  "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_hamming",
                  "ann_ivf_topk", "token_count", "decontaminate",
-                 "pack_sequences", "mix_sources"):
+                 "pack_sequences", "mix_sources", "dup_ngram_fraction",
+                 "unigram_freq_score", "dedup_incremental",
+                 "weighted_sample"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

@@ -130,6 +130,8 @@ def _register_data_ops(queries, sql) -> None:
     queries["dedup_survivors"] = dedup.dedup_survivors
     sql["dedup_survivors"] = odata.DEDUP_SURVIVORS
     queries["dedup_clusters_minhash"] = dedup.dedup_clusters_minhash  # rows-only
+    queries["dedup_incremental"] = dedup.incremental_dedup
+    sql["dedup_incremental"] = odata.INCREMENTAL_DEDUP
 
     # text analysis
     queries["token_count"] = _doc_query(text_analysis.token_count_batch)
@@ -189,6 +191,8 @@ def _register_data_ops(queries, sql) -> None:
     sql["length_filter_p95"] = oprep.LENGTH_FILTER_P95
     queries["sample_per_source"] = dataset_prep.sample_per_source
     sql["sample_per_source"] = oprep.SAMPLE_PER_SOURCE
+    queries["weighted_sample"] = dataset_prep.weighted_sample
+    sql["weighted_sample"] = oprep.WEIGHTED_SAMPLE
 
     # corpus-statistics family: corpus-wide side tables (vocabulary /
     # document frequency / cross-doc n-gram counts) attached back per doc

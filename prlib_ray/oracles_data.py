@@ -385,3 +385,22 @@ WITH meta AS (
 )
 SELECT doc_id, CAST(unnest(range(0, n_frames, 4)) AS BIGINT) AS frame_idx
 FROM meta ORDER BY doc_id, frame_idx"""
+
+
+# mirrors dedup.incremental_dedup: new-crawl docs (source id >= 10)
+# surviving the anti-join against the old snapshot's head fingerprints
+# (md5 of the first 5 space-split words; DuckDB md5 == hashlib md5 on
+# the same utf-8 string)
+INCREMENTAL_DEDUP = """
+WITH fp AS (
+    SELECT doc_id,
+           CAST(substr(source, 4) AS BIGINT) AS src,
+           md5(array_to_string(list_slice(string_split(text, ' '), 1, 5),
+               ' ')) AS f
+    FROM documents
+)
+SELECT d.doc_id, d.f
+FROM fp d
+WHERE d.src >= 10
+  AND d.f NOT IN (SELECT f FROM fp WHERE src < 10)
+ORDER BY d.doc_id"""

@@ -206,3 +206,19 @@ SELECT source,
        CAST(count(*) AS BIGINT) AS n_distinct,
        CAST(max(c) AS BIGINT) AS top_count
 FROM tc GROUP BY source ORDER BY source"""
+
+
+# mirrors dataset_prep.weighted_sample: smallest-K integer priority keys
+# floor(h32 * 10^6 / n_chars); h32 = first 8 md5-hex chars as uint32
+# (CAST('0x…' AS UBIGINT)); pure int64 arithmetic on both sides
+WEIGHTED_SAMPLE = """
+WITH t AS (
+    SELECT doc_id, n_chars,
+           CAST(CAST('0x' || substr(md5('wsample:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT)
+             * 1000000 // greatest(n_chars, 1) AS key
+    FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS rank,
+       doc_id, key, CAST(n_chars AS BIGINT) AS n_chars
+FROM t ORDER BY key, doc_id LIMIT 100"""

@@ -799,3 +799,77 @@ def source_term_stats(sf_dir: str):
             Max("t_max", alias_name="top_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted priority sample (Efraimidis–Spirakis shape,
+# exact-integer keys)
+
+WSAMPLE_SALT = "wsample:"
+WSAMPLE_K = 100
+WSAMPLE_SCALE = 1_000_000
+
+
+def weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement, weight = n_chars: the
+    WSAMPLE_K docs with the smallest priority key
+    ``floor(h32 * WSAMPLE_SCALE / n_chars)`` where h32 is the first 32
+    bits of md5(salt || doc_id).  Longer docs get proportionally smaller
+    keys — the deterministic, exactly-reproducible analogue of
+    Efraimidis–Spirakis u^(1/w) priorities, kept in pure int64 so the
+    selection is bit-exact on both the Ray and the SQL side (no libm:
+    h32 < 2^32, * 10^6 < 2^52, integer floor-divide).
+
+    Same no-global-sort layout as shuffle_head: each batch keeps its
+    local top-K (vectorized lexsort on (key, doc_id)), the tiny
+    survivors fold once on the driver, and only there the final K are
+    ranked."""
+    import ray.data as rd
+
+    from prlib_ray.relational import _collect_columns
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table({"doc_id": z, "key": z, "n_chars": z})
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        w = np.maximum(b["n_chars"].to_numpy().astype(np.int64), 1)
+        h32 = np.asarray(
+            [
+                int(hashlib.md5(
+                    (WSAMPLE_SALT + str(int(i))).encode()
+                ).hexdigest()[:8], 16)
+                for i in ids
+            ],
+            dtype=np.int64,
+        )
+        key = (h32 * WSAMPLE_SCALE) // w  # < 2^52: exact int64
+        o = np.lexsort((ids, key))[:WSAMPLE_K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[o]),
+                "key": pa.array(key[o]),
+                "n_chars": pa.array(b["n_chars"].to_numpy().astype(np.int64)[o]),
+            }
+        )
+
+    cols = _collect_columns(
+        ds.map_batches(local_topk, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["doc_id", "key", "n_chars"],
+    )
+    ids = cols["doc_id"].astype(np.int64)
+    key = cols["key"].astype(np.int64)
+    o = np.lexsort((ids, key))[:WSAMPLE_K]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(o) + 1, dtype=np.int64)),
+            "doc_id": pa.array(ids[o]),
+            "key": pa.array(key[o]),
+            "n_chars": pa.array(cols["n_chars"].astype(np.int64)[o]),
+        }
+    )

@@ -875,3 +875,84 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental snapshot dedup (anti-join against an earlier snapshot)
+
+INCR_PREFIX_WORDS = 5  # head-fingerprint width (boilerplate-headed docs)
+OLD_SNAPSHOT_MAX_SRC = 10  # source ids < this form the "already ingested" set
+
+
+def incremental_dedup(sf_dir: str):
+    """Incremental-ingestion dedup: docs from the NEW crawl (source id >=
+    OLD_SNAPSHOT_MAX_SRC) survive iff their head fingerprint — md5 of the
+    first INCR_PREFIX_WORDS words — was never seen in the OLD snapshot
+    (source id < OLD_SNAPSHOT_MAX_SRC).  The production shape for "don't
+    re-ingest what the last crawl already has".
+
+    Scale layout: the old-side fingerprint set is CORPUS-sized, so it is
+    never broadcast and never driver-folded.  Both sides flow through one
+    pruned read; each batch emits (fingerprint, doc_id, side, part) rows
+    with part = crc32(fingerprint) % N_DEDUP_PARTS, and a coarse
+    ``groupby(part)`` resolves the anti-join per part in one vectorized
+    pass (a fingerprint never spans parts).  Only fingerprint-sized int/
+    hash rows shuffle; text stays at the read."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    import zlib
+
+    def fp(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table(
+                {"f": pa.array([], type=pa.string()), "doc_id": z,
+                 "src": pa.array([], type=pa.int64()), "part": z}
+            )
+        texts = b["text"].to_pylist()
+        fs = [
+            _md5(" ".join(t.split(" ")[:INCR_PREFIX_WORDS])) for t in texts
+        ]
+        src = np.asarray(
+            [int(s[3:]) for s in b["source"].to_pylist()], dtype=np.int64
+        )
+        part = np.asarray(
+            [zlib.crc32(f.encode()) % N_DEDUP_PARTS for f in fs],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "f": pa.array(fs, type=pa.string()),
+                "doc_id": b["doc_id"],
+                "src": pa.array(src),
+                "part": pa.array(part),
+            }
+        )
+
+    import pandas as pd
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        f = g["f"].to_numpy().astype(object)
+        doc = g["doc_id"].to_numpy().astype(np.int64)
+        src = g["src"].to_numpy().astype(np.int64)
+        is_old = src < OLD_SNAPSHOT_MAX_SRC
+        order = np.argsort(f, kind="stable")
+        fs, docs_, olds = f[order], doc[order], is_old[order]
+        new_run = np.r_[True, fs[1:] != fs[:-1]]
+        run = np.cumsum(new_run) - 1
+        # a new-side row survives iff its fingerprint run contains no old row
+        seen_old = np.bincount(run, weights=olds).astype(np.int64) > 0
+        keep = (~olds) & (~seen_old[run])
+        return pd.DataFrame(
+            {"doc_id": docs_[keep], "f": fs[keep].astype(object)}
+        )
+
+    return (
+        ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )

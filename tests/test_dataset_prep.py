@@ -192,3 +192,74 @@ def test_mix_sources_rates(ray_session, sf_dir):
             assert r.n_kept == r.n_total
         else:  # sampled sources must actually drop something at 25 docs
             assert r.n_kept < r.n_total
+
+
+def test_weighted_sample_matches_straight_line(ray_session, sf_dir):
+    """Distributed local-top-K + driver fold == the straight-line
+    single-pass integer-key selection."""
+    import hashlib as hl
+
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.stages.dataset_prep import (
+        WSAMPLE_K,
+        WSAMPLE_SALT,
+        WSAMPLE_SCALE,
+        weighted_sample,
+    )
+
+    t = pq2.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "n_chars"])
+    rows = []
+    for did, nc in zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()):
+        h32 = int(hl.md5((WSAMPLE_SALT + str(did)).encode()).hexdigest()[:8],
+                  16)
+        rows.append((h32 * WSAMPLE_SCALE // max(nc, 1), did, nc))
+    rows.sort()
+    expect = rows[:WSAMPLE_K]
+
+    df = weighted_sample(sf_dir).to_pandas()
+    assert df["rank"].tolist() == list(range(1, len(expect) + 1))
+    assert df["doc_id"].tolist() == [r[1] for r in expect]
+    assert df["key"].tolist() == [r[0] for r in expect]
+    # weight bias sanity: sampled docs skew long
+    assert df["n_chars"].mean() > t["n_chars"].to_pandas().mean()
+
+
+def test_incremental_dedup_planted_collisions(ray_session, tmp_path):
+    """New-crawl docs sharing a head fingerprint with the old snapshot
+    are dropped; within-new collisions do NOT drop (pure anti-join
+    against the old side)."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    head = "alpha beta gamma delta epsilon"
+    docs = [
+        # old snapshot (src < 10)
+        (0, "src0", f"{head} old tail one"),
+        (1, "src5", "totally different old document text here"),
+        # new crawl (src >= 10)
+        (2, "src10", f"{head} new tail should drop"),  # collides with 0
+        (3, "src11", "fresh unseen content survives fine"),
+        (4, "src12", "duplicate new head duplicate new head x"),
+        (5, "src13", "duplicate new head duplicate new head y"),  # same
+        # head as 4 — both survive (old side never saw it)
+    ]
+    pq2.write_table(
+        pa2.table(
+            {
+                "doc_id": [d[0] for d in docs],
+                "source": [d[1] for d in docs],
+                "text": [d[2] for d in docs],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    from prlib_ray.stages.dedup import incremental_dedup
+
+    out = (
+        incremental_dedup(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["doc_id"].tolist() == [3, 4, 5]
