@@ -478,9 +478,12 @@ def distinct_event_types(sf_dir: str):
 def events_hourly(sf_dir: str):
     """Tumbling-window aggregate: 1-hour buckets keyed by event_type.
     Ray Data has no event-time windows; the bucket key is computed in the
-    map (epoch_us // 3.6e9) and aggregated partial+final."""
+    map (epoch_us // 3.6e9) and aggregated partial+final.  The final
+    fold runs per HOUR-side coarse partition (one vectorized pandas
+    groupby per part) — (type, hour) key counts grow with the time span
+    and Ray's aggregate pays per-key cost (the dup_ngram_fraction
+    lesson); a (type, hour) key never spans parts."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
@@ -497,17 +500,26 @@ def events_hourly(sf_dir: str):
                 "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
             }
         )
-        return t.group_by(["event_type", "hour"]).aggregate(
+        t = t.group_by(["event_type", "hour"]).aggregate(
             [("cents", "sum"), ("one", "sum")]
+        )
+        return t.append_column(
+            "part", pa.array(t["hour"].to_numpy() % 32)
+        )
+
+    def final_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["event_type", "hour"], sort=False, as_index=False)
+            .agg(
+                sum_value_cents=("cents_sum", "sum"),
+                n_events=("one_sum", "sum"),
+            )
         )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", "hour"])
-        .aggregate(
-            Sum("cents_sum", alias_name="sum_value_cents"),
-            Sum("one_sum", alias_name="n_events"),
-        )
+        .groupby("part")
+        .map_groups(final_fold, batch_format="pandas")
     )
 
 
