@@ -29,22 +29,60 @@ def _md5(s: str) -> str:
 
 
 def exact_dedup(sf_dir: str):
-    """Exact dedup: md5(text) -> groupby(hash) -> min(doc_id) survives."""
+    """Exact dedup: md5(text) -> hash-partition -> min(doc_id) survives.
+
+    The survivor fold runs per COARSE partition (crc32(hash) % parts,
+    one vectorized lexsort run-boundary pass each), not per hash key:
+    Ray's per-key aggregate pays ms-scale cost per distinct key and the
+    key count here is the document count itself.  A hash never spans
+    parts, and each batch pre-combines (local min per hash) so at most
+    one row per (batch, hash) shuffles."""
+    import zlib
+
     import ray.data as rd
-    from ray.data.aggregate import Min
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def add_hash(b: pa.Table) -> pa.Table:
-        hs = [_md5(t) for t in b["text"].to_pylist()]
+        if b.num_rows == 0:
+            return pa.table(
+                {"h": pa.array([], type=pa.string()),
+                 "doc_id": pa.array([], type=pa.int64()),
+                 "part": pa.array([], type=pa.int64())}
+            )
+        hs = np.asarray([_md5(t) for t in b["text"].to_pylist()],
+                        dtype=object)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        # local pre-combine: min doc per hash within the batch
+        order = np.lexsort((ids, hs))
+        h_s, i_s = hs[order], ids[order]
+        first = np.r_[True, h_s[1:] != h_s[:-1]]
+        h_u, i_u = h_s[first], i_s[first]
+        part = np.asarray(
+            [zlib.crc32(h.encode()) % N_DEDUP_PARTS for h in h_u],
+            dtype=np.int64,
+        )
         return pa.table(
-            {"h": pa.array(hs, type=pa.string()), "doc_id": b["doc_id"]}
+            {"h": pa.array(h_u, type=pa.string()),
+             "doc_id": pa.array(i_u), "part": pa.array(part)}
+        )
+
+    import pandas as pd
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        hs = g["h"].to_numpy().astype(object)
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, hs))
+        h_s, i_s = hs[order], ids[order]
+        first = np.r_[True, h_s[1:] != h_s[:-1]]
+        return pd.DataFrame(
+            {"h": h_s[first].astype(object), "doc_id": i_s[first]}
         )
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("h")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
     )
 
 
