@@ -120,17 +120,38 @@ def _doc_freq_partial(b: pa.Table) -> pa.Table:
 
 
 def _vocab_dataset(sf_dir: str, partial_fn):
+    """(w, n) vocabulary counts.  The fold runs per WORD-side coarse
+    partition (crc32(w) % N_CORPUS_PARTS, one vectorized pandas groupby
+    each): vocabulary cardinality scales with the corpus and Ray's
+    aggregate pays per-key cost (the dup_ngram_fraction lesson)."""
+    import zlib
+
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        t = partial_fn(b)
+        part = np.asarray(
+            [zlib.crc32(w.encode()) % N_CORPUS_PARTS
+             for w in t["w"].to_pylist()],
+            dtype=np.int64,
+        )
+        return t.append_column("part", pa.array(part))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("w", sort=False, as_index=False)
+            .agg(n=("c", "sum"))
+        )
+
     return (
-        ds.map_batches(partial_fn, batch_format="pyarrow",
+        ds.map_batches(add_part, batch_format="pyarrow",
                        zero_copy_batch=True)
-        .groupby("w")
-        .aggregate(Sum("c", alias_name="n"))
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
     )
 
 
