@@ -148,7 +148,6 @@ def q3_top_orders(sf_dir: str):
       query is three execution rounds, not five."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     cutoff = np.datetime64(CUTOFF, "us")
     cust_ds = rd.read_parquet(
@@ -215,16 +214,43 @@ def q3_top_orders(sf_dir: str):
                 "rev": pa.array(_cents(price * (1.0 - disc)), type=pa.int64()),
             }
         )
-        return t.group_by("l_orderkey").aggregate([("rev", "sum")])
+        t = t.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return t.append_column(
+            "part", pa.array(t["l_orderkey"].to_numpy() % 64)
+        )
 
-    top = (
+    # Final fold + top-10 per ORDER-side coarse partition (order-key
+    # cardinality is fact-scale, so Ray's per-key aggregate and the
+    # global sort are both avoided): one lexsort run-boundary revenue
+    # sum per part, local top-10, then the <= 64*10 survivors rank on
+    # the driver.  A key never spans parts, and per-part top-10 cannot
+    # lose a global top-10 row.
+    def fold_topk(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["l_orderkey"].to_numpy().astype(np.int64)
+        r = g["rev_sum"].to_numpy().astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        k_s, r_s = k[order], r[order]
+        new = np.r_[True, k_s[1:] != k_s[:-1]]
+        run = np.cumsum(new) - 1
+        rev = np.bincount(run, weights=r_s).astype(np.int64)
+        keys_u = k_s[new]
+        o = np.lexsort((keys_u, -rev))[:10]
+        return pd.DataFrame(
+            {"l_orderkey": keys_u[o], "revenue_cents": rev[o]}
+        )
+
+    survivors = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_sum", alias_name="revenue_cents"))
-        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
-        .limit(10)
-        .take_all()  # exactly 10 rows: the query RESULT, not a fact side
+        .groupby("part")
+        .map_groups(fold_topk, batch_format="pandas")
+        .take_all()  # <= 640 rows: per-part winners, not a fact side
     )
+    sk = np.array([r["l_orderkey"] for r in survivors], dtype=np.int64)
+    sr = np.array([r["revenue_cents"] for r in survivors], dtype=np.int64)
+    o = np.lexsort((sk, -sr))[:10]
+    top = [
+        {"l_orderkey": int(sk[i]), "revenue_cents": int(sr[i])} for i in o
+    ]
     # date attach: searchsorted into the already-folded qualifying-order
     # arrays, driver-side, on exactly the 10 winning rows
     win_keys = np.array([r["l_orderkey"] for r in top], dtype=np.int64)

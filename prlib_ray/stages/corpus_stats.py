@@ -198,7 +198,6 @@ def unigram_freq_score(sf_dir: str, *, via: str = "auto"):
     drop out (inner-join semantics, mirrored by the oracle)."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Min, Sum
 
     via, vocab_mat = _resolve_via(via, _vocab_dataset(sf_dir, _word_count_partial))
     docs = rd.read_parquet(
@@ -286,24 +285,35 @@ def unigram_freq_score(sf_dir: str, *, via: str = "auto"):
             )
         tf = b["tf"].to_numpy().astype(np.int64)
         n = b["n"].to_numpy().astype(np.int64)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
         return pa.table(
             {
-                "doc_id": b["doc_id"],
+                "doc_id": pa.array(ids),
                 "nw": pa.array(tf),
                 "fs": pa.array(tf * n),
                 "mn": pa.array(n),
+                "dpart": pa.array(ids % N_CORPUS_PARTS),
             }
+        )
+
+    # doc-key cardinality is corpus-scale: fold per DOC-side coarse
+    # partition (one vectorized pandas groupby each), not Ray's
+    # per-key aggregate (the dup_ngram_fraction lesson)
+    def doc_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("doc_id", sort=False, as_index=False)
+            .agg(
+                n_words=("nw", "sum"),
+                freq_sum=("fs", "sum"),
+                min_freq=("mn", "min"),
+            )
         )
 
     return (
         joined.map_batches(weighted, batch_format="pyarrow",
                            zero_copy_batch=True)
-        .groupby("doc_id")
-        .aggregate(
-            Sum("nw", alias_name="n_words"),
-            Sum("fs", alias_name="freq_sum"),
-            Min("mn", alias_name="min_freq"),
-        )
+        .groupby("dpart")
+        .map_groups(doc_fold, batch_format="pandas")
     )
 
 

@@ -376,7 +376,6 @@ def pack_sequences(sf_dir: str):
        group."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     from prlib_ray.relational import _collect_columns
 
@@ -410,17 +409,31 @@ def pack_sequences(sf_dir: str):
         if b.num_rows == 0:
             return pa.table(
                 {"chunk": pa.array([], type=pa.int64()),
-                 "ntok_sum": pa.array([], type=pa.int64())}
+                 "ntok_sum": pa.array([], type=pa.int64()),
+                 "part": pa.array([], type=pa.int64())}
             )
-        return b.select(["chunk", "ntok"]).group_by("chunk").aggregate(
+        t = b.select(["chunk", "ntok"]).group_by("chunk").aggregate(
             [("ntok", "sum")]
+        )
+        return t.append_column(
+            "part", pa.array((t["chunk"].to_numpy() % N_PACK_PARTS)
+                             .astype(np.int64))
+        )
+
+    # chunk-key cardinality scales with the corpus (ndocs / PACK_CHUNK):
+    # fold the partials per chunk-side coarse partition, one vectorized
+    # pandas groupby each, not Ray's per-key aggregate
+    def chunk_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("chunk", sort=False, as_index=False)
+            .agg(tot=("ntok_sum", "sum"))
         )
 
     totals = (
         small.map_batches(chunk_partial, batch_format="pyarrow",
                           zero_copy_batch=True)
-        .groupby("chunk")
-        .aggregate(Sum("ntok_sum", alias_name="tot"))
+        .groupby("part")
+        .map_groups(chunk_fold, batch_format="pandas")
     )
     cols = _collect_columns(totals, ["chunk", "tot"])
     chunks = cols["chunk"].astype(np.int64)
