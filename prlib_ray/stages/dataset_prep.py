@@ -777,10 +777,30 @@ def source_term_stats(sf_dir: str):
             }
         )
 
+    # (source, term) cardinality scales with the vocabulary: fold the
+    # partials per TERM-side coarse partition (a term never spans parts,
+    # so neither does a (source, term) pair), one vectorized pandas
+    # groupby each — not Ray's per-key aggregate
+    import zlib
+
+    def add_part(b: pa.Table) -> pa.Table:
+        t = partial(b)
+        part = np.asarray(
+            [zlib.crc32(w.encode()) % 32 for w in t["term"].to_pylist()],
+            dtype=np.int64,
+        )
+        return t.append_column("part", pa.array(part))
+
+    def term_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["source", "term"], sort=False, as_index=False)
+            .agg(c=("c_sum", "sum"))
+        )
+
     per_term = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["source", "term"])
-        .aggregate(Sum("c_sum", alias_name="c"))
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(term_fold, batch_format="pandas")
     )
 
     def fold(b: pa.Table) -> pa.Table:
