@@ -341,6 +341,8 @@ def tfidf_top_term(sf_dir: str, *, via: str = "auto"):
 
     def _argmax(ids, terms, tf, df):
         """Per-doc winner of (tf/df desc, term asc); inputs unordered."""
+        if len(ids) == 0:  # batch of only empty-word docs
+            return ids, terms, tf, df
         score = tf / df
         order = np.lexsort((terms, -score, ids))
         i, t = ids[order], terms[order]

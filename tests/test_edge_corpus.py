@@ -37,6 +37,10 @@ def edge_dir(tmp_path_factory) -> str:
         "doc_id": pa.array(range(n), type=pa.int64()),
         "text": pa.array(texts, type=pa.string()),
         "lang": pa.array(["en"] * n, type=pa.string()),
+        # half old-snapshot, half new-crawl (incremental dedup's split)
+        "source": pa.array([f"src{(i % 2) * 10}" for i in range(n)],
+                           type=pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
     }), os.path.join(d, "documents.parquet"))
     vecs = rng.standard_normal((20, 8)).astype(np.float32)
     pq.write_table(pa.table({
@@ -65,6 +69,13 @@ EDGE_CASES = [
     "simple_white_balance",
     "quality_score",
     "multimodal_frame_sample",
+    # corpus-wide side-table ops: empty docs drop out, zero-window docs
+    # must not crash the explode (the np.r_[True, empty] pitfall)
+    "unigram_freq_score",
+    "tfidf_top_term",
+    "dup_ngram_fraction",
+    "dedup_incremental",
+    "weighted_sample",
 ]
 
 
