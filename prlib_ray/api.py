@@ -88,7 +88,7 @@ _PRIORITY = [
     "dedup_simhash_hamming", "dedup_embedding",
     "dedup_cc_clusters", "dedup_survivors", "dedup_clusters_minhash",
     "dedup_embedding_lsh", "dedup_incremental",
-    "ann_neighbor_counts", "ann_bruteforce_topk", "ann_ivf_topk",
+    "ann_neighbor_counts", "ann_ivf_topk",
     "ann_lsh_topk",
     "token_count", "token_count_subword", "quality_score",
     "repetition_stats", "lang_id",
@@ -97,6 +97,7 @@ _PRIORITY = [
     "split_assign", "mix_sources", "shuffle_head", "decontaminate",
     "pack_sequences", "chunk_tokens", "pii_scan", "source_term_stats",
     "length_filter_p95", "sample_per_source", "weighted_sample",
+    "frequent_ngrams",
     "q1_pricing_summary", "q3_top_orders", "q5_local_supplier",
     "orders_by_segment",
     "events_hourly_window", "sessionize",
@@ -108,7 +109,7 @@ _PRIORITY = [
     "reassemble_events", "deskew",
     # tail (still sim+pytest covered; recorded green in earlier rounds)
     "binarize_sauvola", "denoise_kuwahara_iterated",
-    "dedup_simhash", "lsh_bucket_stats",
+    "dedup_simhash", "lsh_bucket_stats", "ann_bruteforce_topk",
     "q6_forecast_revenue", "warp_crop", "source_csv_roundtrip",
     "top_orders", "distinct_event_types", "compare_extractions",
     "source_jsonl_roundtrip",

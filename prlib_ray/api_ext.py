@@ -193,6 +193,8 @@ def _register_data_ops(queries, sql) -> None:
     sql["sample_per_source"] = oprep.SAMPLE_PER_SOURCE
     queries["weighted_sample"] = dataset_prep.weighted_sample
     sql["weighted_sample"] = oprep.WEIGHTED_SAMPLE
+    queries["frequent_ngrams"] = dataset_prep.frequent_ngrams
+    sql["frequent_ngrams"] = oprep.FREQUENT_NGRAMS
 
     # corpus-statistics family: corpus-wide side tables (vocabulary /
     # document frequency / cross-doc n-gram counts) attached back per doc

@@ -222,3 +222,24 @@ WITH t AS (
 SELECT CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS rank,
        doc_id, key, CAST(n_chars AS BIGINT) AS n_chars
 FROM t ORDER BY key, doc_id LIMIT 100"""
+
+
+# mirrors dataset_prep.frequent_ngrams: 3-word grams (empty tokens kept
+# inside windows, NULL-propagating || drops short tails) occurring at
+# least FREQ_NGRAM_T (=5) times corpus-wide
+FREQUENT_NGRAMS = """
+WITH words AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+),
+ng AS (
+    SELECT doc_id,
+           w || ' ' || lead(w, 1) OVER p || ' ' || lead(w, 2) OVER p AS g
+    FROM words WINDOW p AS (PARTITION BY doc_id ORDER BY i)
+),
+v AS (SELECT g FROM ng WHERE g IS NOT NULL)
+SELECT g AS gram, CAST(count(*) AS BIGINT) AS n_count
+FROM v GROUP BY g HAVING count(*) >= 5
+ORDER BY gram"""

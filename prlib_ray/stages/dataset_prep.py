@@ -906,3 +906,143 @@ def weighted_sample(sf_dir: str):
             "n_chars": pa.array(cols["n_chars"].astype(np.int64)[o]),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# frequent-n-gram mining (exact heavy hitters with rescan)
+
+FREQ_NGRAM_T = 5   # corpus-scale knob: min occurrences to report; raise
+#                    with corpus size so the winner set stays broadcastable
+N_FREQ_PARTS = 64
+
+
+def frequent_ngrams(sf_dir: str):
+    """Boilerplate phrase mining: every DECON_NGRAM-word gram occurring
+    at least FREQ_NGRAM_T times corpus-wide, with its exact count — the
+    "most repeated phrases" report a curation pipeline uses to build
+    strip lists.
+
+    Exact heavy hitters in two phases (no sketch, no string shuffle):
+    1. count per 64-bit gram id — per-batch pre-combine, gram-side
+       coarse partitions, one vectorized fold each; ids at or above the
+       threshold fold back (bounded by FREQ_NGRAM_T) and broadcast
+       sorted;
+    2. RESCAN: each batch recomputes its window ids, searchsorted
+       against the winners, and emits one representative gram STRING
+       per winning id (strings only travel for winners); a per-part
+       distinct keeps one row per gram.
+
+    Equal grams share an id by construction; distinct grams collide
+    with ~2^-64 probability (the decontaminate convention, brute-force
+    pinned), so the DuckDB string-gram oracle is exact."""
+    import ray
+    import ray.data as rd
+
+    from prlib_ray.relational import _collect_columns
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        z64 = pa.array([], type=pa.uint64())
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table({"g": z64, "c": z, "part": z})
+        g, _ = _ngram_ids(b)
+        if len(g) == 0:
+            return pa.table({"g": z64, "c": z, "part": z})
+        gu, c = np.unique(g, return_counts=True)
+        return pa.table(
+            {
+                "g": pa.array(gu),
+                "c": pa.array(c.astype(np.int64)),
+                "part": pa.array(
+                    (gu % np.uint64(N_FREQ_PARTS)).astype(np.int64)
+                ),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        gid = g["g"].to_numpy().astype(np.uint64)
+        c = g["c"].to_numpy().astype(np.int64)
+        order = np.argsort(gid, kind="stable")
+        g_s, c_s = gid[order], c[order]
+        new = np.r_[True, g_s[1:] != g_s[:-1]]
+        run = np.cumsum(new) - 1
+        tot = np.bincount(run, weights=c_s).astype(np.int64)
+        gu = g_s[new]
+        keep = tot >= FREQ_NGRAM_T
+        return pd.DataFrame({"g": gu[keep], "n": tot[keep]})
+
+    winners = (
+        ds.map_batches(count_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+    )
+    cols = _collect_columns(winners, ["g", "n"])
+    wg = cols["g"].astype(np.uint64)
+    wn = cols["n"].astype(np.int64)
+    o = np.argsort(wg)
+    wg, wn = wg[o], wn[o]
+    ref = ray.put((wg, wn))
+
+    k = DECON_NGRAM
+
+    def extract(b: pa.Table) -> pa.Table:
+        z64 = pa.array([], type=pa.uint64())
+        z = pa.array([], type=pa.int64())
+        zs = pa.array([], type=pa.string())
+        if b.num_rows == 0:
+            return pa.table({"g": z64, "gram": zs, "n_count": z, "part": z})
+        words, d, _ = _flat_words(b)
+        if len(words) < k:
+            return pa.table({"g": z64, "gram": zs, "n_count": z, "part": z})
+        h = _word_hashes(words)
+        m = len(h) - k + 1
+        valid = d[:m] == d[k - 1:]
+        with np.errstate(over="ignore"):
+            g = h[:m] * _C0 + h[1: m + 1] * _C1 + h[k - 1:]
+        gv = g[valid]
+        sv = np.flatnonzero(valid)
+        wg, wn = ray.get(ref)
+        idx = np.searchsorted(wg, gv)
+        hit = (idx < len(wg)) & (wg[np.minimum(idx, len(wg) - 1)] == gv)
+        if not hit.any():
+            return pa.table({"g": z64, "gram": zs, "n_count": z, "part": z})
+        gh, sh = gv[hit], sv[hit]
+        o2 = np.argsort(gh, kind="stable")
+        first = np.r_[True, gh[o2][1:] != gh[o2][:-1]]
+        gsel, ssel = gh[o2][first], sh[o2][first]
+        wl = words.to_pylist()
+        grams = [" ".join(wl[s: s + k]) for s in ssel]  # winners only
+        ns = wn[np.searchsorted(wg, gsel)]
+        return pa.table(
+            {
+                "g": pa.array(gsel),
+                "gram": pa.array(grams, type=pa.string()),
+                "n_count": pa.array(ns),
+                "part": pa.array(
+                    (gsel % np.uint64(N_FREQ_PARTS)).astype(np.int64)
+                ),
+            }
+        )
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        gid = g["g"].to_numpy().astype(np.uint64)
+        o = np.argsort(gid, kind="stable")
+        first = np.r_[True, gid[o][1:] != gid[o][:-1]]
+        sel = o[first]
+        return pd.DataFrame(
+            {
+                "gram": g["gram"].to_numpy().astype(object)[sel],
+                "n_count": g["n_count"].to_numpy().astype(np.int64)[sel],
+            }
+        )
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(distinct, batch_format="pandas")
+    )

@@ -263,3 +263,42 @@ def test_incremental_dedup_planted_collisions(ray_session, tmp_path):
         .sort_values("doc_id")
     )
     assert out["doc_id"].tolist() == [3, 4, 5]
+
+
+def test_frequent_ngrams_matches_brute_force(ray_session, tmp_path):
+    """Threshold heavy-hitters == the straight-line string-tuple count,
+    including gram-string reconstruction (double spaces preserved) and
+    sub-threshold exclusion."""
+    import collections
+
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    texts = [
+        "the quick fox " * 3,          # repeated within one doc
+        "the quick fox jumps over",    # and across docs
+        "a  b c a  b c a  b c",        # double-space tokens inside grams
+        "unique words here only once",
+        "the quick fox again",
+    ]
+    pq2.write_table(
+        pa2.table({"doc_id": list(range(len(texts))), "text": texts}),
+        tmp_path / "documents.parquet",
+    )
+    from prlib_ray.stages.dataset_prep import (
+        DECON_NGRAM,
+        FREQ_NGRAM_T,
+        frequent_ngrams,
+    )
+
+    counts = collections.Counter()
+    for t in texts:
+        w = t.split(" ")
+        for i in range(len(w) - DECON_NGRAM + 1):
+            counts[" ".join(w[i : i + DECON_NGRAM])] += 1
+    expect = {g: n for g, n in counts.items() if n >= FREQ_NGRAM_T}
+
+    df = frequent_ngrams(str(tmp_path)).to_pandas()
+    got = dict(zip(df["gram"], df["n_count"]))
+    assert got == expect
+    assert len(expect) > 0  # non-vacuous: the fixture plants >=T grams

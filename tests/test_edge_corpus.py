@@ -76,6 +76,7 @@ EDGE_CASES = [
     "dup_ngram_fraction",
     "dedup_incremental",
     "weighted_sample",
+    "frequent_ngrams",
 ]
 
 
