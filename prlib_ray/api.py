@@ -87,7 +87,7 @@ _PRIORITY = [
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash_hamming", "dedup_embedding",
     "dedup_cc_clusters", "dedup_survivors", "dedup_clusters_minhash",
-    "dedup_embedding_lsh", "dedup_incremental",
+    "dedup_embedding_lsh", "dedup_incremental", "corpus_diff",
     "ann_neighbor_counts", "ann_ivf_topk",
     "ann_lsh_topk",
     "token_count", "token_count_subword", "quality_score",

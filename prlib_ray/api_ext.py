@@ -132,6 +132,8 @@ def _register_data_ops(queries, sql) -> None:
     queries["dedup_clusters_minhash"] = dedup.dedup_clusters_minhash  # rows-only
     queries["dedup_incremental"] = dedup.incremental_dedup
     sql["dedup_incremental"] = odata.INCREMENTAL_DEDUP
+    queries["corpus_diff"] = dedup.corpus_diff
+    sql["corpus_diff"] = odata.CORPUS_DIFF
 
     # text analysis
     queries["token_count"] = _doc_query(text_analysis.token_count_batch)

@@ -404,3 +404,28 @@ FROM fp d
 WHERE d.src >= 10
   AND d.f NOT IN (SELECT f FROM fp WHERE src < 10)
 ORDER BY d.doc_id"""
+
+
+# mirrors dedup.corpus_diff: distinct head fingerprints classified as
+# added (new crawl only), removed (old snapshot only), common (both)
+CORPUS_DIFF = """
+WITH fp AS (
+    SELECT DISTINCT
+           md5(array_to_string(list_slice(string_split(text, ' '), 1, 5),
+               ' ')) AS f,
+           CAST(substr(source, 4) AS BIGINT) >= 10 AS is_new
+    FROM documents
+),
+o AS (SELECT DISTINCT f FROM fp WHERE NOT is_new),
+n AS (SELECT DISTINCT f FROM fp WHERE is_new)
+SELECT 'added' AS status,
+       CAST((SELECT count(*) FROM n WHERE f NOT IN (SELECT f FROM o))
+            AS BIGINT) AS n_fingerprints
+UNION ALL
+SELECT 'removed',
+       CAST((SELECT count(*) FROM o WHERE f NOT IN (SELECT f FROM n))
+            AS BIGINT)
+UNION ALL
+SELECT 'common',
+       CAST((SELECT count(*) FROM o WHERE f IN (SELECT f FROM n))
+            AS BIGINT)"""

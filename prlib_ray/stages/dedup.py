@@ -994,3 +994,79 @@ def incremental_dedup(sf_dir: str):
         .groupby("part")
         .map_groups(per_part, batch_format="pandas")
     )
+
+
+def corpus_diff(sf_dir: str):
+    """Snapshot diff report: how many distinct head fingerprints (same
+    definition as ``incremental_dedup``) were ADDED by the new crawl,
+    REMOVED since the old snapshot, and are COMMON to both — the
+    between-crawls dashboard row.
+
+    Same scale layout as the anti-join: both sides flow through one
+    pruned read, (fingerprint, side) rows hash into coarse partitions
+    (a fingerprint never spans parts), each part classifies its
+    fingerprints in one vectorized pass and emits three counts; a
+    3-key groupby sums the partials."""
+    import zlib
+
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def fp(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table(
+                {"f": pa.array([], type=pa.string()), "is_new": z, "part": z}
+            )
+        fs = np.asarray(
+            [_md5(" ".join(t.split(" ")[:INCR_PREFIX_WORDS]))
+             for t in b["text"].to_pylist()],
+            dtype=object,
+        )
+        src = np.asarray(
+            [int(s[3:]) for s in b["source"].to_pylist()], dtype=np.int64
+        )
+        is_new = (src >= OLD_SNAPSHOT_MAX_SRC).astype(np.int64)
+        # per-batch distinct (f, side) pre-combine
+        order = np.lexsort((is_new, fs))
+        f_s, n_s = fs[order], is_new[order]
+        first = np.r_[True, (f_s[1:] != f_s[:-1]) | (n_s[1:] != n_s[:-1])]
+        f_u, n_u = f_s[first], n_s[first]
+        part = np.asarray(
+            [zlib.crc32(f.encode()) % N_DEDUP_PARTS for f in f_u],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {"f": pa.array(f_u, type=pa.string()),
+             "is_new": pa.array(n_u), "part": pa.array(part)}
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        f = g["f"].to_numpy().astype(object)
+        new = g["is_new"].to_numpy().astype(np.int64)
+        order = np.argsort(f, kind="stable")
+        f_s, n_s = f[order], new[order]
+        run_new = np.r_[True, f_s[1:] != f_s[:-1]]
+        run = np.cumsum(run_new) - 1
+        has_new = np.bincount(run, weights=n_s).astype(np.int64) > 0
+        has_old = np.bincount(run, weights=1 - n_s).astype(np.int64) > 0
+        added = int((has_new & ~has_old).sum())
+        removed = int((has_old & ~has_new).sum())
+        common = int((has_new & has_old).sum())
+        return pd.DataFrame(
+            {"status": ["added", "removed", "common"],
+             "n": np.array([added, removed, common], dtype=np.int64)}
+        )
+
+    return (
+        ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .groupby("status")
+        .aggregate(Sum("n", alias_name="n_fingerprints"))
+    )

@@ -302,3 +302,33 @@ def test_frequent_ngrams_matches_brute_force(ray_session, tmp_path):
     got = dict(zip(df["gram"], df["n_count"]))
     assert got == expect
     assert len(expect) > 0  # non-vacuous: the fixture plants >=T grams
+
+
+def test_corpus_diff_planted(ray_session, tmp_path):
+    """added/removed/common counts on a constructed pair of snapshots."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    h1 = "alpha beta gamma delta epsilon"   # common (both sides)
+    h2 = "one two three four five"          # removed (old only)
+    h3 = "six seven eight nine ten"         # added (new only, twice)
+    docs = [
+        (0, "src0", f"{h1} old"),
+        (1, "src1", f"{h2} old"),
+        (2, "src10", f"{h1} new"),
+        (3, "src11", f"{h3} new a"),
+        (4, "src12", f"{h3} new b"),  # same added fingerprint: counted once
+    ]
+    pq2.write_table(
+        pa2.table(
+            {"doc_id": [d[0] for d in docs],
+             "source": [d[1] for d in docs],
+             "text": [d[2] for d in docs]}
+        ),
+        tmp_path / "documents.parquet",
+    )
+    from prlib_ray.stages.dedup import corpus_diff
+
+    df = corpus_diff(str(tmp_path)).to_pandas()
+    got = dict(zip(df["status"], df["n_fingerprints"]))
+    assert got == {"added": 1, "removed": 1, "common": 1}

@@ -77,6 +77,7 @@ EDGE_CASES = [
     "dedup_incremental",
     "weighted_sample",
     "frequent_ngrams",
+    "corpus_diff",
 ]
 
 
