@@ -99,3 +99,119 @@ def test_extract_turn_vectorized_equals_scalar(texts):
         c, sp = extract_turn(t)
         assert c == cleans[i]
         assert sp == spans[i]
+
+
+# ---------------------------------------------------------------------------
+# run-boundary kernels (reassemble.py) vs per-group brute force
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),        # user_id (few users -> collisions)
+        st.integers(0, 50),       # ts (as int; duplicates likely)
+        st.integers(0, 1_000),    # event_id (may duplicate across users)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _frame(rows):
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+    # event ids unique within the frame (the table's real invariant)
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    return df.sample(frac=1.0, random_state=7).reset_index(drop=True)
+
+
+@given(rows=events_strategy)
+@settings(max_examples=60, deadline=None)
+def test_runs_directions_match_per_group_brute_force(rows):
+    """_runs + _directions over a user-lexsorted frame == the per-user
+    scan the old per-group implementation did."""
+    from prlib_ray.stages.reassemble import _directions, _runs
+
+    g = _frame(rows)
+    user = g["user_id"].to_numpy().astype(np.int64)
+    ts = g["ts"].to_numpy().astype(np.int64)
+    eid = g["event_id"].to_numpy().astype(np.int64)
+    order = np.lexsort((eid, user))
+    u_s, t_s = user[order], ts[order]
+    run, starts, lens = _runs(u_s)
+    d = _directions(u_s, t_s, run, starts, lens)
+    got = dict(zip(u_s[starts].tolist(), d.tolist()))
+
+    expect = {}
+    for uid, grp in g.groupby("user_id"):
+        grp = grp.sort_values("event_id", kind="mergesort")
+        t = grp["ts"].to_numpy()
+        if len(t) < 2:
+            expect[int(uid)] = 1
+        else:
+            inc = int((t[1:] >= t[:-1]).sum())
+            expect[int(uid)] = 1 if inc >= (len(t) - 1) - inc else -1
+    assert got == expect
+
+
+@given(rows=events_strategy, gap=st.integers(1, 20))
+@settings(max_examples=60, deadline=None)
+def test_sessionize_kernel_matches_per_user(rows, gap):
+    """The coarse sessionize pass == per-user sorted gap counting."""
+    from prlib_ray.stages.reassemble import _runs
+
+    g = _frame(rows)
+    user = g["user_id"].to_numpy().astype(np.int64)
+    ts = g["ts"].to_numpy().astype(np.int64)
+    order = np.lexsort((ts, user))
+    u_s, t_s = user[order], ts[order]
+    run, starts, lens = _runs(u_s)
+    n = np.ones(len(starts), dtype=np.int64)
+    if len(u_s) > 1:
+        same = u_s[1:] == u_s[:-1]
+        gapped = (t_s[1:] - t_s[:-1] > gap) & same
+        n += np.bincount(run[1:][same], weights=gapped[same],
+                         minlength=len(starts)).astype(np.int64)
+    got = dict(zip(u_s[starts].tolist(), n.tolist()))
+
+    expect = {}
+    for uid, grp in g.groupby("user_id"):
+        t = np.sort(grp["ts"].to_numpy())
+        expect[int(uid)] = 1 + int((np.diff(t) > gap).sum())
+    assert got == expect
+
+
+@given(
+    weights=st.lists(st.integers(0, 10_000), min_size=1, max_size=80),
+    k=st.integers(1, 10),
+)
+@settings(max_examples=60, deadline=None)
+def test_weighted_sample_local_topk_merge_is_lossless(weights, k):
+    """Merging per-chunk top-K candidate sets can never change the
+    global top-K under the (key, doc_id) order — the invariant the
+    distributed weighted_sample relies on."""
+    import hashlib
+
+    ids = np.arange(len(weights), dtype=np.int64)
+    w = np.maximum(np.asarray(weights, dtype=np.int64), 1)
+    h32 = np.asarray(
+        [int(hashlib.md5(f"wsample:{i}".encode()).hexdigest()[:8], 16)
+         for i in ids],
+        dtype=np.int64,
+    )
+    key = (h32 * 1_000_000) // w
+    full = np.lexsort((ids, key))[:k]
+
+    # split into arbitrary chunks, take per-chunk top-k, merge
+    chunks = np.array_split(np.arange(len(ids)), 3)
+    cand_i, cand_k = [], []
+    for c in chunks:
+        if len(c) == 0:
+            continue
+        o = np.lexsort((ids[c], key[c]))[:k]
+        cand_i.append(ids[c][o])
+        cand_k.append(key[c][o])
+    ci = np.concatenate(cand_i)
+    ck = np.concatenate(cand_k)
+    o = np.lexsort((ci, ck))[:k]
+    assert ci[o].tolist() == ids[full].tolist()
