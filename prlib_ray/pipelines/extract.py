@@ -77,11 +77,14 @@ def extract_pipeline(ts_ds, *, reassemble: bool = True,
         )
 
         fn = extract_turns_batch if include_spans else extract_turns_batch_nospans
+        # batch_size: interleaved A/B at sf0.1 measured a 512-2048 plateau
+        # with 4096 consistently slower (worse pipelining + higher peak
+        # intermediate memory per task) and whole-block 2-5x slower
         cleaned = ts_ds.map_batches(
             fn,
             batch_format="pyarrow",
             zero_copy_batch=True,
-            batch_size=4096,
+            batch_size=2048,
         )
     if not include_spans and compute == "actors":
         cleaned = cleaned.map_batches(
@@ -109,7 +112,7 @@ def extract_pipeline(ts_ds, *, reassemble: bool = True,
                 extract_turns_batch_packed_spans,
                 batch_format="pyarrow",
                 zero_copy_batch=True,
-                batch_size=4096,
+                batch_size=2048,
             )
         stats_ds = part.conv_stats(ts_ds, merge="distributed")
         ordered_in = part.add_order_idx_join(cleaned, stats_ds)
