@@ -85,13 +85,13 @@ def build_queries() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
 _PRIORITY = [
     "flagship_extract",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash_hamming", "dedup_embedding",
-    "dedup_cc_clusters", "dedup_survivors", "dedup_clusters_minhash",
+    "dedup_embedding", "dedup_semantic",
+    "dedup_cc_clusters", "dedup_survivors",
     "dedup_embedding_lsh", "dedup_incremental", "corpus_diff",
+    "segment_dedup",
     "ann_neighbor_counts", "ann_ivf_topk",
-    "ann_lsh_topk",
     "token_count", "token_count_subword", "quality_score",
-    "repetition_stats", "lang_id",
+    "gopher_quality", "repetition_stats", "lang_id",
     "fingerprint_md5",
     "fingerprint_winnow", "multimodal_decode", "pipeline_chain",
     "split_assign", "mix_sources", "shuffle_head", "decontaminate",
@@ -107,7 +107,11 @@ _PRIORITY = [
     "unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction",
     "set_ops_users_customers", "approx_distinct_users",
     "reassemble_events", "deskew",
-    # tail (still sim+pytest covered; recorded green in earlier rounds)
+    # tail (still sim+pytest covered; recorded green in earlier rounds —
+    # the rows-only dedup/ANN scale paths moved here in round 3 when the
+    # oracle-backed gopher_quality / segment_dedup / dedup_semantic
+    # displaced them; their recall/bound evidence lives in pytest)
+    "dedup_simhash_hamming", "dedup_clusters_minhash", "ann_lsh_topk",
     "binarize_sauvola", "denoise_kuwahara_iterated",
     "dedup_simhash", "lsh_bucket_stats", "ann_bruteforce_topk",
     "q6_forecast_revenue", "warp_crop", "source_csv_roundtrip",

@@ -144,6 +144,8 @@ def _register_data_ops(queries, sql) -> None:
     sql["token_count_subword"] = odata.TOKEN_COUNT_SUBWORD
     queries["quality_score"] = _doc_query(text_analysis.quality_score_batch)
     sql["quality_score"] = odata.QUALITY_SCORE
+    queries["gopher_quality"] = _doc_query(text_analysis.gopher_quality_batch)
+    sql["gopher_quality"] = odata.GOPHER_QUALITY
     queries["repetition_stats"] = _doc_query(
         text_analysis.repetition_stats_batch
     )
@@ -164,6 +166,9 @@ def _register_data_ops(queries, sql) -> None:
 
     queries["dedup_embedding"] = similarity.embedding_near_dup_pairs
     sql["dedup_embedding"] = odata.EMBEDDING_NEAR_DUP
+    # SemDedup: centroid-assign then within-cluster exact near-dup
+    queries["dedup_semantic"] = similarity.dedup_semantic
+    sql["dedup_semantic"] = odata.DEDUP_SEMANTIC
     # the scale path: LSH candidates + exact hugeint verify (rows-only)
     queries["dedup_embedding_lsh"] = similarity.embedding_near_dup_lsh
     # grouped vector aggregate (centroid partial+final over list<float>)
@@ -209,6 +214,8 @@ def _register_data_ops(queries, sql) -> None:
     sql["tfidf_top_term"] = ocorp.TFIDF_TOP_TERM
     queries["dup_ngram_fraction"] = corpus_stats.dup_ngram_fraction
     sql["dup_ngram_fraction"] = ocorp.DUP_NGRAM_FRACTION
+    queries["segment_dedup"] = corpus_stats.segment_dedup
+    sql["segment_dedup"] = ocorp.SEGMENT_DEDUP
 
     # config-driven pipeline assembly (SURVEY §2.7 extension surface)
     def pipeline_chain(sf_dir: str):

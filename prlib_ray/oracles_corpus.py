@@ -78,3 +78,33 @@ SELECT doc_id,
                        END))
             // greatest(count(*), 1) AS BIGINT) AS dup_pct
 FROM v GROUP BY doc_id ORDER BY doc_id"""
+
+# mirrors corpus_stats.segment_dedup: disjoint 4-word segments (empty
+# tokens retained inside a segment, the <4-token tail dropped via
+# HAVING cnt = 4); a segment is removed when its exact text occurs >= 3
+# times corpus-wide (total occurrences — thrice in one doc also trips).
+# string_agg(w, ' ' ORDER BY i) is unambiguous because split tokens
+# cannot contain the separator.
+SEGMENT_DEDUP = """
+WITH words AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+),
+seg AS (
+    SELECT doc_id, (i - 1) // 4 AS s,
+           string_agg(w, ' ' ORDER BY i) AS g,
+           count(*) AS cnt
+    FROM words GROUP BY doc_id, (i - 1) // 4
+),
+v AS (SELECT doc_id, g FROM seg WHERE cnt = 4),
+dup AS (SELECT g FROM v GROUP BY g HAVING count(*) >= 3)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN g IN (SELECT g FROM dup) THEN 1 ELSE 0 END)
+            AS BIGINT) AS removed_segments,
+       CAST((100 * sum(CASE WHEN g IN (SELECT g FROM dup) THEN 1 ELSE 0
+                       END))
+            // greatest(count(*), 1) AS BIGINT) AS removed_pct
+FROM v GROUP BY doc_id ORDER BY doc_id"""

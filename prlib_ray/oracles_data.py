@@ -3,7 +3,16 @@ analysis, similarity, multimodal plumbing)."""
 
 from __future__ import annotations
 
-from prlib_ray.stages.text_analysis import LANG_MARKERS, STOPWORDS
+from prlib_ray.stages.text_analysis import (
+    GOPHER_MAX_MEAN_LEN,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_MEAN_LEN,
+    GOPHER_MIN_STOP,
+    GOPHER_MIN_WORDS,
+    GOPHER_STOPWORDS,
+    LANG_MARKERS,
+    STOPWORDS,
+)
 
 EXACT_DEDUP = """
 SELECT md5(text) AS h, min(doc_id) AS doc_id
@@ -95,6 +104,42 @@ SELECT d.doc_id, a.n_words, a.n_stop,
        CAST(len(regexp_extract_all(d.text, '[.,;:!?]')) AS BIGINT) AS n_punct,
        (100 * a.n_stop) // greatest(a.n_words, 1) AS score_pct
 FROM documents d JOIN agg a ON d.doc_id = a.doc_id ORDER BY d.doc_id"""
+
+
+_GOPHER_STOP_LIST = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+# mirrors text_analysis.gopher_quality_batch: the published Gopher rule
+# bounds as pure integer comparisons.  Every doc yields >=1 split token
+# (string_split('') = ['']), so the GROUP BY covers all docs — no outer
+# join needed; empty-word docs get n_words=0 and fail the word-count
+# rule, exactly like the Ray side.
+GOPHER_QUALITY = f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+agg AS (
+    SELECT doc_id,
+           count(*) FILTER (WHERE w <> '') AS n_words,
+           COALESCE(sum(length(w)) FILTER (WHERE w <> ''), 0)
+               AS sum_word_len,
+           count(*) FILTER (WHERE regexp_matches(w, '[A-Za-z]'))
+               AS n_alpha,
+           count(*) FILTER (WHERE w IN ({_GOPHER_STOP_LIST})) AS n_stop
+    FROM words GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(sum_word_len AS BIGINT) AS sum_word_len,
+       CAST(n_alpha AS BIGINT) AS n_alpha,
+       CAST(n_stop AS BIGINT) AS n_stop,
+       CAST(CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                  AND n_words <= {GOPHER_MAX_WORDS}
+                  AND {GOPHER_MIN_MEAN_LEN} * n_words <= sum_word_len
+                  AND sum_word_len <= {GOPHER_MAX_MEAN_LEN} * n_words
+                  AND 5 * n_alpha >= 4 * n_words
+                  AND n_stop >= {GOPHER_MIN_STOP}
+             THEN 1 ELSE 0 END AS BIGINT) AS passes
+FROM agg ORDER BY doc_id"""
 
 
 def _lang_id_sql() -> str:
@@ -220,6 +265,61 @@ JOIN norms nb ON dots.vb = nb.vec_id
 WHERE dot > 0
   AND CAST(dot AS HUGEINT) * dot * 10000 >= 9025 * CAST(na.nn AS HUGEINT) * nb.nn
 ORDER BY vec_a, vec_b"""
+
+# mirrors similarity.dedup_semantic: centroid = the N_SEM_SEEDS lowest-id
+# vectors; assignment = argmax integer dot with ties to the smallest
+# centroid id (row_number ORDER BY dot DESC, cid ASC == numpy's
+# first-max argmax); keep=0 iff a lower-id SAME-CLUSTER vector clears
+# the exact hugeint cosine-0.95 decision.  Same bounded+planted input
+# as EMBEDDING_NEAR_DUP.
+DEDUP_SEMANTIC = """
+WITH sub AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, embedding
+    FROM embeddings WHERE vec_id < 10
+),
+q AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
+    FROM sub
+),
+seeds AS (SELECT vec_id AS cid, i, qv AS sv FROM q WHERE vec_id < 8),
+cdots AS (
+    SELECT q.vec_id, s.cid, sum(q.qv * s.sv) AS dot
+    FROM q JOIN seeds s USING (i) GROUP BY q.vec_id, s.cid
+),
+assign AS (
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, cid ASC) AS rn
+        FROM cdots
+    ) WHERE rn = 1
+),
+norms AS (SELECT vec_id, sum(qv * qv) AS nn FROM q GROUP BY vec_id),
+pairdots AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.qv * b.qv) AS dot
+    FROM q a
+    JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+    JOIN assign ca ON ca.vec_id = a.vec_id
+    JOIN assign cb ON cb.vec_id = b.vec_id AND ca.cluster = cb.cluster
+    GROUP BY a.vec_id, b.vec_id
+),
+dups AS (
+    SELECT DISTINCT vb FROM pairdots
+    JOIN norms na ON pairdots.va = na.vec_id
+    JOIN norms nb ON pairdots.vb = nb.vec_id
+    WHERE dot > 0
+      AND CAST(dot AS HUGEINT) * dot * 10000
+          >= 9025 * CAST(na.nn AS HUGEINT) * nb.nn
+)
+SELECT a.vec_id,
+       CAST(a.cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN d.vb IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM assign a LEFT JOIN dups d ON a.vec_id = d.vb
+ORDER BY a.vec_id"""
 
 # normalize_whitespace -> remove_lines -> thin_zhang_suen, composed
 # exactly as build_pipeline chains the batch functions

@@ -581,3 +581,148 @@ def dup_ngram_fraction(sf_dir: str):
         )
 
     return agg.map_batches(pct, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# C4-style cross-document segment dedup
+
+
+# C4 (Raffel et al. 2020 §2.2) drops any three-sentence span occurring
+# more than once in the corpus.  This corpus has no sentence boundaries
+# (single-space word streams), so the unit is the disjoint SEG_WIDTH-word
+# segment; a segment whose exact text occurs >= SEG_DUP_MIN times
+# corpus-wide (total occurrences, not distinct docs — thrice in one doc
+# also trips it) is removed everywhere.  At these settings the sf
+# fixtures contain 20+ naturally duplicated segments, so the driver row
+# is non-vacuous without planting.
+SEG_WIDTH = 4
+SEG_DUP_MIN = 3
+
+
+def _segment_ids(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(uint64 segment ids, doc index per segment) for the disjoint
+    SEG_WIDTH-token segments of each doc (empty tokens retained, the
+    <SEG_WIDTH tail dropped).  One split pass, one unique-word md5 pass,
+    a position-multiplier combine summed per segment with reduceat —
+    token runs of a segment are adjacent in the flat stream."""
+    words, d, ndocs = _flat_words(b)
+    if len(words) == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    h = _word_hashes(words)
+    ntok = np.bincount(d, minlength=ndocs).astype(np.int64)
+    doc_start = np.r_[0, np.cumsum(ntok)][:-1]
+    idx = np.arange(len(d), dtype=np.int64) - doc_start[d]
+    pos = idx % SEG_WIDTH
+    with np.errstate(over="ignore"):
+        contrib = h * _POS_MULT[pos]
+    starts = np.flatnonzero(pos == 0)
+    g = np.add.reduceat(contrib, starts)
+    full = idx[starts] + SEG_WIDTH <= ntok[d[starts]]
+    return g[full], d[starts][full]
+
+
+def segment_dedup(sf_dir: str):
+    """Per doc: full SEG_WIDTH-word segments, how many are removed by
+    the corpus-wide >=SEG_DUP_MIN-occurrence rule, and the integer
+    removal percentage — the C4 boilerplate-removal accounting.
+
+    Same physical plan as dup_ngram_fraction: per-batch explode to
+    distinct (segment id, doc, occurrences) rows; segment ids hash into
+    N_CORPUS_PARTS coarse partitions (an id never spans parts, so each
+    part resolves corpus-wide occurrence totals in one vectorized
+    pass); per-doc partials fold through DOC-side coarse partitions.
+    Only integer rows shuffle."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        empty = pa.table(
+            {"g": pa.array([], type=pa.uint64()), "doc_id": z,
+             "c": z, "part": z}
+        )
+        if b.num_rows == 0:
+            return empty
+        g, d = _segment_ids(b)
+        if len(g) == 0:
+            return empty
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((d, g))
+        gs, ds_ = g[order], d[order]
+        new = np.r_[True, (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])]
+        starts = np.flatnonzero(new)
+        c = np.diff(np.r_[starts, len(gs)]).astype(np.int64)
+        gu, du = gs[starts], ds_[starts]
+        return pa.table(
+            {
+                "g": pa.array(gu),
+                "doc_id": pa.array(ids[du]),
+                "c": pa.array(c),
+                "part": pa.array(
+                    (gu % np.uint64(N_CORPUS_PARTS)).astype(np.int64)
+                ),
+            }
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        gid = g["g"].to_numpy().astype(np.uint64)
+        doc = g["doc_id"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        order = np.argsort(gid, kind="stable")
+        gs, doc_s, c_s = gid[order], doc[order], c[order]
+        new = np.r_[True, gs[1:] != gs[:-1]]
+        run = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        # corpus-wide OCCURRENCE total per segment (C4 counts repeats,
+        # not distinct docs)
+        tot_per_seg = np.add.reduceat(c_s, starts)
+        dup = tot_per_seg[run] >= SEG_DUP_MIN
+        ud, inv = np.unique(doc_s, return_inverse=True)
+        tot = np.bincount(inv, weights=c_s).astype(np.int64)
+        rem = np.bincount(inv, weights=c_s * dup).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": ud, "tot": tot, "rem": rem,
+             "dpart": ud % N_CORPUS_PARTS}
+        )
+
+    def merge_docs(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["doc_id"].to_numpy().astype(np.int64)
+        ud, inv = np.unique(doc, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "doc_id": ud,
+                "n_segments": np.bincount(
+                    inv, weights=g["tot"].to_numpy()
+                ).astype(np.int64),
+                "removed_segments": np.bincount(
+                    inv, weights=g["rem"].to_numpy()
+                ).astype(np.int64),
+            }
+        )
+
+    agg = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .groupby("dpart")
+        .map_groups(merge_docs, batch_format="pandas")
+    )
+
+    def pct(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "n_segments": pa.array([], type=pa.int64()),
+                 "removed_segments": pa.array([], type=pa.int64()),
+                 "removed_pct": pa.array([], type=pa.int64())}
+            )
+        ns = b["n_segments"].to_numpy().astype(np.int64)
+        rs = b["removed_segments"].to_numpy().astype(np.int64)
+        return b.append_column(
+            "removed_pct", pa.array((100 * rs) // np.maximum(ns, 1))
+        )
+
+    return agg.map_batches(pct, batch_format="pyarrow", zero_copy_batch=True)

@@ -342,6 +342,106 @@ def embedding_near_dup_lsh(sf_dir: str, *, t2: int = 9025,
     return verified.sort(["vec_a", "vec_b"])
 
 
+# SemDedup seed count: cluster count scales with the corpus in
+# production (k ~ n / target_cluster_size keeps per-cluster pairwise
+# work constant); 8 deterministic seeds keep the bounded oracle baseline
+# SQL-expressible.
+N_SEM_SEEDS = 8
+
+
+def dedup_semantic(sf_dir: str, *, t2: int = 9025):
+    """SemDedup (Abbas et al. 2023 shape): assign every vector to its
+    max-dot centroid, then mark within-cluster near-duplicates — only
+    same-cluster pairs are ever compared, which is the whole point of
+    the method at scale (pairwise work is per-cluster, not corpus²).
+
+    Centroids here are the N_SEM_SEEDS lowest-id vectors (deterministic,
+    so the DuckDB oracle can recompute the assignment); assignment is a
+    broadcast int64 matmul per batch with argmax ties to the smallest
+    centroid id; the within-cluster survivor pass reuses the exact
+    two-limb hugeint cosine decision (_exact_cos_mask).  Bounded input
+    (vec_id < MAX_ANN_ID, plus the planted duplicates) keeps the
+    all-pairs SQL mirror tractable — the oracle-backed BASELINE of the
+    family whose scale paths are dedup_embedding_lsh / ann_ivf_topk.
+    Output: (vec_id, cluster, keep) with keep=0 iff a lower-id
+    same-cluster vector has quantized cosine >= sqrt(t2/10000)."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    seeds = ds.map_batches(
+        lambda b: b.filter(pa.array(b["vec_id"].to_numpy() < N_SEM_SEEDS)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # N_SEM_SEEDS rows — a bounded dimension take
+    seeds.sort(key=lambda r: r["vec_id"])
+    S = np.stack(_quantize([list(r["embedding"]) for r in seeds]))
+    ref = ray.put(S)
+
+    bounded = ds.map_batches(
+        lambda b: _plant_dup_batch(
+            b.filter(pa.array(b["vec_id"].to_numpy() < MAX_ANN_ID))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], type=pa.int64()),
+                 "cluster": pa.array([], type=pa.int64()),
+                 "embedding": b["embedding"]}
+            )
+        S = ray.get(ref)
+        Q = np.stack(_quantize(b["embedding"].to_pylist()))
+        dots = Q @ S.T
+        # argmax keeps the FIRST maximal column -> smallest centroid id
+        # wins ties (the oracle's ORDER BY dot DESC, cid ASC)
+        cid = np.argmax(dots, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    b["vec_id"].to_numpy().astype(np.int64)
+                ),
+                "cluster": pa.array(cid),
+                "embedding": b["embedding"],
+            }
+        )
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.stack(_quantize([list(e) for e in g["embedding"].to_numpy()[order]]))
+        D = V @ V.T
+        n2 = np.einsum("ij,ij->i", V, V)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = _exact_cos_mask(D[iu, ju], n2[iu], n2[ju], t2)
+        keep = np.ones(len(ids), dtype=np.int64)
+        keep[np.unique(ju[mask])] = 0  # a lower-id near-dup exists
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": g["cluster"].to_numpy()[order],
+                "keep": keep,
+            }
+        )
+
+    # cluster-key cardinality is BOUNDED (N_SEM_SEEDS), so the native
+    # groupby is fine here — the per-key cost lesson applies to
+    # corpus-scaled keys only
+    return (
+        bounded.map_batches(assign, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(per_cluster, batch_format="pandas")
+    )
+
+
 def ann_bruteforce_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
     """Brute-force cosine top-k: the first ``n_queries`` vectors are the
     query matrix, broadcast once (ray.put); each batch computes a numpy

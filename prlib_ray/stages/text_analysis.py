@@ -101,6 +101,65 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# Gopher-style document-quality rules (Rae et al. 2021, Table A1 subset;
+# the published bounds, not corpus-tuned ones).  Every decision is pure
+# integer arithmetic — the mean-word-length band [3, 10] is tested as
+# 3*n_words <= sum_word_len <= 10*n_words, the >=80%-alphabetic rule as
+# 5*n_alpha >= 4*n_words — so the DuckDB oracle hash is exact.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_MIN_STOP = 2
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_batch(batch: pa.Table) -> pa.Table:
+    """Gopher quality-rule scoring: per doc the rule inputs (word count,
+    summed word length, alphabetic-word count, stopword count) and the
+    0/1 pass flag of the conjunction — the gate a pre-training corpus
+    filter applies before anything expensive runs.
+
+    One split_pattern pass; lengths / alpha / stopword tests are Arrow
+    kernels over the flat word array folded per doc with bincount.  Docs
+    with zero non-empty words stay in the output (n_words=0, passes=0) —
+    a filter must give a verdict on every document."""
+    words, doc_of_word, ndocs = _flat_words(batch)
+    nonempty = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+    wl = pc.utf8_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    is_stop = pc.is_in(
+        words, value_set=pa.array(GOPHER_STOPWORDS, type=pa.string())
+    ).to_numpy(zero_copy_only=False)
+    has_alpha = pc.match_substring_regex(
+        words, pattern="[A-Za-z]"
+    ).to_numpy(zero_copy_only=False)
+    d = doc_of_word
+    nw = np.bincount(d[nonempty], minlength=ndocs).astype(np.int64)
+    sl = np.bincount(
+        d[nonempty], weights=wl[nonempty], minlength=ndocs
+    ).astype(np.int64)
+    na = np.bincount(d[has_alpha], minlength=ndocs).astype(np.int64)
+    ns = np.bincount(d[is_stop], minlength=ndocs).astype(np.int64)
+    passes = (
+        (nw >= GOPHER_MIN_WORDS)
+        & (nw <= GOPHER_MAX_WORDS)
+        & (GOPHER_MIN_MEAN_LEN * nw <= sl)
+        & (sl <= GOPHER_MAX_MEAN_LEN * nw)
+        & (5 * na >= 4 * nw)
+        & (ns >= GOPHER_MIN_STOP)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(nw),
+            "sum_word_len": pa.array(sl),
+            "n_alpha": pa.array(na),
+            "n_stop": pa.array(ns),
+            "passes": pa.array(passes),
+        }
+    )
+
+
 def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     """Repetition-ratio quality signal: per doc, total words, distinct
     words, the top word's frequency and rep_pct = (100*top)//max(n,1) —

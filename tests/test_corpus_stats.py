@@ -28,7 +28,8 @@ def registry():
     return build_queries()
 
 
-CASES = ["unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction"]
+CASES = ["unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction",
+         "segment_dedup"]
 
 
 def _cmp(df, odf, name):
@@ -131,6 +132,35 @@ def test_dup_ngram_counts_on_constructed_corpus(ray_session, tmp_path):
     assert df["n_windows"].tolist() == [3, 1, 2]
     assert df["dup_windows"].tolist() == [1, 1, 0]
     assert df["dup_pct"].tolist() == [33, 100, 0]
+
+
+def test_segment_dedup_constructed_corpus(ray_session, tmp_path):
+    """Hand-computed C4 accounting: a segment occurring 3x corpus-wide
+    (twice in one doc + once in another) is removed everywhere, a 2x
+    segment is kept, <SEG_WIDTH tails never count, and segment-less
+    docs are absent from the output."""
+    texts = [
+        "a b c d a b c d x",   # 2 full segments (both "a b c d") + tail
+        "a b c d p q r s",     # "a b c d" (3rd occurrence) + "p q r s"
+        "p q r s t u v w",     # "p q r s" (only 2x total) + "t u v w"
+        "x y z",               # no full segment -> absent
+    ]
+    pq.write_table(
+        pa.table({"doc_id": [0, 1, 2, 3], "text": texts}),
+        tmp_path / "documents.parquet",
+    )
+    from prlib_ray.stages.corpus_stats import segment_dedup
+
+    df = (
+        segment_dedup(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert df["doc_id"].tolist() == [0, 1, 2]
+    assert df["n_segments"].tolist() == [2, 2, 2]
+    assert df["removed_segments"].tolist() == [2, 1, 0]
+    assert df["removed_pct"].tolist() == [100, 50, 0]
 
 
 def test_unigram_min_freq_is_corpus_global(ray_session, tmp_path):

@@ -21,6 +21,8 @@ ORACLE_CASES = [
     "ann_neighbor_counts",
     "multimodal_decode",
     "dedup_embedding",
+    "dedup_semantic",
+    "gopher_quality",
     "pipeline_chain",
 ]
 
@@ -257,6 +259,55 @@ def test_embedding_lsh_subset_and_recall(registry, ray_session, sf_dir, tmp_path
     assert list(e.columns) == ["vec_a", "vec_b"]
     planted = set(zip(e["vec_a"], e["vec_b"]))
     assert {(i, i + 1_000_000) for i in range(10)} <= planted
+
+
+def test_dedup_semantic_cluster_locality(ray_session, tmp_path):
+    """SemDedup semantics on a constructed corpus: a same-cluster
+    near-dup pair loses its larger id (keep=0), while an equally-close
+    CROSS-cluster pair survives intact — the method's documented
+    tradeoff (only within-cluster pairs are ever compared)."""
+    import pyarrow as pa
+
+    dim = 8
+    vecs = {}
+    for s in range(8):  # one-hot seeds = the 8 centroids
+        v = [0.0] * dim
+        v[s] = 1.0
+        vecs[s] = v
+    # 10/11: identical pair in cluster 0, but NOT a near-dup of seed 0
+    # (cos = 1/sqrt(1.16) ~ 0.928 < 0.95)
+    vecs[10] = [1.0, 0.4] + [0.0] * (dim - 2)
+    vecs[11] = list(vecs[10])
+    # 12/13: cosine ~0.99995 to each other but assigned to clusters 1
+    # and 2 respectively (dot argmax), so SemDedup keeps both
+    vecs[12] = [0.0, 1.0, 0.99] + [0.0] * (dim - 3)
+    vecs[13] = [0.0, 0.99, 1.0] + [0.0] * (dim - 3)
+    ids = sorted(vecs)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([vecs[i] for i in ids],
+                                  type=pa.list_(pa.float32())),
+        }),
+        tmp_path / "embeddings.parquet",
+    )
+    from prlib_ray.stages.similarity import dedup_semantic
+
+    df = (
+        dedup_semantic(str(tmp_path))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    row = df.set_index("vec_id")
+    assert row.loc[10, "cluster"] == 0 and row.loc[11, "cluster"] == 0
+    assert row.loc[10, "keep"] == 1 and row.loc[11, "keep"] == 0
+    assert row.loc[12, "cluster"] == 1 and row.loc[13, "cluster"] == 2
+    assert row.loc[12, "keep"] == 1 and row.loc[13, "keep"] == 1
+    # the planted +1M copies of the seeds are exact same-cluster dups
+    for s in range(8):
+        assert row.loc[s + 1_000_000, "keep"] == 0
+        assert row.loc[s, "keep"] == 1
 
 
 def test_min_label_propagation_long_chain(ray_session):

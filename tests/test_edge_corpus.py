@@ -74,6 +74,9 @@ EDGE_CASES = [
     "unigram_freq_score",
     "tfidf_top_term",
     "dup_ngram_fraction",
+    "segment_dedup",
+    "gopher_quality",
+    "dedup_semantic",
     "dedup_incremental",
     "weighted_sample",
     "frequent_ngrams",
