@@ -83,7 +83,7 @@ def build_queries() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
 # the remaining binarize/doc-op variants (all driver-green in round 1
 # and still covered by tools/driver_sim.py + pytest) follow.
 _PRIORITY = [
-    "flagship_extract",
+    "flagship_extract", "curate_corpus",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_embedding", "dedup_semantic",
     "dedup_cc_clusters", "dedup_survivors",

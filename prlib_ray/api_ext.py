@@ -217,6 +217,13 @@ def _register_data_ops(queries, sql) -> None:
     queries["segment_dedup"] = corpus_stats.segment_dedup
     sql["segment_dedup"] = ocorp.SEGMENT_DEDUP
 
+    # end-to-end curation funnel (gopher gate -> exact dedup ->
+    # boilerplate drop), per-source accounting
+    from prlib_ray.pipelines.curate import curate_corpus
+
+    queries["curate_corpus"] = curate_corpus
+    sql["curate_corpus"] = ocorp.CURATE_CORPUS
+
     # config-driven pipeline assembly (SURVEY §2.7 extension surface)
     def pipeline_chain(sf_dir: str):
         from prlib_ray.pipeline import run_config

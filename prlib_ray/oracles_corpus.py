@@ -79,6 +79,83 @@ SELECT doc_id,
             // greatest(count(*), 1) AS BIGINT) AS dup_pct
 FROM v GROUP BY doc_id ORDER BY doc_id"""
 
+# mirrors pipelines/curate.curate_corpus: the three-stage funnel over
+# the deterministically augmented corpus (every doc_id % 50 == 0 doc
+# duplicated at +1,000,000 — the UNION ALL below).  Stage bodies are
+# verbatim re-compositions of GOPHER_QUALITY and SEGMENT_DEDUP; the
+# dedup stage groups passing docs by exact TEXT (the Ray side's
+# md5-truncated uint64 groups collide exactly on equal texts).
+CURATE_CORPUS = """
+WITH docs AS (
+    SELECT doc_id, text, source FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text, source FROM documents
+    WHERE doc_id % 50 = 0
+),
+words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs
+),
+agg AS (
+    SELECT doc_id,
+           count(*) FILTER (WHERE w <> '') AS n_words,
+           COALESCE(sum(length(w)) FILTER (WHERE w <> ''), 0)
+               AS sum_word_len,
+           count(*) FILTER (WHERE regexp_matches(w, '[A-Za-z]'))
+               AS n_alpha,
+           count(*) FILTER (WHERE w IN
+               ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))
+               AS n_stop
+    FROM words GROUP BY doc_id
+),
+g AS (
+    SELECT d.doc_id, d.source, d.text, a.n_words,
+           CASE WHEN a.n_words >= 50 AND a.n_words <= 100000
+                 AND 3 * a.n_words <= a.sum_word_len
+                 AND a.sum_word_len <= 10 * a.n_words
+                 AND 5 * a.n_alpha >= 4 * a.n_words
+                 AND a.n_stop >= 2
+            THEN 1 ELSE 0 END AS passes
+    FROM docs d JOIN agg a USING (doc_id)
+),
+surv AS (
+    SELECT min(doc_id) AS doc_id FROM g WHERE passes = 1 GROUP BY text
+),
+wi AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM docs
+),
+seg AS (
+    SELECT doc_id, (i - 1) // 4 AS s,
+           string_agg(w, ' ' ORDER BY i) AS sg,
+           count(*) AS cnt
+    FROM wi GROUP BY doc_id, (i - 1) // 4
+),
+v AS (SELECT doc_id, sg FROM seg WHERE cnt = 4),
+dup AS (SELECT sg FROM v GROUP BY sg HAVING count(*) >= 3),
+heavy AS (
+    SELECT doc_id FROM v GROUP BY doc_id
+    HAVING (100 * sum(CASE WHEN sg IN (SELECT sg FROM dup)
+                           THEN 1 ELSE 0 END))
+           // greatest(count(*), 1) >= 50
+),
+fin AS (
+    SELECT s.doc_id FROM surv s
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM heavy)
+)
+SELECT g.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(g.passes) AS BIGINT) AS n_gopher,
+       CAST(count(s.doc_id) AS BIGINT) AS n_dedup,
+       CAST(count(f.doc_id) AS BIGINT) AS n_final,
+       CAST(COALESCE(sum(g.n_words) FILTER (WHERE f.doc_id IS NOT NULL), 0)
+            AS BIGINT) AS tokens_final
+FROM g
+LEFT JOIN surv s ON g.doc_id = s.doc_id
+LEFT JOIN fin f ON g.doc_id = f.doc_id
+GROUP BY g.source ORDER BY g.source"""
+
 # mirrors corpus_stats.segment_dedup: disjoint 4-word segments (empty
 # tokens retained inside a segment, the <4-token tail dropped via
 # HAVING cnt = 4); a segment is removed when its exact text occurs >= 3

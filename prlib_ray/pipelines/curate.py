@@ -1,0 +1,253 @@
+"""End-to-end corpus-curation funnel: the pipeline a training-data team
+actually runs before spending GPU-hours — quality gate, then exact
+dedup, then boilerplate drop — with per-source funnel accounting
+(how many documents and tokens each stage kept, per source).
+
+Stages, each reusing an already-oracled operator:
+
+1. **Gopher quality gate** (text_analysis.gopher_quality_batch) — a doc
+   enters the funnel only if it passes the published rule bounds.
+2. **Exact-text dedup** — among passing docs, the minimum doc_id per
+   text survives (md5-truncated uint64 groups; equal texts always
+   collide, the repo's pinned convention).  The raw fixtures contain no
+   exact dups, so the input is deterministically AUGMENTED (every
+   doc_id % PLANT_MOD == 0 doc re-appears at +PLANT_OFFSET with the
+   same text/source), mirrored by a UNION ALL in the oracle — the
+   dedup stage does real, checked work at every scale.
+3. **Heavy-boilerplate drop** (corpus_stats.segment_stats over the
+   augmented corpus) — survivors whose duplicate-segment percentage is
+   >= HEAVY_PCT are dropped (the C4 removal rule applied at document
+   granularity).
+
+Physical plan: the per-doc base table (ints + source, never text) is
+materialized ONCE; every funnel stage emits tiny per-source partial
+rows that union into a single bounded-key groupby — no driver-side
+materialization, no corpus-scale shuffle beyond the two coarse-
+partition folds the component operators already do.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from prlib_ray.stages.corpus_stats import N_CORPUS_PARTS, segment_stats
+from prlib_ray.stages.text_analysis import gopher_quality_batch
+
+HEAVY_PCT = 50          # drop survivors with removed_pct >= this
+PLANT_MOD = 50          # every doc_id % 50 == 0 gets an exact duplicate
+PLANT_OFFSET = 1_000_000
+
+FUNNEL_COLS = ("n_docs", "n_gopher", "n_dedup", "n_final", "tokens_final")
+
+
+def _plant_doc_batch(b: pa.Table) -> pa.Table:
+    """Append the deterministic exact-duplicate docs for this batch."""
+    ids = b["doc_id"].to_numpy().astype(np.int64)
+    if b.schema.field("doc_id").type != pa.int64():
+        b = b.set_column(
+            b.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(ids, type=pa.int64()),
+        )
+    m = ids % PLANT_MOD == 0
+    if not m.any():
+        return b
+    dup = b.filter(pa.array(m))
+    dup = dup.set_column(
+        dup.schema.get_field_index("doc_id"), "doc_id",
+        pa.array(ids[m] + PLANT_OFFSET, type=pa.int64()),
+    )
+    return pa.concat_tables([b, dup])
+
+
+def _by_source(src, values: dict[str, np.ndarray]) -> pa.Table:
+    """Per-source integer sums as a funnel-shaped partial table —
+    absent funnel columns are zero, so partials from different stages
+    union and Sum-aggregate into one result."""
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    d = pc.dictionary_encode(src)
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    srcs = d.dictionary
+    n = len(srcs)
+    out: dict[str, object] = {"source": srcs}
+    for name in FUNNEL_COLS:
+        v = values.get(name)
+        if v is None:
+            out[name] = pa.array(np.zeros(n, dtype=np.int64))
+        else:
+            out[name] = pa.array(
+                np.bincount(codes, weights=v, minlength=n).astype(np.int64)
+            )
+    return pa.table(out)
+
+
+def _empty_funnel() -> pa.Table:
+    z = pa.array([], type=pa.int64())
+    return pa.table(
+        {"source": pa.array([], type=pa.string()),
+         **{c: z for c in FUNNEL_COLS}}
+    )
+
+
+def _base_batch(b: pa.Table) -> pa.Table:
+    """Per-doc funnel inputs: gopher verdict + token count + the
+    md5-truncated text-group key.  Text never leaves this stage."""
+    if b.num_rows == 0:
+        z = pa.array([], type=pa.int64())
+        return pa.table(
+            {"doc_id": z, "source": pa.array([], type=pa.string()),
+             "n_words": z, "passes": z,
+             "h": pa.array([], type=pa.uint64()), "hpart": z}
+        )
+    q = gopher_quality_batch(b)
+    texts = b["text"].to_pylist()
+    h = np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+         for t in texts),
+        dtype=np.uint64,
+        count=len(texts),
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(b["doc_id"].to_numpy().astype(np.int64)),
+            "source": b["source"],
+            "n_words": q["n_words"],
+            "passes": q["passes"],
+            "h": pa.array(h),
+            "hpart": pa.array((h % np.uint64(N_CORPUS_PARTS)).astype(np.int64)),
+        }
+    )
+
+
+def curate_corpus(sf_dir: str):
+    """The funnel: per source, documents entering, passing the Gopher
+    gate, surviving exact dedup, and surviving the boilerplate drop —
+    plus the final surviving token count.  One row per source."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    aug = docs.map_batches(
+        _plant_doc_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # doc-keyed ints + source only; consumed by two stages -> one pass
+    # over the text, materialized once
+    base = aug.map_batches(
+        _base_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # Every funnel-partial UDF returns PANDAS so all three streams union
+    # into one uniform block type (mixed pandas/arrow blocks crash the
+    # final output iterator); the map_groups-derived streams are
+    # repartition-coalesced first because sparse sort partitions emit
+    # schema-less empty blocks that BYPASS map UDFs (the repo-wide
+    # empty-block lesson, tests/test_edge_corpus.py).
+    def s1(b: pa.Table) -> pd.DataFrame:
+        if b.num_rows == 0:
+            return _empty_funnel().to_pandas()
+        return _by_source(
+            b["source"],
+            {"n_docs": np.ones(b.num_rows, dtype=np.int64),
+             "n_gopher": b["passes"].to_numpy().astype(np.int64)},
+        ).to_pandas()
+
+    p1 = base.map_batches(s1, batch_format="pyarrow", zero_copy_batch=True)
+
+    # stage 2: min doc_id per text-hash among passing docs, one
+    # vectorized pass per coarse hash partition
+    passing = base.map_batches(
+        lambda b: b.filter(pc.equal(b["passes"], 1)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def surv_fold(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy().astype(np.uint64)
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, h))
+        first = np.r_[True, h[order][1:] != h[order][:-1]]
+        sel = order[first]
+        return pd.DataFrame(
+            {
+                "doc_id": ids[sel],
+                "source": g["source"].to_numpy()[sel],
+                "n_words": g["n_words"].to_numpy()[sel].astype(np.int64),
+                "tag": np.zeros(len(sel), dtype=np.int64),
+                "dpart": ids[sel] % N_CORPUS_PARTS,
+            }
+        )
+
+    survivors = (
+        passing.groupby("hpart")
+        .map_groups(surv_fold, batch_format="pandas")
+        .materialize()
+        .repartition(8)  # coalesce the sparse sort partitions' empties
+    )
+
+    def s2(b: pa.Table) -> pd.DataFrame:
+        if b.num_rows == 0:
+            return _empty_funnel().to_pandas()
+        return _by_source(
+            b["source"], {"n_dedup": np.ones(b.num_rows, dtype=np.int64)}
+        ).to_pandas()
+
+    p2 = survivors.map_batches(s2, batch_format="pyarrow")
+
+    # stage 3: heavy-boilerplate doc ids from the (augmented) segment
+    # accounting, anti-joined against the survivors per doc partition
+    def heavy_rows(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["removed_pct"].to_numpy() >= HEAVY_PCT
+        ids = df["doc_id"].to_numpy().astype(np.int64)[m]
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "source": np.full(len(ids), "", dtype=object),
+                "n_words": np.zeros(len(ids), dtype=np.int64),
+                "tag": np.ones(len(ids), dtype=np.int64),
+                "dpart": ids % N_CORPUS_PARTS,
+            }
+        )
+
+    heavy = (
+        segment_stats(aug)
+        .repartition(8)
+        .map_batches(heavy_rows, batch_format="pandas")
+    )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        tag = g["tag"].to_numpy().astype(np.int64)
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        kept = g[(tag == 0) & ~np.isin(ids, ids[tag == 1])]
+        if len(kept) == 0:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype=object),
+                 **{c: pd.Series([], dtype=np.int64) for c in FUNNEL_COLS}}
+            )
+        return (
+            _by_source(
+                pa.array(kept["source"].to_numpy(), type=pa.string()),
+                {"n_final": np.ones(len(kept), dtype=np.int64),
+                 "tokens_final": kept["n_words"].to_numpy().astype(np.int64)},
+            )
+            .to_pandas()
+        )
+
+    p3 = (
+        survivors.union(heavy)
+        .groupby("dpart")
+        .map_groups(anti, batch_format="pandas")
+    )
+
+    return (
+        p1.union(p2)
+        .union(p3)
+        .groupby("source")
+        .aggregate(*[Sum(c, alias_name=c) for c in FUNNEL_COLS])
+    )

@@ -637,6 +637,13 @@ def segment_dedup(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
+    return segment_stats(ds)
+
+
+def segment_stats(ds):
+    """The segment-dedup accounting over an arbitrary (doc_id, text)
+    Dataset — factored out so pipeline compositions (pipelines/curate.py)
+    can run it over an augmented corpus."""
 
     def explode(b: pa.Table) -> pa.Table:
         z = pa.array([], type=pa.int64())

@@ -29,7 +29,7 @@ def registry():
 
 
 CASES = ["unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction",
-         "segment_dedup"]
+         "segment_dedup", "curate_corpus"]
 
 
 def _cmp(df, odf, name):
@@ -161,6 +161,21 @@ def test_segment_dedup_constructed_corpus(ray_session, tmp_path):
     assert df["n_segments"].tolist() == [2, 2, 2]
     assert df["removed_segments"].tolist() == [2, 1, 0]
     assert df["removed_pct"].tolist() == [100, 50, 0]
+
+
+def test_curate_funnel_is_monotone_and_nonvacuous(registry, ray_session,
+                                                  sf_dir):
+    """Each funnel stage can only shrink the corpus, and on the fixtures
+    every stage does real work (gopher gate rejects, the planted dups
+    dedup away, at least one heavy-boilerplate doc drops)."""
+    queries, _ = registry
+    df = queries["curate_corpus"](sf_dir).to_pandas()
+    t = df[["n_docs", "n_gopher", "n_dedup", "n_final"]].sum()
+    assert t["n_docs"] > t["n_gopher"] > t["n_dedup"] > t["n_final"] > 0
+    assert (df["n_docs"] >= df["n_gopher"]).all()
+    assert (df["n_gopher"] >= df["n_dedup"]).all()
+    assert (df["n_dedup"] >= df["n_final"]).all()
+    assert df.loc[df["n_final"] > 0, "tokens_final"].gt(0).all()
 
 
 def test_unigram_min_freq_is_corpus_global(ray_session, tmp_path):

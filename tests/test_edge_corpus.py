@@ -77,6 +77,7 @@ EDGE_CASES = [
     "segment_dedup",
     "gopher_quality",
     "dedup_semantic",
+    "curate_corpus",
     "dedup_incremental",
     "weighted_sample",
     "frequent_ngrams",
