@@ -172,7 +172,8 @@ def run_bench() -> dict:
                  "ann_ivf_topk", "token_count", "decontaminate",
                  "pack_sequences", "mix_sources", "dup_ngram_fraction",
                  "unigram_freq_score", "dedup_incremental",
-                 "weighted_sample"):
+                 "weighted_sample", "gopher_quality", "segment_dedup",
+                 "dedup_semantic", "curate_corpus"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):
