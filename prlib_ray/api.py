@@ -91,9 +91,8 @@ _PRIORITY = [
     "segment_dedup",
     "ann_neighbor_counts", "ann_ivf_topk",
     "token_count", "token_count_subword", "quality_score",
-    "gopher_quality", "repetition_stats", "lang_id",
+    "gopher_quality", "repetition_stats", "lang_id", "lang_agreement",
     "fingerprint_md5",
-    "fingerprint_winnow", "multimodal_decode", "pipeline_chain",
     "split_assign", "mix_sources", "shuffle_head", "decontaminate",
     "pack_sequences", "chunk_tokens", "pii_scan", "source_term_stats",
     "length_filter_p95", "sample_per_source", "weighted_sample",
@@ -108,10 +107,12 @@ _PRIORITY = [
     "set_ops_users_customers", "approx_distinct_users",
     "reassemble_events", "deskew",
     # tail (still sim+pytest covered; recorded green in earlier rounds —
-    # the rows-only dedup/ANN scale paths moved here in round 3 when the
-    # oracle-backed gopher_quality / segment_dedup / dedup_semantic
-    # displaced them; their recall/bound evidence lives in pytest)
+    # the rows-only dedup/ANN scale paths and three unchanged r02-green
+    # entries (fingerprint_winnow / multimodal_decode / pipeline_chain)
+    # moved here in round 3 when the new oracle-backed curation ops
+    # displaced them; their evidence lives in pytest + CORRECTNESS_r02)
     "dedup_simhash_hamming", "dedup_clusters_minhash", "ann_lsh_topk",
+    "fingerprint_winnow", "multimodal_decode", "pipeline_chain",
     "binarize_sauvola", "denoise_kuwahara_iterated",
     "dedup_simhash", "lsh_bucket_stats", "ann_bruteforce_topk",
     "q6_forecast_revenue", "warp_crop", "source_csv_roundtrip",

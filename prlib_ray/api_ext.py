@@ -152,6 +152,8 @@ def _register_data_ops(queries, sql) -> None:
     sql["repetition_stats"] = odata.REPETITION_STATS
     queries["lang_id"] = _doc_query(text_analysis.lang_id_batch)
     sql["lang_id"] = odata.LANG_ID
+    queries["lang_agreement"] = text_analysis.lang_agreement
+    sql["lang_agreement"] = odata.LANG_AGREEMENT
     queries["fingerprint_md5"] = _doc_query(text_analysis.fingerprint_batch)
     sql["fingerprint_md5"] = odata.FINGERPRINT
     queries["fingerprint_winnow"] = _doc_query(text_analysis.winnow_batch)

@@ -172,6 +172,19 @@ SELECT doc_id, {case_sql} AS lang_pred FROM agg ORDER BY doc_id"""
 
 LANG_ID = _lang_id_sql()
 
+# mirrors text_analysis.lang_agreement: the declared lang column vs the
+# LANG_ID heuristic, folded per source with an integer percentage
+LANG_AGREEMENT = f"""
+WITH p AS ({LANG_ID})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN d.lang = p.lang_pred THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_agree,
+       CAST((100 * sum(CASE WHEN d.lang = p.lang_pred THEN 1 ELSE 0 END))
+            // greatest(count(*), 1) AS BIGINT) AS agree_pct
+FROM documents d JOIN p USING (doc_id)
+GROUP BY d.source ORDER BY d.source"""
+
 FINGERPRINT = """
 SELECT doc_id,
        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),

@@ -217,6 +217,78 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def lang_agreement(sf_dir: str):
+    """Per source: documents, documents whose DECLARED lang column
+    matches the lang-ID heuristic, and the integer agreement percentage
+    — the QA report a multilingual pipeline uses to find mislabeled
+    sources before lang-filtered training mixes are drawn.
+
+    Per-batch partial (source-bincounted ints) -> one bounded-key
+    groupby Sum -> integer pct; the text never shuffles."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table(
+                {"source": pa.array([], type=pa.string()),
+                 "n_docs": z, "n_agree": z}
+            )
+        pred = lang_id_batch(b)["lang_pred"]
+        lang = b["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        agree = pc.equal(lang, pred).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        src = b["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = pc.dictionary_encode(src)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(d.dictionary)
+        return pa.table(
+            {
+                "source": d.dictionary,
+                "n_docs": pa.array(
+                    np.bincount(codes, minlength=n).astype(np.int64)
+                ),
+                "n_agree": pa.array(
+                    np.bincount(codes, weights=agree,
+                                minlength=n).astype(np.int64)
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_agree", alias_name="n_agree"))
+    )
+
+    def pct(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table(
+                {"source": pa.array([], type=pa.string()),
+                 "n_docs": z, "n_agree": z, "agree_pct": z}
+            )
+        n = b["n_docs"].to_numpy().astype(np.int64)
+        a = b["n_agree"].to_numpy().astype(np.int64)
+        return b.append_column(
+            "agree_pct", pa.array((100 * a) // np.maximum(n, 1))
+        )
+
+    return agg.map_batches(pct, batch_format="pyarrow")
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Document fingerprint: md5 of the normalized skeleton (lowercase,
     alnum+space, collapsed) — a canonical content hash."""

@@ -23,6 +23,7 @@ ORACLE_CASES = [
     "dedup_embedding",
     "dedup_semantic",
     "gopher_quality",
+    "lang_agreement",
     "pipeline_chain",
 ]
 

@@ -78,6 +78,7 @@ EDGE_CASES = [
     "gopher_quality",
     "dedup_semantic",
     "curate_corpus",
+    "lang_agreement",
     "dedup_incremental",
     "weighted_sample",
     "frequent_ngrams",
