@@ -134,6 +134,69 @@ def test_dup_ngram_counts_on_constructed_corpus(ray_session, tmp_path):
     assert df["dup_pct"].tolist() == [33, 100, 0]
 
 
+def test_segment_ids_match_string_tuple_brute_force():
+    """Disjoint SEG_WIDTH-token segments: id equality must mirror
+    string-tuple equality exactly (equal segments always collide,
+    positions matter, empty tokens retained, <SEG_WIDTH tails and
+    segment-less docs dropped)."""
+    from prlib_ray.stages.corpus_stats import SEG_WIDTH, _segment_ids
+
+    texts = [
+        "a b c d e f g h x",       # 2 full segments + 1-token tail
+        "a b c d",                 # equals doc 0's first segment
+        "b a c d",                 # same words, different order
+        "a  b c d e",              # empty token inside the segment
+        "",                        # 1 empty token -> no segment
+        "one two three",           # 3 tokens -> no segment
+        "é ü 中文 🙂 tail",          # unicode segment + tail
+    ]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    g, d = _segment_ids(tbl)
+
+    grams, docs = [], []
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        for j in range(0, len(w) - SEG_WIDTH + 1, SEG_WIDTH):
+            grams.append(tuple(w[j : j + SEG_WIDTH]))
+            docs.append(i)
+    assert len(g) == len(grams)
+    assert list(d) == docs
+    for i in range(len(g)):
+        for j in range(i + 1, len(g)):
+            assert (g[i] == g[j]) == (grams[i] == grams[j]), (i, j)
+
+
+def test_gopher_quality_matches_naive_python():
+    """The vectorized rule inputs equal a per-doc straight-line
+    recomputation (including empty docs and unicode word lengths)."""
+    from prlib_ray.stages.text_analysis import (
+        GOPHER_STOPWORDS,
+        gopher_quality_batch,
+    )
+
+    texts = [
+        "the quick brown fox and that dog have fun with it",
+        "",
+        "  double  spaces  ",
+        "é ü 中文 the the of of 123 !!!",
+        "x " * 60,
+    ]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = gopher_quality_batch(tbl).to_pandas().set_index("doc_id")
+    import re
+
+    for i, t in enumerate(texts):
+        words = [w for w in t.split(" ") if w != ""]
+        assert out.loc[i, "n_words"] == len(words)
+        assert out.loc[i, "sum_word_len"] == sum(len(w) for w in words)
+        assert out.loc[i, "n_alpha"] == sum(
+            1 for w in words if re.search("[A-Za-z]", w)
+        )
+        assert out.loc[i, "n_stop"] == sum(
+            1 for w in words if w in GOPHER_STOPWORDS
+        )
+
+
 def test_segment_dedup_constructed_corpus(ray_session, tmp_path):
     """Hand-computed C4 accounting: a segment occurring 3x corpus-wide
     (twice in one doc + once in another) is removed everywhere, a 2x
