@@ -92,7 +92,6 @@ _PRIORITY = [
     "ann_neighbor_counts", "ann_ivf_topk",
     "token_count", "token_count_subword", "quality_score",
     "gopher_quality", "repetition_stats", "lang_id", "lang_agreement",
-    "fingerprint_md5",
     "split_assign", "mix_sources", "shuffle_head", "decontaminate",
     "pack_sequences", "chunk_tokens", "pii_scan", "source_term_stats",
     "length_filter_p95", "sample_per_source", "weighted_sample",
@@ -104,6 +103,7 @@ _PRIORITY = [
     "range_join_recent_orders", "embedding_centroids",
     "customers_without_orders", "segment_price_quantiles",
     "unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction",
+    "dup_substring_fraction",
     "set_ops_users_customers", "approx_distinct_users",
     "reassemble_events", "deskew",
     # tail (still sim+pytest covered; recorded green in earlier rounds —
@@ -112,7 +112,8 @@ _PRIORITY = [
     # moved here in round 3 when the new oracle-backed curation ops
     # displaced them; their evidence lives in pytest + CORRECTNESS_r02)
     "dedup_simhash_hamming", "dedup_clusters_minhash", "ann_lsh_topk",
-    "fingerprint_winnow", "multimodal_decode", "pipeline_chain",
+    "fingerprint_md5", "fingerprint_winnow", "multimodal_decode",
+    "pipeline_chain",
     "binarize_sauvola", "denoise_kuwahara_iterated",
     "dedup_simhash", "lsh_bucket_stats", "ann_bruteforce_topk",
     "q6_forecast_revenue", "warp_crop", "source_csv_roundtrip",

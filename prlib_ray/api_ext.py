@@ -216,6 +216,8 @@ def _register_data_ops(queries, sql) -> None:
     sql["tfidf_top_term"] = ocorp.TFIDF_TOP_TERM
     queries["dup_ngram_fraction"] = corpus_stats.dup_ngram_fraction
     sql["dup_ngram_fraction"] = ocorp.DUP_NGRAM_FRACTION
+    queries["dup_substring_fraction"] = corpus_stats.dup_substring_fraction
+    sql["dup_substring_fraction"] = ocorp.DUP_SUBSTRING_FRACTION
     queries["segment_dedup"] = corpus_stats.segment_dedup
     sql["segment_dedup"] = ocorp.SEGMENT_DEDUP
 

@@ -79,6 +79,32 @@ SELECT doc_id,
             // greatest(count(*), 1) AS BIGINT) AS dup_pct
 FROM v GROUP BY doc_id ORDER BY doc_id"""
 
+# mirrors corpus_stats.dup_substring_fraction: every 40-character
+# window inside a document (substr/length are CHARACTER-based, the same
+# code-point counting as the Ray side's utf-32 decode); a window is
+# duplicated iff its exact text occurs in >= 2 distinct docs.  Docs
+# shorter than 40 chars yield an empty generate_series list and drop
+# out, exactly like the Ray side's same-doc window mask.
+DUP_SUBSTRING_FRACTION = """
+WITH pos AS (
+    SELECT doc_id, text,
+           unnest(generate_series(1, length(text) - 39)) AS gs
+    FROM documents
+),
+w AS (SELECT doc_id, substr(text, CAST(gs AS INTEGER), 40) AS s
+      FROM pos),
+dup AS (
+    SELECT s FROM w GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN s IN (SELECT s FROM dup) THEN 1 ELSE 0 END)
+            AS BIGINT) AS dup_windows,
+       CAST((100 * sum(CASE WHEN s IN (SELECT s FROM dup) THEN 1 ELSE 0
+                       END))
+            // greatest(count(*), 1) AS BIGINT) AS dup_pct
+FROM w GROUP BY doc_id ORDER BY doc_id"""
+
 # mirrors pipelines/curate.curate_corpus: the three-stage funnel over
 # the deterministically augmented corpus (every doc_id % 50 == 0 doc
 # duplicated at +1,000,000 — the UNION ALL below).  Stage bodies are

@@ -25,6 +25,8 @@ oracle (oracles_corpus.py).
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -469,20 +471,85 @@ def _window_ids(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 def dup_ngram_fraction(sf_dir: str):
     """Per doc: total DUP_NGRAM-word windows, how many repeat in at
     least one OTHER document, and the integer percentage — the
-    Gopher-style duplicate-n-gram boilerplate fraction.
-
-    Physical plan: per-batch explode to distinct (window id, doc,
-    occurrences) rows (pre-combined — within-doc repeats never
-    shuffle as separate rows); window ids hash into N_CORPUS_PARTS
-    coarse partitions so each part resolves cross-document sharing in
-    one vectorized pass (a window id never spans parts); per-doc
-    partials then fold through DOC-side coarse partitions.  Only
-    integer rows shuffle, and each window id moves once per doc."""
+    Gopher-style duplicate-n-gram boilerplate fraction."""
     import ray.data as rd
 
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
+    return _crossdoc_window_fraction(ds, _window_ids)
+
+
+# Exact-substring dedup signal (Lee et al. 2022 shape): character-level
+# windows instead of word n-grams — catches boilerplate that word
+# tokenization splits differently.  SUBSTR_LEN follows the paper's
+# ~50-character ballpark, sized so the fixtures keep naturally
+# duplicated windows (11k+ at sf0.01).
+SUBSTR_LEN = 40
+
+# one well-mixed odd multiplier per character position (md5-derived,
+# same practical-exactness convention as _POS_MULT)
+_CHAR_MULT = np.fromiter(
+    (int.from_bytes(hashlib.md5(f"substr-{j}".encode()).digest()[:8],
+                    "big") | 1
+     for j in range(SUBSTR_LEN)),
+    dtype=np.uint64,
+    count=SUBSTR_LEN,
+)
+
+
+def _char_window_ids(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(uint64 ids, doc index) for every SUBSTR_LEN-character window
+    staying inside one document.  One utf-32 decode of the whole batch
+    (one uint32 code point per character — the same character counting
+    as DuckDB's length()/substr()), then SUBSTR_LEN vectorized
+    multiply-adds over the flat code-point stream."""
+    texts = b["text"].to_pylist()
+    if not texts:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    joined = "".join(texts)
+    cp = np.frombuffer(
+        joined.encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.uint64)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                       count=len(texts))
+    d = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    L = SUBSTR_LEN
+    if len(cp) < L:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    m = len(cp) - L + 1
+    valid = d[:m] == d[L - 1:]
+    g = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(L):
+            g += cp[j: m + j] * _CHAR_MULT[j]
+    return g[valid], d[:m][valid]
+
+
+def dup_substring_fraction(sf_dir: str):
+    """Per doc: total SUBSTR_LEN-char windows, how many occur in at
+    least one OTHER document, and the integer percentage — the exact-
+    substring dedup signal (character-level; Lee et al. 2022 shape)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return _crossdoc_window_fraction(ds, _char_window_ids)
+
+
+def _crossdoc_window_fraction(ds, window_fn):
+    """Shared cross-document duplicate-window plan (dup_ngram_fraction
+    AND dup_substring_fraction — one implementation so the two signals
+    cannot desynchronize):
+
+    per-batch explode to distinct (window id, doc, occurrences) rows
+    (pre-combined — within-doc repeats never shuffle as separate
+    rows); window ids hash into N_CORPUS_PARTS coarse partitions so
+    each part resolves cross-document sharing in one vectorized pass
+    (a window id never spans parts); per-doc partials then fold
+    through DOC-side coarse partitions.  Only integer rows shuffle,
+    and each window id moves once per doc."""
 
     def explode(b: pa.Table) -> pa.Table:
         z = pa.array([], type=pa.int64())
@@ -491,7 +558,7 @@ def dup_ngram_fraction(sf_dir: str):
                 {"g": pa.array([], type=pa.uint64()), "doc_id": z,
                  "c": z, "part": z}
             )
-        g, d = _window_ids(b)
+        g, d = window_fn(b)
         if len(g) == 0:  # non-empty batch, but no doc long enough
             return pa.table(
                 {"g": pa.array([], type=pa.uint64()), "doc_id": z,

@@ -29,7 +29,7 @@ def registry():
 
 
 CASES = ["unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction",
-         "segment_dedup", "curate_corpus"]
+         "segment_dedup", "curate_corpus", "dup_substring_fraction"]
 
 
 def _cmp(df, odf, name):
@@ -158,6 +158,36 @@ def test_segment_ids_match_string_tuple_brute_force():
         w = t.split(" ")
         for j in range(0, len(w) - SEG_WIDTH + 1, SEG_WIDTH):
             grams.append(tuple(w[j : j + SEG_WIDTH]))
+            docs.append(i)
+    assert len(g) == len(grams)
+    assert list(d) == docs
+    for i in range(len(g)):
+        for j in range(i + 1, len(g)):
+            assert (g[i] == g[j]) == (grams[i] == grams[j]), (i, j)
+
+
+def test_char_window_ids_match_string_brute_force():
+    """SUBSTR_LEN-char window ids: id equality mirrors exact substring
+    equality (unicode code points counted like DuckDB substr/length,
+    spaces included, short docs yield nothing)."""
+    from prlib_ray.stages.corpus_stats import SUBSTR_LEN, _char_window_ids
+
+    pad = "x" * (SUBSTR_LEN - 4)
+    texts = [
+        f"abcd{pad}tail one",          # several windows
+        f"abcd{pad}",                  # exactly one window == doc 0's first
+        f"dcba{pad}",                  # same chars, different order
+        "short",                       # < SUBSTR_LEN -> nothing
+        "",                            # empty -> nothing
+        "é ü 中文 🙂" + pad,             # unicode code points count as 1 char
+    ]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    g, d = _char_window_ids(tbl)
+
+    grams, docs = [], []
+    for i, t in enumerate(texts):
+        for j in range(len(t) - SUBSTR_LEN + 1):
+            grams.append(t[j : j + SUBSTR_LEN])
             docs.append(i)
     assert len(g) == len(grams)
     assert list(d) == docs

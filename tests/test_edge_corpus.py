@@ -79,6 +79,7 @@ EDGE_CASES = [
     "dedup_semantic",
     "curate_corpus",
     "lang_agreement",
+    "dup_substring_fraction",
     "dedup_incremental",
     "weighted_sample",
     "frequent_ngrams",
