@@ -98,9 +98,9 @@ _PRIORITY = [
     "frequent_ngrams",
     "q1_pricing_summary", "q3_top_orders", "q5_local_supplier",
     "orders_by_segment",
-    "events_hourly_window", "sessionize",
+    "events_hourly_window", "sessionize", "rolling_event_window",
     "asof_latest_order", "top_orders_per_segment",
-    "range_join_recent_orders", "embedding_centroids",
+    "range_join_recent_orders",
     "customers_without_orders", "segment_price_quantiles",
     "unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction",
     "dup_substring_fraction",
@@ -113,7 +113,7 @@ _PRIORITY = [
     # displaced them; their evidence lives in pytest + CORRECTNESS_r02)
     "dedup_simhash_hamming", "dedup_clusters_minhash", "ann_lsh_topk",
     "fingerprint_md5", "fingerprint_winnow", "multimodal_decode",
-    "pipeline_chain",
+    "pipeline_chain", "embedding_centroids",
     "binarize_sauvola", "denoise_kuwahara_iterated",
     "dedup_simhash", "lsh_bucket_stats", "ann_bruteforce_topk",
     "q6_forecast_revenue", "warp_crop", "source_csv_roundtrip",

@@ -478,6 +478,8 @@ def _register_relational(queries, sql) -> None:
         ("events_late_by_watermark", rel.events_late_by_watermark,
          orel.EVENTS_LATE_WATERMARK),
         ("sessionize", rel.sessionize, orel.SESSIONIZE),
+        ("rolling_event_window", rel.rolling_event_window,
+         orel.ROLLING_EVENT_WINDOW),
         ("asof_latest_order", rel.asof_latest_order, orel.ASOF_LATEST_ORDER),
         ("top_orders_per_segment", rel.top_orders_per_segment,
          orel.TOP_ORDERS_PER_SEGMENT),

@@ -141,6 +141,20 @@ WITH d AS (
 SELECT user_id, CAST(1 + sum(brk) AS BIGINT) AS n_sessions
 FROM d GROUP BY user_id ORDER BY user_id"""
 
+# mirrors relational.rolling_event_window: trailing-hour RANGE window
+# per user (equal-ts peers included — the searchsorted side='right'
+# bound); the value sum is exact int cents via the shared IEEE
+# floor(value*100 + 0.5) quantization
+ROLLING_EVENT_WINDOW = """
+SELECT event_id,
+       CAST(count(*) OVER w AS BIGINT) AS trailing_count,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+            AS BIGINT) AS trailing_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id"""
+
 ASOF_LATEST_ORDER = """
 SELECT e.event_id,
        coalesce((SELECT o.o_orderkey FROM orders o

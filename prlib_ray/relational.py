@@ -670,6 +670,70 @@ def sessionize(sf_dir: str):
     )
 
 
+HOUR_US = 3_600_000_000
+
+
+def rolling_event_window(sf_dir: str):
+    """Trailing time-window aggregate: per event, the SAME USER's event
+    count and integer-cents value sum over the trailing hour (RANGE
+    window semantics — equal-timestamp peers are included) — the
+    rate-limiting / feature-engineering window a streaming pipeline
+    keeps per key.
+
+    Users hash into coarse partitions (sessionize's layout); one
+    lexsort per part, then the per-user trailing windows for the WHOLE
+    part resolve with two global searchsorted calls on a per-run
+    offset-composite axis (run_index * span + relative_ts, span >
+    ts-range + window, so windows can never bleed across users) and a
+    prefix-sum gather — no per-user Ray group, no per-event loop.
+    int64 envelope: runs_per_part * span must stay < 2^63 (at 10^5+
+    users per part with multi-year ranges, raise the part count)."""
+    import ray.data as rd
+
+    from prlib_ray.stages.reassemble import N_REASSEMBLE_PARTS, _runs
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy().astype(np.int64)
+        return b.append_column("part", pa.array(u % N_REASSEMBLE_PARTS))
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        user = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        # same IEEE rounding expression as the oracle's
+        # floor(value * 100 + 0.5)
+        cents = np.floor(
+            g["value"].to_numpy().astype(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        order = np.lexsort((ts, user))
+        u, t, e, c = user[order], ts[order], eid[order], cents[order]
+        run, starts, _ = _runs(u)
+        rel = t - t.min()
+        span = int(rel.max()) + HOUR_US + 2
+        shifted = run * span + rel
+        lo = np.searchsorted(shifted, shifted - HOUR_US, side="left")
+        hi = np.searchsorted(shifted, shifted, side="right")
+        pref = np.r_[0, np.cumsum(c)]
+        return pd.DataFrame(
+            {
+                "event_id": e,
+                "trailing_count": (hi - lo).astype(np.int64),
+                "trailing_cents": pref[hi] - pref[lo],
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(roll, batch_format="pandas")
+    )
+
+
 def set_ops_users_customers(sf_dir: str):
     """Set operations: |distinct event users ∩ customer keys|,
     |users ∖ customers|, |customers ∖ users| — one row of exact counts.

@@ -24,6 +24,7 @@ CASES = [
     "distinct_event_types",
     "events_hourly_window",
     "sessionize",
+    "rolling_event_window",
     "asof_latest_order",
     "top_orders_per_segment",
     "range_join_recent_orders",
@@ -32,6 +33,49 @@ CASES = [
     "dedup_cc_clusters",
     "dedup_survivors",
 ]
+
+
+def test_rolling_window_peers_and_boundaries(ray_session, tmp_path):
+    """RANGE-window semantics on constructed events: equal-timestamp
+    peers count each other, the window is CLOSED at exactly -1h, events
+    past the hour fall out, and users never see each other."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(3_600_000_000, "us")
+    rows = [
+        # user 1: t0, a peer at t0, one at exactly t0+1h (includes both
+        # earlier), one at t0+2h+1us (window has only itself)
+        (0, 1, base, 1.00),
+        (1, 1, base, 2.00),
+        (2, 1, base + h, 4.00),
+        (3, 1, base + 2 * h + np.timedelta64(1, "us"), 8.00),
+        # user 2: inside user 1's time range but isolated from it
+        (4, 2, base, 16.00),
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[2].astype("datetime64[us]").item()
+                            for r in rows],
+                           type=pa.timestamp("us")),
+            "value": pa.array([r[3] for r in rows], type=pa.float64()),
+        }),
+        tmp_path / "events.parquet",
+    )
+    from prlib_ray.relational import rolling_event_window
+
+    df = (
+        rolling_event_window(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert df["trailing_count"].tolist() == [2, 2, 3, 1, 1]
+    assert df["trailing_cents"].tolist() == [300, 300, 700, 800, 1600]
 
 
 def test_hll_relative_error(ray_session, sf_dir):
