@@ -89,7 +89,7 @@ _PRIORITY = [
     "dedup_cc_clusters", "dedup_survivors",
     "dedup_embedding_lsh", "dedup_incremental", "corpus_diff",
     "segment_dedup",
-    "ann_neighbor_counts", "ann_ivf_topk",
+    "ann_ivf_topk", "pq_codes",
     "token_count", "token_count_subword", "quality_score",
     "gopher_quality", "repetition_stats", "lang_id", "lang_agreement",
     "split_assign", "mix_sources", "shuffle_head", "decontaminate",
@@ -113,7 +113,7 @@ _PRIORITY = [
     # displaced them; their evidence lives in pytest + CORRECTNESS_r02)
     "dedup_simhash_hamming", "dedup_clusters_minhash", "ann_lsh_topk",
     "fingerprint_md5", "fingerprint_winnow", "multimodal_decode",
-    "pipeline_chain", "embedding_centroids",
+    "pipeline_chain", "embedding_centroids", "ann_neighbor_counts",
     "binarize_sauvola", "denoise_kuwahara_iterated",
     "dedup_simhash", "lsh_bucket_stats", "ann_bruteforce_topk",
     "q6_forecast_revenue", "warp_crop", "source_csv_roundtrip",

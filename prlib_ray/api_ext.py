@@ -171,6 +171,9 @@ def _register_data_ops(queries, sql) -> None:
     # SemDedup: centroid-assign then within-cluster exact near-dup
     queries["dedup_semantic"] = similarity.dedup_semantic
     sql["dedup_semantic"] = odata.DEDUP_SEMANTIC
+    # product-quantization codes (vector compression for the ANN index)
+    queries["pq_codes"] = similarity.pq_codes
+    sql["pq_codes"] = odata.PQ_CODES
     # the scale path: LSH candidates + exact hugeint verify (rows-only)
     queries["dedup_embedding_lsh"] = similarity.embedding_near_dup_lsh
     # grouped vector aggregate (centroid partial+final over list<float>)

@@ -279,6 +279,35 @@ WHERE dot > 0
   AND CAST(dot AS HUGEINT) * dot * 10000 >= 9025 * CAST(na.nn AS HUGEINT) * nb.nn
 ORDER BY vec_a, vec_b"""
 
+# mirrors similarity.pq_codes: codebook = quantized subvectors of the
+# 16 lowest-id vectors; per (vector, subspace) the argmin exact integer
+# squared L2 with ties to the smallest code
+PQ_CODES = """
+WITH q AS (
+    SELECT vec_id,
+           (generate_subscripts(embedding, 1) - 1) // 8 AS sub,
+           (generate_subscripts(embedding, 1) - 1) % 8 AS pos,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
+    FROM embeddings
+),
+cb AS (SELECT vec_id AS code, sub, pos, qv AS cv FROM q WHERE vec_id < 16),
+d AS (
+    SELECT q.vec_id, q.sub, cb.code,
+           sum((q.qv - cb.cv) * (q.qv - cb.cv)) AS dist
+    FROM q JOIN cb ON q.sub = cb.sub AND q.pos = cb.pos
+    GROUP BY q.vec_id, q.sub, cb.code
+)
+SELECT vec_id,
+       CAST(sub AS BIGINT) AS sub,
+       CAST(code AS BIGINT) AS code,
+       CAST(dist AS BIGINT) AS dist
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY dist ASC, code ASC) AS rn
+    FROM d
+) WHERE rn = 1
+ORDER BY vec_id, sub"""
+
 # mirrors similarity.dedup_semantic: centroid = the N_SEM_SEEDS lowest-id
 # vectors; assignment = argmax integer dot with ties to the smallest
 # centroid id (row_number ORDER BY dot DESC, cid ASC == numpy's

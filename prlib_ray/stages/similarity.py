@@ -442,6 +442,74 @@ def dedup_semantic(sf_dir: str, *, t2: int = 9025):
     )
 
 
+# Product quantization (Jégou et al. 2011 shape): the vector-compression
+# layer a 10^9-vector ANN index stores instead of raw floats.  dim-64
+# vectors split into N_PQ_SUB subspaces; each subvector is replaced by
+# the id of its nearest codeword.  Codebooks are the quantized
+# subvectors of the N_PQ_CODES lowest-id vectors (deterministic, so the
+# DuckDB oracle recomputes them); production would k-means-train them
+# like ann_ivf_topk's centroids.
+N_PQ_SUB = 8
+N_PQ_CODES = 16
+
+
+def pq_codes(sf_dir: str):
+    """Per (vector, subspace): the nearest codeword id and the exact
+    integer squared L2 distance to it (the reconstruction-error term).
+    Ties break to the smallest code on both sides (np.argmin first-min
+    == SQL row_number dist ASC, code ASC).
+
+    Broadcast codebook tensor + one batched integer einsum per batch —
+    embarrassingly parallel, no shuffle; 8 small int rows per vector
+    replace 64 floats (the 32x compression PQ exists for)."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    seeds = ds.map_batches(
+        lambda b: b.filter(pa.array(b["vec_id"].to_numpy() < N_PQ_CODES)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # N_PQ_CODES rows — a bounded codebook take
+    seeds.sort(key=lambda r: r["vec_id"])
+    full = np.stack(_quantize([list(r["embedding"]) for r in seeds]))
+    dim = full.shape[1]
+    sub_dim = dim // N_PQ_SUB
+    # (sub, code, sub_dim)
+    cb = full.reshape(N_PQ_CODES, N_PQ_SUB, sub_dim).transpose(1, 0, 2)
+    ref = ray.put(cb)
+
+    def assign(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table({"vec_id": z, "sub": z, "code": z, "dist": z})
+        cb = ray.get(ref)
+        Q = np.stack(_quantize(b["embedding"].to_pylist()))
+        n = Q.shape[0]
+        Qs = Q.reshape(n, N_PQ_SUB, sub_dim)
+        # (n, sub, code): exact int squared L2 per candidate codeword
+        diff = Qs[:, :, None, :] - cb[None, :, :, :]
+        d2 = np.einsum("nskd,nskd->nsk", diff, diff)
+        code = np.argmin(d2, axis=2).astype(np.int64)  # first min = smallest code
+        dist = np.take_along_axis(d2, code[:, :, None], axis=2)[:, :, 0]
+        ids = b["vec_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, N_PQ_SUB)),
+                "sub": pa.array(
+                    np.tile(np.arange(N_PQ_SUB, dtype=np.int64), n)
+                ),
+                "code": pa.array(code.reshape(-1)),
+                "dist": pa.array(dist.reshape(-1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def ann_bruteforce_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
     """Brute-force cosine top-k: the first ``n_queries`` vectors are the
     query matrix, broadcast once (ray.put); each batch computes a numpy

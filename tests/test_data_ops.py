@@ -24,6 +24,7 @@ ORACLE_CASES = [
     "dedup_semantic",
     "gopher_quality",
     "lang_agreement",
+    "pq_codes",
     "pipeline_chain",
 ]
 
@@ -309,6 +310,22 @@ def test_dedup_semantic_cluster_locality(ray_session, tmp_path):
     for s in range(8):
         assert row.loc[s + 1_000_000, "keep"] == 0
         assert row.loc[s, "keep"] == 1
+
+
+def test_pq_codes_seed_self_reconstruction(registry, ray_session, sf_dir):
+    """Codebook vectors quantize to themselves: every vec_id < 16 gets
+    its own id as the code in every subspace with distance exactly 0."""
+    queries, _ = registry
+    df = queries["pq_codes"](sf_dir).to_pandas()
+    seeds = df[df["vec_id"] < 16]
+    assert len(seeds) == 16 * 8
+    assert (seeds["dist"] == 0).all()
+    assert (seeds["code"] == seeds["vec_id"]).all()
+    # and non-seed vectors always pay a positive reconstruction error
+    # somewhere (the fixture has no duplicate of a seed subvector across
+    # ALL subspaces)
+    other = df[df["vec_id"] >= 16].groupby("vec_id")["dist"].sum()
+    assert (other > 0).all()
 
 
 def test_min_label_propagation_long_chain(ray_session):

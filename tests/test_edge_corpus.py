@@ -80,6 +80,7 @@ EDGE_CASES = [
     "curate_corpus",
     "lang_agreement",
     "dup_substring_fraction",
+    "pq_codes",
     "dedup_incremental",
     "weighted_sample",
     "frequent_ngrams",
