@@ -90,7 +90,7 @@ _PRIORITY = [
     "dedup_embedding_lsh", "dedup_incremental", "corpus_diff",
     "segment_dedup",
     "ann_ivf_topk", "pq_codes",
-    "token_count", "token_count_subword", "quality_score",
+    "token_count", "token_count_subword",
     "gopher_quality", "repetition_stats", "lang_id", "lang_agreement",
     "split_assign", "mix_sources", "shuffle_head", "decontaminate",
     "pack_sequences", "chunk_tokens", "pii_scan", "source_term_stats",
@@ -99,6 +99,7 @@ _PRIORITY = [
     "q1_pricing_summary", "q3_top_orders", "q5_local_supplier",
     "orders_by_segment",
     "events_hourly_window", "sessionize", "rolling_event_window",
+    "event_transitions",
     "asof_latest_order", "top_orders_per_segment",
     "range_join_recent_orders",
     "customers_without_orders", "segment_price_quantiles",
@@ -114,6 +115,7 @@ _PRIORITY = [
     "dedup_simhash_hamming", "dedup_clusters_minhash", "ann_lsh_topk",
     "fingerprint_md5", "fingerprint_winnow", "multimodal_decode",
     "pipeline_chain", "embedding_centroids", "ann_neighbor_counts",
+    "quality_score",
     "binarize_sauvola", "denoise_kuwahara_iterated",
     "dedup_simhash", "lsh_bucket_stats", "ann_bruteforce_topk",
     "q6_forecast_revenue", "warp_crop", "source_csv_roundtrip",

@@ -483,6 +483,8 @@ def _register_relational(queries, sql) -> None:
         ("sessionize", rel.sessionize, orel.SESSIONIZE),
         ("rolling_event_window", rel.rolling_event_window,
          orel.ROLLING_EVENT_WINDOW),
+        ("event_transitions", rel.event_transitions,
+         orel.EVENT_TRANSITIONS),
         ("asof_latest_order", rel.asof_latest_order, orel.ASOF_LATEST_ORDER),
         ("top_orders_per_segment", rel.top_orders_per_segment,
          orel.TOP_ORDERS_PER_SEGMENT),

@@ -155,6 +155,19 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 ORDER BY event_id"""
 
+# mirrors relational.event_transitions: adjacent (prev, next) type
+# pairs within one user's (ts, event_id)-ordered stream
+EVENT_TRANSITIONS = """
+WITH s AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM events
+)
+SELECT prev, event_type, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE prev IS NOT NULL
+GROUP BY prev, event_type ORDER BY prev, event_type"""
+
 ASOF_LATEST_ORDER = """
 SELECT e.event_id,
        coalesce((SELECT o.o_orderkey FROM orders o

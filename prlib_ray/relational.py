@@ -734,6 +734,60 @@ def rolling_event_window(sf_dir: str):
     )
 
 
+def event_transitions(sf_dir: str):
+    """Markov transition counts: how often event type A is immediately
+    followed by type B within one user's (ts, event_id)-ordered stream
+    — the sequence-mining primitive behind funnel analysis and
+    next-event models.
+
+    Users hash into coarse partitions; one lexsort + adjacent-pair
+    bincount per part (types dictionary-coded, composite prev*K+next
+    keys); the final fold moves only (type, type, n) rows — type-pair
+    cardinality is BOUNDED, so the native groupby Sum is fine."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from prlib_ray.stages.reassemble import N_REASSEMBLE_PARTS
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy().astype(np.int64)
+        return b.append_column("part", pa.array(u % N_REASSEMBLE_PARTS))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        user = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        types = g["event_type"].to_numpy().astype(object)
+        order = np.lexsort((eid, ts, user))
+        u, t = user[order], types[order]
+        uniq, codes = np.unique(t, return_inverse=True)
+        k = len(uniq)
+        same = u[1:] == u[:-1]
+        key = codes[:-1][same] * k + codes[1:][same]
+        cnt = np.bincount(key, minlength=k * k).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame(
+            {
+                "prev": uniq[nz // k],
+                "event_type": uniq[nz % k],
+                "n": cnt[nz],
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["prev", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def set_ops_users_customers(sf_dir: str):
     """Set operations: |distinct event users ∩ customer keys|,
     |users ∖ customers|, |customers ∖ users| — one row of exact counts.

@@ -25,6 +25,7 @@ CASES = [
     "events_hourly_window",
     "sessionize",
     "rolling_event_window",
+    "event_transitions",
     "asof_latest_order",
     "top_orders_per_segment",
     "range_join_recent_orders",
