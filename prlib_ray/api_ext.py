@@ -174,6 +174,9 @@ def _register_data_ops(queries, sql) -> None:
     # product-quantization codes (vector compression for the ANN index)
     queries["pq_codes"] = similarity.pq_codes
     sql["pq_codes"] = odata.PQ_CODES
+    # the PQ query path; approximate by design -> rows-only (recall
+    # pinned vs exact quantized-L2 top-k in pytest)
+    queries["ann_pq_adc_topk"] = similarity.ann_pq_adc_topk
     # the scale path: LSH candidates + exact hugeint verify (rows-only)
     queries["dedup_embedding_lsh"] = similarity.embedding_near_dup_lsh
     # grouped vector aggregate (centroid partial+final over list<float>)

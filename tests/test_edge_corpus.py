@@ -81,6 +81,7 @@ EDGE_CASES = [
     "lang_agreement",
     "dup_substring_fraction",
     "pq_codes",
+    "ann_pq_adc_topk",
     "dedup_incremental",
     "weighted_sample",
     "frequent_ngrams",
