@@ -8,7 +8,24 @@ decontamination 3-grams).  The Ray side operates on md5-derived window
 hashes; equal windows always collide, so the string-gram SQL here is
 the exact mirror (the collision assumption is pinned by a brute-force
 test, tests/test_corpus_stats.py).
+
+Shared rule constants (segment width, dup thresholds, gopher bounds,
+plant knobs) interpolate from the implementation modules so the
+oracles cannot silently desynchronize from the pipelines.
 """
+
+from prlib_ray.pipelines.curate import HEAVY_PCT, PLANT_MOD, PLANT_OFFSET
+from prlib_ray.stages.corpus_stats import SEG_DUP_MIN, SEG_WIDTH
+from prlib_ray.stages.text_analysis import (
+    GOPHER_MAX_MEAN_LEN,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_MEAN_LEN,
+    GOPHER_MIN_STOP,
+    GOPHER_MIN_WORDS,
+    GOPHER_STOPWORDS,
+)
+
+_STOPS = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
 
 # mirrors corpus_stats.unigram_freq_score: corpus-wide word counts
 # joined back per occurrence; docs with no non-empty words drop out
@@ -106,17 +123,18 @@ SELECT doc_id,
 FROM w GROUP BY doc_id ORDER BY doc_id"""
 
 # mirrors pipelines/curate.curate_corpus: the three-stage funnel over
-# the deterministically augmented corpus (every doc_id % 50 == 0 doc
-# duplicated at +1,000,000 — the UNION ALL below).  Stage bodies are
-# verbatim re-compositions of GOPHER_QUALITY and SEGMENT_DEDUP; the
-# dedup stage groups passing docs by exact TEXT (the Ray side's
-# md5-truncated uint64 groups collide exactly on equal texts).
-CURATE_CORPUS = """
+# the deterministically augmented corpus (every doc_id % PLANT_MOD == 0
+# doc duplicated at +PLANT_OFFSET — the UNION ALL below).  Stage bodies
+# are re-compositions of GOPHER_QUALITY and SEGMENT_DEDUP with the SAME
+# interpolated constants; the dedup stage groups passing docs by exact
+# TEXT (the Ray side's md5-truncated uint64 groups collide exactly on
+# equal texts).
+CURATE_CORPUS = f"""
 WITH docs AS (
     SELECT doc_id, text, source FROM documents
     UNION ALL
-    SELECT doc_id + 1000000 AS doc_id, text, source FROM documents
-    WHERE doc_id % 50 = 0
+    SELECT doc_id + {PLANT_OFFSET} AS doc_id, text, source FROM documents
+    WHERE doc_id % {PLANT_MOD} = 0
 ),
 words AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs
@@ -128,18 +146,17 @@ agg AS (
                AS sum_word_len,
            count(*) FILTER (WHERE regexp_matches(w, '[A-Za-z]'))
                AS n_alpha,
-           count(*) FILTER (WHERE w IN
-               ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))
-               AS n_stop
+           count(*) FILTER (WHERE w IN ({_STOPS})) AS n_stop
     FROM words GROUP BY doc_id
 ),
 g AS (
     SELECT d.doc_id, d.source, d.text, a.n_words,
-           CASE WHEN a.n_words >= 50 AND a.n_words <= 100000
-                 AND 3 * a.n_words <= a.sum_word_len
-                 AND a.sum_word_len <= 10 * a.n_words
+           CASE WHEN a.n_words >= {GOPHER_MIN_WORDS}
+                 AND a.n_words <= {GOPHER_MAX_WORDS}
+                 AND {GOPHER_MIN_MEAN_LEN} * a.n_words <= a.sum_word_len
+                 AND a.sum_word_len <= {GOPHER_MAX_MEAN_LEN} * a.n_words
                  AND 5 * a.n_alpha >= 4 * a.n_words
-                 AND a.n_stop >= 2
+                 AND a.n_stop >= {GOPHER_MIN_STOP}
             THEN 1 ELSE 0 END AS passes
     FROM docs d JOIN agg a USING (doc_id)
 ),
@@ -153,18 +170,19 @@ wi AS (
     FROM docs
 ),
 seg AS (
-    SELECT doc_id, (i - 1) // 4 AS s,
+    SELECT doc_id, (i - 1) // {SEG_WIDTH} AS s,
            string_agg(w, ' ' ORDER BY i) AS sg,
            count(*) AS cnt
-    FROM wi GROUP BY doc_id, (i - 1) // 4
+    FROM wi GROUP BY doc_id, (i - 1) // {SEG_WIDTH}
 ),
-v AS (SELECT doc_id, sg FROM seg WHERE cnt = 4),
-dup AS (SELECT sg FROM v GROUP BY sg HAVING count(*) >= 3),
+v AS (SELECT doc_id, sg FROM seg WHERE cnt = {SEG_WIDTH}),
+dup AS (SELECT sg FROM v GROUP BY sg
+        HAVING count(*) >= {SEG_DUP_MIN}),
 heavy AS (
     SELECT doc_id FROM v GROUP BY doc_id
     HAVING (100 * sum(CASE WHEN sg IN (SELECT sg FROM dup)
                            THEN 1 ELSE 0 END))
-           // greatest(count(*), 1) >= 50
+           // greatest(count(*), 1) >= {HEAVY_PCT}
 ),
 fin AS (
     SELECT s.doc_id FROM surv s
@@ -182,13 +200,13 @@ LEFT JOIN surv s ON g.doc_id = s.doc_id
 LEFT JOIN fin f ON g.doc_id = f.doc_id
 GROUP BY g.source ORDER BY g.source"""
 
-# mirrors corpus_stats.segment_dedup: disjoint 4-word segments (empty
-# tokens retained inside a segment, the <4-token tail dropped via
-# HAVING cnt = 4); a segment is removed when its exact text occurs >= 3
-# times corpus-wide (total occurrences — thrice in one doc also trips).
-# string_agg(w, ' ' ORDER BY i) is unambiguous because split tokens
-# cannot contain the separator.
-SEGMENT_DEDUP = """
+# mirrors corpus_stats.segment_dedup: disjoint SEG_WIDTH-word segments
+# (empty tokens retained inside a segment, the <SEG_WIDTH-token tail
+# dropped via HAVING cnt = SEG_WIDTH); a segment is removed when its
+# exact text occurs >= SEG_DUP_MIN times corpus-wide (total occurrences
+# — thrice in one doc also trips).  string_agg(w, ' ' ORDER BY i) is
+# unambiguous because split tokens cannot contain the separator.
+SEGMENT_DEDUP = f"""
 WITH words AS (
     SELECT doc_id,
            unnest(string_split(text, ' ')) AS w,
@@ -196,13 +214,13 @@ WITH words AS (
     FROM documents
 ),
 seg AS (
-    SELECT doc_id, (i - 1) // 4 AS s,
+    SELECT doc_id, (i - 1) // {SEG_WIDTH} AS s,
            string_agg(w, ' ' ORDER BY i) AS g,
            count(*) AS cnt
-    FROM words GROUP BY doc_id, (i - 1) // 4
+    FROM words GROUP BY doc_id, (i - 1) // {SEG_WIDTH}
 ),
-v AS (SELECT doc_id, g FROM seg WHERE cnt = 4),
-dup AS (SELECT g FROM v GROUP BY g HAVING count(*) >= 3)
+v AS (SELECT doc_id, g FROM seg WHERE cnt = {SEG_WIDTH}),
+dup AS (SELECT g FROM v GROUP BY g HAVING count(*) >= {SEG_DUP_MIN})
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_segments,
        CAST(sum(CASE WHEN g IN (SELECT g FROM dup) THEN 1 ELSE 0 END)

@@ -13,6 +13,7 @@ from prlib_ray.stages.text_analysis import (
     LANG_MARKERS,
     STOPWORDS,
 )
+from prlib_ray.stages.similarity import N_PQ_CODES, N_PQ_SUB
 
 EXACT_DEDUP = """
 SELECT md5(text) AS h, min(doc_id) AS doc_id
@@ -280,17 +281,22 @@ WHERE dot > 0
 ORDER BY vec_a, vec_b"""
 
 # mirrors similarity.pq_codes: codebook = quantized subvectors of the
-# 16 lowest-id vectors; per (vector, subspace) the argmin exact integer
-# squared L2 with ties to the smallest code
-PQ_CODES = """
+# N_PQ_CODES lowest-id vectors; per (vector, subspace) the argmin exact
+# integer squared L2 with ties to the smallest code.  Constants
+# interpolated from the implementation so they cannot desynchronize;
+# the subvector width derives from the row's own embedding length.
+PQ_CODES = f"""
 WITH q AS (
     SELECT vec_id,
-           (generate_subscripts(embedding, 1) - 1) // 8 AS sub,
-           (generate_subscripts(embedding, 1) - 1) % 8 AS pos,
+           (generate_subscripts(embedding, 1) - 1)
+               // (len(embedding) // {N_PQ_SUB}) AS sub,
+           (generate_subscripts(embedding, 1) - 1)
+               % (len(embedding) // {N_PQ_SUB}) AS pos,
            CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
     FROM embeddings
 ),
-cb AS (SELECT vec_id AS code, sub, pos, qv AS cv FROM q WHERE vec_id < 16),
+cb AS (SELECT vec_id AS code, sub, pos, qv AS cv FROM q
+       WHERE vec_id < {N_PQ_CODES}),
 d AS (
     SELECT q.vec_id, q.sub, cb.code,
            sum((q.qv - cb.cv) * (q.qv - cb.cv)) AS dist

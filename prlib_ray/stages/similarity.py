@@ -394,7 +394,7 @@ def dedup_semantic(sf_dir: str, *, t2: int = 9025):
             return pa.table(
                 {"vec_id": pa.array([], type=pa.int64()),
                  "cluster": pa.array([], type=pa.int64()),
-                 "embedding": b["embedding"]}
+                 "q": pa.array([], type=pa.list_(pa.int64()))}
             )
         S = ray.get(ref)
         Q = np.stack(_quantize(b["embedding"].to_pylist()))
@@ -408,7 +408,9 @@ def dedup_semantic(sf_dir: str, *, t2: int = 9025):
                     b["vec_id"].to_numpy().astype(np.int64)
                 ),
                 "cluster": pa.array(cid),
-                "embedding": b["embedding"],
+                # ship the already-quantized ints through the shuffle,
+                # not the raw floats (no second _quantize pass)
+                "q": pa.array(list(Q), type=pa.list_(pa.int64())),
             }
         )
 
@@ -416,7 +418,7 @@ def dedup_semantic(sf_dir: str, *, t2: int = 9025):
         ids = g["vec_id"].to_numpy().astype(np.int64)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
-        V = np.stack(_quantize([list(e) for e in g["embedding"].to_numpy()[order]]))
+        V = np.stack(g["q"].to_numpy()[order]).astype(np.int64)
         D = V @ V.T
         n2 = np.einsum("ij,ij->i", V, V)
         iu, ju = np.triu_indices(len(ids), k=1)
@@ -581,6 +583,7 @@ def ann_pq_adc_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
     dim = full.shape[1]
     sub_dim = dim // N_PQ_SUB
     cb = _train_pq_codebooks(full, N_ADC_CODES)
+    n_queries = min(n_queries, len(low))  # short-corpus guard
     qids = np.array([r["vec_id"] for r in low[:n_queries]], dtype=np.int64)
     qs = full[:n_queries]
     qsub = qs.reshape(n_queries, N_PQ_SUB, sub_dim)
