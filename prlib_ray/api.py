@@ -91,7 +91,7 @@ _PRIORITY = [
     "segment_dedup",
     "ann_ivf_topk", "pq_codes",
     "token_count", "token_count_subword",
-    "gopher_quality", "repetition_stats", "lang_id", "lang_agreement",
+    "gopher_quality", "repetition_stats", "lang_agreement",
     "split_assign", "mix_sources", "shuffle_head", "decontaminate",
     "pack_sequences", "chunk_tokens", "pii_scan", "source_term_stats",
     "length_filter_p95", "sample_per_source", "weighted_sample",
@@ -104,7 +104,7 @@ _PRIORITY = [
     "range_join_recent_orders",
     "customers_without_orders", "segment_price_quantiles",
     "unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction",
-    "dup_substring_fraction",
+    "dup_substring_fraction", "build_inverted_index",
     "set_ops_users_customers", "approx_distinct_users",
     "reassemble_events", "deskew",
     # tail (still sim+pytest covered; recorded green in earlier rounds —
@@ -115,7 +115,7 @@ _PRIORITY = [
     "dedup_simhash_hamming", "dedup_clusters_minhash", "ann_lsh_topk",
     "fingerprint_md5", "fingerprint_winnow", "multimodal_decode",
     "pipeline_chain", "embedding_centroids", "ann_neighbor_counts",
-    "quality_score",
+    "quality_score", "lang_id",
     "binarize_sauvola", "denoise_kuwahara_iterated",
     "dedup_simhash", "lsh_bucket_stats", "ann_bruteforce_topk",
     "q6_forecast_revenue", "warp_crop", "source_csv_roundtrip",

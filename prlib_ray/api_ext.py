@@ -226,6 +226,8 @@ def _register_data_ops(queries, sql) -> None:
     sql["dup_substring_fraction"] = ocorp.DUP_SUBSTRING_FRACTION
     queries["segment_dedup"] = corpus_stats.segment_dedup
     sql["segment_dedup"] = ocorp.SEGMENT_DEDUP
+    queries["build_inverted_index"] = corpus_stats.build_inverted_index
+    sql["build_inverted_index"] = ocorp.INVERTED_INDEX
 
     # end-to-end curation funnel (gopher gate -> exact dedup ->
     # boilerplate drop), per-source accounting

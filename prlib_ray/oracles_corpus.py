@@ -200,6 +200,19 @@ LEFT JOIN surv s ON g.doc_id = s.doc_id
 LEFT JOIN fin f ON g.doc_id = f.doc_id
 GROUP BY g.source ORDER BY g.source"""
 
+# mirrors corpus_stats.build_inverted_index: one posting per distinct
+# (term, doc) with tf and the term's document frequency
+INVERTED_INDEX = """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+nz AS (SELECT doc_id, w FROM words WHERE w <> ''),
+tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       FROM nz GROUP BY doc_id, w),
+df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w)
+SELECT tf.w AS term, tf.doc_id, tf.tf, df.df
+FROM tf JOIN df USING (w) ORDER BY term, doc_id"""
+
 # mirrors corpus_stats.segment_dedup: disjoint SEG_WIDTH-word segments
 # (empty tokens retained inside a segment, the <SEG_WIDTH-token tail
 # dropped via HAVING cnt = SEG_WIDTH); a segment is removed when its

@@ -650,6 +650,78 @@ def _crossdoc_window_fraction(ds, window_fn):
     return agg.map_batches(pct, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def build_inverted_index(sf_dir: str):
+    """The search-index build artifact: one posting row per distinct
+    (term, doc) — term, doc_id, term frequency, and the term's document
+    frequency (the BM25 inputs) — term-partitioned and term-sorted the
+    way an index shard is written.
+
+    Per-batch explode to pre-combined (term, doc, tf) rows; terms hash
+    into N_CORPUS_PARTS coarse partitions (a term never spans parts, so
+    each part computes its terms' df in the same lexsort pass that
+    orders the postings); only the distinct posting rows shuffle."""
+    import zlib
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table(
+                {"w": pa.array([], type=pa.string()), "doc_id": z,
+                 "tf": z, "part": z}
+            )
+        words, doc_of_word, _ = _flat_words(b)
+        nonempty = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        dict_arr = pc.dictionary_encode(words)
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        terms = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
+        vocab = max(len(terms), 1)
+        key = doc_of_word[nonempty] * vocab + codes[nonempty]
+        uniq, tf = np.unique(key, return_counts=True)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        t_arr = terms[(uniq % vocab).astype(np.int64)]
+        uniq_t, inv_t = np.unique(t_arr, return_inverse=True)
+        pu = np.asarray(
+            [zlib.crc32(t.encode()) % N_CORPUS_PARTS for t in uniq_t],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "w": pa.array(t_arr, type=pa.string()),
+                "doc_id": pa.array(ids[(uniq // vocab).astype(np.int64)]),
+                "tf": pa.array(tf.astype(np.int64)),
+                "part": pa.array(pu[inv_t]),
+            }
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        w = g["w"].to_numpy().astype(object)
+        doc = g["doc_id"].to_numpy().astype(np.int64)
+        tf = g["tf"].to_numpy().astype(np.int64)
+        order = np.lexsort((doc, w))
+        ws, ds_, tfs = w[order], doc[order], tf[order]
+        new = np.r_[True, ws[1:] != ws[:-1]]
+        run = np.cumsum(new) - 1
+        df = np.bincount(run)  # (term, doc) rows are distinct
+        return pd.DataFrame(
+            {"term": ws, "doc_id": ds_, "tf": tfs,
+             "df": df[run].astype(np.int64)}
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4-style cross-document segment dedup
 

@@ -29,7 +29,8 @@ def registry():
 
 
 CASES = ["unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction",
-         "segment_dedup", "curate_corpus", "dup_substring_fraction"]
+         "segment_dedup", "curate_corpus", "dup_substring_fraction",
+         "build_inverted_index"]
 
 
 def _cmp(df, odf, name):

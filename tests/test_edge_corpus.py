@@ -82,6 +82,7 @@ EDGE_CASES = [
     "dup_substring_fraction",
     "pq_codes",
     "ann_pq_adc_topk",
+    "build_inverted_index",
     "dedup_incremental",
     "weighted_sample",
     "frequent_ngrams",
