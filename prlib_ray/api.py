@@ -84,7 +84,7 @@ def build_queries() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
 # and still covered by tools/driver_sim.py + pytest) follow.
 _PRIORITY = [
     "flagship_extract", "curate_corpus",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_exact", "dedup_minhash_lsh",
     "dedup_embedding", "dedup_semantic",
     "dedup_cc_clusters", "dedup_survivors",
     "dedup_embedding_lsh", "dedup_incremental", "corpus_diff",
@@ -104,7 +104,7 @@ _PRIORITY = [
     "range_join_recent_orders",
     "customers_without_orders", "segment_price_quantiles",
     "unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction",
-    "dup_substring_fraction", "build_inverted_index",
+    "dup_substring_fraction", "build_inverted_index", "search_topk",
     "set_ops_users_customers", "approx_distinct_users",
     "reassemble_events", "deskew",
     # tail (still sim+pytest covered; recorded green in earlier rounds —
@@ -115,7 +115,7 @@ _PRIORITY = [
     "dedup_simhash_hamming", "dedup_clusters_minhash", "ann_lsh_topk",
     "fingerprint_md5", "fingerprint_winnow", "multimodal_decode",
     "pipeline_chain", "embedding_centroids", "ann_neighbor_counts",
-    "quality_score", "lang_id",
+    "quality_score", "lang_id", "dedup_ngram_jaccard",
     "binarize_sauvola", "denoise_kuwahara_iterated",
     "dedup_simhash", "lsh_bucket_stats", "ann_bruteforce_topk",
     "q6_forecast_revenue", "warp_crop", "source_csv_roundtrip",

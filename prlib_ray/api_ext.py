@@ -228,6 +228,8 @@ def _register_data_ops(queries, sql) -> None:
     sql["segment_dedup"] = ocorp.SEGMENT_DEDUP
     queries["build_inverted_index"] = corpus_stats.build_inverted_index
     sql["build_inverted_index"] = ocorp.INVERTED_INDEX
+    queries["search_topk"] = corpus_stats.search_topk
+    sql["search_topk"] = ocorp.SEARCH_TOPK
 
     # end-to-end curation funnel (gopher gate -> exact dedup ->
     # boilerplate drop), per-source accounting

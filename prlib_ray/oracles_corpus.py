@@ -213,6 +213,29 @@ df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w)
 SELECT tf.w AS term, tf.doc_id, tf.tf, df.df
 FROM tf JOIN df USING (w) ORDER BY term, doc_id"""
 
+# mirrors corpus_stats.search_topk: fixed-keyword retrieval with
+# integer idf weights (IDF_SCALE // df), ties to the smallest doc_id
+from prlib_ray.stages.corpus_stats import IDF_SCALE, SEARCH_K, SEARCH_TERMS
+
+_TERMS = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+
+SEARCH_TOPK = f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (
+    SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+    FROM words WHERE w IN ({_TERMS}) GROUP BY doc_id, w
+),
+df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+sc AS (
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf * ({IDF_SCALE} // df.df)) AS BIGINT) AS score
+    FROM tf JOIN df USING (w) GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM sc
+ORDER BY score DESC, doc_id ASC LIMIT {SEARCH_K}"""
+
 # mirrors corpus_stats.segment_dedup: disjoint SEG_WIDTH-word segments
 # (empty tokens retained inside a segment, the <SEG_WIDTH-token tail
 # dropped via HAVING cnt = SEG_WIDTH); a segment is removed when its

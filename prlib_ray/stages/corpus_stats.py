@@ -722,6 +722,114 @@ def build_inverted_index(sf_dir: str):
     )
 
 
+# Retrieval over the index: a fixed conjunctive keyword query scored
+# with integer idf weights — floor(1e6 / df) per term, tf-weighted —
+# so the ranking is exact (BM25's log/length terms would break the
+# value-hash oracle; the integer weighting preserves the idf ordering).
+SEARCH_TERMS = ("table", "join", "hash")
+SEARCH_K = 10
+IDF_SCALE = 1_000_000
+
+
+def search_topk(sf_dir: str):
+    """Top-SEARCH_K documents for the fixed SEARCH_TERMS query:
+    score(doc) = sum over query terms of tf(term, doc) * (IDF_SCALE //
+    df(term)), ties to the smallest doc_id — the query path over the
+    inverted index.
+
+    The filtered postings (<= |terms| rows per doc) materialize ONCE;
+    the 3-row df table folds from it (bounded take); scoring is a
+    vectorized weight gather; per-doc totals fold through coarse doc
+    partitions, each emitting a local top-K, and the <= K * parts
+    candidate rows merge on the driver (the q3 bounded-merge
+    pattern)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    tset = pa.array(SEARCH_TERMS, type=pa.string())
+
+    def explode(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table(
+                {"w": pa.array([], type=pa.string()), "doc_id": z, "tf": z}
+            )
+        words, doc_of_word, _ = _flat_words(b)
+        hit = pc.is_in(words, value_set=tset).to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return pa.table(
+                {"w": pa.array([], type=pa.string()), "doc_id": z, "tf": z}
+            )
+        w = np.asarray(words.to_pylist(), dtype=object)[hit]
+        d = doc_of_word[hit]
+        uniq_t, code = np.unique(w, return_inverse=True)
+        key = d * len(uniq_t) + code
+        uniq, tf = np.unique(key, return_counts=True)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "w": pa.array(uniq_t[(uniq % len(uniq_t)).astype(np.int64)],
+                              type=pa.string()),
+                "doc_id": pa.array(ids[(uniq // len(uniq_t)).astype(np.int64)]),
+                "tf": pa.array(tf.astype(np.int64)),
+            }
+        )
+
+    tfq = ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # <= |terms| rows per matching doc
+
+    # df per query term: a bounded (<= |terms| rows) aggregate take
+    from ray.data.aggregate import Count
+
+    df_rows = tfq.groupby("w").aggregate(Count(alias_name="df")).take_all()
+    weight = {r["w"]: IDF_SCALE // int(r["df"]) for r in df_rows}
+
+    def score_part(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table({"doc_id": z, "score": z, "part": z})
+        w = np.asarray(b["w"].to_pylist(), dtype=object)
+        tf = b["tf"].to_numpy().astype(np.int64)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        wt = np.asarray([weight[t] for t in w], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "score": pa.array(tf * wt),
+                "part": pa.array(ids % N_CORPUS_PARTS),
+            }
+        )
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        sc = g["score"].to_numpy().astype(np.int64)
+        ud, inv = np.unique(ids, return_inverse=True)
+        tot = np.bincount(inv, weights=sc).astype(np.int64)
+        order = np.lexsort((ud, -tot))[:SEARCH_K]
+        return pd.DataFrame({"doc_id": ud[order], "score": tot[order]})
+
+    cand = (
+        tfq.map_batches(score_part, batch_format="pyarrow",
+                        zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(local_topk, batch_format="pandas")
+        .take_all()  # <= SEARCH_K * N_CORPUS_PARTS bounded rows
+    )
+    cand.sort(key=lambda r: (-int(r["score"]), int(r["doc_id"])))
+    top = cand[:SEARCH_K]
+    return pa.table(
+        {
+            "doc_id": pa.array([int(r["doc_id"]) for r in top],
+                               type=pa.int64()),
+            "score": pa.array([int(r["score"]) for r in top],
+                              type=pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4-style cross-document segment dedup
 

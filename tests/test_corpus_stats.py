@@ -30,7 +30,7 @@ def registry():
 
 CASES = ["unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction",
          "segment_dedup", "curate_corpus", "dup_substring_fraction",
-         "build_inverted_index"]
+         "build_inverted_index", "search_topk"]
 
 
 def _cmp(df, odf, name):

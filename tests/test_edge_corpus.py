@@ -83,6 +83,7 @@ EDGE_CASES = [
     "pq_codes",
     "ann_pq_adc_topk",
     "build_inverted_index",
+    "search_topk",
     "dedup_incremental",
     "weighted_sample",
     "frequent_ngrams",
