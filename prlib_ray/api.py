@@ -90,7 +90,7 @@ _PRIORITY = [
     "dedup_embedding_lsh", "dedup_incremental", "corpus_diff",
     "segment_dedup",
     "ann_ivf_topk", "pq_codes",
-    "token_count", "token_count_subword",
+    "token_count_subword",
     "gopher_quality", "repetition_stats", "lang_agreement",
     "split_assign", "mix_sources", "shuffle_head", "decontaminate",
     "pack_sequences", "chunk_tokens", "pii_scan", "source_term_stats",
@@ -103,6 +103,7 @@ _PRIORITY = [
     "asof_latest_order", "top_orders_per_segment",
     "range_join_recent_orders",
     "customers_without_orders", "segment_price_quantiles",
+    "sampled_quantiles",
     "unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction",
     "dup_substring_fraction", "build_inverted_index", "search_topk",
     "set_ops_users_customers", "approx_distinct_users",
@@ -115,7 +116,7 @@ _PRIORITY = [
     "dedup_simhash_hamming", "dedup_clusters_minhash", "ann_lsh_topk",
     "fingerprint_md5", "fingerprint_winnow", "multimodal_decode",
     "pipeline_chain", "embedding_centroids", "ann_neighbor_counts",
-    "quality_score", "lang_id", "dedup_ngram_jaccard",
+    "quality_score", "lang_id", "dedup_ngram_jaccard", "token_count",
     "binarize_sauvola", "denoise_kuwahara_iterated",
     "dedup_simhash", "lsh_bucket_stats", "ann_bruteforce_topk",
     "q6_forecast_revenue", "warp_crop", "source_csv_roundtrip",

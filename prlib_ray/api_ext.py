@@ -492,6 +492,8 @@ def _register_relational(queries, sql) -> None:
          orel.ROLLING_EVENT_WINDOW),
         ("event_transitions", rel.event_transitions,
          orel.EVENT_TRANSITIONS),
+        ("sampled_quantiles", rel.sampled_quantiles,
+         orel.SAMPLED_QUANTILES),
         ("asof_latest_order", rel.asof_latest_order, orel.ASOF_LATEST_ORDER),
         ("top_orders_per_segment", rel.top_orders_per_segment,
          orel.TOP_ORDERS_PER_SEGMENT),

@@ -155,6 +155,31 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 ORDER BY event_id"""
 
+# mirrors relational.sampled_quantiles: deterministic ~5% md5-threshold
+# sample, then segment_price_quantiles' exact rank convention per type
+SAMPLED_QUANTILES = """
+WITH s AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           event_id
+    FROM events
+    WHERE substr(md5('squant:' || CAST(event_id AS VARCHAR)), 1, 2) < '0d'
+),
+t AS (
+    SELECT event_type, cents,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cents, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM s
+)
+SELECT event_type,
+       CAST(max(CASE WHEN rn = 1 + (50 * (n - 1)) // 100 THEN cents END)
+            AS BIGINT) AS p50_cents,
+       CAST(max(CASE WHEN rn = 1 + (90 * (n - 1)) // 100 THEN cents END)
+            AS BIGINT) AS p90_cents,
+       CAST(max(n) AS BIGINT) AS n_sample
+FROM t GROUP BY event_type ORDER BY event_type"""
+
 # mirrors relational.event_transitions: adjacent (prev, next) type
 # pairs within one user's (ts, event_id)-ordered stream
 EVENT_TRANSITIONS = """

@@ -734,6 +734,85 @@ def rolling_event_window(sf_dir: str):
     )
 
 
+# Deterministic sample rate for sampled_quantiles: first md5-hex byte
+# < 0x0d keeps ~5.1% of rows.  The rate is the scale knob — at 10^12
+# events lower it so each type's sample still sorts in one worker (or
+# swap the final sort for length_filter_p95's histogram pattern).
+SQUANT_HEX_LT = "0d"
+
+
+def sampled_quantiles(sf_dir: str):
+    """Approximate quantiles via a DETERMINISTIC sample: keep events
+    whose md5('squant:' || id) hex prefix is below SQUANT_HEX_LT
+    (~5%), then per event type the EXACT p50/p90 integer cents of the
+    sample (segment_price_quantiles' rank convention, event_id
+    tie-break).  Sampling makes it approximate-with-guarantees at
+    scale; determinism keeps the DuckDB oracle value-hash exact —
+    unlike a t-digest, every byte is reproducible.
+
+    Rows drop at the scan (only the sample shuffles); the per-type
+    fold is a bounded-key groupby."""
+    import hashlib
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def sample(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        empty = pa.table(
+            {"event_type": pa.array([], type=pa.string()),
+             "cents": z, "event_id": z}
+        )
+        if b.num_rows == 0:
+            return empty
+        ids = b["event_id"].to_numpy().astype(np.int64)
+        keep = np.fromiter(
+            (hashlib.md5(f"squant:{i}".encode()).hexdigest()[:2]
+             < SQUANT_HEX_LT for i in ids),
+            dtype=bool,
+            count=len(ids),
+        )
+        if not keep.any():
+            return empty
+        k = pa.array(keep)
+        cents = np.floor(
+            b["value"].to_numpy(zero_copy_only=False)[keep].astype(np.float64)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": b["event_type"].filter(k),
+                "cents": pa.array(cents),
+                "event_id": pa.array(ids[keep]),
+            }
+        )
+
+    def qtile(g: pd.DataFrame) -> pd.DataFrame:
+        cents = g["cents"].to_numpy().astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((eid, cents))
+        c = cents[order]
+        n = len(c)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50_cents": [c[(50 * (n - 1)) // 100]],
+                "p90_cents": [c[(90 * (n - 1)) // 100]],
+                "n_sample": [np.int64(n)],
+            }
+        )
+
+    return (
+        ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(qtile, batch_format="pandas")
+    )
+
+
 def event_transitions(sf_dir: str):
     """Markov transition counts: how often event type A is immediately
     followed by type B within one user's (ts, event_id)-ordered stream

@@ -26,6 +26,7 @@ CASES = [
     "sessionize",
     "rolling_event_window",
     "event_transitions",
+    "sampled_quantiles",
     "asof_latest_order",
     "top_orders_per_segment",
     "range_join_recent_orders",
