@@ -15,7 +15,13 @@ oracles cannot silently desynchronize from the pipelines.
 """
 
 from prlib_ray.pipelines.curate import HEAVY_PCT, PLANT_MOD, PLANT_OFFSET
-from prlib_ray.stages.corpus_stats import SEG_DUP_MIN, SEG_WIDTH
+from prlib_ray.stages.corpus_stats import (
+    IDF_SCALE,
+    SEARCH_K,
+    SEARCH_TERMS,
+    SEG_DUP_MIN,
+    SEG_WIDTH,
+)
 from prlib_ray.stages.text_analysis import (
     GOPHER_MAX_MEAN_LEN,
     GOPHER_MAX_WORDS,
@@ -215,8 +221,6 @@ FROM tf JOIN df USING (w) ORDER BY term, doc_id"""
 
 # mirrors corpus_stats.search_topk: fixed-keyword retrieval with
 # integer idf weights (IDF_SCALE // df), ties to the smallest doc_id
-from prlib_ray.stages.corpus_stats import IDF_SCALE, SEARCH_K, SEARCH_TERMS
-
 _TERMS = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
 
 SEARCH_TOPK = f"""

@@ -640,14 +640,10 @@ def sessionize(sf_dir: str):
     10^6+ users per-key grouping is a scale-killer)."""
     import ray.data as rd
 
-    from prlib_ray.stages.reassemble import N_REASSEMBLE_PARTS, _runs
+    from prlib_ray.stages.reassemble import _runs
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     gap = np.timedelta64(30 * 60 * 1_000_000, "us")
-
-    def add_part(b: pa.Table) -> pa.Table:
-        u = b["user_id"].to_numpy().astype(np.int64)
-        return b.append_column("part", pa.array(u % N_REASSEMBLE_PARTS))
 
     def sess(g: pd.DataFrame) -> pd.DataFrame:
         user = g["user_id"].to_numpy().astype(np.int64)
@@ -664,13 +660,36 @@ def sessionize(sf_dir: str):
         return pd.DataFrame({"user_id": u_s[starts], "n_sessions": n})
 
     return (
-        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(_add_user_part, batch_format="pyarrow",
+                       zero_copy_batch=True)
         .groupby("part")
         .map_groups(sess, batch_format="pandas")
     )
 
 
 HOUR_US = 3_600_000_000
+
+
+def _add_user_part(b: pa.Table) -> pa.Table:
+    """Coarse user-partition column — the ONE layout sessionize,
+    rolling_event_window and event_transitions share (a scheme change
+    here changes all three together)."""
+    from prlib_ray.stages.reassemble import N_REASSEMBLE_PARTS
+
+    u = b["user_id"].to_numpy().astype(np.int64)
+    return b.append_column("part", pa.array(u % N_REASSEMBLE_PARTS))
+
+
+def _exact_pctiles(vals: np.ndarray, tiebreak: np.ndarray,
+                   pcts=(50, 90)) -> tuple[list[int], int]:
+    """Exact percentile values at sorted index floor(p*(n-1)/100) under
+    a deterministic (vals, tiebreak) lexsort — the single rank
+    convention every quantile oracle mirrors (row_number OVER
+    (ORDER BY val, tiebreak))."""
+    order = np.lexsort((tiebreak, vals))
+    s = vals[order]
+    n = len(s)
+    return [int(s[(p * (n - 1)) // 100]) for p in pcts], n
 
 
 def rolling_event_window(sf_dir: str):
@@ -690,16 +709,12 @@ def rolling_event_window(sf_dir: str):
     users per part with multi-year ranges, raise the part count)."""
     import ray.data as rd
 
-    from prlib_ray.stages.reassemble import N_REASSEMBLE_PARTS, _runs
+    from prlib_ray.stages.reassemble import _runs
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "value"],
     )
-
-    def add_part(b: pa.Table) -> pa.Table:
-        u = b["user_id"].to_numpy().astype(np.int64)
-        return b.append_column("part", pa.array(u % N_REASSEMBLE_PARTS))
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
         user = g["user_id"].to_numpy().astype(np.int64)
@@ -728,7 +743,8 @@ def rolling_event_window(sf_dir: str):
         )
 
     return (
-        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(_add_user_part, batch_format="pyarrow",
+                       zero_copy_batch=True)
         .groupby("part")
         .map_groups(roll, batch_format="pandas")
     )
@@ -792,16 +808,15 @@ def sampled_quantiles(sf_dir: str):
         )
 
     def qtile(g: pd.DataFrame) -> pd.DataFrame:
-        cents = g["cents"].to_numpy().astype(np.int64)
-        eid = g["event_id"].to_numpy().astype(np.int64)
-        order = np.lexsort((eid, cents))
-        c = cents[order]
-        n = len(c)
+        (p50, p90), n = _exact_pctiles(
+            g["cents"].to_numpy().astype(np.int64),
+            g["event_id"].to_numpy().astype(np.int64),
+        )
         return pd.DataFrame(
             {
                 "event_type": [g["event_type"].iloc[0]],
-                "p50_cents": [c[(50 * (n - 1)) // 100]],
-                "p90_cents": [c[(90 * (n - 1)) // 100]],
+                "p50_cents": [np.int64(p50)],
+                "p90_cents": [np.int64(p90)],
                 "n_sample": [np.int64(n)],
             }
         )
@@ -826,16 +841,10 @@ def event_transitions(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    from prlib_ray.stages.reassemble import N_REASSEMBLE_PARTS
-
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "event_type"],
     )
-
-    def add_part(b: pa.Table) -> pa.Table:
-        u = b["user_id"].to_numpy().astype(np.int64)
-        return b.append_column("part", pa.array(u % N_REASSEMBLE_PARTS))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         user = g["user_id"].to_numpy().astype(np.int64)
@@ -859,7 +868,8 @@ def event_transitions(sf_dir: str):
         )
 
     return (
-        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(_add_user_part, batch_format="pyarrow",
+                       zero_copy_batch=True)
         .groupby("part")
         .map_groups(pairs, batch_format="pandas")
         .groupby(["prev", "event_type"])
@@ -1387,12 +1397,9 @@ def segment_price_quantiles(sf_dir: str):
         )
 
     def quant(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort((g["o_orderkey"].to_numpy(),
-                            g["cents"].to_numpy()))
-        cents = g["cents"].to_numpy()[order]
-        n = len(cents)
-        p50 = int(cents[(50 * (n - 1)) // 100])
-        p90 = int(cents[(90 * (n - 1)) // 100])
+        (p50, p90), n = _exact_pctiles(
+            g["cents"].to_numpy(), g["o_orderkey"].to_numpy()
+        )
         return pd.DataFrame(
             {
                 "c_mktsegment": [g["c_mktsegment"].iloc[0]],

@@ -762,7 +762,11 @@ def search_topk(sf_dir: str):
             return pa.table(
                 {"w": pa.array([], type=pa.string()), "doc_id": z, "tf": z}
             )
-        w = np.asarray(words.to_pylist(), dtype=object)[hit]
+        # materialize ONLY the hits (bounded by |terms| x docs), never
+        # the batch's full flat word stream
+        w = np.asarray(
+            words.filter(pa.array(hit)).to_pylist(), dtype=object
+        )
         d = doc_of_word[hit]
         uniq_t, code = np.unique(w, return_inverse=True)
         key = d * len(uniq_t) + code
@@ -807,7 +811,10 @@ def search_topk(sf_dir: str):
         ids = g["doc_id"].to_numpy().astype(np.int64)
         sc = g["score"].to_numpy().astype(np.int64)
         ud, inv = np.unique(ids, return_inverse=True)
-        tot = np.bincount(inv, weights=sc).astype(np.int64)
+        # int64 accumulation (bincount's float64 weights would round
+        # past 2^53, breaking the exact-integer scoring contract)
+        tot = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(tot, inv, sc)
         order = np.lexsort((ud, -tot))[:SEARCH_K]
         return pd.DataFrame({"doc_id": ud[order], "score": tot[order]})
 

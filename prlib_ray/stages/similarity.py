@@ -479,23 +479,30 @@ def pq_codes(sf_dir: str):
     full = np.stack(_quantize([list(r["embedding"]) for r in seeds]))
     dim = full.shape[1]
     sub_dim = dim // N_PQ_SUB
+    # Codes are the seeds' VEC_IDS (the oracle's `vec_id AS code`), not
+    # positions — with a short corpus or gaps below N_PQ_CODES the two
+    # numberings differ.  Positions are vec_id-sorted, so the argmin's
+    # first-min tie-break still picks the smallest code.
+    seed_ids = np.array([r["vec_id"] for r in seeds], dtype=np.int64)
+    n_codes = len(seeds)  # short-corpus guard: fewer rows than N_PQ_CODES
     # (sub, code, sub_dim)
-    cb = full.reshape(N_PQ_CODES, N_PQ_SUB, sub_dim).transpose(1, 0, 2)
-    ref = ray.put(cb)
+    cb = full.reshape(n_codes, N_PQ_SUB, sub_dim).transpose(1, 0, 2)
+    ref = ray.put((cb, seed_ids))
 
     def assign(b: pa.Table) -> pa.Table:
         z = pa.array([], type=pa.int64())
         if b.num_rows == 0:
             return pa.table({"vec_id": z, "sub": z, "code": z, "dist": z})
-        cb = ray.get(ref)
+        cb, seed_ids = ray.get(ref)
         Q = np.stack(_quantize(b["embedding"].to_pylist()))
         n = Q.shape[0]
         Qs = Q.reshape(n, N_PQ_SUB, sub_dim)
         # (n, sub, code): exact int squared L2 per candidate codeword
         diff = Qs[:, :, None, :] - cb[None, :, :, :]
         d2 = np.einsum("nskd,nskd->nsk", diff, diff)
-        code = np.argmin(d2, axis=2).astype(np.int64)  # first min = smallest code
-        dist = np.take_along_axis(d2, code[:, :, None], axis=2)[:, :, 0]
+        pos = np.argmin(d2, axis=2).astype(np.int64)  # first min = smallest id
+        code = seed_ids[pos]
+        dist = np.take_along_axis(d2, pos[:, :, None], axis=2)[:, :, 0]
         ids = b["vec_id"].to_numpy().astype(np.int64)
         return pa.table(
             {

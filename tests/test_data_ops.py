@@ -342,6 +342,46 @@ def test_pq_adc_recall_vs_exact_l2(registry, ray_session, sf_dir):
         assert row["d2"] == ((V[j] - V[0]) ** 2).sum()
 
 
+def test_pq_codes_short_corpus_and_gapped_seed_ids(ray_session, tmp_path):
+    """A corpus with fewer than N_PQ_CODES vectors AND gaps in the
+    low-id range must not crash, and codes must be the seeds' VEC_IDS
+    (the oracle's numbering), not codebook positions."""
+    import duckdb
+    import pyarrow as pa
+
+    rng = np.random.RandomState(7)
+    ids = [0, 1, 2, 3, 5, 8, 13, 20, 21, 30]  # gaps below 16, 10 rows
+    vecs = rng.standard_normal((len(ids), 8)).astype(np.float32)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  type=pa.list_(pa.float32())),
+        }),
+        tmp_path / "embeddings.parquet",
+    )
+    from prlib_ray.api import build_queries
+
+    queries, sql = build_queries()
+    df = queries["pq_codes"](str(tmp_path)).to_pandas()
+    seed_ids = {i for i in ids if i < 16}
+    assert set(df["code"]).issubset(seed_ids)
+    # seeds reconstruct themselves under the vec_id numbering
+    s = df[df["vec_id"].isin(seed_ids)]
+    assert (s["code"] == s["vec_id"]).all() and (s["dist"] == 0).all()
+    # and the DuckDB oracle agrees end-to-end on this corpus
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    odf = con.execute(sql["pq_codes"]).df()
+    a = df.sort_values(["vec_id", "sub"]).reset_index(drop=True)
+    b = odf.sort_values(["vec_id", "sub"]).reset_index(drop=True)
+    for c in ["vec_id", "sub", "code", "dist"]:
+        assert a[c].astype("int64").equals(b[c].astype("int64")), c
+
+
 def test_pq_codes_seed_self_reconstruction(registry, ray_session, sf_dir):
     """Codebook vectors quantize to themselves: every vec_id < 16 gets
     its own id as the code in every subspace with distance exactly 0."""
