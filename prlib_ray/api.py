@@ -86,7 +86,7 @@ _PRIORITY = [
     "flagship_extract", "curate_corpus",
     "dedup_exact", "dedup_minhash_lsh",
     "dedup_embedding", "dedup_semantic",
-    "dedup_cc_clusters", "dedup_survivors",
+    "dedup_cc_clusters",
     "dedup_embedding_lsh", "dedup_incremental", "corpus_diff",
     "segment_dedup",
     "ann_ivf_topk", "pq_codes",
@@ -97,7 +97,7 @@ _PRIORITY = [
     "length_filter_p95", "sample_per_source", "weighted_sample",
     "frequent_ngrams",
     "q1_pricing_summary", "q3_top_orders", "q5_local_supplier",
-    "orders_by_segment",
+    "orders_by_segment", "sales_rollup",
     "events_hourly_window", "sessionize", "rolling_event_window",
     "event_transitions",
     "asof_latest_order", "top_orders_per_segment",
@@ -117,6 +117,7 @@ _PRIORITY = [
     "fingerprint_md5", "fingerprint_winnow", "multimodal_decode",
     "pipeline_chain", "embedding_centroids", "ann_neighbor_counts",
     "quality_score", "lang_id", "dedup_ngram_jaccard", "token_count",
+    "dedup_survivors",
     "binarize_sauvola", "denoise_kuwahara_iterated",
     "dedup_simhash", "lsh_bucket_stats", "ann_bruteforce_topk",
     "q6_forecast_revenue", "warp_crop", "source_csv_roundtrip",

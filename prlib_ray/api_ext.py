@@ -494,6 +494,7 @@ def _register_relational(queries, sql) -> None:
          orel.EVENT_TRANSITIONS),
         ("sampled_quantiles", rel.sampled_quantiles,
          orel.SAMPLED_QUANTILES),
+        ("sales_rollup", rel.sales_rollup, orel.SALES_ROLLUP),
         ("asof_latest_order", rel.asof_latest_order, orel.ASOF_LATEST_ORDER),
         ("top_orders_per_segment", rel.top_orders_per_segment,
          orel.TOP_ORDERS_PER_SEGMENT),

@@ -155,6 +155,21 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 ORDER BY event_id"""
 
+# mirrors relational.sales_rollup: GROUPING SETS over (segment, nation)
+# with '(all)' coalesce at the rolled-up grains
+SALES_ROLLUP = """
+SELECT coalesce(c.c_mktsegment, '(all)') AS seg,
+       coalesce(n.n_name, '(all)') AS nation,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY GROUPING SETS ((c.c_mktsegment), (n.n_name),
+                        (c.c_mktsegment, n.n_name), ())
+ORDER BY seg, nation"""
+
 # mirrors relational.sampled_quantiles: deterministic ~5% md5-threshold
 # sample, then segment_price_quantiles' exact rank convention per type
 SAMPLED_QUANTILES = """

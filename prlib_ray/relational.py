@@ -828,6 +828,108 @@ def sampled_quantiles(sf_dir: str):
     )
 
 
+def sales_rollup(sf_dir: str):
+    """Multi-grain rollup (GROUPING SETS): order counts and exact cents
+    at four grains — (segment, nation), (segment), (nation) and the
+    grand total — from ONE pass over orders.  Each batch pre-aggregates
+    only the FINEST grain (composite seg*|nations|+nation bincount);
+    because count/cents are distributive, the three coarser grains
+    derive from the finest's tiny final table (<= |seg| x |nations|
+    rows, a bounded driver fold — the q3 merge pattern), so the rollup
+    costs one shuffle of dimension-bounded rows, not four scans."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    looks = _collect_columns_parallel(
+        {
+            "cust": (
+                rd.read_parquet(
+                    f"{sf_dir}/customer.parquet",
+                    columns=["c_custkey", "c_mktsegment", "c_nationkey"],
+                ),
+                ["c_custkey", "c_mktsegment", "c_nationkey"],
+            ),
+            "nat": (
+                rd.read_parquet(
+                    f"{sf_dir}/nation.parquet",
+                    columns=["n_nationkey", "n_name"],
+                ),
+                ["n_nationkey", "n_name"],
+            ),
+        }
+    )
+    cust, nat = looks["cust"], looks["nat"]
+    keys = cust["c_custkey"].astype(np.int64)
+    seg_names, segc = np.unique(
+        cust["c_mktsegment"].astype(object), return_inverse=True
+    )
+    natk = cust["c_nationkey"].astype(np.int64)
+    order = np.argsort(keys, kind="stable")
+    nat_names = np.empty(
+        int(nat["n_nationkey"].astype(np.int64).max()) + 1, dtype=object
+    )
+    nat_names[nat["n_nationkey"].astype(np.int64)] = nat["n_name"]
+    n_nat = len(nat_names)
+    ref = ray.put((keys[order], segc[order].astype(np.int64), natk[order]))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table({"sn": z, "n": z, "cents": z})
+        keys, segc, natk = ray.get(ref)
+        i = np.searchsorted(keys, b["o_custkey"].to_numpy().astype(np.int64))
+        sn = segc[i] * n_nat + natk[i]
+        cents = _cents(b["o_totalprice"].to_numpy())
+        uniq, inv = np.unique(sn, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        tot = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tot, inv, cents)
+        return pa.table(
+            {"sn": pa.array(uniq), "n": pa.array(cnt), "cents": pa.array(tot)}
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("sn")
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+        .take_all()  # <= |segments| x |nations| bounded rows
+    )
+    sn = np.array([int(r["sn"]) for r in fine], dtype=np.int64)
+    n = np.array([int(r["n"]) for r in fine], dtype=np.int64)
+    c = np.array([int(r["cents"]) for r in fine], dtype=np.int64)
+    seg_i, nat_i = sn // n_nat, sn % n_nat
+    out_s, out_n, out_cnt, out_c = [], [], [], []
+
+    def emit(s, na, cnt, cents):
+        out_s.append(s)
+        out_n.append(na)
+        out_cnt.append(int(cnt))
+        out_c.append(int(cents))
+
+    for si, ni, cnt, cents in zip(seg_i, nat_i, n, c):
+        emit(seg_names[si], nat_names[ni], cnt, cents)
+    for si in np.unique(seg_i):
+        m = seg_i == si
+        emit(seg_names[si], "(all)", n[m].sum(), c[m].sum())
+    for ni in np.unique(nat_i):
+        m = nat_i == ni
+        emit("(all)", nat_names[ni], n[m].sum(), c[m].sum())
+    emit("(all)", "(all)", n.sum(), c.sum())
+    return pa.table(
+        {
+            "seg": pa.array(out_s, type=pa.string()),
+            "nation": pa.array(out_n, type=pa.string()),
+            "n_orders": pa.array(out_cnt, type=pa.int64()),
+            "cents": pa.array(out_c, type=pa.int64()),
+        }
+    )
+
+
 def event_transitions(sf_dir: str):
     """Markov transition counts: how often event type A is immediately
     followed by type B within one user's (ts, event_id)-ordered stream

@@ -20,6 +20,7 @@ CASES = [
     "q3_top_orders",
     "q5_local_supplier",
     "orders_by_segment",
+    "sales_rollup",
     "top_orders",
     "distinct_event_types",
     "events_hourly_window",
