@@ -85,18 +85,19 @@ def build_queries() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
 _PRIORITY = [
     "flagship_extract", "curate_corpus",
     "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash",  # oracle-backed in round 3 (md5_number bit mirror)
     "dedup_embedding", "dedup_semantic",
-    "dedup_cc_clusters",
     "dedup_embedding_lsh", "dedup_incremental", "corpus_diff",
     "segment_dedup",
-    "ann_ivf_topk", "pq_codes",
+    "ann_ivf_topk", "ann_bruteforce_topk",  # bf oracle-backed in round 3
+    "pq_codes",
     "token_count_subword",
     "gopher_quality", "repetition_stats", "lang_agreement",
     "split_assign", "mix_sources", "shuffle_head", "decontaminate",
     "pack_sequences", "chunk_tokens", "pii_scan", "source_term_stats",
     "length_filter_p95", "sample_per_source", "weighted_sample",
     "frequent_ngrams",
-    "q1_pricing_summary", "q3_top_orders", "q5_local_supplier",
+    "q1_pricing_summary", "q3_top_orders",
     "orders_by_segment", "sales_rollup",
     "events_hourly_window", "sessionize", "rolling_event_window",
     "event_transitions",
@@ -108,6 +109,11 @@ _PRIORITY = [
     "dup_substring_fraction", "build_inverted_index", "search_topk",
     "set_ops_users_customers", "approx_distinct_users",
     "reassemble_events", "deskew",
+    # r02-recorded green, unchanged since — displaced from the 50-entry
+    # window by the round-3 newly-oracled dedup_simhash /
+    # ann_bruteforce_topk (their r02 evidence + driver_sim still covers
+    # them)
+    "dedup_cc_clusters", "q5_local_supplier",
     # tail (still sim+pytest covered; recorded green in earlier rounds —
     # the rows-only dedup/ANN scale paths and three unchanged r02-green
     # entries (fingerprint_winnow / multimodal_decode / pipeline_chain)
@@ -119,7 +125,7 @@ _PRIORITY = [
     "quality_score", "lang_id", "dedup_ngram_jaccard", "token_count",
     "dedup_survivors",
     "binarize_sauvola", "denoise_kuwahara_iterated",
-    "dedup_simhash", "lsh_bucket_stats", "ann_bruteforce_topk",
+    "lsh_bucket_stats",
     "q6_forecast_revenue", "warp_crop", "source_csv_roundtrip",
     "top_orders", "distinct_event_types", "compare_extractions",
     "source_jsonl_roundtrip",

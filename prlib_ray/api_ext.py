@@ -121,7 +121,9 @@ def _register_data_ops(queries, sql) -> None:
     queries["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs
     sql["dedup_ngram_jaccard"] = odata.NGRAM_JACCARD
     queries["dedup_minhash_lsh"] = dedup.minhash_lsh_dedup  # probabilistic: rows-only
-    queries["dedup_simhash"] = _doc_query(dedup.simhash_batch)  # bit-level: rows-only
+    # bit-exact SQL mirror via DuckDB md5_number_upper + bit-index remap
+    queries["dedup_simhash"] = _doc_query(dedup.simhash_batch)
+    sql["dedup_simhash"] = odata.SIMHASH
     # no-silent-caps observability for the LSH bucket explosion guard
     queries["lsh_bucket_stats"] = dedup.lsh_bucket_stats  # minhash banding: rows-only
     # pairs -> connected components -> survivors (the dedup OUTPUT)
@@ -162,7 +164,9 @@ def _register_data_ops(queries, sql) -> None:
     # similarity search
     queries["ann_neighbor_counts"] = similarity.ann_neighbor_counts
     sql["ann_neighbor_counts"] = odata.ANN_NEIGHBOR_COUNTS
-    queries["ann_bruteforce_topk"] = similarity.ann_bruteforce_topk  # float ranking: rows-only
+    # integer-exact score (sign * cos^2 * 1e4, floor): full SQL oracle
+    queries["ann_bruteforce_topk"] = similarity.ann_bruteforce_topk
+    sql["ann_bruteforce_topk"] = odata.ANN_BRUTEFORCE
     queries["ann_lsh_topk"] = similarity.ann_lsh_topk  # recall<1 by design: rows-only
     queries["ann_ivf_topk"] = similarity.ann_ivf_topk  # recall<1 by design: rows-only
 

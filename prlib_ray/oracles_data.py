@@ -192,6 +192,47 @@ SELECT doc_id,
                                ' +', ' ', 'g'), ' ')) AS fp
 FROM documents ORDER BY doc_id"""
 
+# 64-bit SimHash, bit-exact mirror of stages/dedup.simhash_batch: per-doc
+# DISTINCT non-empty words, per-bit majority vote over each word's md5
+# digest[:8].  Python reads the 8 bytes BIG-endian (digest[:8][::-1]
+# unpacked little); DuckDB's md5_number_upper() is the LITTLE-endian
+# uint64 of the same 8 bytes, so bit b of the Python value is bit
+# ((7 - b//8)*8 + b%8) of md5_number_upper — a pure index remap.  Bit 63
+# wraps negative in the engine's int64 view; mirrored with the explicit
+# 2^63 fold.  Docs with no non-empty words hash to 0 (LEFT JOIN).
+SIMHASH = """
+WITH words AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+    FROM documents
+),
+nw AS (
+    SELECT doc_id, count(*) AS n FROM words WHERE w <> '' GROUP BY doc_id
+),
+bits AS (
+    SELECT wo.doc_id, b.b,
+           count(*) FILTER (
+               ((md5_number_upper(wo.w) >> ((7 - b.b // 8) * 8 + b.b % 8))
+                & 1) = 1
+           ) AS cnt
+    FROM words wo CROSS JOIN (SELECT unnest(range(64)) AS b) b
+    WHERE wo.w <> ''
+    GROUP BY wo.doc_id, b.b
+),
+vals AS (
+    SELECT bits.doc_id,
+           sum(CASE WHEN 2 * bits.cnt > nw.n
+                    THEN (1::HUGEINT << bits.b) ELSE 0 END) AS v
+    FROM bits JOIN nw ON bits.doc_id = nw.doc_id
+    GROUP BY bits.doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN COALESCE(v, 0) >= 9223372036854775808
+                 THEN COALESCE(v, 0) - 18446744073709551616
+                 ELSE COALESCE(v, 0) END AS BIGINT) AS simhash,
+       lpad(lower(hex(COALESCE(v, 0)::UBIGINT)), 16, '0') AS simhash_hex
+FROM documents d LEFT JOIN vals ON d.doc_id = vals.doc_id
+ORDER BY d.doc_id"""
+
 # winnowing: polynomial k-gram rolling hash (k=5, base 31, mod 1e9+7),
 # position selected when its hash equals the trailing-4-window min.
 WINNOW = """
@@ -248,6 +289,48 @@ cnt AS (
 )
 SELECT s.vec_id, coalesce(c.n_neighbors, 0) AS n_neighbors
 FROM sub s LEFT JOIN cnt c ON s.vec_id = c.vec_id ORDER BY s.vec_id"""
+
+# brute-force integer-cosine top-5 per query (mirror of
+# similarity.ann_bruteforce_topk): score = floor(dot*|dot|*10^4 /
+# (na*nb)) over the x1000 quantization — HUGEINT-exact, floor division
+# spelled out with the mod trick (DuckDB // truncates toward zero;
+# Python floor_divide floors).  Ties break by vec_id asc; zero-norm
+# vectors score 0.
+ANN_BRUTEFORCE = """
+WITH q AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sum(qv * qv) AS nn FROM q GROUP BY vec_id),
+dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS vec_id, sum(a.qv * b.qv) AS dot
+    FROM q a JOIN q b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+    GROUP BY a.vec_id, b.vec_id
+),
+scored AS (
+    SELECT d.query_id, d.vec_id,
+           CASE WHEN na.nn * nb.nn = 0 THEN 0
+                ELSE CAST((s2x - (((s2x % dd) + dd) % dd)) / dd AS BIGINT)
+           END AS score
+    FROM (
+        SELECT query_id, vec_id, dot,
+               CAST(dot AS HUGEINT) * abs(dot) * 10000 AS s2x
+        FROM dots
+    ) d
+    JOIN norms na ON d.query_id = na.vec_id
+    JOIN norms nb ON d.vec_id = nb.vec_id,
+    LATERAL (SELECT CAST(na.nn AS HUGEINT) * nb.nn AS dd) x
+),
+ranked AS (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id ASC) AS rn
+    FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= 5
+ORDER BY query_id, vec_id"""
 
 # sub mirrors similarity._plant_dup_batch: vectors with vec_id < 10 are
 # duplicated at vec_id + 1000000 with identical embeddings, so the pair

@@ -6,9 +6,12 @@
   |qb|^2  in exact (arbitrary-precision) integer arithmetic, so a DuckDB
   oracle matches bit-for-bit.  Bounded id range: the all-pairs form is
   the *baseline*; the LSH-bucketed form is the scale path.
-* ``ann_bruteforce_topk`` — float cosine top-k per query vector against
-  a broadcast query matrix (numpy matmul per batch) — the production
-  baseline; no SQL oracle (float ranking), pytest-pinned instead.
+* ``ann_bruteforce_topk`` — exact-integer cosine top-k per query vector
+  against a broadcast query matrix (numpy int matmul per batch) — the
+  production baseline.  The rank key is score = floor(sign(dot) * dot^2
+  * 10^4 / (|q|^2 * |x|^2)) over the same x1000 quantization (monotone
+  in cosine, ties broken by vec_id), all int64-exact, so a DuckDB
+  oracle matches bit-for-bit.
 * ``ann_lsh_topk`` — random-hyperplane LSH buckets -> top-k within
   bucket; the scale path for 10^9+ vectors.
 """
@@ -646,11 +649,20 @@ def ann_pq_adc_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+BF_SCORE_SCALE = 10_000  # score = floor(sign*cos^2 * SCALE), int64-exact
+
+
 def ann_bruteforce_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
-    """Brute-force cosine top-k: the first ``n_queries`` vectors are the
-    query matrix, broadcast once (ray.put); each batch computes a numpy
+    """Brute-force top-k: the first ``n_queries`` vectors are the query
+    matrix, broadcast once (ray.put); each batch computes an integer
     matmul against it and emits its local top-k; a final tiny pass merges.
-    Deterministic tie-break (sim desc rounded to 1e-6, vec_id asc)."""
+
+    The rank key is int64-exact end-to-end: with q = floor(v*1000+0.5),
+    score = floor(dot * |dot| * 10^4 / (|a|^2 * |b|^2)) — sign-preserving
+    squared cosine at 1e-4 resolution, monotone in cosine, ties broken by
+    vec_id asc.  Cauchy-Schwarz bounds |dot*|dot||*10^4 <= na*nb*10^4,
+    which fits int64 for this corpus (|v| <= ~0.7, dim 64 -> na < 2^25);
+    a guard raises rather than silently overflowing."""
     import ray
     import ray.data as rd
 
@@ -665,39 +677,47 @@ def ann_bruteforce_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
         key=lambda r: r["vec_id"],
     )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qmat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
-    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((qids, qmat))
+    qmat = np.stack(_quantize([list(r["embedding"]) for r in qrows]))
+    qn = (qmat * qmat).sum(axis=1)  # |q|^2, int64
+    ref = ray.put((qids, qmat, qn))
 
     def local_topk(b: pa.Table) -> pa.Table:
-        ids_q, qm = ray.get(ref)
+        ids_q, qm, qnorm = ray.get(ref)
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
         vids = b["vec_id"].to_numpy()
-        mat = np.array(b["embedding"].to_pylist(), dtype=np.float64)
-        if len(mat) == 0:
-            return pa.table({"query_id": pa.array([], type=pa.int64()),
-                             "vec_id": pa.array([], type=pa.int64()),
-                             "sim": pa.array([], type=pa.float64())})
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        sims = qm @ mat.T  # (nq, nbatch)
+        mat = np.stack(_quantize(b["embedding"].to_pylist()))
+        xn = (mat * mat).sum(axis=1)  # |x|^2, int64
+        if qnorm.max(initial=0) * xn.max(initial=0) > (1 << 63) // BF_SCORE_SCALE - 1:
+            raise OverflowError(
+                "bruteforce score would overflow int64; lower the "
+                "quantization scale for this embedding range"
+            )
+        dots = qm @ mat.T  # (nq, nbatch), int64-exact (|dot| < 2^26)
+        s2 = dots * np.abs(dots) * BF_SCORE_SCALE
+        d = qnorm[:, None] * xn[None, :]
+        score = np.where(d > 0, np.floor_divide(s2, np.maximum(d, 1)), 0)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(ids_q)):
-            s = sims[qi]
+            s = score[qi]
             mask = vids != ids_q[qi]
-            order = np.lexsort((vids[mask], -np.round(s[mask], 6)))[:k]
+            order = np.lexsort((vids[mask], -s[mask]))[:k]
             sel = np.flatnonzero(mask)[order]
             out_q.extend([int(ids_q[qi])] * len(sel))
             out_v.extend(vids[sel].tolist())
-            out_s.extend(np.round(s[mask][order], 6).tolist())
+            out_s.extend(s[mask][order].tolist())
         return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
                          "vec_id": pa.array(out_v, type=pa.int64()),
-                         "sim": pa.array(out_s, type=pa.float64())})
+                         "score": pa.array(out_s, type=pa.int64())})
 
     local = emb.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
 
     def merge(g):
-        import pandas as pd
-
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort")
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="mergesort")
         return g.head(k)
 
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")

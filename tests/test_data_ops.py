@@ -126,17 +126,43 @@ def test_simhash_deterministic(sf_dir):
     assert ham <= 16, ham
 
 
+def _quantized_score_fn(sf_dir):
+    """(query_id, vec_id) -> the bruteforce contract's exact int score:
+    floor(dot*|dot|*1e4 / (na*nb)) over the x1000 quantization."""
+    from prlib_ray.stages.similarity import _quantize
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    V = np.stack(_quantize(t["embedding"].to_pylist()))
+    idx = {int(v): i for i, v in enumerate(ids)}
+    norms = (V.astype(object) * V.astype(object)).sum(axis=1)
+
+    def score(qid, vid):
+        a, b = V[idx[int(qid)]].astype(object), V[idx[int(vid)]].astype(object)
+        dot = int((a * b).sum())
+        d = int(norms[idx[int(qid)]]) * int(norms[idx[int(vid)]])
+        return 0 if d == 0 else (dot * abs(dot) * 10_000) // d
+
+    return score
+
+
 def test_ann_ivf_recall_and_bounds(registry, ray_session, sf_dir):
     """IVF top-k: sims never exceed brute-force, <= k rows per query,
     deterministic, and recall@k against brute force is nontrivial."""
     queries, _ = registry
     bf = queries["ann_bruteforce_topk"](sf_dir).to_pandas()
     ivf = queries["ann_ivf_topk"](sf_dir).to_pandas()
-    best_bf = bf.groupby("query_id")["sim"].max()
+    # bf score = floor(sign*cos^2*1e4) over the x1000 quantization;
+    # recompute the IVF picks' scores in the SAME integer arithmetic so
+    # the "candidate restriction can't beat brute force" bound is exact
+    qscore = _quantized_score_fn(sf_dir)
+    best_bf = bf.groupby("query_id")["score"].max()
     hits = total = 0
     for qid, grp in ivf.groupby("query_id"):
         assert len(grp) <= 5
-        assert grp["sim"].max() <= best_bf.loc[qid] + 1e-9
+        got_scores = [qscore(qid, v) for v in grp["vec_id"]]
+        assert max(got_scores) <= best_bf.loc[qid]
     for qid, grp in bf.groupby("query_id"):
         want = set(grp["vec_id"])
         got = set(ivf[ivf["query_id"] == qid]["vec_id"])
@@ -156,9 +182,10 @@ def test_ann_lsh_subset_of_bruteforce_space(registry, ray_session, sf_dir):
     queries, _ = registry
     bf = queries["ann_bruteforce_topk"](sf_dir).to_pandas()
     lsh = queries["ann_lsh_topk"](sf_dir).to_pandas()
-    best_bf = bf.groupby("query_id")["sim"].max()
+    qscore = _quantized_score_fn(sf_dir)
+    best_bf = bf.groupby("query_id")["score"].max()
     for qid, grp in lsh.groupby("query_id"):
-        assert grp["sim"].max() <= best_bf.loc[qid] + 1e-9
+        assert max(qscore(qid, v) for v in grp["vec_id"]) <= best_bf.loc[qid]
     hits = total = 0
     for qid, grp in bf.groupby("query_id"):
         want = set(grp["vec_id"])
