@@ -87,6 +87,7 @@ _PRIORITY = [
     "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash",  # oracle-backed in round 3 (md5_number bit mirror)
     "dedup_embedding", "dedup_semantic",
+    "dedup_clusters_minhash",  # oracle-backed in round 3 (recursive CTE)
     "dedup_embedding_lsh", "dedup_incremental", "corpus_diff",
     "segment_dedup",
     "ann_ivf_topk", "ann_bruteforce_topk",  # bf oracle-backed in round 3
@@ -97,7 +98,7 @@ _PRIORITY = [
     "pack_sequences", "chunk_tokens", "pii_scan", "source_term_stats",
     "length_filter_p95", "sample_per_source", "weighted_sample",
     "frequent_ngrams",
-    "q1_pricing_summary", "q3_top_orders",
+    "q3_top_orders",
     "orders_by_segment", "sales_rollup",
     "events_hourly_window", "sessionize", "rolling_event_window",
     "event_transitions",
@@ -113,13 +114,13 @@ _PRIORITY = [
     # window by the round-3 newly-oracled dedup_simhash /
     # ann_bruteforce_topk (their r02 evidence + driver_sim still covers
     # them)
-    "dedup_cc_clusters", "q5_local_supplier",
+    "dedup_cc_clusters", "q5_local_supplier", "q1_pricing_summary",
     # tail (still sim+pytest covered; recorded green in earlier rounds —
     # the rows-only dedup/ANN scale paths and three unchanged r02-green
     # entries (fingerprint_winnow / multimodal_decode / pipeline_chain)
     # moved here in round 3 when the new oracle-backed curation ops
     # displaced them; their evidence lives in pytest + CORRECTNESS_r02)
-    "dedup_simhash_hamming", "dedup_clusters_minhash", "ann_lsh_topk",
+    "dedup_simhash_hamming", "ann_lsh_topk",
     "fingerprint_md5", "fingerprint_winnow", "multimodal_decode",
     "pipeline_chain", "embedding_centroids", "ann_neighbor_counts",
     "quality_score", "lang_id", "dedup_ngram_jaccard", "token_count",

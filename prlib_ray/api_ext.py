@@ -120,18 +120,26 @@ def _register_data_ops(queries, sql) -> None:
     sql["dedup_exact"] = odata.EXACT_DEDUP
     queries["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs
     sql["dedup_ngram_jaccard"] = odata.NGRAM_JACCARD
-    queries["dedup_minhash_lsh"] = dedup.minhash_lsh_dedup  # probabilistic: rows-only
+    # the banding itself mirrors in SQL (md5_number shingle ids, HUGEINT
+    # (a*x+b) mod p minhashes, ':'-joined band sigs): full exact oracle
+    queries["dedup_minhash_lsh"] = dedup.minhash_lsh_dedup
+    sql["dedup_minhash_lsh"] = odata.MINHASH_LSH
     # bit-exact SQL mirror via DuckDB md5_number_upper + bit-index remap
     queries["dedup_simhash"] = _doc_query(dedup.simhash_batch)
     sql["dedup_simhash"] = odata.SIMHASH
-    # no-silent-caps observability for the LSH bucket explosion guard
-    queries["lsh_bucket_stats"] = dedup.lsh_bucket_stats  # minhash banding: rows-only
+    # no-silent-caps observability for the LSH bucket explosion guard —
+    # same banding CTEs as MINHASH_LSH, aggregated
+    queries["lsh_bucket_stats"] = dedup.lsh_bucket_stats
+    sql["lsh_bucket_stats"] = odata.LSH_BUCKET_STATS
     # pairs -> connected components -> survivors (the dedup OUTPUT)
     queries["dedup_cc_clusters"] = dedup.dedup_cc_clusters
     sql["dedup_cc_clusters"] = odata.DEDUP_CC_CLUSTERS
     queries["dedup_survivors"] = dedup.dedup_survivors
     sql["dedup_survivors"] = odata.DEDUP_SURVIVORS
-    queries["dedup_clusters_minhash"] = dedup.dedup_clusters_minhash  # rows-only
+    # min-label fixpoint == component minimum: recursive-CTE oracle over
+    # the SQL-mirrored minhash pairs
+    queries["dedup_clusters_minhash"] = dedup.dedup_clusters_minhash
+    sql["dedup_clusters_minhash"] = odata.CLUSTERS_MINHASH
     queries["dedup_incremental"] = dedup.incremental_dedup
     sql["dedup_incremental"] = odata.INCREMENTAL_DEDUP
     queries["corpus_diff"] = dedup.corpus_diff
@@ -186,7 +194,9 @@ def _register_data_ops(queries, sql) -> None:
     # grouped vector aggregate (centroid partial+final over list<float>)
     queries["embedding_centroids"] = similarity.embedding_centroids
     sql["embedding_centroids"] = odata.EMBEDDING_CENTROIDS
-    queries["dedup_simhash_hamming"] = dedup.simhash_hamming_dedup  # rows-only
+    # 16-bit band buckets + bit_count(xor) verify, mirrored end-to-end
+    queries["dedup_simhash_hamming"] = dedup.simhash_hamming_dedup
+    sql["dedup_simhash_hamming"] = odata.SIMHASH_HAMMING
 
     # dataset-prep family: mixing, epoch shuffle, decontamination, packing
     from prlib_ray import oracles_prep as oprep

@@ -660,3 +660,220 @@ UNION ALL
 SELECT 'common',
        CAST((SELECT count(*) FROM o WHERE f IN (SELECT f FROM n))
             AS BIGINT)"""
+
+
+# --- MinHash+LSH family: the banding itself mirrored in SQL -----------------
+#
+# Made possible by two engine contracts: (a) shingle ids are the
+# BIG-endian uint64 of md5(shingle)[:8] — DuckDB's md5_number_upper() is
+# the LITTLE-endian read of the same bytes, so an 8-byte swap recovers
+# the engine's id exactly; (b) band signatures are md5 of the ':'-joined
+# DECIMAL minhash values (dedup._bands_from_blob_batch), i.e.
+# md5(string_agg(mh, ':' ORDER BY h)) in SQL.  The (a*x+b) mod (2^61-1)
+# permutations run in HUGEINT (a, x < 2^61 so a*x < 2^122 fits), the
+# hot-bucket cap (> LSH_BUCKET_CAP members -> sorted-neighborhood pairs
+# within rank distance <= cap) is a row_number window, and verification
+# is the exact shingle-id-set intersection.  Empty-shingle docs minhash
+# to the modulus itself (np.full(..., MERSENNE)) — the LEFT JOIN +
+# COALESCE mirrors that.
+
+def _byteswap8(expr: str) -> str:
+    """SQL for the big-endian uint64 of the little-endian ``expr``."""
+    parts = [
+        f"((({expr} >> {8 * j}) & 255)::HUGEINT << {8 * (7 - j)})"
+        for j in range(8)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _minhash_pairs_body() -> str:
+    """CTE body producing the verified MinHash+LSH near-dup pairs
+    (doc_a, doc_b, inter, uni) — the exact mirror of
+    dedup.minhash_lsh_dedup."""
+    from prlib_ray.stages.dedup import _A, _B, LSH_BUCKET_CAP, MERSENNE
+
+    vals = ",\n           ".join(
+        f"({h},{int(a)},{int(b)})" for h, (a, b) in enumerate(zip(_A, _B))
+    )
+    swap = _byteswap8("md5_number_upper(s)")
+    return f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+),
+nz AS (
+    SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+    FROM words WHERE w <> ''
+),
+sh AS (
+    SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+    FROM nz a JOIN nz b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+              JOIN nz c ON a.doc_id = c.doc_id AND c.j = a.j + 2
+),
+sid AS (SELECT doc_id, {swap} AS id FROM sh),
+params(h, a, b) AS (VALUES {vals}),
+mh0 AS (
+    SELECT doc_id, p.h,
+           min((p.a::HUGEINT * (id % {MERSENNE}) + p.b) % {MERSENNE}) AS mh
+    FROM sid CROSS JOIN params p GROUP BY doc_id, p.h
+),
+mh AS (
+    SELECT d.doc_id, p.h, COALESCE(m.mh, {MERSENNE}) AS mh
+    FROM (SELECT doc_id FROM documents) d
+    CROSS JOIN params p
+    LEFT JOIN mh0 m ON m.doc_id = d.doc_id AND m.h = p.h
+),
+sig AS (
+    SELECT doc_id, h // 4 AS band,
+           md5(string_agg(CAST(mh AS BIGINT)::VARCHAR, ':' ORDER BY h)) AS sg
+    FROM mh GROUP BY doc_id, h // 4
+),
+member AS (
+    SELECT band, sg, doc_id,
+           row_number() OVER (PARTITION BY band, sg ORDER BY doc_id) AS rn,
+           count(*) OVER (PARTITION BY band, sg) AS sz
+    FROM sig
+),
+cand AS (
+    SELECT DISTINCT ma.doc_id AS doc_a, mb.doc_id AS doc_b
+    FROM member ma JOIN member mb
+      ON ma.band = mb.band AND ma.sg = mb.sg AND ma.rn < mb.rn
+    WHERE ma.sz <= {LSH_BUCKET_CAP} OR mb.rn - ma.rn <= {LSH_BUCKET_CAP}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sid GROUP BY doc_id),
+ix AS (
+    SELECT cd.doc_a AS pa, cd.doc_b AS pb, count(*) AS nc
+    FROM cand cd
+    JOIN sid x ON x.doc_id = cd.doc_a
+    JOIN sid y ON y.doc_id = cd.doc_b AND y.id = x.id
+    GROUP BY cd.doc_a, cd.doc_b
+)
+SELECT cd.doc_a, cd.doc_b,
+       CAST(COALESCE(ix.nc, 0) AS BIGINT) AS inter,
+       CAST(COALESCE(sa.n, 0) + COALESCE(sb.n, 0) - COALESCE(ix.nc, 0)
+            AS BIGINT) AS uni
+FROM cand cd
+LEFT JOIN ix ON cd.doc_a = ix.pa AND cd.doc_b = ix.pb
+LEFT JOIN sizes sa ON cd.doc_a = sa.doc_id
+LEFT JOIN sizes sb ON cd.doc_b = sb.doc_id
+WHERE COALESCE(sa.n, 0) + COALESCE(sb.n, 0) - COALESCE(ix.nc, 0) > 0
+  AND 100 * COALESCE(ix.nc, 0)
+      >= 50 * (COALESCE(sa.n, 0) + COALESCE(sb.n, 0) - COALESCE(ix.nc, 0))"""
+
+
+MINHASH_LSH = _minhash_pairs_body() + "\nORDER BY cd.doc_a, cd.doc_b"
+
+# connected components over the SQL-mirrored minhash pairs: same
+# recursive transitive-closure shape as DEDUP_CC_CLUSTERS, so the
+# distributed min-label propagation (dedup._propagate_min_labels) has an
+# exact oracle — the fixpoint of min-label propagation IS the component
+# minimum.
+CLUSTERS_MINHASH = f"""
+WITH RECURSIVE base AS (
+{_minhash_pairs_body()}
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM base
+    UNION ALL
+    SELECT doc_b, doc_a FROM base
+),
+nodes AS (SELECT DISTINCT a FROM edges),
+reach(a, b) AS (
+    SELECT a, a FROM nodes
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS label
+FROM reach GROUP BY a ORDER BY doc_id"""
+
+
+def _lsh_bucket_stats_sql() -> str:
+    """Bucket-population histogram over the SAME banding CTEs (stats can
+    never desynchronize from the pairs: one SQL definition, sliced)."""
+    from prlib_ray.stages.dedup import LSH_BUCKET_CAP
+
+    body = _minhash_pairs_body()
+    # keep the CTE chain up to `sig`, then aggregate bucket sizes
+    head = body.split("member AS (")[0].rstrip().rstrip(",")
+    return f"""{head}
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(c) AS BIGINT) AS max_bucket,
+       CAST(sum(CASE WHEN c > {LSH_BUCKET_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_capped
+FROM (SELECT band, sg, count(*) AS c FROM sig GROUP BY band, sg)"""
+
+
+LSH_BUCKET_STATS = _lsh_bucket_stats_sql()
+
+# SimHash banding + hamming verification, mirrored end-to-end: the
+# signature CTE is the SIMHASH oracle's, bands are 16-bit slices of the
+# uint64 value, the hot-bucket cap orders by (signature, doc_id) —
+# exactly dedup._pairs_from_buckets(order_col="simhash") — and the
+# verification is bit_count(xor(...)) <= 8 (two's-complement BIGINT bits
+# == the engine's uint64 view).
+SIMHASH_HAMMING = """
+WITH simwords AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+    FROM documents
+),
+simnw AS (
+    SELECT doc_id, count(*) AS n FROM simwords WHERE w <> '' GROUP BY doc_id
+),
+simbits AS (
+    SELECT wo.doc_id, b.b,
+           count(*) FILTER (
+               ((md5_number_upper(wo.w) >> ((7 - b.b // 8) * 8 + b.b % 8))
+                & 1) = 1
+           ) AS cnt
+    FROM simwords wo CROSS JOIN (SELECT unnest(range(64)) AS b) b
+    WHERE wo.w <> ''
+    GROUP BY wo.doc_id, b.b
+),
+simvals AS (
+    SELECT simbits.doc_id,
+           sum(CASE WHEN 2 * simbits.cnt > simnw.n
+                    THEN (1::HUGEINT << simbits.b) ELSE 0 END) AS v
+    FROM simbits JOIN simnw ON simbits.doc_id = simnw.doc_id
+    GROUP BY simbits.doc_id
+),
+sigs AS (
+    SELECT d.doc_id, COALESCE(v, 0) AS v
+    FROM documents d LEFT JOIN simvals ON d.doc_id = simvals.doc_id
+),
+member AS (
+    SELECT band.band, (sigs.v >> (16 * band.band)) & 65535 AS key,
+           sigs.doc_id, sigs.v,
+           row_number() OVER (
+               PARTITION BY band.band, (sigs.v >> (16 * band.band)) & 65535
+               ORDER BY sigs.v, sigs.doc_id
+           ) AS rn,
+           count(*) OVER (
+               PARTITION BY band.band, (sigs.v >> (16 * band.band)) & 65535
+           ) AS sz
+    FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS band) band
+),
+cand AS (
+    SELECT DISTINCT least(ma.doc_id, mb.doc_id) AS doc_a,
+           greatest(ma.doc_id, mb.doc_id) AS doc_b
+    FROM member ma JOIN member mb
+      ON ma.band = mb.band AND ma.key = mb.key AND ma.rn < mb.rn
+    WHERE ma.sz <= 64 OR mb.rn - ma.rn <= 64
+)
+SELECT cd.doc_a, cd.doc_b,
+       CAST(bit_count(xor(
+           CAST(CASE WHEN sa.v >= 9223372036854775808
+                     THEN sa.v - 18446744073709551616 ELSE sa.v END AS BIGINT),
+           CAST(CASE WHEN sb.v >= 9223372036854775808
+                     THEN sb.v - 18446744073709551616 ELSE sb.v END AS BIGINT)
+       )) AS BIGINT) AS hamming
+FROM cand cd
+JOIN sigs sa ON cd.doc_a = sa.doc_id
+JOIN sigs sb ON cd.doc_b = sb.doc_id
+WHERE bit_count(xor(
+          CAST(CASE WHEN sa.v >= 9223372036854775808
+                    THEN sa.v - 18446744073709551616 ELSE sa.v END AS BIGINT),
+          CAST(CASE WHEN sb.v >= 9223372036854775808
+                    THEN sb.v - 18446744073709551616 ELSE sb.v END AS BIGINT)
+      )) <= 8
+ORDER BY cd.doc_a, cd.doc_b"""

@@ -392,7 +392,13 @@ def _bands_from_blob_batch(b: pa.Table) -> pa.Table:
             seg = mh[band * rows : (band + 1) * rows]
             ids.append(did)
             bands_.append(band)
-            sigs.append(hashlib.md5(seg.tobytes()).hexdigest())
+            # ':'-joined decimal encoding (not raw bytes): equality-
+            # preserving, and md5(concat_ws(':', ...)) is expressible in
+            # the DuckDB oracle — the whole banding mirrors in SQL
+            sigs.append(
+                hashlib.md5(":".join(map(str, seg.tolist())).encode())
+                .hexdigest()
+            )
     return pa.table(
         {
             "band": pa.array(bands_, type=pa.int32()),
