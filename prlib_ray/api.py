@@ -91,6 +91,7 @@ _PRIORITY = [
     "dedup_embedding_lsh", "dedup_incremental", "corpus_diff",
     "segment_dedup",
     "ann_ivf_topk", "ann_bruteforce_topk",  # bf oracle-backed in round 3
+    "ann_lsh_topk",  # probe+score fully SQL-mirrored in round 3
     "pq_codes",
     "token_count_subword",
     "gopher_quality", "repetition_stats", "lang_agreement",
@@ -120,7 +121,7 @@ _PRIORITY = [
     # entries (fingerprint_winnow / multimodal_decode / pipeline_chain)
     # moved here in round 3 when the new oracle-backed curation ops
     # displaced them; their evidence lives in pytest + CORRECTNESS_r02)
-    "dedup_simhash_hamming", "ann_lsh_topk",
+    "dedup_simhash_hamming",
     "fingerprint_md5", "fingerprint_winnow", "multimodal_decode",
     "pipeline_chain", "embedding_centroids", "ann_neighbor_counts",
     "quality_score", "lang_id", "dedup_ngram_jaccard", "token_count",

@@ -175,7 +175,10 @@ def _register_data_ops(queries, sql) -> None:
     # integer-exact score (sign * cos^2 * 1e4, floor): full SQL oracle
     queries["ann_bruteforce_topk"] = similarity.ann_bruteforce_topk
     sql["ann_bruteforce_topk"] = odata.ANN_BRUTEFORCE
-    queries["ann_lsh_topk"] = similarity.ann_lsh_topk  # recall<1 by design: rows-only
+    # recall<1 vs brute force, but the probe itself (md5-derived integer
+    # hyperplane buckets + integer score) mirrors exactly in SQL
+    queries["ann_lsh_topk"] = similarity.ann_lsh_topk
+    sql["ann_lsh_topk"] = odata.ANN_LSH_TOPK
     queries["ann_ivf_topk"] = similarity.ann_ivf_topk  # recall<1 by design: rows-only
 
     queries["dedup_embedding"] = similarity.embedding_near_dup_pairs
@@ -189,8 +192,10 @@ def _register_data_ops(queries, sql) -> None:
     # the PQ query path; approximate by design -> rows-only (recall
     # pinned vs exact quantized-L2 top-k in pytest)
     queries["ann_pq_adc_topk"] = similarity.ann_pq_adc_topk
-    # the scale path: LSH candidates + exact hugeint verify (rows-only)
+    # the scale path: LSH candidates + exact hugeint verify — candidate
+    # generation mirrors in SQL too (integer hyperplanes), full oracle
     queries["dedup_embedding_lsh"] = similarity.embedding_near_dup_lsh
+    sql["dedup_embedding_lsh"] = odata.EMBEDDING_LSH
     # grouped vector aggregate (centroid partial+final over list<float>)
     queries["embedding_centroids"] = similarity.embedding_centroids
     sql["embedding_centroids"] = odata.EMBEDDING_CENTROIDS

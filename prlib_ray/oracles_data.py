@@ -877,3 +877,155 @@ WHERE bit_count(xor(
                     THEN sb.v - 18446744073709551616 ELSE sb.v END AS BIGINT)
       )) <= 8
 ORDER BY cd.doc_a, cd.doc_b"""
+
+
+# --- Hyperplane-LSH family: the bucketing itself mirrored in SQL ------------
+#
+# Round-3 engine contract: hyperplane weights are INTEGERS derived from
+# md5 (Irwin-Hall sum of four uniform draws, similarity._band_planes),
+# vectors quantize x1000, and a bucket bit is (integer dot > 0) — so the
+# candidate generation, not just the verification, reproduces in DuckDB.
+
+def _planes_cte(n_planes: int) -> str:
+    """CTE 'planes(p, d, w)' — md5-derived Irwin-Hall integer weights,
+    byte-identical to similarity._band_planes."""
+    from prlib_ray.stages.similarity import PLANE_SCALE
+
+    draws = " + ".join(
+        f"(md5_number_upper('plane:' || pp.p::VARCHAR || ':' || "
+        f"dd.d::VARCHAR || ':{r}') % {PLANE_SCALE + 1})"
+        for r in range(4)
+    )
+    return f"""planes AS (
+    SELECT pp.p, dd.d,
+           CAST({draws} AS BIGINT) - {2 * PLANE_SCALE} AS w
+    FROM (SELECT unnest(range({n_planes})) AS p) pp
+    CROSS JOIN (SELECT unnest(range(
+        (SELECT max(len(embedding)) FROM embeddings))) AS d) dd
+)"""
+
+
+def _bucket_ctes(n_bands: int, planes_per_band: int, src: str) -> str:
+    """CTEs 'pdots' + 'buck(vec_id, band, bucket)' over quantized
+    vectors in CTE ``src`` (columns vec_id, i (1-based), qv)."""
+    return f"""pdots AS (
+    SELECT s.vec_id, pl.p, sum(s.qv * pl.w) AS dp
+    FROM {src} s JOIN planes pl ON s.i - 1 = pl.d
+    GROUP BY s.vec_id, pl.p
+),
+buck AS (
+    SELECT vec_id, p // {planes_per_band} AS band,
+           sum(CASE WHEN dp > 0
+                    THEN (1::BIGINT << (p % {planes_per_band}))
+                    ELSE 0 END) AS bucket
+    FROM pdots GROUP BY vec_id, p // {planes_per_band}
+)"""
+
+
+def _ann_lsh_topk_sql() -> str:
+    from prlib_ray.stages.similarity import ANN_LSH_BANDS, ANN_LSH_PLANES
+
+    n_planes = ANN_LSH_BANDS * ANN_LSH_PLANES
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                AS BIGINT) AS qv
+    FROM embeddings
+),
+{_planes_cte(n_planes)},
+{_bucket_ctes(ANN_LSH_BANDS, ANN_LSH_PLANES, "q")},
+cand AS (
+    SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+    FROM buck qb JOIN buck cb
+      ON qb.band = cb.band AND qb.bucket = cb.bucket
+    WHERE qb.vec_id < 10 AND cb.vec_id <> qb.vec_id
+),
+norms AS (SELECT vec_id, sum(qv * qv) AS nn FROM q GROUP BY vec_id),
+cdots AS (
+    SELECT c.query_id, c.vec_id, sum(a.qv * b.qv) AS dot
+    FROM cand c
+    JOIN q a ON a.vec_id = c.query_id
+    JOIN q b ON b.vec_id = c.vec_id AND b.i = a.i
+    GROUP BY c.query_id, c.vec_id
+),
+scored AS (
+    SELECT d.query_id, d.vec_id,
+           CASE WHEN na.nn * nb.nn = 0 THEN 0
+                ELSE CAST((s2x - (((s2x % dd) + dd) % dd)) / dd AS BIGINT)
+           END AS score
+    FROM (
+        SELECT query_id, vec_id, dot,
+               CAST(dot AS HUGEINT) * abs(dot) * 10000 AS s2x
+        FROM cdots
+    ) d
+    JOIN norms na ON d.query_id = na.vec_id
+    JOIN norms nb ON d.vec_id = nb.vec_id,
+    LATERAL (SELECT CAST(na.nn AS HUGEINT) * nb.nn AS dd) x
+),
+ranked AS (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id ASC) AS rn
+    FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= 5
+ORDER BY query_id, vec_id"""
+
+
+ANN_LSH_TOPK = _ann_lsh_topk_sql()
+
+
+def _embedding_lsh_sql() -> str:
+    from prlib_ray.stages.dedup import LSH_BUCKET_CAP
+
+    n_bands, planes_per_band = 6, 8  # embedding_near_dup_lsh defaults
+    return f"""
+WITH sub AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, embedding
+    FROM embeddings WHERE vec_id < 10
+),
+q AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                AS BIGINT) AS qv
+    FROM sub
+),
+{_planes_cte(n_bands * planes_per_band)},
+{_bucket_ctes(n_bands, planes_per_band, "q")},
+member AS (
+    SELECT band, bucket, vec_id,
+           row_number() OVER (PARTITION BY band, bucket
+                              ORDER BY vec_id) AS rn,
+           count(*) OVER (PARTITION BY band, bucket) AS sz
+    FROM buck
+),
+cand AS (
+    SELECT DISTINCT ma.vec_id AS vec_a, mb.vec_id AS vec_b
+    FROM member ma JOIN member mb
+      ON ma.band = mb.band AND ma.bucket = mb.bucket AND ma.rn < mb.rn
+    WHERE ma.sz <= {LSH_BUCKET_CAP} OR mb.rn - ma.rn <= {LSH_BUCKET_CAP}
+),
+norms AS (SELECT vec_id, sum(qv * qv) AS nn FROM q GROUP BY vec_id),
+cdots AS (
+    SELECT c.vec_a, c.vec_b, sum(a.qv * b.qv) AS dot
+    FROM cand c
+    JOIN q a ON a.vec_id = c.vec_a
+    JOIN q b ON b.vec_id = c.vec_b AND b.i = a.i
+    GROUP BY c.vec_a, c.vec_b
+)
+SELECT cd.vec_a, cd.vec_b
+FROM cdots cd
+JOIN norms na ON cd.vec_a = na.vec_id
+JOIN norms nb ON cd.vec_b = nb.vec_id
+WHERE dot > 0
+  AND CAST(dot AS HUGEINT) * dot * 10000
+      >= 9025 * CAST(na.nn AS HUGEINT) * nb.nn
+ORDER BY cd.vec_a, cd.vec_b"""
+
+
+EMBEDDING_LSH = _embedding_lsh_sql()

