@@ -88,13 +88,14 @@ _PRIORITY = [
     "dedup_simhash",  # oracle-backed in round 3 (md5_number bit mirror)
     "dedup_embedding", "dedup_semantic",
     "dedup_clusters_minhash",  # oracle-backed in round 3 (recursive CTE)
-    "dedup_embedding_lsh", "dedup_incremental", "corpus_diff",
+    "dedup_embedding_lsh", "dedup_incremental",
     "segment_dedup",
     "ann_ivf_topk", "ann_bruteforce_topk",  # bf oracle-backed in round 3
     "ann_lsh_topk",  # probe+score fully SQL-mirrored in round 3
     "pq_codes",
     "token_count_subword",
-    "gopher_quality", "repetition_stats", "lang_agreement",
+    "gopher_quality", "quality_classifier", "repetition_stats",
+    "lang_agreement",
     "split_assign", "mix_sources", "shuffle_head", "decontaminate",
     "pack_sequences", "chunk_tokens", "pii_scan", "source_term_stats",
     "length_filter_p95", "sample_per_source", "weighted_sample",
@@ -106,9 +107,14 @@ _PRIORITY = [
     "asof_latest_order", "top_orders_per_segment",
     "range_join_recent_orders",
     "customers_without_orders", "segment_price_quantiles",
-    "sampled_quantiles",
-    "unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction",
-    "dup_substring_fraction", "build_inverted_index", "search_topk",
+    "unigram_freq_score", "bigram_lm_score", "tfidf_top_term",
+    "dup_ngram_fraction",
+    "build_inverted_index", "search_topk",
+    # close family representatives displaced from the 50-entry window
+    # (dedup_incremental covers snapshots, dup_ngram_fraction covers
+    # cross-doc windows; both below remain sim+pytest covered)
+    "corpus_diff", "dup_substring_fraction",
+    "sampled_quantiles",  # segment_price_quantiles represents the family
     "set_ops_users_customers", "approx_distinct_users",
     "reassemble_events", "deskew",
     # r02-recorded green, unchanged since — displaced from the 50-entry

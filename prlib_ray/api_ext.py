@@ -156,6 +156,9 @@ def _register_data_ops(queries, sql) -> None:
     sql["quality_score"] = odata.QUALITY_SCORE
     queries["gopher_quality"] = _doc_query(text_analysis.gopher_quality_batch)
     sql["gopher_quality"] = odata.GOPHER_QUALITY
+    # hashed-feature linear model inference (actor-pool model load)
+    queries["quality_classifier"] = text_analysis.quality_classifier
+    sql["quality_classifier"] = odata.QUALITY_CLASSIFIER
     queries["repetition_stats"] = _doc_query(
         text_analysis.repetition_stats_batch
     )
@@ -237,6 +240,9 @@ def _register_data_ops(queries, sql) -> None:
 
     queries["unigram_freq_score"] = corpus_stats.unigram_freq_score
     sql["unigram_freq_score"] = ocorp.UNIGRAM_FREQ_SCORE
+    # corpus-trained bigram LM fluency score (KenLM/CCNet filter shape)
+    queries["bigram_lm_score"] = corpus_stats.bigram_lm_score
+    sql["bigram_lm_score"] = ocorp.BIGRAM_LM_SCORE
     queries["tfidf_top_term"] = corpus_stats.tfidf_top_term
     sql["tfidf_top_term"] = ocorp.TFIDF_TOP_TERM
     queries["dup_ngram_fraction"] = corpus_stats.dup_ngram_fraction

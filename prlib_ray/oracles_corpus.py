@@ -269,3 +269,38 @@ SELECT doc_id,
                        END))
             // greatest(count(*), 1) AS BIGINT) AS removed_pct
 FROM v GROUP BY doc_id ORDER BY doc_id"""
+
+
+# mirrors corpus_stats.bigram_lm_score: a corpus-trained bigram table —
+# term(g) = floor(LM_SCALE * c2(w1,w2) / c1(w1)) with c1 = total
+# corpus occurrences of w1 — summed over each doc's bigram OCCURRENCES
+# (pure positive integers; DuckDB // truncation == numpy floor here).
+# Docs with < 2 non-empty words drop out (inner-join semantics).
+from prlib_ray.stages.corpus_stats import LM_SCALE  # noqa: E402
+
+BIGRAM_LM_SCORE = f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+),
+nz AS (
+    SELECT doc_id, w,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) AS pos
+    FROM words WHERE w <> ''
+),
+bg AS (
+    SELECT a.doc_id, a.w || ' ' || b.w AS g, a.w AS w1
+    FROM nz a JOIN nz b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+c1 AS (SELECT w, count(*) AS c1 FROM nz GROUP BY w),
+c2 AS (SELECT g, w1, count(*) AS c2 FROM bg GROUP BY g, w1),
+term AS (
+    SELECT c2.g, ({LM_SCALE} * c2.c2) // c1.c1 AS t
+    FROM c2 JOIN c1 ON c2.w1 = c1.w
+)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(t) AS BIGINT) AS lm_score
+FROM bg JOIN term USING (g)
+GROUP BY bg.doc_id ORDER BY bg.doc_id"""

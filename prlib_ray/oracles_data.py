@@ -1029,3 +1029,36 @@ ORDER BY cd.vec_a, cd.vec_b"""
 
 
 EMBEDDING_LSH = _embedding_lsh_sql()
+
+
+def _quality_classifier_sql() -> str:
+    """Mirror of text_analysis.QualityClassifier: hashed-feature linear
+    model with md5-derived integer weights, recomputed inline (bucket =
+    md5_number_upper(word) % B; weight = md5_number_upper('qw:'||bucket)
+    % R - R//2).  Docs with no non-empty words score 0."""
+    from prlib_ray.stages.text_analysis import (
+        QCLF_BUCKETS,
+        QCLF_WEIGHT_RANGE,
+    )
+
+    return f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+sc AS (
+    SELECT doc_id,
+           sum(CAST(md5_number_upper(
+                   'qw:' || (md5_number_upper(w) % {QCLF_BUCKETS})::VARCHAR
+               ) % {QCLF_WEIGHT_RANGE} AS BIGINT)
+               - {QCLF_WEIGHT_RANGE // 2}) AS s
+    FROM words WHERE w <> '' GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s, 0) AS BIGINT) AS clf_score,
+       CAST(CASE WHEN COALESCE(s, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS clf_pass
+FROM documents d LEFT JOIN sc USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+QUALITY_CLASSIFIER = _quality_classifier_sql()

@@ -987,3 +987,255 @@ def segment_stats(ds):
         )
 
     return agg.map_batches(pct, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model score (KenLM/CCNet-style n-gram LM quality proxy)
+
+LM_SCALE = 1_000_000
+
+
+def _bigram_partial(b: pa.Table) -> pa.Table:
+    """Per-batch (g, w1, c) bigram-count partial: g = 'w1 w2' over
+    adjacent non-empty words within one document, c = occurrences in
+    this batch.  Vectorized: the join is Arrow binary_join_element_wise,
+    the count a dictionary-encode + bincount."""
+    empty = pa.table(
+        {"g": pa.array([], type=pa.string()),
+         "w1": pa.array([], type=pa.string()),
+         "c": pa.array([], type=pa.int64())}
+    )
+    if b.num_rows == 0:
+        return empty
+    words, doc_of_word, _ = _flat_words(b)
+    ne = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+    w = np.asarray(words.to_pylist(), dtype=object)[ne]
+    d = doc_of_word[ne]
+    if len(w) < 2:
+        return empty
+    valid = d[:-1] == d[1:]
+    a1 = w[:-1][valid]
+    a2 = w[1:][valid]
+    if not len(a1):
+        return empty
+    g = pc.binary_join_element_wise(
+        pa.array(a1, type=pa.string()), pa.array(a2, type=pa.string()), " "
+    )
+    dict_arr = pc.dictionary_encode(g)
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, first = np.unique(codes, return_index=True)
+    cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+    terms = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
+    return pa.table(
+        {
+            "g": pa.array(terms[uniq], type=pa.string()),
+            "w1": pa.array(a1[first], type=pa.string()),
+            "c": pa.array(cnt[uniq]),
+        }
+    )
+
+
+def _bigram_term_dataset(sf_dir: str):
+    """(g, term) Dataset: term = floor(LM_SCALE * c2(g) / c1(w1)) —
+    the integer conditional-probability table the scorer probes.  Both
+    folds run per coarse word-side partition; the c1 attach is a
+    Dataset.join of two vocabulary-sized sides (never a driver fold)."""
+    import zlib
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        t = _bigram_partial(b)
+        part = np.asarray(
+            [zlib.crc32(g.encode()) % N_CORPUS_PARTS
+             for g in t["g"].to_pylist()],
+            dtype=np.int64,
+        )
+        return t.append_column("part", pa.array(part))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("g", sort=False, as_index=False)
+            .agg(w1=("w1", "first"), c2=("c", "sum"))
+        )
+
+    bigrams = (
+        ds.map_batches(add_part, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .repartition(_n_join_parts())  # coalesce pre-join
+    )
+    unigrams = _vocab_dataset(sf_dir, _word_count_partial)
+    joined = bigrams.join(
+        _rename_vocab(unigrams), "inner",
+        num_partitions=_n_join_parts(), on=("w1",), right_on=("vw",),
+    )
+
+    def to_term(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table({"g": pa.array([], type=pa.string()),
+                             "term": z})
+        c2 = b["c2"].to_numpy().astype(np.int64)
+        c1 = b["n"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"g": b["g"],
+             "term": pa.array((LM_SCALE * c2) // np.maximum(c1, 1))}
+        )
+
+    return joined.map_batches(to_term, batch_format="pyarrow")
+
+
+def bigram_lm_score(sf_dir: str, *, via: str = "auto"):
+    """Per doc: bigram count and an integer n-gram-LM fluency score —
+    sum over the doc's bigram occurrences of floor(LM_SCALE *
+    c2(w1,w2) / c1(w1)), i.e. scaled conditional probabilities from a
+    corpus-trained bigram table (the KenLM/CCNet quality-filter shape,
+    exact integers so the DuckDB oracle matches bit-for-bit).
+
+    Two passes: (1) train — bigram + unigram corpus counts, folded per
+    coarse word partition, term table via Dataset.join; (2) inference —
+    per-doc attach, size-gated broadcast-vs-join exactly like
+    unigram_freq_score.  Docs with < 2 non-empty words drop out
+    (inner-join semantics, mirrored by the oracle)."""
+    import ray
+    import ray.data as rd
+
+    via, term_mat = _resolve_via(via, _bigram_term_dataset(sf_dir))
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def doc_bigrams(b: pa.Table):
+        """(g array, doc index per bigram, ndocs) for one batch."""
+        words, doc_of_word, ndocs = _flat_words(b)
+        ne = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        w = np.asarray(words.to_pylist(), dtype=object)[ne]
+        d = doc_of_word[ne]
+        if len(w) < 2:
+            return None, None, ndocs
+        valid = d[:-1] == d[1:]
+        a1, a2, dg = w[:-1][valid], w[1:][valid], d[:-1][valid]
+        if not len(a1):
+            return None, None, ndocs
+        g = pc.binary_join_element_wise(
+            pa.array(a1, type=pa.string()), pa.array(a2, type=pa.string()),
+            " ",
+        )
+        return g, dg, ndocs
+
+    if via == "broadcast":
+        from prlib_ray.relational import _collect_columns
+
+        cols = _collect_columns(term_mat, ["g", "term"])
+        gv = cols["g"].astype(object)
+        tv = cols["term"].astype(np.int64)
+        o = np.argsort(gv, kind="stable")
+        ref = ray.put((gv[o], tv[o]))
+
+        def score(b: pa.Table) -> pa.Table:
+            z = pa.array([], type=pa.int64())
+            if b.num_rows == 0:
+                return pa.table(
+                    {"doc_id": z, "n_bigrams": z, "lm_score": z}
+                )
+            gv, tv = ray.get(ref)
+            g, dg, ndocs = doc_bigrams(b)
+            ids = b["doc_id"].to_numpy().astype(np.int64)
+            if g is None:
+                return pa.table(
+                    {"doc_id": z, "n_bigrams": z, "lm_score": z}
+                )
+            terms = tv[np.searchsorted(gv, np.asarray(g.to_pylist(),
+                                                      dtype=object))]
+            nb = np.bincount(dg, minlength=ndocs).astype(np.int64)
+            lm = np.bincount(dg, weights=terms,
+                             minlength=ndocs).astype(np.int64)
+            keep = nb > 0
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[keep]),
+                    "n_bigrams": pa.array(nb[keep]),
+                    "lm_score": pa.array(lm[keep]),
+                }
+            )
+
+        return docs.map_batches(score, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    # join layout: exploded per-doc (g, tf) rows hash-join the term
+    # table; per-doc fold through doc-side coarse partitions
+    def explode(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table(
+                {"doc_id": z, "g": pa.array([], type=pa.string()), "tf": z}
+            )
+        g, dg, _ = doc_bigrams(b)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        if g is None:
+            return pa.table(
+                {"doc_id": z, "g": pa.array([], type=pa.string()), "tf": z}
+            )
+        dict_arr = pc.dictionary_encode(g)
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        terms = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
+        k = max(len(terms), 1)
+        key = dg * k + codes
+        uniq, tf = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[(uniq // k).astype(np.int64)]),
+                "g": pa.array(terms[(uniq % k).astype(np.int64)],
+                              type=pa.string()),
+                "tf": pa.array(tf.astype(np.int64)),
+            }
+        )
+
+    def rename_term(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["tg", "term"])
+
+    joined = (
+        docs.map_batches(explode, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .repartition(N_CORPUS_PARTS)
+        .join(term_mat.map_batches(rename_term, batch_format="pyarrow"),
+              "inner", num_partitions=_n_join_parts(),
+              on=("g",), right_on=("tg",))
+    )
+
+    def weighted(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table({"doc_id": z, "nb": z, "lm": z, "dpart": z})
+        tf = b["tf"].to_numpy().astype(np.int64)
+        t = b["term"].to_numpy().astype(np.int64)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "nb": pa.array(tf),
+                "lm": pa.array(tf * t),
+                "dpart": pa.array(ids % N_CORPUS_PARTS),
+            }
+        )
+
+    def doc_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("doc_id", sort=False, as_index=False)
+            .agg(n_bigrams=("nb", "sum"), lm_score=("lm", "sum"))
+        )
+
+    return (
+        joined.map_batches(weighted, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("dpart")
+        .map_groups(doc_fold, batch_format="pandas")
+    )

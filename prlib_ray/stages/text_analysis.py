@@ -289,6 +289,84 @@ def lang_agreement(sf_dir: str):
     return agg.map_batches(pct, batch_format="pyarrow")
 
 
+# --- hashed-feature linear quality classifier --------------------------------
+#
+# The fastText/CCNet filtering shape: a linear model over the hashing
+# trick (Weinberger et al.) — every token hashes into one of
+# QCLF_BUCKETS feature buckets, the model is one weight per bucket, a
+# document's score is the weight sum over its tokens (with
+# multiplicity) and the verdict is score > 0.  The weights here are
+# md5-derived integers so the scoring is int64-exact AND the DuckDB
+# oracle can recompute the model inline; swapping in trained weights
+# changes only the __init__ (the Ray plumbing — actor-pool model load,
+# vectorized batch inference — is the production layout).
+
+QCLF_BUCKETS = 256
+QCLF_WEIGHT_RANGE = 101  # weights in [-50, 50]
+
+
+class QualityClassifier:
+    """Actor-pool model-inference stage: the weight table is the
+    'model', built ONCE per actor in ``__init__`` (the model-load
+    pattern — at scale this is the fastText/ONNX load); ``__call__``
+    scores each batch vectorized (unique-word md5 -> bucket -> weight
+    gather -> per-doc int64 add)."""
+
+    def __init__(self) -> None:
+        self.weights = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(f"qw:{b}".encode()).digest()[:8], "little"
+                ) % QCLF_WEIGHT_RANGE - QCLF_WEIGHT_RANGE // 2
+                for b in range(QCLF_BUCKETS)
+            ],
+            dtype=np.int64,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        words, doc_of_word, ndocs = _flat_words(batch)
+        ne = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        w = words.to_numpy(zero_copy_only=False)[ne]
+        d = doc_of_word[ne]
+        scores = np.zeros(ndocs, dtype=np.int64)
+        if len(w):
+            uniq, inv = np.unique(w, return_inverse=True)
+            buckets = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(u.encode()).digest()[:8], "little"
+                    ) % QCLF_BUCKETS
+                    for u in uniq
+                ),
+                dtype=np.int64,
+                count=len(uniq),
+            )
+            np.add.at(scores, d, self.weights[buckets[inv]])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clf_score": pa.array(scores),
+                "clf_pass": pa.array((scores > 0).astype(np.int64)),
+            }
+        )
+
+
+def quality_classifier(sf_dir: str):
+    """Model-based quality filtering over documents — see
+    QualityClassifier."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        QualityClassifier,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Document fingerprint: md5 of the normalized skeleton (lowercase,
     alnum+space, collapsed) — a canonical content hash."""

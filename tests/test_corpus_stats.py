@@ -30,7 +30,7 @@ def registry():
 
 CASES = ["unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction",
          "segment_dedup", "curate_corpus", "dup_substring_fraction",
-         "build_inverted_index", "search_topk"]
+         "build_inverted_index", "search_topk", "bigram_lm_score"]
 
 
 def _cmp(df, odf, name):
@@ -53,7 +53,9 @@ def test_corpus_matches_oracle(name, con, registry, ray_session, sf_dir):
     _cmp(df, con.execute(sql[name]).df(), name)
 
 
-@pytest.mark.parametrize("op", ["unigram_freq_score", "tfidf_top_term"])
+@pytest.mark.parametrize(
+    "op", ["unigram_freq_score", "tfidf_top_term", "bigram_lm_score"]
+)
 def test_broadcast_join_layouts_byte_equal(op, ray_session, sf_dir):
     """The size-gated vocabulary attach must give identical results in
     the broadcast and distributed-join layouts."""

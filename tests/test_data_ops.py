@@ -207,6 +207,48 @@ def test_decoder_stub_is_actor_stateful():
     assert out["n_bytes"].to_pylist() == [3]
 
 
+def test_quality_classifier_scores_and_state(registry, ray_session, sf_dir):
+    """The hashed-feature linear model: weights built once in __init__
+    (actor model-load pattern), integer scores match a per-doc
+    recomputation, and the verdict is a real split (both classes
+    present)."""
+    from prlib_ray.stages.text_analysis import (
+        QCLF_BUCKETS,
+        QCLF_WEIGHT_RANGE,
+        QualityClassifier,
+    )
+    import hashlib
+
+    clf = QualityClassifier()  # __init__ outside Ray (late-failure pitfall)
+    assert len(clf.weights) == QCLF_BUCKETS
+    assert clf.weights.min() >= -(QCLF_WEIGHT_RANGE // 2)
+    assert clf.weights.max() <= QCLF_WEIGHT_RANGE // 2
+
+    queries, _ = registry
+    df = queries["quality_classifier"](sf_dir).to_pandas()
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+    def ref_score(text):
+        s = 0
+        for w in text.split(" "):
+            if w == "":
+                continue
+            b = int.from_bytes(
+                hashlib.md5(w.encode()).digest()[:8], "little"
+            ) % QCLF_BUCKETS
+            s += int(clf.weights[b])
+        return s
+
+    sample = df.sort_values("doc_id").head(25)
+    for _, row in sample.iterrows():
+        assert row["clf_score"] == ref_score(texts[row["doc_id"]])
+        assert row["clf_pass"] == int(row["clf_score"] > 0)
+    # the deterministic model yields a genuine split on the fixtures
+    assert 0 < df["clf_pass"].sum() < len(df)
+
+
 def test_simhash_hamming_pairs_verified(registry, ray_session, sf_dir):
     """Every emitted pair satisfies the hamming predicate against the
     signatures, and the result is deterministic."""

@@ -88,6 +88,9 @@ EDGE_CASES = [
     "weighted_sample",
     "frequent_ngrams",
     "corpus_diff",
+    "bigram_lm_score",
+    "quality_classifier",
+    "ann_bruteforce_topk",
 ]
 
 
