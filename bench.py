@@ -173,7 +173,8 @@ def run_bench() -> dict:
                  "pack_sequences", "mix_sources", "dup_ngram_fraction",
                  "unigram_freq_score", "dedup_incremental",
                  "weighted_sample", "gopher_quality", "segment_dedup",
-                 "dedup_semantic", "curate_corpus"):
+                 "dedup_semantic", "curate_corpus", "quality_classifier",
+                 "bigram_lm_score", "ann_lsh_topk"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

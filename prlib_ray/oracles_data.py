@@ -200,37 +200,45 @@ FROM documents ORDER BY doc_id"""
 # ((7 - b//8)*8 + b%8) of md5_number_upper — a pure index remap.  Bit 63
 # wraps negative in the engine's int64 view; mirrored with the explicit
 # 2^63 fold.  Docs with no non-empty words hash to 0 (LEFT JOIN).
-SIMHASH = """
-WITH words AS (
+def _simhash_vals_ctes() -> str:
+    """ONE definition of the SimHash signature CTE chain (words -> nw
+    -> bits -> vals(doc_id, v)), composed by both the SIMHASH oracle
+    and the SIMHASH_HAMMING banding oracle."""
+    return """
+WITH simwords AS (
     SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
     FROM documents
 ),
-nw AS (
-    SELECT doc_id, count(*) AS n FROM words WHERE w <> '' GROUP BY doc_id
+simnw AS (
+    SELECT doc_id, count(*) AS n FROM simwords WHERE w <> ''
+    GROUP BY doc_id
 ),
-bits AS (
+simbits AS (
     SELECT wo.doc_id, b.b,
            count(*) FILTER (
                ((md5_number_upper(wo.w) >> ((7 - b.b // 8) * 8 + b.b % 8))
                 & 1) = 1
            ) AS cnt
-    FROM words wo CROSS JOIN (SELECT unnest(range(64)) AS b) b
+    FROM simwords wo CROSS JOIN (SELECT unnest(range(64)) AS b) b
     WHERE wo.w <> ''
     GROUP BY wo.doc_id, b.b
 ),
-vals AS (
-    SELECT bits.doc_id,
-           sum(CASE WHEN 2 * bits.cnt > nw.n
-                    THEN (1::HUGEINT << bits.b) ELSE 0 END) AS v
-    FROM bits JOIN nw ON bits.doc_id = nw.doc_id
-    GROUP BY bits.doc_id
-)
+simvals AS (
+    SELECT simbits.doc_id,
+           sum(CASE WHEN 2 * simbits.cnt > simnw.n
+                    THEN (1::HUGEINT << simbits.b) ELSE 0 END) AS v
+    FROM simbits JOIN simnw ON simbits.doc_id = simnw.doc_id
+    GROUP BY simbits.doc_id
+)"""
+
+
+SIMHASH = _simhash_vals_ctes() + """
 SELECT d.doc_id,
        CAST(CASE WHEN COALESCE(v, 0) >= 9223372036854775808
                  THEN COALESCE(v, 0) - 18446744073709551616
                  ELSE COALESCE(v, 0) END AS BIGINT) AS simhash,
        lpad(lower(hex(COALESCE(v, 0)::UBIGINT)), 16, '0') AS simhash_hex
-FROM documents d LEFT JOIN vals ON d.doc_id = vals.doc_id
+FROM documents d LEFT JOIN simvals ON d.doc_id = simvals.doc_id
 ORDER BY d.doc_id"""
 
 # winnowing: polynomial k-gram rolling hash (k=5, base 31, mod 1e9+7),
@@ -296,19 +304,13 @@ FROM sub s LEFT JOIN cnt c ON s.vec_id = c.vec_id ORDER BY s.vec_id"""
 # spelled out with the mod trick (DuckDB // truncates toward zero;
 # Python floor_divide floors).  Ties break by vec_id asc; zero-norm
 # vectors score 0.
-ANN_BRUTEFORCE = """
-WITH q AS (
-    SELECT vec_id,
-           generate_subscripts(embedding, 1) AS i,
-           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
-    FROM embeddings
-),
-norms AS (SELECT vec_id, sum(qv * qv) AS nn FROM q GROUP BY vec_id),
-dots AS (
-    SELECT a.vec_id AS query_id, b.vec_id AS vec_id, sum(a.qv * b.qv) AS dot
-    FROM q a JOIN q b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id
-    GROUP BY a.vec_id, b.vec_id
-),
+def _score_rank_tail(dots_cte: str) -> str:
+    """ONE definition of the integer-score ranking tail (the engine's
+    floor(dot*|dot|*1e4/(na*nb)) contract, mod-trick floor division,
+    top-5 by score DESC / vec_id ASC), composed by ANN_BRUTEFORCE and
+    the LSH probe oracle.  Expects CTEs ``{dots_cte}(query_id, vec_id,
+    dot)`` and ``norms(vec_id, nn)`` in scope."""
+    return f""",
 scored AS (
     SELECT d.query_id, d.vec_id,
            CASE WHEN na.nn * nb.nn = 0 THEN 0
@@ -317,7 +319,7 @@ scored AS (
     FROM (
         SELECT query_id, vec_id, dot,
                CAST(dot AS HUGEINT) * abs(dot) * 10000 AS s2x
-        FROM dots
+        FROM {dots_cte}
     ) d
     JOIN norms na ON d.query_id = na.vec_id
     JOIN norms nb ON d.vec_id = nb.vec_id,
@@ -331,6 +333,21 @@ ranked AS (
 )
 SELECT query_id, vec_id, score FROM ranked WHERE rn <= 5
 ORDER BY query_id, vec_id"""
+
+
+ANN_BRUTEFORCE = """
+WITH q AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sum(qv * qv) AS nn FROM q GROUP BY vec_id),
+dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS vec_id, sum(a.qv * b.qv) AS dot
+    FROM q a JOIN q b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+    GROUP BY a.vec_id, b.vec_id
+)""" + _score_rank_tail("dots")
 
 # sub mirrors similarity._plant_dup_batch: vectors with vec_id < 10 are
 # duplicated at vec_id + 1000000 with identical embeddings, so the pair
@@ -686,11 +703,12 @@ def _byteswap8(expr: str) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
-def _minhash_pairs_body() -> str:
-    """CTE body producing the verified MinHash+LSH near-dup pairs
-    (doc_a, doc_b, inter, uni) — the exact mirror of
-    dedup.minhash_lsh_dedup."""
-    from prlib_ray.stages.dedup import _A, _B, LSH_BUCKET_CAP, MERSENNE
+def _minhash_banding_ctes() -> str:
+    """The shared banding prefix — CTE chain from the raw documents up
+    to 'sig(doc_id, band, sg)' and 'sid(doc_id, id)'.  ONE definition
+    composed by both the pairs oracle and the bucket-stats oracle, so
+    the stats can never desynchronize from the pairs they describe."""
+    from prlib_ray.stages.dedup import _A, _B, MERSENNE
 
     vals = ",\n           ".join(
         f"({h},{int(a)},{int(b)})" for h, (a, b) in enumerate(zip(_A, _B))
@@ -728,7 +746,17 @@ sig AS (
     SELECT doc_id, h // 4 AS band,
            md5(string_agg(CAST(mh AS BIGINT)::VARCHAR, ':' ORDER BY h)) AS sg
     FROM mh GROUP BY doc_id, h // 4
-),
+)"""
+
+
+def _minhash_pairs_body() -> str:
+    """CTE body producing the verified MinHash+LSH near-dup pairs
+    (doc_a, doc_b, inter, uni) — the exact mirror of
+    dedup.minhash_lsh_dedup; banding prefix shared with the
+    bucket-stats oracle via _minhash_banding_ctes()."""
+    from prlib_ray.stages.dedup import LSH_BUCKET_CAP
+
+    return _minhash_banding_ctes() + f""",
 member AS (
     SELECT band, sg, doc_id,
            row_number() OVER (PARTITION BY band, sg ORDER BY doc_id) AS rn,
@@ -793,10 +821,7 @@ def _lsh_bucket_stats_sql() -> str:
     never desynchronize from the pairs: one SQL definition, sliced)."""
     from prlib_ray.stages.dedup import LSH_BUCKET_CAP
 
-    body = _minhash_pairs_body()
-    # keep the CTE chain up to `sig`, then aggregate bucket sizes
-    head = body.split("member AS (")[0].rstrip().rstrip(",")
-    return f"""{head}
+    return f"""{_minhash_banding_ctes()}
 SELECT CAST(count(*) AS BIGINT) AS n_buckets,
        CAST(max(c) AS BIGINT) AS max_bucket,
        CAST(sum(CASE WHEN c > {LSH_BUCKET_CAP} THEN 1 ELSE 0 END)
@@ -812,31 +837,7 @@ LSH_BUCKET_STATS = _lsh_bucket_stats_sql()
 # exactly dedup._pairs_from_buckets(order_col="simhash") — and the
 # verification is bit_count(xor(...)) <= 8 (two's-complement BIGINT bits
 # == the engine's uint64 view).
-SIMHASH_HAMMING = """
-WITH simwords AS (
-    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-    FROM documents
-),
-simnw AS (
-    SELECT doc_id, count(*) AS n FROM simwords WHERE w <> '' GROUP BY doc_id
-),
-simbits AS (
-    SELECT wo.doc_id, b.b,
-           count(*) FILTER (
-               ((md5_number_upper(wo.w) >> ((7 - b.b // 8) * 8 + b.b % 8))
-                & 1) = 1
-           ) AS cnt
-    FROM simwords wo CROSS JOIN (SELECT unnest(range(64)) AS b) b
-    WHERE wo.w <> ''
-    GROUP BY wo.doc_id, b.b
-),
-simvals AS (
-    SELECT simbits.doc_id,
-           sum(CASE WHEN 2 * simbits.cnt > simnw.n
-                    THEN (1::HUGEINT << simbits.b) ELSE 0 END) AS v
-    FROM simbits JOIN simnw ON simbits.doc_id = simnw.doc_id
-    GROUP BY simbits.doc_id
-),
+SIMHASH_HAMMING = _simhash_vals_ctes() + """,
 sigs AS (
     SELECT d.doc_id, COALESCE(v, 0) AS v
     FROM documents d LEFT JOIN simvals ON d.doc_id = simvals.doc_id
@@ -905,9 +906,11 @@ def _planes_cte(n_planes: int) -> str:
 )"""
 
 
-def _bucket_ctes(n_bands: int, planes_per_band: int, src: str) -> str:
+def _bucket_ctes(planes_per_band: int, src: str) -> str:
     """CTEs 'pdots' + 'buck(vec_id, band, bucket)' over quantized
-    vectors in CTE ``src`` (columns vec_id, i (1-based), qv)."""
+    vectors in CTE ``src`` (columns vec_id, i (1-based), qv).  The band
+    count is implicit in the planes CTE's row count (band = p //
+    planes_per_band)."""
     return f"""pdots AS (
     SELECT s.vec_id, pl.p, sum(s.qv * pl.w) AS dp
     FROM {src} s JOIN planes pl ON s.i - 1 = pl.d
@@ -935,7 +938,7 @@ WITH q AS (
     FROM embeddings
 ),
 {_planes_cte(n_planes)},
-{_bucket_ctes(ANN_LSH_BANDS, ANN_LSH_PLANES, "q")},
+{_bucket_ctes(ANN_LSH_PLANES, "q")},
 cand AS (
     SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
     FROM buck qb JOIN buck cb
@@ -949,29 +952,7 @@ cdots AS (
     JOIN q a ON a.vec_id = c.query_id
     JOIN q b ON b.vec_id = c.vec_id AND b.i = a.i
     GROUP BY c.query_id, c.vec_id
-),
-scored AS (
-    SELECT d.query_id, d.vec_id,
-           CASE WHEN na.nn * nb.nn = 0 THEN 0
-                ELSE CAST((s2x - (((s2x % dd) + dd) % dd)) / dd AS BIGINT)
-           END AS score
-    FROM (
-        SELECT query_id, vec_id, dot,
-               CAST(dot AS HUGEINT) * abs(dot) * 10000 AS s2x
-        FROM cdots
-    ) d
-    JOIN norms na ON d.query_id = na.vec_id
-    JOIN norms nb ON d.vec_id = nb.vec_id,
-    LATERAL (SELECT CAST(na.nn AS HUGEINT) * nb.nn AS dd) x
-),
-ranked AS (
-    SELECT query_id, vec_id, score,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY score DESC, vec_id ASC) AS rn
-    FROM scored
-)
-SELECT query_id, vec_id, score FROM ranked WHERE rn <= 5
-ORDER BY query_id, vec_id"""
+)""" + _score_rank_tail("cdots")
 
 
 ANN_LSH_TOPK = _ann_lsh_topk_sql()
@@ -996,7 +977,7 @@ q AS (
     FROM sub
 ),
 {_planes_cte(n_bands * planes_per_band)},
-{_bucket_ctes(n_bands, planes_per_band, "q")},
+{_bucket_ctes(planes_per_band, "q")},
 member AS (
     SELECT band, bucket, vec_id,
            row_number() OVER (PARTITION BY band, bucket

@@ -995,6 +995,30 @@ def segment_stats(ds):
 LM_SCALE = 1_000_000
 
 
+def _doc_bigram_stream(b: pa.Table):
+    """ONE definition of the bigram stream, shared by training
+    (_bigram_partial) and inference (bigram_lm_score's per-doc attach)
+    so the two can never desynchronize: (g Arrow array 'w1 w2', first
+    words a1, doc index per bigram, ndocs); g is None when the batch
+    holds no within-doc adjacent non-empty word pair."""
+    words, doc_of_word, ndocs = _flat_words(b)
+    ne = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+    w = np.asarray(words.to_pylist(), dtype=object)[ne]
+    d = doc_of_word[ne]
+    if len(w) < 2:
+        return None, None, None, ndocs
+    valid = d[:-1] == d[1:]
+    a1 = w[:-1][valid]
+    a2 = w[1:][valid]
+    dg = d[:-1][valid]
+    if not len(a1):
+        return None, None, None, ndocs
+    g = pc.binary_join_element_wise(
+        pa.array(a1, type=pa.string()), pa.array(a2, type=pa.string()), " "
+    )
+    return g, a1, dg, ndocs
+
+
 def _bigram_partial(b: pa.Table) -> pa.Table:
     """Per-batch (g, w1, c) bigram-count partial: g = 'w1 w2' over
     adjacent non-empty words within one document, c = occurrences in
@@ -1007,20 +1031,9 @@ def _bigram_partial(b: pa.Table) -> pa.Table:
     )
     if b.num_rows == 0:
         return empty
-    words, doc_of_word, _ = _flat_words(b)
-    ne = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
-    w = np.asarray(words.to_pylist(), dtype=object)[ne]
-    d = doc_of_word[ne]
-    if len(w) < 2:
+    g, a1, _, _ = _doc_bigram_stream(b)
+    if g is None:
         return empty
-    valid = d[:-1] == d[1:]
-    a1 = w[:-1][valid]
-    a2 = w[1:][valid]
-    if not len(a1):
-        return empty
-    g = pc.binary_join_element_wise(
-        pa.array(a1, type=pa.string()), pa.array(a2, type=pa.string()), " "
-    )
     dict_arr = pc.dictionary_encode(g)
     codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     uniq, first = np.unique(codes, return_index=True)
@@ -1072,7 +1085,10 @@ def _bigram_term_dataset(sf_dir: str):
     )
     unigrams = _vocab_dataset(sf_dir, _word_count_partial)
     joined = bigrams.join(
-        _rename_vocab(unigrams), "inner",
+        # repartition coalesces the fold's schema-less empty pandas
+        # blocks (they bypass map UDFs and crash the join aggregators —
+        # the NOTES_r3 empty-block pitfall; surfaced at sf0.1)
+        _rename_vocab(unigrams).repartition(_n_join_parts()), "inner",
         num_partitions=_n_join_parts(), on=("w1",), right_on=("vw",),
     )
 
@@ -1112,21 +1128,9 @@ def bigram_lm_score(sf_dir: str, *, via: str = "auto"):
     )
 
     def doc_bigrams(b: pa.Table):
-        """(g array, doc index per bigram, ndocs) for one batch."""
-        words, doc_of_word, ndocs = _flat_words(b)
-        ne = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
-        w = np.asarray(words.to_pylist(), dtype=object)[ne]
-        d = doc_of_word[ne]
-        if len(w) < 2:
-            return None, None, ndocs
-        valid = d[:-1] == d[1:]
-        a1, a2, dg = w[:-1][valid], w[1:][valid], d[:-1][valid]
-        if not len(a1):
-            return None, None, ndocs
-        g = pc.binary_join_element_wise(
-            pa.array(a1, type=pa.string()), pa.array(a2, type=pa.string()),
-            " ",
-        )
+        """(g array, doc index per bigram, ndocs) — the shared stream
+        definition (_doc_bigram_stream), first-word column dropped."""
+        g, _, dg, ndocs = _doc_bigram_stream(b)
         return g, dg, ndocs
 
     if via == "broadcast":

@@ -647,6 +647,20 @@ def ann_pq_adc_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
 BF_SCORE_SCALE = 10_000  # score = floor(sign*cos^2 * SCALE), int64-exact
 
 
+def _check_score_bounds(qn: np.ndarray, xn: np.ndarray) -> None:
+    """Raise before the integer-score arithmetic can wrap: by
+    Cauchy-Schwarz |dot*|dot||*SCALE <= na*nb*SCALE, so the whole score
+    pipeline is int64-safe iff max(na)*max(nb)*SCALE < 2^63.  The check
+    multiplies PYTHON ints — a numpy int64 product would itself wrap
+    and fail open in exactly the regime it guards."""
+    if (int(qn.max(initial=0)) * int(xn.max(initial=0))
+            > (1 << 63) // BF_SCORE_SCALE - 1):
+        raise OverflowError(
+            "integer cosine score would overflow int64; lower the "
+            "quantization scale for this embedding range"
+        )
+
+
 def ann_bruteforce_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
     """Brute-force top-k: the first ``n_queries`` vectors are the query
     matrix, broadcast once (ray.put); each batch computes an integer
@@ -686,11 +700,7 @@ def ann_bruteforce_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
         vids = b["vec_id"].to_numpy()
         mat = np.stack(_quantize(b["embedding"].to_pylist()))
         xn = (mat * mat).sum(axis=1)  # |x|^2, int64
-        if qnorm.max(initial=0) * xn.max(initial=0) > (1 << 63) // BF_SCORE_SCALE - 1:
-            raise OverflowError(
-                "bruteforce score would overflow int64; lower the "
-                "quantization scale for this embedding range"
-            )
+        _check_score_bounds(qnorm, xn)
         dots = qm @ mat.T  # (nq, nbatch), int64-exact (|dot| < 2^26)
         s2 = dots * np.abs(dots) * BF_SCORE_SCALE
         d = qnorm[:, None] * xn[None, :]
@@ -995,6 +1005,7 @@ def ann_lsh_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
         vids = g["vec_id"].to_numpy()
         mat = np.stack(_quantize(list(g["embedding"])))
         xn = (mat * mat).sum(axis=1)
+        _check_score_bounds(qn_[active], xn)
         dots = qmat_[active] @ mat.T  # int64-exact
         s2 = dots * np.abs(dots) * BF_SCORE_SCALE
         d = qn_[active][:, None] * xn[None, :]

@@ -26,6 +26,18 @@ ORACLE_CASES = [
     "lang_agreement",
     "pq_codes",
     "pipeline_chain",
+    # the round-3 oracle push: signature/banding mirrors, checked at
+    # sf0.001 here so a mirror regression fails pytest, not just the
+    # external driver
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "lsh_bucket_stats",
+    "dedup_clusters_minhash",
+    "dedup_simhash_hamming",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "dedup_embedding_lsh",
+    "quality_classifier",
 ]
 
 
