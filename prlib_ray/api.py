@@ -98,8 +98,8 @@ _PRIORITY = [
     "lang_agreement",
     "split_assign", "mix_sources", "shuffle_head", "decontaminate",
     "pack_sequences", "chunk_tokens", "pii_scan", "source_term_stats",
-    "length_filter_p95", "sample_per_source", "weighted_sample",
-    "frequent_ngrams",
+    "sample_per_source", "weighted_sample",
+    "frequent_ngrams", "heavy_hitter_words",
     "q3_top_orders",
     "orders_by_segment", "sales_rollup",
     "events_hourly_window", "sessionize", "rolling_event_window",
@@ -115,6 +115,7 @@ _PRIORITY = [
     # cross-doc windows; both below remain sim+pytest covered)
     "corpus_diff", "dup_substring_fraction",
     "sampled_quantiles",  # segment_price_quantiles represents the family
+    "length_filter_p95",  # likewise a percentile-threshold variant
     "set_ops_users_customers", "approx_distinct_users",
     "reassemble_events", "deskew",
     # r02-recorded green, unchanged since — displaced from the 50-entry

@@ -232,6 +232,10 @@ def _register_data_ops(queries, sql) -> None:
     sql["weighted_sample"] = oprep.WEIGHTED_SAMPLE
     queries["frequent_ngrams"] = dataset_prep.frequent_ngrams
     sql["frequent_ngrams"] = oprep.FREQUENT_NGRAMS
+    # bounded-memory Misra-Gries sketch + exact rescan (no-false-
+    # negative guarantee checked at runtime) — exact oracle
+    queries["heavy_hitter_words"] = dataset_prep.heavy_hitter_words
+    sql["heavy_hitter_words"] = oprep.HEAVY_HITTER_WORDS
 
     # corpus-statistics family: corpus-wide side tables (vocabulary /
     # document frequency / cross-doc n-gram counts) attached back per doc

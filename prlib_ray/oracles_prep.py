@@ -243,3 +243,20 @@ v AS (SELECT g FROM ng WHERE g IS NOT NULL)
 SELECT g AS gram, CAST(count(*) AS BIGINT) AS n_count
 FROM v GROUP BY g HAVING count(*) >= 5
 ORDER BY gram"""
+
+
+# mirrors dataset_prep.heavy_hitter_words: the Misra-Gries sketch is a
+# candidate generator with NO false negatives above the threshold, and
+# the rescan replaces estimates with exact counts — so the oracle is a
+# plain GROUP BY ... HAVING count >= total_words // MG_T_DIV.
+from prlib_ray.stages.dataset_prep import MG_T_DIV  # noqa: E402
+
+HEAVY_HITTER_WORDS = f"""
+WITH words AS (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+nz AS (SELECT w FROM words WHERE w <> '')
+SELECT w, CAST(count(*) AS BIGINT) AS n
+FROM nz GROUP BY w
+HAVING count(*) >= (SELECT count(*) FROM nz) // {MG_T_DIV}
+ORDER BY w"""

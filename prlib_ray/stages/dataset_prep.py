@@ -1046,3 +1046,153 @@ def frequent_ngrams(sf_dir: str):
         .groupby("part")
         .map_groups(distinct, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries ("Frequent") heavy hitters — bounded-memory sketch + rescan
+
+MG_K = 4096      # sketch capacity per batch AND per fold partition
+MG_T_DIV = 100   # threshold = total_words // MG_T_DIV
+N_MG_PARTS = 32
+
+
+def _mg_truncate(words: np.ndarray, counts: np.ndarray,
+                 k: int) -> tuple[np.ndarray, np.ndarray]:
+    """One Misra-Gries decrement step, vectorized: subtract the
+    (k+1)-th largest count from every counter and keep the positive
+    ones — at most k survive, and every item's count drops by at most
+    (stream weight)/(k+1)."""
+    if len(counts) <= k:
+        return words, counts
+    thresh = np.partition(counts, -(k + 1))[-(k + 1)]
+    kept = counts - thresh
+    m = kept > 0
+    return words[m], kept[m]
+
+
+def heavy_hitter_words(sf_dir: str, *, k: int = MG_K):
+    """Corpus heavy hitters with BOUNDED memory: every word occurring
+    at least total_words // MG_T_DIV times, with its exact count.
+
+    frequent_ngrams keeps exact per-partition hash tables; this is the
+    sketch variant for when even those don't fit — per-batch and
+    per-partition Misra-Gries truncation caps live state at MG_K
+    counters per task regardless of vocabulary size.  Two MG levels
+    undercount any item by at most 2·n/(MG_K+1), so every true heavy
+    hitter (count >= T > 2n/(MG_K+1)) survives into the candidate set
+    — NO false negatives; a runtime guard raises when T is too small
+    for the capacity rather than silently missing items.  An exact
+    RESCAN of the bounded candidate set (<= N_MG_PARTS·MG_K words)
+    then replaces sketch estimates with exact counts, which is why a
+    plain GROUP BY ... HAVING oracle matches bit-for-bit."""
+    import zlib
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from prlib_ray.relational import _collect_columns
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def batch_words(b: pa.Table):
+        words, _, _ = _flat_words(b)
+        ne = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        return np.asarray(words.to_pylist(), dtype=object)[ne]
+
+    def sketch_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"w": pa.array([], type=pa.string()),
+             "c": pa.array([], type=pa.int64()),
+             "part": pa.array([], type=pa.int64()),
+             "n": pa.array([], type=pa.int64())}
+        )
+        if b.num_rows == 0:
+            return empty
+        w = batch_words(b)
+        if not len(w):
+            return empty
+        uniq, counts = np.unique(w, return_counts=True)
+        kw, kc = _mg_truncate(uniq, counts.astype(np.int64), k)
+        # the batch word total rides on a dedicated sentinel row (w=''
+        # can never be a real candidate — empties are filtered): a
+        # truncation that drops EVERY counter must not lose the total,
+        # or the threshold would drift from the oracle's count(*)
+        kw = np.concatenate([kw, np.asarray([""], dtype=object)])
+        kc = np.concatenate([kc, np.zeros(1, dtype=np.int64)])
+        part = np.asarray(
+            [zlib.crc32(x.encode()) % N_MG_PARTS for x in kw],
+            dtype=np.int64,
+        )
+        n = np.zeros(len(kw), dtype=np.int64)
+        n[-1] = len(w)
+        return pa.table(
+            {"w": pa.array(kw, type=pa.string()), "c": pa.array(kc),
+             "part": pa.array(part), "n": pa.array(n)}
+        )
+
+    sketched = ds.map_batches(
+        sketch_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_total = int(sketched.aggregate(Sum("n", alias_name="s"))["s"] or 0)
+    threshold = n_total // MG_T_DIV
+    if threshold * (k + 1) <= 2 * n_total:
+        raise ValueError(
+            f"MG capacity {k} cannot guarantee threshold {threshold} "
+            f"at {n_total} words (need T > 2n/(K+1)); raise MG_K or "
+            "MG_T_DIV"
+        )
+
+    def part_fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["w"] != ""]  # drop the batch-total sentinel rows
+        f = g.groupby("w", sort=False, as_index=False).agg(c=("c", "sum"))
+        kw, kc = _mg_truncate(
+            f["w"].to_numpy(), f["c"].to_numpy().astype(np.int64), k
+        )
+        return pd.DataFrame({"w": kw, "c": kc})
+
+    cand = (
+        sketched.groupby("part")
+        .map_groups(part_fold, batch_format="pandas")
+    )
+    cw = np.sort(_collect_columns(cand, ["w"])["w"].astype(object))
+    ref = ray.put(cw)
+
+    # exact rescan: counts only for the bounded candidate set
+    def rescan(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"w": pa.array([], type=pa.string()),
+             "c": pa.array([], type=pa.int64()),
+             "part": pa.array([], type=pa.int64())}
+        )
+        if b.num_rows == 0:
+            return empty
+        cw = ray.get(ref)
+        w = batch_words(b)
+        if not len(w) or not len(cw):
+            return empty
+        idx = np.searchsorted(cw, w)
+        hit = (idx < len(cw)) & (cw[np.minimum(idx, len(cw) - 1)] == w)
+        cnt = np.bincount(idx[hit], minlength=len(cw)).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        part = np.asarray(
+            [zlib.crc32(cw[i].encode()) % N_MG_PARTS for i in nz],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {"w": pa.array(cw[nz], type=pa.string()),
+             "c": pa.array(cnt[nz]), "part": pa.array(part)}
+        )
+
+    def exact_fold(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("w", sort=False, as_index=False).agg(n=("c", "sum"))
+        return f[f["n"] >= threshold]
+
+    out = (
+        ds.map_batches(rescan, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(exact_fold, batch_format="pandas")
+    )
+    return out.sort("w")

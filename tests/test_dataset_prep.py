@@ -32,7 +32,7 @@ def registry():
 PREP_CASES = ["mix_sources", "shuffle_head", "decontaminate",
               "pack_sequences", "chunk_tokens", "pii_scan",
               "source_term_stats", "length_filter_p95",
-              "sample_per_source"]
+              "sample_per_source", "heavy_hitter_words"]
 
 
 @pytest.mark.parametrize("name", PREP_CASES)
@@ -302,6 +302,43 @@ def test_frequent_ngrams_matches_brute_force(ray_session, tmp_path):
     got = dict(zip(df["gram"], df["n_count"]))
     assert got == expect
     assert len(expect) > 0  # non-vacuous: the fixture plants >=T grams
+
+
+def test_heavy_hitter_words_sketch_properties(ray_session, sf_dir):
+    """The Misra-Gries path: (a) exact equality with a brute-force count
+    at the real capacity; (b) STILL exact with the capacity squeezed to
+    barely-legal (the truncation actually fires, the no-false-negative
+    guarantee carries the winners through); (c) an illegal
+    threshold/capacity combination raises instead of silently missing
+    items."""
+    import collections
+
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.stages import dataset_prep as dp
+
+    t = pq2.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    counts = collections.Counter()
+    for txt in t["text"].to_pylist():
+        counts.update(w for w in txt.split(" ") if w)
+    n_total = sum(counts.values())
+    thr = n_total // dp.MG_T_DIV
+    expect = {w: c for w, c in counts.items() if c >= thr}
+
+    df = dp.heavy_hitter_words(sf_dir).to_pandas()
+    assert dict(zip(df["w"], df["n"])) == expect
+    assert 0 < len(expect) < len(counts)  # a real split on the fixture
+
+    # squeeze the capacity so per-batch truncation genuinely fires but
+    # the guarantee T > 2n/(K+1) still holds -> result must not change
+    k_min = 2 * n_total // max(thr, 1) + 2
+    assert k_min < dp.MG_K  # the squeeze is real
+    df2 = dp.heavy_hitter_words(sf_dir, k=k_min).to_pandas()
+    assert dict(zip(df2["w"], df2["n"])) == expect
+
+    # below the legal capacity the op must refuse, not under-report
+    with pytest.raises(ValueError, match="cannot guarantee"):
+        dp.heavy_hitter_words(sf_dir, k=2)
 
 
 def test_corpus_diff_planted(ray_session, tmp_path):

@@ -91,6 +91,7 @@ EDGE_CASES = [
     "bigram_lm_score",
     "quality_classifier",
     "ann_bruteforce_topk",
+    "heavy_hitter_words",
 ]
 
 
