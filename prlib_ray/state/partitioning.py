@@ -482,3 +482,73 @@ def finished_buckets(out_dir: str) -> set[int]:
             if m.get("stage_version") == STAGE_VERSION:
                 done.add(m["bucket"])
     return done
+
+
+def compact_buckets(out_dir: str, *, max_files: int = 1) -> list[dict]:
+    """Small-file compaction for the resumable sink: rewrite every
+    COMMITTED bucket holding more than ``max_files`` parquet files into
+    one file, preserving rows, counters and resumability.  At 100 TB
+    the sink accumulates one file per write task per run segment;
+    readers pay per-file open cost, so periodic compaction is part of
+    operating the layout.  Buckets are independent — each compacts in
+    its own Ray task, no data moves through the driver.
+
+    Crash-safe ordering per bucket (the manifest is the commit record):
+    1. write the merged rows to ``_compact.tmp`` (invisible to
+       ``*.parquet`` readers) and verify its row count equals the
+       manifest's;
+    2. DELETE the manifest — from here the bucket reads as unfinished,
+       so a crash anywhere below makes the next ``write_partitioned``
+       rebuild it from scratch (wasteful, never wrong);
+    3. delete the originals, rename the tmp in, rewrite the manifest
+       with the same rows/counters and ``compacted: true``.
+
+    Returns the updated manifests of the buckets it touched."""
+    import ray
+
+    @ray.remote
+    def _compact_one(path: str) -> dict | None:
+        import json as _json
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        mpath = _os.path.join(path, "_manifest.json")
+        with open(mpath) as f:
+            manifest = _json.load(f)
+        files = sorted(
+            f for f in _os.listdir(path) if f.endswith(".parquet")
+        )
+        if len(files) <= max_files:
+            return None
+        tmp = _os.path.join(path, "_compact.tmp")
+        merged = pa.concat_tables(
+            [_pq.read_table(_os.path.join(path, f)) for f in files]
+        )
+        _pq.write_table(merged, tmp)
+        got_rows = _pq.read_metadata(tmp).num_rows
+        if got_rows != manifest["rows"]:
+            _os.remove(tmp)
+            raise RuntimeError(
+                f"compaction row mismatch in {path}: "
+                f"{got_rows} != {manifest['rows']}"
+            )
+        _os.remove(mpath)  # commit point: bucket now reads unfinished
+        for f in files:
+            _os.remove(_os.path.join(path, f))
+        final = _os.path.join(path, "part-compacted-0.parquet")
+        _os.rename(tmp, final)
+        manifest["files"] = 1
+        manifest["bytes"] = int(_os.path.getsize(final))
+        manifest["compacted"] = True
+        with open(mpath, "w") as f:
+            _json.dump(manifest, f)
+        return manifest
+
+    refs = []
+    for name in sorted(os.listdir(out_dir)) if os.path.isdir(out_dir) else []:
+        path = os.path.join(out_dir, name)
+        if (name.startswith("bucket=") and os.path.isdir(path)
+                and os.path.exists(os.path.join(path, "_manifest.json"))):
+            refs.append(_compact_one.remote(path))
+    return [m for m in ray.get(refs) if m is not None]

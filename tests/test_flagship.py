@@ -164,6 +164,63 @@ def test_write_partitioned_resume(ray_session, sf_dir, tmp_path):
     assert again == []
 
 
+def test_compact_buckets_preserves_rows_and_resume(ray_session, sf_dir,
+                                                   tmp_path):
+    """Compaction merges a multi-file bucket into one file with
+    byte-identical content, keeps the manifest committed (the bucket
+    still reads as finished), and skips already-compact buckets."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.fixtures import transcripts_dataset
+    from prlib_ray.state import partitioning as part
+
+    ds = transcripts_dataset(sf_dir)
+    out = str(tmp_path / "out")
+    part.write_partitioned(ds, out, num_buckets=4)
+
+    # force a multi-file bucket: split bucket 0's single file in two
+    b0 = os.path.join(out, "bucket=0")
+    files = [f for f in os.listdir(b0) if f.endswith(".parquet")]
+    t = pa.concat_tables(
+        [pq2.read_table(os.path.join(b0, f)) for f in files]
+    )
+    before = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    for f in files:
+        os.remove(os.path.join(b0, f))
+    half = t.num_rows // 2
+    pq2.write_table(t.slice(0, half), os.path.join(b0, "part-a.parquet"))
+    pq2.write_table(t.slice(half), os.path.join(b0, "part-b.parquet"))
+    with open(os.path.join(b0, "_manifest.json")) as f:
+        m = json.load(f)
+    m["files"] = 2
+    with open(os.path.join(b0, "_manifest.json"), "w") as f:
+        json.dump(m, f)
+
+    touched = part.compact_buckets(out)
+    by_bucket = {x["bucket"]: x for x in touched}
+    # bucket 0 (force-split) compacts; others too if the parallel write
+    # left them multi-file — every touched manifest must be 1-file
+    assert 0 in by_bucket
+    assert all(x["files"] == 1 and x["compacted"] is True for x in touched)
+    assert by_bucket[0]["rows"] == t.num_rows
+
+    files2 = [f for f in os.listdir(b0) if f.endswith(".parquet")]
+    assert len(files2) == 1
+    after = pq2.read_table(os.path.join(b0, files2[0])).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    assert after.equals(before)
+    # still committed: a bare resume rewrites nothing
+    assert part.finished_buckets(out) == {0, 1, 2, 3}
+    assert part.write_partitioned(ds, out, num_buckets=4) == []
+    # idempotent: a second compaction touches nothing
+    assert part.compact_buckets(out) == []
+
+
 def test_mega_thread_cov_no_overflow(ray_session):
     """A >5k-turn conversation with epoch-second timestamps overflows a
     single-int64 n*sxy (needs 63+ bits); the hi/lo-split accumulation
