@@ -182,7 +182,10 @@ def _register_data_ops(queries, sql) -> None:
     # hyperplane buckets + integer score) mirrors exactly in SQL
     queries["ann_lsh_topk"] = similarity.ann_lsh_topk
     sql["ann_lsh_topk"] = odata.ANN_LSH_TOPK
-    queries["ann_ivf_topk"] = similarity.ann_ivf_topk  # recall<1 by design: rows-only
+    # integer Lloyd training + integer probe: the ENTIRE index mirrors
+    # in SQL (unrolled iteration CTEs) — full oracle despite recall<1
+    queries["ann_ivf_topk"] = similarity.ann_ivf_topk
+    sql["ann_ivf_topk"] = odata.ANN_IVF_TOPK
 
     queries["dedup_embedding"] = similarity.embedding_near_dup_pairs
     sql["dedup_embedding"] = odata.EMBEDDING_NEAR_DUP

@@ -1043,3 +1043,118 @@ ORDER BY d.doc_id"""
 
 
 QUALITY_CLASSIFIER = _quality_classifier_sql()
+
+
+def _ann_ivf_topk_sql() -> str:
+    """Mirror of similarity.ann_ivf_topk INCLUDING the training loop:
+    IVF_ITERS integer-Lloyd iterations unrolled as CTE stages (assign =
+    row_number over the integer cosine key, re-center = per-dimension
+    floor-mean via the mod trick, emptied cluster keeps its previous
+    centroid through the LEFT JOIN COALESCE), then corpus assignment,
+    nprobe probing and the shared integer-score ranking tail."""
+    from prlib_ray.stages.similarity import BF_SCORE_SCALE, IVF_ITERS
+
+    train_n, n_queries, n_centroids, nprobe = 256, 10, 32, 4
+    score = (
+        "CASE WHEN n.nn = 0 THEN 0 ELSE CAST((s2x - (((s2x % ddn) + ddn) "
+        "% ddn)) / ddn AS BIGINT) END"
+    )
+    its = []
+    for t in range(IVF_ITERS):
+        its.append(f""",
+nc{t} AS MATERIALIZED (SELECT c, sum(v * v) AS nn FROM c{t} GROUP BY c),
+sc{t} AS MATERIALIZED (
+    SELECT d.vec_id, d.c, {score} AS score
+    FROM (
+        SELECT tr.vec_id, ct.c,
+               CAST(sum(tr.qv * ct.v) AS HUGEINT)
+                   * abs(sum(tr.qv * ct.v)) * {BF_SCORE_SCALE} AS s2x
+        FROM train tr JOIN c{t} ct ON tr.i = ct.i
+        GROUP BY tr.vec_id, ct.c
+    ) d
+    JOIN nc{t} n ON d.c = n.c,
+    LATERAL (SELECT CAST(n.nn AS HUGEINT) AS ddn) x
+),
+asg{t} AS MATERIALIZED (
+    SELECT vec_id, c FROM (
+        SELECT vec_id, c, row_number() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM sc{t}
+    ) WHERE rn = 1
+),
+upd{t} AS MATERIALIZED (
+    SELECT g.c, g.i,
+           CAST((g.s - (((g.s % g.n) + g.n) % g.n)) / g.n AS BIGINT) AS v
+    FROM (
+        SELECT a.c, tr.i, sum(tr.qv) AS s, count(*) AS n
+        FROM asg{t} a JOIN train tr ON tr.vec_id = a.vec_id
+        GROUP BY a.c, tr.i
+    ) g
+),
+c{t + 1} AS MATERIALIZED (
+    SELECT ct.c, ct.i, COALESCE(u.v, ct.v) AS v
+    FROM c{t} ct LEFT JOIN upd{t} u ON ct.c = u.c AND ct.i = u.i
+)""")
+    cf = f"c{IVF_ITERS}"
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                AS BIGINT) AS qv
+    FROM embeddings
+),
+train AS MATERIALIZED (SELECT * FROM q WHERE vec_id < {train_n}),
+c0 AS MATERIALIZED (
+    SELECT dr - 1 AS c, i, qv AS v FROM (
+        SELECT t.*, dense_rank() OVER (ORDER BY vec_id) AS dr FROM train t
+    ) WHERE dr <= {n_centroids}
+){"".join(its)},
+ncf AS (SELECT c, sum(v * v) AS nn FROM {cf} GROUP BY c),
+scf AS MATERIALIZED (
+    SELECT d.vec_id, d.c, {score} AS score
+    FROM (
+        SELECT qq.vec_id, ct.c,
+               CAST(sum(qq.qv * ct.v) AS HUGEINT)
+                   * abs(sum(qq.qv * ct.v)) * {BF_SCORE_SCALE} AS s2x
+        FROM q qq JOIN {cf} ct ON qq.i = ct.i
+        GROUP BY qq.vec_id, ct.c
+    ) d
+    JOIN ncf n ON d.c = n.c,
+    LATERAL (SELECT CAST(n.nn AS HUGEINT) AS ddn) x
+),
+asgf AS (
+    SELECT vec_id, c FROM (
+        SELECT vec_id, c, row_number() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scf
+    ) WHERE rn = 1
+),
+qry AS (
+    SELECT vec_id FROM (
+        SELECT DISTINCT vec_id FROM train
+    ) ranked QUALIFY dense_rank() OVER (ORDER BY vec_id) <= {n_queries}
+),
+probes AS (
+    SELECT vec_id AS query_id, c FROM (
+        SELECT s.vec_id, s.c, row_number() OVER (
+            PARTITION BY s.vec_id ORDER BY s.score DESC, s.c ASC) AS rn
+        FROM scf s JOIN qry ON s.vec_id = qry.vec_id
+    ) WHERE rn <= {nprobe}
+),
+cand AS (
+    SELECT DISTINCT p.query_id, af.vec_id
+    FROM probes p JOIN asgf af ON af.c = p.c
+    WHERE af.vec_id <> p.query_id
+),
+norms AS (SELECT vec_id, sum(qv * qv) AS nn FROM q GROUP BY vec_id),
+cdots AS (
+    SELECT cd.query_id, cd.vec_id, sum(a.qv * b.qv) AS dot
+    FROM cand cd
+    JOIN q a ON a.vec_id = cd.query_id
+    JOIN q b ON b.vec_id = cd.vec_id AND b.i = a.i
+    GROUP BY cd.query_id, cd.vec_id
+)""" + _score_rank_tail("cdots")
+
+
+ANN_IVF_TOPK = _ann_ivf_topk_sql()

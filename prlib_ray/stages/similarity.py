@@ -728,24 +728,43 @@ def ann_bruteforce_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
-def _train_centroids(train: np.ndarray, n_centroids: int,
-                     iters: int = 5) -> np.ndarray:
-    """Deterministic spherical k-means: init = first ``n_centroids``
-    normalized vectors, ``iters`` Lloyd rounds with rounded-cosine
-    argmax assignment (ties -> smallest centroid) and renormalized
-    means; an emptied cluster keeps its previous centroid.  Pure
-    function of the training slice — identical on every run/worker."""
-    cents = train[:n_centroids].copy()
+IVF_ITERS = 5
+
+
+def _int_centroid_scores(x_q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, k) int64 assignment keys: floor(dot*|dot|*1e4 / |c|^2).
+    The per-vector |x|^2 factor is constant across centroids, so this
+    ranks centroids exactly like the full integer cosine score; the
+    Cauchy-Schwarz overflow guard is shared with the score contract."""
+    cn = (cents * cents).sum(axis=1)
+    xn = (x_q * x_q).sum(axis=1)
+    _check_score_bounds(cn, xn)
+    dots = x_q @ cents.T
+    s2 = dots * np.abs(dots) * BF_SCORE_SCALE
+    d = cn[None, :]
+    return np.where(d > 0, np.floor_divide(s2, np.maximum(d, 1)), 0)
+
+
+def _train_centroids(train_q: np.ndarray, n_centroids: int,
+                     iters: int = IVF_ITERS) -> np.ndarray:
+    """Deterministic INTEGER Lloyd (spherical-by-construction): init =
+    the first ``n_centroids`` quantized vectors; each round assigns by
+    the integer cosine key (_int_centroid_scores, argmax ties to the
+    smallest centroid) and re-centers every non-empty cluster at the
+    per-dimension FLOOR-mean of its members (numpy floor_divide ==
+    SQL's mod-trick floor division); an emptied cluster keeps its
+    previous centroid.  Every step is int64-exact, so the whole
+    training loop — not just the query path — mirrors in DuckDB
+    (unrolled iterations)."""
+    cents = train_q[:n_centroids].copy()
     for _ in range(iters):
-        sims = np.round(train @ cents.T, 6)
-        assign = np.argmax(sims, axis=1)
+        assign = np.argmax(_int_centroid_scores(train_q, cents), axis=1)
+        new = cents.copy()
         for c in range(n_centroids):
             m = assign == c
             if m.any():
-                v = train[m].sum(axis=0)
-                n = np.linalg.norm(v)
-                if n > 1e-12:
-                    cents[c] = v / n
+                new[c] = np.floor_divide(train_q[m].sum(axis=0), m.sum())
+        cents = new
     return cents
 
 
@@ -763,8 +782,12 @@ def ann_ivf_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
     lists are the groupby buckets (expected population n/n_centroids —
     scale n_centroids with corpus size to bound per-list work, which is
     LINEAR in list size); per-bucket top-k merges in a tiny final pass.
-    Recall < 1 by design -> rows-only; pytest bounds recall against
-    brute force."""
+
+    Round 3: training, assignment, probing and ranking are ALL
+    int64-exact (integer Lloyd, floor-mean centroids, the shared
+    integer cosine keys), so the entire index — training loop included
+    — mirrors in DuckDB as unrolled iteration CTEs; recall < 1 vs
+    brute force by design, but the probe itself is exactly oracled."""
     import ray
     import ray.data as rd
 
@@ -782,31 +805,31 @@ def ann_ivf_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
         ).take_all(),
         key=lambda r: r["vec_id"],
     )
-    mat = np.array([list(r["embedding"]) for r in head], dtype=np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    mat = np.stack(_quantize([list(r["embedding"]) for r in head]))
     n_centroids = min(n_centroids, len(mat))  # tiny-corpus guard
     nprobe = min(nprobe, n_centroids)
     cents = _train_centroids(mat, n_centroids)
     qids = np.array([r["vec_id"] for r in head[:n_queries]], dtype=np.int64)
     qmat = mat[:n_queries]
-    # each query's probed centroid lists (rounded sims, tie -> smallest id)
-    qsims = np.round(qmat @ cents.T, 6)
+    qn = (qmat * qmat).sum(axis=1)
+    # each query's probed centroid lists (integer key, tie -> smallest id)
+    qsc = _int_centroid_scores(qmat, cents)
     probes = {
-        int(qids[i]): set(np.lexsort((np.arange(n_centroids), -qsims[i]))[:nprobe].tolist())
+        int(qids[i]): set(
+            np.lexsort((np.arange(n_centroids), -qsc[i]))[:nprobe].tolist()
+        )
         for i in range(len(qids))
     }
-    ref = ray.put((cents, qids, qmat, probes))
+    ref = ray.put((cents, qids, qmat, qn, probes))
 
     def assign(b: pa.Table) -> pa.Table:
-        c, _, _, _ = ray.get(ref)
-        m = np.array(b["embedding"].to_pylist(), dtype=np.float64)
-        if len(m) == 0:
+        c, _, _, _, _ = ray.get(ref)
+        if b.num_rows == 0:
             return pa.table({"centroid": pa.array([], type=pa.int32()),
                              "vec_id": b["vec_id"], "embedding": b["embedding"]})
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = np.round(m @ c.T, 6)
-        # argmax, ties -> smallest centroid index
-        bucket = np.argmax(sims, axis=1).astype(np.int32)
+        m = np.stack(_quantize(b["embedding"].to_pylist()))
+        # argmax of the integer cosine key, ties -> smallest centroid
+        bucket = np.argmax(_int_centroid_scores(m, c), axis=1).astype(np.int32)
         return pa.table({"centroid": pa.array(bucket),
                          "vec_id": b["vec_id"], "embedding": b["embedding"]})
 
@@ -815,31 +838,33 @@ def ann_ivf_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
     def list_topk(g):
         import pandas as pd
 
-        c0, qids_, qmat_, probes_ = ray.get(ref)
+        _, qids_, qmat_, qn_, probes_ = ray.get(ref)
         bucket = int(g["centroid"].iloc[0])
         active = [i for i, q in enumerate(qids_) if bucket in probes_[int(q)]]
         if not active:
-            return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
+            return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
         vids = g["vec_id"].to_numpy()
-        m = np.array(list(g["embedding"]), dtype=np.float64)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = np.round(qmat_[active] @ m.T, 6)
+        m = np.stack(_quantize(list(g["embedding"])))
+        xn = (m * m).sum(axis=1)
+        _check_score_bounds(qn_[active], xn)
+        dots = qmat_[active] @ m.T
+        s2 = dots * np.abs(dots) * BF_SCORE_SCALE
+        d = qn_[active][:, None] * xn[None, :]
+        score = np.where(d > 0, np.floor_divide(s2, np.maximum(d, 1)), 0)
         out = []
         for row, qi in enumerate(active):
             qid = int(qids_[qi])
             mask = vids != qid
-            order = np.lexsort((vids[mask], -sims[row][mask]))[:k]
+            order = np.lexsort((vids[mask], -score[row][mask]))[:k]
             sel = np.flatnonzero(mask)[order]
             for idx in sel:
-                out.append((qid, int(vids[idx]), float(sims[row][idx])))
-        return pd.DataFrame(out, columns=["query_id", "vec_id", "sim"])
+                out.append((qid, int(vids[idx]), int(score[row][idx])))
+        return pd.DataFrame(out, columns=["query_id", "vec_id", "score"])
 
     local = assigned.groupby("centroid").map_groups(list_topk, batch_format="pandas")
 
     def merge(g):
-        import pandas as pd
-
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True],
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
                           kind="mergesort")
         return g.head(k)
 

@@ -36,6 +36,7 @@ ORACLE_CASES = [
     "dedup_simhash_hamming",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "dedup_embedding_lsh",
     "quality_classifier",
 ]
