@@ -92,13 +92,14 @@ _PRIORITY = [
     "segment_dedup",
     "ann_ivf_topk", "ann_bruteforce_topk",  # bf oracle-backed in round 3
     "ann_lsh_topk",  # probe+score fully SQL-mirrored in round 3
+    "ann_pq_adc_topk",  # trained-PQ query path fully SQL-mirrored too
     "pq_codes",
     "token_count_subword",
     "gopher_quality", "quality_classifier", "repetition_stats",
     "lang_agreement",
     "split_assign", "mix_sources", "shuffle_head", "decontaminate",
     "pack_sequences", "chunk_tokens", "pii_scan", "source_term_stats",
-    "sample_per_source", "weighted_sample",
+    "weighted_sample",
     "frequent_ngrams", "heavy_hitter_words",
     "q3_top_orders",
     "orders_by_segment", "sales_rollup",
@@ -115,6 +116,7 @@ _PRIORITY = [
     # cross-doc windows; both below remain sim+pytest covered)
     "corpus_diff", "dup_substring_fraction",
     "sampled_quantiles",  # segment_price_quantiles represents the family
+    "sample_per_source",  # weighted_sample/mix_sources represent sampling
     "length_filter_p95",  # likewise a percentile-threshold variant
     "set_ops_users_customers", "approx_distinct_users",
     "reassemble_events", "deskew",

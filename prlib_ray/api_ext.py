@@ -195,9 +195,10 @@ def _register_data_ops(queries, sql) -> None:
     # product-quantization codes (vector compression for the ANN index)
     queries["pq_codes"] = similarity.pq_codes
     sql["pq_codes"] = odata.PQ_CODES
-    # the PQ query path; approximate by design -> rows-only (recall
-    # pinned vs exact quantized-L2 top-k in pytest)
+    # the PQ query path: integer-Lloyd codebook training + ADC pricing +
+    # exact re-rank, ALL mirrored in SQL (unrolled iteration CTEs)
     queries["ann_pq_adc_topk"] = similarity.ann_pq_adc_topk
+    sql["ann_pq_adc_topk"] = odata.ANN_PQ_ADC
     # the scale path: LSH candidates + exact hugeint verify — candidate
     # generation mirrors in SQL too (integer hyperplanes), full oracle
     queries["dedup_embedding_lsh"] = similarity.embedding_near_dup_lsh

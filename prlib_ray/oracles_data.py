@@ -1158,3 +1158,124 @@ cdots AS (
 
 
 ANN_IVF_TOPK = _ann_ivf_topk_sql()
+
+
+def _ann_pq_adc_sql() -> str:
+    """Mirror of similarity.ann_pq_adc_topk INCLUDING the per-subspace
+    integer-Lloyd codebook training (PQ_ITERS iterations unrolled; the
+    subspace is a column, so one CTE chain trains all N_PQ_SUB books at
+    once), then the ADC lookup-table pricing, the global shortlist by
+    (approx asc, vec asc) and the exact-L2 re-rank."""
+    from prlib_ray.stages.similarity import (
+        ADC_SHORTLIST,
+        ADC_TRAIN_N,
+        N_ADC_CODES,
+        N_PQ_SUB,
+        PQ_ITERS,
+    )
+
+    its = []
+    for t in range(PQ_ITERS):
+        its.append(f""",
+d2_{t} AS MATERIALIZED (
+    SELECT sv.vec_id, sv.s, cb.code,
+           sum((sv.qv - cb.v) * (sv.qv - cb.v)) AS d2
+    FROM trsub sv JOIN pq{t} cb ON sv.s = cb.s AND sv.pos = cb.pos
+    GROUP BY sv.vec_id, sv.s, cb.code
+),
+asg_{t} AS MATERIALIZED (
+    SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code, row_number() OVER (
+            PARTITION BY vec_id, s ORDER BY d2 ASC, code ASC) AS rn
+        FROM d2_{t}
+    ) WHERE rn = 1
+),
+upd_{t} AS MATERIALIZED (
+    SELECT g.s, g.code, g.pos,
+           CAST((g.sm - (((g.sm % g.n) + g.n) % g.n)) / g.n AS BIGINT) AS v
+    FROM (
+        SELECT a.s, a.code, sv.pos, sum(sv.qv) AS sm, count(*) AS n
+        FROM asg_{t} a
+        JOIN trsub sv ON sv.vec_id = a.vec_id AND sv.s = a.s
+        GROUP BY a.s, a.code, sv.pos
+    ) g
+),
+pq{t + 1} AS MATERIALIZED (
+    SELECT cb.s, cb.code, cb.pos, COALESCE(u.v, cb.v) AS v
+    FROM pq{t} cb
+    LEFT JOIN upd_{t} u ON cb.s = u.s AND cb.code = u.code
+                       AND cb.pos = u.pos
+)""")
+    pqf = f"pq{PQ_ITERS}"
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                AS BIGINT) AS qv
+    FROM embeddings
+),
+subq AS MATERIALIZED (
+    SELECT vec_id,
+           (i - 1) // ((SELECT max(i) FROM q) // {N_PQ_SUB}) AS s,
+           (i - 1) % ((SELECT max(i) FROM q) // {N_PQ_SUB}) AS pos,
+           qv
+    FROM q
+),
+trsub AS MATERIALIZED (SELECT * FROM subq WHERE vec_id < {ADC_TRAIN_N}),
+pq0 AS MATERIALIZED (
+    SELECT s, dr - 1 AS code, pos, qv AS v FROM (
+        SELECT t.*, dense_rank() OVER (ORDER BY vec_id) AS dr FROM trsub t
+    ) WHERE dr <= {N_ADC_CODES}
+){"".join(its)},
+codes AS MATERIALIZED (
+    SELECT vec_id, s, code FROM (
+        SELECT sv.vec_id, sv.s, cb.code, row_number() OVER (
+            PARTITION BY sv.vec_id, sv.s
+            ORDER BY sum((sv.qv - cb.v) * (sv.qv - cb.v)) ASC, cb.code ASC
+        ) AS rn
+        FROM subq sv JOIN {pqf} cb ON sv.s = cb.s AND sv.pos = cb.pos
+        GROUP BY sv.vec_id, sv.s, cb.code
+    ) WHERE rn = 1
+),
+qry AS (
+    SELECT vec_id FROM (SELECT DISTINCT vec_id FROM trsub) ranked
+    QUALIFY dense_rank() OVER (ORDER BY vec_id) <= 10
+),
+lut AS MATERIALIZED (
+    SELECT qs.vec_id AS query_id, qs.s, cb.code,
+           sum((qs.qv - cb.v) * (qs.qv - cb.v)) AS d2
+    FROM subq qs JOIN qry ON qs.vec_id = qry.vec_id
+    JOIN {pqf} cb ON qs.s = cb.s AND qs.pos = cb.pos
+    GROUP BY qs.vec_id, qs.s, cb.code
+),
+approx AS MATERIALIZED (
+    SELECT l.query_id, c.vec_id, sum(l.d2) AS adc
+    FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+    WHERE c.vec_id <> l.query_id
+    GROUP BY l.query_id, c.vec_id
+),
+short AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rn
+        FROM approx
+    ) WHERE rn <= {ADC_SHORTLIST}
+),
+exact AS (
+    SELECT sh.query_id, sh.vec_id,
+           sum((a.qv - b.qv) * (a.qv - b.qv)) AS d2
+    FROM short sh
+    JOIN q a ON a.vec_id = sh.query_id
+    JOIN q b ON b.vec_id = sh.vec_id AND b.i = a.i
+    GROUP BY sh.query_id, sh.vec_id
+)
+SELECT query_id, vec_id, CAST(d2 AS BIGINT) AS d2 FROM (
+    SELECT query_id, vec_id, d2, row_number() OVER (
+        PARTITION BY query_id ORDER BY d2 ASC, vec_id ASC) AS rn
+    FROM exact
+) WHERE rn <= 5
+ORDER BY query_id, vec_id"""
+
+
+ANN_PQ_ADC = _ann_pq_adc_sql()

@@ -527,28 +527,36 @@ ADC_TRAIN_N = 512
 ADC_SHORTLIST = 50
 
 
+PQ_ITERS = 8
+
+
 def _train_pq_codebooks(train: np.ndarray, n_codes: int,
-                        iters: int = 8) -> np.ndarray:
-    """Deterministic per-subspace Lloyd k-means on quantized ints:
-    init = the first n_codes subvectors in vec_id order; empty clusters
-    keep their previous centroid; centroids round to int64 at the end
-    (order-independent means -> deterministic under any partitioning).
-    Returns (N_PQ_SUB, n_codes, sub_dim)."""
+                        iters: int = PQ_ITERS) -> np.ndarray:
+    """Deterministic per-subspace INTEGER Lloyd k-means: init = the
+    first n_codes subvectors in vec_id order; assignment by exact
+    integer squared L2 (argmin ties -> smallest code); re-centering at
+    the per-dimension FLOOR-mean of members (numpy floor_divide ==
+    SQL's mod-trick floor division); empty clusters keep their previous
+    centroid.  Centroids stay int64 through EVERY iteration, so the
+    whole training loop mirrors in DuckDB as unrolled CTEs (the
+    ann_ivf_topk convention).  Returns (N_PQ_SUB, n_codes, sub_dim)."""
     dim = train.shape[1]
     sub_dim = dim // N_PQ_SUB
     n_codes = min(n_codes, len(train))  # tiny-corpus guard
     out = np.empty((N_PQ_SUB, n_codes, sub_dim), dtype=np.int64)
     for s in range(N_PQ_SUB):
         sub = train[:, s * sub_dim:(s + 1) * sub_dim]
-        C = sub[:n_codes].astype(np.float64)
+        C = sub[:n_codes].copy()
         for _ in range(iters):
             d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(2)
             a = np.argmin(d2, axis=1)
+            new = C.copy()
             for c in range(n_codes):
                 m = a == c
                 if m.any():
-                    C[c] = sub[m].mean(0)
-        out[s] = np.round(C).astype(np.int64)
+                    new[c] = np.floor_divide(sub[m].sum(axis=0), m.sum())
+            C = new
+        out[s] = C
     return out
 
 

@@ -37,6 +37,7 @@ ORACLE_CASES = [
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_adc_topk",
     "dedup_embedding_lsh",
     "quality_classifier",
 ]
