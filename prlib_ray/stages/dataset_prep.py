@@ -1070,6 +1070,41 @@ def _mg_truncate(words: np.ndarray, counts: np.ndarray,
     return words[m], kept[m]
 
 
+def _mg_decode(acc: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Accumulator rows are 'count:word' strings (Arrow-friendly, so
+    partial aggregation blocks stay native list<string> instead of
+    falling back to pickled objects)."""
+    if not acc:
+        return (np.asarray([], dtype=object), np.asarray([], dtype=np.int64))
+    pairs = [s.split(":", 1) for s in acc]
+    return (
+        np.asarray([p[1] for p in pairs], dtype=object),
+        np.asarray([int(p[0]) for p in pairs], dtype=np.int64),
+    )
+
+
+def _mg_merge(acc: list[str], words: np.ndarray, counts: np.ndarray,
+              k: int) -> list[str]:
+    """Merge (words, counts) into a bounded MG accumulator: sum
+    duplicate words, then one truncation step.  Mergeable-summaries
+    property (Agarwal/Cormode et al.): any sequence/tree of such
+    merges undercounts by at most (total merged weight)/(k+1) — the
+    bound does NOT grow with the number of merges, so the streaming
+    fold has the same guarantee as a one-shot fold."""
+    if not len(words):
+        return acc
+    aw, ac = _mg_decode(acc)
+    cw = np.concatenate([aw, words])
+    cc = np.concatenate([ac, counts])
+    o = np.argsort(cw, kind="stable")
+    cw, cc = cw[o], cc[o]
+    first = np.r_[True, cw[1:] != cw[:-1]]
+    uw = cw[first]
+    uc = np.bincount(np.cumsum(first) - 1, weights=cc).astype(np.int64)
+    kw, kc = _mg_truncate(uw, uc, k)
+    return [f"{c}:{w}" for w, c in zip(kw, kc)]
+
+
 def heavy_hitter_words(sf_dir: str, *, k: int = MG_K):
     """Corpus heavy hitters with BOUNDED memory: every word occurring
     at least total_words // MG_T_DIV times, with its exact count.
@@ -1077,21 +1112,25 @@ def heavy_hitter_words(sf_dir: str, *, k: int = MG_K):
     frequent_ngrams keeps exact per-partition hash tables; this is the
     sketch variant for when even those don't fit — per-batch and
     per-partition Misra-Gries truncation caps live state at MG_K
-    counters per task regardless of vocabulary size.  Two MG levels
-    undercount any item by at most 2·n/(MG_K+1), so every true heavy
-    hitter (count >= T > 2n/(MG_K+1)) survives into the candidate set
-    — NO false negatives; a runtime guard raises when T is too small
-    for the capacity rather than silently missing items.  An exact
-    RESCAN of the bounded candidate set (<= N_MG_PARTS·MG_K words)
-    then replaces sketch estimates with exact counts, which is why a
-    plain GROUP BY ... HAVING oracle matches bit-for-bit."""
+    counters per task regardless of vocabulary size.  The fold level
+    is a custom mergeable AggregateFn whose accumulator never exceeds
+    MG_K entries (Ray streams per-group block slices through
+    accumulate/merge — the group is never materialized), and the
+    mergeable-summaries bound keeps the two-level undercount at most
+    2·n/(MG_K+1): every true heavy hitter (count >= T > 2n/(MG_K+1))
+    survives into the candidate set — NO false negatives.  When the
+    caller's capacity cannot guarantee the threshold it raises; when
+    NO capacity could (a tiny corpus floors T to 0 — exactly where an
+    exact fold trivially fits) it falls back to an exact count so the
+    result stays defined wherever the SQL oracle is.  An exact RESCAN
+    of the bounded candidate set (<= N_MG_PARTS·MG_K words) then
+    replaces sketch estimates with exact counts, which is why a plain
+    GROUP BY ... HAVING oracle matches bit-for-bit."""
     import zlib
 
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
-
-    from prlib_ray.relational import _collect_columns
+    from ray.data.aggregate import AggregateFn, Sum
 
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -1138,27 +1177,93 @@ def heavy_hitter_words(sf_dir: str, *, k: int = MG_K):
     ).materialize()
     n_total = int(sketched.aggregate(Sum("n", alias_name="s"))["s"] or 0)
     threshold = n_total // MG_T_DIV
+
+    def exact_fold(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("w", sort=False, as_index=False).agg(n=("c", "sum"))
+        return f[f["n"] >= threshold]
+
     if threshold * (k + 1) <= 2 * n_total:
-        raise ValueError(
-            f"MG capacity {k} cannot guarantee threshold {threshold} "
-            f"at {n_total} words (need T > 2n/(K+1)); raise MG_K or "
-            "MG_T_DIV"
-        )
+        if threshold * (MG_K + 1) > 2 * n_total:
+            # the DEFAULT capacity would satisfy the guarantee: the
+            # caller squeezed k below legal — refuse, don't under-report
+            raise ValueError(
+                f"MG capacity {k} cannot guarantee threshold "
+                f"{threshold} at {n_total} words (need T > 2n/(K+1)); "
+                "raise MG_K or MG_T_DIV"
+            )
 
-    def part_fold(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["w"] != ""]  # drop the batch-total sentinel rows
-        f = g.groupby("w", sort=False, as_index=False).agg(c=("c", "sum"))
-        kw, kc = _mg_truncate(
-            f["w"].to_numpy(), f["c"].to_numpy().astype(np.int64), k
-        )
-        return pd.DataFrame({"w": kw, "c": kc})
+        # NO capacity can guarantee this threshold (a tiny corpus
+        # floors it to 0) — which is exactly where an exact unbounded
+        # fold trivially fits.  The SQL oracle defines a result for
+        # every input; return it instead of crashing.
+        def exact_partial(b: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"w": pa.array([], type=pa.string()),
+                 "c": pa.array([], type=pa.int64()),
+                 "part": pa.array([], type=pa.int64())}
+            )
+            if b.num_rows == 0:
+                return empty
+            w = batch_words(b)
+            if not len(w):
+                return empty
+            uniq, counts = np.unique(w, return_counts=True)
+            part = np.asarray(
+                [zlib.crc32(x.encode()) % N_MG_PARTS for x in uniq],
+                dtype=np.int64,
+            )
+            return pa.table(
+                {"w": pa.array(uniq, type=pa.string()),
+                 "c": pa.array(counts.astype(np.int64)),
+                 "part": pa.array(part)}
+            )
 
-    cand = (
-        sketched.groupby("part")
-        .map_groups(part_fold, batch_format="pandas")
+        out = (
+            ds.map_batches(
+                exact_partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("part")
+            .map_groups(exact_fold, batch_format="pandas")
+        )
+        return out.sort("w")
+
+    # fold level: a mergeable bounded-memory aggregate — the per-part
+    # accumulator holds <= k 'count:word' rows at every accumulate and
+    # merge step, so fold memory does NOT grow with batch count (the
+    # old map_groups fold materialized every survivor row of the
+    # partition before truncating)
+    def mg_accumulate(acc: list[str], blk) -> list[str]:
+        if isinstance(blk, pd.DataFrame):
+            w = blk["w"].to_numpy().astype(object)
+            c = blk["c"].to_numpy().astype(np.int64)
+        else:
+            w = np.asarray(blk["w"].to_pylist(), dtype=object)
+            c = blk["c"].to_numpy()
+        m = w != ""  # drop the batch-total sentinel rows
+        return _mg_merge(acc, w[m], c[m], k)
+
+    def mg_merge_accs(a: list[str], b: list[str]) -> list[str]:
+        bw, bc = _mg_decode(b)
+        return _mg_merge(a, bw, bc, k)
+
+    mg_agg = AggregateFn(
+        init=lambda key: [],
+        accumulate_block=mg_accumulate,
+        merge=mg_merge_accs,
+        finalize=lambda acc: [s.split(":", 1)[1] for s in acc],
+        name="cand",
     )
-    cw = np.sort(_collect_columns(cand, ["w"])["w"].astype(object))
-    ref = ray.put(cw)
+    rows = sketched.groupby("part").aggregate(mg_agg).take_all()
+    cw = np.sort(np.unique(np.concatenate(
+        [np.asarray(r["cand"], dtype=object) for r in rows]
+        + [np.asarray([], dtype=object)]
+    )))
+    # candidate partitions are fixed once the candidate set is — ship
+    # them with the words instead of recomputing crc32 in every batch
+    cparts = np.asarray(
+        [zlib.crc32(x.encode()) % N_MG_PARTS for x in cw], dtype=np.int64
+    )
+    ref = ray.put((cw, cparts))
 
     # exact rescan: counts only for the bounded candidate set
     def rescan(b: pa.Table) -> pa.Table:
@@ -1169,7 +1274,7 @@ def heavy_hitter_words(sf_dir: str, *, k: int = MG_K):
         )
         if b.num_rows == 0:
             return empty
-        cw = ray.get(ref)
+        cw, cparts = ray.get(ref)
         w = batch_words(b)
         if not len(w) or not len(cw):
             return empty
@@ -1177,18 +1282,10 @@ def heavy_hitter_words(sf_dir: str, *, k: int = MG_K):
         hit = (idx < len(cw)) & (cw[np.minimum(idx, len(cw) - 1)] == w)
         cnt = np.bincount(idx[hit], minlength=len(cw)).astype(np.int64)
         nz = np.flatnonzero(cnt)
-        part = np.asarray(
-            [zlib.crc32(cw[i].encode()) % N_MG_PARTS for i in nz],
-            dtype=np.int64,
-        )
         return pa.table(
             {"w": pa.array(cw[nz], type=pa.string()),
-             "c": pa.array(cnt[nz]), "part": pa.array(part)}
+             "c": pa.array(cnt[nz]), "part": pa.array(cparts[nz])}
         )
-
-    def exact_fold(g: pd.DataFrame) -> pd.DataFrame:
-        f = g.groupby("w", sort=False, as_index=False).agg(n=("c", "sum"))
-        return f[f["n"] >= threshold]
 
     out = (
         ds.map_batches(rescan, batch_format="pyarrow", zero_copy_batch=True)

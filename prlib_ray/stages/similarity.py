@@ -571,11 +571,14 @@ def ann_pq_adc_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
     recall@5 0.90 while exact distances run on only ~10% of the
     corpus.
 
-    Codebooks are Lloyd-trained on the ADC_TRAIN_N lowest-id vectors
-    (a bounded sample take, ann_ivf_topk's training convention).
-    Approximate by design -> rows-only, recall pinned in pytest.
-    Codes are recomputed per batch because the fixture stores raw
-    vectors; a production index scans a written pq_codes table.
+    Codebooks are integer-Lloyd-trained on the ADC_TRAIN_N lowest-id
+    vectors (a bounded sample take, ann_ivf_topk's training
+    convention).  Training, assignment, ADC pricing and re-rank are
+    all exact integer arithmetic, so the FULL query path mirrors in
+    SQL — oracle-backed bit-for-bit (oracles_data.ANN_PQ_ADC, the
+    unrolled-iteration CTE chain); recall additionally pinned in
+    pytest.  Codes are recomputed per batch because the fixture stores
+    raw vectors; a production index scans a written pq_codes table.
     Ranking: exact d2 ASC, vec_id ASC; self excluded."""
     import ray
     import ray.data as rd

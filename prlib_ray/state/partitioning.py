@@ -464,10 +464,20 @@ def write_partitioned(ds, out_dir: str, *, num_buckets: int = 16,
             # stage's own map tasks (no second read of written parquet)
             manifest["n_convs"] = counter_convs.get(bkt, 0)
             manifest["clean_chars"] = counter_chars.get(bkt, 0)
-        with open(os.path.join(path, "_manifest.json"), "w") as f:
-            json.dump(manifest, f)
+        _write_manifest_atomic(path, manifest)
         manifests.append(manifest)
     return manifests
+
+
+def _write_manifest_atomic(path: str, manifest: dict) -> None:
+    """Manifest writes commit via tmp + rename: a crash mid-write must
+    leave either no manifest (the bucket reads unfinished and rebuilds)
+    or a complete one — never a truncated JSON that breaks resume."""
+    mpath = os.path.join(path, "_manifest.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, mpath)
 
 
 def finished_buckets(out_dir: str) -> set[int]:
@@ -477,8 +487,13 @@ def finished_buckets(out_dir: str) -> set[int]:
     for name in os.listdir(out_dir):
         mpath = os.path.join(out_dir, name, "_manifest.json")
         if name.startswith("bucket=") and os.path.exists(mpath):
-            with open(mpath) as f:
-                m = json.load(f)
+            try:
+                with open(mpath) as f:
+                    m = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                # a torn manifest (pre-atomic-write crash) means the
+                # bucket is NOT committed — rebuild, don't crash resume
+                continue
             if m.get("stage_version") == STAGE_VERSION:
                 done.add(m["bucket"])
     return done
@@ -522,13 +537,26 @@ def compact_buckets(out_dir: str, *, max_files: int = 1) -> list[dict]:
         if len(files) <= max_files:
             return None
         tmp = _os.path.join(path, "_compact.tmp")
-        merged = pa.concat_tables(
-            [_pq.read_table(_os.path.join(path, f)) for f in files]
-        )
-        _pq.write_table(merged, tmp)
-        got_rows = _pq.read_metadata(tmp).num_rows
+        # stream row groups file-by-file through one writer: a bucket at
+        # the 100 TB operating point does not fit in a task's heap, and
+        # compaction must work exactly where it is needed
+        writer = None
+        got_rows = 0
+        try:
+            for f in files:
+                pf = _pq.ParquetFile(_os.path.join(path, f))
+                for rg in range(pf.num_row_groups):
+                    t = pf.read_row_group(rg)
+                    if writer is None:
+                        writer = _pq.ParquetWriter(tmp, t.schema)
+                    writer.write_table(t)
+                    got_rows += t.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
         if got_rows != manifest["rows"]:
-            _os.remove(tmp)
+            if _os.path.exists(tmp):
+                _os.remove(tmp)
             raise RuntimeError(
                 f"compaction row mismatch in {path}: "
                 f"{got_rows} != {manifest['rows']}"
@@ -541,8 +569,13 @@ def compact_buckets(out_dir: str, *, max_files: int = 1) -> list[dict]:
         manifest["files"] = 1
         manifest["bytes"] = int(_os.path.getsize(final))
         manifest["compacted"] = True
-        with open(mpath, "w") as f:
+        # atomic commit: dump to a tmp path, rename over — a crash
+        # mid-write must leave either no manifest (bucket rebuilds) or
+        # a complete one, never a truncated file that breaks resume
+        tmp_m = mpath + ".tmp"
+        with open(tmp_m, "w") as f:
             _json.dump(manifest, f)
+        _os.rename(tmp_m, mpath)
         return manifest
 
     refs = []

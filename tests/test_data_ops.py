@@ -207,8 +207,8 @@ def test_ann_lsh_subset_of_bruteforce_space(registry, ray_session, sf_dir):
         hits += len(want & got)
         total += len(want)
     # fixed planes + fixed data -> exact; 0.7 is the round-3 operating
-    # point (measured 0.74 at 16 bands x 6 planes, probing 1.6% of
-    # buckets — parity with IVF at a fraction of the old probe cost)
+    # point (measured 0.76 at 32 bands x 6 md5-derived integer planes,
+    # probing 1.6% of buckets; sweep in similarity.py)
     assert hits / total >= 0.7, f"banded LSH recall too low: {hits}/{total}"
 
 

@@ -341,6 +341,35 @@ def test_heavy_hitter_words_sketch_properties(ray_session, sf_dir):
         dp.heavy_hitter_words(sf_dir, k=2)
 
 
+def test_heavy_hitter_words_tiny_corpus_exact_fallback(ray_session,
+                                                       tmp_path):
+    """A corpus too small for ANY legal sketch threshold (T floors to 0)
+    must return the oracle-defined exact answer — every word — instead
+    of raising; the SQL oracle defines a result for all inputs."""
+    import collections
+
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.stages import dataset_prep as dp
+
+    texts = ["tiny corpus of very few words",
+             "tiny again", ""]  # n_total << MG_T_DIV -> threshold 0
+    pq2.write_table(
+        pa2.table({"doc_id": list(range(len(texts))), "text": texts}),
+        tmp_path / "documents.parquet",
+    )
+    counts = collections.Counter(
+        w for t in texts for w in t.split(" ") if w
+    )
+    df = dp.heavy_hitter_words(str(tmp_path)).to_pandas()
+    assert dict(zip(df["w"], df["n"])) == dict(counts)
+    # the squeezed-capacity call takes the same fallback (no capacity
+    # could guarantee T=0, so an explicit tiny k is not a caller error)
+    df2 = dp.heavy_hitter_words(str(tmp_path), k=2).to_pandas()
+    assert dict(zip(df2["w"], df2["n"])) == dict(counts)
+
+
 def test_corpus_diff_planted(ray_session, tmp_path):
     """added/removed/common counts on a constructed pair of snapshots."""
     import pyarrow as pa2
