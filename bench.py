@@ -175,7 +175,8 @@ def run_bench() -> dict:
                  "weighted_sample", "gopher_quality", "segment_dedup",
                  "dedup_semantic", "curate_corpus", "quality_classifier",
                  "bigram_lm_score", "ann_lsh_topk", "ann_pq_adc_topk",
-                 "heavy_hitter_words"):
+                 "heavy_hitter_words", "source_overlap",
+                 "key_skew_profile"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

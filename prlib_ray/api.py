@@ -95,14 +95,17 @@ _PRIORITY = [
     "ann_pq_adc_topk",  # trained-PQ query path fully SQL-mirrored too
     "pq_codes",
     "token_count_subword",
-    "gopher_quality", "quality_classifier", "repetition_stats",
+    "gopher_quality", "quality_classifier",
     "lang_agreement",
     "split_assign", "mix_sources", "shuffle_head", "decontaminate",
-    "pack_sequences", "chunk_tokens", "pii_scan", "source_term_stats",
+    "pack_sequences", "pii_scan",
+    "source_overlap",  # new in round 3: pairwise source vocab overlap
     "weighted_sample",
     "frequent_ngrams", "heavy_hitter_words",
     "q3_top_orders",
     "orders_by_segment", "sales_rollup",
+    # new in round 3: shuffle-skew profiling (histogram + named keys)
+    "key_skew_profile", "hot_keys",
     "events_hourly_window", "sessionize", "rolling_event_window",
     "event_transitions",
     "asof_latest_order", "top_orders_per_segment",
@@ -113,7 +116,11 @@ _PRIORITY = [
     "build_inverted_index", "search_topk",
     # close family representatives displaced from the 50-entry window
     # (dedup_incremental covers snapshots, dup_ngram_fraction covers
-    # cross-doc windows; both below remain sim+pytest covered)
+    # cross-doc windows; repetition_stats is represented by
+    # gopher_quality + quality_classifier, chunk_tokens by
+    # pack_sequences, source_term_stats by the richer source_overlap —
+    # all below remain sim+pytest covered)
+    "repetition_stats", "chunk_tokens", "source_term_stats",
     "corpus_diff", "dup_substring_fraction",
     "sampled_quantiles",  # segment_price_quantiles represents the family
     "sample_per_source",  # weighted_sample/mix_sources represent sampling

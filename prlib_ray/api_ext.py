@@ -263,6 +263,9 @@ def _register_data_ops(queries, sql) -> None:
     sql["build_inverted_index"] = ocorp.INVERTED_INDEX
     queries["search_topk"] = corpus_stats.search_topk
     sql["search_topk"] = ocorp.SEARCH_TOPK
+    # pairwise source vocabulary overlap (bitmask histogram plan)
+    queries["source_overlap"] = corpus_stats.source_overlap
+    sql["source_overlap"] = ocorp.SOURCE_OVERLAP
 
     # end-to-end curation funnel (gopher gate -> exact dedup ->
     # boilerplate drop), per-source accounting
@@ -540,6 +543,9 @@ def _register_relational(queries, sql) -> None:
          orel.SEGMENT_PRICE_QUANTILES),
         ("set_ops_users_customers", rel.set_ops_users_customers,
          orel.SET_OPS_USERS_CUSTOMERS),
+        # shuffle-key skew profiling (the pre-shuffle salting report)
+        ("key_skew_profile", rel.key_skew_profile, orel.KEY_SKEW_PROFILE),
+        ("hot_keys", rel.hot_keys, orel.HOT_KEYS),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

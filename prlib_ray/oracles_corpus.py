@@ -304,3 +304,26 @@ SELECT bg.doc_id,
        CAST(sum(t) AS BIGINT) AS lm_score
 FROM bg JOIN term USING (g)
 GROUP BY bg.doc_id ORDER BY bg.doc_id"""
+
+
+# mirrors corpus_stats.source_overlap: distinct (source, word) pairs,
+# pairwise shared-word counts over ordered (string <) source pairs,
+# zero-pairs kept via the cnt cross join, wordless sources absent.
+SOURCE_OVERLAP = """
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+ws AS (SELECT DISTINCT source, w FROM toks WHERE w <> ''),
+cnt AS (SELECT source, count(*) AS n FROM ws GROUP BY source),
+sh AS (
+    SELECT a.source AS s1, b.source AS s2, count(*) AS n
+    FROM ws a JOIN ws b ON a.w = b.w AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT ca.source AS s1, cb.source AS s2,
+       CAST(COALESCE(sh.n, 0) AS BIGINT) AS shared,
+       CAST(ca.n AS BIGINT) AS n1, CAST(cb.n AS BIGINT) AS n2
+FROM cnt ca
+JOIN cnt cb ON ca.source < cb.source
+LEFT JOIN sh ON sh.s1 = ca.source AND sh.s2 = cb.source
+ORDER BY s1, s2"""

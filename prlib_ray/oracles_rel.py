@@ -314,3 +314,21 @@ SELECT seg AS c_mktsegment,
             AS BIGINT) AS p90_cents,
        CAST(max(n) AS BIGINT) AS n_orders
 FROM t GROUP BY seg ORDER BY seg"""
+
+
+# mirrors relational.key_skew_profile: floor(log2(count)) == the binary
+# digit count minus one (exact integer arithmetic on both sides)
+KEY_SKEW_PROFILE = """
+WITH g AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+SELECT CAST(length(format('{:b}', n)) - 1 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS n_rows
+FROM g GROUP BY 1 ORDER BY bucket"""
+
+
+# mirrors relational.hot_keys: n DESC, user_id ASC — the same total
+# order the per-part local top-K + driver merge selects under
+HOT_KEYS = """
+WITH g AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+SELECT user_id, CAST(n AS BIGINT) AS n_rows
+FROM g ORDER BY n DESC, user_id LIMIT 10"""

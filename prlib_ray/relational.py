@@ -1516,3 +1516,118 @@ def segment_price_quantiles(sf_dir: str):
         .groupby("c_mktsegment")
         .map_groups(quant, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# shuffle-key skew profiling — the report every wide groupby/join over
+# 100 TB should consult BEFORE it runs (hot keys decide salting)
+
+HOT_KEYS_K = 10
+_POW2 = (np.int64(1) << np.arange(63, dtype=np.int64))
+
+
+def _user_count_partial(b: pa.Table) -> pa.Table:
+    """Per-batch (user_id, n, part) count partial — the pre-combine so
+    only per-batch-distinct users shuffle, never event rows."""
+    from prlib_ray.stages.reassemble import N_REASSEMBLE_PARTS
+
+    z = pa.array([], type=pa.int64())
+    if b.num_rows == 0:
+        return pa.table({"user_id": z, "n": z, "part": z})
+    u = b["user_id"].to_numpy().astype(np.int64)
+    uu, cnt = np.unique(u, return_counts=True)
+    return pa.table(
+        {
+            "user_id": pa.array(uu),
+            "n": pa.array(cnt.astype(np.int64)),
+            "part": pa.array(uu % N_REASSEMBLE_PARTS),
+        }
+    )
+
+
+def _fold_user_totals(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-user totals within one coarse partition: one stable
+    lexsort + run-boundary reduceat (no per-key group anywhere)."""
+    u = g["user_id"].to_numpy().astype(np.int64)
+    n = g["n"].to_numpy().astype(np.int64)
+    o = np.argsort(u, kind="stable")
+    u, n = u[o], n[o]
+    first = np.r_[True, u[1:] != u[:-1]]
+    return u[first], np.add.reduceat(n, np.flatnonzero(first))
+
+
+def key_skew_profile(sf_dir: str):
+    """Group-size skew histogram over events.user_id: for each
+    power-of-two bucket (floor(log2 of the key's row count)), how many
+    keys and how many rows land there.  A flat profile shuffles
+    cleanly; rows piling into the top buckets say "salt these keys"
+    (the flagship's mega-thread salting is the response this report
+    triggers).
+
+    Plan: per-batch count partials -> coarse user partitions -> one
+    lexsort fold per part -> per-part bucket histogram -> bounded
+    (<= 63-key) final groupby.  Event rows never shuffle; the bucket
+    is integer-exact (searchsorted over powers of two == DuckDB's
+    length(format('{:b}', n)) - 1)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        _, tot = _fold_user_totals(g)
+        bucket = np.searchsorted(_POW2, tot, side="right") - 1
+        keys = np.bincount(bucket, minlength=64)
+        rows_ = np.bincount(bucket, weights=tot, minlength=64)
+        nz = np.flatnonzero(keys)
+        return pd.DataFrame(
+            {
+                "bucket": nz.astype(np.int64),
+                "n_keys": keys[nz].astype(np.int64),
+                "n_rows": rows_[nz].astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(_user_count_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("n_keys", alias_name="n_keys"),
+                   Sum("n_rows", alias_name="n_rows"))
+        .sort("bucket")
+    )
+
+
+def hot_keys(sf_dir: str):
+    """The HOT_KEYS_K hottest shuffle keys (user_id, n_rows) — largest
+    counts first, ties to the smaller user_id; the named-key companion
+    to key_skew_profile's histogram.
+
+    Per-part local top-K over the same count partials, <= K * parts
+    candidate rows merge on the driver (the q3 / search_topk bounded-
+    merge pattern)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        u, tot = _fold_user_totals(g)
+        o = np.lexsort((u, -tot))[:HOT_KEYS_K]
+        return pd.DataFrame(
+            {"user_id": u[o], "n_rows": tot[o].astype(np.int64)}
+        )
+
+    cand = (
+        ds.map_batches(_user_count_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(local_topk, batch_format="pandas")
+    ).take_all()
+    u = np.asarray([r["user_id"] for r in cand], dtype=np.int64)
+    n = np.asarray([r["n_rows"] for r in cand], dtype=np.int64)
+    o = np.lexsort((u, -n))[:HOT_KEYS_K]
+    return pa.table(
+        {"user_id": pa.array(u[o]), "n_rows": pa.array(n[o])}
+    )

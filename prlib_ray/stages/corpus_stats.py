@@ -1243,3 +1243,132 @@ def bigram_lm_score(sf_dir: str, *, via: str = "auto"):
         .groupby("dpart")
         .map_groups(doc_fold, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# pairwise source vocabulary overlap — the "how redundant are my crawls"
+# report a mixing plan is drawn from
+
+MAX_OVERLAP_SOURCES = 63  # one int64 bitmask bit per source
+
+
+def source_overlap(sf_dir: str):
+    """For every ordered source pair (s1 < s2, string order): how many
+    distinct words they share, plus each side's distinct-word count —
+    the cross-source redundancy report mixing and dedup budgets are
+    drawn from.
+
+    Scale plan: the vocabulary never reaches the driver.  Every word
+    reduces to ONE int64 source-BITMASK (sources are bounded —
+    asserted <= 63): per-batch OR partials (dictionary codes +
+    bitwise_or.at over unique batch words), coarse word-partitioned OR
+    folds (lexsort + or-reduceat per part), and each part emits only
+    its MASK HISTOGRAM.  The driver folds <= 2^S histogram rows and
+    computes all pair counts with bit arithmetic — O(S^2 * masks),
+    independent of vocabulary size.  Rows that shuffle: one
+    (word, mask, part) row per distinct (batch, word)."""
+    import collections
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+
+    src_rows = ds.map_batches(
+        lambda b: pa.table({"source": pc.unique(b["source"])}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    sources = sorted({r["source"] for r in src_rows})
+    if len(sources) > MAX_OVERLAP_SOURCES:
+        raise ValueError(
+            f"source_overlap bitmasks hold <= {MAX_OVERLAP_SOURCES} "
+            f"sources; got {len(sources)} — shard the report by source "
+            "group"
+        )
+    smap = {s: i for i, s in enumerate(sources)}
+
+    def partial(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        empty = pa.table(
+            {"w": pa.array([], type=pa.string()), "mask": z, "part": z}
+        )
+        if b.num_rows == 0:
+            return empty
+        words, dow, _ = _flat_words(b)
+        ne = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        if not ne.any():
+            return empty
+        w = np.asarray(words.to_pylist(), dtype=object)[ne]
+        src = b["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = pc.dictionary_encode(src)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dictbits = np.asarray(
+            [smap[s] for s in d.dictionary.to_pylist()], dtype=np.int64
+        )
+        bits = dictbits[codes][dow[ne]]
+        uniq, inv = np.unique(w, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.int64)
+        np.bitwise_or.at(acc, inv, np.int64(1) << bits)
+        part = (
+            _word_hashes(pa.array(uniq, type=pa.string()))
+            % np.uint64(N_CORPUS_PARTS)
+        ).astype(np.int64)
+        return pa.table(
+            {"w": pa.array(uniq, type=pa.string()),
+             "mask": pa.array(acc), "part": pa.array(part)}
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        w = g["w"].to_numpy().astype(object)
+        m = g["mask"].to_numpy().astype(np.int64)
+        o = np.argsort(w, kind="stable")
+        w, m = w[o], m[o]
+        first = np.r_[True, w[1:] != w[:-1]]
+        om = np.bitwise_or.reduceat(m, np.flatnonzero(first))
+        masks, cnts = np.unique(om, return_counts=True)
+        return pd.DataFrame(
+            {"mask": masks, "n_words": cnts.astype(np.int64)}
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+    ).take_all()
+
+    agg: collections.Counter = collections.Counter()
+    for r in hist:
+        agg[int(r["mask"])] += int(r["n_words"])
+    masks = np.fromiter(agg.keys(), dtype=np.int64, count=len(agg))
+    cnts = np.fromiter(agg.values(), dtype=np.int64, count=len(agg))
+    n_src = np.asarray(
+        [int(cnts[((masks >> i) & 1) == 1].sum())
+         for i in range(len(sources))],
+        dtype=np.int64,
+    )
+    out: dict[str, list] = {"s1": [], "s2": [], "shared": [],
+                            "n1": [], "n2": []}
+    for i in range(len(sources)):
+        if n_src[i] == 0:  # wordless sources don't appear (oracle parity)
+            continue
+        for j in range(i + 1, len(sources)):
+            if n_src[j] == 0:
+                continue
+            both = (((masks >> i) & (masks >> j)) & 1).astype(bool)
+            out["s1"].append(sources[i])
+            out["s2"].append(sources[j])
+            out["shared"].append(int(cnts[both].sum()))
+            out["n1"].append(int(n_src[i]))
+            out["n2"].append(int(n_src[j]))
+    return pa.table(
+        {
+            "s1": pa.array(out["s1"], type=pa.string()),
+            "s2": pa.array(out["s2"], type=pa.string()),
+            "shared": pa.array(out["shared"], type=pa.int64()),
+            "n1": pa.array(out["n1"], type=pa.int64()),
+            "n2": pa.array(out["n2"], type=pa.int64()),
+        }
+    )

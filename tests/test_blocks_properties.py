@@ -215,3 +215,42 @@ def test_weighted_sample_local_topk_merge_is_lossless(weights, k):
     ck = np.concatenate(cand_k)
     o = np.lexsort((ci, ck))[:k]
     assert ci[o].tolist() == ids[full].tolist()
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1,
+             max_size=400),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=80, deadline=None)
+def test_mg_two_level_no_false_negatives(stream, k, n_chunks):
+    """The Misra-Gries guarantee heavy_hitter_words relies on: after
+    per-batch truncation AND an arbitrary sequence of bounded fold
+    merges (_mg_merge), every item with true count > 2n/(k+1) is still
+    in the candidate set — for ANY stream and ANY chunking (the
+    mergeable-summaries bound does not grow with merge count)."""
+    import collections
+
+    from prlib_ray.stages.dataset_prep import _mg_merge, _mg_truncate
+
+    words = np.asarray([f"w{x}" for x in stream], dtype=object)
+    n = len(words)
+    true = collections.Counter(words.tolist())
+
+    # level 1: per-batch unique+truncate (what sketch_partial does)
+    acc: list[str] = []
+    for chunk in np.array_split(words, min(n_chunks, n)):
+        if len(chunk) == 0:
+            continue
+        uniq, cnt = np.unique(chunk, return_counts=True)
+        kw, kc = _mg_truncate(uniq, cnt.astype(np.int64), k)
+        # level 2: sequential bounded fold merge (the AggregateFn path)
+        acc = _mg_merge(acc, kw, kc, k)
+
+    assert len(acc) <= k  # the memory bound itself
+    survivors = {s.split(":", 1)[1] for s in acc}
+    bound = 2 * n / (k + 1)
+    for w, c in true.items():
+        if c > bound:
+            assert w in survivors, (w, c, bound, sorted(survivors))

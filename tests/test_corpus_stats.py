@@ -30,7 +30,8 @@ def registry():
 
 CASES = ["unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction",
          "segment_dedup", "curate_corpus", "dup_substring_fraction",
-         "build_inverted_index", "search_topk", "bigram_lm_score"]
+         "build_inverted_index", "search_topk", "bigram_lm_score",
+         "source_overlap"]
 
 
 def _cmp(df, odf, name):
@@ -298,3 +299,33 @@ def test_unigram_min_freq_is_corpus_global(ray_session, tmp_path):
     assert df["n_words"].tolist() == [2, 2, 1]
     assert df["freq_sum"].tolist() == [5, 5, 3]
     assert df["min_freq"].tolist() == [2, 2, 3]
+
+
+def test_source_overlap_constructed_corpus(ray_session, tmp_path):
+    """Pair counts on a corpus with hand-countable vocab overlap,
+    including a zero-overlap pair (kept, shared=0) and a wordless
+    source (absent — oracle parity with the cnt cross join)."""
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2, 3, 4],
+                "text": ["alpha beta gamma", "beta gamma delta",
+                         "epsilon zeta", "alpha  beta", ""],
+                "source": ["s1", "s2", "s3", "s1", "s_empty"],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    from prlib_ray.stages.corpus_stats import source_overlap
+
+    df = source_overlap(str(tmp_path)).to_pandas()
+    got = {
+        (r.s1, r.s2): (r.shared, r.n1, r.n2) for r in df.itertuples()
+    }
+    # vocab: s1 = {alpha, beta, gamma}, s2 = {beta, gamma, delta},
+    # s3 = {epsilon, zeta}; s_empty has no words -> absent
+    assert got == {
+        ("s1", "s2"): (2, 3, 3),
+        ("s1", "s3"): (0, 3, 2),
+        ("s2", "s3"): (0, 3, 2),
+    }

@@ -92,6 +92,7 @@ EDGE_CASES = [
     "quality_classifier",
     "ann_bruteforce_topk",
     "heavy_hitter_words",
+    "source_overlap",
 ]
 
 

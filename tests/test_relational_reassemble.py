@@ -11,6 +11,8 @@ TABLES = (
 ).split()
 
 CASES = [
+    "key_skew_profile",
+    "hot_keys",
     "reassemble_events",
     "find_angle",
     "find_orientation",
@@ -160,3 +162,45 @@ def test_probe_join_auto_gate(ray_session, sf_dir, monkeypatch):
     monkeypatch.setattr(rel, "FACT_BROADCAST_MAX_ROWS", 1)
     auto = _normalize(rel.asof_latest_order(sf_dir))  # now partitioned
     assert base.equals(auto)
+
+
+def test_skew_profile_and_hot_keys_constructed(ray_session, tmp_path):
+    """Bucket histogram and top-K on hand-built group sizes, including
+    a count tie at the K boundary (broken by the smaller user_id)."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    # user u repeated sizes[u] times; sizes chosen to straddle buckets:
+    # 1 -> bucket 0, 2/3 -> bucket 1, 4..7 -> bucket 2, 8 -> bucket 3
+    sizes = {1: 1, 2: 2, 3: 3, 4: 4, 5: 7, 6: 8}
+    users = np.concatenate(
+        [np.full(n, u, dtype=np.int64) for u, n in sizes.items()]
+    )
+    ts = np.arange(len(users), dtype=np.int64).astype("datetime64[us]")
+    pq2.write_table(
+        pa2.table(
+            {
+                "event_id": pa2.array(range(len(users)), type=pa2.int64()),
+                "ts": pa2.array(ts),
+                "user_id": pa2.array(users),
+                "event_type": pa2.array(["a"] * len(users)),
+                "value": pa2.array([0.0] * len(users)),
+                "props": pa2.array([""] * len(users)),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    from prlib_ray.relational import hot_keys, key_skew_profile
+
+    prof = key_skew_profile(str(tmp_path)).to_pandas()
+    got = {
+        int(r.bucket): (int(r.n_keys), int(r.n_rows))
+        for r in prof.itertuples()
+    }
+    assert got == {0: (1, 1), 1: (2, 5), 2: (2, 11), 3: (1, 8)}
+
+    hk = hot_keys(str(tmp_path)).to_pandas()
+    # n DESC, user_id ASC: 8(u6), 7(u5), 4(u4), 3(u3), 2(u2), 1(u1)
+    assert hk["user_id"].tolist() == [6, 5, 4, 3, 2, 1]
+    assert hk["n_rows"].tolist() == [8, 7, 4, 3, 2, 1]
