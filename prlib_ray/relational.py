@@ -1578,7 +1578,10 @@ def key_skew_profile(sf_dir: str):
         _, tot = _fold_user_totals(g)
         bucket = np.searchsorted(_POW2, tot, side="right") - 1
         keys = np.bincount(bucket, minlength=64)
-        rows_ = np.bincount(bucket, weights=tot, minlength=64)
+        # exact int64 sums: float-weighted bincount would round past
+        # 2^53 rows per (part, bucket), breaking the integer oracle
+        rows_ = np.zeros(64, dtype=np.int64)
+        np.add.at(rows_, bucket, tot)
         nz = np.flatnonzero(keys)
         return pd.DataFrame(
             {

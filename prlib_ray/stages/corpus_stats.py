@@ -1262,23 +1262,32 @@ def source_overlap(sf_dir: str):
     reduces to ONE int64 source-BITMASK (sources are bounded —
     asserted <= 63): per-batch OR partials (dictionary codes +
     bitwise_or.at over unique batch words), coarse word-partitioned OR
-    folds (lexsort + or-reduceat per part), and each part emits only
-    its MASK HISTOGRAM.  The driver folds <= 2^S histogram rows and
-    computes all pair counts with bit arithmetic — O(S^2 * masks),
-    independent of vocabulary size.  Rows that shuffle: one
-    (word, mask, part) row per distinct (batch, word)."""
+    folds (lexsort + or-reduceat per part) — and each part converts
+    its local mask histogram into PAIR-COUNT partials right there, so
+    only <= S*(S+1)/2 (i, j, n) rows per part reach the driver.  The
+    driver fold is O(parts * S^2), independent of vocabulary size AND
+    of how many distinct masks exist (a 2^S mask histogram would
+    itself approach vocabulary cardinality once S is large).  Rows
+    that shuffle: one (word, mask, part) row per distinct
+    (batch, word)."""
     import collections
 
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["text", "source"]
-    )
-
-    src_rows = ds.map_batches(
+    # dedicated pruned read for the source-enumeration pre-pass: the
+    # main read also needs text, and scanning the heavy text column
+    # twice just to list distinct sources would double the operator's
+    # I/O
+    src_rows = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source"]
+    ).map_batches(
         lambda b: pa.table({"source": pc.unique(b["source"])}),
         batch_format="pyarrow", zero_copy_batch=True,
     ).take_all()
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
     sources = sorted({r["source"] for r in src_rows})
     if len(sources) > MAX_OVERLAP_SOURCES:
         raise ValueError(
@@ -1321,6 +1330,8 @@ def source_overlap(sf_dir: str):
              "mask": pa.array(acc), "part": pa.array(part)}
         )
 
+    n_sources = len(sources)
+
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         w = g["w"].to_numpy().astype(object)
         m = g["mask"].to_numpy().astype(np.int64)
@@ -1328,39 +1339,56 @@ def source_overlap(sf_dir: str):
         w, m = w[o], m[o]
         first = np.r_[True, w[1:] != w[:-1]]
         om = np.bitwise_or.reduceat(m, np.flatnonzero(first))
+        # collapse to the part-local mask histogram FIRST (bounded by
+        # this part's distinct words), then reduce it to <= S*(S+1)/2
+        # pair-count rows — the only thing that leaves the part
         masks, cnts = np.unique(om, return_counts=True)
+        ii, jj, nn = [], [], []
+        for i in range(n_sources):
+            has_i = ((masks >> i) & 1) == 1
+            if not has_i.any():
+                continue
+            ii.append(i)
+            jj.append(i)
+            nn.append(int(cnts[has_i].sum()))  # diagonal = n_src partial
+            for j in range(i + 1, n_sources):
+                both = has_i & (((masks >> j) & 1) == 1)
+                if both.any():
+                    ii.append(i)
+                    jj.append(j)
+                    nn.append(int(cnts[both].sum()))
         return pd.DataFrame(
-            {"mask": masks, "n_words": cnts.astype(np.int64)}
+            {
+                "i": np.asarray(ii, dtype=np.int64),
+                "j": np.asarray(jj, dtype=np.int64),
+                "n": np.asarray(nn, dtype=np.int64),
+            }
         )
 
-    hist = (
+    pair_rows = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
         .map_groups(fold, batch_format="pandas")
     ).take_all()
 
     agg: collections.Counter = collections.Counter()
-    for r in hist:
-        agg[int(r["mask"])] += int(r["n_words"])
-    masks = np.fromiter(agg.keys(), dtype=np.int64, count=len(agg))
-    cnts = np.fromiter(agg.values(), dtype=np.int64, count=len(agg))
-    n_src = np.asarray(
-        [int(cnts[((masks >> i) & 1) == 1].sum())
-         for i in range(len(sources))],
-        dtype=np.int64,
-    )
+    for r in pair_rows:
+        agg[(int(r["i"]), int(r["j"]))] += int(r["n"])
+    n_src = np.zeros(n_sources, dtype=np.int64)
+    for (i, j), n in agg.items():
+        if i == j:
+            n_src[i] = n
     out: dict[str, list] = {"s1": [], "s2": [], "shared": [],
                             "n1": [], "n2": []}
-    for i in range(len(sources)):
+    for i in range(n_sources):
         if n_src[i] == 0:  # wordless sources don't appear (oracle parity)
             continue
-        for j in range(i + 1, len(sources)):
+        for j in range(i + 1, n_sources):
             if n_src[j] == 0:
                 continue
-            both = (((masks >> i) & (masks >> j)) & 1).astype(bool)
             out["s1"].append(sources[i])
             out["s2"].append(sources[j])
-            out["shared"].append(int(cnts[both].sum()))
+            out["shared"].append(int(agg.get((i, j), 0)))
             out["n1"].append(int(n_src[i]))
             out["n2"].append(int(n_src[j]))
     return pa.table(

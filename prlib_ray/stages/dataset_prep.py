@@ -1100,7 +1100,9 @@ def _mg_merge(acc: list[str], words: np.ndarray, counts: np.ndarray,
     cw, cc = cw[o], cc[o]
     first = np.r_[True, cw[1:] != cw[:-1]]
     uw = cw[first]
-    uc = np.bincount(np.cumsum(first) - 1, weights=cc).astype(np.int64)
+    # exact int64 duplicate-sum (reduceat, not float-weighted bincount):
+    # the no-false-negative bound needs exact counts past 2^53
+    uc = np.add.reduceat(cc, np.flatnonzero(first)).astype(np.int64)
     kw, kc = _mg_truncate(uw, uc, k)
     return [f"{c}:{w}" for w, c in zip(kw, kc)]
 

@@ -529,8 +529,14 @@ def compact_buckets(out_dir: str, *, max_files: int = 1) -> list[dict]:
         import pyarrow.parquet as _pq
 
         mpath = _os.path.join(path, "_manifest.json")
-        with open(mpath) as f:
-            manifest = _json.load(f)
+        try:
+            with open(mpath) as f:
+                manifest = _json.load(f)
+        except (_json.JSONDecodeError, OSError):
+            # torn manifest (pre-atomic-write crash): the bucket is NOT
+            # committed — same contract as finished_buckets; skip it so
+            # one bad bucket can't abort compaction of the healthy ones
+            return None
         files = sorted(
             f for f in _os.listdir(path) if f.endswith(".parquet")
         )
