@@ -176,7 +176,8 @@ def run_bench() -> dict:
                  "dedup_semantic", "curate_corpus", "quality_classifier",
                  "bigram_lm_score", "ann_lsh_topk", "ann_pq_adc_topk",
                  "heavy_hitter_words", "source_overlap",
-                 "key_skew_profile"):
+                 "key_skew_profile", "knn_label_agreement",
+                 "props_field_stats"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

@@ -90,6 +90,7 @@ _PRIORITY = [
     "dedup_clusters_minhash",  # oracle-backed in round 3 (recursive CTE)
     "dedup_embedding_lsh", "dedup_incremental",
     "segment_dedup",
+    "knn_label_agreement",  # new: label-noise audit (exact kNN vote)
     "ann_ivf_topk", "ann_bruteforce_topk",  # bf oracle-backed in round 3
     "ann_lsh_topk",  # probe+score fully SQL-mirrored in round 3
     "ann_pq_adc_topk",  # trained-PQ query path fully SQL-mirrored too
@@ -97,15 +98,16 @@ _PRIORITY = [
     "token_count_subword",
     "gopher_quality", "quality_classifier",
     "lang_agreement",
-    "split_assign", "mix_sources", "shuffle_head", "decontaminate",
+    "split_assign", "mix_sources", "decontaminate",
     "pack_sequences", "pii_scan",
+    "props_field_stats",  # new: semi-structured JSON extraction
     "source_overlap",  # new in round 3: pairwise source vocab overlap
     "weighted_sample",
     "frequent_ngrams", "heavy_hitter_words",
     "q3_top_orders",
     "orders_by_segment", "sales_rollup",
     # new in round 3: shuffle-skew profiling (histogram + named keys)
-    "key_skew_profile", "hot_keys",
+    "key_skew_profile",
     "events_hourly_window", "sessionize", "rolling_event_window",
     "event_transitions",
     "asof_latest_order", "top_orders_per_segment",
@@ -118,8 +120,11 @@ _PRIORITY = [
     # (dedup_incremental covers snapshots, dup_ngram_fraction covers
     # cross-doc windows; repetition_stats is represented by
     # gopher_quality + quality_classifier, chunk_tokens by
-    # pack_sequences, source_term_stats by the richer source_overlap —
-    # all below remain sim+pytest covered)
+    # pack_sequences, source_term_stats by the richer source_overlap,
+    # hot_keys by key_skew_profile, shuffle_head by the
+    # weighted_sample/mix_sources sampling family — all below remain
+    # sim+pytest covered)
+    "hot_keys", "shuffle_head",
     "repetition_stats", "chunk_tokens", "source_term_stats",
     "corpus_diff", "dup_substring_fraction",
     "sampled_quantiles",  # segment_price_quantiles represents the family

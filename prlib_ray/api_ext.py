@@ -187,6 +187,11 @@ def _register_data_ops(queries, sql) -> None:
     queries["ann_ivf_topk"] = similarity.ann_ivf_topk
     sql["ann_ivf_topk"] = odata.ANN_IVF_TOPK
 
+    # label-noise audit: exact kNN majority vote over the label column,
+    # same integer score contract as the brute-force ranking
+    queries["knn_label_agreement"] = similarity.knn_label_agreement
+    sql["knn_label_agreement"] = odata.KNN_LABEL_AGREEMENT
+
     queries["dedup_embedding"] = similarity.embedding_near_dup_pairs
     sql["dedup_embedding"] = odata.EMBEDDING_NEAR_DUP
     # SemDedup: centroid-assign then within-cluster exact near-dup
@@ -546,6 +551,9 @@ def _register_relational(queries, sql) -> None:
         # shuffle-key skew profiling (the pre-shuffle salting report)
         ("key_skew_profile", rel.key_skew_profile, orel.KEY_SKEW_PROFILE),
         ("hot_keys", rel.hot_keys, orel.HOT_KEYS),
+        # semi-structured extraction over the JSON props column
+        ("props_field_stats", rel.props_field_stats,
+         orel.PROPS_FIELD_STATS),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

@@ -304,12 +304,13 @@ FROM sub s LEFT JOIN cnt c ON s.vec_id = c.vec_id ORDER BY s.vec_id"""
 # spelled out with the mod trick (DuckDB // truncates toward zero;
 # Python floor_divide floors).  Ties break by vec_id asc; zero-norm
 # vectors score 0.
-def _score_rank_tail(dots_cte: str) -> str:
-    """ONE definition of the integer-score ranking tail (the engine's
+def _scored_ranked_ctes(dots_cte: str) -> str:
+    """ONE definition of the integer-score + ranking CTEs (the engine's
     floor(dot*|dot|*1e4/(na*nb)) contract, mod-trick floor division,
-    top-5 by score DESC / vec_id ASC), composed by ANN_BRUTEFORCE and
-    the LSH probe oracle.  Expects CTEs ``{dots_cte}(query_id, vec_id,
-    dot)`` and ``norms(vec_id, nn)`` in scope."""
+    score DESC / vec_id ASC row numbers), composed by ANN_BRUTEFORCE,
+    the LSH probe oracle and KNN_LABEL_AGREEMENT.  Expects CTEs
+    ``{dots_cte}(query_id, vec_id, dot)`` and ``norms(vec_id, nn)`` in
+    scope."""
     return f""",
 scored AS (
     SELECT d.query_id, d.vec_id,
@@ -330,7 +331,12 @@ ranked AS (
            row_number() OVER (PARTITION BY query_id
                               ORDER BY score DESC, vec_id ASC) AS rn
     FROM scored
-)
+)"""
+
+
+def _score_rank_tail(dots_cte: str) -> str:
+    """Top-5 final select over the shared scored/ranked CTE chain."""
+    return _scored_ranked_ctes(dots_cte) + """
 SELECT query_id, vec_id, score FROM ranked WHERE rn <= 5
 ORDER BY query_id, vec_id"""
 
@@ -348,6 +354,39 @@ dots AS (
     FROM q a JOIN q b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id <> a.vec_id
     GROUP BY a.vec_id, b.vec_id
 )""" + _score_rank_tail("dots")
+
+# mirrors similarity.knn_label_agreement: every vector is a query, the
+# 5 exact nearest neighbors under the SAME integer score contract
+# (shared scored/ranked CTEs — the oracle cannot desynchronize from the
+# brute-force ranking), n_same = neighbors sharing the query's label,
+# agree = strict majority (n_same*2 > 5)
+KNN_LABEL_AGREEMENT = """
+WITH q AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sum(qv * qv) AS nn FROM q GROUP BY vec_id),
+dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS vec_id, sum(a.qv * b.qv) AS dot
+    FROM q a JOIN q b ON a.i = b.i AND b.vec_id <> a.vec_id
+    GROUP BY a.vec_id, b.vec_id
+)""" + _scored_ranked_ctes("dots") + """
+SELECT e.vec_id,
+       CAST(e.label AS BIGINT) AS label,
+       CAST(sum(CASE WHEN CAST(ne.label AS BIGINT) = CAST(e.label AS BIGINT)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+       CAST(CASE WHEN sum(CASE WHEN CAST(ne.label AS BIGINT)
+                                    = CAST(e.label AS BIGINT)
+                          THEN 1 ELSE 0 END) * 2 > 5
+            THEN 1 ELSE 0 END AS BIGINT) AS agree
+FROM ranked r
+JOIN embeddings e ON r.query_id = e.vec_id
+JOIN embeddings ne ON r.vec_id = ne.vec_id
+WHERE r.rn <= 5
+GROUP BY e.vec_id, e.label
+ORDER BY e.vec_id"""
 
 # sub mirrors similarity._plant_dup_batch: vectors with vec_id < 10 are
 # duplicated at vec_id + 1000000 with identical embeddings, so the pair

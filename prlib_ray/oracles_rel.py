@@ -332,3 +332,24 @@ HOT_KEYS = """
 WITH g AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
 SELECT user_id, CAST(n AS BIGINT) AS n_rows
 FROM g ORDER BY n DESC, user_id LIMIT 10"""
+
+
+# mirrors relational.props_field_stats: the SAME RE2 pattern via
+# regexp_extract (NOT a json path — the oracle must mirror the engine's
+# extraction semantics exactly); regexp_extract yields '' on no match
+# and TRY_CAST('') is NULL, so n_with_k / sum / min / max see only
+# parsable rows, like the engine's validity mask
+PROPS_FIELD_STATS = r"""
+WITH x AS (
+    SELECT event_type,
+           TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1)
+                    AS BIGINT) AS k
+    FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM x GROUP BY event_type ORDER BY event_type"""

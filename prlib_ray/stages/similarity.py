@@ -1068,3 +1068,115 @@ def ann_lsh_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
         return g.head(k)
 
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# kNN label agreement — the label-noise audit (Confident-Learning /
+# kNN-consistency shape): a vector whose exact nearest neighbors
+# disagree with its own label is a mislabeled-sample candidate, the
+# standard pruning signal for labeled training data.
+
+KNN_AGREE_K = 5
+# exact all-pairs kNN broadcasts the reference matrix once; past this
+# many vectors the quadratic exact audit is the wrong tool — run the
+# IVF-bucketed per-list variant (ann_ivf machinery) instead
+KNN_BROADCAST_MAX = 1 << 22
+
+
+def knn_label_agreement(sf_dir: str, *, k: int = KNN_AGREE_K):
+    """For EVERY vector: its ``k`` exact nearest neighbors under the
+    shared integer cosine score (score DESC, vec_id ASC ties, self
+    excluded), how many share the vector's label (``n_same``) and a
+    majority verdict (``agree`` = n_same*2 > k, as int64 for oracle
+    parity).
+
+    Scale plan: the reference side (ids, quantized matrix, norms,
+    labels) is folded from pruned-column batch partials and broadcast
+    ONCE via ray.put; each batch is one integer matmul + a fully
+    vectorized composite-key top-k (score*2^32 - vec_id — no per-row
+    Python loop).  Exact all-pairs is inherently quadratic, so a gate
+    raises past KNN_BROADCAST_MAX vectors, where the IVF inverted-list
+    layout (ann_ivf_topk) is the approximate scale path."""
+    import ray
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    n_vecs = emb.count()  # parquet metadata only
+    if n_vecs > KNN_BROADCAST_MAX:
+        raise ValueError(
+            f"knn_label_agreement is the exact quadratic audit and "
+            f"broadcasts the corpus matrix; {n_vecs} vectors exceeds "
+            f"KNN_BROADCAST_MAX={KNN_BROADCAST_MAX} — use the "
+            "IVF-bucketed variant at this scale"
+        )
+
+    def pack(b: pa.Table) -> pa.Table:
+        # per-batch partial: quantize once in the workers so the driver
+        # fold only concatenates small int arrays
+        ids = b["vec_id"].to_numpy().astype(np.int64)
+        mat = np.stack(_quantize(b["embedding"].to_pylist()))
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "q": pa.array(list(mat), type=pa.list_(pa.int64())),
+            "label": pa.array(
+                b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ),
+        })
+
+    rows = emb.map_batches(pack, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    ref_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    ref_mat = np.stack([np.asarray(r["q"], dtype=np.int64) for r in rows])
+    ref_lab = np.array([r["label"] for r in rows], dtype=np.int64)
+    ref_norm = (ref_mat * ref_mat).sum(axis=1)
+    ref = ray.put((ref_ids, ref_mat, ref_lab, ref_norm))
+
+    def agree_batch(b: pa.Table) -> pa.Table:
+        ids_r, mat_r, lab_r, nrm_r = ray.get(ref)
+        empty = pa.table({
+            "vec_id": pa.array([], type=pa.int64()),
+            "label": pa.array([], type=pa.int64()),
+            "n_same": pa.array([], type=pa.int64()),
+            "agree": pa.array([], type=pa.int64()),
+        })
+        if b.num_rows == 0:
+            return empty
+        vids = b["vec_id"].to_numpy().astype(np.int64)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(_quantize(b["embedding"].to_pylist()))
+        xn = (mat * mat).sum(axis=1)
+        _check_score_bounds(nrm_r, xn)
+        dots = mat @ mat_r.T  # (nbatch, nref) int64-exact
+        s2 = dots * np.abs(dots) * BF_SCORE_SCALE
+        d = xn[:, None] * nrm_r[None, :]
+        score = np.where(d > 0, np.floor_divide(s2, np.maximum(d, 1)), 0)
+        # composite key: score DESC then vec_id ASC, one int64 — score
+        # is in [-SCALE, SCALE] so score << 32 never collides with the
+        # subtracted id (ids are < 2^32 by the quantize contract)
+        key = (score << np.int64(32)) - ids_r[None, :]
+        # self-mask sentinel must survive the argpartition's negation:
+        # -int64.min wraps back to int64.min and ranks self FIRST; real
+        # keys are bounded by |SCALE|*2^32 + id < 2^46, so -2^62 is
+        # safely below every candidate and negates exactly
+        key[vids[:, None] == ids_r[None, :]] = -(np.int64(1) << np.int64(62))
+        kk = min(k, key.shape[1] - 1)
+        top = np.argpartition(-key, kk - 1, axis=1)[:, :kk] if kk > 0 \
+            else np.empty((len(vids), 0), dtype=np.int64)
+        n_same = (
+            np.take_along_axis(
+                np.broadcast_to(lab_r[None, :], key.shape), top, axis=1
+            ) == lab[:, None]
+        ).sum(axis=1).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(vids),
+            "label": pa.array(lab),
+            "n_same": pa.array(n_same),
+            "agree": pa.array((n_same * 2 > k).astype(np.int64)),
+        })
+
+    return emb.map_batches(agree_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -40,6 +40,7 @@ ORACLE_CASES = [
     "ann_pq_adc_topk",
     "dedup_embedding_lsh",
     "quality_classifier",
+    "knn_label_agreement",
 ]
 
 
@@ -598,3 +599,57 @@ def test_decoder_stub_fallback_on_undecodable():
     p = b"not an image" * 100
     n = len(p)
     assert d._decode(p) == (n, n % 640, n % 480, (n + 1023) // 1024)
+
+
+def test_knn_label_agreement_constructed(ray_session, tmp_path):
+    """Two tight clusters, one mislabeled member, one identical twin
+    pair: the mislabeled point fails the majority vote, everyone else
+    passes, and the self row never counts as its own neighbor (the
+    int64-min negation-overflow regression)."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    def vec(base, eps):
+        v = [0.0] * 8
+        v[base] = 1.0
+        v[(base + 4) % 8] = eps
+        return v
+
+    # ids 0-3 cluster around axis 0 (labels 0,0,0,1 — id 3 mislabeled);
+    # ids 4-7 cluster around axis 1 (all label 1); 6 and 7 are twins
+    emb = [vec(0, 0.001 * i) for i in range(4)] + [
+        vec(1, 0.002), vec(1, 0.004), vec(1, 0.006), vec(1, 0.006)
+    ]
+    pq2.write_table(
+        pa2.table(
+            {
+                "vec_id": pa2.array(range(8), type=pa2.int64()),
+                "embedding": pa2.array(emb, type=pa2.list_(pa2.float32())),
+                "label": pa2.array([0, 0, 0, 1, 1, 1, 1, 1],
+                                   type=pa2.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    from prlib_ray.stages.similarity import knn_label_agreement
+
+    df = (
+        knn_label_agreement(str(tmp_path), k=3)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # within-cluster cosines dominate cross-cluster ones, so every
+    # point's top-3 is exactly its own cluster's other three members
+    assert df["n_same"].tolist() == [2, 2, 2, 0, 3, 3, 3, 3]
+    assert df["agree"].tolist() == [1, 1, 1, 0, 1, 1, 1, 1]
+
+
+def test_knn_label_agreement_gate(ray_session, sf_dir, monkeypatch):
+    """The quadratic exact audit refuses corpora past the broadcast
+    gate instead of silently materializing them on the driver."""
+    from prlib_ray.stages import similarity
+
+    monkeypatch.setattr(similarity, "KNN_BROADCAST_MAX", 10)
+    with pytest.raises(ValueError, match="KNN_BROADCAST_MAX"):
+        similarity.knn_label_agreement(sf_dir)

@@ -13,6 +13,7 @@ TABLES = (
 CASES = [
     "key_skew_profile",
     "hot_keys",
+    "props_field_stats",
     "reassemble_events",
     "find_angle",
     "find_orientation",
@@ -204,3 +205,30 @@ def test_skew_profile_and_hot_keys_constructed(ray_session, tmp_path):
     # n DESC, user_id ASC: 8(u6), 7(u5), 4(u4), 3(u3), 2(u2), 1(u1)
     assert hk["user_id"].tolist() == [6, 5, 4, 3, 2, 1]
     assert hk["n_rows"].tolist() == [8, 7, 4, 3, 2, 1]
+
+
+def test_props_field_stats_constructed(ray_session, tmp_path):
+    """Extraction semantics on hand-built props: unparsable rows count
+    in n_events but not n_with_k, negatives flow through sum/min."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    pq2.write_table(
+        pa2.table(
+            {
+                "event_type": pa2.array(["a", "a", "a", "b", "b"]),
+                "props": pa2.array(
+                    ['{"k": 5}', '{"k": -7}', "garbage", "", '{"k": 12}']
+                ),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    from prlib_ray.relational import props_field_stats
+
+    df = props_field_stats(str(tmp_path)).to_pandas()
+    rows = {
+        r.event_type: (r.n_events, r.n_with_k, r.sum_k, r.min_k, r.max_k)
+        for r in df.itertuples()
+    }
+    assert rows == {"a": (3, 2, -2, -7, 5), "b": (2, 1, 12, 12, 12)}
