@@ -110,21 +110,23 @@ _PRIORITY = [
     "key_skew_profile",
     "events_hourly_window", "sessionize", "rolling_event_window",
     "event_transitions",
+    "funnel_conversion",  # new: ordered funnel (earliest-event chain)
     "asof_latest_order", "top_orders_per_segment",
     "range_join_recent_orders",
     "customers_without_orders", "segment_price_quantiles",
     "unigram_freq_score", "bigram_lm_score", "tfidf_top_term",
     "dup_ngram_fraction",
-    "build_inverted_index", "search_topk",
+    "search_topk",  # exercises the postings build end-to-end
     # close family representatives displaced from the 50-entry window
     # (dedup_incremental covers snapshots, dup_ngram_fraction covers
     # cross-doc windows; repetition_stats is represented by
     # gopher_quality + quality_classifier, chunk_tokens by
     # pack_sequences, source_term_stats by the richer source_overlap,
     # hot_keys by key_skew_profile, shuffle_head by the
-    # weighted_sample/mix_sources sampling family — all below remain
-    # sim+pytest covered)
-    "hot_keys", "shuffle_head",
+    # weighted_sample/mix_sources sampling family, build_inverted_index
+    # by search_topk which runs the same postings build — all below
+    # remain sim+pytest covered)
+    "hot_keys", "shuffle_head", "build_inverted_index",
     "repetition_stats", "chunk_tokens", "source_term_stats",
     "corpus_diff", "dup_substring_fraction",
     "sampled_quantiles",  # segment_price_quantiles represents the family

@@ -554,6 +554,9 @@ def _register_relational(queries, sql) -> None:
         # semi-structured extraction over the JSON props column
         ("props_field_stats", rel.props_field_stats,
          orel.PROPS_FIELD_STATS),
+        # ordered funnel (earliest-event chaining over the user stream)
+        ("funnel_conversion", rel.funnel_conversion,
+         orel.FUNNEL_CONVERSION),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

@@ -353,3 +353,30 @@ SELECT event_type,
        CAST(min(k) AS BIGINT) AS min_k,
        CAST(max(k) AS BIGINT) AS max_k
 FROM x GROUP BY event_type ORDER BY event_type"""
+
+
+# mirrors relational.funnel_conversion: earliest-event chaining with
+# strict ts ordering (t1 = first view; t2 = first click AFTER t1;
+# t3 = first purchase AFTER t2); the count rows use the same 1-based
+# stage numbers and stage names as the engine's bounded output
+FUNNEL_CONVERSION = """
+WITH t1 AS (
+    SELECT user_id, min(ts) AS ts1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+    SELECT e.user_id, min(e.ts) AS ts2
+    FROM events e JOIN t1 ON e.user_id = t1.user_id
+    WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY e.user_id
+),
+t3 AS (
+    SELECT e.user_id, min(e.ts) AS ts3
+    FROM events e JOIN t2 ON e.user_id = t2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY e.user_id
+)
+SELECT * FROM (VALUES
+    (CAST(1 AS BIGINT), 'view', (SELECT CAST(count(*) AS BIGINT) FROM t1)),
+    (CAST(2 AS BIGINT), 'click', (SELECT CAST(count(*) AS BIGINT) FROM t2)),
+    (CAST(3 AS BIGINT), 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM t3))
+) AS v(stage, event_type, n_users)
+ORDER BY stage"""

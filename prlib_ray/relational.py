@@ -655,7 +655,9 @@ def sessionize(sf_dir: str):
         if len(u_s) > 1:
             same = u_s[1:] == u_s[:-1]
             gapped = (t_s[1:] - t_s[:-1] > gap) & same
-            n += np.bincount(run[1:][same], weights=gapped[same],
+            # exact int64 (bincount of the gap positions, not a
+            # float-weighted sum)
+            n += np.bincount(run[1:][gapped],
                              minlength=len(starts)).astype(np.int64)
         return pd.DataFrame({"user_id": u_s[starts], "n_sessions": n})
 
@@ -1721,4 +1723,95 @@ def props_field_stats(sf_dir: str):
             Max("max_k", alias_name="max_k"),
         )
         .sort("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel conversion — the product-analytics primitive
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_conversion(sf_dir: str):
+    """Ordered funnel over the event stream: how many users performed
+    'view', then 'click' strictly after their FIRST view, then
+    'purchase' strictly after that first qualifying click (earliest-
+    event chaining, the standard funnel semantics).
+
+    Plan: funnel-type rows only (filtered per batch at the scan) hash
+    into the shared coarse user partitions (_add_user_part — each user
+    lands wholly in one part), then ONE lexsort + run-boundary pass
+    per part chains the three stage minima fully vectorized
+    (sentinel + minimum.reduceat per stage — no per-user loop); only
+    3 count rows per part reach the final bounded groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from prlib_ray.stages.reassemble import _runs
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    stages = list(FUNNEL_STAGES)
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        keep = pc.is_in(et, value_set=pa.array(stages))
+        b = b.filter(keep)
+        if b.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "t": pa.array([], type=pa.int64()),
+                "stage": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int64()),
+            })
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        st = np.zeros(b.num_rows, dtype=np.int64)
+        for i, name in enumerate(stages):
+            st[pc.equal(et, name).to_numpy(zero_copy_only=False)] = i
+        u = b["user_id"].to_numpy().astype(np.int64)
+        from prlib_ray.stages.reassemble import N_REASSEMBLE_PARTS
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "t": pa.array(t),
+            "stage": pa.array(st),
+            "part": pa.array(u % N_REASSEMBLE_PARTS),
+        })
+
+    INF = np.iinfo(np.int64).max
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy().astype(np.int64)
+        t = g["t"].to_numpy().astype(np.int64)
+        st = g["stage"].to_numpy().astype(np.int64)
+        order = np.lexsort((t, u))
+        u, t, st = u[order], t[order], st[order]
+        run, starts, _ = _runs(u)
+        # chain the three stage minima: m_{k} = per-user min t of
+        # stage-k rows strictly after m_{k-1} (sentinel INF = absent)
+        prev = np.full(len(t), -1, dtype=np.int64)  # stage 0: all rows
+        ns = []
+        for k in range(len(stages)):
+            cand = np.where((st == k) & (t > prev), t, INF)
+            mk = np.minimum.reduceat(cand, starts)
+            ns.append(int((mk < INF).sum()))
+            prev = mk[run]
+        return pd.DataFrame({
+            "stage": np.arange(1, len(stages) + 1, dtype=np.int64),
+            "event_type": stages,
+            "n_users": np.asarray(ns, dtype=np.int64),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby(["stage", "event_type"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .sort("stage")
     )

@@ -653,3 +653,36 @@ def test_knn_label_agreement_gate(ray_session, sf_dir, monkeypatch):
     monkeypatch.setattr(similarity, "KNN_BROADCAST_MAX", 10)
     with pytest.raises(ValueError, match="KNN_BROADCAST_MAX"):
         similarity.knn_label_agreement(sf_dir)
+
+
+def test_knn_label_agreement_tiny_corpora(ray_session, tmp_path):
+    """N <= k corpora: a single vector has no neighbors (n_same 0,
+    agree 0); with two vectors each one's whole neighborhood is the
+    other."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.stages.similarity import knn_label_agreement
+
+    for n, want_same in ((1, [0]), (2, [1, 1])):
+        d = tmp_path / f"n{n}"
+        d.mkdir()
+        pq2.write_table(
+            pa2.table(
+                {
+                    "vec_id": pa2.array(range(n), type=pa2.int64()),
+                    "embedding": pa2.array(
+                        [[1.0, 0.5]] * n, type=pa2.list_(pa2.float32())
+                    ),
+                    "label": pa2.array([7] * n, type=pa2.int32()),
+                }
+            ),
+            d / "embeddings.parquet",
+        )
+        df = (
+            knn_label_agreement(str(d))
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert df["n_same"].tolist() == want_same, n

@@ -93,6 +93,7 @@ EDGE_CASES = [
     "ann_bruteforce_topk",
     "heavy_hitter_words",
     "source_overlap",
+    "knn_label_agreement",
 ]
 
 

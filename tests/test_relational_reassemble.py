@@ -14,6 +14,7 @@ CASES = [
     "key_skew_profile",
     "hot_keys",
     "props_field_stats",
+    "funnel_conversion",
     "reassemble_events",
     "find_angle",
     "find_orientation",
@@ -232,3 +233,51 @@ def test_props_field_stats_constructed(ray_session, tmp_path):
         for r in df.itertuples()
     }
     assert rows == {"a": (3, 2, -2, -7, 5), "b": (2, 1, 12, 12, 12)}
+
+
+def test_funnel_conversion_constructed(ray_session, tmp_path):
+    """Strict earliest-event chaining: a click AT the first view's
+    timestamp or BEFORE it never counts; the purchase must follow the
+    first QUALIFYING click, not any click."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1_000_000, "us")  # 1 second
+    rows = [
+        # user 1: full funnel in order -> counts at every stage
+        (1, base, "view"), (1, base + s, "click"),
+        (1, base + 2 * s, "purchase"),
+        # user 2: click at EXACTLY the first view's ts (strict > fails),
+        # then nothing -> stage 1 only
+        (2, base, "view"), (2, base, "click"),
+        # user 3: click BEFORE the view, purchase after the view but
+        # with no qualifying click -> stage 1 only
+        (3, base, "click"), (3, base + s, "view"),
+        (3, base + 2 * s, "purchase"),
+        # user 4: purchase between view and the qualifying click ->
+        # stages 1+2 (the purchase precedes the chained click)
+        (4, base, "view"), (4, base + s, "purchase"),
+        (4, base + 2 * s, "click"),
+        # user 5: never views -> no stage
+        (5, base, "click"), (5, base + s, "purchase"),
+    ]
+    pq2.write_table(
+        pa2.table({
+            "event_id": pa2.array(range(len(rows)), type=pa2.int64()),
+            "ts": pa2.array([r[1].astype("datetime64[us]").item()
+                             for r in rows], type=pa2.timestamp("us")),
+            "user_id": pa2.array([r[0] for r in rows], type=pa2.int64()),
+            "event_type": pa2.array([r[2] for r in rows]),
+            "value": pa2.array([0.0] * len(rows)),
+            "props": pa2.array([""] * len(rows)),
+        }),
+        tmp_path / "events.parquet",
+    )
+    from prlib_ray.relational import funnel_conversion
+
+    df = funnel_conversion(str(tmp_path)).to_pandas()
+    assert df["stage"].tolist() == [1, 2, 3]
+    assert df["event_type"].tolist() == ["view", "click", "purchase"]
+    assert df["n_users"].tolist() == [4, 2, 1]
