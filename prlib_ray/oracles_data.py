@@ -375,16 +375,16 @@ dots AS (
 )""" + _scored_ranked_ctes("dots") + """
 SELECT e.vec_id,
        CAST(e.label AS BIGINT) AS label,
-       CAST(sum(CASE WHEN CAST(ne.label AS BIGINT) = CAST(e.label AS BIGINT)
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
-       CAST(CASE WHEN sum(CASE WHEN CAST(ne.label AS BIGINT)
-                                    = CAST(e.label AS BIGINT)
-                          THEN 1 ELSE 0 END) * 2 > 5
+       CAST(coalesce(sum(CASE WHEN CAST(ne.label AS BIGINT)
+                                   = CAST(e.label AS BIGINT)
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_same,
+       CAST(CASE WHEN coalesce(sum(CASE WHEN CAST(ne.label AS BIGINT)
+                                             = CAST(e.label AS BIGINT)
+                                   THEN 1 ELSE 0 END), 0) * 2 > 5
             THEN 1 ELSE 0 END AS BIGINT) AS agree
-FROM ranked r
-JOIN embeddings e ON r.query_id = e.vec_id
-JOIN embeddings ne ON r.vec_id = ne.vec_id
-WHERE r.rn <= 5
+FROM embeddings e
+LEFT JOIN ranked r ON r.query_id = e.vec_id AND r.rn <= 5
+LEFT JOIN embeddings ne ON r.vec_id = ne.vec_id
 GROUP BY e.vec_id, e.label
 ORDER BY e.vec_id"""
 

@@ -341,7 +341,7 @@ FROM g ORDER BY n DESC, user_id LIMIT 10"""
 # parsable rows, like the engine's validity mask
 PROPS_FIELD_STATS = r"""
 WITH x AS (
-    SELECT event_type,
+    SELECT coalesce(event_type, '') AS event_type,
            TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1)
                     AS BIGINT) AS k
     FROM events

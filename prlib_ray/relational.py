@@ -1681,6 +1681,9 @@ def props_field_stats(sf_dir: str):
         et = b["event_type"]
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()
+        # NULL event_type folds into '' on BOTH sides (the oracle
+        # coalesces) — dictionary codes must never carry a null index
+        et = pc.fill_null(et, "")
         d = pc.dictionary_encode(et)
         codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         n_types = len(d.dictionary)
@@ -1689,12 +1692,27 @@ def props_field_stats(sf_dir: str):
         valid = pc.is_valid(kstr).to_numpy(zero_copy_only=False)
         k = np.zeros(b.num_rows, dtype=np.int64)
         if valid.any():
-            k[valid] = np.asarray(
-                pc.cast(pc.drop_null(kstr), pa.int64()).to_numpy(
-                    zero_copy_only=False
-                ),
-                dtype=np.int64,
-            )
+            # mirror TRY_CAST: a matched integer that overflows int64
+            # becomes invalid (NULL), not a crash.  Strip sign and
+            # leading zeros, then length/lexicographic boundary compare
+            # (equal-length digit strings order numerically).
+            sub = pc.drop_null(kstr)
+            negs = pc.starts_with(sub, "-").to_numpy(zero_copy_only=False)
+            digits = pc.replace_substring_regex(sub, r"^-?0*", "")
+            L = pc.utf8_length(digits).to_numpy(zero_copy_only=False)
+            dstr = np.asarray(digits.to_pylist(), dtype=object)
+            bound = np.where(negs, "9223372036854775808",
+                             "9223372036854775807")
+            fits = (L < 19) | ((L == 19) & (dstr <= bound))
+            vpos = np.flatnonzero(valid)
+            valid = np.zeros(b.num_rows, dtype=bool)
+            valid[vpos[fits]] = True
+            if fits.any():
+                k[valid] = np.asarray(
+                    pc.cast(sub.filter(pa.array(fits)),
+                            pa.int64()).to_numpy(zero_copy_only=False),
+                    dtype=np.int64,
+                )
         n_ev = np.bincount(codes, minlength=n_types).astype(np.int64)
         n_k = np.bincount(codes[valid], minlength=n_types).astype(np.int64)
         s = np.zeros(n_types, dtype=np.int64)
@@ -1703,13 +1721,18 @@ def props_field_stats(sf_dir: str):
         mx = np.full(n_types, -_PROPS_SENTINEL, dtype=np.int64)
         np.minimum.at(mn, codes[valid], k[valid])
         np.maximum.at(mx, codes[valid], k[valid])
+        # a type with no parsable k in this partial contributes NULL
+        # sum/min/max (like SQL aggregates over an empty group); the
+        # final Min/Max/Sum ignore nulls, so a type that never parses
+        # anywhere ends NULL — exactly the oracle's value
+        nok = n_k == 0
         return pa.table({
             "event_type": d.dictionary,
             "n_events": pa.array(n_ev),
             "n_with_k": pa.array(n_k),
-            "sum_k": pa.array(s),
-            "min_k": pa.array(mn),
-            "max_k": pa.array(mx),
+            "sum_k": pa.array(s, mask=nok),
+            "min_k": pa.array(mn, mask=nok),
+            "max_k": pa.array(mx, mask=nok),
         })
 
     return (
@@ -1793,8 +1816,11 @@ def funnel_conversion(sf_dir: str):
         u, t, st = u[order], t[order], st[order]
         run, starts, _ = _runs(u)
         # chain the three stage minima: m_{k} = per-user min t of
-        # stage-k rows strictly after m_{k-1} (sentinel INF = absent)
-        prev = np.full(len(t), -1, dtype=np.int64)  # stage 0: all rows
+        # stage-k rows strictly after m_{k-1} (sentinel INF = absent).
+        # Stage 0 admits EVERY timestamp, pre-1970 negatives included
+        # (the oracle's min(ts) has no epoch restriction); int64.min is
+        # NaT's encoding, which both sides exclude.
+        prev = np.full(len(t), np.iinfo(np.int64).min, dtype=np.int64)
         ns = []
         for k in range(len(stages)):
             cand = np.where((st == k) & (t > prev), t, INF)
@@ -1807,11 +1833,22 @@ def funnel_conversion(sf_dir: str):
             "n_users": np.asarray(ns, dtype=np.int64),
         })
 
-    return (
+    agg = (
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
         .map_groups(fold, batch_format="pandas")
         .groupby(["stage", "event_type"])
         .aggregate(Sum("n_users", alias_name="n_users"))
-        .sort("stage")
-    )
+    ).take_all()  # bounded: <= len(stages) rows
+    # a corpus with NO funnel-type events produces zero parts and an
+    # empty aggregate; the report (like the SQL VALUES oracle) always
+    # has one row per stage, zero-count included
+    got = {int(r["stage"]): int(r["n_users"]) for r in agg}
+    return pa.table({
+        "stage": pa.array(range(1, len(stages) + 1), type=pa.int64()),
+        "event_type": pa.array(stages, type=pa.string()),
+        "n_users": pa.array(
+            [got.get(i, 0) for i in range(1, len(stages) + 1)],
+            type=pa.int64(),
+        ),
+    })

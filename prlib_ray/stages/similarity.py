@@ -672,6 +672,20 @@ def _check_score_bounds(qn: np.ndarray, xn: np.ndarray) -> None:
         )
 
 
+def _int_cosine_scores(qmat: np.ndarray, qn: np.ndarray,
+                       mat: np.ndarray, xn: np.ndarray) -> np.ndarray:
+    """(nq, nx) int64 score matrix: floor(dot*|dot|*SCALE/(|q|²*|x|²)),
+    zero where either norm is zero — THE integer cosine score contract
+    mirrored by the SQL scored/ranked CTEs.  One definition; every
+    query path (brute force, IVF lists, LSH buckets, kNN audit)
+    composes it so a scale/rounding change cannot desynchronize them."""
+    _check_score_bounds(qn, xn)
+    dots = qmat @ mat.T
+    s2 = dots * np.abs(dots) * BF_SCORE_SCALE
+    d = qn[:, None] * xn[None, :]
+    return np.where(d > 0, np.floor_divide(s2, np.maximum(d, 1)), 0)
+
+
 def ann_bruteforce_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
     """Brute-force top-k: the first ``n_queries`` vectors are the query
     matrix, broadcast once (ray.put); each batch computes an integer
@@ -711,11 +725,7 @@ def ann_bruteforce_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
         vids = b["vec_id"].to_numpy()
         mat = np.stack(_quantize(b["embedding"].to_pylist()))
         xn = (mat * mat).sum(axis=1)  # |x|^2, int64
-        _check_score_bounds(qnorm, xn)
-        dots = qm @ mat.T  # (nq, nbatch), int64-exact (|dot| < 2^26)
-        s2 = dots * np.abs(dots) * BF_SCORE_SCALE
-        d = qnorm[:, None] * xn[None, :]
-        score = np.where(d > 0, np.floor_divide(s2, np.maximum(d, 1)), 0)
+        score = _int_cosine_scores(qm, qnorm, mat, xn)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(ids_q)):
             s = score[qi]
@@ -857,11 +867,7 @@ def ann_ivf_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
         vids = g["vec_id"].to_numpy()
         m = np.stack(_quantize(list(g["embedding"])))
         xn = (m * m).sum(axis=1)
-        _check_score_bounds(qn_[active], xn)
-        dots = qmat_[active] @ m.T
-        s2 = dots * np.abs(dots) * BF_SCORE_SCALE
-        d = qn_[active][:, None] * xn[None, :]
-        score = np.where(d > 0, np.floor_divide(s2, np.maximum(d, 1)), 0)
+        score = _int_cosine_scores(qmat_[active], qn_[active], m, xn)
         out = []
         for row, qi in enumerate(active):
             qid = int(qids_[qi])
@@ -1041,11 +1047,7 @@ def ann_lsh_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
         vids = g["vec_id"].to_numpy()
         mat = np.stack(_quantize(list(g["embedding"])))
         xn = (mat * mat).sum(axis=1)
-        _check_score_bounds(qn_[active], xn)
-        dots = qmat_[active] @ mat.T  # int64-exact
-        s2 = dots * np.abs(dots) * BF_SCORE_SCALE
-        d = qn_[active][:, None] * xn[None, :]
-        score = np.where(d > 0, np.floor_divide(s2, np.maximum(d, 1)), 0)
+        score = _int_cosine_scores(qmat_[active], qn_[active], mat, xn)
         out = []
         for row, qi in enumerate(active):
             qid = int(qids_[qi])
@@ -1077,10 +1079,14 @@ def ann_lsh_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
 # standard pruning signal for labeled training data.
 
 KNN_AGREE_K = 5
-# exact all-pairs kNN broadcasts the reference matrix once; past this
-# many vectors the quadratic exact audit is the wrong tool — run the
-# IVF-bucketed per-list variant (ann_ivf machinery) instead
-KNN_BROADCAST_MAX = 1 << 22
+# exact all-pairs kNN broadcasts the reference matrix once AND each
+# batch allocates (batch × corpus) int64 score intermediates, so the
+# gate must reflect the per-TASK memory, not just the driver fold:
+# KNN_BATCH × MAX × 8 B × ~4 live arrays ≈ 0.5 GiB per task at these
+# settings.  Past the gate the quadratic exact audit is the wrong
+# tool — run the IVF-bucketed per-list variant (ann_ivf machinery).
+KNN_BROADCAST_MAX = 1 << 16
+KNN_BATCH = 256
 
 
 def knn_label_agreement(sf_dir: str, *, k: int = KNN_AGREE_K):
@@ -1116,6 +1122,12 @@ def knn_label_agreement(sf_dir: str, *, k: int = KNN_AGREE_K):
     def pack(b: pa.Table) -> pa.Table:
         # per-batch partial: quantize once in the workers so the driver
         # fold only concatenates small int arrays
+        if b.num_rows == 0:
+            return pa.table({
+                "vec_id": pa.array([], type=pa.int64()),
+                "q": pa.array([], type=pa.list_(pa.int64())),
+                "label": pa.array([], type=pa.int64()),
+            })
         ids = b["vec_id"].to_numpy().astype(np.int64)
         mat = np.stack(_quantize(b["embedding"].to_pylist()))
         return pa.table({
@@ -1128,8 +1140,22 @@ def knn_label_agreement(sf_dir: str, *, k: int = KNN_AGREE_K):
 
     rows = emb.map_batches(pack, batch_format="pyarrow",
                            zero_copy_batch=True).take_all()
+    if not rows:  # 0-vector corpus: empty result, same as the oracle
+        return pa.table({
+            "vec_id": pa.array([], type=pa.int64()),
+            "label": pa.array([], type=pa.int64()),
+            "n_same": pa.array([], type=pa.int64()),
+            "agree": pa.array([], type=pa.int64()),
+        })
     rows.sort(key=lambda r: r["vec_id"])
     ref_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    if int(ref_ids.max()) >= (1 << 32):
+        # the composite ranking key packs vec_id into the low 32 bits;
+        # fail loudly rather than silently corrupting the order
+        raise ValueError(
+            "knn_label_agreement's composite rank key requires "
+            "vec_id < 2^32; remap ids before the audit"
+        )
     ref_mat = np.stack([np.asarray(r["q"], dtype=np.int64) for r in rows])
     ref_lab = np.array([r["label"] for r in rows], dtype=np.int64)
     ref_norm = (ref_mat * ref_mat).sum(axis=1)
@@ -1149,11 +1175,7 @@ def knn_label_agreement(sf_dir: str, *, k: int = KNN_AGREE_K):
         lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
         mat = np.stack(_quantize(b["embedding"].to_pylist()))
         xn = (mat * mat).sum(axis=1)
-        _check_score_bounds(nrm_r, xn)
-        dots = mat @ mat_r.T  # (nbatch, nref) int64-exact
-        s2 = dots * np.abs(dots) * BF_SCORE_SCALE
-        d = xn[:, None] * nrm_r[None, :]
-        score = np.where(d > 0, np.floor_divide(s2, np.maximum(d, 1)), 0)
+        score = _int_cosine_scores(mat, xn, mat_r, nrm_r)
         # composite key: score DESC then vec_id ASC, one int64 — score
         # is in [-SCALE, SCALE] so score << 32 never collides with the
         # subtracted id (ids are < 2^32 by the quantize contract)
@@ -1179,4 +1201,4 @@ def knn_label_agreement(sf_dir: str, *, k: int = KNN_AGREE_K):
         })
 
     return emb.map_batches(agree_batch, batch_format="pyarrow",
-                           zero_copy_batch=True)
+                           zero_copy_batch=True, batch_size=KNN_BATCH)

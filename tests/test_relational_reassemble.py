@@ -210,16 +210,30 @@ def test_skew_profile_and_hot_keys_constructed(ray_session, tmp_path):
 
 def test_props_field_stats_constructed(ray_session, tmp_path):
     """Extraction semantics on hand-built props: unparsable rows count
-    in n_events but not n_with_k, negatives flow through sum/min."""
+    in n_events but not n_with_k, negatives flow through sum/min, an
+    int64-overflowing k mirrors TRY_CAST (NULL, not a crash) — leading
+    zeros included — NULL event_type folds into '', and a type whose
+    every row is unparsable gets NULL stats, not sentinels."""
+    import pandas as pd
     import pyarrow as pa2
     import pyarrow.parquet as pq2
 
     pq2.write_table(
         pa2.table(
             {
-                "event_type": pa2.array(["a", "a", "a", "b", "b"]),
+                "event_type": pa2.array(
+                    ["a", "a", "a", "a", "b", "b", None, "c",
+                     "d", "d", "d"]
+                ),
                 "props": pa2.array(
-                    ['{"k": 5}', '{"k": -7}', "garbage", "", '{"k": 12}']
+                    ['{"k": 5}', '{"k": -7}', "garbage",
+                     '{"k": 99999999999999999999}',       # > int64: NULL
+                     "", '{"k": 12}',
+                     '{"k": 3}',                          # NULL type -> ''
+                     "no k here",                         # all-NULL type
+                     '{"k": 0009223372036854775807}',     # == max: casts
+                     '{"k": -9223372036854775808}',       # == min: casts
+                     '{"k": 9223372036854775808}']        # max+1: NULL
                 ),
             }
         ),
@@ -232,7 +246,19 @@ def test_props_field_stats_constructed(ray_session, tmp_path):
         r.event_type: (r.n_events, r.n_with_k, r.sum_k, r.min_k, r.max_k)
         for r in df.itertuples()
     }
-    assert rows == {"a": (3, 2, -2, -7, 5), "b": (2, 1, 12, 12, 12)}
+    # small-int types: exact values (the overflow row counts in
+    # n_events only — TRY_CAST semantics, not a crash)
+    assert rows["a"] == (4, 2, -2, -7, 5)
+    assert rows["b"] == (2, 1, 12, 12, 12)
+    assert rows[""] == (1, 1, 3, 3, 3)
+    # all-unparsable type: NULL stats, never sentinels
+    c = rows["c"]
+    assert c[:2] == (1, 0) and all(pd.isna(v) for v in c[2:])
+    # int64 boundary: max and min cast (leading zeros included),
+    # max+1 does not — count-level asserts (value columns go float64
+    # in pandas once any NULL exists, so boundary values aren't
+    # losslessly comparable here; the oracle parity test covers them)
+    assert rows["d"][:2] == (3, 2)
 
 
 def test_funnel_conversion_constructed(ray_session, tmp_path):
@@ -281,3 +307,27 @@ def test_funnel_conversion_constructed(ray_session, tmp_path):
     assert df["stage"].tolist() == [1, 2, 3]
     assert df["event_type"].tolist() == ["view", "click", "purchase"]
     assert df["n_users"].tolist() == [4, 2, 1]
+
+
+def test_funnel_conversion_no_funnel_events(ray_session, tmp_path):
+    """A corpus with zero funnel-type events still reports one row per
+    stage with zero counts (parity with the SQL VALUES oracle)."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    pq2.write_table(
+        pa2.table({
+            "event_id": pa2.array([0, 1], type=pa2.int64()),
+            "ts": pa2.array([0, 1], type=pa2.timestamp("us")),
+            "user_id": pa2.array([1, 2], type=pa2.int64()),
+            "event_type": pa2.array(["login", "scroll"]),
+            "value": pa2.array([0.0, 0.0]),
+            "props": pa2.array(["", ""]),
+        }),
+        tmp_path / "events.parquet",
+    )
+    from prlib_ray.relational import funnel_conversion
+
+    df = funnel_conversion(str(tmp_path)).to_pandas()
+    assert df["stage"].tolist() == [1, 2, 3]
+    assert df["n_users"].tolist() == [0, 0, 0]
