@@ -954,10 +954,14 @@ def event_transitions(sf_dir: str):
         user = g["user_id"].to_numpy().astype(np.int64)
         ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         eid = g["event_id"].to_numpy().astype(np.int64)
-        types = g["event_type"].to_numpy().astype(object)
         order = np.lexsort((eid, ts, user))
-        u, t = user[order], types[order]
-        uniq, codes = np.unique(t, return_inverse=True)
+        u = user[order]
+        # hash-table factorize (C) replaces the object-array np.unique
+        # sort; code order is irrelevant (names map back through uniq)
+        codes, uniq = pd.factorize(
+            g["event_type"].iloc[order].reset_index(drop=True), sort=False
+        )
+        uniq = np.asarray(uniq, dtype=object)
         k = len(uniq)
         same = u[1:] == u[:-1]
         key = codes[:-1][same] * k + codes[1:][same]

@@ -1308,7 +1308,6 @@ def source_overlap(sf_dir: str):
         ne = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
         if not ne.any():
             return empty
-        w = np.asarray(words.to_pylist(), dtype=object)[ne]
         src = b["source"]
         if isinstance(src, pa.ChunkedArray):
             src = src.combine_chunks()
@@ -1318,27 +1317,35 @@ def source_overlap(sf_dir: str):
             [smap[s] for s in d.dictionary.to_pylist()], dtype=np.int64
         )
         bits = dictbits[codes][dow[ne]]
-        uniq, inv = np.unique(w, return_inverse=True)
-        acc = np.zeros(len(uniq), dtype=np.int64)
+        # Arrow dictionary_encode = the per-batch distinct-word pass in
+        # C (string-exact), replacing the object-array np.unique that
+        # dominated this partial's profile
+        wd = pc.dictionary_encode(
+            words.filter(pa.array(ne))
+            if isinstance(words, pa.Array)
+            else pa.chunked_array([words]).combine_chunks().filter(
+                pa.array(ne))
+        )
+        inv = wd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq_arr = wd.dictionary
+        acc = np.zeros(len(uniq_arr), dtype=np.int64)
         np.bitwise_or.at(acc, inv, np.int64(1) << bits)
         part = (
-            _word_hashes(pa.array(uniq, type=pa.string()))
-            % np.uint64(N_CORPUS_PARTS)
+            _word_hashes(uniq_arr) % np.uint64(N_CORPUS_PARTS)
         ).astype(np.int64)
         return pa.table(
-            {"w": pa.array(uniq, type=pa.string()),
-             "mask": pa.array(acc), "part": pa.array(part)}
+            {"w": uniq_arr, "mask": pa.array(acc), "part": pa.array(part)}
         )
 
     n_sources = len(sources)
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        w = g["w"].to_numpy().astype(object)
         m = g["mask"].to_numpy().astype(np.int64)
-        o = np.argsort(w, kind="stable")
-        w, m = w[o], m[o]
-        first = np.r_[True, w[1:] != w[:-1]]
-        om = np.bitwise_or.reduceat(m, np.flatnonzero(first))
+        # hash-table factorize (C) groups duplicate words exactly,
+        # replacing the object-array stable sort + run boundaries
+        codes, uniques = pd.factorize(g["w"], sort=False)
+        om = np.zeros(len(uniques), dtype=np.int64)
+        np.bitwise_or.at(om, codes, m)
         # collapse to the part-local mask histogram FIRST (bounded by
         # this part's distinct words), then reduce it to <= S*(S+1)/2
         # pair-count rows — the only thing that leaves the part
