@@ -84,17 +84,23 @@ def build_queries() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
 # and still covered by tools/driver_sim.py + pytest) follow.
 _PRIORITY = [
     "flagship_extract", "curate_corpus",
-    "dedup_exact", "dedup_minhash_lsh",
+    "dedup_exact",
+    "dedup_normalized",  # new: normalization-invariant exact dedup
+    "dedup_winnow_pairs",  # new: MOSS shared-fingerprint near-dup pairs
+    "dedup_minhash_lsh",
     "dedup_simhash",  # oracle-backed in round 3 (md5_number bit mirror)
     "dedup_embedding", "dedup_semantic",
     "dedup_clusters_minhash",  # oracle-backed in round 3 (recursive CTE)
     "dedup_embedding_lsh", "dedup_incremental",
     "segment_dedup",
     "knn_label_agreement",  # new: label-noise audit (exact kNN vote)
-    "ann_ivf_topk", "ann_bruteforce_topk",  # bf oracle-backed in round 3
+    "ann_ivf_topk",
     "ann_lsh_topk",  # probe+score fully SQL-mirrored in round 3
     "ann_pq_adc_topk",  # trained-PQ query path fully SQL-mirrored too
-    "pq_codes",
+    # ann_bruteforce_topk and pq_codes moved below: the bf baseline and
+    # the code assignment are both exercised end-to-end by the windowed
+    # ann_*_topk entries (pytest ORACLE_CASES + driver_sim still check
+    # them), freeing window slots for the round's new operator families
     "token_count_subword",
     "gopher_quality", "quality_classifier",
     "lang_agreement",
@@ -110,11 +116,12 @@ _PRIORITY = [
     "key_skew_profile",
     "events_hourly_window", "sessionize", "rolling_event_window",
     "event_transitions",
-    "funnel_conversion",  # new: ordered funnel (earliest-event chain)
+    "funnel_conversion",  # ordered funnel (earliest-event chain)
+    "retention_cohorts",  # new: first-active-day cohort retention
     "asof_latest_order", "top_orders_per_segment",
     "range_join_recent_orders",
     "customers_without_orders", "segment_price_quantiles",
-    "unigram_freq_score", "bigram_lm_score", "tfidf_top_term",
+    "bigram_lm_score", "tfidf_top_term",
     "dup_ngram_fraction",
     "search_topk",  # exercises the postings build end-to-end
     # close family representatives displaced from the 50-entry window
@@ -145,6 +152,11 @@ _PRIORITY = [
     # moved here in round 3 when the new oracle-backed curation ops
     # displaced them; their evidence lives in pytest + CORRECTNESS_r02)
     "dedup_simhash_hamming",
+    # displaced from the window in late round 3 by dedup_normalized /
+    # dedup_winnow_pairs / retention_cohorts (family-represented inside:
+    # ann_ivf/lsh/pq cover ANN incl. the shared scoring contract,
+    # bigram_lm_score covers the LM-score family)
+    "ann_bruteforce_topk", "pq_codes", "unigram_freq_score",
     "fingerprint_md5", "fingerprint_winnow", "multimodal_decode",
     "pipeline_chain", "embedding_centroids", "ann_neighbor_counts",
     "quality_score", "lang_id", "dedup_ngram_jaccard", "token_count",

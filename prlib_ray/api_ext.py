@@ -118,6 +118,14 @@ def _register_data_ops(queries, sql) -> None:
     # dedup family
     queries["dedup_exact"] = dedup.exact_dedup
     sql["dedup_exact"] = odata.EXACT_DEDUP
+    # normalization-invariant exact dedup (planted case/whitespace
+    # mutants keep the collapse path non-vacuous at every sf)
+    queries["dedup_normalized"] = dedup.normalized_dedup
+    sql["dedup_normalized"] = odata.NORMALIZED_DEDUP
+    # MOSS-style shared-winnow-fingerprint pairs (df-capped stop
+    # fingerprints; reuses fingerprint_winnow's selection kernel)
+    queries["dedup_winnow_pairs"] = dedup.winnow_pair_dedup
+    sql["dedup_winnow_pairs"] = odata.WINNOW_PAIRS
     queries["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs
     sql["dedup_ngram_jaccard"] = odata.NGRAM_JACCARD
     # the banding itself mirrors in SQL (md5_number shingle ids, HUGEINT
@@ -557,6 +565,9 @@ def _register_relational(queries, sql) -> None:
         # ordered funnel (earliest-event chaining over the user stream)
         ("funnel_conversion", rel.funnel_conversion,
          orel.FUNNEL_CONVERSION),
+        # cohort retention report (first-active-day cohorts x offsets)
+        ("retention_cohorts", rel.retention_cohorts,
+         orel.RETENTION_COHORTS),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

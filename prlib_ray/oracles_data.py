@@ -1318,3 +1318,45 @@ ORDER BY query_id, vec_id"""
 
 
 ANN_PQ_ADC = _ann_pq_adc_sql()
+
+
+# mirrors dedup._plant_norm_batch: doc_id < 10 duplicated at +1000000
+# with a leading tab, UPPER case and trailing spaces — the normalization
+# (lower -> collapse \s+ -> trim) provably collapses each mutant back
+# onto its original (the fixtures are pure ASCII, so lower(upper(x)) ==
+# lower(x)); RE2 \s on both sides (DuckDB regexp_replace is RE2, as is
+# pyarrow replace_substring_regex)
+NORMALIZED_DEDUP = """
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           chr(9) || upper(text) || '  ' AS text
+    FROM documents WHERE doc_id < 10
+),
+n AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
+    FROM aug
+)
+SELECT md5(nt) AS h, min(doc_id) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM n GROUP BY nt ORDER BY h"""
+
+# MOSS-style shared-fingerprint pairs over the WINNOW selection: global
+# df-cap (stop fingerprints, > 20 docs dropped) then pairs sharing >= 3
+# retained fingerprints; (doc_id, h) is distinct per doc upstream so
+# count(*) per pair IS the shared-fingerprint count
+WINNOW_PAIRS = f"""
+WITH fp AS ({WINNOW}),
+keep AS (
+    SELECT s.doc_id, s.h
+    FROM fp s JOIN (
+        SELECT h FROM fp GROUP BY h HAVING count(*) <= 20
+    ) d USING (h)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+ORDER BY doc_a, doc_b"""

@@ -380,3 +380,22 @@ SELECT * FROM (VALUES
     (CAST(3 AS BIGINT), 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM t3))
 ) AS v(stage, event_type, n_users)
 ORDER BY stage"""
+
+
+# mirrors relational.retention_cohorts: cohort = first active utc day
+# (epoch_us // day — events_hourly_window's bucket rule one grain up);
+# day_offset rows count the cohort's users active exactly that many
+# days later (offset 0 = cohort size)
+RETENTION_COHORTS = """
+WITH ud AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+    FROM events
+),
+coh AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id)
+SELECT c.cohort AS cohort_day, CAST(o.off AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM coh c
+JOIN (VALUES (0), (1), (3), (7)) o(off) ON true
+JOIN ud ON ud.user_id = c.user_id AND ud.day = c.cohort + o.off
+GROUP BY 1, 2
+ORDER BY 1, 2"""

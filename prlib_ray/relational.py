@@ -1856,3 +1856,95 @@ def funnel_conversion(sf_dir: str):
             type=pa.int64(),
         ),
     })
+
+
+# --- Cohort retention ---------------------------------------------------------
+
+RETENTION_OFFSETS = (0, 1, 3, 7)
+DAY_US = 86_400_000_000
+
+
+def retention_cohorts(sf_dir: str):
+    """Cohort retention: users cohort by their FIRST active day (utc
+    day = epoch_us // DAY_US, the events_hourly_window bucket rule one
+    grain up), and each cohort reports how many of its users were
+    active again exactly ``offset`` days later (offsets 0/1/3/7; the
+    day-0 row is the cohort size) — the growth-analytics operator every
+    event warehouse runs daily.
+
+    Plan: per-batch DISTINCT (user, day) partials hash into the shared
+    coarse user partitions (each user wholly in one part); per part ONE
+    lexsort + run-boundary pass finds every user's cohort day, and all
+    users' cohort+offset membership probes resolve with one global
+    searchsorted per offset on a run-composite axis (run*span + day —
+    rolling_event_window's trick, no per-user loop); <= cohorts*offsets
+    tiny count rows per part reach the final bounded groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from prlib_ray.stages.reassemble import N_REASSEMBLE_PARTS, _runs
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    max_off = max(RETENTION_OFFSETS)
+
+    def prep(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy().astype(np.int64)
+        d = (b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+             // DAY_US)
+        order = np.lexsort((d, u))
+        u_s, d_s = u[order], d[order]
+        first = np.r_[True, (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])]
+        u_u, d_u = u_s[first], d_s[first]
+        return pa.table({
+            "user_id": pa.array(u_u),
+            "day": pa.array(d_u),
+            "part": pa.array(u_u % N_REASSEMBLE_PARTS),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy().astype(np.int64)
+        d = g["day"].to_numpy().astype(np.int64)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        # cross-batch distinct within the part
+        first = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        u, d = u[first], d[first]
+        run, starts, _ = _runs(u)
+        cohort = d[starts]  # sorted within run -> first day = min
+        rel = d - d.min()
+        span = int(rel.max()) + max_off + 2
+        axis = run * span + rel
+        runs_idx = np.arange(len(starts), dtype=np.int64)
+        coh_rel = cohort - d.min()
+        out_c, out_o, out_n = [], [], []
+        for off in RETENTION_OFFSETS:
+            target = runs_idx * span + coh_rel + off
+            pos = np.searchsorted(axis, target, side="left")
+            hit = axis[np.minimum(pos, len(axis) - 1)] == target
+            hc = np.sort(cohort[hit])
+            if len(hc) == 0:
+                continue
+            b_ = np.flatnonzero(np.r_[True, hc[1:] != hc[:-1]])
+            out_c.append(hc[b_])
+            out_o.append(np.full(len(b_), off, dtype=np.int64))
+            out_n.append(np.diff(np.r_[b_, len(hc)]).astype(np.int64))
+        if not out_c:  # offset 0 always hits, so only an EMPTY part
+            return pd.DataFrame({
+                "cohort_day": np.zeros(0, dtype=np.int64),
+                "day_offset": np.zeros(0, dtype=np.int64),
+                "n_users": np.zeros(0, dtype=np.int64),
+            })
+        return pd.DataFrame({
+            "cohort_day": np.concatenate(out_c),
+            "day_offset": np.concatenate(out_o),
+            "n_users": np.concatenate(out_n),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )

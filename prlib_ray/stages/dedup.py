@@ -1076,3 +1076,207 @@ def corpus_diff(sf_dir: str):
         .groupby("status")
         .aggregate(Sum("n", alias_name="n_fingerprints"))
     )
+
+
+# --- Normalized exact dedup ---------------------------------------------------
+
+# Like the embedding fixtures (similarity.N_PLANT), the raw documents
+# table has no case/whitespace mutants, which would make a normalized
+# dedup vacuously identical to the byte-exact one.  The query plants
+# deterministic mutants (doc_id < N_PLANT_NORM duplicated at
+# + PLANT_NORM_OFFSET with a leading tab, upper case and trailing
+# spaces); the oracle mirrors the mutation with a UNION ALL, so the
+# normalization path provably collapses real variants at every scale.
+N_PLANT_NORM = 10
+PLANT_NORM_OFFSET = 1_000_000
+
+
+def _plant_norm_batch(b: pa.Table) -> pa.Table:
+    """Append this batch's planted case/whitespace mutants (ASCII-safe:
+    the fixtures are pure ASCII, so lower(upper(x)) == lower(x))."""
+    ids = b["doc_id"].to_numpy().astype(np.int64)
+    m = ids < N_PLANT_NORM
+    if not m.any():
+        return b
+    dup = b.filter(pa.array(m))
+    mut = pa.array(
+        ["\t" + t.upper() + "  " for t in dup["text"].to_pylist()],
+        type=b.schema.field("text").type,
+    )
+    dup = pa.table({
+        "doc_id": pa.array(
+            dup["doc_id"].to_numpy().astype(np.int64) + PLANT_NORM_OFFSET
+        ),
+        "text": mut,
+    })
+    base = pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()), "text": b["text"]
+    })
+    return pa.concat_tables([base, dup.cast(base.schema)])
+
+
+def normalized_dedup(sf_dir: str):
+    """Normalization-invariant exact dedup: lowercase, collapse ASCII
+    whitespace runs to one space, trim — then md5-group.  Survivor =
+    min(doc_id), n_docs = collapsed group size: the standard
+    'near-exact' web-dedup pass that catches the case/whitespace
+    mutants byte-exact dedup misses.
+
+    Same scale layout as exact_dedup: per-batch pre-combine (min doc +
+    count per normalized hash), crc32 coarse hash partitions, ONE
+    vectorized run-boundary fold per part — at most one row per
+    (batch, hash) shuffles and no per-key Ray group exists anywhere."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        b = _plant_norm_batch(b)
+        if b.num_rows == 0:
+            return pa.table(
+                {"h": pa.array([], type=pa.string()),
+                 "doc_id": pa.array([], type=pa.int64()),
+                 "n_docs": pa.array([], type=pa.int64()),
+                 "part": pa.array([], type=pa.int64())}
+            )
+        # RE2 \s on both sides (pyarrow and DuckDB regexp_replace);
+        # trim(x, ' ') == the oracle's trim: post-collapse edges are
+        # plain spaces
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(b["text"]), pattern=r"\s+", replacement=" "
+            ),
+            characters=" ",
+        )
+        hs = np.asarray([_md5(t) for t in norm.to_pylist()], dtype=object)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, hs))
+        h_s, i_s = hs[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        cnt = np.diff(np.r_[starts, len(h_s)]).astype(np.int64)
+        h_u, i_u = h_s[starts], i_s[starts]  # ids sorted -> first is min
+        part = np.asarray(
+            [zlib.crc32(h.encode()) % N_DEDUP_PARTS for h in h_u],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {"h": pa.array(h_u, type=pa.string()),
+             "doc_id": pa.array(i_u), "n_docs": pa.array(cnt),
+             "part": pa.array(part)}
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        hs = g["h"].to_numpy().astype(object)
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        ns = g["n_docs"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, hs))
+        h_s, i_s, n_s = hs[order], ids[order], ns[order]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        total = np.add.reduceat(n_s, starts).astype(np.int64)
+        return pd.DataFrame(
+            {"h": h_s[starts].astype(object), "doc_id": i_s[starts],
+             "n_docs": total}
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+
+# --- Winnowing shared-fingerprint pairs (MOSS layout) -------------------------
+
+WINNOW_DF_CAP = 20  # stop-fingerprint rule: drop fps in > CAP docs
+WINNOW_MIN_SHARED = 3  # report pairs sharing >= this many fingerprints
+
+
+def winnow_pair_dedup(sf_dir: str):
+    """MOSS-style near-dup pairs: documents sharing >= WINNOW_MIN_SHARED
+    winnowing fingerprints (text_analysis.winnow_batch — the same
+    k-gram rolling-hash selection the fingerprint_winnow query emits),
+    after dropping 'stop fingerprints' present in > WINNOW_DF_CAP docs
+    — the exact analogue of MOSS's ignore-frequent-substrings rule AND
+    the pair-explosion guard: a retained fingerprint emits at most
+    C(cap, 2) pairs, so pair volume is linear in distinct fingerprints.
+
+    Plan: (doc_id, h) fingerprint rows hash by h into coarse partitions
+    (a fingerprint never spans parts); per part ONE lexsort pass drops
+    over-cap runs and emits each kept bucket's pairs; the pairs hash by
+    (doc_a, doc_b) into a second coarse partitioning where a run-length
+    pass counts shared fingerprints and applies the threshold.  No
+    per-key Ray group, no driver funnel."""
+    import pandas as pd
+    import ray.data as rd
+
+    from prlib_ray.stages.text_analysis import winnow_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def fp_part(b: pa.Table) -> pa.Table:
+        t = winnow_batch(b)
+        h = t["h"].to_numpy().astype(np.int64)
+        part = ((h.view(np.uint64) * gold) % np.uint64(N_DEDUP_PARTS)
+                ).astype(np.int64)
+        return t.append_column("part", pa.array(part))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy().astype(np.int64)
+        doc = g["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((doc, h))
+        h_s, d_s = h[order], doc[order]
+        bounds = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1], True])
+        sizes = np.diff(bounds)
+        out_a, out_b = [], []
+        for bi in np.flatnonzero((sizes >= 2) & (sizes <= WINNOW_DF_CAP)):
+            lo, hi = bounds[bi], bounds[bi + 1]
+            ids = d_s[lo:hi]  # per-doc-distinct upstream -> unique here
+            i, j = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[i])
+            out_b.append(ids[j])
+        if not out_a:
+            return pd.DataFrame({"doc_a": np.zeros(0, dtype=np.int64),
+                                 "doc_b": np.zeros(0, dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
+
+    def pair_part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "doc_a" not in b.column_names:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64()),
+                             "part": pa.array([], type=pa.int64())})
+        a = b["doc_a"].to_numpy().astype(np.int64).view(np.uint64)
+        bb = b["doc_b"].to_numpy().astype(np.int64).view(np.uint64)
+        part = (((a * gold) ^ bb) % np.uint64(N_DEDUP_PARTS)).astype(np.int64)
+        return pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                         "part": pa.array(part)})
+
+    def count_shared(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["doc_a"].to_numpy().astype(np.int64)
+        b_ = g["doc_b"].to_numpy().astype(np.int64)
+        order = np.lexsort((b_, a))
+        a_s, b_s = a[order], b_[order]
+        starts = np.flatnonzero(
+            np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+        )
+        n = np.diff(np.r_[starts, len(a_s)]).astype(np.int64)
+        keep = n >= WINNOW_MIN_SHARED
+        return pd.DataFrame({"doc_a": a_s[starts][keep],
+                             "doc_b": b_s[starts][keep],
+                             "n_shared": n[keep]})
+
+    return (
+        ds.map_batches(fp_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(pair_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_shared, batch_format="pandas")
+    )

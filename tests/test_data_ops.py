@@ -41,6 +41,8 @@ ORACLE_CASES = [
     "dedup_embedding_lsh",
     "quality_classifier",
     "knn_label_agreement",
+    "dedup_normalized",
+    "dedup_winnow_pairs",
 ]
 
 
@@ -686,3 +688,86 @@ def test_knn_label_agreement_tiny_corpora(ray_session, tmp_path):
             .reset_index(drop=True)
         )
         assert df["n_same"].tolist() == want_same, n
+
+
+def test_normalized_dedup_constructed(ray_session, tmp_path):
+    """Case/whitespace variants collapse onto one normalized group; the
+    planted mutant (doc_id < 10 -> +1000000) joins its original's
+    group; a unique doc stays alone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 20, 21, 22], type=pa.int64()),
+            "text": pa.array([
+                "Hello   World",        # original (gets a planted mutant)
+                "hello world",          # case variant
+                " HELLO\tWORLD\n",      # whitespace+case variant
+                "something different",  # its own group
+            ]),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    from prlib_ray.stages.dedup import normalized_dedup
+
+    df = normalized_dedup(str(tmp_path)).to_pandas()
+    by_doc = {int(r.doc_id): int(r.n_docs) for r in df.itertuples()}
+    # survivor 0 collapses {0, 20, 21, planted 1000000}; 22 is alone
+    assert by_doc == {0: 4, 22: 1}
+
+
+def test_winnow_pairs_identical_docs(ray_session, tmp_path):
+    """Three identical docs share every fingerprint -> all three pairs,
+    each with the doc's full fingerprint count; the unrelated doc pairs
+    with nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    same = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green forest before dusk")
+    other = "0123456789" * 12
+    pq_.write_table(
+        pa.table({
+            "doc_id": pa.array([101, 102, 103, 104], type=pa.int64()),
+            "text": pa.array([same, same, same, other]),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    from prlib_ray.stages.dedup import WINNOW_MIN_SHARED, winnow_pair_dedup
+    from prlib_ray.stages.text_analysis import winnow_batch
+
+    n_fp = winnow_batch(
+        pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                  "text": pa.array([same])})
+    ).num_rows
+    assert n_fp >= WINNOW_MIN_SHARED  # the fixture is long enough
+
+    df = winnow_pair_dedup(str(tmp_path)).to_pandas()
+    got = {(int(a), int(b)): int(n) for a, b, n in
+           zip(df["doc_a"], df["doc_b"], df["n_shared"])}
+    assert got == {(101, 102): n_fp, (101, 103): n_fp, (102, 103): n_fp}
+
+
+def test_winnow_pairs_stop_fingerprints(ray_session, tmp_path):
+    """A fingerprint present in more than WINNOW_DF_CAP docs is a stop
+    fingerprint: a 25-clone cluster yields NO pairs (every shared
+    fingerprint is over-df), pinning the MOSS ignore-frequent rule and
+    the pair-explosion guard."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from prlib_ray.stages.dedup import WINNOW_DF_CAP, winnow_pair_dedup
+
+    n = WINNOW_DF_CAP + 5
+    text = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+            "do eiusmod tempor incididunt ut labore et dolore magna")
+    pq_.write_table(
+        pa.table({
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array([text] * n),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    df = winnow_pair_dedup(str(tmp_path)).to_pandas()
+    assert len(df) == 0

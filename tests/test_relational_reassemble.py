@@ -15,6 +15,7 @@ CASES = [
     "hot_keys",
     "props_field_stats",
     "funnel_conversion",
+    "retention_cohorts",
     "reassemble_events",
     "find_angle",
     "find_orientation",
@@ -331,3 +332,51 @@ def test_funnel_conversion_no_funnel_events(ray_session, tmp_path):
     df = funnel_conversion(str(tmp_path)).to_pandas()
     assert df["stage"].tolist() == [1, 2, 3]
     assert df["n_users"].tolist() == [0, 0, 0]
+
+
+def test_retention_cohorts_constructed(ray_session, tmp_path):
+    """Cohorts are first-ACTIVE-day; offsets count exact-day returns
+    (several events on one day count once; a return on a non-offset day
+    counts toward nothing; cohort-offset cells with no returners are
+    absent, mirroring the oracle's inner join)."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    day = np.timedelta64(86_400_000_000, "us")
+    h = np.timedelta64(5, "h")
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = [
+        # user 1: days 0 (twice), 1, 7
+        (1, base), (1, base + h), (1, base + day), (1, base + 7 * day),
+        # user 2: day 0 only
+        (2, base),
+        # user 3: cohort day 2; returns on days 3 / 5 / 9 (offsets
+        # 1 / 3 / 7) and on day 6 (matches no offset)
+        (3, base + 2 * day), (3, base + 3 * day), (3, base + 5 * day),
+        (3, base + 6 * day), (3, base + 9 * day),
+    ]
+    pq2.write_table(
+        pa2.table({
+            "event_id": pa2.array(range(len(rows)), type=pa2.int64()),
+            "ts": pa2.array([r[1].astype("datetime64[us]").item()
+                             for r in rows], type=pa2.timestamp("us")),
+            "user_id": pa2.array([r[0] for r in rows], type=pa2.int64()),
+            "event_type": pa2.array(["view"] * len(rows)),
+            "value": pa2.array([0.0] * len(rows)),
+            "props": pa2.array([""] * len(rows)),
+        }),
+        tmp_path / "events.parquet",
+    )
+    from prlib_ray.relational import DAY_US, retention_cohorts
+
+    df = retention_cohorts(str(tmp_path)).to_pandas()
+    d0 = int(base.astype(np.int64) // DAY_US)
+    got = {
+        (int(r.cohort_day), int(r.day_offset)): int(r.n_users)
+        for r in df.itertuples()
+    }
+    assert got == {
+        (d0, 0): 2, (d0, 1): 1, (d0, 7): 1,
+        (d0 + 2, 0): 1, (d0 + 2, 1): 1, (d0 + 2, 3): 1, (d0 + 2, 7): 1,
+    }
