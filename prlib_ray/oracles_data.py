@@ -14,6 +14,7 @@ from prlib_ray.stages.text_analysis import (
     STOPWORDS,
 )
 from prlib_ray.stages.similarity import N_PQ_CODES, N_PQ_SUB
+from prlib_ray.stages import dedup as _dd
 
 EXACT_DEDUP = """
 SELECT md5(text) AS h, min(doc_id) AS doc_id
@@ -1326,13 +1327,13 @@ ANN_PQ_ADC = _ann_pq_adc_sql()
 # onto its original (the fixtures are pure ASCII, so lower(upper(x)) ==
 # lower(x)); RE2 \s on both sides (DuckDB regexp_replace is RE2, as is
 # pyarrow replace_substring_regex)
-NORMALIZED_DEDUP = """
+NORMALIZED_DEDUP = f"""
 WITH aug AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 1000000 AS doc_id,
+    SELECT doc_id + {_dd.PLANT_NORM_OFFSET} AS doc_id,
            chr(9) || upper(text) || '  ' AS text
-    FROM documents WHERE doc_id < 10
+    FROM documents WHERE doc_id < {_dd.N_PLANT_NORM}
 ),
 n AS (
     SELECT doc_id,
@@ -1352,11 +1353,11 @@ WITH fp AS ({WINNOW}),
 keep AS (
     SELECT s.doc_id, s.h
     FROM fp s JOIN (
-        SELECT h FROM fp GROUP BY h HAVING count(*) <= 20
+        SELECT h FROM fp GROUP BY h HAVING count(*) <= {_dd.WINNOW_DF_CAP}
     ) d USING (h)
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
-GROUP BY 1, 2 HAVING count(*) >= 3
+GROUP BY 1, 2 HAVING count(*) >= {_dd.WINNOW_MIN_SHARED}
 ORDER BY doc_a, doc_b"""

@@ -382,13 +382,18 @@ SELECT * FROM (VALUES
 ORDER BY stage"""
 
 
-# mirrors relational.retention_cohorts: cohort = first active utc day
-# (epoch_us // day — events_hourly_window's bucket rule one grain up);
+# mirrors relational.retention_cohorts: cohort = first active utc day;
 # day_offset rows count the cohort's users active exactly that many
-# days later (offset 0 = cohort size)
+# days later (offset 0 = cohort size).  The day bucket FLOORS like
+# numpy // (DuckDB integer // truncates toward zero, which diverges on
+# pre-1970 negative epochs): floor of a double quotient is exact here
+# since |epoch_us| < 2^53 through year ~2255 and the quotient's
+# distance to an integer (>= 1/86400000000) exceeds rounding error
 RETENTION_COHORTS = """
 WITH ud AS (
-    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+    SELECT DISTINCT user_id,
+           CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+                AS BIGINT) AS day
     FROM events
 ),
 coh AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id)

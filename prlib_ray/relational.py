@@ -1888,8 +1888,19 @@ def retention_cohorts(sf_dir: str):
                          columns=["user_id", "ts"])
     max_off = max(RETENTION_OFFSETS)
 
+    empty = pa.table({
+        "user_id": pa.array([], type=pa.int64()),
+        "day": pa.array([], type=pa.int64()),
+        "part": pa.array([], type=pa.int64()),
+    })
+
     def prep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
         u = b["user_id"].to_numpy().astype(np.int64)
+        # numpy // FLOORS; the oracle mirrors it with a float floor
+        # (exact for |epoch_us| < 2^53, i.e. through year ~2255), so
+        # pre-1970 negative epochs agree on both sides
         d = (b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
              // DAY_US)
         order = np.lexsort((d, u))
@@ -1903,6 +1914,12 @@ def retention_cohorts(sf_dir: str):
         })
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "cohort_day": np.zeros(0, dtype=np.int64),
+                "day_offset": np.zeros(0, dtype=np.int64),
+                "n_users": np.zeros(0, dtype=np.int64),
+            })
         u = g["user_id"].to_numpy().astype(np.int64)
         d = g["day"].to_numpy().astype(np.int64)
         order = np.lexsort((d, u))
@@ -1915,11 +1932,11 @@ def retention_cohorts(sf_dir: str):
         rel = d - d.min()
         span = int(rel.max()) + max_off + 2
         axis = run * span + rel
-        runs_idx = np.arange(len(starts), dtype=np.int64)
-        coh_rel = cohort - d.min()
         out_c, out_o, out_n = [], [], []
         for off in RETENTION_OFFSETS:
-            target = runs_idx * span + coh_rel + off
+            # each user's cohort position on the composite axis is
+            # axis[starts]; the probe is that plus the offset
+            target = axis[starts] + off
             pos = np.searchsorted(axis, target, side="left")
             hit = axis[np.minimum(pos, len(axis) - 1)] == target
             hc = np.sort(cohort[hit])
@@ -1929,12 +1946,6 @@ def retention_cohorts(sf_dir: str):
             out_c.append(hc[b_])
             out_o.append(np.full(len(b_), off, dtype=np.int64))
             out_n.append(np.diff(np.r_[b_, len(hc)]).astype(np.int64))
-        if not out_c:  # offset 0 always hits, so only an EMPTY part
-            return pd.DataFrame({
-                "cohort_day": np.zeros(0, dtype=np.int64),
-                "day_offset": np.zeros(0, dtype=np.int64),
-                "n_users": np.zeros(0, dtype=np.int64),
-            })
         return pd.DataFrame({
             "cohort_day": np.concatenate(out_c),
             "day_offset": np.concatenate(out_o),

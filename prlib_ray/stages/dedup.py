@@ -1276,7 +1276,7 @@ def winnow_pair_dedup(sf_dir: str):
         ds.map_batches(fp_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .map_batches(pair_part, batch_format="pyarrow")
+        .map_batches(pair_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
         .map_groups(count_shared, batch_format="pandas")
     )

@@ -380,3 +380,49 @@ def test_retention_cohorts_constructed(ray_session, tmp_path):
         (d0, 0): 2, (d0, 1): 1, (d0, 7): 1,
         (d0 + 2, 0): 1, (d0 + 2, 1): 1, (d0 + 2, 3): 1, (d0 + 2, 7): 1,
     }
+
+
+def test_retention_cohorts_pre1970_floor(ray_session, tmp_path):
+    """Day bucketing FLOORS on negative epochs on BOTH sides: numpy //
+    floors, and the oracle uses an explicit float floor (DuckDB integer
+    // truncates toward zero and would disagree) — a 1969 event lands
+    in day -1, not day 0, and both sides say so."""
+    import duckdb as dd
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    rows = [
+        # user 9: cohort day -1 (1969-12-31 noon), returns next day
+        (9, np.datetime64("1969-12-31T12:00:00", "us")),
+        (9, np.datetime64("1970-01-01T12:00:00", "us")),
+    ]
+    pq2.write_table(
+        pa2.table({
+            "event_id": pa2.array(range(len(rows)), type=pa2.int64()),
+            "ts": pa2.array([r[1].astype("datetime64[us]").item()
+                             for r in rows], type=pa2.timestamp("us")),
+            "user_id": pa2.array([r[0] for r in rows], type=pa2.int64()),
+            "event_type": pa2.array(["view"] * len(rows)),
+            "value": pa2.array([0.0] * len(rows)),
+            "props": pa2.array([""] * len(rows)),
+        }),
+        tmp_path / "events.parquet",
+    )
+    from prlib_ray.oracles_rel import RETENTION_COHORTS
+    from prlib_ray.relational import retention_cohorts
+
+    df = retention_cohorts(str(tmp_path)).to_pandas()
+    got = {(int(r.cohort_day), int(r.day_offset)): int(r.n_users)
+           for r in df.itertuples()}
+    assert got == {(-1, 0): 1, (-1, 1): 1}
+
+    con = dd.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    odf = con.execute(RETENTION_COHORTS).df()
+    ogot = {(int(r.cohort_day), int(r.day_offset)): int(r.n_users)
+            for r in odf.itertuples()}
+    assert ogot == got
