@@ -177,7 +177,9 @@ def run_bench() -> dict:
                  "bigram_lm_score", "ann_lsh_topk", "ann_pq_adc_topk",
                  "heavy_hitter_words", "source_overlap",
                  "key_skew_profile", "knn_label_agreement",
-                 "props_field_stats", "funnel_conversion"):
+                 "props_field_stats", "funnel_conversion",
+                 "dedup_normalized", "dedup_winnow_pairs",
+                 "retention_cohorts"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):
