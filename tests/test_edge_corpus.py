@@ -94,6 +94,11 @@ EDGE_CASES = [
     "heavy_hitter_words",
     "source_overlap",
     "knn_label_agreement",
+    # normalized dedup collapses the ""/" "-class docs into ONE group
+    # (plus every planted mutant); winnow pairs must survive docs
+    # shorter than the k-gram and the all-identical 'dup' runs
+    "dedup_normalized",
+    "dedup_winnow_pairs",
 ]
 
 
