@@ -28,62 +28,82 @@ def _md5(s: str) -> str:
     return hashlib.md5(s.encode("utf-8")).hexdigest()
 
 
-def exact_dedup(sf_dir: str):
-    """Exact dedup: md5(text) -> hash-partition -> min(doc_id) survives.
+def _hash_min_fold(ds, key_batch_fn, *, counts: bool):
+    """Shared hash-group survivor layout: per-batch pre-combine (min doc
+    [+ count] per hash key), crc32 coarse hash partitions, ONE
+    vectorized lexsort run-boundary fold per part — used by exact_dedup
+    AND normalized_dedup so the fold can never drift between them.
 
-    The survivor fold runs per COARSE partition (crc32(hash) % parts,
-    one vectorized lexsort run-boundary pass each), not per hash key:
-    Ray's per-key aggregate pays ms-scale cost per distinct key and the
-    key count here is the document count itself.  A hash never spans
-    parts, and each batch pre-combines (local min per hash) so at most
-    one row per (batch, hash) shuffles."""
+    The fold runs per COARSE partition (crc32(hash) % N_DEDUP_PARTS),
+    not per hash key: Ray's per-key aggregate pays ms-scale cost per
+    distinct key and the key count here is the document count itself.
+    A hash never spans parts, and each batch pre-combines so at most
+    one row per (batch, hash) shuffles.
+
+    ``key_batch_fn(b) -> (hs, ids)``: object ndarray of hash keys +
+    int64 ndarray of doc ids for the (possibly augmented) batch."""
     import zlib
 
-    import ray.data as rd
+    import pandas as pd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    empty_cols = {"h": pa.array([], type=pa.string()),
+                  "doc_id": pa.array([], type=pa.int64()),
+                  "part": pa.array([], type=pa.int64())}
+    if counts:
+        empty_cols["n_docs"] = pa.array([], type=pa.int64())
 
     def add_hash(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return pa.table(
-                {"h": pa.array([], type=pa.string()),
-                 "doc_id": pa.array([], type=pa.int64()),
-                 "part": pa.array([], type=pa.int64())}
-            )
-        hs = np.asarray([_md5(t) for t in b["text"].to_pylist()],
-                        dtype=object)
-        ids = b["doc_id"].to_numpy().astype(np.int64)
-        # local pre-combine: min doc per hash within the batch
+            return pa.table(empty_cols)
+        hs, ids = key_batch_fn(b)
+        # local pre-combine: min doc (ids sort first within a hash run)
         order = np.lexsort((ids, hs))
         h_s, i_s = hs[order], ids[order]
-        first = np.r_[True, h_s[1:] != h_s[:-1]]
-        h_u, i_u = h_s[first], i_s[first]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        h_u, i_u = h_s[starts], i_s[starts]
         part = np.asarray(
             [zlib.crc32(h.encode()) % N_DEDUP_PARTS for h in h_u],
             dtype=np.int64,
         )
-        return pa.table(
-            {"h": pa.array(h_u, type=pa.string()),
-             "doc_id": pa.array(i_u), "part": pa.array(part)}
-        )
-
-    import pandas as pd
+        cols = {"h": pa.array(h_u, type=pa.string()),
+                "doc_id": pa.array(i_u), "part": pa.array(part)}
+        if counts:
+            cnt = np.diff(np.r_[starts, len(h_s)]).astype(np.int64)
+            cols["n_docs"] = pa.array(cnt)
+        return pa.table(cols)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         hs = g["h"].to_numpy().astype(object)
         ids = g["doc_id"].to_numpy().astype(np.int64)
         order = np.lexsort((ids, hs))
         h_s, i_s = hs[order], ids[order]
-        first = np.r_[True, h_s[1:] != h_s[:-1]]
-        return pd.DataFrame(
-            {"h": h_s[first].astype(object), "doc_id": i_s[first]}
-        )
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        out = {"h": h_s[starts].astype(object), "doc_id": i_s[starts]}
+        if counts:
+            ns = g["n_docs"].to_numpy().astype(np.int64)[order]
+            out["n_docs"] = np.add.reduceat(ns, starts).astype(np.int64)
+        return pd.DataFrame(out)
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
         .map_groups(per_part, batch_format="pandas")
     )
+
+
+def exact_dedup(sf_dir: str):
+    """Exact dedup: md5(text) -> hash-partition -> min(doc_id) survives
+    (the shared _hash_min_fold layout)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def keys(b: pa.Table):
+        hs = np.asarray([_md5(t) for t in b["text"].to_pylist()],
+                        dtype=object)
+        return hs, b["doc_id"].to_numpy().astype(np.int64)
+
+    return _hash_min_fold(ds, keys, counts=False)
 
 
 def _shingles(text: str, k: int = 3) -> set[str]:
@@ -1122,28 +1142,18 @@ def normalized_dedup(sf_dir: str):
     'near-exact' web-dedup pass that catches the case/whitespace
     mutants byte-exact dedup misses.
 
-    Same scale layout as exact_dedup: per-batch pre-combine (min doc +
-    count per normalized hash), crc32 coarse hash partitions, ONE
-    vectorized run-boundary fold per part — at most one row per
-    (batch, hash) shuffles and no per-key Ray group exists anywhere."""
-    import zlib
-
-    import pandas as pd
+    Same scale layout as exact_dedup via the shared _hash_min_fold
+    (counts=True adds per-batch count partials + a reduceat sum in the
+    fold) — at most one row per (batch, hash) shuffles and no per-key
+    Ray group exists anywhere."""
     import pyarrow.compute as pc
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
-    def add_hash(b: pa.Table) -> pa.Table:
+    def keys(b: pa.Table):
         b = _plant_norm_batch(b)
-        if b.num_rows == 0:
-            return pa.table(
-                {"h": pa.array([], type=pa.string()),
-                 "doc_id": pa.array([], type=pa.int64()),
-                 "n_docs": pa.array([], type=pa.int64()),
-                 "part": pa.array([], type=pa.int64())}
-            )
         # RE2 \s on both sides (pyarrow and DuckDB regexp_replace);
         # trim(x, ' ') == the oracle's trim: post-collapse edges are
         # plain spaces
@@ -1154,40 +1164,9 @@ def normalized_dedup(sf_dir: str):
             characters=" ",
         )
         hs = np.asarray([_md5(t) for t in norm.to_pylist()], dtype=object)
-        ids = b["doc_id"].to_numpy().astype(np.int64)
-        order = np.lexsort((ids, hs))
-        h_s, i_s = hs[order], ids[order]
-        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
-        cnt = np.diff(np.r_[starts, len(h_s)]).astype(np.int64)
-        h_u, i_u = h_s[starts], i_s[starts]  # ids sorted -> first is min
-        part = np.asarray(
-            [zlib.crc32(h.encode()) % N_DEDUP_PARTS for h in h_u],
-            dtype=np.int64,
-        )
-        return pa.table(
-            {"h": pa.array(h_u, type=pa.string()),
-             "doc_id": pa.array(i_u), "n_docs": pa.array(cnt),
-             "part": pa.array(part)}
-        )
+        return hs, b["doc_id"].to_numpy().astype(np.int64)
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        hs = g["h"].to_numpy().astype(object)
-        ids = g["doc_id"].to_numpy().astype(np.int64)
-        ns = g["n_docs"].to_numpy().astype(np.int64)
-        order = np.lexsort((ids, hs))
-        h_s, i_s, n_s = hs[order], ids[order], ns[order]
-        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
-        total = np.add.reduceat(n_s, starts).astype(np.int64)
-        return pd.DataFrame(
-            {"h": h_s[starts].astype(object), "doc_id": i_s[starts],
-             "n_docs": total}
-        )
-
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("part")
-        .map_groups(per_part, batch_format="pandas")
-    )
+    return _hash_min_fold(ds, keys, counts=True)
 
 
 # --- Winnowing shared-fingerprint pairs (MOSS layout) -------------------------
