@@ -102,19 +102,22 @@ _PRIORITY = [
     # ann_*_topk entries (pytest ORACLE_CASES + driver_sim still check
     # them), freeing window slots for the round's new operator families
     "token_count_subword",
+    "vocab_oov_rate",  # new: top-V vocabulary OOV fraction per source
     "gopher_quality", "quality_classifier",
     "lang_agreement",
-    "split_assign", "mix_sources", "decontaminate",
+    "split_assign", "decontaminate",
     "pack_sequences", "pii_scan",
     "props_field_stats",  # new: semi-structured JSON extraction
     "source_overlap",  # new in round 3: pairwise source vocab overlap
+    "source_minhash_jaccard",  # new: its mergeable bigram-sketch twin
     "weighted_sample",
     "frequent_ngrams", "heavy_hitter_words",
     "q3_top_orders",
+    "bloom_semi_join",  # new: bloom-prefilter semi-join (FP-observable)
     "orders_by_segment", "sales_rollup",
     # new in round 3: shuffle-skew profiling (histogram + named keys)
     "key_skew_profile",
-    "events_hourly_window", "sessionize", "rolling_event_window",
+    "rolling_event_window",
     "event_transitions",
     "funnel_conversion",  # ordered funnel (earliest-event chain)
     "retention_cohorts",  # new: first-active-day cohort retention
@@ -133,6 +136,12 @@ _PRIORITY = [
     # weighted_sample/mix_sources sampling family, build_inverted_index
     # by search_topk which runs the same postings build — all below
     # remain sim+pytest covered)
+    # displaced in the eighth session by vocab_oov_rate /
+    # source_minhash_jaccard / bloom_semi_join (family-represented
+    # inside: sales_rollup + events_hopping cover windowed aggregation,
+    # funnel/retention run sessionize's coarse user-partition lexsort,
+    # weighted_sample + split_assign cover quota sampling)
+    "events_hourly_window", "sessionize", "mix_sources",
     "hot_keys", "shuffle_head", "build_inverted_index",
     "repetition_stats", "chunk_tokens", "source_term_stats",
     "corpus_diff", "dup_substring_fraction",

@@ -279,6 +279,12 @@ def _register_data_ops(queries, sql) -> None:
     # pairwise source vocabulary overlap (bitmask histogram plan)
     queries["source_overlap"] = corpus_stats.source_overlap
     sql["source_overlap"] = ocorp.SOURCE_OVERLAP
+    # its mergeable-sketch complement: per-source minhash signatures
+    queries["source_minhash_jaccard"] = corpus_stats.source_minhash_jaccard
+    sql["source_minhash_jaccard"] = ocorp.SOURCE_MINHASH_JACCARD
+    # top-V vocabulary OOV fraction per source (tokenizer budget report)
+    queries["vocab_oov_rate"] = corpus_stats.vocab_oov_rate
+    sql["vocab_oov_rate"] = ocorp.VOCAB_OOV_RATE
 
     # end-to-end curation funnel (gopher gate -> exact dedup ->
     # boilerplate drop), per-source accounting
@@ -568,6 +574,9 @@ def _register_relational(queries, sql) -> None:
         # cohort retention report (first-active-day cohorts x offsets)
         ("retention_cohorts", rel.retention_cohorts,
          orel.RETENTION_COHORTS),
+        # bloom-prefilter semi-join (exact join on the survivor stream;
+        # the FP tail is observable as n_pass - n_true)
+        ("bloom_semi_join", rel.bloom_semi_join, orel.BLOOM_SEMI_JOIN),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

@@ -327,3 +327,69 @@ FROM cnt ca
 JOIN cnt cb ON ca.source < cb.source
 LEFT JOIN sh ON sh.s1 = ca.source AND sh.s2 = cb.source
 ORDER BY s1, s2"""
+
+
+def _vocab_oov_sql() -> str:
+    """Mirror of corpus_stats.vocab_oov_rate: top-OOV_VOCAB words by
+    (count DESC, word ASC), per-source token/OOV counts over nonempty
+    words; the V interpolates from the implementation module."""
+    from prlib_ray.stages.corpus_stats import OOV_VOCAB
+
+    return f"""
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+nz AS (SELECT source, w FROM toks WHERE w <> ''),
+cnt AS (SELECT w, count(*) AS n FROM nz GROUP BY w),
+vocab AS (SELECT w FROM cnt ORDER BY n DESC, w LIMIT {OOV_VOCAB})
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE w NOT IN (SELECT w FROM vocab))
+            AS BIGINT) AS n_oov
+FROM nz GROUP BY source ORDER BY source"""
+
+
+VOCAB_OOV_RATE = _vocab_oov_sql()
+
+
+def _source_minhash_sql() -> str:
+    """Mirror of corpus_stats.source_minhash_jaccard: the dedup family's
+    proven (a*x+b) mod (2^61-1) HUGEINT permutation chain (see
+    oracles_data._minhash_banding_ctes) keyed by source over the
+    big-endian md5 word ids; every word-having source pair appears,
+    n_match counts seed agreements."""
+    from prlib_ray.oracles_data import _byteswap8
+    from prlib_ray.stages.dedup import _A, _B, MERSENNE
+
+    vals = ",\n           ".join(
+        f"({h},{int(a)},{int(b)})" for h, (a, b) in enumerate(zip(_A, _B))
+    )
+    swap = _byteswap8("md5_number_upper(g)")
+    return f"""
+WITH words AS (
+    SELECT source, doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+),
+nz AS (
+    SELECT source, doc_id, w,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+    FROM words WHERE w <> ''
+),
+ws AS (
+    SELECT DISTINCT a.source, a.w || ' ' || b.w AS g
+    FROM nz a JOIN nz b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+),
+sid AS (SELECT source, {swap} AS id FROM ws),
+params(h, a, b) AS (VALUES {vals}),
+mh AS (
+    SELECT source, p.h,
+           min((p.a::HUGEINT * (id % {MERSENNE}) + p.b) % {MERSENNE}) AS mh
+    FROM sid CROSS JOIN params p GROUP BY source, p.h
+)
+SELECT a.source AS s1, b.source AS s2,
+       CAST(count(*) FILTER (WHERE a.mh = b.mh) AS BIGINT) AS n_match
+FROM mh a JOIN mh b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source ORDER BY s1, s2"""
+
+
+SOURCE_MINHASH_JACCARD = _source_minhash_sql()

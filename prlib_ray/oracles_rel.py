@@ -404,3 +404,57 @@ JOIN (VALUES (0), (1), (3), (7)) o(off) ON true
 JOIN ud ON ud.user_id = c.user_id AND ud.day = c.cohort + o.off
 GROUP BY 1, 2
 ORDER BY 1, 2"""
+
+
+def _bloom_semi_join_sql() -> str:
+    """Exact mirror of relational.bloom_semi_join: same md5 double-hash
+    positions (big-endian read of md5_number_upper via the byteswap), the
+    same m = next_pow2(BLOOM_BITS_PER_KEY * n_keys) >= 64 computed from
+    count(*) (1 << bit_length, with bit_length as the binary-format
+    length), and the all-K-positions-matched pass rule.  Constants
+    interpolate from the implementation module so a knob change cannot
+    silently desynchronize the mirror."""
+    from prlib_ray.oracles_data import _byteswap8
+    from prlib_ray.relational import (
+        BLOOM_BITS_PER_KEY, BLOOM_K, BLOOM_SEGMENT,
+    )
+
+    js = ", ".join(f"({j})" for j in range(BLOOM_K))
+    h1b = _byteswap8("md5_number_upper('bf1:' || CAST(bk.k AS VARCHAR))")
+    h2b = _byteswap8("md5_number_upper('bf2:' || CAST(bk.k AS VARCHAR))")
+    h1o = _byteswap8("md5_number_upper('bf1:' || CAST(o.o_custkey AS VARCHAR))")
+    h2o = _byteswap8("md5_number_upper('bf2:' || CAST(o.o_custkey AS VARCHAR))")
+    return f"""
+WITH bk AS (
+    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+),
+mm AS (
+    SELECT 1::HUGEINT << length(format('{{:b}}',
+           greatest({BLOOM_BITS_PER_KEY} * count(*) - 1, 63))) AS m
+    FROM bk
+),
+js(j) AS (VALUES {js}),
+pos AS (
+    SELECT DISTINCT ({h1b} % m + j * ({h2b} % m)) % m AS p
+    FROM bk CROSS JOIN mm CROSS JOIN js
+),
+probe AS (
+    SELECT o.o_orderkey, ({h1o} % m + j * ({h2o} % m)) % m AS p
+    FROM orders o CROSS JOIN mm CROSS JOIN js
+),
+passed AS (
+    SELECT probe.o_orderkey
+    FROM probe LEFT JOIN pos ON pos.p = probe.p
+    GROUP BY probe.o_orderkey HAVING count(pos.p) = {BLOOM_K}
+)
+SELECT o.o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (WHERE o.o_orderkey IN
+            (SELECT o_orderkey FROM passed)) AS BIGINT) AS n_pass,
+       CAST(count(*) FILTER (WHERE o.o_orderkey IN
+            (SELECT o_orderkey FROM passed)
+            AND o.o_custkey IN (SELECT k FROM bk)) AS BIGINT) AS n_true
+FROM orders o GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus"""
+
+
+BLOOM_SEMI_JOIN = _bloom_semi_join_sql()

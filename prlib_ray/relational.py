@@ -1959,3 +1959,206 @@ def retention_cohorts(sf_dir: str):
         .groupby(["cohort_day", "day_offset"])
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join: the scale path for a semi-join whose build-side
+# key set is too large to broadcast raw.  The filter compresses n keys to
+# ~BLOOM_BITS_PER_KEY bits each; probes that pass the bloom (true members
+# plus a deterministic false-positive tail) then settle membership with an
+# EXACT Dataset.join on the already-reduced survivor stream — the
+# production bloom-join plan (prefilter, then join only what survived).
+
+BLOOM_K = 3              # probes per key (Kirsch-Mitzenmacher double hashing)
+BLOOM_BITS_PER_KEY = 8   # m = next_pow2(8 * n_keys): ~3% FP at K=3
+BLOOM_SEGMENT = "BUILDING"
+N_BLOOM_PARTS = 32       # coarse position-range partitions for the bitmap fold
+
+
+def _bloom_positions(keys: np.ndarray, m: int) -> np.ndarray:
+    """(len(keys), BLOOM_K) int64 bit positions for integer keys.
+
+    h1 / h2 = big-endian uint64 of md5('bf1:'/'bf2:' + str(k))[:8] — the
+    repo's md5_number_upper byteswap contract (oracles_data._byteswap8);
+    position_j = (h1 % m + j * (h2 % m)) % m.  Both factors pre-reduce
+    mod m so j * (h2 % m) stays far below 2^64: DuckDB HUGEINT never
+    wraps, so the engine must not wrap either."""
+    import hashlib
+
+    mm = np.uint64(m)
+    h1 = np.fromiter(
+        (int.from_bytes(hashlib.md5(b"bf1:%d" % int(k)).digest()[:8], "big")
+         for k in keys),
+        dtype=np.uint64, count=len(keys),
+    ) % mm
+    h2 = np.fromiter(
+        (int.from_bytes(hashlib.md5(b"bf2:%d" % int(k)).digest()[:8], "big")
+         for k in keys),
+        dtype=np.uint64, count=len(keys),
+    ) % mm
+    j = np.arange(BLOOM_K, dtype=np.uint64)
+    return ((h1[:, None] + j[None, :] * h2[:, None]) % mm).astype(np.int64)
+
+
+def bloom_semi_join(sf_dir: str, *, segment: str = BLOOM_SEGMENT):
+    """Per order status: total orders, orders passing a bloom filter built
+    over the BLOOM_SEGMENT customers' keys, and the exact member count
+    among the passers (so n_pass - n_true is the observable FP tail).
+
+    Plan: (1) count build keys with a pruned filtered scan (c_custkey is
+    the customer PK, so count == distinct count) and size
+    m = next_pow2(BLOOM_BITS_PER_KEY * n) >= 64 — the SQL mirror computes
+    the same m from count(*); (2) per-batch distinct positions ->
+    coarse position-RANGE partitions -> one packbits sub-bitmap blob per
+    part -> the driver concatenates N_BLOOM_PARTS blobs into the m-bit
+    set (m/8 bytes broadcast once via ray.put — never the raw keys);
+    (3) probe orders in one map_batches pass emitting per-batch grouped
+    survivor partials (o_custkey, status, n) plus one per-status total
+    row under the custkey = -1 sentinel (order custkeys are positive;
+    asserted); (4) n_true = survivors JOIN build keys (exact, on the
+    bloom-reduced stream), n_pass / n_orders = bounded per-status sums.
+    Order rows never shuffle; only survivor partials do."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from prlib_ray.stages.dedup import _join_partitions
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filter=(pc.field("c_mktsegment") == segment),
+    )
+    n_keys = int(cust.count())
+    m = 1 << max(BLOOM_BITS_PER_KEY * n_keys - 1, 63).bit_length()
+    seg_len = -(-m // N_BLOOM_PARTS)
+
+    def build_partial(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        empty = pa.table({"pos": z, "part": z})
+        if b.num_rows == 0:
+            return empty
+        b = b.filter(pc.equal(b["c_mktsegment"], segment))
+        if b.num_rows == 0:
+            return empty
+        k = b["c_custkey"].to_numpy().astype(np.int64)
+        pos = np.unique(_bloom_positions(k, m))
+        return pa.table({"pos": pa.array(pos), "part": pa.array(pos // seg_len)})
+
+    def bitmap_fold(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["part"].iloc[0])
+        lo = part * seg_len
+        ln = min(seg_len, m - lo)
+        bits = np.zeros(ln, dtype=bool)
+        bits[g["pos"].to_numpy().astype(np.int64) - lo] = True
+        return pd.DataFrame(
+            {"part": [part], "blob": [np.packbits(bits).tobytes()]}
+        )
+
+    blob_rows = (
+        cust.map_batches(build_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(bitmap_fold, batch_format="pandas")
+    ).take_all()
+    full = np.zeros(m, dtype=bool)
+    for r in blob_rows:
+        part = int(r["part"])
+        lo = part * seg_len
+        ln = min(seg_len, m - lo)
+        full[lo:lo + ln] = np.unpackbits(
+            np.frombuffer(r["blob"], dtype=np.uint8), count=ln
+        ).astype(bool)
+    bitset_ref = ray.put(np.packbits(full))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    )
+
+    def probe(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "o_custkey": pa.array([], type=pa.int64()),
+            "o_orderstatus": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        })
+        if b.num_rows == 0:
+            return empty
+        bitset = ray.get(bitset_ref)
+        k = b["o_custkey"].to_numpy().astype(np.int64)
+        assert k.min() >= 0, "custkey sentinel -1 needs non-negative keys"
+        st = b["o_orderstatus"]
+        if isinstance(st, pa.ChunkedArray):
+            st = st.combine_chunks()
+        d = pc.dictionary_encode(st)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        statuses = d.dictionary
+        n_st = len(statuses)
+        ku, inv = np.unique(k, return_inverse=True)
+        pos = _bloom_positions(ku, m)
+        # packbits is big-endian within the byte: bit i lives at byte
+        # i>>3, mask 1 << (7 - i%8)
+        bit = (bitset[pos >> 3] >> (7 - (pos & 7)).astype(np.uint8)) & 1
+        passk = bit.all(axis=1)
+        pass_row = passk[inv]
+        tot = np.bincount(codes, minlength=n_st).astype(np.int64)
+        out_k = [np.full(n_st, -1, dtype=np.int64)]
+        out_s = [np.arange(n_st, dtype=np.int64)]
+        out_n = [tot]
+        if pass_row.any():
+            # survivor partial: grouped per (custkey, status) so only
+            # distinct pairs shuffle into the exact join
+            key = inv[pass_row] * n_st + codes[pass_row]
+            uk, cnt = np.unique(key, return_counts=True)
+            out_k.append(ku[uk // n_st])
+            out_s.append(uk % n_st)
+            out_n.append(cnt.astype(np.int64))
+        scode = np.concatenate(out_s)
+        return pa.table({
+            "o_custkey": pa.array(np.concatenate(out_k)),
+            "o_orderstatus": pc.take(statuses, pa.array(scode)),
+            "n": pa.array(np.concatenate(out_n)),
+        })
+
+    partials = orders.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    totals = (
+        partials.filter(expr="o_custkey < 0")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    ).take_all()
+    survivors = partials.filter(expr="o_custkey >= 0")
+    n_pass_rows = (
+        survivors.groupby("o_orderstatus")
+        .aggregate(Sum("n", alias_name="n_pass"))
+    ).take_all()
+    n_true: dict[str, int] = {}
+    if n_pass_rows:
+        build_keys = cust.map_batches(
+            lambda b: pa.table(
+                {"bk": pa.array(np.unique(
+                    b.filter(pc.equal(b["c_mktsegment"], segment))
+                    ["c_custkey"].to_numpy().astype(np.int64)))}
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        true_rows = (
+            survivors.join(build_keys, "inner",
+                           num_partitions=_join_partitions(),
+                           on=("o_custkey",), right_on=("bk",))
+            .groupby("o_orderstatus")
+            .aggregate(Sum("n", alias_name="n_true"))
+        ).take_all()
+        n_true = {r["o_orderstatus"]: int(r["n_true"]) for r in true_rows}
+    n_pass = {r["o_orderstatus"]: int(r["n_pass"]) for r in n_pass_rows}
+    sts = sorted(r["o_orderstatus"] for r in totals)
+    return pa.table({
+        "o_orderstatus": pa.array(sts, type=pa.string()),
+        "n_orders": pa.array(
+            [int(next(r["n_orders"] for r in totals
+                      if r["o_orderstatus"] == s)) for s in sts],
+            type=pa.int64()),
+        "n_pass": pa.array([n_pass.get(s, 0) for s in sts], type=pa.int64()),
+        "n_true": pa.array([n_true.get(s, 0) for s in sts], type=pa.int64()),
+    })

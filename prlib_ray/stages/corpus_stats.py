@@ -1407,3 +1407,204 @@ def source_overlap(sf_dir: str):
             "n2": pa.array(out["n2"], type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# top-V vocabulary OOV rate: the "how much of each source falls outside
+# the tokenizer vocabulary" report a training pipeline runs before
+# committing to a vocab size.
+
+OOV_VOCAB = 16  # top-V words by corpus count (ties: word ASC)
+
+
+def vocab_oov_rate(sf_dir: str):
+    """Per source: total nonempty tokens and how many are OUTSIDE the
+    top-``OOV_VOCAB`` corpus vocabulary (count DESC, word ASC ties —
+    the deterministic head a tokenizer build would freeze).
+
+    Plan: the shared coarse-partition vocabulary fold
+    (``_vocab_dataset``), then per-part local top-V + a <= V * parts
+    driver merge (the hot_keys bounded-merge pattern — the full
+    vocabulary never reaches the driver); winners broadcast as an
+    Arrow value_set and every batch probes with one C-speed
+    ``pc.is_in`` pass.  Only per-(batch, source) count partials
+    shuffle into the bounded final groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def local_topv(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"w": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        w = np.asarray(b["w"].to_pylist(), dtype=object)
+        n = b["n"].to_numpy().astype(np.int64)
+        o = np.lexsort((w, -n))[:OOV_VOCAB]
+        return pa.table({"w": pa.array(w[o], type=pa.string()),
+                         "n": pa.array(n[o])})
+
+    cand = (
+        _vocab_dataset(sf_dir, _word_count_partial)
+        .map_batches(local_topv, batch_format="pyarrow")
+    ).take_all()
+    cw = np.asarray([r["w"] for r in cand], dtype=object)
+    cn = np.asarray([r["n"] for r in cand], dtype=np.int64)
+    o = np.lexsort((cw, -cn))[:OOV_VOCAB]
+    vocab = pa.array(sorted(cw[o]), type=pa.string())
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "source": pa.array([], type=pa.string()),
+            "n_tokens": pa.array([], type=pa.int64()),
+            "n_oov": pa.array([], type=pa.int64()),
+        })
+        if b.num_rows == 0:
+            return empty
+        words, dow, _ = _flat_words(b)
+        ne = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        if not ne.any():
+            return empty
+        inv = pc.is_in(words, value_set=vocab).to_numpy(zero_copy_only=False)
+        src = b["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = pc.dictionary_encode(src)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = len(d.dictionary)
+        scode = codes[dow]
+        tot = np.bincount(scode[ne], minlength=ns).astype(np.int64)
+        oov = np.bincount(scode[ne & ~inv], minlength=ns).astype(np.int64)
+        keep = tot > 0  # all-empty-word sources absent (oracle parity)
+        kidx = np.flatnonzero(keep)
+        return pa.table({
+            "source": pc.take(d.dictionary, pa.array(kidx)),
+            "n_tokens": pa.array(tot[kidx]),
+            "n_oov": pa.array(oov[kidx]),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                   Sum("n_oov", alias_name="n_oov"))
+        .sort("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source MinHash sketch: the mergeable-signature complement to
+# source_overlap's exact shared-word counts — the layout that still works
+# when per-source vocabularies are too large to intersect exactly.
+
+
+def source_minhash_jaccard(sf_dir: str):
+    """For every ordered source pair (s1 < s2): how many of the
+    ``dedup.N_HASH`` minhash seeds agree over the source's word-BIGRAM
+    set — the standard unbiased Jaccard estimate (n_match / N_HASH)
+    kept as an exact integer.  The element universe is within-document
+    adjacent nonempty word pairs: unigram sets are near-identical
+    across sources on real corpora (measured identical on the
+    fixtures — every unigram sketch matched 64/64), while bigram sets
+    spread the estimate across the whole range.
+
+    Reuses the dedup family's (a*x + b) mod (2^61-1) permutation
+    contract over big-endian md5 shingle ids, so the SQL mirror is
+    the proven MINHASH CTE chain keyed by source (2-shingles instead
+    of 3).  Per batch: distinct (source, bigram-id) pairs -> one
+    lexsort + minimum.reduceat per seed -> <= n_sources * N_HASH
+    partial rows; the fold is a Ray-native groupby-min over that
+    BOUNDED key set.  Bigram rows never shuffle and the driver only
+    sees S * N_HASH signature cells."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from prlib_ray.stages.dedup import (
+        _AU, _BU, _mod_p61, _mulmod_p61, _P61, MERSENNE, N_HASH,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "source": pa.array([], type=pa.string()),
+            "h": pa.array([], type=pa.int64()),
+            "mh": pa.array([], type=pa.int64()),
+        })
+        if b.num_rows == 0:
+            return empty
+        words, dow, _ = _flat_words(b)
+        ne = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        if not ne.any():
+            return empty
+        src = b["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = pc.dictionary_encode(src)
+        scode_row = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # within-document adjacent nonempty word pairs, in flat order
+        # (dropping empties preserves per-doc order — the SQL mirror's
+        # row_number-over-nonempty join)
+        w_ne = (words if isinstance(words, pa.Array)
+                else pa.chunked_array([words]).combine_chunks()
+                ).filter(pa.array(ne))
+        d_ne = dow[ne]
+        if len(w_ne) < 2:
+            return empty
+        valid = d_ne[:-1] == d_ne[1:]
+        if not valid.any():
+            return empty
+        grams = pc.binary_join_element_wise(
+            w_ne.slice(0, len(w_ne) - 1), w_ne.slice(1), " "
+        ).filter(pa.array(valid))
+        # md5 once per UNIQUE bigram (the _word_hashes discipline)
+        wid = _word_hashes(grams)
+        scode = scode_row[d_ne[:-1][valid]]
+        # distinct (source, bigram-id) pairs (the signature is over
+        # SETS); ids are full 64-bit so dedupe via lexsort
+        o = np.lexsort((wid, scode))
+        s_s, w_s = scode[o], wid[o]
+        first = np.r_[True, (s_s[1:] != s_s[:-1]) | (w_s[1:] != w_s[:-1])]
+        s_u, w_u = s_s[first], w_s[first]
+        x = _mod_p61(_mod_p61(w_u))  # fold 2^64-range ids below p
+        starts = np.flatnonzero(np.r_[True, s_u[1:] != s_u[:-1]])
+        vals = _mulmod_p61(_AU[:, None], x[None, :]) + _BU[:, None]
+        vals = np.where(vals >= _P61, vals - _P61, vals)
+        mins = np.stack(
+            [np.minimum.reduceat(vals[h_], starts) for h_ in range(N_HASH)]
+        )  # (N_HASH, n_sources_in_batch)
+        sidx = s_u[starts]
+        nsb = len(starts)
+        return pa.table({
+            "source": pc.take(
+                d.dictionary, pa.array(np.repeat(sidx, N_HASH))),
+            "h": pa.array(np.tile(np.arange(N_HASH, dtype=np.int64), nsb)),
+            "mh": pa.array(
+                mins.T.reshape(-1).astype(np.int64)),
+        })
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "h"])
+        .aggregate(Min("mh", alias_name="mh"))
+    ).take_all()
+    sig: dict[str, np.ndarray] = {}
+    for r in rows:
+        sig.setdefault(r["source"], np.full(N_HASH, MERSENNE, dtype=np.int64))[
+            int(r["h"])] = int(r["mh"])
+    srcs = sorted(sig)
+    out_s1, out_s2, out_m = [], [], []
+    for i, s1 in enumerate(srcs):
+        for s2 in srcs[i + 1:]:
+            out_s1.append(s1)
+            out_s2.append(s2)
+            out_m.append(int((sig[s1] == sig[s2]).sum()))
+    return pa.table({
+        "s1": pa.array(out_s1, type=pa.string()),
+        "s2": pa.array(out_s2, type=pa.string()),
+        "n_match": pa.array(out_m, type=pa.int64()),
+    })

@@ -31,7 +31,7 @@ def registry():
 CASES = ["unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction",
          "segment_dedup", "curate_corpus", "dup_substring_fraction",
          "build_inverted_index", "search_topk", "bigram_lm_score",
-         "source_overlap"]
+         "source_overlap", "source_minhash_jaccard", "vocab_oov_rate"]
 
 
 def _cmp(df, odf, name):
@@ -329,3 +329,62 @@ def test_source_overlap_constructed_corpus(ray_session, tmp_path):
         ("s1", "s3"): (0, 3, 2),
         ("s2", "s3"): (0, 3, 2),
     }
+
+
+def test_vocab_oov_tie_boundary(ray_session, tmp_path, monkeypatch):
+    """The top-V cut breaks count ties by word ASC: with V=2 and counts
+    {a:2, b:2, c:2, z:1}, the frozen vocab is {a, b} — c is OOV despite
+    tying the boundary count."""
+    from prlib_ray.stages import corpus_stats as cs
+
+    pq.write_table(
+        pa.table({
+            "doc_id": [0, 1],
+            "text": ["a b c z", "c b a"],
+            "source": ["s1", "s2"],
+        }),
+        tmp_path / "documents.parquet",
+    )
+    monkeypatch.setattr(cs, "OOV_VOCAB", 2)
+    df = cs.vocab_oov_rate(str(tmp_path)).to_pandas()
+    got = {r.source: (int(r.n_tokens), int(r.n_oov))
+           for r in df.itertuples()}
+    assert got == {"s1": (4, 2), "s2": (3, 1)}  # c (+z for s1) are OOV
+
+
+def test_source_minhash_estimates_bigram_jaccard(con, registry,
+                                                 ray_session, sf_dir):
+    """The 64-seed sketch estimate tracks the EXACT per-pair bigram
+    Jaccard: per-pair error within 4 sigma of the minhash variance
+    bound, mean error within ~sigma.  (Parity with the SQL mirror is
+    the separate oracle test; this pins that the estimator measures
+    the right quantity.)"""
+    queries, _ = registry
+    df = queries["source_minhash_jaccard"](sf_dir).to_pandas()
+    exact = con.execute("""
+WITH words AS (
+    SELECT source, doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+),
+nz AS (SELECT source, doc_id, w,
+              row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+       FROM words WHERE w <> ''),
+bg AS (SELECT DISTINCT a.source, a.w || ' ' || b.w AS g
+       FROM nz a JOIN nz b ON a.doc_id = b.doc_id AND b.j = a.j + 1),
+cnt AS (SELECT source, count(*) AS n FROM bg GROUP BY source),
+sh AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n
+       FROM bg a JOIN bg b ON a.g = b.g AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT ca.source AS s1, cb.source AS s2,
+       COALESCE(sh.n, 0)::DOUBLE
+           / (ca.n + cb.n - COALESCE(sh.n, 0)) AS j
+FROM cnt ca JOIN cnt cb ON ca.source < cb.source
+LEFT JOIN sh ON sh.s1 = ca.source AND sh.s2 = cb.source
+""").df()
+    m = df.merge(exact, on=["s1", "s2"])
+    assert len(m) == len(df) > 0
+    err = (m["n_match"] / 64.0 - m["j"]).abs()
+    # sigma = sqrt(J(1-J)/64) <= 0.0625
+    assert err.max() <= 4 * 0.0625, err.max()
+    assert err.mean() <= 0.0625, err.mean()

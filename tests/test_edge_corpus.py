@@ -99,6 +99,10 @@ EDGE_CASES = [
     # shorter than the k-gram and the all-identical 'dup' runs
     "dedup_normalized",
     "dedup_winnow_pairs",
+    # the bigram sketch must survive 0/1-word docs (no bigrams) and the
+    # OOV probe a corpus smaller than the top-V vocabulary
+    "source_minhash_jaccard",
+    "vocab_oov_rate",
 ]
 
 

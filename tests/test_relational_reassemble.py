@@ -11,6 +11,7 @@ TABLES = (
 ).split()
 
 CASES = [
+    "bloom_semi_join",
     "key_skew_profile",
     "hot_keys",
     "props_field_stats",
@@ -426,3 +427,59 @@ def test_retention_cohorts_pre1970_floor(ray_session, tmp_path):
     ogot = {(int(r.cohort_day), int(r.day_offset)): int(r.n_users)
             for r in odf.itertuples()}
     assert ogot == got
+
+
+def test_bloom_semi_join_planted_fp_and_empty_build(ray_session, tmp_path):
+    """Constructed bloom behavior: (a) a non-member key CHOSEN so all its
+    positions collide with build-set bits passes the filter (n_pass >
+    n_true — the FP tail is real and flows through the survivor join);
+    (b) true members always pass (no false negatives); (c) a segment
+    with zero build keys passes nothing but keeps per-status totals."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import (
+        BLOOM_BITS_PER_KEY, _bloom_positions, bloom_semi_join,
+    )
+
+    build = np.arange(1, 41, dtype=np.int64)  # 40 member keys
+    m = 1 << max(BLOOM_BITS_PER_KEY * len(build) - 1, 63).bit_length()
+    bits = set(_bloom_positions(build, m).reshape(-1).tolist())
+    # deterministic FP hunt: first non-member key whose every position
+    # is already set (md5 is fixed, so this key is stable)
+    fp_key = None
+    for k in range(1000, 200000):
+        if all(p in bits for p in _bloom_positions(
+                np.asarray([k], dtype=np.int64), m)[0]):
+            fp_key = k
+            break
+    assert fp_key is not None, "no FP key below 200k — widen the scan"
+    # a non-member that does NOT pass (first miss)
+    tn_key = next(
+        k for k in range(1000, 200000)
+        if not all(p in bits for p in _bloom_positions(
+            np.asarray([k], dtype=np.int64), m)[0])
+    )
+    pq2.write_table(pa2.table({
+        "c_custkey": pa2.array(build.tolist() + [fp_key, tn_key],
+                               type=pa2.int64()),
+        "c_mktsegment": pa2.array(["BUILDING"] * len(build)
+                                  + ["OTHER", "OTHER"]),
+    }), tmp_path / "customer.parquet")
+    ok = [1, 2, fp_key, tn_key]
+    pq2.write_table(pa2.table({
+        "o_orderkey": pa2.array(range(len(ok)), type=pa2.int64()),
+        "o_custkey": pa2.array(ok, type=pa2.int64()),
+        "o_orderstatus": pa2.array(["O"] * len(ok)),
+    }), tmp_path / "orders.parquet")
+
+    df = bloom_semi_join(str(tmp_path)).to_pandas()
+    row = df[df.o_orderstatus == "O"].iloc[0]
+    assert int(row.n_orders) == 4
+    assert int(row.n_true) == 2       # both members pass (no false neg)
+    assert int(row.n_pass) == 3       # + the planted FP, not the miss
+
+    empty = bloom_semi_join(str(tmp_path), segment="NOSUCH").to_pandas()
+    row = empty[empty.o_orderstatus == "O"].iloc[0]
+    assert (int(row.n_orders), int(row.n_pass), int(row.n_true)) == (4, 0, 0)
