@@ -179,7 +179,8 @@ def run_bench() -> dict:
                  "key_skew_profile", "knn_label_agreement",
                  "props_field_stats", "funnel_conversion",
                  "dedup_normalized", "dedup_winnow_pairs",
-                 "retention_cohorts"):
+                 "retention_cohorts", "bloom_semi_join",
+                 "source_minhash_jaccard", "vocab_oov_rate"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):
