@@ -90,6 +90,7 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",  # oracle-backed in round 3 (md5_number bit mirror)
     "dedup_embedding", "dedup_semantic",
+    "cluster_balance",  # new: embedding-space class-balance audit
     "dedup_clusters_minhash",  # oracle-backed in round 3 (recursive CTE)
     "dedup_embedding_lsh", "dedup_incremental",
     "segment_dedup",
@@ -111,7 +112,7 @@ _PRIORITY = [
     "source_overlap",  # new in round 3: pairwise source vocab overlap
     "source_minhash_jaccard",  # new: its mergeable bigram-sketch twin
     "weighted_sample",
-    "frequent_ngrams", "heavy_hitter_words",
+    "frequent_ngrams",
     "q3_top_orders",
     "bloom_semi_join",  # new: bloom-prefilter semi-join (FP-observable)
     "orders_by_segment", "sales_rollup",
@@ -121,11 +122,11 @@ _PRIORITY = [
     "event_transitions",
     "funnel_conversion",  # ordered funnel (earliest-event chain)
     "retention_cohorts",  # new: first-active-day cohort retention
+    "interarrival_profile",  # new: event-cadence pow2-gap histogram
     "asof_latest_order", "top_orders_per_segment",
     "range_join_recent_orders",
     "customers_without_orders", "segment_price_quantiles",
     "bigram_lm_score", "tfidf_top_term",
-    "dup_ngram_fraction",
     "search_topk",  # exercises the postings build end-to-end
     # close family representatives displaced from the 50-entry window
     # (dedup_incremental covers snapshots, dup_ngram_fraction covers
@@ -141,6 +142,11 @@ _PRIORITY = [
     # inside: sales_rollup + events_hopping cover windowed aggregation,
     # funnel/retention run sessionize's coarse user-partition lexsort,
     # weighted_sample + split_assign cover quota sampling)
+    # displaced in the ninth session by cluster_balance /
+    # interarrival_profile (family-represented inside: frequent_ngrams
+    # covers the MG heavy-hitter fold and the word-hash kernel that
+    # dup_ngram_fraction also runs; both stay sim+pytest covered)
+    "heavy_hitter_words", "dup_ngram_fraction",
     "events_hourly_window", "sessionize", "mix_sources",
     "hot_keys", "shuffle_head", "build_inverted_index",
     "repetition_stats", "chunk_tokens", "source_term_stats",

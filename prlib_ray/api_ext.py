@@ -205,6 +205,10 @@ def _register_data_ops(queries, sql) -> None:
     # SemDedup: centroid-assign then within-cluster exact near-dup
     queries["dedup_semantic"] = similarity.dedup_semantic
     sql["dedup_semantic"] = odata.DEDUP_SEMANTIC
+    # embedding-space class-balance audit (same assignment contract,
+    # full table — no pairwise stage so the linear mirror is unbounded)
+    queries["cluster_balance"] = similarity.cluster_balance
+    sql["cluster_balance"] = odata.CLUSTER_BALANCE
     # product-quantization codes (vector compression for the ANN index)
     queries["pq_codes"] = similarity.pq_codes
     sql["pq_codes"] = odata.PQ_CODES
@@ -577,6 +581,9 @@ def _register_relational(queries, sql) -> None:
         # bloom-prefilter semi-join (exact join on the survivor stream;
         # the FP tail is observable as n_pass - n_true)
         ("bloom_semi_join", rel.bloom_semi_join, orel.BLOOM_SEMI_JOIN),
+        # event-stream cadence report (power-of-two gap histogram)
+        ("interarrival_profile", rel.interarrival_profile,
+         orel.INTERARRIVAL_PROFILE),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

@@ -1361,3 +1361,43 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= {_dd.WINNOW_MIN_SHARED}
 ORDER BY doc_a, doc_b"""
+
+
+def _cluster_balance_sql() -> str:
+    """Mirror of similarity.cluster_balance: the DEDUP_SEMANTIC
+    assignment CTEs (integer-quantized dot argmax, ties to smallest
+    centroid id) over the FULL embeddings table, grouped by
+    (cluster, label); the seed count interpolates from the
+    implementation module."""
+    from prlib_ray.stages.similarity import N_SEM_SEEDS
+
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                AS BIGINT) AS qv
+    FROM embeddings
+),
+seeds AS (SELECT vec_id AS cid, i, qv AS sv FROM q
+          WHERE vec_id < {N_SEM_SEEDS}),
+cdots AS (
+    SELECT q.vec_id, s.cid, sum(q.qv * s.sv) AS dot
+    FROM q JOIN seeds s USING (i) GROUP BY q.vec_id, s.cid
+),
+assign AS (
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, cid ASC) AS rn
+        FROM cdots
+    ) WHERE rn = 1
+)
+SELECT CAST(a.cluster AS BIGINT) AS cluster,
+       CAST(e.label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM assign a JOIN embeddings e USING (vec_id)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+CLUSTER_BALANCE = _cluster_balance_sql()

@@ -458,3 +458,23 @@ FROM orders o GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus"""
 
 
 BLOOM_SEMI_JOIN = _bloom_semi_join_sql()
+
+
+# mirrors relational.interarrival_profile: per-user consecutive-event
+# gaps (tie-order-invariant multiset), integer seconds, power-of-two
+# buckets via the format-bin bit-length trick (bucket -1 = sub-second)
+INTERARRIVAL_PROFILE = """
+WITH g AS (
+    SELECT epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+    FROM events
+),
+b AS (
+    SELECT CASE WHEN gap_us < 1000000 THEN -1
+                ELSE length(format('{:b}', gap_us // 1000000)) - 1
+           END AS bucket
+    FROM g WHERE gap_us IS NOT NULL
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM b GROUP BY bucket ORDER BY bucket"""

@@ -2162,3 +2162,67 @@ def bloom_semi_join(sf_dir: str, *, segment: str = BLOOM_SEGMENT):
         "n_pass": pa.array([n_pass.get(s, 0) for s in sts], type=pa.int64()),
         "n_true": pa.array([n_true.get(s, 0) for s in sts], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# inter-arrival profile: the event-stream cadence report (what sampling
+# window / sessionization gap / watermark is right for this corpus).
+
+
+def interarrival_profile(sf_dir: str):
+    """Histogram of per-user inter-event gaps in power-of-two-second
+    buckets: bucket -1 = sub-second (gap floors to 0 s), bucket k =
+    floor(log2(gap_seconds)).  Gaps are between consecutive events of
+    ONE user ordered by ts; the gap multiset is tie-order invariant
+    (equal timestamps contribute the same gaps in any order), so no
+    tie-break column is needed on either side.
+
+    Plan: pruned (user_id, ts) read -> the shared coarse user
+    partitions (sessionize's layout; rows must co-locate because one
+    user's stream spans batches) -> ONE lexsort + run-boundary diff
+    per part -> per-part exact int64 bucket histogram -> bounded
+    (<= 64-key) final groupby.  The bucket is integer-exact:
+    searchsorted over 2^k == DuckDB length(format('{:b}', s)) - 1."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table({"user_id": z, "ts_us": z, "part": z})
+        u = b["user_id"].to_numpy().astype(np.int64)
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        from prlib_ray.stages.reassemble import N_REASSEMBLE_PARTS
+
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": pa.array(ts),
+            "part": pa.array(u % N_REASSEMBLE_PARTS),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy().astype(np.int64)
+        t = g["ts_us"].to_numpy().astype(np.int64)
+        o = np.lexsort((t, u))
+        u, t = u[o], t[o]
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return pd.DataFrame({"bucket": np.array([], dtype=np.int64),
+                                 "n_gaps": np.array([], dtype=np.int64)})
+        gap_s = (t[1:] - t[:-1])[same] // 1_000_000
+        bucket = np.searchsorted(_POW2, gap_s, side="right") - 1
+        bk, cnt = np.unique(bucket, return_counts=True)
+        return pd.DataFrame({"bucket": bk.astype(np.int64),
+                             "n_gaps": cnt.astype(np.int64)})
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("n_gaps", alias_name="n_gaps"))
+        .sort("bucket")
+    )

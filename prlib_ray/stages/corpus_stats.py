@@ -1436,11 +1436,24 @@ def vocab_oov_rate(sf_dir: str):
         if b.num_rows == 0:
             return pa.table({"w": pa.array([], type=pa.string()),
                              "n": pa.array([], type=pa.int64())})
-        w = np.asarray(b["w"].to_pylist(), dtype=object)
         n = b["n"].to_numpy().astype(np.int64)
-        o = np.lexsort((w, -n))[:OOV_VOCAB]
+        # numeric pre-cut before touching strings: keep everything at or
+        # above the V-th largest count (ties included), so the object
+        # lexsort below runs over O(V + boundary ties), never the whole
+        # part vocabulary (item-43 lesson: object-array sorts in per-
+        # block paths are the slow path)
+        if len(n) > OOV_VOCAB:
+            thr = np.partition(n, len(n) - OOV_VOCAB)[len(n) - OOV_VOCAB]
+            keep = np.flatnonzero(n >= thr)
+        else:
+            keep = np.arange(len(n))
+        w = np.asarray(
+            pc.take(b["w"], pa.array(keep)).to_pylist(), dtype=object
+        )
+        nk = n[keep]
+        o = np.lexsort((w, -nk))[:OOV_VOCAB]
         return pa.table({"w": pa.array(w[o], type=pa.string()),
-                         "n": pa.array(n[o])})
+                         "n": pa.array(nk[o])})
 
     cand = (
         _vocab_dataset(sf_dir, _word_count_partial)

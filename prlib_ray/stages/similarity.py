@@ -1202,3 +1202,62 @@ def knn_label_agreement(sf_dir: str, *, k: int = KNN_AGREE_K):
 
     return emb.map_batches(agree_batch, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=KNN_BATCH)
+
+
+def cluster_balance(sf_dir: str):
+    """Per (cluster, label) vector counts under the deterministic
+    N_SEM_SEEDS centroid assignment — the embedding-space class-balance
+    audit a curation pipeline runs before sampling per cluster (are the
+    labels concentrated in a few regions, or spread?).
+
+    Assignment reuses dedup_semantic's contract exactly (argmax integer
+    dot, ties to the smallest centroid id) but over the FULL embeddings
+    table: unlike SemDedup there is no pairwise stage, so the linear
+    SQL mirror needs no bounded subset.  Per batch: one broadcast int64
+    matmul + a bincount over (cluster, label) codes; only
+    <= N_SEM_SEEDS * n_labels partial rows per batch reach the bounded
+    final groupby."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    seeds = ds.map_batches(
+        lambda b: b.filter(pa.array(b["vec_id"].to_numpy() < N_SEM_SEEDS)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    seeds.sort(key=lambda r: r["vec_id"])
+    S = np.stack(_quantize([list(r["embedding"]) for r in seeds]))
+    ref = ray.put(S)
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "cluster": pa.array([], type=pa.int64()),
+            "label": pa.array([], type=pa.int64()),
+            "n_vecs": pa.array([], type=pa.int64()),
+        })
+        if b.num_rows == 0:
+            return empty
+        S = ray.get(ref)
+        Q = np.stack(_quantize(b["embedding"].to_pylist()))
+        # first-max argmax == the oracle's ORDER BY dot DESC, cid ASC
+        cid = np.argmax(Q @ S.T, axis=1).astype(np.int64)
+        lab = b["label"].to_numpy().astype(np.int64)
+        lu, linv = np.unique(lab, return_inverse=True)
+        key = cid * len(lu) + linv
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "cluster": pa.array((uk // len(lu)).astype(np.int64)),
+            "label": pa.array(lu[uk % len(lu)]),
+            "n_vecs": pa.array(cnt.astype(np.int64)),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["cluster", "label"])
+        .aggregate(Sum("n_vecs", alias_name="n_vecs"))
+        .sort(["cluster", "label"])
+    )

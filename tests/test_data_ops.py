@@ -43,6 +43,7 @@ ORACLE_CASES = [
     "knn_label_agreement",
     "dedup_normalized",
     "dedup_winnow_pairs",
+    "cluster_balance",
 ]
 
 
@@ -771,3 +772,54 @@ def test_winnow_pairs_stop_fingerprints(ray_session, tmp_path):
     )
     df = winnow_pair_dedup(str(tmp_path)).to_pandas()
     assert len(df) == 0
+
+
+def test_cluster_balance_totals_and_assignment(ray_session, tmp_path):
+    """Constructed two-region corpus: every vector is counted exactly
+    once (sum == table size), vectors planted on a seed axis join that
+    seed's cluster, and an exact-tie vector goes to the SMALLEST
+    centroid id (the first-max argmax contract shared with
+    dedup_semantic)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from prlib_ray.stages.similarity import N_SEM_SEEDS, cluster_balance
+
+    dim = N_SEM_SEEDS  # one axis per seed keeps the geometry explicit
+    vecs, labels = [], []
+    for i in range(N_SEM_SEEDS):  # seeds: unit axes
+        v = [0.0] * dim
+        v[i] = 1.0
+        vecs.append(v)
+        labels.append(0)
+    for _ in range(5):  # near seed 0, label 1
+        v = [0.01] * dim
+        v[0] = 2.0
+        vecs.append(v)
+        labels.append(1)
+    for _ in range(3):  # near seed 3, label 2
+        v = [0.01] * dim
+        v[3] = 2.0
+        vecs.append(v)
+        labels.append(2)
+    # exact tie between seeds 1 and 2 -> cluster 1 (smallest cid wins)
+    v = [0.0] * dim
+    v[1] = v[2] = 1.0
+    vecs.append(v)
+    labels.append(3)
+
+    pq_.write_table(
+        pa.table({
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            "label": pa.array(labels, type=pa.int32()),
+        }),
+        tmp_path / "embeddings.parquet",
+    )
+    df = cluster_balance(str(tmp_path)).to_pandas()
+    assert int(df.n_vecs.sum()) == len(vecs)
+    got = {(int(r.cluster), int(r.label)): int(r.n_vecs)
+           for r in df.itertuples()}
+    assert got[(0, 1)] == 5
+    assert got[(3, 2)] == 3
+    assert got[(1, 3)] == 1 and (2, 3) not in got

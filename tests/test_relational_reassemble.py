@@ -17,6 +17,7 @@ CASES = [
     "props_field_stats",
     "funnel_conversion",
     "retention_cohorts",
+    "interarrival_profile",
     "reassemble_events",
     "find_angle",
     "find_orientation",
@@ -483,3 +484,46 @@ def test_bloom_semi_join_planted_fp_and_empty_build(ray_session, tmp_path):
     empty = bloom_semi_join(str(tmp_path), segment="NOSUCH").to_pandas()
     row = empty[empty.o_orderstatus == "O"].iloc[0]
     assert (int(row.n_orders), int(row.n_pass), int(row.n_true)) == (4, 0, 0)
+
+
+def test_interarrival_profile_buckets(ray_session, tmp_path):
+    """Constructed gap spectrum: sub-second gaps land in bucket -1,
+    exact powers of two land in their own bucket (closed at 2^k),
+    equal-timestamp ties contribute a zero gap, and gaps never cross
+    user boundaries."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1_000_000, "us")
+    half = np.timedelta64(500_000, "us")
+    rows = [
+        # user 1: gaps 0.5s (bucket -1), 1s (bucket 0), 3s (bucket 1)
+        (1, base),
+        (1, base + half),
+        (1, base + half + s),
+        (1, base + half + 4 * s),
+        # user 2: one 1024s gap (bucket 10); the cross-user "gap" from
+        # user 1's last event must NOT be counted
+        (2, base),
+        (2, base + 1024 * s),
+        # user 3: equal-timestamp tie (gap 0 -> bucket -1), then 2s
+        (3, base + 7 * s),
+        (3, base + 7 * s),
+        (3, base + 9 * s),
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1].astype("datetime64[us]").item()
+                            for r in rows], type=pa.timestamp("us")),
+        }),
+        tmp_path / "events.parquet",
+    )
+    from prlib_ray.relational import interarrival_profile
+
+    df = interarrival_profile(str(tmp_path)).to_pandas()
+    got = dict(zip(df.bucket.astype(int), df.n_gaps.astype(int)))
+    assert got == {-1: 2, 0: 1, 1: 2, 10: 1}
