@@ -180,7 +180,10 @@ def run_bench() -> dict:
                  "props_field_stats", "funnel_conversion",
                  "dedup_normalized", "dedup_winnow_pairs",
                  "retention_cohorts", "bloom_semi_join",
-                 "source_minhash_jaccard", "vocab_oov_rate"):
+                 "source_minhash_jaccard", "vocab_oov_rate",
+                 "cluster_balance", "interarrival_profile",
+                 "label_centroid_affinity", "orders_with_late_items",
+                 "dedup_best_survivor", "corpus_validate"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

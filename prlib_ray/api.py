@@ -84,20 +84,22 @@ def build_queries() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
 # and still covered by tools/driver_sim.py + pytest) follow.
 _PRIORITY = [
     "flagship_extract", "curate_corpus",
+    "corpus_validate",  # new: pre-flight data-quality audit
     "dedup_exact",
     "dedup_normalized",  # new: normalization-invariant exact dedup
+    "dedup_best_survivor",  # new: keep-the-richest-copy survivor policy
     "dedup_winnow_pairs",  # new: MOSS shared-fingerprint near-dup pairs
     "dedup_minhash_lsh",
     "dedup_simhash",  # oracle-backed in round 3 (md5_number bit mirror)
     "dedup_embedding", "dedup_semantic",
     "cluster_balance",  # new: embedding-space class-balance audit
+    "label_centroid_affinity",  # new: pairwise label-region geometry
     "dedup_clusters_minhash",  # oracle-backed in round 3 (recursive CTE)
     "dedup_embedding_lsh", "dedup_incremental",
     "segment_dedup",
     "knn_label_agreement",  # new: label-noise audit (exact kNN vote)
     "ann_ivf_topk",
     "ann_lsh_topk",  # probe+score fully SQL-mirrored in round 3
-    "ann_pq_adc_topk",  # trained-PQ query path fully SQL-mirrored too
     # ann_bruteforce_topk and pq_codes moved below: the bf baseline and
     # the code assignment are both exercised end-to-end by the windowed
     # ann_*_topk entries (pytest ORACLE_CASES + driver_sim still check
@@ -115,18 +117,17 @@ _PRIORITY = [
     "frequent_ngrams",
     "q3_top_orders",
     "bloom_semi_join",  # new: bloom-prefilter semi-join (FP-observable)
+    "orders_with_late_items",  # new: correlated-EXISTS fact-fact semi
     "orders_by_segment", "sales_rollup",
     # new in round 3: shuffle-skew profiling (histogram + named keys)
     "key_skew_profile",
     "rolling_event_window",
-    "event_transitions",
     "funnel_conversion",  # ordered funnel (earliest-event chain)
     "retention_cohorts",  # new: first-active-day cohort retention
     "interarrival_profile",  # new: event-cadence pow2-gap histogram
     "asof_latest_order", "top_orders_per_segment",
     "range_join_recent_orders",
     "customers_without_orders", "segment_price_quantiles",
-    "bigram_lm_score", "tfidf_top_term",
     "search_topk",  # exercises the postings build end-to-end
     # close family representatives displaced from the 50-entry window
     # (dedup_incremental covers snapshots, dup_ngram_fraction covers
@@ -143,10 +144,19 @@ _PRIORITY = [
     # funnel/retention run sessionize's coarse user-partition lexsort,
     # weighted_sample + split_assign cover quota sampling)
     # displaced in the ninth session by cluster_balance /
-    # interarrival_profile (family-represented inside: frequent_ngrams
-    # covers the MG heavy-hitter fold and the word-hash kernel that
-    # dup_ngram_fraction also runs; both stay sim+pytest covered)
+    # interarrival_profile / label_centroid_affinity /
+    # orders_with_late_items (family-represented inside:
+    # frequent_ngrams covers the MG heavy-hitter fold and the
+    # word-hash kernel that dup_ngram_fraction and tfidf_top_term also
+    # run; interarrival/funnel/retention run event_transitions'
+    # coarse user-partition lexsort layout; all stay sim+pytest
+    # covered)
     "heavy_hitter_words", "dup_ngram_fraction",
+    "event_transitions", "tfidf_top_term",
+    # displaced by corpus_validate / dedup_best_survivor
+    # (quality_classifier reps model-based scoring; ann_ivf/lsh rep the
+    # trained-index query path — pq_codes already covers PQ assignment)
+    "ann_pq_adc_topk", "bigram_lm_score",
     "events_hourly_window", "sessionize", "mix_sources",
     "hot_keys", "shuffle_head", "build_inverted_index",
     "repetition_stats", "chunk_tokens", "source_term_stats",

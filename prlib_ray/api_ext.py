@@ -122,6 +122,9 @@ def _register_data_ops(queries, sql) -> None:
     # mutants keep the collapse path non-vacuous at every sf)
     queries["dedup_normalized"] = dedup.normalized_dedup
     sql["dedup_normalized"] = odata.NORMALIZED_DEDUP
+    # production survivor policy over the same normalized groups
+    queries["dedup_best_survivor"] = dedup.best_survivor_dedup
+    sql["dedup_best_survivor"] = odata.BEST_SURVIVOR_DEDUP
     # MOSS-style shared-winnow-fingerprint pairs (df-capped stop
     # fingerprints; reuses fingerprint_winnow's selection kernel)
     queries["dedup_winnow_pairs"] = dedup.winnow_pair_dedup
@@ -209,6 +212,10 @@ def _register_data_ops(queries, sql) -> None:
     # full table — no pairwise stage so the linear mirror is unbounded)
     queries["cluster_balance"] = similarity.cluster_balance
     sql["cluster_balance"] = odata.CLUSTER_BALANCE
+    # pairwise label-centroid affinity (exact integer sums, cosine of
+    # sums == cosine of means; pairwise math on the bounded table only)
+    queries["label_centroid_affinity"] = similarity.label_centroid_affinity
+    sql["label_centroid_affinity"] = odata.LABEL_CENTROID_AFFINITY
     # product-quantization codes (vector compression for the ANN index)
     queries["pq_codes"] = similarity.pq_codes
     sql["pq_codes"] = odata.PQ_CODES
@@ -289,6 +296,11 @@ def _register_data_ops(queries, sql) -> None:
     # top-V vocabulary OOV fraction per source (tokenizer budget report)
     queries["vocab_oov_rate"] = corpus_stats.vocab_oov_rate
     sql["vocab_oov_rate"] = ocorp.VOCAB_OOV_RATE
+    # pre-flight data-quality audit (planted corruption mirrors)
+    from prlib_ray import oracles_data as _od
+
+    queries["corpus_validate"] = corpus_stats.corpus_validate
+    sql["corpus_validate"] = _od.CORPUS_VALIDATE
 
     # end-to-end curation funnel (gopher gate -> exact dedup ->
     # boilerplate drop), per-source accounting
@@ -584,6 +596,9 @@ def _register_relational(queries, sql) -> None:
         # event-stream cadence report (power-of-two gap histogram)
         ("interarrival_profile", rel.interarrival_profile,
          orel.INTERARRIVAL_PROFILE),
+        # correlated-EXISTS fact-fact semi-join (TPC-H Q4 shape)
+        ("orders_with_late_items", rel.orders_with_late_items,
+         orel.ORDERS_WITH_LATE_ITEMS),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

@@ -1401,3 +1401,99 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
 CLUSTER_BALANCE = _cluster_balance_sql()
+
+
+# mirrors similarity.label_centroid_affinity: per-label component SUMS
+# of the x1000-quantized embeddings (cosine(sum) == cosine(mean), all
+# integers), then the shared BF score floor(dot*|dot|*1e4/(na*nb)) per
+# unordered label pair via the mod-trick exact floor division
+LABEL_CENTROID_AFFINITY = """
+WITH q AS (
+    SELECT CAST(label AS BIGINT) AS label,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                AS BIGINT) AS qv
+    FROM embeddings
+),
+c AS (SELECT label, i, sum(qv) AS s FROM q GROUP BY 1, 2),
+n AS (SELECT label, sum(CAST(s AS HUGEINT) * s) AS nn FROM c GROUP BY 1),
+p AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           sum(CAST(a.s AS HUGEINT) * b.s) AS dot
+    FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+    GROUP BY 1, 2
+)
+SELECT p.label_a, p.label_b,
+       CASE WHEN na.nn * nb.nn = 0 THEN 0
+            ELSE CAST((s2x - (((s2x % dd) + dd) % dd)) / dd AS BIGINT)
+       END AS affinity
+FROM (SELECT label_a, label_b, dot,
+             CAST(dot AS HUGEINT) * abs(dot) * 10000 AS s2x
+      FROM p) p
+JOIN n na ON p.label_a = na.label
+JOIN n nb ON p.label_b = nb.label,
+LATERAL (SELECT na.nn * nb.nn AS dd) x
+ORDER BY label_a, label_b"""
+
+
+# mirrors dedup.best_survivor_dedup: the normalized groups (same plant +
+# normalization as NORMALIZED_DEDUP) with the production survivor policy
+# — keep the LONGEST variant, ties to the smallest doc_id; length is
+# computed on both sides (not the stored n_chars)
+BEST_SURVIVOR_DEDUP = f"""
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_dd.PLANT_NORM_OFFSET} AS doc_id,
+           chr(9) || upper(text) || '  ' AS text
+    FROM documents WHERE doc_id < {_dd.N_PLANT_NORM}
+),
+n AS (
+    SELECT doc_id, length(text) AS ln,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
+    FROM aug
+),
+r AS (
+    SELECT doc_id, ln, nt,
+           row_number() OVER (PARTITION BY nt
+                              ORDER BY ln DESC, doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY nt) AS n_docs
+    FROM n
+)
+SELECT doc_id AS survivor, CAST(ln AS BIGINT) AS n_chars,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM r WHERE rn = 1 ORDER BY survivor"""
+
+
+def _corpus_validate_sql() -> str:
+    """Mirror of corpus_stats.corpus_validate: the planted corruptions
+    (NULL text / empty text / off-by-one n_chars / duplicated id) via
+    UNION ALLs; constants interpolate from the implementation module."""
+    from prlib_ray.stages import corpus_stats as _cs
+
+    return f"""
+WITH aug AS (
+    SELECT doc_id, text, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + {_cs.VAL_NULL_OFFSET}, NULL, n_chars
+    FROM documents WHERE doc_id < {_cs.N_PLANT_VAL}
+    UNION ALL
+    SELECT doc_id + {_cs.VAL_EMPTY_OFFSET}, '', 0
+    FROM documents WHERE doc_id < {_cs.N_PLANT_VAL}
+    UNION ALL
+    SELECT doc_id + {_cs.VAL_MISMATCH_OFFSET}, text, n_chars + 1
+    FROM documents WHERE doc_id < {_cs.N_PLANT_VAL}
+    UNION ALL
+    SELECT doc_id, text, n_chars
+    FROM documents WHERE doc_id < {_cs.N_PLANT_VAL}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (text IS NULL) AS BIGINT) AS n_null_text,
+       CAST(count(*) FILTER (text = '') AS BIGINT) AS n_empty_text,
+       CAST(count(*) FILTER (n_chars != length(text)) AS BIGINT)
+           AS n_len_mismatch,
+       CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS n_dup_ids
+FROM aug"""
+
+
+CORPUS_VALIDATE = _corpus_validate_sql()

@@ -478,3 +478,24 @@ b AS (
 SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_gaps
 FROM b GROUP BY bucket ORDER BY bucket"""
+
+
+def _orders_with_late_items_sql() -> str:
+    """Mirror of relational.orders_with_late_items: correlated EXISTS
+    between two fact tables; the day span interpolates from the
+    implementation constant so they cannot desynchronize."""
+    from prlib_ray.relational import LATE_SHIP_DAYS
+
+    return f"""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+)
+GROUP BY 1 ORDER BY 1"""
+
+
+ORDERS_WITH_LATE_ITEMS = _orders_with_late_items_sql()

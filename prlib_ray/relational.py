@@ -2226,3 +2226,106 @@ def interarrival_profile(sf_dir: str):
         .aggregate(Sum("n_gaps", alias_name="n_gaps"))
         .sort("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# correlated-EXISTS semi-join between two FACT tables (TPC-H Q4 shape):
+# count orders, by priority, having at least one lineitem shipped more
+# than LATE_SHIP_DAYS after the order date.
+
+LATE_SHIP_DAYS = 60
+
+
+def orders_with_late_items(sf_dir: str, *, days: int = LATE_SHIP_DAYS):
+    """Per-priority count of orders with >= 1 late-shipped lineitem
+    (l_shipdate > o_orderdate + days).  The predicate is CORRELATED —
+    each lineitem's lateness depends on its own order's date — so
+    unlike bloom_semi_join's dimension build side, BOTH sides are fact
+    tables and neither may broadcast or reach the driver.
+
+    Plan: both facts co-partition by hash(orderkey) % N_COPART (the
+    _probe_join layout — one hash shuffle, no driver materialization);
+    per part, orders sort by key once, lineitems find their order via
+    searchsorted (exact-match guarded: orphan lineitems drop), the
+    any-late flag folds per order with np.logical_or.at, and only
+    <= n_priorities count rows per part reach the bounded final
+    groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    span = days * 86_400_000_000  # us; both date columns are timestamps
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    ord_ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    li_ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def ord_norm(b: pa.Table) -> pa.Table:
+        key = b["o_orderkey"].to_numpy().astype(np.int64)
+        part = ((key.view(np.uint64) * gold) % np.uint64(N_COPART)).astype(np.int32)
+        return pa.table({
+            "part": pa.array(part),
+            "key": pa.array(key),
+            "t": pa.array(b["o_orderdate"].cast(pa.int64()).to_numpy()),
+            "prio": b["o_orderpriority"],
+            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+        })
+
+    def li_norm(b: pa.Table) -> pa.Table:
+        key = b["l_orderkey"].to_numpy().astype(np.int64)
+        part = ((key.view(np.uint64) * gold) % np.uint64(N_COPART)).astype(np.int32)
+        return pa.table({
+            "part": pa.array(part),
+            "key": pa.array(key),
+            "t": pa.array(b["l_shipdate"].cast(pa.int64()).to_numpy()),
+            "prio": pa.array([""] * b.num_rows, type=pa.string()),
+            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+        })
+
+    both = ord_ds.map_batches(
+        ord_norm, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        li_ds.map_batches(li_norm, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        o = g[side == 0]
+        l = g[side == 1]
+        empty = pd.DataFrame({
+            "o_orderpriority": np.array([], dtype=object),
+            "n_orders": np.array([], dtype=np.int64),
+        })
+        if len(o) == 0 or len(l) == 0:
+            return empty
+        ok = o["key"].to_numpy().astype(np.int64)
+        ot = o["t"].to_numpy().astype(np.int64)
+        osort = np.argsort(ok, kind="stable")
+        ok, ot = ok[osort], ot[osort]
+        lk = l["key"].to_numpy().astype(np.int64)
+        lt = l["t"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(ok, lk)
+        pos = np.minimum(pos, len(ok) - 1)
+        hit = ok[pos] == lk  # orphan lineitems drop
+        late = np.zeros(len(ok), dtype=bool)
+        lm = hit & (lt > ot[pos] + span)
+        np.logical_or.at(late, pos[lm], True)
+        if not late.any():
+            return empty
+        prio = o["prio"].to_numpy()[osort][late]
+        codes, uniq = pd.factorize(prio, sort=True)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame({"o_orderpriority": uniq.astype(object),
+                             "n_orders": cnt})
+
+    return (
+        both.groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .sort("o_orderpriority")
+    )

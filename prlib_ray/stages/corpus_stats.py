@@ -1621,3 +1621,147 @@ def source_minhash_jaccard(sf_dir: str):
         "s2": pa.array(out_s2, type=pa.string()),
         "n_match": pa.array(out_m, type=pa.int64()),
     })
+
+
+# --- Corpus validation audit ---------------------------------------------------
+
+# Like dedup's normalization mutants, the fixtures are CLEAN (zero
+# nulls, empties, length mismatches, duplicate ids at every sf), which
+# would make a validation audit a vacuous row of zeros.  The query
+# plants one deterministic corruption of each kind per low doc_id and
+# the oracle mirrors the plant with UNION ALLs, so every check counts
+# a known non-zero and the code paths are provably exercised.
+N_PLANT_VAL = 10
+VAL_NULL_OFFSET = 1_000_000
+VAL_EMPTY_OFFSET = 2_000_000
+VAL_MISMATCH_OFFSET = 3_000_000
+
+
+def _plant_val_batch(b: pa.Table) -> pa.Table:
+    """Append this batch's planted corruptions: a NULL text, an empty
+    text (n_chars consistently 0), an off-by-one n_chars, and a
+    duplicated doc_id (same row re-emitted)."""
+    ids = b["doc_id"].to_numpy().astype(np.int64)
+    m = ids < N_PLANT_VAL
+    base = pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": b["text"],
+        "n_chars": b["n_chars"].cast(pa.int64()),
+    })
+    if not m.any():
+        return base
+    d = base.filter(pa.array(m))
+    k = d.num_rows
+    did = d["doc_id"].to_numpy()
+    parts = [
+        base,
+        pa.table({
+            "doc_id": pa.array(did + VAL_NULL_OFFSET),
+            "text": pa.array([None] * k, type=pa.string()),
+            "n_chars": d["n_chars"],
+        }),
+        pa.table({
+            "doc_id": pa.array(did + VAL_EMPTY_OFFSET),
+            "text": pa.array([""] * k, type=pa.string()),
+            "n_chars": pa.array(np.zeros(k, dtype=np.int64)),
+        }),
+        pa.table({
+            "doc_id": pa.array(did + VAL_MISMATCH_OFFSET),
+            "text": d["text"],
+            "n_chars": pa.array(d["n_chars"].to_numpy() + 1),
+        }),
+        d,  # duplicate id: the same row again
+    ]
+    return pa.concat_tables([p.cast(base.schema) for p in parts])
+
+
+def corpus_validate(sf_dir: str):
+    """One-row data-quality audit of the documents table: row count,
+    NULL texts, empty texts, stored-length mismatches (n_chars !=
+    length(text); NULL text rows are excluded, matching SQL NULL
+    comparison semantics), and duplicate doc_ids — the pre-flight gate
+    a pipeline runs before investing compute in a crawl snapshot.
+
+    Two pruned passes, both bounded: (1) per-batch int64 counter
+    partials -> one global sum (a handful of numbers per batch); (2)
+    duplicate ids via per-batch (part, doc_id, n) pre-combine ->
+    coarse id-hash partitions -> per-part exact (rows - distinct) —
+    an id never spans parts, so the global duplicate count is the sum
+    of per-part counts and NO global distinct shuffle happens."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+
+    def counters(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table({"n_rows": z, "n_null_text": z,
+                             "n_empty_text": z, "n_len_mismatch": z})
+        t = _plant_val_batch(b)
+        txt = t["text"]
+        null_m = pc.is_null(txt)
+        empty_m = pc.equal(txt, "")  # NULL stays NULL -> not counted
+        mism_m = pc.not_equal(t["n_chars"],
+                              pc.utf8_length(txt).cast(pa.int64()))
+        return pa.table({
+            "n_rows": pa.array([t.num_rows], type=pa.int64()),
+            "n_null_text": pa.array(
+                [pc.sum(null_m.cast(pa.int64())).as_py() or 0],
+                type=pa.int64()),
+            "n_empty_text": pa.array(
+                [pc.sum(empty_m.cast(pa.int64())).as_py() or 0],
+                type=pa.int64()),
+            "n_len_mismatch": pa.array(
+                [pc.sum(mism_m.cast(pa.int64())).as_py() or 0],
+                type=pa.int64()),
+        })
+
+    agg = ds.map_batches(
+        counters, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("n_null_text", alias_name="n_null_text"),
+        Sum("n_empty_text", alias_name="n_empty_text"),
+        Sum("n_len_mismatch", alias_name="n_len_mismatch"),
+    )
+
+    def id_counts(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table({"part": z, "doc_id": z, "n": z})
+        t = _plant_val_batch(b)
+        ids = np.sort(t["doc_id"].to_numpy().astype(np.int64))
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        uid = ids[starts]
+        n = np.diff(np.r_[starts, len(ids)]).astype(np.int64)
+        return pa.table({
+            "part": pa.array(uid % N_CORPUS_PARTS),
+            "doc_id": pa.array(uid),
+            "n": pa.array(n),
+        })
+
+    def part_dups(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        n = g["n"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "n_dup": np.array([int(n.sum()) - len(np.unique(ids))],
+                              dtype=np.int64),
+        })
+
+    dup_rows = (
+        ds.map_batches(id_counts, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(part_dups, batch_format="pandas")
+        .aggregate(Sum("n_dup", alias_name="n_dup"))
+    )
+    return pa.table({
+        "n_rows": pa.array([int(agg["n_rows"])], type=pa.int64()),
+        "n_null_text": pa.array([int(agg["n_null_text"])], type=pa.int64()),
+        "n_empty_text": pa.array([int(agg["n_empty_text"])], type=pa.int64()),
+        "n_len_mismatch": pa.array([int(agg["n_len_mismatch"])],
+                                   type=pa.int64()),
+        "n_dup_ids": pa.array([int(dup_rows["n_dup"])], type=pa.int64()),
+    })

@@ -1259,3 +1259,89 @@ def winnow_pair_dedup(sf_dir: str):
         .groupby("part")
         .map_groups(count_shared, batch_format="pandas")
     )
+
+
+# --- Best-survivor policy over normalized groups -------------------------------
+
+
+def best_survivor_dedup(sf_dir: str):
+    """Normalized dedup with the PRODUCTION survivor policy: within each
+    normalized group keep the doc with the MOST characters (ties to the
+    smallest doc_id), not the smallest id — the "keep the richest copy"
+    rule a curation pipeline actually wants when variants differ in
+    formatting.  Uses length(text) computed on both sides (not the
+    stored n_chars) so the contract is self-contained.
+
+    Same scale layout as _hash_min_fold (one row per (batch, hash)
+    shuffles, crc32 coarse partitions, ONE lexsort fold per part) with
+    the rank key (n_chars DESC, doc_id ASC) carried through both the
+    per-batch pre-combine and the per-part fold.  The planted
+    normalization mutants ("\\t" + upper + two spaces) are LONGER than
+    their originals, so on every planted group this policy provably
+    picks a different survivor than normalized_dedup's min-id rule."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    empty = pa.table({
+        "h": pa.array([], type=pa.string()),
+        "doc_id": pa.array([], type=pa.int64()),
+        "n_chars": pa.array([], type=pa.int64()),
+        "n_docs": pa.array([], type=pa.int64()),
+        "part": pa.array([], type=pa.int64()),
+    })
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        b = _plant_norm_batch(b)
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(b["text"]), pattern=r"\s+", replacement=" "
+            ),
+            characters=" ",
+        )
+        hs = np.asarray([_md5(t) for t in norm.to_pylist()], dtype=object)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        ln = pc.utf8_length(b["text"]).to_numpy().astype(np.int64)
+        order = np.lexsort((ids, -ln, hs))  # per hash: longest, then min id
+        h_s, i_s, l_s = hs[order], ids[order], ln[order]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        cnt = np.diff(np.r_[starts, len(h_s)]).astype(np.int64)
+        part = np.asarray(
+            [zlib.crc32(h.encode()) % N_DEDUP_PARTS for h in h_s[starts]],
+            dtype=np.int64,
+        )
+        return pa.table({
+            "h": pa.array(h_s[starts], type=pa.string()),
+            "doc_id": pa.array(i_s[starts]),
+            "n_chars": pa.array(l_s[starts]),
+            "n_docs": pa.array(cnt),
+            "part": pa.array(part),
+        })
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        hs = g["h"].to_numpy().astype(object)
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        ln = g["n_chars"].to_numpy().astype(np.int64)
+        ns = g["n_docs"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, -ln, hs))
+        h_s = hs[order]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        return pd.DataFrame({
+            "survivor": ids[order][starts],
+            "n_chars": ln[order][starts],
+            "n_docs": np.add.reduceat(ns[order], starts).astype(np.int64),
+        })
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .sort("survivor")
+    )

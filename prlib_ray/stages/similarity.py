@@ -1261,3 +1261,74 @@ def cluster_balance(sf_dir: str):
         .aggregate(Sum("n_vecs", alias_name="n_vecs"))
         .sort(["cluster", "label"])
     )
+
+
+def label_centroid_affinity(sf_dir: str):
+    """Pairwise integer-cosine affinity between per-label SUM centroids
+    — the "are these classes' embedding regions near each other?" audit
+    a curation pipeline runs before merging or rebalancing label
+    taxonomies.  cosine(sum) == cosine(mean), so using the un-divided
+    component SUMS keeps every number an exact integer while reporting
+    the same geometry as mean centroids.
+
+    Plan: one pruned pass folds per-batch (label, dim, sum) int64
+    partials (<= n_labels * DIM rows per batch) -> bounded Ray-native
+    groupby Sum over n_labels * DIM keys -> the n_labels^2 pairwise
+    scores are computed from that bounded table in exact Python-int
+    arithmetic (component sums can reach 1000 * rows-per-label, so dot
+    products of sums overflow int64 long before the corpus is large;
+    the final table is tiny, the vectors never shuffle).  Score is the
+    shared BF contract: floor(dot * |dot| * 1e4 / (na * nb))."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table({"label": z, "i": z, "s": z})
+        lab = b["label"].to_numpy().astype(np.int64)
+        Q = np.stack(_quantize(b["embedding"].to_pylist()))
+        lu, linv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(lu), Q.shape[1]), dtype=np.int64)
+        np.add.at(sums, linv, Q)
+        dim = Q.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(lu, dim)),
+            "i": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(lu))),
+            "s": pa.array(sums.ravel()),
+        })
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "i"])
+        .aggregate(Sum("s", alias_name="s"))
+        .take_all()  # bounded: n_labels * DIM rows
+    )
+    cents: dict[int, dict[int, int]] = {}
+    for r in rows:
+        cents.setdefault(int(r["label"]), {})[int(r["i"])] = int(r["s"])
+    labels = sorted(cents)
+    dim = 1 + max((i for d in cents.values() for i in d), default=0)
+    vec = {l: [cents[l].get(i, 0) for i in range(dim)] for l in labels}
+    # exact python-int norms and dots over the bounded centroid table
+    norm = {l: sum(v * v for v in vec[l]) for l in labels}
+    la, lb, aff = [], [], []
+    for x in range(len(labels)):
+        for y in range(x + 1, len(labels)):
+            a, b = labels[x], labels[y]
+            va, vb = vec[a], vec[b]
+            n = min(len(va), len(vb))
+            dot = sum(va[i] * vb[i] for i in range(n))
+            den = norm[a] * norm[b]
+            score = 0 if den == 0 else (dot * abs(dot) * BF_SCORE_SCALE) // den
+            la.append(a)
+            lb.append(b)
+            aff.append(score)
+    return pa.table({
+        "label_a": pa.array(la, type=pa.int64()),
+        "label_b": pa.array(lb, type=pa.int64()),
+        "affinity": pa.array(aff, type=pa.int64()),
+    })

@@ -44,6 +44,9 @@ ORACLE_CASES = [
     "dedup_normalized",
     "dedup_winnow_pairs",
     "cluster_balance",
+    "label_centroid_affinity",
+    "dedup_best_survivor",
+    "corpus_validate",
 ]
 
 
@@ -823,3 +826,103 @@ def test_cluster_balance_totals_and_assignment(ray_session, tmp_path):
     assert got[(0, 1)] == 5
     assert got[(3, 2)] == 3
     assert got[(1, 3)] == 1 and (2, 3) not in got
+
+
+def test_label_centroid_affinity_geometry(ray_session, tmp_path):
+    """Constructed geometry: parallel label regions score exactly
+    10000 (cos=1), orthogonal 0, opposite -10000, and a 45-degree pair
+    exactly 5000 (cos^2 = 1/2) — all exact integers under the shared
+    floor(dot*|dot|*1e4/(na*nb)) contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from prlib_ray.stages.similarity import label_centroid_affinity
+
+    rows = [
+        (0, [1.0, 0.0]), (0, [1.0, 0.0]),   # sum [2000, 0]
+        (1, [2.0, 0.0]),                    # parallel to 0
+        (2, [0.0, 1.0]),                    # orthogonal to 0
+        (3, [-1.0, 0.0]),                   # opposite to 0
+        (4, [1.0, 1.0]),                    # 45 degrees from 0
+    ]
+    pq_.write_table(
+        pa.table({
+            "vec_id": pa.array(range(len(rows)), type=pa.int64()),
+            "embedding": pa.array([r[1] for r in rows],
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array([r[0] for r in rows], type=pa.int32()),
+        }),
+        tmp_path / "embeddings.parquet",
+    )
+    df = label_centroid_affinity(str(tmp_path)).to_pandas()
+    got = {(int(r.label_a), int(r.label_b)): int(r.affinity)
+           for r in df.itertuples()}
+    assert got[(0, 1)] == 10000
+    assert got[(0, 2)] == 0
+    assert got[(0, 3)] == -10000
+    assert got[(0, 4)] == 5000
+    assert len(got) == 10  # all unordered label pairs reported
+
+
+def test_best_survivor_policy_constructed(ray_session, tmp_path):
+    """The keep-the-richest-copy rule on a hand-built group: three
+    whitespace variants of one text collapse to one group whose
+    survivor is the LONGEST variant, ties at equal length break to the
+    smallest doc_id, and a singleton passes through unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from prlib_ray.stages.dedup import N_PLANT_NORM, best_survivor_dedup
+
+    base = N_PLANT_NORM + 100  # ids clear of the planted-mutant range
+    rows = [
+        (base + 0, "alpha  beta"),       # len 11
+        (base + 1, "alpha beta"),        # len 10 (same normalized)
+        (base + 2, "alpha   beta"),      # len 12 -> survivor
+        (base + 3, "gamma delta"),       # singleton
+        (base + 4, "epsilon  zeta"),     # len 13, tie pair below
+        (base + 5, "epsilon zeta "),     # len 13 too -> tie: smaller id wins
+    ]
+    pq_.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    df = best_survivor_dedup(str(tmp_path)).to_pandas()
+    got = {int(r.survivor): (int(r.n_chars), int(r.n_docs))
+           for r in df.itertuples()}
+    assert got == {base + 2: (12, 3), base + 3: (11, 1),
+                   base + 4: (13, 2)}
+
+
+def test_corpus_validate_planted_counts(ray_session, tmp_path):
+    """Each planted corruption is counted exactly once per low doc_id,
+    a real corruption in the input adds on top, and NULL texts never
+    leak into the length-mismatch count (SQL NULL-comparison parity)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from prlib_ray.stages.corpus_stats import N_PLANT_VAL, corpus_validate
+
+    k = N_PLANT_VAL
+    n = k + 5
+    texts = [f"doc number {i}" for i in range(n)]
+    n_chars = [len(t) for t in texts]
+    n_chars[k + 1] += 7  # one REAL mismatch outside the planted range
+    pq_.write_table(
+        pa.table({
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(texts),
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    df = corpus_validate(str(tmp_path)).to_pandas()
+    r = df.iloc[0]
+    assert int(r.n_rows) == n + 4 * k
+    assert int(r.n_null_text) == k
+    assert int(r.n_empty_text) == k
+    assert int(r.n_len_mismatch) == k + 1  # planted + the real one
+    assert int(r.n_dup_ids) == k

@@ -99,10 +99,17 @@ EDGE_CASES = [
     # shorter than the k-gram and the all-identical 'dup' runs
     "dedup_normalized",
     "dedup_winnow_pairs",
+    # best-survivor shares the normalized groups; the audit must count
+    # the pathological docs (empties are REAL rows here, not planted)
+    "dedup_best_survivor",
+    "corpus_validate",
     # the bigram sketch must survive 0/1-word docs (no bigrams) and the
     # OOV probe a corpus smaller than the top-V vocabulary
     "source_minhash_jaccard",
     "vocab_oov_rate",
+    # tiny-embedding audits: 20 vectors, 3 labels, dim 8
+    "cluster_balance",
+    "label_centroid_affinity",
 ]
 
 

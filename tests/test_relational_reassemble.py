@@ -12,6 +12,7 @@ TABLES = (
 
 CASES = [
     "bloom_semi_join",
+    "orders_with_late_items",
     "key_skew_profile",
     "hot_keys",
     "props_field_stats",
@@ -527,3 +528,47 @@ def test_interarrival_profile_buckets(ray_session, tmp_path):
     df = interarrival_profile(str(tmp_path)).to_pandas()
     got = dict(zip(df.bucket.astype(int), df.n_gaps.astype(int)))
     assert got == {-1: 2, 0: 1, 1: 2, 10: 1}
+
+
+def test_orders_with_late_items_constructed(ray_session, tmp_path):
+    """EXISTS semantics on hand-built facts: an order with two late
+    items counts ONCE, exactly +60 days is NOT late (strict >), +60
+    days +1us is, orphan lineitems drop, and an order with no
+    lineitems never counts."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    day = np.timedelta64(86_400_000_000, "us")
+    us = np.timedelta64(1, "us")
+
+    def ts(x):
+        return x.astype("datetime64[us]").item()
+
+    pq2.write_table(pa2.table({
+        "o_orderkey": pa2.array([1, 2, 3, 4, 5], type=pa2.int64()),
+        "o_orderdate": pa2.array([ts(base)] * 5, type=pa2.timestamp("us")),
+        "o_orderpriority": pa2.array(["1-URGENT", "1-URGENT", "2-HIGH",
+                                      "2-HIGH", "3-LOW"]),
+    }), tmp_path / "orders.parquet")
+    li = [
+        (1, base + 61 * day),        # late
+        (1, base + 90 * day),        # late again -> still one order
+        (2, base + 60 * day),        # boundary: NOT late (strict >)
+        (3, base + 60 * day + us),   # 1us past boundary: late
+        (4, base + 5 * day),         # on time
+        (99, base + 300 * day),      # orphan key: dropped
+        # order 5 has no lineitems
+    ]
+    pq2.write_table(pa2.table({
+        "l_orderkey": pa2.array([k for k, _ in li], type=pa2.int64()),
+        "l_shipdate": pa2.array([ts(t) for _, t in li],
+                                type=pa2.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+
+    from prlib_ray.relational import orders_with_late_items
+
+    df = orders_with_late_items(str(tmp_path)).to_pandas()
+    got = dict(zip(df.o_orderpriority, df.n_orders.astype(int)))
+    assert got == {"1-URGENT": 1, "2-HIGH": 1}
