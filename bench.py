@@ -183,7 +183,8 @@ def run_bench() -> dict:
                  "source_minhash_jaccard", "vocab_oov_rate",
                  "cluster_balance", "interarrival_profile",
                  "label_centroid_affinity", "orders_with_late_items",
-                 "dedup_best_survivor", "corpus_validate"):
+                 "dedup_best_survivor", "corpus_validate",
+                 "cms_word_frequency", "length_rank_transform"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

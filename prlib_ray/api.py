@@ -95,7 +95,7 @@ _PRIORITY = [
     "cluster_balance",  # new: embedding-space class-balance audit
     "label_centroid_affinity",  # new: pairwise label-region geometry
     "dedup_clusters_minhash",  # oracle-backed in round 3 (recursive CTE)
-    "dedup_embedding_lsh", "dedup_incremental",
+    "dedup_incremental",
     "segment_dedup",
     "knn_label_agreement",  # new: label-noise audit (exact kNN vote)
     "ann_ivf_topk",
@@ -115,6 +115,8 @@ _PRIORITY = [
     "source_minhash_jaccard",  # new: its mergeable bigram-sketch twin
     "weighted_sample",
     "frequent_ngrams",
+    "cms_word_frequency",  # new: bounded-memory frequency estimates
+    "length_rank_transform",  # new: global rank without a global sort
     "q3_top_orders",
     "bloom_semi_join",  # new: bloom-prefilter semi-join (FP-observable)
     "orders_with_late_items",  # new: correlated-EXISTS fact-fact semi
@@ -125,7 +127,7 @@ _PRIORITY = [
     "funnel_conversion",  # ordered funnel (earliest-event chain)
     "retention_cohorts",  # new: first-active-day cohort retention
     "interarrival_profile",  # new: event-cadence pow2-gap histogram
-    "asof_latest_order", "top_orders_per_segment",
+    "asof_latest_order",
     "range_join_recent_orders",
     "customers_without_orders", "segment_price_quantiles",
     "search_topk",  # exercises the postings build end-to-end
@@ -157,6 +159,13 @@ _PRIORITY = [
     # (quality_classifier reps model-based scoring; ann_ivf/lsh rep the
     # trained-index query path — pq_codes already covers PQ assignment)
     "ann_pq_adc_topk", "bigram_lm_score",
+    # displaced by cms_word_frequency (top_orders_per_segment's
+    # grouped top-N is repped by orders_by_segment + hot_keys' rank
+    # discipline; still sim+pytest covered)
+    "top_orders_per_segment",
+    # displaced by length_rank_transform (embedding-LSH dedup repped
+    # by dedup_embedding + ann_lsh_topk's shared hyperplane contract)
+    "dedup_embedding_lsh",
     "events_hourly_window", "sessionize", "mix_sources",
     "hot_keys", "shuffle_head", "build_inverted_index",
     "repetition_stats", "chunk_tokens", "source_term_stats",

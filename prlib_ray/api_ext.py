@@ -301,6 +301,12 @@ def _register_data_ops(queries, sql) -> None:
 
     queries["corpus_validate"] = corpus_stats.corpus_validate
     sql["corpus_validate"] = _od.CORPUS_VALIDATE
+    # Count-Min sketch frequency estimates vs exact (observable tail)
+    queries["cms_word_frequency"] = corpus_stats.cms_word_frequency
+    sql["cms_word_frequency"] = ocorp.CMS_WORD_FREQUENCY
+    # global rank transform via histogram-CDF broadcast (no global sort)
+    queries["length_rank_transform"] = corpus_stats.length_rank_transform
+    sql["length_rank_transform"] = ocorp.LENGTH_RANK_TRANSFORM
 
     # end-to-end curation funnel (gopher gate -> exact dedup ->
     # boilerplate drop), per-source accounting

@@ -393,3 +393,52 @@ GROUP BY a.source, b.source ORDER BY s1, s2"""
 
 
 SOURCE_MINHASH_JACCARD = _source_minhash_sql()
+
+
+def _cms_word_frequency_sql() -> str:
+    """Exact mirror of corpus_stats.cms_word_frequency: the same md5
+    double-hash positions (bloom's byteswap contract, pre-reduced mod W
+    so the j*h2 ladder cannot wrap), the full D x W counter table as a
+    (j, pos) group-by, and min-over-rows estimates for the exact top-K
+    words (count DESC, word ASC ties)."""
+    from prlib_ray.oracles_data import _byteswap8
+    from prlib_ray.stages.corpus_stats import CMS_D, CMS_TOP, CMS_W
+
+    h1 = _byteswap8("md5_number_upper('cm1:' || w)")
+    h2 = _byteswap8("md5_number_upper('cm2:' || w)")
+    return f"""
+WITH words AS (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+wc AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS n
+    FROM words WHERE w != '' GROUP BY w
+),
+h AS (
+    SELECT w, n, {h1} % {CMS_W} AS h1, {h2} % {CMS_W} AS h2 FROM wc
+),
+js AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS j),
+counter AS (
+    SELECT j.j AS j, (h.h1 + j.j * h.h2) % {CMS_W} AS pos, sum(h.n) AS c
+    FROM h CROSS JOIN js j GROUP BY 1, 2
+),
+top AS (SELECT w, n, h1, h2 FROM h ORDER BY n DESC, w ASC LIMIT {CMS_TOP}),
+est AS (
+    SELECT t.w, t.n, min(c.c) AS n_est
+    FROM top t CROSS JOIN js j
+    JOIN counter c ON c.j = j.j AND c.pos = (t.h1 + j.j * t.h2) % {CMS_W}
+    GROUP BY 1, 2
+)
+SELECT w, n AS n_exact, CAST(n_est AS BIGINT) AS n_est
+FROM est ORDER BY w"""
+
+
+CMS_WORD_FREQUENCY = _cms_word_frequency_sql()
+
+
+# mirrors corpus_stats.length_rank_transform: n_smaller == rank()-1
+# (strictly-shorter count under ties)
+LENGTH_RANK_TRANSFORM = """
+SELECT doc_id, n_chars,
+       CAST(rank() OVER (ORDER BY n_chars) - 1 AS BIGINT) AS n_smaller
+FROM documents ORDER BY doc_id"""

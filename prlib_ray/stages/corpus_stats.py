@@ -1765,3 +1765,197 @@ def corpus_validate(sf_dir: str):
                                    type=pa.int64()),
         "n_dup_ids": pa.array([int(dup_rows["n_dup"])], type=pa.int64()),
     })
+
+
+# --- Count-Min sketch word frequency --------------------------------------------
+
+# Bounded-memory frequency estimation: the mergeable-sketch complement
+# of the exact heavy-hitter rescan (Misra-Gries).  D rows x W counters
+# = a fixed 32 KiB sketch regardless of vocabulary size; estimates are
+# conservative (n_est >= n_exact always), so the over-count tail is
+# observable per word exactly like bloom_semi_join's FP tail.
+CMS_D = 4
+CMS_W = 1024
+CMS_TOP = 20
+
+
+def _cms_positions(words: np.ndarray) -> np.ndarray:
+    """(len(words), CMS_D) counter positions per word.
+
+    h1 / h2 = big-endian uint64 of md5('cm1:'/'cm2:' + word)[:8] — the
+    bloom contract (relational._bloom_positions, mirrored in SQL via
+    oracles_data._byteswap8 of md5_number_upper); both pre-reduce mod
+    W so j * h2 can never wrap uint64 where DuckDB HUGEINT would not."""
+    import hashlib
+
+    ww = np.uint64(CMS_W)
+    h1 = np.fromiter(
+        (int.from_bytes(hashlib.md5(b"cm1:" + w.encode()).digest()[:8], "big")
+         for w in words),
+        dtype=np.uint64, count=len(words),
+    ) % ww
+    h2 = np.fromiter(
+        (int.from_bytes(hashlib.md5(b"cm2:" + w.encode()).digest()[:8], "big")
+         for w in words),
+        dtype=np.uint64, count=len(words),
+    ) % ww
+    j = np.arange(CMS_D, dtype=np.uint64)
+    return ((h1[:, None] + j[None, :] * h2[:, None]) % ww).astype(np.int64)
+
+
+def cms_word_frequency(sf_dir: str):
+    """Count-Min estimates vs exact counts for the CMS_TOP most frequent
+    words: (w, n_exact, n_est) with n_est >= n_exact guaranteed — the
+    report that tells you whether a fixed-width sketch is accurate
+    enough to replace the exact vocabulary fold at the next scale jump.
+
+    Build: per-batch (word, count) pre-combine (the shared
+    _word_count_partial) -> positions -> ONE bincount into the
+    D*W-cell vector, nonzero cells emitted -> coarse cell partitions
+    -> per-part sum -> the <= D*W-row sketch collects driver-side
+    (32 KiB, invariant in the corpus).  Candidates: the shared coarse
+    vocabulary fold + per-part local top-K + a <= K*parts driver merge
+    (the vocab_oov_rate pattern — the full vocabulary never reaches
+    the driver)."""
+    import ray.data as rd
+
+    # -- sketch -----------------------------------------------------------
+    def sketch_partial(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        t = _word_count_partial(b)
+        if t.num_rows == 0:
+            return pa.table({"cell": z, "n": z, "part": z})
+        ws = np.asarray(t["w"].to_pylist(), dtype=object)
+        c = t["c"].to_numpy().astype(np.int64)
+        pos = _cms_positions(ws)
+        cells = (np.arange(CMS_D, dtype=np.int64)[None, :] * CMS_W
+                 + pos).ravel()
+        wts = np.repeat(c, CMS_D)
+        vec = np.bincount(cells, weights=wts,
+                          minlength=CMS_D * CMS_W).astype(np.int64)
+        nz = np.flatnonzero(vec)
+        return pa.table({"cell": pa.array(nz), "n": pa.array(vec[nz]),
+                         "part": pa.array(nz % 8)})
+
+    def cell_fold(g: pd.DataFrame) -> pd.DataFrame:
+        cells = g["cell"].to_numpy().astype(np.int64)
+        n = g["n"].to_numpy().astype(np.int64)
+        o = np.argsort(cells, kind="stable")
+        cells, n = cells[o], n[o]
+        starts = np.flatnonzero(np.r_[True, cells[1:] != cells[:-1]])
+        return pd.DataFrame({
+            "cell": cells[starts],
+            "n": np.add.reduceat(n, starts).astype(np.int64),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    rows = (
+        ds.map_batches(sketch_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(cell_fold, batch_format="pandas")
+        .take_all()  # bounded: <= CMS_D * CMS_W cells
+    )
+    sketch = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    for r in rows:
+        sketch[int(r["cell"])] = int(r["n"])
+
+    # -- exact top-K candidates (vocab fold + bounded local tops) ----------
+    def local_top(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"w": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        n = b["n"].to_numpy().astype(np.int64)
+        if len(n) > CMS_TOP:
+            thr = np.partition(n, len(n) - CMS_TOP)[len(n) - CMS_TOP]
+            keep = np.flatnonzero(n >= thr)
+        else:
+            keep = np.arange(len(n))
+        w = np.asarray(pc.take(b["w"], pa.array(keep)).to_pylist(),
+                       dtype=object)
+        nk = n[keep]
+        o = np.lexsort((w, -nk))[:CMS_TOP]
+        return pa.table({"w": pa.array(w[o], type=pa.string()),
+                         "n": pa.array(nk[o])})
+
+    cand = (
+        _vocab_dataset(sf_dir, _word_count_partial)
+        .map_batches(local_top, batch_format="pyarrow")
+        .take_all()  # bounded: <= CMS_TOP * N_CORPUS_PARTS rows
+    )
+    cw = np.asarray([r["w"] for r in cand], dtype=object)
+    cn = np.asarray([r["n"] for r in cand], dtype=np.int64)
+    o = np.lexsort((cw, -cn))[:CMS_TOP]
+    cw, cn = cw[o], cn[o]
+
+    pos = _cms_positions(cw)
+    est = sketch[(np.arange(CMS_D, dtype=np.int64)[None, :] * CMS_W
+                  + pos)].min(axis=1)
+    o2 = np.argsort(cw, kind="stable")
+    return pa.table({
+        "w": pa.array(cw[o2], type=pa.string()),
+        "n_exact": pa.array(cn[o2]),
+        "n_est": pa.array(est[o2].astype(np.int64)),
+    })
+
+
+# --- Global rank transform (no global sort) -------------------------------------
+
+
+def length_rank_transform(sf_dir: str):
+    """Every document's exact global length rank: n_smaller = how many
+    docs in the corpus are strictly shorter (SQL rank() - 1 under ties)
+    — the rank/percentile transform a curation pipeline uses to filter
+    by corpus-relative length instead of absolute thresholds.
+
+    The classic global-sort query done WITHOUT a global sort: lengths
+    fold to a (value, count) histogram (distinct lengths ≪ corpus —
+    bounded by the max document size, not the row count), the sorted
+    values + exclusive prefix sums broadcast once via ray.put, and
+    every batch probes with one searchsorted.  No doc row ever
+    shuffles; the only exchange is the bounded histogram fold."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if b.num_rows == 0:
+            return pa.table({"v": z, "c": z})
+        v = b["n_chars"].to_numpy().astype(np.int64)
+        vs = np.sort(v)
+        starts = np.flatnonzero(np.r_[True, vs[1:] != vs[:-1]])
+        return pa.table({
+            "v": pa.array(vs[starts]),
+            "c": pa.array(np.diff(np.r_[starts, len(vs)]).astype(np.int64)),
+        })
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()  # bounded: one row per distinct length
+    )
+    vals = np.asarray(sorted(int(r["v"]) for r in hist), dtype=np.int64)
+    cnt = {int(r["v"]): int(r["c"]) for r in hist}
+    counts = np.asarray([cnt[int(v)] for v in vals], dtype=np.int64)
+    below = np.concatenate(([0], np.cumsum(counts)[:-1]))  # exclusive
+    ref = ray.put((vals, below))
+
+    def probe(b: pa.Table) -> pa.Table:
+        vals_, below_ = ray.get(ref)
+        v = b["n_chars"].to_numpy().astype(np.int64)
+        idx = np.searchsorted(vals_, v)
+        return pa.table({
+            "doc_id": b["doc_id"].cast(pa.int64()),
+            "n_chars": pa.array(v),
+            "n_smaller": pa.array(below_[idx]),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True)

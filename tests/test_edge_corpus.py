@@ -107,6 +107,10 @@ EDGE_CASES = [
     # OOV probe a corpus smaller than the top-V vocabulary
     "source_minhash_jaccard",
     "vocab_oov_rate",
+    # the sketch must survive empty/1-word docs and a vocab < TOP
+    "cms_word_frequency",
+    # the CDF probe must survive length ties and the 0-length doc
+    "length_rank_transform",
     # tiny-embedding audits: 20 vectors, 3 labels, dim 8
     "cluster_balance",
     "label_centroid_affinity",
