@@ -297,10 +297,10 @@ def _register_data_ops(queries, sql) -> None:
     queries["vocab_oov_rate"] = corpus_stats.vocab_oov_rate
     sql["vocab_oov_rate"] = ocorp.VOCAB_OOV_RATE
     # pre-flight data-quality audit (planted corruption mirrors)
-    from prlib_ray import oracles_data as _od
+    from prlib_ray import oracles_data as odata
 
     queries["corpus_validate"] = corpus_stats.corpus_validate
-    sql["corpus_validate"] = _od.CORPUS_VALIDATE
+    sql["corpus_validate"] = odata.CORPUS_VALIDATE
     # Count-Min sketch frequency estimates vs exact (observable tail)
     queries["cms_word_frequency"] = corpus_stats.cms_word_frequency
     sql["cms_word_frequency"] = ocorp.CMS_WORD_FREQUENCY

@@ -263,3 +263,33 @@ def join_kept(
         lo, hi = offs[d], offs[d + 1]
         out.append(sep.join(blocks[i] for i in range(lo, hi) if keep[i]))
     return out
+
+
+def md5_ladder_positions(payloads, m: int, depth: int,
+                         prefix1: bytes, prefix2: bytes) -> np.ndarray:
+    """(len(payloads), depth) hash positions in [0, m): the shared
+    Kirsch-Mitzenmacher double-hash ladder used by every probabilistic
+    membership/count structure (relational._bloom_positions,
+    corpus_stats._cms_positions).
+
+    h1 / h2 = big-endian uint64 of md5(prefix + payload)[:8] — the
+    md5_number_upper byteswap contract (oracles_data._byteswap8) —
+    and BOTH pre-reduce mod m before the ``h1 + j*h2`` ladder so
+    j * (h2 % m) stays far below 2^64: DuckDB HUGEINT never wraps, so
+    the engine must not wrap either.  ``payloads`` must be a sequence
+    (it is iterated twice)."""
+    import hashlib
+
+    mm = np.uint64(m)
+    h1 = np.fromiter(
+        (int.from_bytes(hashlib.md5(prefix1 + p).digest()[:8], "big")
+         for p in payloads),
+        dtype=np.uint64, count=len(payloads),
+    ) % mm
+    h2 = np.fromiter(
+        (int.from_bytes(hashlib.md5(prefix2 + p).digest()[:8], "big")
+         for p in payloads),
+        dtype=np.uint64, count=len(payloads),
+    ) % mm
+    j = np.arange(depth, dtype=np.uint64)
+    return ((h1[:, None] + j[None, :] * h2[:, None]) % mm).astype(np.int64)

@@ -1406,7 +1406,11 @@ CLUSTER_BALANCE = _cluster_balance_sql()
 # mirrors similarity.label_centroid_affinity: per-label component SUMS
 # of the x1000-quantized embeddings (cosine(sum) == cosine(mean), all
 # integers), then the shared BF score floor(dot*|dot|*1e4/(na*nb)) per
-# unordered label pair via the mod-trick exact floor division
+# unordered label pair via the mod-trick exact floor division.
+# SCALE LIMIT (oracle only): s2x = dot*|dot|*1e4 overflows HUGEINT once
+# per-label component sums reach ~4.5e7 (~45k rows per label at the
+# x1000 quantization) — the ENGINE side is exact Python ints and has no
+# such ceiling; fixtures top out ~200 rows/label (s2x ~1e29 << 1.7e38)
 LABEL_CENTROID_AFFINITY = """
 WITH q AS (
     SELECT CAST(label AS BIGINT) AS label,

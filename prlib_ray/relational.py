@@ -1180,6 +1180,15 @@ def top_orders_per_segment(sf_dir: str, *, k: int = 3):
 N_COPART = 64  # co-partitions for the fact-fact probe layout
 
 
+def _copart_tag(key: np.ndarray) -> np.ndarray:
+    """part = hash(key) % N_COPART via the golden-ratio multiplier —
+    the ONE definition of the fact-fact co-partition layout (both sides
+    of every co-partitioned join must use it or keys stop co-locating:
+    _probe_join and orders_with_late_items)."""
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    return ((key.view(np.uint64) * gold) % np.uint64(N_COPART)).astype(np.int32)
+
+
 def _asof_probe_sorted(ev_key, ev_ts, ock, ot, oid) -> np.ndarray:
     """latest oid with ot <= ev_ts among rows of the same key; -1 if none.
     (ock, ot, oid) must be lexsorted by (ock, ot, oid) — ties resolve to
@@ -1280,13 +1289,12 @@ def _probe_join(sf_dir: str, *, with_keys: bool, out_col: str,
         )
 
     # partitioned: normalize both sides to (key, t, id, side), tag with
-    # part = hash(key) % N_COPART, one hash shuffle co-locates each
+    # part = _copart_tag(key), one hash shuffle co-locates each
     # customer's events AND orders, then the probe kernel runs per part.
-    gold = np.uint64(0x9E3779B97F4A7C15)
 
     def ev_norm(b: pa.Table) -> pa.Table:
         key = b["user_id"].to_numpy().astype(np.int64)
-        part = ((key.view(np.uint64) * gold) % np.uint64(N_COPART)).astype(np.int32)
+        part = _copart_tag(key)
         return pa.table(
             {
                 "part": pa.array(part),
@@ -1299,7 +1307,7 @@ def _probe_join(sf_dir: str, *, with_keys: bool, out_col: str,
 
     def ord_norm(b: pa.Table) -> pa.Table:
         key = b["o_custkey"].to_numpy().astype(np.int64)
-        part = ((key.view(np.uint64) * gold) % np.uint64(N_COPART)).astype(np.int32)
+        part = _copart_tag(key)
         oid = (b["o_orderkey"].to_numpy().astype(np.int64) if with_keys
                else np.zeros(b.num_rows, dtype=np.int64))
         return pa.table(
@@ -1976,28 +1984,14 @@ N_BLOOM_PARTS = 32       # coarse position-range partitions for the bitmap fold
 
 
 def _bloom_positions(keys: np.ndarray, m: int) -> np.ndarray:
-    """(len(keys), BLOOM_K) int64 bit positions for integer keys.
+    """(len(keys), BLOOM_K) int64 bit positions for integer keys via the
+    shared md5 double-hash ladder (blocks.md5_ladder_positions — the
+    'bf1:'/'bf2:' + str(k) contract, mirrored in SQL through
+    oracles_data._byteswap8 of md5_number_upper)."""
+    from prlib_ray.blocks import md5_ladder_positions
 
-    h1 / h2 = big-endian uint64 of md5('bf1:'/'bf2:' + str(k))[:8] — the
-    repo's md5_number_upper byteswap contract (oracles_data._byteswap8);
-    position_j = (h1 % m + j * (h2 % m)) % m.  Both factors pre-reduce
-    mod m so j * (h2 % m) stays far below 2^64: DuckDB HUGEINT never
-    wraps, so the engine must not wrap either."""
-    import hashlib
-
-    mm = np.uint64(m)
-    h1 = np.fromiter(
-        (int.from_bytes(hashlib.md5(b"bf1:%d" % int(k)).digest()[:8], "big")
-         for k in keys),
-        dtype=np.uint64, count=len(keys),
-    ) % mm
-    h2 = np.fromiter(
-        (int.from_bytes(hashlib.md5(b"bf2:%d" % int(k)).digest()[:8], "big")
-         for k in keys),
-        dtype=np.uint64, count=len(keys),
-    ) % mm
-    j = np.arange(BLOOM_K, dtype=np.uint64)
-    return ((h1[:, None] + j[None, :] * h2[:, None]) % mm).astype(np.int64)
+    payloads = [b"%d" % int(k) for k in keys]
+    return md5_ladder_positions(payloads, m, BLOOM_K, b"bf1:", b"bf2:")
 
 
 def bloom_semi_join(sf_dir: str, *, segment: str = BLOOM_SEGMENT):
@@ -2254,7 +2248,6 @@ def orders_with_late_items(sf_dir: str, *, days: int = LATE_SHIP_DAYS):
     from ray.data.aggregate import Sum
 
     span = days * 86_400_000_000  # us; both date columns are timestamps
-    gold = np.uint64(0x9E3779B97F4A7C15)
 
     ord_ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -2266,7 +2259,7 @@ def orders_with_late_items(sf_dir: str, *, days: int = LATE_SHIP_DAYS):
 
     def ord_norm(b: pa.Table) -> pa.Table:
         key = b["o_orderkey"].to_numpy().astype(np.int64)
-        part = ((key.view(np.uint64) * gold) % np.uint64(N_COPART)).astype(np.int32)
+        part = _copart_tag(key)
         return pa.table({
             "part": pa.array(part),
             "key": pa.array(key),
@@ -2277,12 +2270,12 @@ def orders_with_late_items(sf_dir: str, *, days: int = LATE_SHIP_DAYS):
 
     def li_norm(b: pa.Table) -> pa.Table:
         key = b["l_orderkey"].to_numpy().astype(np.int64)
-        part = ((key.view(np.uint64) * gold) % np.uint64(N_COPART)).astype(np.int32)
+        part = _copart_tag(key)
         return pa.table({
             "part": pa.array(part),
             "key": pa.array(key),
             "t": pa.array(b["l_shipdate"].cast(pa.int64()).to_numpy()),
-            "prio": pa.array([""] * b.num_rows, type=pa.string()),
+            "prio": pa.nulls(b.num_rows, pa.string()),  # never read on this side
             "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
         })
 

@@ -1417,6 +1417,30 @@ def source_overlap(sf_dir: str):
 OOV_VOCAB = 16  # top-V words by corpus count (ties: word ASC)
 
 
+def _local_top_words(b: pa.Table, k: int) -> pa.Table:
+    """Per-part local top-k of a (w, n) block by (count DESC, word ASC)
+    — the shared bounded-merge kernel (vocab_oov_rate /
+    cms_word_frequency).  Numeric pre-cut before touching strings: keep
+    everything at or above the k-th largest count (ties included) so
+    the object lexsort runs over O(k + boundary ties), never the whole
+    part vocabulary (item-43 lesson: object-array sorts in per-block
+    paths are the slow path)."""
+    if b.num_rows == 0:
+        return pa.table({"w": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    n = b["n"].to_numpy().astype(np.int64)
+    if len(n) > k:
+        thr = np.partition(n, len(n) - k)[len(n) - k]
+        keep = np.flatnonzero(n >= thr)
+    else:
+        keep = np.arange(len(n))
+    w = np.asarray(pc.take(b["w"], pa.array(keep)).to_pylist(), dtype=object)
+    nk = n[keep]
+    o = np.lexsort((w, -nk))[:k]
+    return pa.table({"w": pa.array(w[o], type=pa.string()),
+                     "n": pa.array(nk[o])})
+
+
 def vocab_oov_rate(sf_dir: str):
     """Per source: total nonempty tokens and how many are OUTSIDE the
     top-``OOV_VOCAB`` corpus vocabulary (count DESC, word ASC ties —
@@ -1432,32 +1456,10 @@ def vocab_oov_rate(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    def local_topv(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"w": pa.array([], type=pa.string()),
-                             "n": pa.array([], type=pa.int64())})
-        n = b["n"].to_numpy().astype(np.int64)
-        # numeric pre-cut before touching strings: keep everything at or
-        # above the V-th largest count (ties included), so the object
-        # lexsort below runs over O(V + boundary ties), never the whole
-        # part vocabulary (item-43 lesson: object-array sorts in per-
-        # block paths are the slow path)
-        if len(n) > OOV_VOCAB:
-            thr = np.partition(n, len(n) - OOV_VOCAB)[len(n) - OOV_VOCAB]
-            keep = np.flatnonzero(n >= thr)
-        else:
-            keep = np.arange(len(n))
-        w = np.asarray(
-            pc.take(b["w"], pa.array(keep)).to_pylist(), dtype=object
-        )
-        nk = n[keep]
-        o = np.lexsort((w, -nk))[:OOV_VOCAB]
-        return pa.table({"w": pa.array(w[o], type=pa.string()),
-                         "n": pa.array(nk[o])})
-
     cand = (
         _vocab_dataset(sf_dir, _word_count_partial)
-        .map_batches(local_topv, batch_format="pyarrow")
+        .map_batches(lambda b: _local_top_words(b, OOV_VOCAB),
+                     batch_format="pyarrow")
     ).take_all()
     cw = np.asarray([r["w"] for r in cand], dtype=object)
     cn = np.asarray([r["n"] for r in cand], dtype=np.int64)
@@ -1780,27 +1782,14 @@ CMS_TOP = 20
 
 
 def _cms_positions(words: np.ndarray) -> np.ndarray:
-    """(len(words), CMS_D) counter positions per word.
+    """(len(words), CMS_D) counter positions per word via the shared md5
+    double-hash ladder (blocks.md5_ladder_positions — the 'cm1:'/'cm2:'
+    + word contract, mirrored in SQL through oracles_data._byteswap8 of
+    md5_number_upper)."""
+    from prlib_ray.blocks import md5_ladder_positions
 
-    h1 / h2 = big-endian uint64 of md5('cm1:'/'cm2:' + word)[:8] — the
-    bloom contract (relational._bloom_positions, mirrored in SQL via
-    oracles_data._byteswap8 of md5_number_upper); both pre-reduce mod
-    W so j * h2 can never wrap uint64 where DuckDB HUGEINT would not."""
-    import hashlib
-
-    ww = np.uint64(CMS_W)
-    h1 = np.fromiter(
-        (int.from_bytes(hashlib.md5(b"cm1:" + w.encode()).digest()[:8], "big")
-         for w in words),
-        dtype=np.uint64, count=len(words),
-    ) % ww
-    h2 = np.fromiter(
-        (int.from_bytes(hashlib.md5(b"cm2:" + w.encode()).digest()[:8], "big")
-         for w in words),
-        dtype=np.uint64, count=len(words),
-    ) % ww
-    j = np.arange(CMS_D, dtype=np.uint64)
-    return ((h1[:, None] + j[None, :] * h2[:, None]) % ww).astype(np.int64)
+    payloads = [w.encode() for w in words]
+    return md5_ladder_positions(payloads, CMS_W, CMS_D, b"cm1:", b"cm2:")
 
 
 def cms_word_frequency(sf_dir: str):
@@ -1809,24 +1798,24 @@ def cms_word_frequency(sf_dir: str):
     report that tells you whether a fixed-width sketch is accurate
     enough to replace the exact vocabulary fold at the next scale jump.
 
-    Build: per-batch (word, count) pre-combine (the shared
-    _word_count_partial) -> positions -> ONE bincount into the
-    D*W-cell vector, nonzero cells emitted -> coarse cell partitions
-    -> per-part sum -> the <= D*W-row sketch collects driver-side
-    (32 KiB, invariant in the corpus).  Candidates: the shared coarse
-    vocabulary fold + per-part local top-K + a <= K*parts driver merge
-    (the vocab_oov_rate pattern — the full vocabulary never reaches
-    the driver)."""
-    import ray.data as rd
+    ONE corpus scan: the shared coarse vocabulary fold materializes the
+    folded (word, count) rows once (distinct words — far smaller than
+    the corpus), and BOTH consumers read it: the sketch build (each
+    distinct word hashed exactly once -> ONE bincount into the D*W-cell
+    vector, nonzero cells -> coarse cell partitions -> the <= D*W-row
+    sketch collects driver-side, 32 KiB invariant in the corpus) and
+    the candidate head (per-part local top-K + a <= K*parts driver
+    merge — the vocab_oov_rate pattern; the full vocabulary never
+    reaches the driver)."""
+    vocab = _vocab_dataset(sf_dir, _word_count_partial).materialize()
 
-    # -- sketch -----------------------------------------------------------
-    def sketch_partial(b: pa.Table) -> pa.Table:
+    # -- sketch (over the folded vocabulary, not the raw corpus) -----------
+    def sketch_partial(t: pa.Table) -> pa.Table:
         z = pa.array([], type=pa.int64())
-        t = _word_count_partial(b)
         if t.num_rows == 0:
             return pa.table({"cell": z, "n": z, "part": z})
         ws = np.asarray(t["w"].to_pylist(), dtype=object)
-        c = t["c"].to_numpy().astype(np.int64)
+        c = t["n"].to_numpy().astype(np.int64)
         pos = _cms_positions(ws)
         cells = (np.arange(CMS_D, dtype=np.int64)[None, :] * CMS_W
                  + pos).ravel()
@@ -1848,11 +1837,9 @@ def cms_word_frequency(sf_dir: str):
             "n": np.add.reduceat(n, starts).astype(np.int64),
         })
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
     rows = (
-        ds.map_batches(sketch_partial, batch_format="pyarrow",
-                       zero_copy_batch=True)
+        vocab.map_batches(sketch_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
         .groupby("part")
         .map_groups(cell_fold, batch_format="pandas")
         .take_all()  # bounded: <= CMS_D * CMS_W cells
@@ -1861,27 +1848,10 @@ def cms_word_frequency(sf_dir: str):
     for r in rows:
         sketch[int(r["cell"])] = int(r["n"])
 
-    # -- exact top-K candidates (vocab fold + bounded local tops) ----------
-    def local_top(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"w": pa.array([], type=pa.string()),
-                             "n": pa.array([], type=pa.int64())})
-        n = b["n"].to_numpy().astype(np.int64)
-        if len(n) > CMS_TOP:
-            thr = np.partition(n, len(n) - CMS_TOP)[len(n) - CMS_TOP]
-            keep = np.flatnonzero(n >= thr)
-        else:
-            keep = np.arange(len(n))
-        w = np.asarray(pc.take(b["w"], pa.array(keep)).to_pylist(),
-                       dtype=object)
-        nk = n[keep]
-        o = np.lexsort((w, -nk))[:CMS_TOP]
-        return pa.table({"w": pa.array(w[o], type=pa.string()),
-                         "n": pa.array(nk[o])})
-
+    # -- exact top-K candidates (bounded local tops over the same fold) ----
     cand = (
-        _vocab_dataset(sf_dir, _word_count_partial)
-        .map_batches(local_top, batch_format="pyarrow")
+        vocab.map_batches(lambda b: _local_top_words(b, CMS_TOP),
+                          batch_format="pyarrow")
         .take_all()  # bounded: <= CMS_TOP * N_CORPUS_PARTS rows
     )
     cw = np.asarray([r["w"] for r in cand], dtype=object)

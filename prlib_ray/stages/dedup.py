@@ -28,11 +28,12 @@ def _md5(s: str) -> str:
     return hashlib.md5(s.encode("utf-8")).hexdigest()
 
 
-def _hash_min_fold(ds, key_batch_fn, *, counts: bool):
-    """Shared hash-group survivor layout: per-batch pre-combine (min doc
+def _hash_min_fold(ds, key_batch_fn, *, counts: bool, ranked: bool = False):
+    """Shared hash-group survivor layout: per-batch pre-combine (best doc
     [+ count] per hash key), crc32 coarse hash partitions, ONE
-    vectorized lexsort run-boundary fold per part — used by exact_dedup
-    AND normalized_dedup so the fold can never drift between them.
+    vectorized lexsort run-boundary fold per part — used by exact_dedup,
+    normalized_dedup AND best_survivor_dedup so the fold can never
+    drift between them.
 
     The fold runs per COARSE partition (crc32(hash) % N_DEDUP_PARTS),
     not per hash key: Ray's per-key aggregate pays ms-scale cost per
@@ -40,8 +41,12 @@ def _hash_min_fold(ds, key_batch_fn, *, counts: bool):
     A hash never spans parts, and each batch pre-combines so at most
     one row per (batch, hash) shuffles.
 
-    ``key_batch_fn(b) -> (hs, ids)``: object ndarray of hash keys +
-    int64 ndarray of doc ids for the (possibly augmented) batch."""
+    ``key_batch_fn(b) -> (hs, ids)`` — or ``(hs, ids, rank)`` when
+    ``ranked=True``: object ndarray of hash keys + int64 ndarray of doc
+    ids for the (possibly augmented) batch.  Unranked, the survivor is
+    min(doc_id); ranked (int64, e.g. text length) it is (rank DESC,
+    doc_id ASC) and the output carries the survivor's rank as column
+    ``rank``."""
     import zlib
 
     import pandas as pd
@@ -54,10 +59,16 @@ def _hash_min_fold(ds, key_batch_fn, *, counts: bool):
 
     def add_hash(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return pa.table(empty_cols)
-        hs, ids = key_batch_fn(b)
-        # local pre-combine: min doc (ids sort first within a hash run)
-        order = np.lexsort((ids, hs))
+            e = dict(empty_cols)
+            if ranked:
+                e["rank"] = pa.array([], type=pa.int64())
+            return pa.table(e)
+        res = key_batch_fn(b)
+        hs, ids = res[0], res[1]
+        rank = res[2] if ranked else None
+        # local pre-combine: the survivor sorts first within a hash run
+        order = (np.lexsort((ids, -rank, hs)) if rank is not None
+                 else np.lexsort((ids, hs)))
         h_s, i_s = hs[order], ids[order]
         starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
         h_u, i_u = h_s[starts], i_s[starts]
@@ -67,6 +78,8 @@ def _hash_min_fold(ds, key_batch_fn, *, counts: bool):
         )
         cols = {"h": pa.array(h_u, type=pa.string()),
                 "doc_id": pa.array(i_u), "part": pa.array(part)}
+        if rank is not None:
+            cols["rank"] = pa.array(rank[order][starts])
         if counts:
             cnt = np.diff(np.r_[starts, len(h_s)]).astype(np.int64)
             cols["n_docs"] = pa.array(cnt)
@@ -75,10 +88,16 @@ def _hash_min_fold(ds, key_batch_fn, *, counts: bool):
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         hs = g["h"].to_numpy().astype(object)
         ids = g["doc_id"].to_numpy().astype(np.int64)
-        order = np.lexsort((ids, hs))
+        if ranked:
+            rank = g["rank"].to_numpy().astype(np.int64)
+            order = np.lexsort((ids, -rank, hs))
+        else:
+            order = np.lexsort((ids, hs))
         h_s, i_s = hs[order], ids[order]
         starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
         out = {"h": h_s[starts].astype(object), "doc_id": i_s[starts]}
+        if ranked:
+            out["rank"] = rank[order][starts]
         if counts:
             ns = g["n_docs"].to_numpy().astype(np.int64)[order]
             out["n_docs"] = np.add.reduceat(ns, starts).astype(np.int64)
@@ -1135,6 +1154,30 @@ def _plant_norm_batch(b: pa.Table) -> pa.Table:
     return pa.concat_tables([base, dup.cast(base.schema)])
 
 
+def _norm_keys(b: pa.Table, *, with_len: bool = False):
+    """(hs, ids[, lengths]) for the planted-and-normalized batch — the
+    ONE definition of the normalization contract (lowercase, collapse
+    RE2 \\s+ runs to one space, trim; trim(x, ' ') == the oracle's trim
+    because post-collapse edges are plain spaces), shared by
+    normalized_dedup and best_survivor_dedup so the two can never
+    drift.  Lengths (when requested) are utf8_length of the UNnormalized
+    planted text — the rank key of the best-survivor policy."""
+    import pyarrow.compute as pc
+
+    b = _plant_norm_batch(b)
+    norm = pc.utf8_trim(
+        pc.replace_substring_regex(
+            pc.utf8_lower(b["text"]), pattern=r"\s+", replacement=" "
+        ),
+        characters=" ",
+    )
+    hs = np.asarray([_md5(t) for t in norm.to_pylist()], dtype=object)
+    ids = b["doc_id"].to_numpy().astype(np.int64)
+    if with_len:
+        return hs, ids, pc.utf8_length(b["text"]).to_numpy().astype(np.int64)
+    return hs, ids
+
+
 def normalized_dedup(sf_dir: str):
     """Normalization-invariant exact dedup: lowercase, collapse ASCII
     whitespace runs to one space, trim — then md5-group.  Survivor =
@@ -1146,27 +1189,11 @@ def normalized_dedup(sf_dir: str):
     (counts=True adds per-batch count partials + a reduceat sum in the
     fold) — at most one row per (batch, hash) shuffles and no per-key
     Ray group exists anywhere."""
-    import pyarrow.compute as pc
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-
-    def keys(b: pa.Table):
-        b = _plant_norm_batch(b)
-        # RE2 \s on both sides (pyarrow and DuckDB regexp_replace);
-        # trim(x, ' ') == the oracle's trim: post-collapse edges are
-        # plain spaces
-        norm = pc.utf8_trim(
-            pc.replace_substring_regex(
-                pc.utf8_lower(b["text"]), pattern=r"\s+", replacement=" "
-            ),
-            characters=" ",
-        )
-        hs = np.asarray([_md5(t) for t in norm.to_pylist()], dtype=object)
-        return hs, b["doc_id"].to_numpy().astype(np.int64)
-
-    return _hash_min_fold(ds, keys, counts=True)
+    return _hash_min_fold(ds, _norm_keys, counts=True)
 
 
 # --- Winnowing shared-fingerprint pairs (MOSS layout) -------------------------
@@ -1272,76 +1299,37 @@ def best_survivor_dedup(sf_dir: str):
     formatting.  Uses length(text) computed on both sides (not the
     stored n_chars) so the contract is self-contained.
 
-    Same scale layout as _hash_min_fold (one row per (batch, hash)
-    shuffles, crc32 coarse partitions, ONE lexsort fold per part) with
-    the rank key (n_chars DESC, doc_id ASC) carried through both the
-    per-batch pre-combine and the per-part fold.  The planted
-    normalization mutants ("\\t" + upper + two spaces) are LONGER than
-    their originals, so on every planted group this policy provably
-    picks a different survivor than normalized_dedup's min-id rule."""
-    import zlib
-
-    import pandas as pd
-    import pyarrow.compute as pc
+    The SHARED _hash_min_fold layout (one row per (batch, hash)
+    shuffles, crc32 coarse partitions, ONE lexsort fold per part) in
+    ranked mode: the rank key (n_chars DESC, doc_id ASC) rides both the
+    per-batch pre-combine and the per-part fold, and the normalization
+    + plant come from the same _norm_keys normalized_dedup uses — the
+    three dedup policies cannot drift apart.  The planted mutants
+    ("\\t" + upper + two spaces) are LONGER than their originals, so on
+    every planted group this policy provably picks a different survivor
+    than normalized_dedup's min-id rule."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
+    folded = _hash_min_fold(
+        ds, lambda b: _norm_keys(b, with_len=True), counts=True, ranked=True
+    )
 
-    empty = pa.table({
-        "h": pa.array([], type=pa.string()),
-        "doc_id": pa.array([], type=pa.int64()),
-        "n_chars": pa.array([], type=pa.int64()),
-        "n_docs": pa.array([], type=pa.int64()),
-        "part": pa.array([], type=pa.int64()),
-    })
-
-    def add_hash(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return empty
-        b = _plant_norm_batch(b)
-        norm = pc.utf8_trim(
-            pc.replace_substring_regex(
-                pc.utf8_lower(b["text"]), pattern=r"\s+", replacement=" "
-            ),
-            characters=" ",
-        )
-        hs = np.asarray([_md5(t) for t in norm.to_pylist()], dtype=object)
-        ids = b["doc_id"].to_numpy().astype(np.int64)
-        ln = pc.utf8_length(b["text"]).to_numpy().astype(np.int64)
-        order = np.lexsort((ids, -ln, hs))  # per hash: longest, then min id
-        h_s, i_s, l_s = hs[order], ids[order], ln[order]
-        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
-        cnt = np.diff(np.r_[starts, len(h_s)]).astype(np.int64)
-        part = np.asarray(
-            [zlib.crc32(h.encode()) % N_DEDUP_PARTS for h in h_s[starts]],
-            dtype=np.int64,
-        )
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({
+                "survivor": pa.array([], type=pa.int64()),
+                "n_chars": pa.array([], type=pa.int64()),
+                "n_docs": pa.array([], type=pa.int64()),
+            })
         return pa.table({
-            "h": pa.array(h_s[starts], type=pa.string()),
-            "doc_id": pa.array(i_s[starts]),
-            "n_chars": pa.array(l_s[starts]),
-            "n_docs": pa.array(cnt),
-            "part": pa.array(part),
-        })
-
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        hs = g["h"].to_numpy().astype(object)
-        ids = g["doc_id"].to_numpy().astype(np.int64)
-        ln = g["n_chars"].to_numpy().astype(np.int64)
-        ns = g["n_docs"].to_numpy().astype(np.int64)
-        order = np.lexsort((ids, -ln, hs))
-        h_s = hs[order]
-        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
-        return pd.DataFrame({
-            "survivor": ids[order][starts],
-            "n_chars": ln[order][starts],
-            "n_docs": np.add.reduceat(ns[order], starts).astype(np.int64),
+            "survivor": t["doc_id"].cast(pa.int64()),
+            "n_chars": t["rank"].cast(pa.int64()),
+            "n_docs": t["n_docs"].cast(pa.int64()),
         })
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("part")
-        .map_groups(per_part, batch_format="pandas")
+        folded.map_batches(finalize, batch_format="pyarrow")
         .sort("survivor")
     )

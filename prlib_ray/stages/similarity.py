@@ -43,6 +43,23 @@ def _quantize(vecs: list[list[float]]) -> list[np.ndarray]:
             for v in vecs]
 
 
+def _low_id_seed_matrix(ds, n: int):
+    """(quantized seed matrix, seed vec_ids) for the ``vec_id < n``
+    rows of an embeddings Dataset — the shared deterministic-seed fetch
+    (dedup_semantic / pq_codes / cluster_balance all use the same
+    contract; one definition so it cannot drift).  A bounded
+    dimension take: <= n rows reach the driver."""
+    seeds = ds.map_batches(
+        lambda b: b.filter(pa.array(b["vec_id"].to_numpy() < n)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    seeds.sort(key=lambda r: r["vec_id"])
+    S = np.stack(_quantize([list(r["embedding"]) for r in seeds]))
+    ids = np.array([r["vec_id"] for r in seeds], dtype=np.int64)
+    return S, ids
+
+
 def _plant_dup_batch(b: pa.Table) -> pa.Table:
     """Append the planted duplicates for this batch's low-id vectors."""
     ids = b["vec_id"].to_numpy().astype(np.int64)
@@ -370,13 +387,7 @@ def dedup_semantic(sf_dir: str, *, t2: int = 9025):
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    seeds = ds.map_batches(
-        lambda b: b.filter(pa.array(b["vec_id"].to_numpy() < N_SEM_SEEDS)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).take_all()  # N_SEM_SEEDS rows — a bounded dimension take
-    seeds.sort(key=lambda r: r["vec_id"])
-    S = np.stack(_quantize([list(r["embedding"]) for r in seeds]))
+    S, _ = _low_id_seed_matrix(ds, N_SEM_SEEDS)
     ref = ray.put(S)
 
     bounded = ds.map_batches(
@@ -468,21 +479,14 @@ def pq_codes(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    seeds = ds.map_batches(
-        lambda b: b.filter(pa.array(b["vec_id"].to_numpy() < N_PQ_CODES)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).take_all()  # N_PQ_CODES rows — a bounded codebook take
-    seeds.sort(key=lambda r: r["vec_id"])
-    full = np.stack(_quantize([list(r["embedding"]) for r in seeds]))
+    full, seed_ids = _low_id_seed_matrix(ds, N_PQ_CODES)
     dim = full.shape[1]
     sub_dim = dim // N_PQ_SUB
     # Codes are the seeds' VEC_IDS (the oracle's `vec_id AS code`), not
     # positions — with a short corpus or gaps below N_PQ_CODES the two
     # numberings differ.  Positions are vec_id-sorted, so the argmin's
     # first-min tie-break still picks the smallest code.
-    seed_ids = np.array([r["vec_id"] for r in seeds], dtype=np.int64)
-    n_codes = len(seeds)  # short-corpus guard: fewer rows than N_PQ_CODES
+    n_codes = len(seed_ids)  # short-corpus guard: fewer rows than N_PQ_CODES
     # (sub, code, sub_dim)
     cb = full.reshape(n_codes, N_PQ_SUB, sub_dim).transpose(1, 0, 2)
     ref = ray.put((cb, seed_ids))
@@ -1225,12 +1229,7 @@ def cluster_balance(sf_dir: str):
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding", "label"],
     )
-    seeds = ds.map_batches(
-        lambda b: b.filter(pa.array(b["vec_id"].to_numpy() < N_SEM_SEEDS)),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).take_all()
-    seeds.sort(key=lambda r: r["vec_id"])
-    S = np.stack(_quantize([list(r["embedding"]) for r in seeds]))
+    S, _ = _low_id_seed_matrix(ds, N_SEM_SEEDS)
     ref = ray.put(S)
 
     def partial(b: pa.Table) -> pa.Table:
