@@ -98,6 +98,7 @@ _PRIORITY = [
     "dedup_incremental",
     "segment_dedup",
     "knn_label_agreement",  # new: label-noise audit (exact kNN vote)
+    "hard_negatives",  # new: contrastive wrong-class nearest neighbors
     "ann_ivf_topk",
     "ann_lsh_topk",  # probe+score fully SQL-mirrored in round 3
     # ann_bruteforce_topk and pq_codes moved below: the bf baseline and
@@ -110,6 +111,7 @@ _PRIORITY = [
     "lang_agreement",
     "split_assign", "decontaminate",
     "pack_sequences", "pii_scan",
+    "pii_redact",  # new: the redaction transform pii_scan measures
     "props_field_stats",  # new: semi-structured JSON extraction
     "source_overlap",  # new in round 3: pairwise source vocab overlap
     "source_minhash_jaccard",  # new: its mergeable bigram-sketch twin
@@ -128,9 +130,13 @@ _PRIORITY = [
     "retention_cohorts",  # new: first-active-day cohort retention
     "interarrival_profile",  # new: event-cadence pow2-gap histogram
     "asof_latest_order",
-    "range_join_recent_orders",
-    "customers_without_orders", "segment_price_quantiles",
-    "search_topk",  # exercises the postings build end-to-end
+    "segment_price_quantiles",
+    "search_topk",
+    # displaced in the eleventh session by hard_negatives / pii_redact
+    # (range_join shares asof_latest_order's exact _probe_join physical
+    # plan; customers_without_orders' anti-join is repped by
+    # bloom_semi_join + orders_with_late_items — both sim+pytest covered)
+    "range_join_recent_orders", "customers_without_orders",  # exercises the postings build end-to-end
     # close family representatives displaced from the 50-entry window
     # (dedup_incremental covers snapshots, dup_ngram_fraction covers
     # cross-doc windows; repetition_stats is represented by

@@ -189,6 +189,9 @@ def _register_data_ops(queries, sql) -> None:
     # integer-exact score (sign * cos^2 * 1e4, floor): full SQL oracle
     queries["ann_bruteforce_topk"] = similarity.ann_bruteforce_topk
     sql["ann_bruteforce_topk"] = odata.ANN_BRUTEFORCE
+    # contrastive hard-negative mining (wrong-class nearest neighbors)
+    queries["hard_negatives"] = similarity.hard_negatives
+    sql["hard_negatives"] = odata.HARD_NEGATIVES
     # recall<1 vs brute force, but the probe itself (md5-derived integer
     # hyperplane buckets + integer score) mirrors exactly in SQL
     queries["ann_lsh_topk"] = similarity.ann_lsh_topk
@@ -250,6 +253,9 @@ def _register_data_ops(queries, sql) -> None:
     sql["chunk_tokens"] = oprep.CHUNK_TOKENS
     queries["pii_scan"] = dataset_prep.pii_scan
     sql["pii_scan"] = oprep.PII_SCAN
+    # the redaction transform the scan only measures (md5-proven)
+    queries["pii_redact"] = dataset_prep.pii_redact
+    sql["pii_redact"] = oprep.PII_REDACT
     queries["source_term_stats"] = dataset_prep.source_term_stats
     sql["source_term_stats"] = oprep.SOURCE_TERM_STATS
     queries["length_filter_p95"] = dataset_prep.length_filter_p95

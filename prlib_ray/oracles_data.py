@@ -1501,3 +1501,31 @@ FROM aug"""
 
 
 CORPUS_VALIDATE = _corpus_validate_sql()
+
+
+def _hard_negatives_sql() -> str:
+    """Mirror of similarity.hard_negatives: the shared scored/ranked CTE
+    chain restricted to wrong-class candidates (label inequality also
+    drops the anchor itself); constants interpolate from the module."""
+    from prlib_ray.stages.similarity import HN_QUERIES
+
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sum(qv * qv) AS nn FROM q GROUP BY vec_id),
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS vec_id, sum(a.qv * b.qv) AS dot
+    FROM q a JOIN q b ON a.i = b.i AND a.vec_id < {HN_QUERIES}
+    JOIN lab la ON la.vec_id = a.vec_id
+    JOIN lab lb ON lb.vec_id = b.vec_id
+    WHERE la.label <> lb.label
+    GROUP BY a.vec_id, b.vec_id
+)""" + _score_rank_tail("dots")
+
+
+HARD_NEGATIVES = _hard_negatives_sql()

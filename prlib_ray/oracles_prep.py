@@ -260,3 +260,32 @@ SELECT w, CAST(count(*) AS BIGINT) AS n
 FROM nz GROUP BY w
 HAVING count(*) >= (SELECT count(*) FROM nz) // {MG_T_DIV}
 ORDER BY w"""
+
+
+# mirrors dataset_prep.pii_redact: same augmentation, email replaced
+# with [EMAIL] BEFORE phone with [PHONE] (order is contractual), md5 of
+# the redacted text proves the transform byte-exact
+PII_REDACT = """
+WITH a AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com now'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' call 555-0199' ELSE '' END
+               AS t
+    FROM documents
+),
+r AS (
+    SELECT doc_id, t,
+           regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+',
+                              '[EMAIL]', 'g'),
+               '555-[0-9]{4}', '[PHONE]', 'g') AS red
+    FROM a
+)
+SELECT doc_id,
+       CAST(length(t) - length(red) AS BIGINT) AS n_redacted_chars,
+       md5(red) AS redacted_md5
+FROM r ORDER BY doc_id"""

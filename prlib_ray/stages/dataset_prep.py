@@ -1301,3 +1301,46 @@ def heavy_hitter_words(sf_dir: str, *, k: int = MG_K):
         .map_groups(exact_fold, batch_format="pandas")
     )
     return out.sort("w")
+
+
+def pii_redact(sf_dir: str):
+    """The redaction TRANSFORM pii_scan only measures: per document the
+    redacted-text fingerprint and removal accounting (emails first,
+    then phones — order matters when matches touch, so it is part of
+    the contract and mirrored in the oracle).  Embarrassingly parallel
+    Arrow regex kernels; md5 of the redacted utf-8 bytes proves the
+    transform byte-exact without shipping the text anywhere."""
+    import hashlib
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def redact(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": z, "n_redacted_chars": z,
+                             "redacted_md5": pa.array([], type=pa.string())})
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        text = _augment_pii(ids, b["text"])
+        red = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                text, pattern=PII_EMAIL_PATTERN, replacement="[EMAIL]"
+            ),
+            pattern=PII_PHONE_PATTERN,
+            replacement="[PHONE]",
+        )
+        nred = (
+            pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+            - pc.utf8_length(red).to_numpy(zero_copy_only=False)
+        )
+        md5s = [hashlib.md5(t.encode()).hexdigest() for t in red.to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_redacted_chars": pa.array(nred.astype(np.int64)),
+            "redacted_md5": pa.array(md5s, type=pa.string()),
+        })
+
+    return ds.map_batches(redact, batch_format="pyarrow", zero_copy_batch=True)

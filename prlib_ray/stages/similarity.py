@@ -1331,3 +1331,75 @@ def label_centroid_affinity(sf_dir: str):
         "label_b": pa.array(lb, type=pa.int64()),
         "affinity": pa.array(aff, type=pa.int64()),
     })
+
+
+HN_QUERIES = 10  # first vec_ids are the anchors (the BF oracle baseline)
+HN_K = 5
+
+
+def hard_negatives(sf_dir: str, *, k: int = HN_K, n_queries: int = HN_QUERIES):
+    """Contrastive hard-negative mining: for each anchor vector, the k
+    nearest vectors with a DIFFERENT label — the highest-similarity
+    wrong-class examples a contrastive trainer wants in the batch.
+
+    ann_bruteforce_topk's exact layout (broadcast anchor matrix, int64
+    matmul + local top-k per batch, tiny final merge) with the
+    candidate mask flipped from vec_id != anchor to label != anchor's
+    label (which also excludes the anchor itself).  The rank key is
+    the shared integer score contract, ties to vec_id asc."""
+    import ray
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    qrows = sorted(
+        emb.map_batches(
+            lambda b: b.filter(pa.array(b["vec_id"].to_numpy() < n_queries)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qlab = np.array([r["label"] for r in qrows], dtype=np.int64)
+    qmat = np.stack(_quantize([list(r["embedding"]) for r in qrows]))
+    qn = (qmat * qmat).sum(axis=1)
+    ref = ray.put((qids, qlab, qmat, qn))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        ids_q, lab_q, qm, qnorm = ray.get(ref)
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        vids = b["vec_id"].to_numpy()
+        vlab = b["label"].to_numpy().astype(np.int64)
+        mat = np.stack(_quantize(b["embedding"].to_pylist()))
+        xn = (mat * mat).sum(axis=1)
+        score = _int_cosine_scores(qm, qnorm, mat, xn)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(ids_q)):
+            s = score[qi]
+            mask = vlab != lab_q[qi]  # wrong-class only (drops the anchor)
+            if not mask.any():
+                continue
+            order = np.lexsort((vids[mask], -s[mask]))[:k]
+            sel = np.flatnonzero(mask)[order]
+            out_q.extend([int(ids_q[qi])] * len(sel))
+            out_v.extend(vids[sel].tolist())
+            out_s.extend(s[mask][order].tolist())
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         "vec_id": pa.array(out_v, type=pa.int64()),
+                         "score": pa.array(out_s, type=pa.int64())})
+
+    local = emb.map_batches(local_topk, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def merge(g):
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(k)
+
+    return local.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -47,6 +47,7 @@ ORACLE_CASES = [
     "label_centroid_affinity",
     "dedup_best_survivor",
     "corpus_validate",
+    "hard_negatives",
 ]
 
 
@@ -692,6 +693,44 @@ def test_knn_label_agreement_tiny_corpora(ray_session, tmp_path):
             .reset_index(drop=True)
         )
         assert df["n_same"].tolist() == want_same, n
+
+
+def test_hard_negatives_constructed(ray_session, tmp_path):
+    """Wrong-class-only semantics: the anchor's NEAREST neighbor shares
+    its label and must not appear; an exact cross-class score tie breaks
+    to the smaller vec_id; a far wrong-class vector ranks last."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.stages.similarity import hard_negatives
+
+    emb = [
+        [1.0, 0.0, 0.0, 0.0],    # 0: anchor, label 0
+        [1.0, 0.001, 0.0, 0.0],  # 1: label 0 — nearest, same class
+        [1.0, 0.1, 0.0, 0.0],    # 2: label 1 — nearest wrong class
+        [1.0, 0.1, 0.0, 0.0],    # 3: label 1 — exact tie with 2
+        [0.0, 1.0, 0.0, 0.0],    # 4: label 1 — orthogonal, ranks last
+    ]
+    pq2.write_table(
+        pa2.table({
+            "vec_id": pa2.array(range(5), type=pa2.int64()),
+            "embedding": pa2.array(emb, type=pa2.list_(pa2.float32())),
+            "label": pa2.array([0, 0, 1, 1, 1], type=pa2.int32()),
+        }),
+        tmp_path / "embeddings.parquet",
+    )
+    df = (
+        hard_negatives(str(tmp_path), k=3, n_queries=1)
+        .to_pandas()
+        .sort_values(["score", "vec_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    assert df["query_id"].tolist() == [0, 0, 0]
+    # same-class id 1 (the true NN) excluded; tie 2-vs-3 -> id asc;
+    # orthogonal wrong-class id 4 last with score 0
+    assert df["vec_id"].tolist() == [2, 3, 4]
+    assert df["score"].iloc[0] == df["score"].iloc[1]
+    assert df["score"].iloc[2] == 0
 
 
 def test_normalized_dedup_constructed(ray_session, tmp_path):

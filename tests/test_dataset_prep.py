@@ -30,7 +30,7 @@ def registry():
 
 
 PREP_CASES = ["mix_sources", "shuffle_head", "decontaminate",
-              "pack_sequences", "chunk_tokens", "pii_scan",
+              "pack_sequences", "chunk_tokens", "pii_scan", "pii_redact",
               "source_term_stats", "length_filter_p95",
               "sample_per_source", "heavy_hitter_words"]
 
@@ -179,6 +179,45 @@ def test_pii_scan_plants_are_found(ray_session, sf_dir):
     assert int(df["n_docs"].sum()) == len(ids)
     assert int(df["n_docs_with_pii"].sum()) > 0
     assert (df["n_chars_redacted"] > 0).any()
+
+
+def test_pii_redact_order_is_contractual(ray_session, tmp_path):
+    """Email-before-phone replacement is part of the contract: on a
+    text where the two patterns overlap ('x@555-0199.com' — the email
+    regex eats 'x@555', leaving '-0199.com', so the phone never fires),
+    the result differs from phone-first; the md5 must equal the
+    straight-line re.sub in the contractual order."""
+    import hashlib
+    import re
+
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.stages.dataset_prep import (PII_EMAIL_PATTERN,
+                                               PII_PHONE_PATTERN, pii_redact)
+
+    # doc_ids avoid the %7/%11 plants so texts stay exactly as written
+    texts = ["x@555-0199.com ok", "plain doc", "a@b.com and 555-1234"]
+    ids = [1, 2, 3]
+    pq2.write_table(
+        pa2.table({"doc_id": pa2.array(ids, type=pa2.int64()),
+                   "text": pa2.array(texts, type=pa2.string())}),
+        tmp_path / "documents.parquet",
+    )
+    df = pii_redact(str(tmp_path)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    for i, t in enumerate(texts):
+        red = re.sub(PII_PHONE_PATTERN, "[PHONE]",
+                     re.sub(PII_EMAIL_PATTERN, "[EMAIL]", t))
+        assert df.loc[i, "redacted_md5"] == hashlib.md5(
+            red.encode()).hexdigest()
+        assert df.loc[i, "n_redacted_chars"] == len(t) - len(red)
+    # and the overlap case really is order-sensitive
+    phone_first = re.sub(PII_EMAIL_PATTERN, "[EMAIL]",
+                         re.sub(PII_PHONE_PATTERN, "[PHONE]", texts[0]))
+    email_first = re.sub(PII_PHONE_PATTERN, "[PHONE]",
+                         re.sub(PII_EMAIL_PATTERN, "[EMAIL]", texts[0]))
+    assert phone_first != email_first
 
 
 def test_mix_sources_rates(ray_session, sf_dir):
