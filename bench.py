@@ -184,7 +184,9 @@ def run_bench() -> dict:
                  "cluster_balance", "interarrival_profile",
                  "label_centroid_affinity", "orders_with_late_items",
                  "dedup_best_survivor", "corpus_validate",
-                 "cms_word_frequency", "length_rank_transform"):
+                 "cms_word_frequency", "length_rank_transform",
+                 "hard_negatives", "pii_redact", "split_leakage",
+                 "embedding_outliers"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

@@ -93,6 +93,7 @@ _PRIORITY = [
     "dedup_simhash",  # oracle-backed in round 3 (md5_number bit mirror)
     "dedup_embedding", "dedup_semantic",
     "cluster_balance",  # new: embedding-space class-balance audit
+    "embedding_outliers",  # new: farthest-from-own-centroid prune audit
     "label_centroid_affinity",  # new: pairwise label-region geometry
     "dedup_clusters_minhash",  # oracle-backed in round 3 (recursive CTE)
     "dedup_incremental",
@@ -109,7 +110,8 @@ _PRIORITY = [
     "vocab_oov_rate",  # new: top-V vocabulary OOV fraction per source
     "gopher_quality", "quality_classifier",
     "lang_agreement",
-    "split_assign", "decontaminate",
+    "split_leakage",  # new: cross-split contamination audit
+    "decontaminate",
     "pack_sequences", "pii_scan",
     "pii_redact",  # new: the redaction transform pii_scan measures
     "props_field_stats",  # new: semi-structured JSON extraction
@@ -125,7 +127,6 @@ _PRIORITY = [
     "orders_by_segment", "sales_rollup",
     # new in round 3: shuffle-skew profiling (histogram + named keys)
     "key_skew_profile",
-    "rolling_event_window",
     "funnel_conversion",  # ordered funnel (earliest-event chain)
     "retention_cohorts",  # new: first-active-day cohort retention
     "interarrival_profile",  # new: event-cadence pow2-gap histogram
@@ -136,7 +137,12 @@ _PRIORITY = [
     # (range_join shares asof_latest_order's exact _probe_join physical
     # plan; customers_without_orders' anti-join is repped by
     # bloom_semi_join + orders_with_late_items — both sim+pytest covered)
-    "range_join_recent_orders", "customers_without_orders",  # exercises the postings build end-to-end
+    "range_join_recent_orders", "customers_without_orders",
+    # displaced by split_leakage (which composes the SAME split_of rule
+    # end-to-end) and embedding_outliers (rolling's run-offset-composite
+    # searchsorted axis is exercised by retention_cohorts; windowed
+    # aggregation by sales_rollup) — both still sim+pytest covered
+    "split_assign", "rolling_event_window",  # exercises the postings build end-to-end
     # close family representatives displaced from the 50-entry window
     # (dedup_incremental covers snapshots, dup_ngram_fraction covers
     # cross-doc windows; repetition_stats is represented by

@@ -125,6 +125,9 @@ def _register_data_ops(queries, sql) -> None:
     # production survivor policy over the same normalized groups
     queries["dedup_best_survivor"] = dedup.best_survivor_dedup
     sql["dedup_best_survivor"] = odata.BEST_SURVIVOR_DEDUP
+    # cross-split contamination audit over the normalized groups
+    queries["split_leakage"] = dedup.split_leakage
+    sql["split_leakage"] = odata.SPLIT_LEAKAGE
     # MOSS-style shared-winnow-fingerprint pairs (df-capped stop
     # fingerprints; reuses fingerprint_winnow's selection kernel)
     queries["dedup_winnow_pairs"] = dedup.winnow_pair_dedup
@@ -192,6 +195,9 @@ def _register_data_ops(queries, sql) -> None:
     # contrastive hard-negative mining (wrong-class nearest neighbors)
     queries["hard_negatives"] = similarity.hard_negatives
     sql["hard_negatives"] = odata.HARD_NEGATIVES
+    # farthest-from-own-centroid prune audit
+    queries["embedding_outliers"] = similarity.embedding_outliers
+    sql["embedding_outliers"] = odata.EMBEDDING_OUTLIERS
     # recall<1 vs brute force, but the probe itself (md5-derived integer
     # hyperplane buckets + integer score) mirrors exactly in SQL
     queries["ann_lsh_topk"] = similarity.ann_lsh_topk

@@ -1344,6 +1344,43 @@ SELECT md5(nt) AS h, min(doc_id) AS doc_id,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM n GROUP BY nt ORDER BY h"""
 
+# mirrors dedup.split_leakage: the NORMALIZED_DEDUP plant plus a second
+# mutant set at +SL_PLANT_OFFSET2 (whose md5 splits cross), normalized
+# groups of >= 2 docs, then the DISTINCT-split self-join pair contract
+# (a.split <= b.split lexicographically)
+SPLIT_LEAKAGE = f"""
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_dd.PLANT_NORM_OFFSET} AS doc_id,
+           chr(9) || upper(text) || '  ' AS text
+    FROM documents WHERE doc_id < {_dd.N_PLANT_NORM}
+    UNION ALL
+    SELECT doc_id + {_dd.SL_PLANT_OFFSET2} AS doc_id,
+           chr(10) || text || ' ' || chr(9) AS text
+    FROM documents WHERE doc_id < {_dd.N_PLANT_NORM}
+),
+n AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS nt
+    FROM aug
+),
+g AS (
+    SELECT md5(nt) AS h,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'fa'
+                     THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'fd'
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM n
+),
+sz AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+d AS (SELECT DISTINCT h, split FROM g JOIN sz USING (h))
+SELECT a.split AS split_a, b.split AS split_b,
+       CAST(count(*) AS BIGINT) AS n_groups
+FROM d a JOIN d b ON a.h = b.h AND a.split <= b.split
+GROUP BY 1, 2 ORDER BY split_a, split_b"""
+
 # MOSS-style shared-fingerprint pairs over the WINNOW selection: global
 # df-cap (stop fingerprints, > 20 docs dropped) then pairs sharing >= 3
 # retained fingerprints; (doc_id, h) is distinct per doc upstream so
@@ -1401,6 +1438,57 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
 CLUSTER_BALANCE = _cluster_balance_sql()
+
+
+def _embedding_outliers_sql() -> str:
+    """Mirror of similarity.embedding_outliers: the CLUSTER_BALANCE
+    assignment CTEs (integer dot argmax, ties to smallest cid) plus the
+    shared integer-cosine score of each vector against its ASSIGNED
+    centroid (same mod-trick exact floor as _scored_ranked_ctes);
+    bottom-K by (score ASC, vec_id ASC)."""
+    from prlib_ray.stages.similarity import N_SEM_SEEDS, OUTLIER_K
+
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                AS BIGINT) AS qv
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sum(qv * qv) AS nn FROM q GROUP BY vec_id),
+seeds AS (SELECT vec_id AS cid, i, qv AS sv FROM q
+          WHERE vec_id < {N_SEM_SEEDS}),
+snorm AS (SELECT cid, sum(sv * sv) AS sn FROM seeds GROUP BY cid),
+cdots AS (
+    SELECT q.vec_id, s.cid, sum(q.qv * s.sv) AS dot
+    FROM q JOIN seeds s USING (i) GROUP BY q.vec_id, s.cid
+),
+assign AS (
+    SELECT vec_id, cid, dot FROM (
+        SELECT vec_id, cid, dot,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, cid ASC) AS rn
+        FROM cdots
+    ) WHERE rn = 1
+),
+scored AS (
+    SELECT a.vec_id, a.cid,
+           CASE WHEN n.nn * s.sn = 0 THEN 0
+                ELSE CAST((s2x - (((s2x % dd) + dd) % dd)) / dd AS BIGINT)
+           END AS score
+    FROM (SELECT vec_id, cid,
+                 CAST(dot AS HUGEINT) * abs(dot) * 10000 AS s2x
+          FROM assign) a
+    JOIN norms n ON n.vec_id = a.vec_id
+    JOIN snorm s ON s.cid = a.cid,
+    LATERAL (SELECT CAST(n.nn AS HUGEINT) * s.sn AS dd) x
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster, score
+FROM scored ORDER BY score ASC, vec_id ASC LIMIT {OUTLIER_K}"""
+
+
+EMBEDDING_OUTLIERS = _embedding_outliers_sql()
 
 
 # mirrors similarity.label_centroid_affinity: per-label component SUMS

@@ -1382,6 +1382,22 @@ def asof_latest_order(sf_dir: str, *, via: str = "auto"):
                        probe=probe, via=via)
 
 
+def split_of(ids: np.ndarray) -> np.ndarray:
+    """The ONE split-assignment rule (split_assign_counts' contract,
+    shared with dedup.split_leakage so the two can never drift): first
+    md5 hex byte of str(doc_id), < 0xfa train, < 0xfd val, else test.
+    Two-hex-char lexicographic compare == numeric compare on the first
+    hash byte, so DuckDB's md5() mirrors it exactly."""
+    import hashlib
+
+    h2 = [hashlib.md5(str(int(i)).encode()).hexdigest()[:2] for i in ids]
+    return np.asarray(
+        ["train" if h < "fa" else ("val" if h < "fd" else "test")
+         for h in h2],
+        dtype=object,
+    )
+
+
 def split_assign_counts(sf_dir: str):
     """Deterministic train/val/test split assignment — the dataset-prep
     op every training pipeline runs before tokenization.  split =
@@ -1390,8 +1406,6 @@ def split_assign_counts(sf_dir: str):
     numeric compare (fixed-width lowercase hex), so DuckDB's md5()
     mirrors it exactly.  Per-batch partial counts -> tiny final groupby
     (no shuffle of the rows themselves)."""
-    import hashlib
-
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -1399,12 +1413,7 @@ def split_assign_counts(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy().astype(np.int64)
-        h2 = [hashlib.md5(str(int(i)).encode()).hexdigest()[:2] for i in ids]
-        splits = np.asarray(
-            ["train" if h < "fa" else ("val" if h < "fd" else "test")
-             for h in h2],
-            dtype=object,
-        )
+        splits = split_of(ids)
         t = pa.table(
             {
                 "split": pa.array(splits, type=pa.string()),

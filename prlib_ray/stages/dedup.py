@@ -1154,24 +1154,32 @@ def _plant_norm_batch(b: pa.Table) -> pa.Table:
     return pa.concat_tables([base, dup.cast(base.schema)])
 
 
+def _norm_hashes(texts: pa.Array) -> np.ndarray:
+    """md5 of the normalized text — the ONE definition of the
+    normalization contract (lowercase, collapse RE2 \\s+ runs to one
+    space, trim; trim(x, ' ') == the oracle's trim because
+    post-collapse edges are plain spaces), shared by normalized_dedup,
+    best_survivor_dedup AND split_leakage so the three can never
+    drift."""
+    import pyarrow.compute as pc
+
+    norm = pc.utf8_trim(
+        pc.replace_substring_regex(
+            pc.utf8_lower(texts), pattern=r"\s+", replacement=" "
+        ),
+        characters=" ",
+    )
+    return np.asarray([_md5(t) for t in norm.to_pylist()], dtype=object)
+
+
 def _norm_keys(b: pa.Table, *, with_len: bool = False):
-    """(hs, ids[, lengths]) for the planted-and-normalized batch — the
-    ONE definition of the normalization contract (lowercase, collapse
-    RE2 \\s+ runs to one space, trim; trim(x, ' ') == the oracle's trim
-    because post-collapse edges are plain spaces), shared by
-    normalized_dedup and best_survivor_dedup so the two can never
-    drift.  Lengths (when requested) are utf8_length of the UNnormalized
+    """(hs, ids[, lengths]) for the planted-and-normalized batch;
+    lengths (when requested) are utf8_length of the UNnormalized
     planted text — the rank key of the best-survivor policy."""
     import pyarrow.compute as pc
 
     b = _plant_norm_batch(b)
-    norm = pc.utf8_trim(
-        pc.replace_substring_regex(
-            pc.utf8_lower(b["text"]), pattern=r"\s+", replacement=" "
-        ),
-        characters=" ",
-    )
-    hs = np.asarray([_md5(t) for t in norm.to_pylist()], dtype=object)
+    hs = _norm_hashes(b["text"])
     ids = b["doc_id"].to_numpy().astype(np.int64)
     if with_len:
         return hs, ids, pc.utf8_length(b["text"]).to_numpy().astype(np.int64)
@@ -1194,6 +1202,141 @@ def normalized_dedup(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return _hash_min_fold(ds, _norm_keys, counts=True)
+
+
+# --- Cross-split contamination audit ------------------------------------------
+
+# Second mutant set for split_leakage: the md5 split rule sends
+# id 7 + SL_PLANT_OFFSET2 -> test and id 9 + SL_PLANT_OFFSET2 -> val
+# (searched offline), so the CROSS-split rows are non-vacuous at every
+# sf — the +1e6 mutants all land in train (P(train) ~ 250/256).
+SL_PLANT_OFFSET2 = 2_000_190
+_SL_SPLITS = ("test", "train", "val")  # lexicographic — the pair order
+
+
+def split_leakage(sf_dir: str):
+    """Train/val/test contamination audit: for every ORDERED pair of
+    splits (a <= b lexicographically), the number of normalized-dup
+    groups (>= 2 documents under the _norm_hashes contract) touching
+    both a and b.  Cross rows (a != b) are the leakage a decontamination
+    pass must resolve before training; (s, s) rows are the intra-split
+    dup mass ordinary dedup removes.  The pair contract is the SQL
+    self-join over the group's DISTINCT splits — a {train, val} group
+    contributes (train,train), (train,val) and (val,val).
+
+    Plants: dedup_normalized's mutants (+1e6) PLUS a second set at
+    +SL_PLANT_OFFSET2 whose md5 splits cross (ids 7 -> test, 9 -> val).
+
+    Scale layout: per-batch (hash, split) pre-combine -> crc32 coarse
+    hash partitions (a hash never spans parts) -> per part ONE lexsort
+    resolves group sizes + split-presence bitmasks, and an 8x6
+    mask-to-pair-slot matrix turns the mask histogram into the six pair
+    counts -> <= 6 rows per part into a bounded final groupby."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from prlib_ray.relational import split_of
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    code_of = {s: i for i, s in enumerate(_SL_SPLITS)}
+    # slot index for code pair (i <= j): rows of the 6-slot output
+    pair_slots = [(i, j) for i in range(3) for j in range(3) if i <= j]
+    slot_of = {p: k for k, p in enumerate(pair_slots)}
+    # mask (bit i = code i present) -> 6-slot increment vector
+    mask_mat = np.zeros((8, 6), dtype=np.int64)
+    for mask in range(1, 8):
+        present = [c for c in range(3) if mask >> c & 1]
+        for ai, a in enumerate(present):
+            for b_ in present[ai:]:
+                mask_mat[mask, slot_of[(a, b_)]] = 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "h": pa.array([], type=pa.string()),
+            "code": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "part": pa.array([], type=pa.int64()),
+        })
+        if b.num_rows == 0:
+            return empty
+        b = _plant_norm_batch(b)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        m = ids < N_PLANT_NORM  # originals only (plant-1 ids are +1e6)
+        if m.any():
+            dup = b.filter(pa.array(m))
+            mut = pa.array(
+                ["\n" + t + " \t" for t in dup["text"].to_pylist()],
+                type=b.schema.field("text").type,
+            )
+            extra = pa.table({
+                "doc_id": pa.array(ids[m] + SL_PLANT_OFFSET2),
+                "text": mut,
+            })
+            b = pa.concat_tables([b, extra.cast(b.schema)])
+            ids = b["doc_id"].to_numpy().astype(np.int64)
+        hs = _norm_hashes(b["text"])
+        codes = np.asarray([code_of[s] for s in split_of(ids)],
+                           dtype=np.int64)
+        # pre-combine per (hash, split): at most one row each per batch
+        order = np.lexsort((codes, hs))
+        h_s, c_s = hs[order], codes[order]
+        starts = np.flatnonzero(
+            np.r_[True, (h_s[1:] != h_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        )
+        cnt = np.diff(np.r_[starts, len(h_s)]).astype(np.int64)
+        h_u, c_u = h_s[starts], c_s[starts]
+        part = np.asarray(
+            [zlib.crc32(h.encode()) % N_DEDUP_PARTS for h in h_u],
+            dtype=np.int64,
+        )
+        return pa.table({
+            "h": pa.array(h_u, type=pa.string()),
+            "code": pa.array(c_u), "n": pa.array(cnt),
+            "part": pa.array(part),
+        })
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        hs = g["h"].to_numpy().astype(object)
+        codes = g["code"].to_numpy().astype(np.int64)
+        ns = g["n"].to_numpy().astype(np.int64)
+        order = np.lexsort((codes, hs))
+        h_s, c_s, n_s = hs[order], codes[order], ns[order]
+        gstart = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        gid = np.cumsum(np.r_[True, h_s[1:] != h_s[:-1]]) - 1
+        total = np.bincount(gid, weights=n_s).astype(np.int64)
+        mask = np.bitwise_or.reduceat(
+            (np.int64(1) << c_s).astype(np.int64), gstart
+        )
+        slots = mask_mat[mask[total >= 2]].sum(axis=0)
+        # all six rows every part (consistent non-empty schema for the
+        # final aggregate); globally-zero pairs drop after the fold
+        return pd.DataFrame({
+            "split_a": np.asarray(
+                [_SL_SPLITS[i] for i, _ in pair_slots], dtype=object
+            ),
+            "split_b": np.asarray(
+                [_SL_SPLITS[j] for _, j in pair_slots], dtype=object
+            ),
+            "n": slots,
+        })
+
+    def drop_zero(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["n_groups"], 0))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .groupby(["split_a", "split_b"])
+        .aggregate(Sum("n", alias_name="n_groups"))
+        .map_batches(drop_zero, batch_format="pyarrow")
+        .sort(["split_a", "split_b"])
+    )
 
 
 # --- Winnowing shared-fingerprint pairs (MOSS layout) -------------------------

@@ -1262,6 +1262,63 @@ def cluster_balance(sf_dir: str):
     )
 
 
+OUTLIER_K = 20
+
+
+def embedding_outliers(sf_dir: str, *, k: int = OUTLIER_K):
+    """The OUTLIER_K vectors FARTHEST from their own assigned centroid
+    — the prune-candidate list an embedding-curation pass reviews
+    (likely mislabeled, noise, or out-of-distribution points).
+
+    Assignment reuses dedup_semantic's exact contract (argmax integer
+    DOT against the N_SEM_SEEDS lowest-id seeds, ties to the smallest
+    centroid id — note dot, not cosine: the assignment contract).  The
+    outlier score is the SHARED integer cosine score (_int_cosine_scores)
+    between the vector and its assigned centroid; rank = (score ASC,
+    vec_id ASC).  Per batch one broadcast matmul serves both assignment
+    and scoring; each batch emits its local bottom-k, and <= k * batches
+    candidate rows merge on the driver (the hot_keys bounded pattern)."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    S, _ = _low_id_seed_matrix(ds, N_SEM_SEEDS)
+    sn = (S * S).sum(axis=1)
+    ref = ray.put((S, sn))
+
+    def local_bottomk(b: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                          "cluster": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        S_, sn_ = ray.get(ref)
+        ids = b["vec_id"].to_numpy().astype(np.int64)
+        Q = np.stack(_quantize(b["embedding"].to_pylist()))
+        qn = (Q * Q).sum(axis=1)
+        # first-max argmax == the oracle's ORDER BY dot DESC, cid ASC
+        cid = np.argmax(Q @ S_.T, axis=1).astype(np.int64)
+        scores = _int_cosine_scores(S_, sn_, Q, qn)  # (seeds, batch)
+        sc = scores[cid, np.arange(len(ids))]
+        o = np.lexsort((ids, sc))[:k]
+        return pa.table({"vec_id": pa.array(ids[o]),
+                         "cluster": pa.array(cid[o]),
+                         "score": pa.array(sc[o])})
+
+    cand = ds.map_batches(
+        local_bottomk, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    ids = np.asarray([r["vec_id"] for r in cand], dtype=np.int64)
+    cl = np.asarray([r["cluster"] for r in cand], dtype=np.int64)
+    sc = np.asarray([r["score"] for r in cand], dtype=np.int64)
+    o = np.lexsort((ids, sc))[:k]
+    return pa.table({"vec_id": pa.array(ids[o]),
+                     "cluster": pa.array(cl[o]),
+                     "score": pa.array(sc[o])})
+
+
 def label_centroid_affinity(sf_dir: str):
     """Pairwise integer-cosine affinity between per-label SUM centroids
     — the "are these classes' embedding regions near each other?" audit

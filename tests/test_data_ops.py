@@ -48,6 +48,8 @@ ORACLE_CASES = [
     "dedup_best_survivor",
     "corpus_validate",
     "hard_negatives",
+    "split_leakage",
+    "embedding_outliers",
 ]
 
 
@@ -693,6 +695,62 @@ def test_knn_label_agreement_tiny_corpora(ray_session, tmp_path):
             .reset_index(drop=True)
         )
         assert df["n_same"].tolist() == want_same, n
+
+
+def test_embedding_outliers_constructed(ray_session, tmp_path):
+    """Pins the assignment-is-DOT contract (vector [1,0] assigns to the
+    LONGER centroid [2,0], not to itself), the bottom-score-first rank,
+    and the tie -> vec_id ASC rule (three perfect-cosine rows tie at
+    10000; the smallest id wins the second slot)."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.stages.similarity import embedding_outliers
+
+    emb = [[1.0, 0.0], [2.0, 0.0], [0.5, 0.5], [0.0, 1.0]]
+    pq2.write_table(
+        pa2.table({
+            "vec_id": pa2.array(range(4), type=pa2.int64()),
+            "embedding": pa2.array(emb, type=pa2.list_(pa2.float32())),
+            "label": pa2.array([0, 0, 0, 0], type=pa2.int32()),
+        }),
+        tmp_path / "embeddings.parquet",
+    )
+    df = embedding_outliers(str(tmp_path), k=2).to_pandas()
+    # id 2 ([.5,.5]) -> centroid 1 at cos^2 = .5 -> score 5000, rank 1;
+    # ids 0/1/3 all tie at 10000 -> id 0 takes slot 2 (assigned to the
+    # longer centroid 1 by the dot contract, not to itself)
+    assert df["vec_id"].tolist() == [2, 0]
+    assert df["cluster"].tolist() == [1, 1]
+    assert df["score"].tolist() == [5000, 10000]
+
+
+def test_split_leakage_constructed(ray_session, tmp_path):
+    """A two-doc normalized group spanning val (id 65) and test (id 83)
+    — split-crossing under the md5 rule — yields exactly the three
+    distinct-split self-join pairs; a singleton (id 20) contributes
+    nothing.  ids >= 10 so no plant fires."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import split_of
+
+    assert list(split_of(np.array([65, 83, 20]))) == ["val", "test",
+                                                      "train"]
+    pq2.write_table(
+        pa2.table({
+            "doc_id": pa2.array([65, 83, 20], type=pa2.int64()),
+            "text": pa2.array(["Same  Doc", "same doc", "only one"],
+                              type=pa2.string()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    from prlib_ray.stages.dedup import split_leakage
+
+    df = split_leakage(str(tmp_path)).to_pandas()
+    rows = set(zip(df["split_a"], df["split_b"], df["n_groups"]))
+    assert rows == {("test", "test", 1), ("test", "val", 1),
+                    ("val", "val", 1)}
 
 
 def test_hard_negatives_constructed(ray_session, tmp_path):

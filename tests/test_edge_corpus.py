@@ -114,6 +114,13 @@ EDGE_CASES = [
     # tiny-embedding audits: 20 vectors, 3 labels, dim 8
     "cluster_balance",
     "label_centroid_affinity",
+    "embedding_outliers",
+    "hard_negatives",
+    # split audit over the pathological texts (the ""/" " class forms
+    # one multi-doc normalized group whose members' splits are real)
+    "split_leakage",
+    # redaction over empty/control-char/unicode texts
+    "pii_redact",
 ]
 
 
