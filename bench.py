@@ -186,7 +186,7 @@ def run_bench() -> dict:
                  "dedup_best_survivor", "corpus_validate",
                  "cms_word_frequency", "length_rank_transform",
                  "hard_negatives", "pii_redact", "split_leakage",
-                 "embedding_outliers"):
+                 "embedding_outliers", "pmi_top_pairs"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

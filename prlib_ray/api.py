@@ -119,12 +119,13 @@ _PRIORITY = [
     "source_minhash_jaccard",  # new: its mergeable bigram-sketch twin
     "weighted_sample",
     "frequent_ngrams",
+    "pmi_top_pairs",  # new: word-association mining (doc-PMI ranking)
     "cms_word_frequency",  # new: bounded-memory frequency estimates
     "length_rank_transform",  # new: global rank without a global sort
     "q3_top_orders",
     "bloom_semi_join",  # new: bloom-prefilter semi-join (FP-observable)
     "orders_with_late_items",  # new: correlated-EXISTS fact-fact semi
-    "orders_by_segment", "sales_rollup",
+    "sales_rollup",
     # new in round 3: shuffle-skew profiling (histogram + named keys)
     "key_skew_profile",
     "funnel_conversion",  # ordered funnel (earliest-event chain)
@@ -142,7 +143,11 @@ _PRIORITY = [
     # end-to-end) and embedding_outliers (rolling's run-offset-composite
     # searchsorted axis is exercised by retention_cohorts; windowed
     # aggregation by sales_rollup) — both still sim+pytest covered
-    "split_assign", "rolling_event_window",  # exercises the postings build end-to-end
+    "split_assign", "rolling_event_window",
+    # displaced by pmi_top_pairs (orders_by_segment's grouped-rank
+    # discipline is repped by q3's bounded top-10 merge +
+    # segment_price_quantiles' per-segment ranking)
+    "orders_by_segment",  # exercises the postings build end-to-end
     # close family representatives displaced from the 50-entry window
     # (dedup_incremental covers snapshots, dup_ngram_fraction covers
     # cross-doc windows; repetition_stats is represented by

@@ -308,6 +308,9 @@ def _register_data_ops(queries, sql) -> None:
     # top-V vocabulary OOV fraction per source (tokenizer budget report)
     queries["vocab_oov_rate"] = corpus_stats.vocab_oov_rate
     sql["vocab_oov_rate"] = ocorp.VOCAB_OOV_RATE
+    # word-association mining: doc-co-occurrence PMI over the top-V vocab
+    queries["pmi_top_pairs"] = corpus_stats.pmi_top_pairs
+    sql["pmi_top_pairs"] = ocorp.PMI_TOP_PAIRS
     # pre-flight data-quality audit (planted corruption mirrors)
     from prlib_ray import oracles_data as odata
 

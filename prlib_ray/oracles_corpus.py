@@ -442,3 +442,39 @@ LENGTH_RANK_TRANSFORM = """
 SELECT doc_id, n_chars,
        CAST(rank() OVER (ORDER BY n_chars) - 1 AS BIGINT) AS n_smaller
 FROM documents ORDER BY doc_id"""
+
+
+def _pmi_top_pairs_sql() -> str:
+    """Mirror of corpus_stats.pmi_top_pairs: top-V vocab (the VOCAB_OOV
+    head contract), DISTINCT doc-word presence, pair co-occurrence via
+    self-join, score = floor(n_ab * N * SCALE / (n_a * n_b)) in HUGEINT
+    (all positive, so // truncation == floor); constants interpolate
+    from the implementation module."""
+    from prlib_ray.stages.corpus_stats import (PMI_K, PMI_MIN_COOC,
+                                               PMI_SCALE, PMI_VOCAB)
+
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+nz AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+cnt AS (SELECT w, count(*) AS n FROM nz GROUP BY w),
+vocab AS (SELECT w FROM cnt ORDER BY n DESC, w LIMIT {PMI_VOCAB}),
+d AS (SELECT DISTINCT doc_id, w FROM nz JOIN vocab USING (w)),
+df AS (SELECT w, count(*) AS n FROM d GROUP BY w),
+nn AS (SELECT count(*) AS n FROM documents),
+pairs AS (
+    SELECT a.w AS wa, b.w AS wb, CAST(count(*) AS BIGINT) AS n_ab
+    FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.w < b.w
+    GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_COOC}
+)
+SELECT p.wa, p.wb, p.n_ab,
+       CAST((CAST(p.n_ab AS HUGEINT) * (SELECT n FROM nn) * {PMI_SCALE})
+            // (CAST(fa.n AS HUGEINT) * fb.n) AS BIGINT) AS score
+FROM pairs p
+JOIN df fa ON fa.w = p.wa
+JOIN df fb ON fb.w = p.wb
+ORDER BY score DESC, p.wa, p.wb LIMIT {PMI_K}"""
+
+
+PMI_TOP_PAIRS = _pmi_top_pairs_sql()

@@ -1929,3 +1929,114 @@ def length_rank_transform(sf_dir: str):
 
     return ds.map_batches(probe, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# word-association mining: PMI over document co-occurrence
+
+PMI_VOCAB = 24       # pair universe: top-V words (count DESC, word ASC)
+PMI_MIN_COOC = 2     # pairs must co-occur in >= this many documents
+PMI_K = 20           # report top-K pairs (score DESC, wa ASC, wb ASC)
+PMI_SCALE = 1_000_000
+
+
+def pmi_top_pairs(sf_dir: str):
+    """Word-association mining: for each unordered pair of top-PMI_VOCAB
+    words, the pointwise-mutual-information ratio over DOCUMENT
+    co-occurrence — n_ab * N / (n_a * n_b), kept as the exact integer
+    floor(n_ab * N * PMI_SCALE / (n_a * n_b)); log is monotone, so
+    ranking by the ratio IS ranking by PMI.  N = total documents,
+    n_a = documents containing a.  Top-PMI_K pairs with
+    n_ab >= PMI_MIN_COOC, ties (wa ASC, wb ASC).
+
+    Plan: the shared vocab fold (_vocab_dataset + _local_top_words)
+    picks the universe and the winners broadcast sorted; per batch ONE
+    is_in + searchsorted maps words to vocabulary ranks, a per-doc
+    0/1 presence matrix forms, and B.T @ B — a single int64 matmul —
+    yields ALL pairwise doc co-occurrence counts with the per-word doc
+    frequencies on its diagonal.  <= V(V+1)/2 + 1 partial rows per
+    batch (a sentinel row carries the batch's doc count) reach a
+    bounded Ray-native groupby; the <= V^2 final rows score on the
+    driver in exact Python ints (the cross products overflow int64 at
+    corpus scale; the table is tiny).  PMI_VOCAB is the corpus-scale
+    knob: the pair table is V^2 regardless of corpus size."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from prlib_ray.stages.text_analysis import _flat_words
+
+    cand = (
+        _vocab_dataset(sf_dir, _word_count_partial)
+        .map_batches(lambda b: _local_top_words(b, PMI_VOCAB),
+                     batch_format="pyarrow")
+    ).take_all()
+    cw = np.asarray([r["w"] for r in cand], dtype=object)
+    cn = np.asarray([r["n"] for r in cand], dtype=np.int64)
+    o = np.lexsort((cw, -cn))[:PMI_VOCAB]
+    vocab_sorted = np.sort(cw[o])
+    vocab_set = pa.array(vocab_sorted.tolist(), type=pa.string())
+    nv = len(vocab_sorted)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"i": pa.array([], type=pa.int64()),
+                          "j": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        words, dow, ndocs = _flat_words(b)
+        inv = pc.is_in(words, value_set=vocab_set).to_numpy(
+            zero_copy_only=False)
+        rows = [pa.table({"i": pa.array([-1], type=pa.int64()),
+                          "j": pa.array([-1], type=pa.int64()),
+                          "n": pa.array([ndocs], type=pa.int64())})]
+        if inv.any():
+            wsel = np.asarray(
+                pc.take(words, pa.array(np.flatnonzero(inv))).to_pylist(),
+                dtype=object,
+            )
+            rank = np.searchsorted(vocab_sorted, wsel)
+            B = np.zeros((ndocs, nv), dtype=np.int64)
+            B[dow[inv], rank] = 1
+            C = B.T @ B  # co-occurrence counts; diagonal = doc freq
+            iu, ju = np.triu_indices(nv)
+            nz = C[iu, ju] > 0
+            rows.append(pa.table({
+                "i": pa.array(iu[nz].astype(np.int64)),
+                "j": pa.array(ju[nz].astype(np.int64)),
+                "n": pa.array(C[iu, ju][nz]),
+            }))
+        return pa.concat_tables(rows)
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["i", "j"])
+        .aggregate(Sum("n", alias_name="n"))
+    ).take_all()
+    n_total = 0
+    df = np.zeros(nv, dtype=object)
+    pair_n: dict[tuple[int, int], int] = {}
+    for r in folded:
+        i, j, n = int(r["i"]), int(r["j"]), int(r["n"])
+        if i == -1:
+            n_total += n
+        elif i == j:
+            df[i] = n
+        else:
+            pair_n[(i, j)] = n
+    out = []
+    for (i, j), n_ab in pair_n.items():
+        if n_ab < PMI_MIN_COOC:
+            continue
+        score = (n_ab * n_total * PMI_SCALE) // (int(df[i]) * int(df[j]))
+        out.append((str(vocab_sorted[i]), str(vocab_sorted[j]),
+                    n_ab, score))
+    out.sort(key=lambda t: (-t[3], t[0], t[1]))
+    out = out[:PMI_K]
+    return pa.table({
+        "wa": pa.array([t[0] for t in out], type=pa.string()),
+        "wb": pa.array([t[1] for t in out], type=pa.string()),
+        "n_ab": pa.array([t[2] for t in out], type=pa.int64()),
+        "score": pa.array([t[3] for t in out], type=pa.int64()),
+    })

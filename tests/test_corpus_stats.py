@@ -32,7 +32,7 @@ CASES = ["unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction",
          "segment_dedup", "curate_corpus", "dup_substring_fraction",
          "build_inverted_index", "search_topk", "bigram_lm_score",
          "source_overlap", "source_minhash_jaccard", "vocab_oov_rate",
-         "cms_word_frequency", "length_rank_transform"]
+         "cms_word_frequency", "length_rank_transform", "pmi_top_pairs"]
 
 
 def _cmp(df, odf, name):
@@ -464,3 +464,33 @@ def test_length_rank_ties_constructed(ray_session, tmp_path):
     df = (length_rank_transform(str(tmp_path)).to_pandas()
           .sort_values("doc_id").reset_index(drop=True))
     assert df.n_smaller.tolist() == [0, 0, 2, 3, 3, 3, 6]
+
+
+def test_pmi_scores_constructed(ray_session, tmp_path):
+    """Pins the PMI contract on a corpus with a perfectly-associated
+    pair (cat+dog always together: ratio 2.0), an independent pair
+    (cat+x: ratio 1.0), a mid pair (x+y) and an under-threshold pair
+    (fish+x co-occurs once < PMI_MIN_COOC — absent)."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    texts = ["cat dog x", "cat dog x", "cat dog", "fish x", "x y",
+             "y x"]
+    pq2.write_table(
+        pa2.table({
+            "doc_id": pa2.array(range(len(texts)), type=pa2.int64()),
+            "text": pa2.array(texts, type=pa2.string()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    from prlib_ray.stages.corpus_stats import pmi_top_pairs
+
+    df = pmi_top_pairs(str(tmp_path)).to_pandas()
+    rows = list(zip(df["wa"], df["wb"], df["n_ab"], df["score"]))
+    # df: cat 3, dog 3, x 5, y 2, fish 1; N = 6
+    assert rows == [
+        ("cat", "dog", 3, 2_000_000),   # 3*6e6/(3*3): perfect
+        ("x", "y", 2, 1_200_000),       # 2*6e6/(5*2)
+        ("cat", "x", 2, 800_000),       # 2*6e6/(3*5)
+        ("dog", "x", 2, 800_000),
+    ]

@@ -121,6 +121,8 @@ EDGE_CASES = [
     "split_leakage",
     # redaction over empty/control-char/unicode texts
     "pii_redact",
+    # PMI over a 31-word-ish pathological vocab (empty docs drop out)
+    "pmi_top_pairs",
 ]
 
 
