@@ -133,7 +133,7 @@ _PRIORITY = [
     "interarrival_profile",  # new: event-cadence pow2-gap histogram
     "asof_latest_order",
     "segment_price_quantiles",
-    "search_topk",
+    "search_topk",  # exercises the postings build end-to-end
     # displaced in the eleventh session by hard_negatives / pii_redact
     # (range_join shares asof_latest_order's exact _probe_join physical
     # plan; customers_without_orders' anti-join is repped by
@@ -147,7 +147,7 @@ _PRIORITY = [
     # displaced by pmi_top_pairs (orders_by_segment's grouped-rank
     # discipline is repped by q3's bounded top-10 merge +
     # segment_price_quantiles' per-segment ranking)
-    "orders_by_segment",  # exercises the postings build end-to-end
+    "orders_by_segment",
     # close family representatives displaced from the 50-entry window
     # (dedup_incremental covers snapshots, dup_ngram_fraction covers
     # cross-doc windows; repetition_stats is represented by
@@ -177,8 +177,11 @@ _PRIORITY = [
     # trained-index query path — pq_codes already covers PQ assignment)
     "ann_pq_adc_topk", "bigram_lm_score",
     # displaced by cms_word_frequency (top_orders_per_segment's
-    # grouped top-N is repped by orders_by_segment + hot_keys' rank
-    # discipline; still sim+pytest covered)
+    # grouped top-N was repped by orders_by_segment + hot_keys; since
+    # the eleventh session both are ALSO outside the window, so the
+    # family's in-window representatives are q3_top_orders' bounded
+    # top-10 merge + segment_price_quantiles' per-segment ranking —
+    # do not displace those two without restoring one of these)
     "top_orders_per_segment",
     # displaced by length_rank_transform (embedding-LSH dedup repped
     # by dedup_embedding + ann_lsh_topk's shared hyperplane contract)

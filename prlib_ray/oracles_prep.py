@@ -263,8 +263,10 @@ ORDER BY w"""
 
 
 # mirrors dataset_prep.pii_redact: same augmentation, email replaced
-# with [EMAIL] BEFORE phone with [PHONE] (order is contractual), md5 of
-# the redacted text proves the transform byte-exact
+# BEFORE phone (order is contractual); n_redacted_chars is pii_scan's
+# removal metric (''-replacement length delta) so the paired ops
+# cross-check; md5 of the [EMAIL]/[PHONE]-token text proves the
+# transform byte-exact
 PII_REDACT = """
 WITH a AS (
     SELECT doc_id,
@@ -282,10 +284,13 @@ r AS (
            regexp_replace(
                regexp_replace(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+',
                               '[EMAIL]', 'g'),
-               '555-[0-9]{4}', '[PHONE]', 'g') AS red
+               '555-[0-9]{4}', '[PHONE]', 'g') AS red,
+           regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '', 'g'),
+               '555-[0-9]{4}', '', 'g') AS gone
     FROM a
 )
 SELECT doc_id,
-       CAST(length(t) - length(red) AS BIGINT) AS n_redacted_chars,
+       CAST(length(t) - length(gone) AS BIGINT) AS n_redacted_chars,
        md5(red) AS redacted_md5
 FROM r ORDER BY doc_id"""

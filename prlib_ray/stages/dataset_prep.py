@@ -1307,9 +1307,13 @@ def pii_redact(sf_dir: str):
     """The redaction TRANSFORM pii_scan only measures: per document the
     redacted-text fingerprint and removal accounting (emails first,
     then phones — order matters when matches touch, so it is part of
-    the contract and mirrored in the oracle).  Embarrassingly parallel
-    Arrow regex kernels; md5 of the redacted utf-8 bytes proves the
-    transform byte-exact without shipping the text anywhere."""
+    the contract and mirrored in the oracle).  n_redacted_chars is
+    EXACTLY pii_scan's metric — the chars a removal pass deletes
+    (length delta under ''-replacement in the same order) — so the two
+    paired ops cross-check; the md5 is of the [EMAIL]/[PHONE]-token
+    form a downstream pipeline would actually train on.  Embarrassingly
+    parallel Arrow regex kernels; md5 of the redacted utf-8 bytes
+    proves the transform byte-exact without shipping the text."""
     import hashlib
 
     import ray.data as rd
@@ -1332,9 +1336,16 @@ def pii_redact(sf_dir: str):
             pattern=PII_PHONE_PATTERN,
             replacement="[PHONE]",
         )
+        gone = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                text, pattern=PII_EMAIL_PATTERN, replacement=""
+            ),
+            pattern=PII_PHONE_PATTERN,
+            replacement="",
+        )
         nred = (
             pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
-            - pc.utf8_length(red).to_numpy(zero_copy_only=False)
+            - pc.utf8_length(gone).to_numpy(zero_copy_only=False)
         )
         md5s = [hashlib.md5(t.encode()).hexdigest() for t in red.to_pylist()]
         return pa.table({

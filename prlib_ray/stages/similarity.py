@@ -690,6 +690,79 @@ def _int_cosine_scores(qmat: np.ndarray, qn: np.ndarray,
     return np.where(d > 0, np.floor_divide(s2, np.maximum(d, 1)), 0)
 
 
+def _broadcast_exact_topk(sf_dir: str, *, k: int, n_queries: int,
+                          exclude: str):
+    """Shared broadcast exact-top-k plan — ONE definition of the anchor
+    fetch, local top-k, rank key and merge (ann_bruteforce_topk /
+    hard_negatives) so the score/tie contract cannot drift between
+    them or from the SQL scored/ranked CTEs that mirror both.
+
+    The first ``n_queries`` vectors broadcast once (ray.put) with their
+    norms (and labels when needed); each batch computes
+    ``_int_cosine_scores`` against them and emits its local top-k under
+    the candidate mask; a final per-query merge keeps the global k.
+    ``exclude="self"`` masks the anchor row itself;
+    ``exclude="same_label"`` masks every row sharing the anchor's label
+    (which also drops the anchor).  Rank = (score DESC, vec_id ASC)."""
+    import ray
+    import ray.data as rd
+
+    with_labels = exclude == "same_label"
+    cols = ["vec_id", "embedding"] + (["label"] if with_labels else [])
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=cols)
+    qrows = sorted(
+        emb.map_batches(
+            lambda b: b.filter(pa.array(b["vec_id"].to_numpy() < n_queries)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qlab = (np.array([r["label"] for r in qrows], dtype=np.int64)
+            if with_labels else None)
+    qmat = np.stack(_quantize([list(r["embedding"]) for r in qrows]))
+    qn = (qmat * qmat).sum(axis=1)  # |q|^2, int64
+    ref = ray.put((qids, qlab, qmat, qn))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        ids_q, lab_q, qm, qnorm = ray.get(ref)
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        vids = b["vec_id"].to_numpy()
+        vlab = (b["label"].to_numpy().astype(np.int64)
+                if with_labels else None)
+        mat = np.stack(_quantize(b["embedding"].to_pylist()))
+        xn = (mat * mat).sum(axis=1)  # |x|^2, int64
+        score = _int_cosine_scores(qm, qnorm, mat, xn)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(ids_q)):
+            s = score[qi]
+            mask = (vlab != lab_q[qi]) if with_labels else (vids != ids_q[qi])
+            if not mask.any():
+                continue
+            order = np.lexsort((vids[mask], -s[mask]))[:k]
+            sel = np.flatnonzero(mask)[order]
+            out_q.extend([int(ids_q[qi])] * len(sel))
+            out_v.extend(vids[sel].tolist())
+            out_s.extend(s[mask][order].tolist())
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         "vec_id": pa.array(out_v, type=pa.int64()),
+                         "score": pa.array(out_s, type=pa.int64())})
+
+    local = emb.map_batches(local_topk, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def merge(g):
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(k)
+
+    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def ann_bruteforce_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
     """Brute-force top-k: the first ``n_queries`` vectors are the query
     matrix, broadcast once (ray.put); each batch computes an integer
@@ -701,56 +774,8 @@ def ann_bruteforce_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
     vec_id asc.  Cauchy-Schwarz bounds |dot*|dot||*10^4 <= na*nb*10^4,
     which fits int64 for this corpus (|v| <= ~0.7, dim 64 -> na < 2^25);
     a guard raises rather than silently overflowing."""
-    import ray
-    import ray.data as rd
-
-    emb = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    qrows = sorted(
-        emb.map_batches(
-            lambda b: b.filter(pa.array(b["vec_id"].to_numpy() < n_queries)),
-            batch_format="pyarrow", zero_copy_batch=True,
-        ).take_all(),
-        key=lambda r: r["vec_id"],
-    )
-    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qmat = np.stack(_quantize([list(r["embedding"]) for r in qrows]))
-    qn = (qmat * qmat).sum(axis=1)  # |q|^2, int64
-    ref = ray.put((qids, qmat, qn))
-
-    def local_topk(b: pa.Table) -> pa.Table:
-        ids_q, qm, qnorm = ray.get(ref)
-        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
-                          "vec_id": pa.array([], type=pa.int64()),
-                          "score": pa.array([], type=pa.int64())})
-        if b.num_rows == 0:
-            return empty
-        vids = b["vec_id"].to_numpy()
-        mat = np.stack(_quantize(b["embedding"].to_pylist()))
-        xn = (mat * mat).sum(axis=1)  # |x|^2, int64
-        score = _int_cosine_scores(qm, qnorm, mat, xn)
-        out_q, out_v, out_s = [], [], []
-        for qi in range(len(ids_q)):
-            s = score[qi]
-            mask = vids != ids_q[qi]
-            order = np.lexsort((vids[mask], -s[mask]))[:k]
-            sel = np.flatnonzero(mask)[order]
-            out_q.extend([int(ids_q[qi])] * len(sel))
-            out_v.extend(vids[sel].tolist())
-            out_s.extend(s[mask][order].tolist())
-        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
-                         "vec_id": pa.array(out_v, type=pa.int64()),
-                         "score": pa.array(out_s, type=pa.int64())})
-
-    local = emb.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
-
-    def merge(g):
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
-                          kind="mergesort")
-        return g.head(k)
-
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return _broadcast_exact_topk(sf_dir, k=k, n_queries=n_queries,
+                                 exclude="self")
 
 
 IVF_ITERS = 5
@@ -1399,64 +1424,10 @@ def hard_negatives(sf_dir: str, *, k: int = HN_K, n_queries: int = HN_QUERIES):
     nearest vectors with a DIFFERENT label — the highest-similarity
     wrong-class examples a contrastive trainer wants in the batch.
 
-    ann_bruteforce_topk's exact layout (broadcast anchor matrix, int64
-    matmul + local top-k per batch, tiny final merge) with the
-    candidate mask flipped from vec_id != anchor to label != anchor's
-    label (which also excludes the anchor itself).  The rank key is
-    the shared integer score contract, ties to vec_id asc."""
-    import ray
-    import ray.data as rd
-
-    emb = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding", "label"],
-    )
-    qrows = sorted(
-        emb.map_batches(
-            lambda b: b.filter(pa.array(b["vec_id"].to_numpy() < n_queries)),
-            batch_format="pyarrow", zero_copy_batch=True,
-        ).take_all(),
-        key=lambda r: r["vec_id"],
-    )
-    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qlab = np.array([r["label"] for r in qrows], dtype=np.int64)
-    qmat = np.stack(_quantize([list(r["embedding"]) for r in qrows]))
-    qn = (qmat * qmat).sum(axis=1)
-    ref = ray.put((qids, qlab, qmat, qn))
-
-    def local_topk(b: pa.Table) -> pa.Table:
-        ids_q, lab_q, qm, qnorm = ray.get(ref)
-        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
-                          "vec_id": pa.array([], type=pa.int64()),
-                          "score": pa.array([], type=pa.int64())})
-        if b.num_rows == 0:
-            return empty
-        vids = b["vec_id"].to_numpy()
-        vlab = b["label"].to_numpy().astype(np.int64)
-        mat = np.stack(_quantize(b["embedding"].to_pylist()))
-        xn = (mat * mat).sum(axis=1)
-        score = _int_cosine_scores(qm, qnorm, mat, xn)
-        out_q, out_v, out_s = [], [], []
-        for qi in range(len(ids_q)):
-            s = score[qi]
-            mask = vlab != lab_q[qi]  # wrong-class only (drops the anchor)
-            if not mask.any():
-                continue
-            order = np.lexsort((vids[mask], -s[mask]))[:k]
-            sel = np.flatnonzero(mask)[order]
-            out_q.extend([int(ids_q[qi])] * len(sel))
-            out_v.extend(vids[sel].tolist())
-            out_s.extend(s[mask][order].tolist())
-        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
-                         "vec_id": pa.array(out_v, type=pa.int64()),
-                         "score": pa.array(out_s, type=pa.int64())})
-
-    local = emb.map_batches(local_topk, batch_format="pyarrow",
-                            zero_copy_batch=True)
-
-    def merge(g):
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
-                          kind="mergesort")
-        return g.head(k)
-
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    Rides _broadcast_exact_topk (ann_bruteforce_topk's plan — one
+    definition, the contracts cannot drift) with the candidate mask
+    flipped from vec_id != anchor to label != anchor's label (which
+    also excludes the anchor itself).  The rank key is the shared
+    integer score contract, ties to vec_id asc."""
+    return _broadcast_exact_topk(sf_dir, k=k, n_queries=n_queries,
+                                 exclude="same_label")

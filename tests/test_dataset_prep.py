@@ -209,9 +209,12 @@ def test_pii_redact_order_is_contractual(ray_session, tmp_path):
     for i, t in enumerate(texts):
         red = re.sub(PII_PHONE_PATTERN, "[PHONE]",
                      re.sub(PII_EMAIL_PATTERN, "[EMAIL]", t))
+        gone = re.sub(PII_PHONE_PATTERN, "",
+                      re.sub(PII_EMAIL_PATTERN, "", t))
         assert df.loc[i, "redacted_md5"] == hashlib.md5(
             red.encode()).hexdigest()
-        assert df.loc[i, "n_redacted_chars"] == len(t) - len(red)
+        # the removal metric (pii_scan's red accounting), never negative
+        assert df.loc[i, "n_redacted_chars"] == len(t) - len(gone)
     # and the overlap case really is order-sensitive
     phone_first = re.sub(PII_EMAIL_PATTERN, "[EMAIL]",
                          re.sub(PII_PHONE_PATTERN, "[PHONE]", texts[0]))
