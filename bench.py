@@ -186,7 +186,8 @@ def run_bench() -> dict:
                  "dedup_best_survivor", "corpus_validate",
                  "cms_word_frequency", "length_rank_transform",
                  "hard_negatives", "pii_redact", "split_leakage",
-                 "embedding_outliers", "pmi_top_pairs"):
+                 "embedding_outliers", "pmi_top_pairs",
+                 "tokenizer_budget_curve"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

@@ -107,7 +107,7 @@ _PRIORITY = [
     # ann_*_topk entries (pytest ORACLE_CASES + driver_sim still check
     # them), freeing window slots for the round's new operator families
     "token_count_subword",
-    "vocab_oov_rate",  # new: top-V vocabulary OOV fraction per source
+    "tokenizer_budget_curve",  # new: OOV mass at several vocab sizes
     "gopher_quality", "quality_classifier",
     "lang_agreement",
     "split_leakage",  # new: cross-split contamination audit
@@ -144,6 +144,10 @@ _PRIORITY = [
     # searchsorted axis is exercised by retention_cohorts; windowed
     # aggregation by sales_rollup) — both still sim+pytest covered
     "split_assign", "rolling_event_window",
+    # displaced by tokenizer_budget_curve, which runs the SAME vocab
+    # fold + (count DESC, word ASC) head contract across several sizes;
+    # the per-source is_in probe stays sim+pytest covered
+    "vocab_oov_rate",
     # displaced by pmi_top_pairs (orders_by_segment's grouped-rank
     # discipline is repped by q3's bounded top-10 merge +
     # segment_price_quantiles' per-segment ranking)

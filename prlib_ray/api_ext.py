@@ -311,6 +311,9 @@ def _register_data_ops(queries, sql) -> None:
     # word-association mining: doc-co-occurrence PMI over the top-V vocab
     queries["pmi_top_pairs"] = corpus_stats.pmi_top_pairs
     sql["pmi_top_pairs"] = ocorp.PMI_TOP_PAIRS
+    # OOV mass at several candidate vocab sizes in one pass
+    queries["tokenizer_budget_curve"] = corpus_stats.tokenizer_budget_curve
+    sql["tokenizer_budget_curve"] = ocorp.TOKENIZER_BUDGET_CURVE
     # pre-flight data-quality audit (planted corruption mirrors)
     from prlib_ray import oracles_data as odata
 

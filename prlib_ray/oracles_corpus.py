@@ -478,3 +478,33 @@ ORDER BY score DESC, p.wa, p.wb LIMIT {PMI_K}"""
 
 
 PMI_TOP_PAIRS = _pmi_top_pairs_sql()
+
+
+def _tokenizer_budget_sql() -> str:
+    """Mirror of corpus_stats.tokenizer_budget_curve: the vocab head
+    contract (count DESC, word ASC row_number) cut at each candidate
+    size; OOV tokens = total minus the head's count mass, OOV types =
+    distinct words beyond the head."""
+    from prlib_ray.stages.corpus_stats import TOK_CURVE_SIZES
+
+    vals = ", ".join(f"({v})" for v in TOK_CURVE_SIZES)
+    return f"""
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+nz AS (SELECT w FROM toks WHERE w <> ''),
+cnt AS (SELECT w, count(*) AS n FROM nz GROUP BY w),
+ranked AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS rn
+           FROM cnt),
+tot AS (SELECT count(*) AS n_tok, count(DISTINCT w) AS n_typ FROM nz),
+sizes(v) AS (VALUES {vals})
+SELECT CAST(s.v AS BIGINT) AS vocab_size,
+       CAST((SELECT n_tok FROM tot)
+            - coalesce((SELECT sum(n) FROM ranked WHERE rn <= s.v), 0)
+            AS BIGINT) AS n_oov_tokens,
+       CAST(greatest((SELECT n_typ FROM tot) - s.v, 0) AS BIGINT)
+           AS n_oov_types
+FROM sizes s ORDER BY vocab_size"""
+
+
+TOKENIZER_BUDGET_CURVE = _tokenizer_budget_sql()

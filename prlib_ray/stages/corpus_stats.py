@@ -2040,3 +2040,57 @@ def pmi_top_pairs(sf_dir: str):
         "n_ab": pa.array([t[2] for t in out], type=pa.int64()),
         "score": pa.array([t[3] for t in out], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# tokenizer budget curve: OOV mass at several candidate vocab sizes
+
+# Fixture-scaled candidate sizes (the corpus has ~31 distinct words, so
+# 4/8/16 produce real splits and 32 the saturated row); at corpus scale
+# pass powers up to ~2^17.  Must be ascending; the largest bounds the
+# per-part head the driver merges.
+TOK_CURVE_SIZES = (4, 8, 16, 32)
+
+
+def tokenizer_budget_curve(sf_dir: str, *, sizes: tuple = TOK_CURVE_SIZES):
+    """For each candidate vocabulary size V (the vocab_oov_rate head
+    contract: top-V words by count DESC, word ASC): how many corpus
+    tokens and how many distinct word types fall OUTSIDE the top-V —
+    the budget curve a tokenizer build reads before freezing its size,
+    in ONE corpus pass instead of len(sizes) vocab_oov_rate runs.
+
+    Plan: the shared coarse vocabulary fold materializes once and
+    serves all three consumers (total tokens, distinct types, top-head)
+    — a word lives in exactly one crc32 part, so per-part local
+    top-max(V) heads merge into the EXACT global head; only the
+    <= max(V) * parts candidate rows and two scalar aggregates reach
+    the driver, never the vocabulary."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    vmax = max(sizes)
+    fold = _vocab_dataset(sf_dir, _word_count_partial).materialize()
+    tot_row = fold.aggregate(Sum("n", alias_name="tok"),
+                             Count(alias_name="types"))
+    total_tokens = int(tot_row["tok"] or 0)
+    n_types = int(tot_row["types"] or 0)
+    cand = (
+        fold.map_batches(lambda b: _local_top_words(b, vmax),
+                         batch_format="pyarrow")
+    ).take_all()
+    cw = np.asarray([r["w"] for r in cand], dtype=object)
+    cn = np.asarray([r["n"] for r in cand], dtype=np.int64)
+    o = np.lexsort((cw, -cn))[:vmax]
+    head_counts = cn[o]
+    csum = np.cumsum(head_counts)
+    out_v, out_tok, out_typ = [], [], []
+    for v in sizes:
+        inside = int(csum[min(v, len(csum)) - 1]) if len(csum) else 0
+        out_v.append(int(v))
+        out_tok.append(total_tokens - inside)
+        out_typ.append(n_types - min(int(v), n_types))
+    return pa.table({
+        "vocab_size": pa.array(out_v, type=pa.int64()),
+        "n_oov_tokens": pa.array(out_tok, type=pa.int64()),
+        "n_oov_types": pa.array(out_typ, type=pa.int64()),
+    })

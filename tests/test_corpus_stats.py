@@ -32,7 +32,8 @@ CASES = ["unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction",
          "segment_dedup", "curate_corpus", "dup_substring_fraction",
          "build_inverted_index", "search_topk", "bigram_lm_score",
          "source_overlap", "source_minhash_jaccard", "vocab_oov_rate",
-         "cms_word_frequency", "length_rank_transform", "pmi_top_pairs"]
+         "cms_word_frequency", "length_rank_transform", "pmi_top_pairs",
+         "tokenizer_budget_curve"]
 
 
 def _cmp(df, odf, name):
@@ -494,3 +495,30 @@ def test_pmi_scores_constructed(ray_session, tmp_path):
         ("cat", "x", 2, 800_000),       # 2*6e6/(3*5)
         ("dog", "x", 2, 800_000),
     ]
+
+
+def test_tokenizer_budget_curve_constructed(ray_session, tmp_path):
+    """Hand-computed OOV curve: 5 word types with counts 5/3/2/1/1
+    (ties at count 1 break word-ASC into the head), checked at sizes
+    that straddle the type count — beyond it both OOV columns are 0."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    texts = ["a a a b c", "a a b d b", "c e"]
+    # counts: a=5, b=3, c=2, d=1, e=1 ; total 12 tokens, 5 types
+    pq2.write_table(
+        pa2.table({
+            "doc_id": pa2.array(range(3), type=pa2.int64()),
+            "text": pa2.array(texts, type=pa2.string()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    from prlib_ray.stages.corpus_stats import tokenizer_budget_curve
+
+    df = tokenizer_budget_curve(
+        str(tmp_path), sizes=(1, 2, 4, 8)
+    ).to_pandas()
+    assert df["vocab_size"].tolist() == [1, 2, 4, 8]
+    # V=1 head {a}: 12-5=7 oov; V=2 {a,b}: 4; V=4 {a,b,c,d}: 1; V=8: 0
+    assert df["n_oov_tokens"].tolist() == [7, 4, 1, 0]
+    assert df["n_oov_types"].tolist() == [4, 3, 1, 0]

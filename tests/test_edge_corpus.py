@@ -123,6 +123,8 @@ EDGE_CASES = [
     "pii_redact",
     # PMI over a 31-word-ish pathological vocab (empty docs drop out)
     "pmi_top_pairs",
+    # OOV curve where sizes exceed the distinct-word count
+    "tokenizer_budget_curve",
 ]
 
 
