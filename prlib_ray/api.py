@@ -116,7 +116,7 @@ _PRIORITY = [
     "pii_redact",  # new: the redaction transform pii_scan measures
     "props_field_stats",  # new: semi-structured JSON extraction
     "source_overlap",  # new in round 3: pairwise source vocab overlap
-    "source_minhash_jaccard",  # new: its mergeable bigram-sketch twin
+    "source_word_lift",  # new: characteristic vocabulary per source
     "weighted_sample",
     "frequent_ngrams",
     "pmi_top_pairs",  # new: word-association mining (doc-PMI ranking)
@@ -148,6 +148,10 @@ _PRIORITY = [
     # fold + (count DESC, word ASC) head contract across several sizes;
     # the per-source is_in probe stays sim+pytest covered
     "vocab_oov_rate",
+    # displaced by source_word_lift (the sketch twin's (a*x+b) minhash
+    # permutation contract is exercised in-window by dedup_minhash_lsh;
+    # source_overlap keeps the exact pairwise path)
+    "source_minhash_jaccard",
     # displaced by pmi_top_pairs (orders_by_segment's grouped-rank
     # discipline is repped by q3's bounded top-10 merge +
     # segment_price_quantiles' per-segment ranking)

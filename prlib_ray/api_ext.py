@@ -314,6 +314,9 @@ def _register_data_ops(queries, sql) -> None:
     # OOV mass at several candidate vocab sizes in one pass
     queries["tokenizer_budget_curve"] = corpus_stats.tokenizer_budget_curve
     sql["tokenizer_budget_curve"] = ocorp.TOKENIZER_BUDGET_CURVE
+    # characteristic vocabulary per source (integer lift ranking)
+    queries["source_word_lift"] = corpus_stats.source_word_lift
+    sql["source_word_lift"] = ocorp.SOURCE_WORD_LIFT
     # pre-flight data-quality audit (planted corruption mirrors)
     from prlib_ray import oracles_data as odata
 

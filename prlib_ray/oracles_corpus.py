@@ -508,3 +508,42 @@ FROM sizes s ORDER BY vocab_size"""
 
 
 TOKENIZER_BUDGET_CURVE = _tokenizer_budget_sql()
+
+
+def _source_word_lift_sql() -> str:
+    """Mirror of corpus_stats.source_word_lift: exact integer lift
+    floor(n_sw * N * SCALE / (n_s * n_w)) in HUGEINT (all positive, //
+    truncation == floor), per-source row_number (score DESC, w ASC) cut
+    at K; constants interpolate from the implementation module."""
+    from prlib_ray.stages.corpus_stats import LIFT_K, LIFT_SCALE
+
+    return f"""
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+nz AS (SELECT source, w FROM toks WHERE w <> ''),
+n_sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+         FROM nz GROUP BY 1, 2),
+n_w AS (SELECT w, count(*) AS c FROM nz GROUP BY w),
+n_s AS (SELECT source, count(*) AS c FROM nz GROUP BY source),
+nn AS (SELECT count(*) AS c FROM nz),
+scored AS (
+    SELECT sw.source, sw.w, sw.c AS n_sw,
+           CAST((CAST(sw.c AS HUGEINT) * (SELECT c FROM nn)
+                 * {LIFT_SCALE})
+                // (CAST(ns.c AS HUGEINT) * nw.c) AS BIGINT) AS score
+    FROM n_sw sw
+    JOIN n_w nw USING (w)
+    JOIN n_s ns USING (source)
+),
+ranked AS (
+    SELECT source, w, n_sw, score,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY score DESC, w ASC) AS rn
+    FROM scored
+)
+SELECT source, w, n_sw, score FROM ranked WHERE rn <= {LIFT_K}
+ORDER BY source, w"""
+
+
+SOURCE_WORD_LIFT = _source_word_lift_sql()

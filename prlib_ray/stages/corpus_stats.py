@@ -2094,3 +2094,164 @@ def tokenizer_budget_curve(sf_dir: str, *, sizes: tuple = TOK_CURVE_SIZES):
         "n_oov_tokens": pa.array(out_tok, type=pa.int64()),
         "n_oov_types": pa.array(out_typ, type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# characteristic vocabulary per source: word lift ranking
+
+LIFT_K = 5            # words reported per source
+LIFT_SCALE = 10_000   # lift 1.0 == 10000 (integer-exact floor)
+
+
+def _source_word_partial(b: pa.Table) -> pa.Table:
+    """Per-batch (w, source, c) occurrence partial — one
+    dictionary_encode per column + a composite bincount, empty words
+    dropped (the _word_count_partial discipline with a source axis)."""
+    empty = pa.table({"w": pa.array([], type=pa.string()),
+                      "s": pa.array([], type=pa.string()),
+                      "c": pa.array([], type=pa.int64())})
+    if b.num_rows == 0:
+        return empty
+    from prlib_ray.stages.text_analysis import _flat_words
+
+    words, dow, _ = _flat_words(b)
+    ne = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+    if not ne.any():
+        return empty
+    wd = pc.dictionary_encode(words)
+    wcodes = wd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    terms = np.asarray(wd.dictionary.to_pylist(), dtype=object)
+    src = b["source"]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    sd = pc.dictionary_encode(src)
+    scodes = sd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    srcs = np.asarray(sd.dictionary.to_pylist(), dtype=object)
+    ns = len(srcs)
+    key = wcodes[ne] * ns + scodes[dow][ne]
+    cnt = np.bincount(key, minlength=len(terms) * ns).astype(np.int64)
+    keep = np.flatnonzero(cnt > 0)
+    return pa.table({
+        "w": pa.array(terms[keep // ns], type=pa.string()),
+        "s": pa.array(srcs[keep % ns], type=pa.string()),
+        "c": pa.array(cnt[keep]),
+    })
+
+
+def source_word_lift(sf_dir: str, *, k: int = LIFT_K):
+    """Characteristic vocabulary per source: the k words with the
+    highest LIFT n_sw·N / (n_s·n_w) — "this word is X times more
+    frequent here than corpus-wide", the per-source drilldown of
+    pmi_top_pairs' association score — as the exact integer
+    floor(n_sw·N·LIFT_SCALE / (n_s·n_w)); ties (word ASC).  Measured
+    spread on the fixtures 0.67x-1.95x, a real per-source ranking.
+
+    Plan: one (w, source, c) partial pass materializes and serves BOTH
+    the bounded totals (per-source n_s + corpus N, Ray-native groupby
+    over <= S keys, broadcast by closure) and the coarse word-partition
+    fold; a word lives in exactly one part, so each part computes n_w
+    EXACTLY, scores its rows, and emits its per-source local top-k —
+    <= S·k·parts candidate rows merge on the driver.  Scores go
+    through exact Python ints whenever n_sw·N·SCALE could overflow
+    int64 (the LABEL_CENTROID_AFFINITY discipline)."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    partials = _vocab_src_parts(sf_dir).materialize()
+    tot = partials.groupby("s").aggregate(Sum("c", alias_name="n")).take_all()
+    ns_of = {r["s"]: int(r["n"]) for r in tot}
+    n_total = sum(ns_of.values())
+    if n_total == 0:
+        return pa.table({"source": pa.array([], type=pa.string()),
+                         "w": pa.array([], type=pa.string()),
+                         "n_sw": pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        w = g["w"].to_numpy().astype(object)
+        s = g["s"].to_numpy().astype(object)
+        c = g["c"].to_numpy().astype(np.int64)
+        order = np.lexsort((s, w))
+        w_s, s_s, c_s = w[order], s[order], c[order]
+        # combine per (w, source) across batches
+        new = np.r_[True, (w_s[1:] != w_s[:-1]) | (s_s[1:] != s_s[:-1])]
+        starts = np.flatnonzero(new)
+        gid = np.cumsum(new) - 1
+        n_sw = np.bincount(gid, weights=c_s).astype(np.int64)
+        wu, su = w_s[starts], s_s[starts]
+        # n_w per word: word runs over the same (w-major) order
+        wnew = np.r_[True, wu[1:] != wu[:-1]]
+        wid = np.cumsum(wnew) - 1
+        n_w = np.bincount(wid, weights=n_sw).astype(np.int64)[wid]
+        ns_arr = np.asarray([ns_of[x] for x in su], dtype=np.int64)
+        if n_total * LIFT_SCALE <= (2**62) // max(int(n_sw.max()), 1):
+            score = (n_sw * (n_total * LIFT_SCALE)) // (ns_arr * n_w)
+        else:  # exact big-int fallback (corpus-scale token counts)
+            score = np.asarray(
+                [int(a) * n_total * LIFT_SCALE // (int(b) * int(d))
+                 for a, b, d in zip(n_sw, ns_arr, n_w)],
+                dtype=np.int64,
+            )
+        # per-source local top-k by (score DESC, w ASC)
+        o2 = np.lexsort((wu, -score, su))
+        s2 = su[o2]
+        new2 = np.r_[True, s2[1:] != s2[:-1]]
+        starts2 = np.flatnonzero(new2)
+        run = np.cumsum(new2) - 1
+        pos = np.arange(len(s2)) - starts2[run]
+        keep = o2[pos < k]
+        return pd.DataFrame({"source": su[keep], "w": wu[keep],
+                             "n_sw": n_sw[keep], "score": score[keep]})
+
+    cand = (
+        partials.groupby("part")
+        .map_groups(fold, batch_format="pandas")
+    ).take_all()
+    if not cand:
+        return pa.table({"source": pa.array([], type=pa.string()),
+                         "w": pa.array([], type=pa.string()),
+                         "n_sw": pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.int64())})
+    src = np.asarray([r["source"] for r in cand], dtype=object)
+    wc = np.asarray([r["w"] for r in cand], dtype=object)
+    nsw = np.asarray([r["n_sw"] for r in cand], dtype=np.int64)
+    sc = np.asarray([r["score"] for r in cand], dtype=np.int64)
+    o = np.lexsort((wc, -sc, src))
+    s_s = src[o]
+    new_s = np.r_[True, s_s[1:] != s_s[:-1]]
+    starts_s = np.flatnonzero(new_s)
+    run = np.cumsum(new_s) - 1
+    pos = np.arange(len(s_s)) - starts_s[run]
+    keep = o[pos < k]
+    ko = np.lexsort((wc[keep], -sc[keep], src[keep]))
+    keep = keep[ko]
+    return pa.table({
+        "source": pa.array(src[keep].tolist(), type=pa.string()),
+        "w": pa.array(wc[keep].tolist(), type=pa.string()),
+        "n_sw": pa.array(nsw[keep]),
+        "score": pa.array(sc[keep]),
+    })
+
+
+def _vocab_src_parts(sf_dir: str):
+    """(w, s, c, part) partial Dataset for the source-word fold."""
+    import zlib
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        t = _source_word_partial(b)
+        part = np.asarray(
+            [zlib.crc32(w.encode()) % N_CORPUS_PARTS
+             for w in t["w"].to_pylist()],
+            dtype=np.int64,
+        )
+        return t.append_column("part", pa.array(part))
+
+    return ds.map_batches(add_part, batch_format="pyarrow",
+                          zero_copy_batch=True)

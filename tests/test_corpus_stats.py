@@ -33,7 +33,7 @@ CASES = ["unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction",
          "build_inverted_index", "search_topk", "bigram_lm_score",
          "source_overlap", "source_minhash_jaccard", "vocab_oov_rate",
          "cms_word_frequency", "length_rank_transform", "pmi_top_pairs",
-         "tokenizer_budget_curve"]
+         "tokenizer_budget_curve", "source_word_lift"]
 
 
 def _cmp(df, odf, name):
@@ -522,3 +522,35 @@ def test_tokenizer_budget_curve_constructed(ray_session, tmp_path):
     # V=1 head {a}: 12-5=7 oov; V=2 {a,b}: 4; V=4 {a,b,c,d}: 1; V=8: 0
     assert df["n_oov_tokens"].tolist() == [7, 4, 1, 0]
     assert df["n_oov_types"].tolist() == [4, 3, 1, 0]
+
+
+def test_source_word_lift_constructed(ray_session, tmp_path):
+    """Hand-computed lift: a word exclusive to a small source gets the
+    maximal lift N/n_s, a uniform word sits at ~1.0, and the top-k cut
+    ranks (score DESC, word ASC)."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    # srcA: 4 tokens, srcB: 4 tokens; N = 8; n_w: rare 1, com 3, x 1,
+    # bee 3.  Exclusive words hit the max lift N/n_s = 2.0 -> 20000;
+    # srcB's lone 'com' (1*8/(4*3)) sits at 0.67 -> 6666.
+    texts = ["rare com com x", "bee bee bee com"]
+    pq2.write_table(
+        pa2.table({
+            "doc_id": pa2.array([0, 1], type=pa2.int64()),
+            "text": pa2.array(texts, type=pa2.string()),
+            "source": pa2.array(["srcA", "srcB"], type=pa2.string()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    from prlib_ray.stages.corpus_stats import source_word_lift
+
+    df = source_word_lift(str(tmp_path), k=2).to_pandas()
+    rows = list(zip(df["source"], df["w"], df["n_sw"], df["score"]))
+    # srcA's exclusive words tie at 2.0, word ASC picks the order
+    assert rows == [
+        ("srcA", "rare", 1, 20000),
+        ("srcA", "x", 1, 20000),
+        ("srcB", "bee", 3, 20000),
+        ("srcB", "com", 1, 6666),
+    ]

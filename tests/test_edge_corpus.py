@@ -125,6 +125,8 @@ EDGE_CASES = [
     "pmi_top_pairs",
     # OOV curve where sizes exceed the distinct-word count
     "tokenizer_budget_curve",
+    # lift over two sources where one is all-pathological texts
+    "source_word_lift",
 ]
 
 
