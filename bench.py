@@ -187,7 +187,8 @@ def run_bench() -> dict:
                  "cms_word_frequency", "length_rank_transform",
                  "hard_negatives", "pii_redact", "split_leakage",
                  "embedding_outliers", "pmi_top_pairs",
-                 "tokenizer_budget_curve", "source_word_lift"):
+                 "tokenizer_budget_curve", "source_word_lift",
+                 "fulfillment_latency"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

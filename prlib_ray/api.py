@@ -125,9 +125,8 @@ _PRIORITY = [
     "q3_top_orders",
     "bloom_semi_join",  # new: bloom-prefilter semi-join (FP-observable)
     "orders_with_late_items",  # new: correlated-EXISTS fact-fact semi
+    "fulfillment_latency",  # new: fact-fact join-attach gap histogram
     "sales_rollup",
-    # new in round 3: shuffle-skew profiling (histogram + named keys)
-    "key_skew_profile",
     "funnel_conversion",  # ordered funnel (earliest-event chain)
     "retention_cohorts",  # new: first-active-day cohort retention
     "interarrival_profile",  # new: event-cadence pow2-gap histogram
@@ -152,6 +151,10 @@ _PRIORITY = [
     # permutation contract is exercised in-window by dedup_minhash_lsh;
     # source_overlap keeps the exact pairwise path)
     "source_minhash_jaccard",
+    # displaced by fulfillment_latency (the pow2-histogram + count
+    # partial contract stays in-window twice via interarrival_profile
+    # and fulfillment_latency itself; hot_keys already reps named keys)
+    "key_skew_profile",
     # displaced by pmi_top_pairs (orders_by_segment's grouped-rank
     # discipline is repped by q3's bounded top-10 merge +
     # segment_price_quantiles' per-segment ranking)

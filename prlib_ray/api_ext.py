@@ -626,6 +626,9 @@ def _register_relational(queries, sql) -> None:
         # correlated-EXISTS fact-fact semi-join (TPC-H Q4 shape)
         ("orders_with_late_items", rel.orders_with_late_items,
          orel.ORDERS_WITH_LATE_ITEMS),
+        # order-to-ship latency histogram (fact-fact copart + pow2)
+        ("fulfillment_latency", rel.fulfillment_latency,
+         orel.FULFILLMENT_LATENCY),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

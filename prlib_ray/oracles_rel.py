@@ -499,3 +499,23 @@ GROUP BY 1 ORDER BY 1"""
 
 
 ORDERS_WITH_LATE_ITEMS = _orders_with_late_items_sql()
+
+
+# mirrors relational.fulfillment_latency: inner join on orderkey (orphan
+# lineitems drop), whole-day floor (gap_us >= 0 so // == floor), pow2
+# bucket via the shared format-bin trick; negative gaps -> bucket -2
+FULFILLMENT_LATENCY = """
+WITH j AS (
+    SELECT epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate) AS gap_us
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+b AS (
+    SELECT CASE WHEN gap_us < 0 THEN -2
+                WHEN gap_us // 86400000000 = 0 THEN -1
+                ELSE length(format('{:b}', gap_us // 86400000000)) - 1
+           END AS bucket
+    FROM j
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM b GROUP BY 1 ORDER BY bucket"""

@@ -2331,3 +2331,89 @@ def orders_with_late_items(sf_dir: str, *, days: int = LATE_SHIP_DAYS):
         .aggregate(Sum("n_orders", alias_name="n_orders"))
         .sort("o_orderpriority")
     )
+
+
+def fulfillment_latency(sf_dir: str):
+    """Order-to-ship latency histogram: for every lineitem, the gap
+    l_shipdate - o_orderdate in whole days, bucketed power-of-two
+    (bucket -1 = same day, k = floor(log2(gap_days)), -2 = anomalous
+    negative gap — counted, never silently dropped).  The logistics
+    SLA report over two FACT tables: like orders_with_late_items the
+    date is correlated per order, so neither side broadcasts — both
+    co-partition by hash(orderkey) % N_COPART, per part one sort +
+    searchsorted attaches each lineitem's order date (orphans drop),
+    and <= 66 bucket-count rows per part reach the bounded final
+    groupby.  Bucket contract shared with interarrival_profile
+    (searchsorted over 2^k == SQL length(format-bin) - 1)."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    day_us = 86_400_000_000
+
+    ord_ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    li_ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def ord_norm(b: pa.Table) -> pa.Table:
+        key = b["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table({
+            "part": pa.array(_copart_tag(key)),
+            "key": pa.array(key),
+            "t": pa.array(b["o_orderdate"].cast(pa.int64()).to_numpy()),
+            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+        })
+
+    def li_norm(b: pa.Table) -> pa.Table:
+        key = b["l_orderkey"].to_numpy().astype(np.int64)
+        return pa.table({
+            "part": pa.array(_copart_tag(key)),
+            "key": pa.array(key),
+            "t": pa.array(b["l_shipdate"].cast(pa.int64()).to_numpy()),
+            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+        })
+
+    both = ord_ds.map_batches(
+        ord_norm, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        li_ds.map_batches(li_norm, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        o = g[side == 0]
+        l = g[side == 1]
+        empty = pd.DataFrame({"bucket": np.array([], dtype=np.int64),
+                              "n": np.array([], dtype=np.int64)})
+        if len(o) == 0 or len(l) == 0:
+            return empty
+        ok = o["key"].to_numpy().astype(np.int64)
+        ot = o["t"].to_numpy().astype(np.int64)
+        osort = np.argsort(ok, kind="stable")
+        ok, ot = ok[osort], ot[osort]
+        lk = l["key"].to_numpy().astype(np.int64)
+        lt = l["t"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(ok, lk)
+        pos = np.minimum(pos, len(ok) - 1)
+        hit = ok[pos] == lk  # orphan lineitems drop
+        gap_us = lt[hit] - ot[pos[hit]]
+        neg = gap_us < 0
+        gap_days = gap_us[~neg] // day_us
+        bucket = np.searchsorted(_POW2, gap_days, side="right") - 1
+        bu, cnt = np.unique(bucket, return_counts=True)
+        if neg.any():
+            bu = np.r_[np.int64(-2), bu]
+            cnt = np.r_[int(neg.sum()), cnt]
+        return pd.DataFrame({"bucket": bu.astype(np.int64),
+                             "n": cnt.astype(np.int64)})
+
+    return (
+        both.groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n_items"))
+        .sort("bucket")
+    )

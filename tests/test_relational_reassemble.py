@@ -13,6 +13,7 @@ TABLES = (
 CASES = [
     "bloom_semi_join",
     "orders_with_late_items",
+    "fulfillment_latency",
     "key_skew_profile",
     "hot_keys",
     "props_field_stats",
@@ -572,3 +573,42 @@ def test_orders_with_late_items_constructed(ray_session, tmp_path):
     df = orders_with_late_items(str(tmp_path)).to_pandas()
     got = dict(zip(df.o_orderpriority, df.n_orders.astype(int)))
     assert got == {"1-URGENT": 1, "2-HIGH": 1}
+
+
+def test_fulfillment_latency_buckets_constructed(ray_session, tmp_path):
+    """Bucket contract on hand-built facts: -2 for a negative gap, -1
+    same-day (including 23h59m), 0 for [1, 2) days, 2 for [4, 8) days,
+    and orphan lineitems drop."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    day = np.timedelta64(86_400_000_000, "us")
+    hour = np.timedelta64(3_600_000_000, "us")
+
+    def ts(x):
+        return x.astype("datetime64[us]").item()
+
+    pq2.write_table(pa2.table({
+        "o_orderkey": pa2.array([1, 2, 3, 4, 5], type=pa2.int64()),
+        "o_orderdate": pa2.array([ts(base)] * 5, type=pa2.timestamp("us")),
+    }), tmp_path / "orders.parquet")
+    li = [
+        (1, base - 1 * hour),        # negative gap -> bucket -2
+        (1, base + 23 * hour),       # same day -> -1
+        (2, base + 1 * day),         # exactly 1 day -> bucket 0
+        (3, base + 5 * day),         # [4, 8) -> bucket 2
+        (4, base + 7 * day + hour),  # still [4, 8) -> bucket 2
+        (99, base + 2 * day),        # orphan -> dropped
+    ]
+    pq2.write_table(pa2.table({
+        "l_orderkey": pa2.array([k for k, _ in li], type=pa2.int64()),
+        "l_shipdate": pa2.array([ts(t) for _, t in li],
+                                type=pa2.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    from prlib_ray.relational import fulfillment_latency
+
+    df = fulfillment_latency(str(tmp_path)).to_pandas()
+    rows = dict(zip(df["bucket"], df["n_items"]))
+    assert rows == {-2: 1, -1: 1, 0: 1, 2: 2}
