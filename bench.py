@@ -188,7 +188,7 @@ def run_bench() -> dict:
                  "hard_negatives", "pii_redact", "split_leakage",
                  "embedding_outliers", "pmi_top_pairs",
                  "tokenizer_budget_curve", "source_word_lift",
-                 "fulfillment_latency"):
+                 "fulfillment_latency", "label_norm_quantiles"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

@@ -94,7 +94,7 @@ _PRIORITY = [
     "dedup_embedding", "dedup_semantic",
     "cluster_balance",  # new: embedding-space class-balance audit
     "embedding_outliers",  # new: farthest-from-own-centroid prune audit
-    "label_centroid_affinity",  # new: pairwise label-region geometry
+    "label_norm_quantiles",  # new: per-label norm spectrum (exact pctl)
     "dedup_clusters_minhash",  # oracle-backed in round 3 (recursive CTE)
     "dedup_incremental",
     "segment_dedup",
@@ -151,6 +151,10 @@ _PRIORITY = [
     # permutation contract is exercised in-window by dedup_minhash_lsh;
     # source_overlap keeps the exact pairwise path)
     "source_minhash_jaccard",
+    # displaced by label_norm_quantiles (pairwise label geometry's
+    # integer-score contract is in-window via the ann/knn/hard-negative
+    # family; label-level audits repped by cluster_balance)
+    "label_centroid_affinity",
     # displaced by fulfillment_latency (the pow2-histogram + count
     # partial contract stays in-window twice via interarrival_profile
     # and fulfillment_latency itself; hot_keys already reps named keys)

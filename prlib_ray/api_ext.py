@@ -198,6 +198,9 @@ def _register_data_ops(queries, sql) -> None:
     # farthest-from-own-centroid prune audit
     queries["embedding_outliers"] = similarity.embedding_outliers
     sql["embedding_outliers"] = odata.EMBEDDING_OUTLIERS
+    # per-label norm spectrum (exact integer quantiles)
+    queries["label_norm_quantiles"] = similarity.label_norm_quantiles
+    sql["label_norm_quantiles"] = odata.LABEL_NORM_QUANTILES
     # recall<1 vs brute force, but the probe itself (md5-derived integer
     # hyperplane buckets + integer score) mirrors exactly in SQL
     queries["ann_lsh_topk"] = similarity.ann_lsh_topk

@@ -1617,3 +1617,33 @@ dots AS (
 
 
 HARD_NEGATIVES = _hard_negatives_sql()
+
+
+# mirrors similarity.label_norm_quantiles: the shared x1000 quantized
+# squared norm, per-label row_number (norm, vec_id) rank convention
+LABEL_NORM_QUANTILES = """
+WITH q AS (
+    SELECT vec_id,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                AS BIGINT) AS qv
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sum(qv * qv) AS n2 FROM q GROUP BY vec_id),
+j AS (
+    SELECT CAST(e.label AS BIGINT) AS label, n.n2, n.vec_id
+    FROM norms n JOIN embeddings e USING (vec_id)
+),
+t AS (
+    SELECT label, n2,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY n2, vec_id) AS rn,
+           count(*) OVER (PARTITION BY label) AS n
+    FROM j
+)
+SELECT label,
+       CAST(max(CASE WHEN rn = 1 + (50 * (n - 1)) // 100 THEN n2 END)
+            AS BIGINT) AS p50_norm2,
+       CAST(max(CASE WHEN rn = 1 + (90 * (n - 1)) // 100 THEN n2 END)
+            AS BIGINT) AS p90_norm2,
+       CAST(max(n) AS BIGINT) AS n_vecs
+FROM t GROUP BY label ORDER BY label"""

@@ -1431,3 +1431,56 @@ def hard_negatives(sf_dir: str, *, k: int = HN_K, n_queries: int = HN_QUERIES):
     integer score contract, ties to vec_id asc."""
     return _broadcast_exact_topk(sf_dir, k=k, n_queries=n_queries,
                                  exclude="same_label")
+
+
+def label_norm_quantiles(sf_dir: str):
+    """Per-label embedding-norm spectrum: exact p50/p90 of the integer
+    SQUARED norm |q|^2 (the x1000 quantization every scoring path
+    shares) plus the vector count — the norm-outlier audit a curation
+    pass reads before cosine-normalizing or pruning a class (a label
+    whose p90 dwarfs its p50 hides scaling bugs or outliers).
+
+    Label cardinality is BOUNDED, so the Ray-native per-label
+    map_groups is the right plan (segment_price_quantiles' shape);
+    ranks follow the shared _exact_pctiles convention — value at
+    sorted index floor(p*(n-1)/100) under (norm, vec_id) order,
+    mirrored in SQL by row_number."""
+    import pandas as pd
+    import ray.data as rd
+
+    from prlib_ray.relational import _exact_pctiles
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+
+    def norms(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"label": z, "n2": z, "vec_id": z})
+        Q = np.stack(_quantize(b["embedding"].to_pylist()))
+        return pa.table({
+            "label": pa.array(b["label"].to_numpy().astype(np.int64)),
+            "n2": pa.array((Q * Q).sum(axis=1)),
+            "vec_id": pa.array(b["vec_id"].to_numpy().astype(np.int64)),
+        })
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        (p50, p90), n = _exact_pctiles(
+            g["n2"].to_numpy().astype(np.int64),
+            g["vec_id"].to_numpy().astype(np.int64),
+        )
+        return pd.DataFrame({
+            "label": [np.int64(g["label"].iloc[0])],
+            "p50_norm2": [np.int64(p50)],
+            "p90_norm2": [np.int64(p90)],
+            "n_vecs": [np.int64(n)],
+        })
+
+    return (
+        ds.map_batches(norms, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .map_groups(quant, batch_format="pandas")
+        .sort("label")
+    )

@@ -50,6 +50,7 @@ ORACLE_CASES = [
     "hard_negatives",
     "split_leakage",
     "embedding_outliers",
+    "label_norm_quantiles",
 ]
 
 
@@ -695,6 +696,31 @@ def test_knn_label_agreement_tiny_corpora(ray_session, tmp_path):
             .reset_index(drop=True)
         )
         assert df["n_same"].tolist() == want_same, n
+
+
+def test_label_norm_quantiles_constructed(ray_session, tmp_path):
+    """Rank convention on a hand-built spectrum: norms^2 1/4/9/16/25
+    (x10^6 after quantization) under one label -> p50 at sorted index
+    (50*4)//100 = 2 and p90 at (90*4)//100 = 3."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.stages.similarity import label_norm_quantiles
+
+    emb = [[float(i), 0.0] for i in range(1, 6)]
+    pq2.write_table(
+        pa2.table({
+            "vec_id": pa2.array(range(5), type=pa2.int64()),
+            "embedding": pa2.array(emb, type=pa2.list_(pa2.float32())),
+            "label": pa2.array([7] * 5, type=pa2.int32()),
+        }),
+        tmp_path / "embeddings.parquet",
+    )
+    df = label_norm_quantiles(str(tmp_path)).to_pandas()
+    assert df["label"].tolist() == [7]
+    assert df["p50_norm2"].tolist() == [9_000_000]
+    assert df["p90_norm2"].tolist() == [16_000_000]
+    assert df["n_vecs"].tolist() == [5]
 
 
 def test_embedding_outliers_constructed(ray_session, tmp_path):

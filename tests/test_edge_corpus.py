@@ -127,6 +127,8 @@ EDGE_CASES = [
     "tokenizer_budget_curve",
     # lift over two sources where one is all-pathological texts
     "source_word_lift",
+    # per-label quantiles over the 20-vector tiny embeddings
+    "label_norm_quantiles",
 ]
 
 
