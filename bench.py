@@ -188,7 +188,8 @@ def run_bench() -> dict:
                  "hard_negatives", "pii_redact", "split_leakage",
                  "embedding_outliers", "pmi_top_pairs",
                  "tokenizer_budget_curve", "source_word_lift",
-                 "fulfillment_latency", "label_norm_quantiles"):
+                 "fulfillment_latency", "label_norm_quantiles",
+                 "user_path_topk"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

@@ -129,7 +129,7 @@ _PRIORITY = [
     "sales_rollup",
     "funnel_conversion",  # ordered funnel (earliest-event chain)
     "retention_cohorts",  # new: first-active-day cohort retention
-    "interarrival_profile",  # new: event-cadence pow2-gap histogram
+    "user_path_topk",  # new: entry-path analysis (ordered string_agg)
     "asof_latest_order",
     "segment_price_quantiles",
     "search_topk",  # exercises the postings build end-to-end
@@ -155,10 +155,11 @@ _PRIORITY = [
     # integer-score contract is in-window via the ann/knn/hard-negative
     # family; label-level audits repped by cluster_balance)
     "label_centroid_affinity",
-    # displaced by fulfillment_latency (the pow2-histogram + count
-    # partial contract stays in-window twice via interarrival_profile
-    # and fulfillment_latency itself; hot_keys already reps named keys)
-    "key_skew_profile",
+    # displaced by fulfillment_latency / user_path_topk (the
+    # pow2-histogram + count-partial contract stays in-window via
+    # fulfillment_latency; the user-stream lexsort layout via
+    # funnel_conversion + retention_cohorts; hot_keys reps named keys)
+    "key_skew_profile", "interarrival_profile",
     # displaced by pmi_top_pairs (orders_by_segment's grouped-rank
     # discipline is repped by q3's bounded top-10 merge +
     # segment_price_quantiles' per-segment ranking)

@@ -632,6 +632,8 @@ def _register_relational(queries, sql) -> None:
         # order-to-ship latency histogram (fact-fact copart + pow2)
         ("fulfillment_latency", rel.fulfillment_latency,
          orel.FULFILLMENT_LATENCY),
+        # entry-path analysis (ordered string_agg + two-fold top-K)
+        ("user_path_topk", rel.user_path_topk, orel.USER_PATH_TOPK),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

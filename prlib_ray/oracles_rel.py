@@ -519,3 +519,29 @@ b AS (
 SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_items
 FROM b GROUP BY 1 ORDER BY bucket"""
+
+def _user_path_sql() -> str:
+    """Mirror of relational.user_path_topk: per-user row_number in
+    (ts, event_id) order cut at the prefix, string_agg in the same
+    order, path counts, top-K by (n_users DESC, path ASC)."""
+    from prlib_ray.relational import PATH_PREFIX_LEN, PATH_TOPK
+
+    return f"""
+WITH r AS (
+    SELECT user_id, event_type, ts, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+),
+p AS (
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM r WHERE rn <= {PATH_PREFIX_LEN} GROUP BY user_id
+),
+c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_users
+      FROM p GROUP BY path)
+SELECT path, n_users FROM c
+ORDER BY n_users DESC, path LIMIT {PATH_TOPK}"""
+
+
+USER_PATH_TOPK = _user_path_sql()

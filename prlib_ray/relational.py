@@ -2417,3 +2417,102 @@ def fulfillment_latency(sf_dir: str):
         .aggregate(Sum("n", alias_name="n_items"))
         .sort("bucket")
     )
+
+
+PATH_TOPK = 10        # paths reported (n_users DESC, path ASC)
+PATH_PREFIX_LEN = 3   # entry path = the user's first N events
+
+
+def user_path_topk(sf_dir: str, *, k: int = PATH_TOPK,
+                   prefix: int = PATH_PREFIX_LEN):
+    """Entry-path analysis: each user's FIRST ``prefix`` event types
+    joined with '>' ((ts, event_id) order — deterministic under ties),
+    then the k most common entry paths by user count — the
+    product-analytics drilldown behind funnel_conversion (which only
+    checks one fixed chain).  FULL paths measured near-unique per user
+    on the fixtures (every count 1 — a vacuous ranking, the item-48
+    lesson), so the contract is the bounded prefix, which is also what
+    onboarding analyses actually read.
+
+    Plan: events hash into the shared coarse user partitions
+    (_add_user_part — a user never spans parts); per part ONE lexsort
+    orders every user's stream, a position mask keeps the first
+    ``prefix`` rows per user, and a pandas groupby join builds the
+    path strings (per-user string building is inherent, like per-doc
+    md5), pre-combined to (path, n) rows; paths re-partition by path
+    hash (a path can occur in many user parts) where a second fold
+    sums and emits its local top-k; <= k * parts rows merge on the
+    driver."""
+    import zlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": b["user_id"],
+            "ts": pa.array(b["ts"].cast(pa.int64()).to_numpy()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+        })
+        return _add_user_part(t)
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].to_numpy().astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        et = g["event_type"].to_numpy().astype(object)
+        order = np.lexsort((eid, ts, u))
+        u_s = u[order]
+        new = np.r_[True, u_s[1:] != u_s[:-1]]
+        starts = np.flatnonzero(new)
+        run = np.cumsum(new) - 1
+        pos = np.arange(len(u_s)) - starts[run]
+        keep = pos < prefix
+        df = pd.DataFrame({"u": u_s[keep], "t": et[order][keep]})
+        p = df.groupby("u", sort=False)["t"].agg(">".join)
+        cnt = p.value_counts()
+        part = np.asarray(
+            [zlib.crc32(s.encode()) % N_DEDUP_PARTS_REL
+             for s in cnt.index],
+            dtype=np.int64,
+        )
+        return pd.DataFrame({"path": cnt.index.to_numpy(dtype=object),
+                             "n": cnt.to_numpy().astype(np.int64),
+                             "ppart": part})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        p = g["path"].to_numpy().astype(object)
+        n = g["n"].to_numpy().astype(np.int64)
+        order = np.lexsort((p,))
+        p_s, n_s = p[order], n[order]
+        new = np.r_[True, p_s[1:] != p_s[:-1]]
+        gid = np.cumsum(new) - 1
+        tot = np.bincount(gid, weights=n_s).astype(np.int64)
+        pu = p_s[new]
+        o2 = np.lexsort((pu, -tot))[:k]
+        return pd.DataFrame({"path": pu[o2], "n_users": tot[o2]})
+
+    cand = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(paths, batch_format="pandas")
+        .groupby("ppart")
+        .map_groups(fold, batch_format="pandas")
+    ).take_all()
+    if not cand:
+        return pa.table({"path": pa.array([], type=pa.string()),
+                         "n_users": pa.array([], type=pa.int64())})
+    p = np.asarray([r["path"] for r in cand], dtype=object)
+    n = np.asarray([r["n_users"] for r in cand], dtype=np.int64)
+    o = np.lexsort((p, -n))[:k]
+    return pa.table({"path": pa.array(p[o].tolist(), type=pa.string()),
+                     "n_users": pa.array(n[o])})
+
+
+N_DEDUP_PARTS_REL = 64  # path-hash partitions for the user_path fold

@@ -14,6 +14,7 @@ CASES = [
     "bloom_semi_join",
     "orders_with_late_items",
     "fulfillment_latency",
+    "user_path_topk",
     "key_skew_profile",
     "hot_keys",
     "props_field_stats",
@@ -612,3 +613,44 @@ def test_fulfillment_latency_buckets_constructed(ray_session, tmp_path):
     df = fulfillment_latency(str(tmp_path)).to_pandas()
     rows = dict(zip(df["bucket"], df["n_items"]))
     assert rows == {-2: 1, -1: 1, 0: 1, 2: 2}
+
+
+def test_user_path_topk_constructed(ray_session, tmp_path):
+    """Entry-path semantics on hand-built events: only the first
+    PATH_PREFIX_LEN events count (user 1's 4th event is ignored),
+    equal timestamps order by event_id, users in DIFFERENT coarse
+    parts sharing a path merge, and ties rank path-ASC."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import user_path_topk
+    from prlib_ray.stages.reassemble import N_REASSEMBLE_PARTS
+
+    base = 1_700_000_000_000_000  # us epoch
+    # users 1 and 1 + N_REASSEMBLE_PARTS land in different parts but
+    # share the path a>b>c; user 2 has a same-ts tie ordered by
+    # event_id; user 3 has only 2 events (short path b>a)
+    rows = [
+        (10, base + 1, 1, "a"), (11, base + 2, 1, "b"),
+        (12, base + 3, 1, "c"), (13, base + 4, 1, "zzz"),  # cut
+        (20, base + 1, 1 + N_REASSEMBLE_PARTS, "a"),
+        (21, base + 2, 1 + N_REASSEMBLE_PARTS, "b"),
+        (22, base + 3, 1 + N_REASSEMBLE_PARTS, "c"),
+        (30, base + 5, 2, "b"), (31, base + 5, 2, "a"),  # tie: 30<31
+        (32, base + 6, 2, "c"),
+        (40, base + 1, 3, "b"), (41, base + 2, 3, "a"),
+    ]
+    pq2.write_table(pa2.table({
+        "event_id": pa2.array([r[0] for r in rows], type=pa2.int64()),
+        "ts": pa2.array(
+            [np.datetime64(r[1], "us").item() for r in rows],
+            type=pa2.timestamp("us"),
+        ),
+        "user_id": pa2.array([r[2] for r in rows], type=pa2.int64()),
+        "event_type": pa2.array([r[3] for r in rows], type=pa2.string()),
+    }), tmp_path / "events.parquet")
+
+    df = user_path_topk(str(tmp_path)).to_pandas()
+    rows_out = list(zip(df["path"], df["n_users"]))
+    assert rows_out == [("a>b>c", 2), ("b>a", 1), ("b>a>c", 1)]
