@@ -97,7 +97,6 @@ _PRIORITY = [
     "label_norm_quantiles",  # new: per-label norm spectrum (exact pctl)
     "dedup_clusters_minhash",  # oracle-backed in round 3 (recursive CTE)
     "dedup_incremental",
-    "segment_dedup",
     "knn_label_agreement",  # new: label-noise audit (exact kNN vote)
     "hard_negatives",  # new: contrastive wrong-class nearest neighbors
     "ann_ivf_topk",
@@ -123,6 +122,7 @@ _PRIORITY = [
     "cms_word_frequency",  # new: bounded-memory frequency estimates
     "length_rank_transform",  # new: global rank without a global sort
     "q3_top_orders",
+    "basket_part_pairs",  # new: market-basket co-purchase mining
     "bloom_semi_join",  # new: bloom-prefilter semi-join (FP-observable)
     "orders_with_late_items",  # new: correlated-EXISTS fact-fact semi
     "fulfillment_latency",  # new: fact-fact join-attach gap histogram
@@ -155,6 +155,10 @@ _PRIORITY = [
     # integer-score contract is in-window via the ann/knn/hard-negative
     # family; label-level audits repped by cluster_balance)
     "label_centroid_affinity",
+    # displaced by basket_part_pairs (segment_dedup's segment_stats
+    # kernel runs IN-WINDOW inside curate_corpus's heavy-boilerplate
+    # stage; the C4 removal query itself stays sim+pytest covered)
+    "segment_dedup",
     # displaced by fulfillment_latency / user_path_topk (the
     # pow2-histogram + count-partial contract stays in-window via
     # fulfillment_latency; the user-stream lexsort layout via

@@ -634,6 +634,9 @@ def _register_relational(queries, sql) -> None:
          orel.FULFILLMENT_LATENCY),
         # entry-path analysis (ordered string_agg + two-fold top-K)
         ("user_path_topk", rel.user_path_topk, orel.USER_PATH_TOPK),
+        # market-basket co-purchase pairs (Apriori levels 1-2)
+        ("basket_part_pairs", rel.basket_part_pairs,
+         orel.BASKET_PART_PAIRS),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

@@ -545,3 +545,30 @@ ORDER BY n_users DESC, path LIMIT {PATH_TOPK}"""
 
 
 USER_PATH_TOPK = _user_path_sql()
+
+
+def _basket_pairs_sql() -> str:
+    """Mirror of relational.basket_part_pairs: top-F parts by DISTINCT
+    basket count (n DESC, partkey ASC), pair support via the distinct
+    (order, part) self-join, threshold + top-K (support DESC, part_a,
+    part_b); constants interpolate from the implementation module."""
+    from prlib_ray.relational import (BASKET_F, BASKET_K,
+                                      BASKET_MIN_SUPPORT)
+
+    return f"""
+WITH d AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+df AS (SELECT pk, count(*) AS n FROM d GROUP BY pk),
+top AS (SELECT pk FROM df ORDER BY n DESC, pk LIMIT {BASKET_F}),
+dt AS (SELECT ok, pk FROM d JOIN top USING (pk)),
+pairs AS (
+    SELECT a.pk AS part_a, b.pk AS part_b,
+           CAST(count(*) AS BIGINT) AS support
+    FROM dt a JOIN dt b ON a.ok = b.ok AND a.pk < b.pk
+    GROUP BY 1, 2 HAVING count(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT part_a, part_b, support FROM pairs
+ORDER BY support DESC, part_a, part_b LIMIT {BASKET_K}"""
+
+
+BASKET_PART_PAIRS = _basket_pairs_sql()

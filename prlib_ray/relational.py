@@ -2516,3 +2516,101 @@ def user_path_topk(sf_dir: str, *, k: int = PATH_TOPK,
 
 
 N_DEDUP_PARTS_REL = 64  # path-hash partitions for the user_path fold
+
+
+BASKET_F = 64   # pair universe: top-F parts by basket count
+BASKET_K = 15   # pairs reported (support DESC, part_a ASC, part_b ASC)
+BASKET_MIN_SUPPORT = 2
+
+
+def basket_part_pairs(sf_dir: str, *, k: int = BASKET_K):
+    """Market-basket mining over lineitem: the k most-co-purchased part
+    pairs (support = baskets/orders containing BOTH) among the top
+    BASKET_F parts by basket count — the Apriori first two levels, the
+    classic association-rules workload.
+
+    Unlike pmi_top_pairs' documents, a basket spans MANY rows that can
+    land in different batches, so presence must co-locate first:
+    pass 1 folds distinct (order, part) rows per part-hash partition
+    into exact basket counts (a part lives in one partition) and the
+    top-F merge is bounded; pass 2 re-partitions the in-F rows by
+    ORDER hash, builds each partition's basket×F presence matrix and
+    one B.T @ B matmul yields all pair supports — <= F(F+1)/2 rows per
+    partition into a bounded groupby; the <= F^2 final rows rank on
+    the driver."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy().astype(np.int64)
+        pk = b["l_partkey"].to_numpy().astype(np.int64)
+        arr = np.unique(np.stack([ok, pk], axis=1), axis=0)
+        part = (arr[:, 1] % N_COPART).astype(np.int64)
+        return pa.table({"ok": pa.array(arr[:, 0]),
+                         "pk": pa.array(arr[:, 1]),
+                         "part": pa.array(part)})
+
+    def df_fold(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g["ok"].to_numpy().astype(np.int64)
+        pk = g["pk"].to_numpy().astype(np.int64)
+        arr = np.unique(np.stack([ok, pk], axis=1), axis=0)
+        pku, cnt = np.unique(arr[:, 1], return_counts=True)
+        o = np.lexsort((pku, -cnt))[:BASKET_F]
+        return pd.DataFrame({"pk": pku[o], "n": cnt[o].astype(np.int64)})
+
+    cand = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(df_fold, batch_format="pandas")
+    ).take_all()
+    pks = np.asarray([r["pk"] for r in cand], dtype=np.int64)
+    ns = np.asarray([r["n"] for r in cand], dtype=np.int64)
+    o = np.lexsort((pks, -ns))[:BASKET_F]
+    top = np.sort(pks[o])
+
+    def in_f(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy().astype(np.int64)
+        pk = b["l_partkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(top, pk)
+        pos = np.minimum(pos, len(top) - 1)
+        m = top[pos] == pk
+        return pa.table({"ok": pa.array(ok[m]),
+                         "rank": pa.array(pos[m].astype(np.int64)),
+                         "part": pa.array((ok[m] % N_COPART).astype(np.int64))})
+
+    def pair_fold(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g["ok"].to_numpy().astype(np.int64)
+        rk = g["rank"].to_numpy().astype(np.int64)
+        arr = np.unique(np.stack([ok, rk], axis=1), axis=0)
+        oku, inv = np.unique(arr[:, 0], return_inverse=True)
+        B = np.zeros((len(oku), len(top)), dtype=np.int64)
+        B[inv, arr[:, 1]] = 1
+        C = B.T @ B
+        iu, ju = np.triu_indices(len(top), k=1)
+        nz = C[iu, ju] > 0
+        return pd.DataFrame({"i": iu[nz].astype(np.int64),
+                             "j": ju[nz].astype(np.int64),
+                             "n": C[iu, ju][nz]})
+
+    folded = (
+        ds.map_batches(in_f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(pair_fold, batch_format="pandas")
+        .groupby(["i", "j"])
+        .aggregate(Sum("n", alias_name="n"))
+    ).take_all()
+    out = [(int(top[r["i"]]), int(top[r["j"]]), int(r["n"]))
+           for r in folded if int(r["n"]) >= BASKET_MIN_SUPPORT]
+    out.sort(key=lambda t: (-t[2], t[0], t[1]))
+    out = out[:k]
+    return pa.table({
+        "part_a": pa.array([t[0] for t in out], type=pa.int64()),
+        "part_b": pa.array([t[1] for t in out], type=pa.int64()),
+        "support": pa.array([t[2] for t in out], type=pa.int64()),
+    })

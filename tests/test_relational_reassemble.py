@@ -15,6 +15,7 @@ CASES = [
     "orders_with_late_items",
     "fulfillment_latency",
     "user_path_topk",
+    "basket_part_pairs",
     "key_skew_profile",
     "hot_keys",
     "props_field_stats",
@@ -654,3 +655,29 @@ def test_user_path_topk_constructed(ray_session, tmp_path):
     df = user_path_topk(str(tmp_path)).to_pandas()
     rows_out = list(zip(df["path"], df["n_users"]))
     assert rows_out == [("a>b>c", 2), ("b>a", 1), ("b>a>c", 1)]
+
+
+def test_basket_part_pairs_constructed(ray_session, tmp_path):
+    """Support semantics on hand-built baskets: a duplicated lineitem
+    (same order, same part twice) counts ONCE; a part pair supported
+    by two orders beats singletons; under-threshold pairs (support 1)
+    drop; part_a < part_b by key."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import basket_part_pairs
+
+    li = [
+        (1, 100), (1, 200), (1, 200),   # basket 1: {100, 200} (dup row)
+        (2, 100), (2, 200),             # basket 2: {100, 200}
+        (3, 100), (3, 300),             # {100, 300} -> support 1 each
+        (4, 300),                       # singleton basket
+    ]
+    pq2.write_table(pa2.table({
+        "l_orderkey": pa2.array([a for a, _ in li], type=pa2.int64()),
+        "l_partkey": pa2.array([b for _, b in li], type=pa2.int64()),
+    }), tmp_path / "lineitem.parquet")
+
+    df = basket_part_pairs(str(tmp_path)).to_pandas()
+    rows = list(zip(df["part_a"], df["part_b"], df["support"]))
+    assert rows == [(100, 200, 2)]
