@@ -189,7 +189,8 @@ def run_bench() -> dict:
                  "embedding_outliers", "pmi_top_pairs",
                  "tokenizer_budget_curve", "source_word_lift",
                  "fulfillment_latency", "label_norm_quantiles",
-                 "user_path_topk", "basket_part_pairs"):
+                 "user_path_topk", "basket_part_pairs",
+                 "customer_running_total"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

@@ -95,7 +95,6 @@ _PRIORITY = [
     "cluster_balance",  # new: embedding-space class-balance audit
     "embedding_outliers",  # new: farthest-from-own-centroid prune audit
     "label_norm_quantiles",  # new: per-label norm spectrum (exact pctl)
-    "dedup_clusters_minhash",  # oracle-backed in round 3 (recursive CTE)
     "dedup_incremental",
     "knn_label_agreement",  # new: label-noise audit (exact kNN vote)
     "hard_negatives",  # new: contrastive wrong-class nearest neighbors
@@ -127,6 +126,7 @@ _PRIORITY = [
     "orders_with_late_items",  # new: correlated-EXISTS fact-fact semi
     "fulfillment_latency",  # new: fact-fact join-attach gap histogram
     "sales_rollup",
+    "customer_running_total",  # new: cumulative PARTITION-ORDER window
     "funnel_conversion",  # ordered funnel (earliest-event chain)
     "retention_cohorts",  # new: first-active-day cohort retention
     "user_path_topk",  # new: entry-path analysis (ordered string_agg)
@@ -155,6 +155,10 @@ _PRIORITY = [
     # integer-score contract is in-window via the ann/knn/hard-negative
     # family; label-level audits repped by cluster_balance)
     "label_centroid_affinity",
+    # displaced by customer_running_total (the banding that feeds the
+    # cluster labels is in-window via dedup_minhash_lsh; the min-label
+    # fixpoint + recursive-CTE parity stay pytest+sim covered)
+    "dedup_clusters_minhash",
     # displaced by basket_part_pairs (segment_dedup's segment_stats
     # kernel runs IN-WINDOW inside curate_corpus's heavy-boilerplate
     # stage; the C4 removal query itself stays sim+pytest covered)

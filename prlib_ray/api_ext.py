@@ -637,6 +637,9 @@ def _register_relational(queries, sql) -> None:
         # market-basket co-purchase pairs (Apriori levels 1-2)
         ("basket_part_pairs", rel.basket_part_pairs,
          orel.BASKET_PART_PAIRS),
+        # cumulative PARTITION-ORDER window transform (LTV series)
+        ("customer_running_total", rel.customer_running_total,
+         orel.CUSTOMER_RUNNING_TOTAL),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

@@ -572,3 +572,21 @@ ORDER BY support DESC, part_a, part_b LIMIT {BASKET_K}"""
 
 
 BASKET_PART_PAIRS = _basket_pairs_sql()
+
+
+# mirrors relational.customer_running_total: cumulative frame in
+# (o_orderdate, o_orderkey) order per customer over exact cents
+CUSTOMER_RUNNING_TOTAL = f"""
+WITH b AS (
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           {_CENTS.format(expr='o_totalprice')} AS cents
+    FROM orders
+)
+SELECT o_orderkey, o_custkey,
+       CAST(sum(cents) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey)
+            AS BIGINT) AS running_cents,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey)
+            AS BIGINT) AS order_seq
+FROM b ORDER BY o_orderkey"""

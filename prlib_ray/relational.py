@@ -2614,3 +2614,62 @@ def basket_part_pairs(sf_dir: str, *, k: int = BASKET_K):
         "part_b": pa.array([t[1] for t in out], type=pa.int64()),
         "support": pa.array([t[2] for t in out], type=pa.int64()),
     })
+
+
+def customer_running_total(sf_dir: str):
+    """Cumulative-sum window transform: per order, the customer's
+    running order-total cents and 1-based order sequence number, in
+    (o_orderdate, o_orderkey) order — SUM/ROW_NUMBER OVER (PARTITION BY
+    custkey ORDER BY ...), the lifetime-value feature every churn model
+    reads.  The one window-function shape the registry lacked: a
+    cumulative ORDER-BY frame (rolling_event_window is a trailing RANGE
+    frame, pack_sequences a global unpartitioned prefix sum).
+
+    Customers hash into N_COPART coarse partitions (a customer never
+    spans parts); per part ONE lexsort + a run-boundary-adjusted
+    cumsum resolves every customer's running series — no per-customer
+    group, no per-row loop.  Output is one row per order (a transform,
+    not an aggregate), so nothing ever funnels to the driver."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy().astype(np.int64)
+        return pa.table({
+            "part": pa.array(_copart_tag(ck)),
+            "ck": pa.array(ck),
+            "ok": pa.array(b["o_orderkey"].to_numpy().astype(np.int64)),
+            "d": pa.array(b["o_orderdate"].cast(pa.int64()).to_numpy()),
+            "cents": pa.array(_cents(b["o_totalprice"].to_numpy())),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["ck"].to_numpy().astype(np.int64)
+        ok = g["ok"].to_numpy().astype(np.int64)
+        d = g["d"].to_numpy().astype(np.int64)
+        c = g["cents"].to_numpy().astype(np.int64)
+        order = np.lexsort((ok, d, ck))
+        ck_s, ok_s, c_s = ck[order], ok[order], c[order]
+        new = np.r_[True, ck_s[1:] != ck_s[:-1]]
+        starts = np.flatnonzero(new)
+        run = np.cumsum(new) - 1
+        cum = np.cumsum(c_s)
+        base = np.r_[np.int64(0), cum[starts[1:] - 1]][run]
+        seq = np.arange(len(ck_s), dtype=np.int64) - starts[run] + 1
+        return pd.DataFrame({
+            "o_orderkey": ok_s,
+            "o_custkey": ck_s,
+            "running_cents": cum - base,
+            "order_seq": seq,
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+    )

@@ -16,6 +16,7 @@ CASES = [
     "fulfillment_latency",
     "user_path_topk",
     "basket_part_pairs",
+    "customer_running_total",
     "key_skew_profile",
     "hot_keys",
     "props_field_stats",
@@ -681,3 +682,43 @@ def test_basket_part_pairs_constructed(ray_session, tmp_path):
     df = basket_part_pairs(str(tmp_path)).to_pandas()
     rows = list(zip(df["part_a"], df["part_b"], df["support"]))
     assert rows == [(100, 200, 2)]
+
+
+def test_customer_running_total_constructed(ray_session, tmp_path):
+    """Cumulative frame on hand-built orders: same-date ties order by
+    orderkey, runs reset per customer, and customers in different
+    coarse parts never mix."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import customer_running_total
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    day = np.timedelta64(86_400_000_000, "us")
+
+    def ts(x):
+        return x.astype("datetime64[us]").item()
+
+    #            ok  ck  date        price
+    rows = [
+        (5, 1, base + 1 * day, 10.00),   # ck1 #2 (later date)
+        (2, 1, base, 5.00),              # ck1 #1 (earliest)
+        (9, 1, base + 1 * day, 2.50),    # same date as ok5 -> ok asc: 5 then 9
+        (3, 2, base, 100.00),            # ck2 #1
+    ]
+    pq2.write_table(pa2.table({
+        "o_orderkey": pa2.array([r[0] for r in rows], type=pa2.int64()),
+        "o_custkey": pa2.array([r[1] for r in rows], type=pa2.int64()),
+        "o_orderdate": pa2.array([ts(r[2]) for r in rows],
+                                 type=pa2.timestamp("us")),
+        "o_totalprice": pa2.array([r[3] for r in rows],
+                                  type=pa2.float64()),
+    }), tmp_path / "orders.parquet")
+
+    df = (customer_running_total(str(tmp_path)).to_pandas()
+          .sort_values("o_orderkey").reset_index(drop=True))
+    got = {int(r.o_orderkey): (int(r.running_cents), int(r.order_seq))
+           for r in df.itertuples()}
+    assert got == {2: (500, 1), 5: (1500, 2), 9: (1750, 3),
+                   3: (10000, 1)}
