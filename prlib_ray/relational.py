@@ -2239,6 +2239,55 @@ def interarrival_profile(sf_dir: str):
 LATE_SHIP_DAYS = 60
 
 
+def _copart_two_fact_union(left_ds, right_ds, *, left_key, left_t,
+                           right_key, right_t, left_extra=()):
+    """(part, key, t, [extra...], side) union of two FACT tables
+    co-partitioned by _copart_tag(key) — the ONE definition of the
+    fact-fact co-location layout (orders_with_late_items /
+    fulfillment_latency), so the partition scheme and the column
+    shape cannot drift between consumers.  ``left_extra`` is a list of
+    (out_name, src_col) STRING columns carried on the left side only
+    (null-filled on the right so the union schemas match)."""
+
+    def l_norm(b: pa.Table) -> pa.Table:
+        key = b[left_key].to_numpy().astype(np.int64)
+        cols = {"part": pa.array(_copart_tag(key)), "key": pa.array(key),
+                "t": pa.array(b[left_t].cast(pa.int64()).to_numpy())}
+        for name, src in left_extra:
+            cols[name] = b[src]
+        cols["side"] = pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def r_norm(b: pa.Table) -> pa.Table:
+        key = b[right_key].to_numpy().astype(np.int64)
+        cols = {"part": pa.array(_copart_tag(key)), "key": pa.array(key),
+                "t": pa.array(b[right_t].cast(pa.int64()).to_numpy())}
+        for name, _ in left_extra:
+            cols[name] = pa.nulls(b.num_rows, pa.string())
+        cols["side"] = pa.array(np.ones(b.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    return left_ds.map_batches(
+        l_norm, batch_format="pyarrow", zero_copy_batch=True
+    ).union(right_ds.map_batches(
+        r_norm, batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+
+def _sorted_key_attach(ok: np.ndarray, lk: np.ndarray):
+    """Exact-match attach of right-side rows onto sorted left keys:
+    (osort, ok_sorted, pos, hit) — osort sorts the left arrays, pos is
+    each right row's index into the SORTED left side, hit masks exact
+    matches (orphans False).  The shared probe idiom of the fact-fact
+    copart consumers."""
+    osort = np.argsort(ok, kind="stable")
+    ok_s = ok[osort]
+    pos = np.searchsorted(ok_s, lk)
+    pos = np.minimum(pos, len(ok_s) - 1)
+    hit = ok_s[pos] == lk
+    return osort, ok_s, pos, hit
+
+
 def orders_with_late_items(sf_dir: str, *, days: int = LATE_SHIP_DAYS):
     """Per-priority count of orders with >= 1 late-shipped lineitem
     (l_shipdate > o_orderdate + days).  The predicate is CORRELATED —
@@ -2266,32 +2315,11 @@ def orders_with_late_items(sf_dir: str, *, days: int = LATE_SHIP_DAYS):
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
     )
 
-    def ord_norm(b: pa.Table) -> pa.Table:
-        key = b["o_orderkey"].to_numpy().astype(np.int64)
-        part = _copart_tag(key)
-        return pa.table({
-            "part": pa.array(part),
-            "key": pa.array(key),
-            "t": pa.array(b["o_orderdate"].cast(pa.int64()).to_numpy()),
-            "prio": b["o_orderpriority"],
-            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
-        })
-
-    def li_norm(b: pa.Table) -> pa.Table:
-        key = b["l_orderkey"].to_numpy().astype(np.int64)
-        part = _copart_tag(key)
-        return pa.table({
-            "part": pa.array(part),
-            "key": pa.array(key),
-            "t": pa.array(b["l_shipdate"].cast(pa.int64()).to_numpy()),
-            "prio": pa.nulls(b.num_rows, pa.string()),  # never read on this side
-            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
-        })
-
-    both = ord_ds.map_batches(
-        ord_norm, batch_format="pyarrow", zero_copy_batch=True
-    ).union(
-        li_ds.map_batches(li_norm, batch_format="pyarrow", zero_copy_batch=True)
+    both = _copart_two_fact_union(
+        ord_ds, li_ds,
+        left_key="o_orderkey", left_t="o_orderdate",
+        right_key="l_orderkey", right_t="l_shipdate",
+        left_extra=(("prio", "o_orderpriority"),),
     )
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
@@ -2304,15 +2332,12 @@ def orders_with_late_items(sf_dir: str, *, days: int = LATE_SHIP_DAYS):
         })
         if len(o) == 0 or len(l) == 0:
             return empty
-        ok = o["key"].to_numpy().astype(np.int64)
-        ot = o["t"].to_numpy().astype(np.int64)
-        osort = np.argsort(ok, kind="stable")
-        ok, ot = ok[osort], ot[osort]
         lk = l["key"].to_numpy().astype(np.int64)
         lt = l["t"].to_numpy().astype(np.int64)
-        pos = np.searchsorted(ok, lk)
-        pos = np.minimum(pos, len(ok) - 1)
-        hit = ok[pos] == lk  # orphan lineitems drop
+        osort, ok, pos, hit = _sorted_key_attach(
+            o["key"].to_numpy().astype(np.int64), lk
+        )  # orphan lineitems drop
+        ot = o["t"].to_numpy().astype(np.int64)[osort]
         late = np.zeros(len(ok), dtype=bool)
         lm = hit & (lt > ot[pos] + span)
         np.logical_or.at(late, pos[lm], True)
@@ -2358,28 +2383,10 @@ def fulfillment_latency(sf_dir: str):
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
     )
 
-    def ord_norm(b: pa.Table) -> pa.Table:
-        key = b["o_orderkey"].to_numpy().astype(np.int64)
-        return pa.table({
-            "part": pa.array(_copart_tag(key)),
-            "key": pa.array(key),
-            "t": pa.array(b["o_orderdate"].cast(pa.int64()).to_numpy()),
-            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
-        })
-
-    def li_norm(b: pa.Table) -> pa.Table:
-        key = b["l_orderkey"].to_numpy().astype(np.int64)
-        return pa.table({
-            "part": pa.array(_copart_tag(key)),
-            "key": pa.array(key),
-            "t": pa.array(b["l_shipdate"].cast(pa.int64()).to_numpy()),
-            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
-        })
-
-    both = ord_ds.map_batches(
-        ord_norm, batch_format="pyarrow", zero_copy_batch=True
-    ).union(
-        li_ds.map_batches(li_norm, batch_format="pyarrow", zero_copy_batch=True)
+    both = _copart_two_fact_union(
+        ord_ds, li_ds,
+        left_key="o_orderkey", left_t="o_orderdate",
+        right_key="l_orderkey", right_t="l_shipdate",
     )
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
@@ -2390,15 +2397,12 @@ def fulfillment_latency(sf_dir: str):
                               "n": np.array([], dtype=np.int64)})
         if len(o) == 0 or len(l) == 0:
             return empty
-        ok = o["key"].to_numpy().astype(np.int64)
-        ot = o["t"].to_numpy().astype(np.int64)
-        osort = np.argsort(ok, kind="stable")
-        ok, ot = ok[osort], ot[osort]
         lk = l["key"].to_numpy().astype(np.int64)
         lt = l["t"].to_numpy().astype(np.int64)
-        pos = np.searchsorted(ok, lk)
-        pos = np.minimum(pos, len(ok) - 1)
-        hit = ok[pos] == lk  # orphan lineitems drop
+        osort, ok, pos, hit = _sorted_key_attach(
+            o["key"].to_numpy().astype(np.int64), lk
+        )  # orphan lineitems drop
+        ot = o["t"].to_numpy().astype(np.int64)[osort]
         gap_us = lt[hit] - ot[pos[hit]]
         neg = gap_us < 0
         gap_days = gap_us[~neg] // day_us
@@ -2478,7 +2482,7 @@ def user_path_topk(sf_dir: str, *, k: int = PATH_TOPK,
         p = df.groupby("u", sort=False)["t"].agg(">".join)
         cnt = p.value_counts()
         part = np.asarray(
-            [zlib.crc32(s.encode()) % N_DEDUP_PARTS_REL
+            [zlib.crc32(s.encode()) % N_COPART
              for s in cnt.index],
             dtype=np.int64,
         )
@@ -2515,9 +2519,6 @@ def user_path_topk(sf_dir: str, *, k: int = PATH_TOPK,
                      "n_users": pa.array(n[o])})
 
 
-N_DEDUP_PARTS_REL = 64  # path-hash partitions for the user_path fold
-
-
 BASKET_F = 64   # pair universe: top-F parts by basket count
 BASKET_K = 15   # pairs reported (support DESC, part_a ASC, part_b ASC)
 BASKET_MIN_SUPPORT = 2
@@ -2531,13 +2532,15 @@ def basket_part_pairs(sf_dir: str, *, k: int = BASKET_K):
 
     Unlike pmi_top_pairs' documents, a basket spans MANY rows that can
     land in different batches, so presence must co-locate first:
-    pass 1 folds distinct (order, part) rows per part-hash partition
-    into exact basket counts (a part lives in one partition) and the
-    top-F merge is bounded; pass 2 re-partitions the in-F rows by
-    ORDER hash, builds each partition's basket×F presence matrix and
-    one B.T @ B matmul yields all pair supports — <= F(F+1)/2 rows per
-    partition into a bounded groupby; the <= F^2 final rows rank on
-    the driver."""
+    the distinct (order, part) dataset MATERIALIZES ONCE (the
+    cms/tokenizer one-scan discipline — lineitem is the largest table,
+    never read it twice) and feeds both pass 1 — the per part-hash
+    fold into exact basket counts (a part lives in one partition) with
+    a bounded top-F merge — and pass 2, which re-partitions the in-F
+    rows by ORDER hash, builds each partition's basket×F presence
+    matrix, and one B.T @ B matmul yields all pair supports —
+    <= F(F+1)/2 rows per partition into a bounded groupby; the <= F^2
+    final rows rank on the driver."""
     import pandas as pd
     import ray.data as rd
     from ray.data.aggregate import Sum
@@ -2555,6 +2558,9 @@ def basket_part_pairs(sf_dir: str, *, k: int = BASKET_K):
                          "pk": pa.array(arr[:, 1]),
                          "part": pa.array(part)})
 
+    dp = ds.map_batches(distinct_pairs, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+
     def df_fold(g: pd.DataFrame) -> pd.DataFrame:
         ok = g["ok"].to_numpy().astype(np.int64)
         pk = g["pk"].to_numpy().astype(np.int64)
@@ -2564,9 +2570,7 @@ def basket_part_pairs(sf_dir: str, *, k: int = BASKET_K):
         return pd.DataFrame({"pk": pku[o], "n": cnt[o].astype(np.int64)})
 
     cand = (
-        ds.map_batches(distinct_pairs, batch_format="pyarrow",
-                       zero_copy_batch=True)
-        .groupby("part")
+        dp.groupby("part")
         .map_groups(df_fold, batch_format="pandas")
     ).take_all()
     pks = np.asarray([r["pk"] for r in cand], dtype=np.int64)
@@ -2575,8 +2579,8 @@ def basket_part_pairs(sf_dir: str, *, k: int = BASKET_K):
     top = np.sort(pks[o])
 
     def in_f(b: pa.Table) -> pa.Table:
-        ok = b["l_orderkey"].to_numpy().astype(np.int64)
-        pk = b["l_partkey"].to_numpy().astype(np.int64)
+        ok = b["ok"].to_numpy().astype(np.int64)
+        pk = b["pk"].to_numpy().astype(np.int64)
         pos = np.searchsorted(top, pk)
         pos = np.minimum(pos, len(top) - 1)
         m = top[pos] == pk
@@ -2599,7 +2603,7 @@ def basket_part_pairs(sf_dir: str, *, k: int = BASKET_K):
                              "n": C[iu, ju][nz]})
 
     folded = (
-        ds.map_batches(in_f, batch_format="pyarrow", zero_copy_batch=True)
+        dp.map_batches(in_f, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
         .map_groups(pair_fold, batch_format="pandas")
         .groupby(["i", "j"])

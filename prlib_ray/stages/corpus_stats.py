@@ -121,13 +121,24 @@ def _doc_freq_partial(b: pa.Table) -> pa.Table:
     )
 
 
+def _word_part_tags(words) -> pa.Array:
+    """crc32(w) % N_CORPUS_PARTS — the ONE definition of the word-side
+    coarse partition scheme (shared by _vocab_dataset and the
+    source-word fold so the 'a word lives in exactly one part'
+    invariant cannot drift between consumers)."""
+    import zlib
+
+    return pa.array(np.asarray(
+        [zlib.crc32(w.encode()) % N_CORPUS_PARTS for w in words],
+        dtype=np.int64,
+    ))
+
+
 def _vocab_dataset(sf_dir: str, partial_fn):
     """(w, n) vocabulary counts.  The fold runs per WORD-side coarse
     partition (crc32(w) % N_CORPUS_PARTS, one vectorized pandas groupby
     each): vocabulary cardinality scales with the corpus and Ray's
     aggregate pays per-key cost (the dup_ngram_fraction lesson)."""
-    import zlib
-
     import ray.data as rd
 
     ds = rd.read_parquet(
@@ -136,12 +147,7 @@ def _vocab_dataset(sf_dir: str, partial_fn):
 
     def add_part(b: pa.Table) -> pa.Table:
         t = partial_fn(b)
-        part = np.asarray(
-            [zlib.crc32(w.encode()) % N_CORPUS_PARTS
-             for w in t["w"].to_pylist()],
-            dtype=np.int64,
-        )
-        return t.append_column("part", pa.array(part))
+        return t.append_column("part", _word_part_tags(t["w"].to_pylist()))
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -2235,9 +2241,8 @@ def source_word_lift(sf_dir: str, *, k: int = LIFT_K):
 
 
 def _vocab_src_parts(sf_dir: str):
-    """(w, s, c, part) partial Dataset for the source-word fold."""
-    import zlib
-
+    """(w, s, c, part) partial Dataset for the source-word fold —
+    partitioned by the SHARED _word_part_tags scheme."""
     import ray.data as rd
 
     ds = rd.read_parquet(
@@ -2246,12 +2251,7 @@ def _vocab_src_parts(sf_dir: str):
 
     def add_part(b: pa.Table) -> pa.Table:
         t = _source_word_partial(b)
-        part = np.asarray(
-            [zlib.crc32(w.encode()) % N_CORPUS_PARTS
-             for w in t["w"].to_pylist()],
-            dtype=np.int64,
-        )
-        return t.append_column("part", pa.array(part))
+        return t.append_column("part", _word_part_tags(t["w"].to_pylist()))
 
     return ds.map_batches(add_part, batch_format="pyarrow",
                           zero_copy_batch=True)
