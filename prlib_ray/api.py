@@ -90,8 +90,8 @@ _PRIORITY = [
     "dedup_best_survivor",  # new: keep-the-richest-copy survivor policy
     "dedup_winnow_pairs",  # new: MOSS shared-fingerprint near-dup pairs
     "dedup_minhash_lsh",
-    "dedup_simhash",  # oracle-backed in round 3 (md5_number bit mirror)
     "dedup_embedding", "dedup_semantic",
+    "cluster_top_terms",  # new: cross-modal cluster topic labeling
     "cluster_balance",  # new: embedding-space class-balance audit
     "embedding_outliers",  # new: farthest-from-own-centroid prune audit
     "label_norm_quantiles",  # new: per-label norm spectrum (exact pctl)
@@ -155,6 +155,10 @@ _PRIORITY = [
     # integer-score contract is in-window via the ann/knn/hard-negative
     # family; label-level audits repped by cluster_balance)
     "label_centroid_affinity",
+    # displaced by cluster_top_terms (the md5_number bit-mirror parity
+    # is pytest+sim covered; minhash_lsh reps the signature family
+    # in-window, simhash_hamming its hamming-band twin outside)
+    "dedup_simhash",
     # displaced by customer_running_total (the banding that feeds the
     # cluster labels is in-window via dedup_minhash_lsh; the min-label
     # fixpoint + recursive-CTE parity stay pytest+sim covered)

@@ -320,6 +320,9 @@ def _register_data_ops(queries, sql) -> None:
     # characteristic vocabulary per source (integer lift ranking)
     queries["source_word_lift"] = corpus_stats.source_word_lift
     sql["source_word_lift"] = ocorp.SOURCE_WORD_LIFT
+    # cross-modal: characteristic words per EMBEDDING cluster
+    queries["cluster_top_terms"] = corpus_stats.cluster_top_terms
+    sql["cluster_top_terms"] = ocorp.CLUSTER_TOP_TERMS
     # pre-flight data-quality audit (planted corruption mirrors)
     from prlib_ray import oracles_data as odata
 

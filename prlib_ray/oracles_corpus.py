@@ -547,3 +547,66 @@ ORDER BY source, w"""
 
 
 SOURCE_WORD_LIFT = _source_word_lift_sql()
+
+
+def _cluster_top_terms_sql() -> str:
+    """Mirror of corpus_stats.cluster_top_terms: the CLUSTER_BALANCE
+    assignment CTEs (integer dot argmax, smallest-cid ties) INNER-join
+    documents on vec_id = doc_id, then the SOURCE_WORD_LIFT scoring
+    CTEs keyed by cluster; constants interpolate."""
+    from prlib_ray.stages.corpus_stats import LIFT_K, LIFT_SCALE
+    from prlib_ray.stages.similarity import N_SEM_SEEDS
+
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                AS BIGINT) AS qv
+    FROM embeddings
+),
+seeds AS (SELECT vec_id AS cid, i, qv AS sv FROM q
+          WHERE vec_id < {N_SEM_SEEDS}),
+cdots AS (
+    SELECT q.vec_id, s.cid, sum(q.qv * s.sv) AS dot
+    FROM q JOIN seeds s USING (i) GROUP BY q.vec_id, s.cid
+),
+assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, cid ASC) AS rn
+        FROM cdots
+    ) WHERE rn = 1
+),
+toks AS (
+    SELECT a.cid AS cluster,
+           unnest(string_split(d.text, ' ')) AS w
+    FROM assign a JOIN documents d ON d.doc_id = a.vec_id
+),
+nz AS (SELECT cluster, w FROM toks WHERE w <> ''),
+n_sw AS (SELECT cluster, w, CAST(count(*) AS BIGINT) AS c
+         FROM nz GROUP BY 1, 2),
+n_w AS (SELECT w, count(*) AS c FROM nz GROUP BY w),
+n_s AS (SELECT cluster, count(*) AS c FROM nz GROUP BY cluster),
+nn AS (SELECT count(*) AS c FROM nz),
+scored AS (
+    SELECT sw.cluster, sw.w, sw.c AS n_cw,
+           CAST((CAST(sw.c AS HUGEINT) * (SELECT c FROM nn)
+                 * {LIFT_SCALE})
+                // (CAST(ns.c AS HUGEINT) * nw.c) AS BIGINT) AS score
+    FROM n_sw sw
+    JOIN n_w nw USING (w)
+    JOIN n_s ns USING (cluster)
+),
+ranked AS (
+    SELECT cluster, w, n_cw, score,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY score DESC, w ASC) AS rn
+    FROM scored
+)
+SELECT CAST(cluster AS BIGINT) AS cluster, w, n_cw, score
+FROM ranked WHERE rn <= {LIFT_K} ORDER BY cluster, w"""
+
+
+CLUSTER_TOP_TERMS = _cluster_top_terms_sql()

@@ -2160,19 +2160,28 @@ def source_word_lift(sf_dir: str, *, k: int = LIFT_K):
     <= S·k·parts candidate rows merge on the driver.  Scores go
     through exact Python ints whenever n_sw·N·SCALE could overflow
     int64 (the LABEL_CENTROID_AFFINITY discipline)."""
+    return _word_lift_rank(_vocab_src_parts(sf_dir), k=k,
+                           out_col="source")
+
+
+def _word_lift_rank(partials, *, k: int, out_col: str) -> pa.Table:
+    """The lift-scoring + per-group top-k fold over a (w, s, c, part)
+    partials Dataset — ONE definition shared by source_word_lift and
+    cluster_top_terms so the score/tie/fold contract cannot drift.
+    ``out_col`` names the group column in the output table."""
     import pandas as pd
-    import ray.data as rd
     from ray.data.aggregate import Sum
 
-    partials = _vocab_src_parts(sf_dir).materialize()
+    partials = partials.materialize()
     tot = partials.groupby("s").aggregate(Sum("c", alias_name="n")).take_all()
     ns_of = {r["s"]: int(r["n"]) for r in tot}
     n_total = sum(ns_of.values())
+    empty = pa.table({out_col: pa.array([], type=pa.string()),
+                      "w": pa.array([], type=pa.string()),
+                      "n_sw": pa.array([], type=pa.int64()),
+                      "score": pa.array([], type=pa.int64())})
     if n_total == 0:
-        return pa.table({"source": pa.array([], type=pa.string()),
-                         "w": pa.array([], type=pa.string()),
-                         "n_sw": pa.array([], type=pa.int64()),
-                         "score": pa.array([], type=pa.int64())})
+        return empty
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         w = g["w"].to_numpy().astype(object)
@@ -2180,7 +2189,7 @@ def source_word_lift(sf_dir: str, *, k: int = LIFT_K):
         c = g["c"].to_numpy().astype(np.int64)
         order = np.lexsort((s, w))
         w_s, s_s, c_s = w[order], s[order], c[order]
-        # combine per (w, source) across batches
+        # combine per (w, group) across batches
         new = np.r_[True, (w_s[1:] != w_s[:-1]) | (s_s[1:] != s_s[:-1])]
         starts = np.flatnonzero(new)
         gid = np.cumsum(new) - 1
@@ -2199,7 +2208,7 @@ def source_word_lift(sf_dir: str, *, k: int = LIFT_K):
                  for a, b, d in zip(n_sw, ns_arr, n_w)],
                 dtype=np.int64,
             )
-        # per-source local top-k by (score DESC, w ASC)
+        # per-group local top-k by (score DESC, w ASC)
         o2 = np.lexsort((wu, -score, su))
         s2 = su[o2]
         new2 = np.r_[True, s2[1:] != s2[:-1]]
@@ -2207,7 +2216,7 @@ def source_word_lift(sf_dir: str, *, k: int = LIFT_K):
         run = np.cumsum(new2) - 1
         pos = np.arange(len(s2)) - starts2[run]
         keep = o2[pos < k]
-        return pd.DataFrame({"source": su[keep], "w": wu[keep],
+        return pd.DataFrame({"s": su[keep], "w": wu[keep],
                              "n_sw": n_sw[keep], "score": score[keep]})
 
     cand = (
@@ -2215,11 +2224,8 @@ def source_word_lift(sf_dir: str, *, k: int = LIFT_K):
         .map_groups(fold, batch_format="pandas")
     ).take_all()
     if not cand:
-        return pa.table({"source": pa.array([], type=pa.string()),
-                         "w": pa.array([], type=pa.string()),
-                         "n_sw": pa.array([], type=pa.int64()),
-                         "score": pa.array([], type=pa.int64())})
-    src = np.asarray([r["source"] for r in cand], dtype=object)
+        return empty
+    src = np.asarray([r["s"] for r in cand], dtype=object)
     wc = np.asarray([r["w"] for r in cand], dtype=object)
     nsw = np.asarray([r["n_sw"] for r in cand], dtype=np.int64)
     sc = np.asarray([r["score"] for r in cand], dtype=np.int64)
@@ -2233,7 +2239,7 @@ def source_word_lift(sf_dir: str, *, k: int = LIFT_K):
     ko = np.lexsort((wc[keep], -sc[keep], src[keep]))
     keep = keep[ko]
     return pa.table({
-        "source": pa.array(src[keep].tolist(), type=pa.string()),
+        out_col: pa.array(src[keep].tolist(), type=pa.string()),
         "w": pa.array(wc[keep].tolist(), type=pa.string()),
         "n_sw": pa.array(nsw[keep]),
         "score": pa.array(sc[keep]),
@@ -2255,3 +2261,116 @@ def _vocab_src_parts(sf_dir: str):
 
     return ds.map_batches(add_part, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def cluster_top_terms(sf_dir: str, *, k: int = LIFT_K):
+    """CROSS-MODAL drilldown: the characteristic words of each
+    EMBEDDING cluster's documents — "what is this region of embedding
+    space about?", the topic-labeling report a curation pipeline reads
+    after clustering.  Clusters come from dedup_semantic's exact
+    assignment contract (integer dot argmax over the N_SEM_SEEDS
+    lowest-id seed vectors, ties to the smallest centroid id); each
+    embedding joins its document by vec_id == doc_id (docs without an
+    embedding drop — INNER-join parity); words score with the SAME
+    integer lift contract as source_word_lift via the shared
+    _word_lift_rank fold.
+
+    Scale plan: documents and embeddings co-partition by id hash (a
+    doc/vector id never spans parts); per part one searchsorted
+    attaches each doc's cluster, one _flat_words pass folds
+    (w, cluster, c) partials tagged by the shared word-partition
+    scheme — neither table broadcasts, the assignment never leaves
+    the workers, and the lift fold is the proven machinery."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from prlib_ray.stages.similarity import (N_SEM_SEEDS, _low_id_seed_matrix,
+                                             _quantize)
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    S, _ = _low_id_seed_matrix(emb, N_SEM_SEEDS)
+    sref = ray.put(S)
+    n_id_parts = N_CORPUS_PARTS
+
+    def emb_norm(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"part": z, "id": z, "cluster": z,
+                             "text": pa.array([], type=pa.string())})
+        S_ = ray.get(sref)
+        ids = b["vec_id"].to_numpy().astype(np.int64)
+        Q = np.stack(_quantize(b["embedding"].to_pylist()))
+        cid = np.argmax(Q @ S_.T, axis=1).astype(np.int64)
+        return pa.table({
+            "part": pa.array(ids % n_id_parts),
+            "id": pa.array(ids),
+            "cluster": pa.array(cid),
+            "text": pa.nulls(b.num_rows, pa.string()),
+        })
+
+    def doc_norm(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "part": pa.array(ids % n_id_parts),
+            "id": pa.array(ids),
+            "cluster": pa.array(np.full(b.num_rows, -1, dtype=np.int64)),
+            "text": b["text"],
+        })
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    both = emb.map_batches(
+        emb_norm, batch_format="pyarrow", zero_copy_batch=True
+    ).union(docs.map_batches(
+        doc_norm, batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+    def attach_and_count(g: pd.DataFrame) -> pd.DataFrame:
+        is_doc = g["cluster"].to_numpy() == -1
+        e = g[~is_doc]
+        d = g[is_doc]
+        if len(e) == 0 or len(d) == 0:
+            return pd.DataFrame({"w": np.array([], dtype=object),
+                                 "s": np.array([], dtype=object),
+                                 "c": np.array([], dtype=np.int64),
+                                 "part": np.array([], dtype=np.int64)})
+        eid = e["id"].to_numpy().astype(np.int64)
+        ecl = e["cluster"].to_numpy().astype(np.int64)
+        es = np.argsort(eid, kind="stable")
+        eid_s, ecl_s = eid[es], ecl[es]
+        did = d["id"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(eid_s, did)
+        pos = np.minimum(pos, len(eid_s) - 1)
+        hit = eid_s[pos] == did  # docs without an embedding drop
+        texts = d["text"].to_numpy()[hit]
+        clus = ecl_s[pos[hit]]
+        t = pa.table({
+            "text": pa.array(texts.tolist(), type=pa.string()),
+            "source": pa.array([str(c) for c in clus], type=pa.string()),
+        })
+        p = _source_word_partial(t)
+        return pd.DataFrame({
+            "w": np.asarray(p["w"].to_pylist(), dtype=object),
+            "s": np.asarray(p["s"].to_pylist(), dtype=object),
+            "c": p["c"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "part": _word_part_tags(p["w"].to_pylist()).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+        })
+
+    partials = both.groupby("part").map_groups(
+        attach_and_count, batch_format="pandas"
+    )
+    out = _word_lift_rank(partials, k=k, out_col="cluster_s")
+    return pa.table({
+        "cluster": pa.array(
+            [int(x) for x in out["cluster_s"].to_pylist()],
+            type=pa.int64(),
+        ),
+        "w": out["w"],
+        "n_cw": out["n_sw"],
+        "score": out["score"],
+    })

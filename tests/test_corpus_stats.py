@@ -14,10 +14,11 @@ import pytest
 @pytest.fixture(scope="module")
 def con(sf_dir):
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{sf_dir}/documents.parquet')"
-    )
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
     return con
 
 
@@ -33,7 +34,8 @@ CASES = ["unigram_freq_score", "tfidf_top_term", "dup_ngram_fraction",
          "build_inverted_index", "search_topk", "bigram_lm_score",
          "source_overlap", "source_minhash_jaccard", "vocab_oov_rate",
          "cms_word_frequency", "length_rank_transform", "pmi_top_pairs",
-         "tokenizer_budget_curve", "source_word_lift"]
+         "tokenizer_budget_curve", "source_word_lift",
+         "cluster_top_terms"]
 
 
 def _cmp(df, odf, name):
@@ -554,3 +556,52 @@ def test_source_word_lift_constructed(ray_session, tmp_path):
         ("srcB", "bee", 3, 20000),
         ("srcB", "com", 1, 6666),
     ]
+
+
+def test_cluster_top_terms_constructed(ray_session, tmp_path):
+    """Cross-modal semantics: non-seed vectors 8/9 assign to seed 0's
+    direction so cluster 0 aggregates docs {0, 8, 9}; a doc with NO
+    embedding row ('ghost') drops entirely (inner-join parity); the
+    lift tie (apple/banana both 2.4x) breaks word-ASC."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.stages.corpus_stats import cluster_top_terms
+
+    # ids 0-7 are seeds (each assigns to itself: distinct directions);
+    # ids 8, 9 point along seed 0's axis with larger norm -> cluster 0
+    def axis(i, scale=1.0):
+        v = [0.0] * 8
+        v[i] = scale
+        return v
+
+    emb = [axis(i) for i in range(8)] + [axis(0, 2.0), axis(0, 3.0)]
+    pq2.write_table(
+        pa2.table({
+            "vec_id": pa2.array(range(10), type=pa2.int64()),
+            "embedding": pa2.array(emb, type=pa2.list_(pa2.float32())),
+        }),
+        tmp_path / "embeddings.parquet",
+    )
+    texts = {0: "apple apple", 8: "apple banana", 9: "apple",
+             99: "ghost"}
+    for i in range(1, 8):
+        texts[i] = "zebra"
+    ids = sorted(texts)
+    pq2.write_table(
+        pa2.table({
+            "doc_id": pa2.array(ids, type=pa2.int64()),
+            "text": pa2.array([texts[i] for i in ids],
+                              type=pa2.string()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    df = cluster_top_terms(str(tmp_path)).to_pandas()
+    assert "ghost" not in set(df["w"])
+    c0 = df[df["cluster"] == 0].reset_index(drop=True)
+    rows = list(zip(c0["w"], c0["n_cw"], c0["score"]))
+    # cluster 0: 5 tokens; apple 4*12/(5*4), banana 1*12/(5*1) — tie
+    assert rows == [("apple", 4, 24000), ("banana", 1, 24000)]
+    z = df[df["w"] == "zebra"]
+    assert set(z["cluster"]) == set(range(1, 8))
+    assert (z["score"] == 17142).all()  # 1*12/(1*7) -> floor

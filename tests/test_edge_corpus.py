@@ -129,6 +129,8 @@ EDGE_CASES = [
     "source_word_lift",
     # per-label quantiles over the 20-vector tiny embeddings
     "label_norm_quantiles",
+    # cross-modal join where doc ids 10+ have no embedding (20 vecs)
+    "cluster_top_terms",
 ]
 
 
