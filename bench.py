@@ -190,7 +190,8 @@ def run_bench() -> dict:
                  "tokenizer_budget_curve", "source_word_lift",
                  "fulfillment_latency", "label_norm_quantiles",
                  "user_path_topk", "basket_part_pairs",
-                 "customer_running_total", "cluster_top_terms"):
+                 "customer_running_total", "cluster_top_terms",
+                 "q14_promo_revenue"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

@@ -121,9 +121,9 @@ _PRIORITY = [
     "cms_word_frequency",  # new: bounded-memory frequency estimates
     "length_rank_transform",  # new: global rank without a global sort
     "q3_top_orders",
+    "q14_promo_revenue",  # new: promo share via copart dimension join
     "basket_part_pairs",  # new: market-basket co-purchase mining
     "bloom_semi_join",  # new: bloom-prefilter semi-join (FP-observable)
-    "orders_with_late_items",  # new: correlated-EXISTS fact-fact semi
     "fulfillment_latency",  # new: fact-fact join-attach gap histogram
     "sales_rollup",
     "customer_running_total",  # new: cumulative PARTITION-ORDER window
@@ -155,6 +155,11 @@ _PRIORITY = [
     # integer-score contract is in-window via the ann/knn/hard-negative
     # family; label-level audits repped by cluster_balance)
     "label_centroid_affinity",
+    # displaced by q14_promo_revenue (the _copart_two_fact_union +
+    # _sorted_key_attach kernel is literally SHARED code now exercised
+    # in-window by fulfillment_latency AND q14; the once-per-order
+    # EXISTS fold stays sim+pytest covered)
+    "orders_with_late_items",
     # displaced by cluster_top_terms (the md5_number bit-mirror parity
     # is pytest+sim covered; minhash_lsh reps the signature family
     # in-window, simhash_hamming its hamming-band twin outside)

@@ -643,6 +643,9 @@ def _register_relational(queries, sql) -> None:
         # cumulative PARTITION-ORDER window transform (LTV series)
         ("customer_running_total", rel.customer_running_total,
          orel.CUSTOMER_RUNNING_TOTAL),
+        # TPC-H Q14 shape: promo revenue share (copart part join)
+        ("q14_promo_revenue", rel.q14_promo_revenue,
+         orel.Q14_PROMO_REVENUE),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

@@ -590,3 +590,30 @@ SELECT o_orderkey, o_custkey,
                                ORDER BY o_orderdate, o_orderkey)
             AS BIGINT) AS order_seq
 FROM b ORDER BY o_orderkey"""
+
+
+def _q14_sql() -> str:
+    """Mirror of relational.q14_promo_revenue: the shared per-row
+    disc-price cents contract, promo flag via p_type = 'PROMO', exact
+    integer permille (all positive, // truncation == floor)."""
+    from prlib_ray.relational import Q14_HI, Q14_LO
+
+    cents = _CENTS.format(expr="l.l_extendedprice * (1.0 - l.l_discount)")
+    return f"""
+WITH j AS (
+    SELECT {cents} AS rev,
+           CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS promo
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '{Q14_LO}'
+      AND l.l_shipdate < TIMESTAMP '{Q14_HI}'
+),
+s AS (SELECT coalesce(sum(rev * promo), 0) AS p,
+             coalesce(sum(rev), 0) AS t FROM j)
+SELECT CAST(p AS BIGINT) AS promo_cents,
+       CAST(t AS BIGINT) AS total_cents,
+       CAST(CASE WHEN t = 0 THEN 0 ELSE (1000 * p) // t END AS BIGINT)
+           AS promo_permille
+FROM s"""
+
+
+Q14_PROMO_REVENUE = _q14_sql()

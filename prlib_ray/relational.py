@@ -2677,3 +2677,102 @@ def customer_running_total(sf_dir: str):
         .groupby("part")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+Q14_LO, Q14_HI = "1995-09-01", "1995-10-01"
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: the promotion-revenue share of one ship-date
+    month — promo_permille = 1000 * promo_cents // total_cents, both
+    sums exact int64 under the shared per-row disc-price cents contract
+    (floor(price*(1-disc)*100+0.5), the Q1/Q3 IEEE expression tree).
+
+    part is nominally a dimension, but the join runs on the fact-fact
+    co-partition layout anyway (both sides hash by partkey through the
+    shared _copart_tag, per part one _sorted_key_attach) — the plan
+    that still holds when the part catalog is itself huge; the date
+    filter pushes into the parquet scan so only the window's row
+    groups leave storage."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(Q14_LO, "us")
+    hi = np.datetime64(Q14_HI, "us")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= pa.scalar(lo))
+                & (pc.field("l_shipdate") < pa.scalar(hi))),
+    )
+    part_ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+
+    def part_norm(b: pa.Table) -> pa.Table:
+        key = b["p_partkey"].to_numpy().astype(np.int64)
+        promo = pc.equal(b["p_type"], "PROMO").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"part": pa.array(_copart_tag(key)),
+                         "key": pa.array(key),
+                         "v": pa.array(promo),
+                         "side": pa.array(np.zeros(b.num_rows,
+                                                   dtype=np.int8))})
+
+    def li_norm(b: pa.Table) -> pa.Table:
+        m = ((b["l_shipdate"].cast(pa.int64()).to_numpy()
+              >= lo.astype(np.int64))
+             & (b["l_shipdate"].cast(pa.int64()).to_numpy()
+                < hi.astype(np.int64)))
+        key = b["l_partkey"].to_numpy().astype(np.int64)[m]
+        price = b["l_extendedprice"].to_numpy()[m]
+        disc = b["l_discount"].to_numpy()[m]
+        return pa.table({"part": pa.array(_copart_tag(key)),
+                         "key": pa.array(key),
+                         "v": pa.array(_cents(price * (1.0 - disc))),
+                         "side": pa.array(np.ones(len(key),
+                                                  dtype=np.int8))})
+
+    both = part_ds.map_batches(
+        part_norm, batch_format="pyarrow", zero_copy_batch=True
+    ).union(li.map_batches(
+        li_norm, batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        p = g[side == 0]
+        l = g[side == 1]
+        if len(p) == 0 or len(l) == 0:
+            return pd.DataFrame({
+                "promo_cents": np.array([0], dtype=np.int64),
+                "total_cents": np.array([0], dtype=np.int64),
+            })
+        lk = l["key"].to_numpy().astype(np.int64)
+        rev = l["v"].to_numpy().astype(np.int64)
+        osort, pk, pos, hit = _sorted_key_attach(
+            p["key"].to_numpy().astype(np.int64), lk
+        )  # lineitems with an unknown part drop (inner-join parity)
+        promo = p["v"].to_numpy().astype(np.int64)[osort]
+        total = int(rev[hit].sum())
+        pro = int((rev[hit] * promo[pos[hit]]).sum())
+        return pd.DataFrame({"promo_cents": np.array([pro], dtype=np.int64),
+                             "total_cents": np.array([total],
+                                                     dtype=np.int64)})
+
+    agg = (
+        both.groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .aggregate(Sum("promo_cents", alias_name="p"),
+                   Sum("total_cents", alias_name="t"))
+    )
+    pro, tot = int(agg["p"] or 0), int(agg["t"] or 0)
+    return pa.table({
+        "promo_cents": pa.array([pro], type=pa.int64()),
+        "total_cents": pa.array([tot], type=pa.int64()),
+        "promo_permille": pa.array(
+            [0 if tot == 0 else (1000 * pro) // tot], type=pa.int64()
+        ),
+    })

@@ -17,6 +17,7 @@ CASES = [
     "user_path_topk",
     "basket_part_pairs",
     "customer_running_total",
+    "q14_promo_revenue",
     "key_skew_profile",
     "hot_keys",
     "props_field_stats",
@@ -722,3 +723,47 @@ def test_customer_running_total_constructed(ray_session, tmp_path):
            for r in df.itertuples()}
     assert got == {2: (500, 1), 5: (1500, 2), 9: (1750, 3),
                    3: (10000, 1)}
+
+
+def test_q14_promo_revenue_constructed(ray_session, tmp_path):
+    """Promo-share semantics on hand-built facts: only in-window
+    lineitems count (boundary: HI is exclusive, LO inclusive), the
+    promo flag is exact string equality, unknown-part lineitems drop,
+    and the permille floors."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import Q14_LO, q14_promo_revenue
+
+    lo = np.datetime64(Q14_LO, "us")
+    day = np.timedelta64(86_400_000_000, "us")
+
+    def ts(x):
+        return x.astype("datetime64[us]").item()
+
+    pq2.write_table(pa2.table({
+        "p_partkey": pa2.array([1, 2, 3], type=pa2.int64()),
+        "p_type": pa2.array(["PROMO", "STANDARD", "PROMO large"]),
+    }), tmp_path / "part.parquet")
+    li = [
+        (1, lo, 1.00, 0.0),             # promo, in window: 100 cents
+        (2, lo + day, 2.00, 0.5),       # standard, in: 100 cents
+        (1, lo - day, 9.00, 0.0),       # before LO -> out
+        (1, lo + 30 * day, 9.00, 0.0),  # exactly HI -> out (exclusive)
+        (3, lo, 9.00, 0.0),             # 'PROMO large' != 'PROMO': not promo
+        (99, lo, 9.00, 0.0),            # unknown part -> drops
+    ]
+    pq2.write_table(pa2.table({
+        "l_partkey": pa2.array([r[0] for r in li], type=pa2.int64()),
+        "l_shipdate": pa2.array([ts(r[1]) for r in li],
+                                type=pa2.timestamp("us")),
+        "l_extendedprice": pa2.array([r[2] for r in li],
+                                     type=pa2.float64()),
+        "l_discount": pa2.array([r[3] for r in li], type=pa2.float64()),
+    }), tmp_path / "lineitem.parquet")
+
+    t = q14_promo_revenue(str(tmp_path))
+    assert t["promo_cents"][0].as_py() == 100
+    assert t["total_cents"][0].as_py() == 100 + 100 + 900
+    assert t["promo_permille"][0].as_py() == (1000 * 100) // 1100
