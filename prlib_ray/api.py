@@ -125,7 +125,7 @@ _PRIORITY = [
     "basket_part_pairs",  # new: market-basket co-purchase mining
     "bloom_semi_join",  # new: bloom-prefilter semi-join (FP-observable)
     "fulfillment_latency",  # new: fact-fact join-attach gap histogram
-    "sales_rollup",
+    "brand_supplier_counts",  # new: grouped COUNT DISTINCT (Q16 shape)
     "customer_running_total",  # new: cumulative PARTITION-ORDER window
     "funnel_conversion",  # ordered funnel (earliest-event chain)
     "retention_cohorts",  # new: first-active-day cohort retention
@@ -155,6 +155,10 @@ _PRIORITY = [
     # integer-score contract is in-window via the ann/knn/hard-negative
     # family; label-level audits repped by cluster_balance)
     "label_centroid_affinity",
+    # displaced by brand_supplier_counts (GROUPING SETS' one-pass
+    # distributive grains are a bounded driver fold like q3's merge;
+    # the rollup query stays sim+pytest covered)
+    "sales_rollup",
     # displaced by q14_promo_revenue (the _copart_two_fact_union +
     # _sorted_key_attach kernel is literally SHARED code now exercised
     # in-window by fulfillment_latency AND q14; the once-per-order

@@ -646,6 +646,9 @@ def _register_relational(queries, sql) -> None:
         # TPC-H Q14 shape: promo revenue share (copart part join)
         ("q14_promo_revenue", rel.q14_promo_revenue,
          orel.Q14_PROMO_REVENUE),
+        # TPC-H Q16 shape: grouped COUNT DISTINCT via two co-locations
+        ("brand_supplier_counts", rel.brand_supplier_counts,
+         orel.BRAND_SUPPLIER_COUNTS),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

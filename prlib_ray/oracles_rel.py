@@ -617,3 +617,16 @@ FROM s"""
 
 
 Q14_PROMO_REVENUE = _q14_sql()
+
+
+# mirrors relational.brand_supplier_counts: inner join (orphans drop),
+# global distinct triples, bounded group count
+BRAND_SUPPLIER_COUNTS = """
+WITH j AS (
+    SELECT p.p_brand AS brand, CAST(p.p_size AS BIGINT) AS size,
+           l.l_suppkey AS supp
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+d AS (SELECT DISTINCT brand, size, supp FROM j)
+SELECT brand, size, CAST(count(*) AS BIGINT) AS n_suppliers
+FROM d GROUP BY 1, 2 ORDER BY brand, size"""

@@ -2776,3 +2776,99 @@ def q14_promo_revenue(sf_dir: str):
             [0 if tot == 0 else (1000 * pro) // tot], type=pa.int64()
         ),
     })
+
+
+def brand_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape: per (p_brand, p_size), the number of DISTINCT
+    suppliers that shipped such parts — grouped COUNT(DISTINCT) across
+    a fact-dimension join, the shape whose naive global distinct is an
+    all-to-all shuffle.
+
+    Plan: lineitem and part co-partition by partkey (the shared
+    _sorted_key_attach probe attaches brand/size to each lineitem;
+    orphans drop); each partition emits its DISTINCT (brand, size,
+    supplier) triples pre-combined, which re-partition by SUPPLIER
+    hash — a triple lives in exactly one supplier partition, so a
+    per-part drop_duplicates is globally exact and only (brand, size,
+    1-per-distinct-supplier) count partials reach the bounded
+    (<= brands x sizes) final groupby."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    part_ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+
+    def part_norm(b: pa.Table) -> pa.Table:
+        key = b["p_partkey"].to_numpy().astype(np.int64)
+        return pa.table({
+            "part": pa.array(_copart_tag(key)), "key": pa.array(key),
+            "brand": b["p_brand"],
+            "size": pa.array(b["p_size"].to_numpy().astype(np.int64)),
+            "supp": pa.array(np.full(b.num_rows, -1, dtype=np.int64)),
+            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+        })
+
+    def li_norm(b: pa.Table) -> pa.Table:
+        key = b["l_partkey"].to_numpy().astype(np.int64)
+        return pa.table({
+            "part": pa.array(_copart_tag(key)), "key": pa.array(key),
+            "brand": pa.nulls(b.num_rows, pa.string()),
+            "size": pa.array(np.full(b.num_rows, -1, dtype=np.int64)),
+            "supp": pa.array(b["l_suppkey"].to_numpy().astype(np.int64)),
+            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+        })
+
+    both = part_ds.map_batches(
+        part_norm, batch_format="pyarrow", zero_copy_batch=True
+    ).union(li.map_batches(
+        li_norm, batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        p = g[side == 0]
+        l = g[side == 1]
+        empty = pd.DataFrame({
+            "brand": np.array([], dtype=object),
+            "size": np.array([], dtype=np.int64),
+            "supp": np.array([], dtype=np.int64),
+            "spart": np.array([], dtype=np.int64),
+        })
+        if len(p) == 0 or len(l) == 0:
+            return empty
+        lk = l["key"].to_numpy().astype(np.int64)
+        osort, pk, pos, hit = _sorted_key_attach(
+            p["key"].to_numpy().astype(np.int64), lk
+        )  # lineitems with an unknown part drop
+        brand = p["brand"].to_numpy()[osort]
+        size = p["size"].to_numpy().astype(np.int64)[osort]
+        supp = l["supp"].to_numpy().astype(np.int64)
+        t = pd.DataFrame({
+            "brand": brand[pos[hit]],
+            "size": size[pos[hit]],
+            "supp": supp[hit],
+        }).drop_duplicates()
+        t["spart"] = (t["supp"].to_numpy() % N_COPART).astype(np.int64)
+        return t
+
+    def count_fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["brand", "size", "supp"]].drop_duplicates()
+        out = (d.groupby(["brand", "size"], sort=False, as_index=False)
+               .agg(n=("supp", "size")))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (
+        both.groupby("part")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("spart")
+        .map_groups(count_fold, batch_format="pandas")
+        .groupby(["brand", "size"])
+        .aggregate(Sum("n", alias_name="n_suppliers"))
+        .sort(["brand", "size"])
+    )

@@ -18,6 +18,7 @@ CASES = [
     "basket_part_pairs",
     "customer_running_total",
     "q14_promo_revenue",
+    "brand_supplier_counts",
     "key_skew_profile",
     "hot_keys",
     "props_field_stats",
@@ -767,3 +768,35 @@ def test_q14_promo_revenue_constructed(ray_session, tmp_path):
     assert t["promo_cents"][0].as_py() == 100
     assert t["total_cents"][0].as_py() == 100 + 100 + 900
     assert t["promo_permille"][0].as_py() == (1000 * 100) // 1100
+
+
+def test_brand_supplier_counts_constructed(ray_session, tmp_path):
+    """COUNT-DISTINCT semantics on hand-built facts: the same supplier
+    shipping the same (brand, size) through DIFFERENT parts counts
+    once; different suppliers accumulate; unknown-part lineitems
+    drop."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import brand_supplier_counts
+
+    pq2.write_table(pa2.table({
+        "p_partkey": pa2.array([1, 2, 3], type=pa2.int64()),
+        "p_brand": pa2.array(["B1", "B1", "B2"]),
+        "p_size": pa2.array([5, 5, 9], type=pa2.int32()),
+    }), tmp_path / "part.parquet")
+    li = [
+        (1, 100),  # (B1, 5) via part 1
+        (2, 100),  # same supplier, same (B1, 5) via part 2 -> once
+        (1, 200),  # second supplier for (B1, 5)
+        (3, 100),  # (B2, 9)
+        (99, 300),  # unknown part -> drops
+    ]
+    pq2.write_table(pa2.table({
+        "l_partkey": pa2.array([a for a, _ in li], type=pa2.int64()),
+        "l_suppkey": pa2.array([b for _, b in li], type=pa2.int64()),
+    }), tmp_path / "lineitem.parquet")
+
+    df = brand_supplier_counts(str(tmp_path)).to_pandas()
+    rows = set(zip(df["brand"], df["size"], df["n_suppliers"]))
+    assert rows == {("B1", 5, 2), ("B2", 9, 1)}
