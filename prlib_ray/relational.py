@@ -2524,6 +2524,16 @@ BASKET_K = 15   # pairs reported (support DESC, part_a ASC, part_b ASC)
 BASKET_MIN_SUPPORT = 2
 
 
+def _distinct_rows2(a: np.ndarray, b: np.ndarray):
+    """Distinct (a, b) int64 pairs via ONE lexsort + boundary mask —
+    measured several times faster than np.unique(axis=0)'s void-record
+    sort on fact-table batches; no overflow-prone key packing."""
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    keep = np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+    return a_s[keep], b_s[keep]
+
+
 def basket_part_pairs(sf_dir: str, *, k: int = BASKET_K):
     """Market-basket mining over lineitem: the k most-co-purchased part
     pairs (support = baskets/orders containing BOTH) among the top
@@ -2550,22 +2560,20 @@ def basket_part_pairs(sf_dir: str, *, k: int = BASKET_K):
     )
 
     def distinct_pairs(b: pa.Table) -> pa.Table:
-        ok = b["l_orderkey"].to_numpy().astype(np.int64)
-        pk = b["l_partkey"].to_numpy().astype(np.int64)
-        arr = np.unique(np.stack([ok, pk], axis=1), axis=0)
-        part = (arr[:, 1] % N_COPART).astype(np.int64)
-        return pa.table({"ok": pa.array(arr[:, 0]),
-                         "pk": pa.array(arr[:, 1]),
-                         "part": pa.array(part)})
+        ok, pk = _distinct_rows2(
+            b["l_orderkey"].to_numpy().astype(np.int64),
+            b["l_partkey"].to_numpy().astype(np.int64),
+        )
+        return pa.table({"ok": pa.array(ok), "pk": pa.array(pk),
+                         "part": pa.array((pk % N_COPART).astype(np.int64))})
 
     dp = ds.map_batches(distinct_pairs, batch_format="pyarrow",
                         zero_copy_batch=True).materialize()
 
     def df_fold(g: pd.DataFrame) -> pd.DataFrame:
-        ok = g["ok"].to_numpy().astype(np.int64)
-        pk = g["pk"].to_numpy().astype(np.int64)
-        arr = np.unique(np.stack([ok, pk], axis=1), axis=0)
-        pku, cnt = np.unique(arr[:, 1], return_counts=True)
+        _, pk_d = _distinct_rows2(g["ok"].to_numpy().astype(np.int64),
+                                  g["pk"].to_numpy().astype(np.int64))
+        pku, cnt = np.unique(pk_d, return_counts=True)
         o = np.lexsort((pku, -cnt))[:BASKET_F]
         return pd.DataFrame({"pk": pku[o], "n": cnt[o].astype(np.int64)})
 
@@ -2589,12 +2597,11 @@ def basket_part_pairs(sf_dir: str, *, k: int = BASKET_K):
                          "part": pa.array((ok[m] % N_COPART).astype(np.int64))})
 
     def pair_fold(g: pd.DataFrame) -> pd.DataFrame:
-        ok = g["ok"].to_numpy().astype(np.int64)
-        rk = g["rank"].to_numpy().astype(np.int64)
-        arr = np.unique(np.stack([ok, rk], axis=1), axis=0)
-        oku, inv = np.unique(arr[:, 0], return_inverse=True)
+        ok_d, rk_d = _distinct_rows2(g["ok"].to_numpy().astype(np.int64),
+                                     g["rank"].to_numpy().astype(np.int64))
+        oku, inv = np.unique(ok_d, return_inverse=True)
         B = np.zeros((len(oku), len(top)), dtype=np.int64)
-        B[inv, arr[:, 1]] = 1
+        B[inv, rk_d] = 1
         C = B.T @ B
         iu, ju = np.triu_indices(len(top), k=1)
         nz = C[iu, ju] > 0
