@@ -550,35 +550,14 @@ SOURCE_WORD_LIFT = _source_word_lift_sql()
 
 
 def _cluster_top_terms_sql() -> str:
-    """Mirror of corpus_stats.cluster_top_terms: the CLUSTER_BALANCE
-    assignment CTEs (integer dot argmax, smallest-cid ties) INNER-join
-    documents on vec_id = doc_id, then the SOURCE_WORD_LIFT scoring
-    CTEs keyed by cluster; constants interpolate."""
+    """Mirror of corpus_stats.cluster_top_terms: the SHARED assignment
+    CTEs (oracles_data.sem_assignment_ctes — one definition across
+    oracles) INNER-join documents on vec_id = doc_id, then the
+    SOURCE_WORD_LIFT scoring CTEs keyed by cluster."""
+    from prlib_ray.oracles_data import sem_assignment_ctes
     from prlib_ray.stages.corpus_stats import LIFT_K, LIFT_SCALE
-    from prlib_ray.stages.similarity import N_SEM_SEEDS
 
-    return f"""
-WITH q AS (
-    SELECT vec_id,
-           generate_subscripts(embedding, 1) AS i,
-           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
-                AS BIGINT) AS qv
-    FROM embeddings
-),
-seeds AS (SELECT vec_id AS cid, i, qv AS sv FROM q
-          WHERE vec_id < {N_SEM_SEEDS}),
-cdots AS (
-    SELECT q.vec_id, s.cid, sum(q.qv * s.sv) AS dot
-    FROM q JOIN seeds s USING (i) GROUP BY q.vec_id, s.cid
-),
-assign AS (
-    SELECT vec_id, cid FROM (
-        SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY dot DESC, cid ASC) AS rn
-        FROM cdots
-    ) WHERE rn = 1
-),
+    return sem_assignment_ctes() + f""",
 toks AS (
     SELECT a.cid AS cluster,
            unnest(string_split(d.text, ' ')) AS w

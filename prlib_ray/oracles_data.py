@@ -1400,16 +1400,15 @@ GROUP BY 1, 2 HAVING count(*) >= {_dd.WINNOW_MIN_SHARED}
 ORDER BY doc_a, doc_b"""
 
 
-def _cluster_balance_sql() -> str:
-    """Mirror of similarity.cluster_balance: the DEDUP_SEMANTIC
-    assignment CTEs (integer-quantized dot argmax, ties to smallest
-    centroid id) over the FULL embeddings table, grouped by
-    (cluster, label); the seed count interpolates from the
-    implementation module."""
+def sem_assignment_ctes() -> str:
+    """The ONE SQL mirror of the integer dot-argmax assignment contract
+    (dedup_semantic / cluster_balance / embedding_outliers /
+    cluster_top_terms): CTEs q(vec_id, i, qv), seeds(cid, i, sv) and
+    assign(vec_id, cid, dot).  Composed by every consumer so the
+    quantization/tie contract cannot diverge between oracles."""
     from prlib_ray.stages.similarity import N_SEM_SEEDS
 
-    return f"""
-WITH q AS (
+    return f"""WITH q AS (
     SELECT vec_id,
            generate_subscripts(embedding, 1) AS i,
            CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
@@ -1418,48 +1417,6 @@ WITH q AS (
 ),
 seeds AS (SELECT vec_id AS cid, i, qv AS sv FROM q
           WHERE vec_id < {N_SEM_SEEDS}),
-cdots AS (
-    SELECT q.vec_id, s.cid, sum(q.qv * s.sv) AS dot
-    FROM q JOIN seeds s USING (i) GROUP BY q.vec_id, s.cid
-),
-assign AS (
-    SELECT vec_id, cid AS cluster FROM (
-        SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY dot DESC, cid ASC) AS rn
-        FROM cdots
-    ) WHERE rn = 1
-)
-SELECT CAST(a.cluster AS BIGINT) AS cluster,
-       CAST(e.label AS BIGINT) AS label,
-       CAST(count(*) AS BIGINT) AS n_vecs
-FROM assign a JOIN embeddings e USING (vec_id)
-GROUP BY 1, 2 ORDER BY 1, 2"""
-
-
-CLUSTER_BALANCE = _cluster_balance_sql()
-
-
-def _embedding_outliers_sql() -> str:
-    """Mirror of similarity.embedding_outliers: the CLUSTER_BALANCE
-    assignment CTEs (integer dot argmax, ties to smallest cid) plus the
-    shared integer-cosine score of each vector against its ASSIGNED
-    centroid (same mod-trick exact floor as _scored_ranked_ctes);
-    bottom-K by (score ASC, vec_id ASC)."""
-    from prlib_ray.stages.similarity import N_SEM_SEEDS, OUTLIER_K
-
-    return f"""
-WITH q AS (
-    SELECT vec_id,
-           generate_subscripts(embedding, 1) AS i,
-           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
-                AS BIGINT) AS qv
-    FROM embeddings
-),
-norms AS (SELECT vec_id, sum(qv * qv) AS nn FROM q GROUP BY vec_id),
-seeds AS (SELECT vec_id AS cid, i, qv AS sv FROM q
-          WHERE vec_id < {N_SEM_SEEDS}),
-snorm AS (SELECT cid, sum(sv * sv) AS sn FROM seeds GROUP BY cid),
 cdots AS (
     SELECT q.vec_id, s.cid, sum(q.qv * s.sv) AS dot
     FROM q JOIN seeds s USING (i) GROUP BY q.vec_id, s.cid
@@ -1471,7 +1428,33 @@ assign AS (
                                   ORDER BY dot DESC, cid ASC) AS rn
         FROM cdots
     ) WHERE rn = 1
-),
+)"""
+
+
+def _cluster_balance_sql() -> str:
+    """Mirror of similarity.cluster_balance: the shared assignment CTEs
+    over the FULL embeddings table, grouped by (cluster, label)."""
+    return sem_assignment_ctes() + """
+SELECT CAST(a.cid AS BIGINT) AS cluster,
+       CAST(e.label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM assign a JOIN embeddings e USING (vec_id)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+CLUSTER_BALANCE = _cluster_balance_sql()
+
+
+def _embedding_outliers_sql() -> str:
+    """Mirror of similarity.embedding_outliers: the SHARED assignment
+    CTEs plus the shared integer-cosine score of each vector against
+    its ASSIGNED centroid (same mod-trick exact floor as
+    _scored_ranked_ctes); bottom-K by (score ASC, vec_id ASC)."""
+    from prlib_ray.stages.similarity import OUTLIER_K
+
+    return sem_assignment_ctes() + f""",
+norms AS (SELECT vec_id, sum(qv * qv) AS nn FROM q GROUP BY vec_id),
+snorm AS (SELECT cid, sum(sv * sv) AS sn FROM seeds GROUP BY cid),
 scored AS (
     SELECT a.vec_id, a.cid,
            CASE WHEN n.nn * s.sn = 0 THEN 0

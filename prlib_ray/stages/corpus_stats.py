@@ -2200,7 +2200,10 @@ def _word_lift_rank(partials, *, k: int, out_col: str) -> pa.Table:
         wid = np.cumsum(wnew) - 1
         n_w = np.bincount(wid, weights=n_sw).astype(np.int64)[wid]
         ns_arr = np.asarray([ns_of[x] for x in su], dtype=np.int64)
-        if n_total * LIFT_SCALE <= (2**62) // max(int(n_sw.max()), 1):
+        num_ok = n_total * LIFT_SCALE <= (2**62) // max(int(n_sw.max()), 1)
+        den_ok = (int(ns_arr.max(initial=1))
+                  <= (2**62) // max(int(n_w.max(initial=1)), 1))
+        if num_ok and den_ok:
             score = (n_sw * (n_total * LIFT_SCALE)) // (ns_arr * n_w)
         else:  # exact big-int fallback (corpus-scale token counts)
             score = np.asarray(
@@ -2338,14 +2341,13 @@ def cluster_top_terms(sf_dir: str, *, k: int = LIFT_K):
                                  "s": np.array([], dtype=object),
                                  "c": np.array([], dtype=np.int64),
                                  "part": np.array([], dtype=np.int64)})
-        eid = e["id"].to_numpy().astype(np.int64)
-        ecl = e["cluster"].to_numpy().astype(np.int64)
-        es = np.argsort(eid, kind="stable")
-        eid_s, ecl_s = eid[es], ecl[es]
+        from prlib_ray.relational import _sorted_key_attach
+
         did = d["id"].to_numpy().astype(np.int64)
-        pos = np.searchsorted(eid_s, did)
-        pos = np.minimum(pos, len(eid_s) - 1)
-        hit = eid_s[pos] == did  # docs without an embedding drop
+        es, _, pos, hit = _sorted_key_attach(
+            e["id"].to_numpy().astype(np.int64), did
+        )  # docs without an embedding drop
+        ecl_s = e["cluster"].to_numpy().astype(np.int64)[es]
         texts = d["text"].to_numpy()[hit]
         clus = ecl_s[pos[hit]]
         t = pa.table({

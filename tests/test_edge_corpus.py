@@ -129,7 +129,9 @@ EDGE_CASES = [
     "source_word_lift",
     # per-label quantiles over the 20-vector tiny embeddings
     "label_norm_quantiles",
-    # cross-modal join where doc ids 10+ have no embedding (20 vecs)
+    # cross-modal join where EMBEDDINGS 10-19 have no document (the
+    # doc-without-embedding direction is pinned by the constructed
+    # ghost-doc test in test_corpus_stats)
     "cluster_top_terms",
 ]
 
