@@ -191,7 +191,8 @@ def run_bench() -> dict:
                  "fulfillment_latency", "label_norm_quantiles",
                  "user_path_topk", "basket_part_pairs",
                  "customer_running_total", "cluster_top_terms",
-                 "q14_promo_revenue", "brand_supplier_counts"):
+                 "q14_promo_revenue", "brand_supplier_counts",
+                 "user_stickiness"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

@@ -128,7 +128,7 @@ _PRIORITY = [
     "brand_supplier_counts",  # new: grouped COUNT DISTINCT (Q16 shape)
     "customer_running_total",  # new: cumulative PARTITION-ORDER window
     "funnel_conversion",  # ordered funnel (earliest-event chain)
-    "retention_cohorts",  # new: first-active-day cohort retention
+    "user_stickiness",  # new: DAU/WAU engagement ratio per week
     "user_path_topk",  # new: entry-path analysis (ordered string_agg)
     "asof_latest_order",
     "segment_price_quantiles",
@@ -155,6 +155,10 @@ _PRIORITY = [
     # integer-score contract is in-window via the ann/knn/hard-negative
     # family; label-level audits repped by cluster_balance)
     "label_centroid_affinity",
+    # displaced by user_stickiness, which runs the SAME distinct
+    # (user, day) partial machinery + coarse user partitions; the
+    # cohort offset probe stays sim+pytest covered
+    "retention_cohorts",
     # displaced by brand_supplier_counts (GROUPING SETS' one-pass
     # distributive grains are a bounded driver fold like q3's merge;
     # the rollup query stays sim+pytest covered)

@@ -649,6 +649,8 @@ def _register_relational(queries, sql) -> None:
         # TPC-H Q16 shape: grouped COUNT DISTINCT via two co-locations
         ("brand_supplier_counts", rel.brand_supplier_counts,
          orel.BRAND_SUPPLIER_COUNTS),
+        # DAU/WAU engagement ratio per week (distinct-actives folds)
+        ("user_stickiness", rel.user_stickiness, orel.USER_STICKINESS),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

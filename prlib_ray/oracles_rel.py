@@ -630,3 +630,22 @@ WITH j AS (
 d AS (SELECT DISTINCT brand, size, supp FROM j)
 SELECT brand, size, CAST(count(*) AS BIGINT) AS n_suppliers
 FROM d GROUP BY 1, 2 ORDER BY brand, size"""
+
+
+# mirrors relational.user_stickiness: the events_hourly epoch-bucket
+# convention (// truncation == floor for the fixtures' positive epochs)
+USER_STICKINESS = """
+WITH d AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+    FROM events
+),
+dau AS (SELECT day, count(*) AS n FROM d GROUP BY day),
+w AS (SELECT DISTINCT user_id, day // 7 AS week FROM d),
+wau AS (SELECT week, count(*) AS n FROM w GROUP BY week),
+ds AS (SELECT day // 7 AS week, sum(n) AS dau_sum FROM dau GROUP BY 1)
+SELECT CAST(wau.week AS BIGINT) AS week,
+       CAST(wau.n AS BIGINT) AS wau,
+       CAST(ds.dau_sum AS BIGINT) AS dau_sum,
+       CAST((1000 * ds.dau_sum) // (7 * wau.n) AS BIGINT)
+           AS stickiness_permille
+FROM wau JOIN ds USING (week) ORDER BY week"""

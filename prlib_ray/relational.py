@@ -2879,3 +2879,72 @@ def brand_supplier_counts(sf_dir: str):
         .aggregate(Sum("n", alias_name="n_suppliers"))
         .sort(["brand", "size"])
     )
+
+
+def user_stickiness(sf_dir: str):
+    """DAU/WAU stickiness per week: for every epoch week (day // 7,
+    day = epoch_us // 86400e6 — the events_hourly bucket convention),
+    the distinct weekly actives, the sum of daily actives, and
+    stickiness_permille = 1000 * dau_sum // (7 * wau) — the engagement
+    ratio every growth dashboard tracks.
+
+    Plan: per-batch DISTINCT (user, day) pre-combine -> shared coarse
+    user partitions (a user lives in one part, so per-part distincts
+    are globally exact); each part emits bounded (day, n) and (week, n)
+    partials; the day/week key space is calendar-bounded, so the final
+    fold is a tiny driver merge (no per-key Ray group for ~10^3
+    keys)."""
+    import pandas as pd
+    import ray.data as rd
+
+    day_us = 86_400_000_000
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy().astype(np.int64)
+        d = b["ts"].cast(pa.int64()).to_numpy() // day_us
+        ud, dd = _distinct_rows2(u, d)
+        t = pa.table({"user_id": pa.array(ud), "day": pa.array(dd)})
+        return _add_user_part(t)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ud, dd = _distinct_rows2(g["user_id"].to_numpy().astype(np.int64),
+                                 g["day"].to_numpy().astype(np.int64))
+        days, dn = np.unique(dd, return_counts=True)
+        uw, ww = _distinct_rows2(ud, dd // 7)
+        weeks, wn = np.unique(ww, return_counts=True)
+        return pd.DataFrame({
+            "kind": np.r_[np.zeros(len(days), dtype=np.int64),
+                          np.ones(len(weeks), dtype=np.int64)],
+            "key": np.r_[days, weeks],
+            "n": np.r_[dn, wn].astype(np.int64),
+        })
+
+    rows = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+    ).take_all()
+    dau: dict[int, int] = {}
+    wau: dict[int, int] = {}
+    for r in rows:
+        tgt = dau if r["kind"] == 0 else wau
+        k = int(r["key"])
+        tgt[k] = tgt.get(k, 0) + int(r["n"])
+    dau_sum: dict[int, int] = {}
+    for d, n in dau.items():
+        w = d // 7
+        dau_sum[w] = dau_sum.get(w, 0) + n
+    weeks = sorted(wau)
+    return pa.table({
+        "week": pa.array(weeks, type=pa.int64()),
+        "wau": pa.array([wau[w] for w in weeks], type=pa.int64()),
+        "dau_sum": pa.array([dau_sum[w] for w in weeks], type=pa.int64()),
+        "stickiness_permille": pa.array(
+            [(1000 * dau_sum[w]) // (7 * wau[w]) for w in weeks],
+            type=pa.int64(),
+        ),
+    })

@@ -19,6 +19,7 @@ CASES = [
     "customer_running_total",
     "q14_promo_revenue",
     "brand_supplier_counts",
+    "user_stickiness",
     "key_skew_profile",
     "hot_keys",
     "props_field_stats",
@@ -800,3 +801,41 @@ def test_brand_supplier_counts_constructed(ray_session, tmp_path):
     df = brand_supplier_counts(str(tmp_path)).to_pandas()
     rows = set(zip(df["brand"], df["size"], df["n_suppliers"]))
     assert rows == {("B1", 5, 2), ("B2", 9, 1)}
+
+
+def test_user_stickiness_constructed(ray_session, tmp_path):
+    """DAU/WAU semantics on hand-built events: a user active twice the
+    same day counts once in that day's DAU; active on two days of one
+    week counts twice in dau_sum but once in WAU; the week boundary at
+    day 7 splits; permille floors."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import user_stickiness
+
+    day_us = 86_400_000_000
+    #            user  day
+    acts = [
+        (1, 0), (1, 0),   # same day twice -> one DAU credit
+        (1, 1),           # second day, same week
+        (2, 1),
+        (1, 7),           # next week
+    ]
+    rows = [(i, u, d * day_us + i) for i, (u, d) in enumerate(acts)]
+    pq2.write_table(pa2.table({
+        "event_id": pa2.array([r[0] for r in rows], type=pa2.int64()),
+        "user_id": pa2.array([r[1] for r in rows], type=pa2.int64()),
+        "ts": pa2.array(
+            [np.datetime64(r[2], "us").item() for r in rows],
+            type=pa2.timestamp("us"),
+        ),
+    }), tmp_path / "events.parquet")
+
+    df = user_stickiness(str(tmp_path)).to_pandas()
+    got = {int(r.week): (int(r.wau), int(r.dau_sum),
+                         int(r.stickiness_permille))
+           for r in df.itertuples()}
+    # week 0: days {0: {1}, 1: {1, 2}} -> dau_sum 3, wau 2,
+    # 1000*3 // 14 = 214; week 1: one user one day -> 1000 // 7 = 142
+    assert got == {0: (2, 3, 214), 1: (1, 1, 142)}
