@@ -192,7 +192,10 @@ def run_bench() -> dict:
                  "user_path_topk", "basket_part_pairs",
                  "customer_running_total", "cluster_top_terms",
                  "q14_promo_revenue", "brand_supplier_counts",
-                 "user_stickiness"):
+                 "user_stickiness", "q13_custdist", "q18_large_orders",
+                 "q10_returned_revenue", "trade_volume",
+                 "q17_small_quantity", "q15_top_supplier",
+                 "global_sales_opportunity"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

@@ -651,6 +651,23 @@ def _register_relational(queries, sql) -> None:
          orel.BRAND_SUPPLIER_COUNTS),
         # DAU/WAU engagement ratio per week (distinct-actives folds)
         ("user_stickiness", rel.user_stickiness, orel.USER_STICKINESS),
+        # TPC-H Q13 shape: customers-by-order-count distribution
+        ("q13_custdist", rel.q13_custdist, orel.Q13_CUSTDIST),
+        # TPC-H Q18 shape: threshold fold + order attach in ONE copart
+        ("q18_large_orders", rel.q18_large_orders, orel.Q18_LARGE_ORDERS),
+        # TPC-H Q10 shape: two-level revenue fold + winner dim attach
+        ("q10_returned_revenue", rel.q10_returned_revenue,
+         orel.Q10_RETURNED_REVENUE),
+        # TPC-H Q7 shape: cross-nation trade matrix (copart + dims)
+        ("trade_volume", rel.trade_volume, orel.TRADE_VOLUME),
+        # TPC-H Q17 shape: correlated per-key AVG threshold, one copart
+        ("q17_small_quantity", rel.q17_small_quantity,
+         orel.Q17_SMALL_QUANTITY),
+        # TPC-H Q15 shape: tie-complete global argmax of a fold
+        ("q15_top_supplier", rel.q15_top_supplier, orel.Q15_TOP_SUPPLIER),
+        # TPC-H Q22 shape: global-scalar filter + windowed anti-join
+        ("global_sales_opportunity", rel.global_sales_opportunity,
+         orel.GLOBAL_SALES_OPPORTUNITY),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

@@ -649,3 +649,183 @@ SELECT CAST(wau.week AS BIGINT) AS week,
        CAST((1000 * ds.dau_sum) // (7 * wau.n) AS BIGINT)
            AS stickiness_permille
 FROM wau JOIN ds USING (week) ORDER BY week"""
+
+
+# mirrors relational.q13_custdist: LEFT JOIN so zero-order customers
+# land in the 0 bucket; the status exclusion interpolates from the
+# implementation constant so the two sides cannot desynchronize
+def _q13_sql() -> str:
+    from prlib_ray.relational import CUSTDIST_EXCLUDE_STATUS as _X
+
+    return f"""
+WITH per AS (
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> '{_X}'
+    GROUP BY 1
+)
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM per GROUP BY 1 ORDER BY 1"""
+
+
+Q13_CUSTDIST = _q13_sql()
+
+
+# mirrors relational.q18_large_orders: quantity folds through the SAME
+# cents contract as every money column (exact int64 in any order);
+# orders without lineitems and orphan lineitems both drop (inner join)
+def _q18_sql() -> str:
+    from prlib_ray.relational import Q18_MIN_QTY_CENTS as _T
+    from prlib_ray.relational import Q18_TOPK as _K
+
+    return f"""
+WITH s AS (
+    SELECT l_orderkey,
+           SUM({_CENTS.format(expr='l_quantity')}) AS sum_qty_cents
+    FROM lineitem GROUP BY 1
+    HAVING SUM({_CENTS.format(expr='l_quantity')}) > {_T}
+)
+SELECT o.o_orderkey, o.o_orderdate,
+       {_CENTS.format(expr='o.o_totalprice')} AS o_totalprice_cents,
+       CAST(s.sum_qty_cents AS BIGINT) AS sum_qty_cents
+FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey
+ORDER BY o_totalprice_cents DESC, o.o_orderkey LIMIT {_K}"""
+
+
+Q18_LARGE_ORDERS = _q18_sql()
+
+
+# mirrors relational.q10_returned_revenue: returned-item revenue per
+# customer inside the order window, top-k by (revenue DESC, custkey
+# ASC), dimensions attached to the winners only
+def _q10_sql() -> str:
+    from prlib_ray.relational import Q10_END, Q10_START
+    from prlib_ray.relational import Q10_TOPK as _K
+
+    return f"""
+WITH rev AS (
+    SELECT o.o_custkey AS ck,
+           SUM({_CENTS.format(expr='l.l_extendedprice * (1.0 - l.l_discount)')})
+               AS revenue_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '{Q10_START}'
+      AND o.o_orderdate <  TIMESTAMP '{Q10_END}'
+    GROUP BY 1
+),
+top AS (
+    SELECT * FROM rev ORDER BY revenue_cents DESC, ck LIMIT {_K}
+)
+SELECT c.c_custkey, c.c_name,
+       CAST(t.revenue_cents AS BIGINT) AS revenue_cents,
+       {_CENTS.format(expr='c.c_acctbal')} AS c_acctbal_cents,
+       n.n_name
+FROM top t
+JOIN customer c ON c.c_custkey = t.ck
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY t.revenue_cents DESC, c.c_custkey"""
+
+
+Q10_RETURNED_REVENUE = _q10_sql()
+
+
+# mirrors relational.trade_volume: the Q7 cross-nation revenue matrix
+# over two shipping years; year() == the engine's datetime64[Y] read
+def _trade_sql() -> str:
+    from prlib_ray.relational import TRADE_END, TRADE_START
+
+    return f"""
+WITH j AS (
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS year,
+           {_CENTS.format(expr='l.l_extendedprice * (1.0 - l.l_discount)')}
+               AS rev
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '{TRADE_START}'
+      AND l.l_shipdate <  TIMESTAMP '{TRADE_END}'
+)
+SELECT supp_nation, cust_nation, year,
+       CAST(sum(rev) AS BIGINT) AS revenue_cents
+FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+
+TRADE_VOLUME = _trade_sql()
+
+
+# mirrors relational.q17_small_quantity: the correlated 20%-of-average
+# predicate stays exact integer arithmetic on BOTH sides —
+# qty < 0.2*avg  <=>  5*qty_cents*n < sum_qty_cents — so float division
+# can never desynchronize the two engines
+Q17_SMALL_QUANTITY = f"""
+WITH pa AS (
+    SELECT l_partkey,
+           SUM({_CENTS.format(expr='l_quantity')}) AS sumq,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+)
+SELECT CAST(COALESCE(SUM({_CENTS.format(expr='l.l_extendedprice')}), 0)
+            AS BIGINT) AS small_qty_revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_small_lineitems
+FROM lineitem l JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE 5 * {_CENTS.format(expr='l.l_quantity')} * pa.n < pa.sumq"""
+
+
+# mirrors relational.q15_top_supplier: tie-COMPLETE global argmax
+def _q15_sql() -> str:
+    from prlib_ray.relational import Q15_END, Q15_START
+
+    return f"""
+WITH r AS (
+    SELECT l_suppkey,
+           SUM({_CENTS.format(expr='l_extendedprice * (1.0 - l_discount)')})
+               AS rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
+      AND l_shipdate <  TIMESTAMP '{Q15_END}'
+    GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.rev AS BIGINT) AS total_revenue_cents
+FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rev = (SELECT MAX(rev) FROM r)
+ORDER BY s.s_suppkey"""
+
+
+Q15_TOP_SUPPLIER = _q15_sql()
+
+
+# mirrors relational.global_sales_opportunity: the positive-balance
+# average compare is exact integers (bal_cents * n_pos > sum_pos_cents)
+# and 'positive' means positive CENTS on both sides
+def _q22_sql() -> str:
+    from prlib_ray.relational import CWO_CUTOFF
+
+    bal = _CENTS.format(expr='c_acctbal')
+    return f"""
+WITH g AS (
+    SELECT COUNT(*) AS n_pos, SUM({bal}) AS sum_pos
+    FROM customer WHERE {bal} > 0
+),
+act AS (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{CWO_CUTOFF}'
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM({_CENTS.format(expr='c.c_acctbal')}) AS BIGINT)
+           AS acctbal_cents
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+LEFT JOIN act ON act.o_custkey = c.c_custkey
+WHERE act.o_custkey IS NULL
+  AND {_CENTS.format(expr='c.c_acctbal')} * (SELECT n_pos FROM g)
+      > (SELECT sum_pos FROM g)
+GROUP BY 1 ORDER BY 1"""
+
+
+GLOBAL_SALES_OPPORTUNITY = _q22_sql()

@@ -2948,3 +2948,781 @@ def user_stickiness(sf_dir: str):
             type=pa.int64(),
         ),
     })
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 / Q18 / Q10 / Q7 shapes (twelfth session)
+
+CUSTDIST_EXCLUDE_STATUS = "F"  # the Q13 comment-filter analogue
+
+
+def q13_custdist(sf_dir: str):
+    """TPC-H Q13 shape: the distribution of customers by order count —
+    counting only non-'F' orders (the Q13 comment-exclusion analogue) —
+    INCLUDING the zero-order bucket from the LEFT side of the customer
+    join.
+
+    Plan: the orders scan is pruned to (custkey, status) with the
+    status filter applied in-batch; per-batch (custkey, n) pre-combine;
+    custkey-hash coarse partitions fold each customer's total order
+    count AND the part-local histogram in one lexsort pass (a custkey
+    never lives in two parts, so per-part histograms sum exactly);
+    only <= N_COPART * max_count histogram rows reach the bounded
+    final groupby.  The zero bucket is customer-side arithmetic —
+    (metadata-only customer row count) - (distinct custkeys holding
+    orders) — assembled on the bounded result, so NEITHER fact table
+    ever reaches the driver."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ord_ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus"],
+        filter=(pc.field("o_orderstatus")
+                != pa.scalar(CUSTDIST_EXCLUDE_STATUS)),
+    )
+    n_customers_total = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()  # metadata-only
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.invert(pc.equal(b["o_orderstatus"],
+                               pa.scalar(CUSTDIST_EXCLUDE_STATUS)))
+        )
+        k = b["o_custkey"].to_numpy().astype(np.int64)
+        ku, inv = np.unique(k, return_inverse=True)
+        n = np.bincount(inv, minlength=len(ku)).astype(np.int64)
+        return pa.table({
+            "custkey": pa.array(ku), "n": pa.array(n),
+            "part": pa.array(_copart_tag(ku)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["custkey"].to_numpy().astype(np.int64)
+        n = g["n"].to_numpy().astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        k_s, n_s = k[order], n[order]
+        new = np.r_[True, k_s[1:] != k_s[:-1]]
+        run = np.cumsum(new) - 1
+        tot = np.bincount(run, weights=n_s).astype(np.int64)
+        v, c = np.unique(tot, return_counts=True)
+        return pd.DataFrame({"n_orders": v.astype(np.int64),
+                             "n_customers": c.astype(np.int64)})
+
+    hist = (
+        ord_ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("n_orders")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+        .take_all()  # bounded: one row per distinct per-customer count
+    )
+    counts = {int(r["n_orders"]): int(r["n_customers"]) for r in hist}
+    n_zero = n_customers_total - sum(counts.values())
+    if n_zero > 0:
+        counts[0] = n_zero
+    keys = sorted(counts)
+    return pa.table({
+        "n_orders": pa.array(keys, type=pa.int64()),
+        "n_customers": pa.array([counts[k] for k in keys],
+                                type=pa.int64()),
+    })
+
+
+Q18_MIN_QTY_CENTS = 270 * 100  # sum(l_quantity) > 270 (p99 of order sums)
+Q18_TOPK = 100
+
+
+def q18_large_orders(sf_dir: str, *, min_qty_cents: int = Q18_MIN_QTY_CENTS,
+                     k: int = Q18_TOPK):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, with their order columns attached — top-k by
+    (o_totalprice DESC, o_orderkey ASC).
+
+    Both sides are FACT tables keyed by orderkey, so they co-partition
+    by hash(orderkey) % N_COPART (the _copart_tag discipline); per part
+    one sort + searchsorted groups every lineitem under its order
+    (orphan lineitems drop, orders with no lineitems sum to zero and
+    fail the threshold — inner-join parity), the quantity fold is one
+    exact int64 np.add.at, and the survivor rows carry their order
+    columns OUT OF the same part (both sides are already co-located, so
+    no second join exists).  Per-part local top-k bounds the driver
+    merge at N_COPART * k rows."""
+    import ray.data as rd
+
+    ord_ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    li_ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def o_norm(b: pa.Table) -> pa.Table:
+        key = b["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table({
+            "part": pa.array(_copart_tag(key)), "key": pa.array(key),
+            "a": pa.array(_cents(b["o_totalprice"].to_numpy())),
+            "b": pa.array(b["o_orderdate"].cast(pa.int64()).to_numpy()),
+            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+        })
+
+    def l_norm(b: pa.Table) -> pa.Table:
+        key = b["l_orderkey"].to_numpy().astype(np.int64)
+        return pa.table({
+            "part": pa.array(_copart_tag(key)), "key": pa.array(key),
+            "a": pa.array(_cents(b["l_quantity"].to_numpy())),
+            "b": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+        })
+
+    both = ord_ds.map_batches(
+        o_norm, batch_format="pyarrow", zero_copy_batch=True
+    ).union(li_ds.map_batches(
+        l_norm, batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+    empty = pd.DataFrame({
+        "o_orderkey": np.array([], dtype=np.int64),
+        "o_orderdate_us": np.array([], dtype=np.int64),
+        "o_totalprice_cents": np.array([], dtype=np.int64),
+        "sum_qty_cents": np.array([], dtype=np.int64),
+    })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        o = g[side == 0]
+        l = g[side == 1]
+        if len(o) == 0 or len(l) == 0:
+            return empty
+        lk = l["key"].to_numpy().astype(np.int64)
+        osort, ok, pos, hit = _sorted_key_attach(
+            o["key"].to_numpy().astype(np.int64), lk
+        )  # orphan lineitems drop
+        qty = np.zeros(len(ok), dtype=np.int64)
+        np.add.at(qty, pos[hit], l["a"].to_numpy().astype(np.int64)[hit])
+        big = qty > min_qty_cents
+        if not big.any():
+            return empty
+        price = o["a"].to_numpy().astype(np.int64)[osort][big]
+        date = o["b"].to_numpy().astype(np.int64)[osort][big]
+        keys = ok[big]
+        top = np.lexsort((keys, -price))[:k]
+        return pd.DataFrame({
+            "o_orderkey": keys[top],
+            "o_orderdate_us": date[top],
+            "o_totalprice_cents": price[top],
+            "sum_qty_cents": qty[big][top],
+        })
+
+    survivors = (
+        both.groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .take_all()  # <= N_COPART * k per-part winners
+    )
+    keys = np.array([r["o_orderkey"] for r in survivors], dtype=np.int64)
+    price = np.array([r["o_totalprice_cents"] for r in survivors],
+                     dtype=np.int64)
+    date = np.array([r["o_orderdate_us"] for r in survivors],
+                    dtype=np.int64)
+    qty = np.array([r["sum_qty_cents"] for r in survivors], dtype=np.int64)
+    top = np.lexsort((keys, -price))[:k]
+    return pa.table({
+        "o_orderkey": pa.array(keys[top], type=pa.int64()),
+        "o_orderdate": pa.array(date[top], type=pa.int64()).cast(
+            pa.timestamp("us")
+        ),
+        "o_totalprice_cents": pa.array(price[top], type=pa.int64()),
+        "sum_qty_cents": pa.array(qty[top], type=pa.int64()),
+    })
+
+
+Q10_START = "1996-01-01"   # one-quarter order window, non-vacuous at
+Q10_END = "1996-04-01"     # every sf (40 qualifying customers at sf0.001)
+Q10_TOPK = 20
+
+
+def q10_returned_revenue(sf_dir: str, *, k: int = Q10_TOPK):
+    """TPC-H Q10 shape: the top-k customers by revenue lost to returned
+    items (l_returnflag = 'R') on orders placed in one quarter, with the
+    customer dimension (name, account balance, nation) attached to the
+    winners.
+
+    Plan: orders (pruned to key/custkey, date filter pushed down AND
+    re-applied in-batch) and 'R' lineitems (revenue pre-folded to exact
+    cents per row) co-partition by hash(orderkey) % N_COPART; per part
+    one sort + searchsorted attaches each lineitem's custkey (orphans —
+    orders outside the window — drop), and an exact int64 np.add.at
+    folds revenue per custkey.  Customer keys span order-hash parts, so
+    the (custkey, rev) partials re-fold through custkey-hash coarse
+    partitions with a per-part local top-k; the driver merges
+    <= N_COPART * k rows and attaches the customer/nation dimensions to
+    exactly k winners via a key-filtered pruned scan (never the fact
+    path)."""
+    import ray.data as rd
+
+    start = np.datetime64(Q10_START, "us")
+    end = np.datetime64(Q10_END, "us")
+
+    ord_ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(
+            (pc.field("o_orderdate") >= pa.scalar(start))
+            & (pc.field("o_orderdate") < pa.scalar(end))
+        ),
+    )
+    li_ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+        filter=(pc.field("l_returnflag") == pa.scalar("R")),
+    )
+
+    def o_norm(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(pc.greater_equal(b["o_orderdate"], pa.scalar(start)),
+                    pc.less(b["o_orderdate"], pa.scalar(end)))
+        )
+        key = b["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table({
+            "part": pa.array(_copart_tag(key)), "key": pa.array(key),
+            "a": pa.array(b["o_custkey"].to_numpy().astype(np.int64)),
+            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+        })
+
+    def l_norm(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], pa.scalar("R")))
+        key = b["l_orderkey"].to_numpy().astype(np.int64)
+        rev = _cents(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy())
+        )
+        return pa.table({
+            "part": pa.array(_copart_tag(key)), "key": pa.array(key),
+            "a": pa.array(rev),
+            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+        })
+
+    both = ord_ds.map_batches(
+        o_norm, batch_format="pyarrow", zero_copy_batch=True
+    ).union(li_ds.map_batches(
+        l_norm, batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        o = g[side == 0]
+        l = g[side == 1]
+        empty = pd.DataFrame({
+            "custkey": np.array([], dtype=np.int64),
+            "rev": np.array([], dtype=np.int64),
+            "cpart": np.array([], dtype=np.int64),
+        })
+        if len(o) == 0 or len(l) == 0:
+            return empty
+        lk = l["key"].to_numpy().astype(np.int64)
+        osort, ok, pos, hit = _sorted_key_attach(
+            o["key"].to_numpy().astype(np.int64), lk
+        )  # lineitems of out-of-window orders drop
+        if not hit.any():
+            return empty
+        ck = o["a"].to_numpy().astype(np.int64)[osort][pos[hit]]
+        rev = l["a"].to_numpy().astype(np.int64)[hit]
+        ku, inv = np.unique(ck, return_inverse=True)
+        r = np.zeros(len(ku), dtype=np.int64)
+        np.add.at(r, inv, rev)
+        return pd.DataFrame({"custkey": ku, "rev": r,
+                             "cpart": _copart_tag(ku)})
+
+    def fold_topk(g: pd.DataFrame) -> pd.DataFrame:
+        ckey = g["custkey"].to_numpy().astype(np.int64)
+        rev = g["rev"].to_numpy().astype(np.int64)
+        order = np.argsort(ckey, kind="stable")
+        k_s, r_s = ckey[order], rev[order]
+        new = np.r_[True, k_s[1:] != k_s[:-1]]
+        run = np.cumsum(new) - 1
+        tot = np.zeros(int(run[-1]) + 1, dtype=np.int64)
+        np.add.at(tot, run, r_s)
+        keys_u = k_s[new]
+        top = np.lexsort((keys_u, -tot))[:k]
+        return pd.DataFrame({"custkey": keys_u[top], "rev": tot[top]})
+
+    survivors = (
+        both.groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("cpart")
+        .map_groups(fold_topk, batch_format="pandas")
+        .take_all()  # <= N_COPART * k per-part winners
+    )
+    ckeys = np.array([r["custkey"] for r in survivors], dtype=np.int64)
+    revs = np.array([r["rev"] for r in survivors], dtype=np.int64)
+    top = np.lexsort((ckeys, -revs))[:k]
+    win_keys, win_rev = ckeys[top], revs[top]
+
+    # dimension attach on exactly k winners (key-filtered pruned scans)
+    cust = _collect_columns(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+            filter=(pc.field("c_custkey").isin(
+                pa.array(win_keys, type=pa.int64()))),
+        ),
+        ["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    nat = _collect_columns(
+        rd.read_parquet(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]),
+        ["n_nationkey", "n_name"],
+    )
+    csort = np.argsort(cust["c_custkey"].astype(np.int64))
+    cpos = csort[np.searchsorted(
+        cust["c_custkey"].astype(np.int64)[csort], win_keys)]
+    nkey = cust["c_nationkey"].astype(np.int64)[cpos]
+    nsort = np.argsort(nat["n_nationkey"].astype(np.int64))
+    npos = nsort[np.searchsorted(
+        nat["n_nationkey"].astype(np.int64)[nsort], nkey)]
+    return pa.table({
+        "c_custkey": pa.array(win_keys, type=pa.int64()),
+        "c_name": pa.array(cust["c_name"][cpos].astype(object).tolist(),
+                           type=pa.string()),
+        "revenue_cents": pa.array(win_rev, type=pa.int64()),
+        "c_acctbal_cents": pa.array(
+            _cents(cust["c_acctbal"][cpos].astype(np.float64)),
+            type=pa.int64(),
+        ),
+        "n_name": pa.array(nat["n_name"][npos].astype(object).tolist(),
+                           type=pa.string()),
+    })
+
+
+TRADE_START = "1995-01-01"  # Q7's two shipping years
+TRADE_END = "1997-01-01"
+
+
+def trade_volume(sf_dir: str):
+    """TPC-H Q7 shape: revenue by (supplier nation, customer nation,
+    ship year) over two shipping years — the cross-nation trade-volume
+    matrix.
+
+    Plan: the lineitem->orders custkey attach is the fact-fact copart
+    layout (hash(orderkey) % N_COPART, one shuffle); supplier and
+    customer are DIMENSIONS (TPC-H: 10k / 150k rows x SF) whose
+    (key, nationkey) arrays broadcast once via ray.put and probe by
+    searchsorted inside the fold — at a 10^9-customer design point the
+    customer side flips to the _probe_join co-partition discipline
+    instead (documented gate, same as as-of's FACT_BROADCAST_MAX_ROWS).
+    Each part emits <= 25 * 25 * n_years (snatkey, cnatkey, year, rev)
+    partials; nation-name attach happens once on the bounded final
+    table."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    start = np.datetime64(TRADE_START, "us")
+    end = np.datetime64(TRADE_END, "us")
+
+    supp = _collect_columns(
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]),
+        ["s_suppkey", "s_nationkey"],
+    )
+    ssort = np.argsort(supp["s_suppkey"].astype(np.int64))
+    supp_ref = ray.put((supp["s_suppkey"].astype(np.int64)[ssort],
+                        supp["s_nationkey"].astype(np.int64)[ssort]))
+    cust = _collect_columns(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"]),
+        ["c_custkey", "c_nationkey"],
+    )
+    csort = np.argsort(cust["c_custkey"].astype(np.int64))
+    cust_ref = ray.put((cust["c_custkey"].astype(np.int64)[csort],
+                        cust["c_nationkey"].astype(np.int64)[csort]))
+
+    ord_ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li_ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(start))
+            & (pc.field("l_shipdate") < pa.scalar(end))
+        ),
+    )
+
+    def o_norm(b: pa.Table) -> pa.Table:
+        key = b["o_orderkey"].to_numpy().astype(np.int64)
+        z = np.zeros(b.num_rows, dtype=np.int64)
+        return pa.table({
+            "part": pa.array(_copart_tag(key)), "key": pa.array(key),
+            "a": pa.array(b["o_custkey"].to_numpy().astype(np.int64)),
+            "b": pa.array(z), "c": pa.array(z),
+            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+        })
+
+    def l_norm(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(pc.greater_equal(b["l_shipdate"], pa.scalar(start)),
+                    pc.less(b["l_shipdate"], pa.scalar(end)))
+        )
+        key = b["l_orderkey"].to_numpy().astype(np.int64)
+        rev = _cents(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy())
+        )
+        year = b["l_shipdate"].to_numpy().astype("datetime64[Y]")
+        year = year.astype(np.int64) + 1970
+        return pa.table({
+            "part": pa.array(_copart_tag(key)), "key": pa.array(key),
+            "a": pa.array(b["l_suppkey"].to_numpy().astype(np.int64)),
+            "b": pa.array(rev), "c": pa.array(year),
+            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+        })
+
+    both = ord_ds.map_batches(
+        o_norm, batch_format="pyarrow", zero_copy_batch=True
+    ).union(li_ds.map_batches(
+        l_norm, batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        side = g["side"].to_numpy()
+        o = g[side == 0]
+        l = g[side == 1]
+        empty = pd.DataFrame({
+            "code": np.array([], dtype=np.int64),
+            "rev": np.array([], dtype=np.int64),
+        })
+        if len(o) == 0 or len(l) == 0:
+            return empty
+        lk = l["key"].to_numpy().astype(np.int64)
+        osort, ok, pos, hit = _sorted_key_attach(
+            o["key"].to_numpy().astype(np.int64), lk
+        )  # orphan lineitems drop
+        if not hit.any():
+            return empty
+        ck = o["a"].to_numpy().astype(np.int64)[osort][pos[hit]]
+        sk = l["a"].to_numpy().astype(np.int64)[hit]
+        rev = l["b"].to_numpy().astype(np.int64)[hit]
+        year = l["c"].to_numpy().astype(np.int64)[hit]
+        skeys, snat = _ray.get(supp_ref)
+        ckeys, cnat = _ray.get(cust_ref)
+        sn = snat[np.searchsorted(skeys, sk)]
+        cn = cnat[np.searchsorted(ckeys, ck)]
+        # composite (snat, cnat, year) code: nationkeys < 2^10,
+        # years < 2^12 — bounded key space, one bincount-free fold
+        code = ((sn << np.int64(22)) | (cn << np.int64(12))) | year
+        cu, inv = np.unique(code, return_inverse=True)
+        r = np.zeros(len(cu), dtype=np.int64)
+        np.add.at(r, inv, rev)
+        return pd.DataFrame({"code": cu, "rev": r})
+
+    agg = (
+        both.groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("code")
+        .aggregate(Sum("rev", alias_name="revenue_cents"))
+        .take_all()  # bounded: <= nations^2 * n_years rows
+    )
+    nat = _collect_columns(
+        rd.read_parquet(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]),
+        ["n_nationkey", "n_name"],
+    )
+    nsort = np.argsort(nat["n_nationkey"].astype(np.int64))
+    nkeys = nat["n_nationkey"].astype(np.int64)[nsort]
+    nnames = nat["n_name"][nsort].astype(object)
+    code = np.array([r["code"] for r in agg], dtype=np.int64)
+    rev = np.array([r["revenue_cents"] for r in agg], dtype=np.int64)
+    sn = code >> np.int64(22)
+    cn = (code >> np.int64(12)) & np.int64(0x3FF)
+    year = code & np.int64(0xFFF)
+    snm = nnames[np.searchsorted(nkeys, sn)].astype(str)
+    cnm = nnames[np.searchsorted(nkeys, cn)].astype(str)
+    order = np.lexsort((year, cnm, snm))
+    return pa.table({
+        "supp_nation": pa.array(snm[order].tolist(), type=pa.string()),
+        "cust_nation": pa.array(cnm[order].tolist(), type=pa.string()),
+        "year": pa.array(year[order], type=pa.int64()),
+        "revenue_cents": pa.array(rev[order], type=pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 / Q15 / Q22 shapes (thirteenth session)
+
+
+def q17_small_quantity(sf_dir: str):
+    """TPC-H Q17 shape: revenue held in SMALL-quantity lineitems —
+    rows whose quantity is below 20% of their part's average quantity.
+    The classic correlated scalar subquery (per-key AVG joined back to
+    the same fact).
+
+    Plan: ONE partkey-hash co-partition of lineitem puts every row of a
+    part next to its own aggregate: per coarse part one lexsort folds
+    exact per-key (sum_qty_cents, n) AND evaluates the row predicate in
+    place — the correlated subquery costs one shuffle, not two passes
+    over storage.  The 20%-of-average compare stays exact integer
+    arithmetic: qty < 0.2 * avg  <=>  5 * qty_cents * n < sum_qty_cents
+    (mirrored literally in the oracle, so float averages never enter).
+    Each part emits ONE (total, count) partial; the driver folds
+    <= N_COPART rows."""
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def norm(b: pa.Table) -> pa.Table:
+        key = b["l_partkey"].to_numpy().astype(np.int64)
+        return pa.table({
+            "part": pa.array(_copart_tag(key)), "key": pa.array(key),
+            "qc": pa.array(_cents(b["l_quantity"].to_numpy())),
+            "pc": pa.array(_cents(b["l_extendedprice"].to_numpy())),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["key"].to_numpy().astype(np.int64)
+        qc = g["qc"].to_numpy().astype(np.int64)
+        pcents = g["pc"].to_numpy().astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        k_s, q_s, p_s = k[order], qc[order], pcents[order]
+        new = np.r_[True, k_s[1:] != k_s[:-1]]
+        run = np.cumsum(new) - 1
+        nrun = int(run[-1]) + 1 if len(run) else 0
+        sumq = np.zeros(nrun, dtype=np.int64)
+        np.add.at(sumq, run, q_s)
+        n = np.bincount(run, minlength=nrun).astype(np.int64)
+        small = 5 * q_s * n[run] < sumq[run]
+        return pd.DataFrame({
+            "total": np.array([int(p_s[small].sum())], dtype=np.int64),
+            "n": np.array([int(small.sum())], dtype=np.int64),
+        })
+
+    parts = (
+        li.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .take_all()  # <= N_COPART one-row partials
+    )
+    return pa.table({
+        "small_qty_revenue_cents": pa.array(
+            [sum(int(r["total"]) for r in parts)], type=pa.int64()),
+        "n_small_lineitems": pa.array(
+            [sum(int(r["n"]) for r in parts)], type=pa.int64()),
+    })
+
+
+Q15_START = "1996-01-01"  # Q15's one-quarter revenue window
+Q15_END = "1996-04-01"
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) with the MAXIMUM total revenue
+    over one shipping quarter — tie-COMPLETE (every supplier achieving
+    the global max returns, like the reference view + WHERE total =
+    (SELECT max)).
+
+    Plan: pruned+filtered lineitem scan; per-batch (suppkey, rev)
+    pre-combine; suppkey-hash coarse partitions hold each supplier's
+    COMPLETE exact-cents total, so each part can emit only its local
+    maximum row(s) — ties included; the driver folds <= N_COPART * ties
+    candidates, takes the global max, and attaches s_name to the
+    winners alone via a key-filtered pruned scan."""
+    import ray.data as rd
+
+    start = np.datetime64(Q15_START, "us")
+    end = np.datetime64(Q15_END, "us")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(start))
+            & (pc.field("l_shipdate") < pa.scalar(end))
+        ),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(pc.greater_equal(b["l_shipdate"], pa.scalar(start)),
+                    pc.less(b["l_shipdate"], pa.scalar(end)))
+        )
+        k = b["l_suppkey"].to_numpy().astype(np.int64)
+        rev = _cents(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy())
+        )
+        ku, inv = np.unique(k, return_inverse=True)
+        r = np.zeros(len(ku), dtype=np.int64)
+        np.add.at(r, inv, rev)
+        return pa.table({
+            "part": pa.array(_copart_tag(ku)), "key": pa.array(ku),
+            "rev": pa.array(r),
+        })
+
+    def fold_max(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["key"].to_numpy().astype(np.int64)
+        rev = g["rev"].to_numpy().astype(np.int64)
+        order = np.argsort(k, kind="stable")
+        k_s, r_s = k[order], rev[order]
+        new = np.r_[True, k_s[1:] != k_s[:-1]]
+        run = np.cumsum(new) - 1
+        tot = np.zeros(int(run[-1]) + 1, dtype=np.int64)
+        np.add.at(tot, run, r_s)
+        keys_u = k_s[new]
+        m = tot.max()
+        win = tot == m  # the part's local max, ties included
+        return pd.DataFrame({"key": keys_u[win], "rev": tot[win]})
+
+    cand = (
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(fold_max, batch_format="pandas")
+        .take_all()  # <= N_COPART * per-part ties
+    )
+    empty = pa.table({
+        "s_suppkey": pa.array([], type=pa.int64()),
+        "s_name": pa.array([], type=pa.string()),
+        "total_revenue_cents": pa.array([], type=pa.int64()),
+    })
+    if not cand:
+        return empty
+    keys = np.array([r["key"] for r in cand], dtype=np.int64)
+    revs = np.array([r["rev"] for r in cand], dtype=np.int64)
+    m = revs.max()
+    win = revs == m
+    wkeys = np.sort(keys[win])
+    supp = _collect_columns(
+        rd.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+            filter=(pc.field("s_suppkey").isin(
+                pa.array(wkeys, type=pa.int64()))),
+        ),
+        ["s_suppkey", "s_name"],
+    )
+    ssort = np.argsort(supp["s_suppkey"].astype(np.int64))
+    pos = ssort[np.searchsorted(
+        supp["s_suppkey"].astype(np.int64)[ssort], wkeys)]
+    return pa.table({
+        "s_suppkey": pa.array(wkeys, type=pa.int64()),
+        "s_name": pa.array(supp["s_name"][pos].astype(object).tolist(),
+                           type=pa.string()),
+        "total_revenue_cents": pa.array(np.full(len(wkeys), m),
+                                        type=pa.int64()),
+    })
+
+
+def global_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape: per nation (the phone-prefix analogue), the
+    count and total balance of RICH LAPSED customers — balance above
+    the global average of positive balances, and no order since
+    CWO_CUTOFF.  Combines a global scalar subquery with a windowed
+    anti-join.
+
+    Plan: the two global scalars (n_pos, sum_pos_cents) fold from
+    per-batch integer partials (two int64s reach the driver); the
+    recent-order custkeys come from the same distributed
+    unique-then-broadcast layout as customers_without_orders (bounded
+    by the customer dimension); one customer pass applies BOTH filters
+    vectorized — the average compare stays exact integers
+    (bal_cents * n_pos > sum_pos_cents) — and emits per-batch
+    per-nation partials into a bounded (25-key) final groupby; nation
+    names attach on the bounded result."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cutoff = np.datetime64(CWO_CUTOFF, "us")
+    ord_ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= pa.scalar(cutoff)),
+    )
+
+    def uniq(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["o_orderdate"], pa.scalar(cutoff)))
+        return pa.table({"k": pa.array(
+            np.unique(b["o_custkey"].to_numpy().astype(np.int64)))})
+
+    cust_path = f"{sf_dir}/customer.parquet"
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b["c_acctbal"].to_numpy())
+        posmask = cents > 0
+        return pa.table({
+            "n_pos": pa.array([int(posmask.sum())], type=pa.int64()),
+            "sum_pos": pa.array([int(cents[posmask].sum())],
+                                type=pa.int64()),
+        })
+
+    scal = (
+        rd.read_parquet(cust_path, columns=["c_acctbal"])
+        .map_batches(pos_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .take_all()
+    )
+    n_pos = sum(int(r["n_pos"]) for r in scal)
+    sum_pos = sum(int(r["sum_pos"]) for r in scal)
+
+    have = np.unique(
+        _collect_columns(
+            ord_ds.map_batches(uniq, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            ["k"],
+        )["k"]
+    )
+    ref = ray.put(have)
+
+    def partial(b: pa.Table) -> pa.Table:
+        hk = ray.get(ref)
+        k = b["c_custkey"].to_numpy().astype(np.int64)
+        cents = _cents(b["c_acctbal"].to_numpy())
+        idx = np.searchsorted(hk, k)
+        has = (idx < len(hk)) & (hk[np.minimum(idx, len(hk) - 1)] == k)
+        keep = (~has) & (cents * n_pos > sum_pos)
+        nk = b["c_nationkey"].to_numpy().astype(np.int64)[keep]
+        cents = cents[keep]
+        ku, inv = np.unique(nk, return_inverse=True)
+        n = np.bincount(inv, minlength=len(ku)).astype(np.int64)
+        s = np.zeros(len(ku), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({
+            "nationkey": pa.array(ku), "n": pa.array(n), "s": pa.array(s),
+        })
+
+    agg = (
+        rd.read_parquet(cust_path,
+                        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("nationkey")
+        .aggregate(Sum("n", alias_name="n_customers"),
+                   Sum("s", alias_name="acctbal_cents"))
+        .take_all()  # bounded: <= 25 nations
+    )
+    nat = _collect_columns(
+        rd.read_parquet(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]),
+        ["n_nationkey", "n_name"],
+    )
+    nsort = np.argsort(nat["n_nationkey"].astype(np.int64))
+    nkeys = nat["n_nationkey"].astype(np.int64)[nsort]
+    nnames = nat["n_name"][nsort].astype(object)
+    nk = np.array([r["nationkey"] for r in agg], dtype=np.int64)
+    nn = np.array([r["n_customers"] for r in agg], dtype=np.int64)
+    ss = np.array([r["acctbal_cents"] for r in agg], dtype=np.int64)
+    names = nnames[np.searchsorted(nkeys, nk)].astype(str)
+    order = np.argsort(names, kind="stable")
+    return pa.table({
+        "n_name": pa.array(names[order].tolist(), type=pa.string()),
+        "n_customers": pa.array(nn[order], type=pa.int64()),
+        "acctbal_cents": pa.array(ss[order], type=pa.int64()),
+    })

@@ -18,6 +18,13 @@ CASES = [
     "basket_part_pairs",
     "customer_running_total",
     "q14_promo_revenue",
+    "q13_custdist",
+    "q18_large_orders",
+    "q10_returned_revenue",
+    "trade_volume",
+    "q17_small_quantity",
+    "q15_top_supplier",
+    "global_sales_opportunity",
     "brand_supplier_counts",
     "user_stickiness",
     "key_skew_profile",
@@ -839,3 +846,144 @@ def test_user_stickiness_constructed(ray_session, tmp_path):
     # week 0: days {0: {1}, 1: {1, 2}} -> dau_sum 3, wau 2,
     # 1000*3 // 14 = 214; week 1: one user one day -> 1000 // 7 = 142
     assert got == {0: (2, 3, 214), 1: (1, 1, 142)}
+
+
+def test_q13_custdist_constructed(ray_session, tmp_path):
+    """Q13 LEFT-JOIN semantics on hand-built facts: a customer with no
+    orders lands in the 0 bucket; excluded-status orders do not count
+    (a customer with ONLY excluded orders also lands in 0); equal
+    counts histogram together."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import CUSTDIST_EXCLUDE_STATUS, q13_custdist
+
+    pq2.write_table(pa2.table({
+        "c_custkey": pa2.array([1, 2, 3, 4], type=pa2.int64()),
+    }), tmp_path / "customer.parquet")
+    x = CUSTDIST_EXCLUDE_STATUS
+    orders = [
+        (1, "O"), (1, "O"),  # cust 1: 2 counted orders
+        (2, "O"), (2, x),    # cust 2: 1 counted (one excluded)
+        (3, x),              # cust 3: only excluded -> 0 bucket
+        # cust 4: no orders at all -> 0 bucket
+    ]
+    pq2.write_table(pa2.table({
+        "o_custkey": pa2.array([c for c, _ in orders], type=pa2.int64()),
+        "o_orderstatus": pa2.array([s for _, s in orders]),
+    }), tmp_path / "orders.parquet")
+
+    df = q13_custdist(str(tmp_path)).to_pandas()
+    got = dict(zip(df["n_orders"], df["n_customers"]))
+    assert got == {0: 2, 1: 1, 2: 1}
+
+
+def test_q18_large_orders_constructed(ray_session, tmp_path):
+    """Q18 threshold semantics on hand-built facts: the quantity fold
+    is exact across lineitems, the threshold is strict (>), orphan
+    lineitems drop, orders without lineitems drop (inner-join parity),
+    and the top-k orders by (price DESC, key ASC) with k smaller than
+    the survivor count truncates deterministically."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import q18_large_orders
+
+    ts = np.datetime64("1995-06-01", "us").item()
+    pq2.write_table(pa2.table({
+        "o_orderkey": pa2.array([10, 20, 30, 40], type=pa2.int64()),
+        "o_orderdate": pa2.array([ts] * 4, type=pa2.timestamp("us")),
+        "o_totalprice": pa2.array([5.0, 7.0, 7.0, 1.0], type=pa2.float64()),
+    }), tmp_path / "orders.parquet")
+    li = [
+        (10, 2.0), (10, 1.5),  # 350 cents > 300 -> survives
+        (20, 3.0), (20, 0.01),  # 301 > 300 -> survives
+        (30, 3.0),             # exactly 300: strict > -> drops
+        (99, 9.0),             # orphan lineitem -> drops
+        # order 40: no lineitems -> drops
+    ]
+    pq2.write_table(pa2.table({
+        "l_orderkey": pa2.array([k for k, _ in li], type=pa2.int64()),
+        "l_quantity": pa2.array([q for _, q in li], type=pa2.float64()),
+    }), tmp_path / "lineitem.parquet")
+
+    t = q18_large_orders(str(tmp_path), min_qty_cents=300, k=10)
+    df = t.to_pandas()
+    got = list(zip(df["o_orderkey"], df["o_totalprice_cents"],
+                   df["sum_qty_cents"]))
+    # price DESC, key ASC: order 20 (700c) before 10 (500c)
+    assert got == [(20, 700, 301), (10, 500, 350)]
+    # k=1 truncates to the single highest-price survivor
+    t1 = q18_large_orders(str(tmp_path), min_qty_cents=300, k=1)
+    assert t1["o_orderkey"].to_pylist() == [20]
+
+
+def test_q17_small_quantity_constructed(ray_session, tmp_path):
+    """Q17 correlated-threshold semantics on hand-built facts: the 20%
+    boundary is STRICT (a row at exactly 0.2*avg drops), single-row
+    parts can never qualify (qty < 0.2*qty is false), and the revenue
+    fold is exact cents."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import q17_small_quantity
+
+    li = [
+        # part 1: quantities 1, 9 -> avg 5, threshold 1 < 0.2*5 = 1?
+        # strict: 1 < 1 false -> neither qualifies
+        (1, 1.0, 10.0), (1, 9.0, 20.0),
+        # part 2: quantities 1, 99 -> avg 50; 1 < 10 -> the 1 qualifies
+        (2, 1.0, 7.0), (2, 99.0, 40.0),
+        # part 3: single row -> never qualifies
+        (3, 1.0, 99.0),
+    ]
+    pq2.write_table(pa2.table({
+        "l_partkey": pa2.array([r[0] for r in li], type=pa2.int64()),
+        "l_quantity": pa2.array([r[1] for r in li], type=pa2.float64()),
+        "l_extendedprice": pa2.array([r[2] for r in li],
+                                     type=pa2.float64()),
+    }), tmp_path / "lineitem.parquet")
+
+    t = q17_small_quantity(str(tmp_path))
+    assert t["small_qty_revenue_cents"][0].as_py() == 700
+    assert t["n_small_lineitems"][0].as_py() == 1
+
+
+def test_q15_top_supplier_tie_complete(ray_session, tmp_path):
+    """Q15 argmax semantics on hand-built facts: BOTH suppliers tied at
+    the global max return (tie-complete), a lower total does not, and
+    out-of-window lineitems never count."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import Q15_START, q15_top_supplier
+
+    start = np.datetime64(Q15_START, "us")
+    before = (start - np.timedelta64(1, "D")).astype(
+        "datetime64[us]").item()
+    inside = start.item()
+    li = [
+        (100, 5.0, inside), (100, 5.0, inside),   # supp 100: 1000 cents
+        (200, 10.0, inside),                      # supp 200: 1000 -> tie
+        (300, 9.0, inside),                       # supp 300: 900 -> loses
+        (300, 50.0, before),                      # out of window
+    ]
+    pq2.write_table(pa2.table({
+        "l_suppkey": pa2.array([r[0] for r in li], type=pa2.int64()),
+        "l_extendedprice": pa2.array([r[1] for r in li],
+                                     type=pa2.float64()),
+        "l_discount": pa2.array([0.0] * len(li), type=pa2.float64()),
+        "l_shipdate": pa2.array([r[2] for r in li],
+                                type=pa2.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    pq2.write_table(pa2.table({
+        "s_suppkey": pa2.array([100, 200, 300], type=pa2.int64()),
+        "s_name": pa2.array(["SA", "SB", "SC"]),
+    }), tmp_path / "supplier.parquet")
+
+    df = q15_top_supplier(str(tmp_path)).to_pandas()
+    got = list(zip(df["s_suppkey"], df["s_name"],
+                   df["total_revenue_cents"]))
+    assert got == [(100, "SA", 1000), (200, "SB", 1000)]
