@@ -1432,13 +1432,21 @@ def split_assign_counts(sf_dir: str):
 CWO_CUTOFF = "2001-01-01"
 
 
-def customers_without_orders(sf_dir: str):
+def customers_without_orders(sf_dir: str, *, via: str = "auto"):
     """Windowed anti-join: per market segment, customers with NO order on
-    or after CWO_CUTOFF (lapsed customers — the churn query).  The
-    distinct recent-order custkeys (bounded by the customer dimension)
-    come from a per-batch unique + driver fold and broadcast sorted; the
-    anti-probe is one searchsorted per batch.  The date filter is pushed
-    to the parquet scan, so only recent row groups leave storage."""
+    or after CWO_CUTOFF (lapsed customers — the churn query).  The date
+    filter is pushed to the parquet scan, so only recent row groups
+    leave storage.
+
+    SIZE-GATED like global_sales_opportunity: via="broadcast" ships the
+    distinct recent-order custkeys (per-batch unique + driver fold,
+    sorted, ray.put) and anti-probes with one searchsorted per batch —
+    right while the customer dimension bounds the key set;
+    via="partitioned" co-partitions customers and recent-order custkeys
+    by hash(custkey) % N_COPART and runs the same probe per part (the
+    10^9-customer layout).  via="auto" gates on the customer row count
+    (parquet metadata).  Both layouts produce identical integers
+    (pytest asserts equality)."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
@@ -1449,42 +1457,95 @@ def customers_without_orders(sf_dir: str):
         columns=["o_custkey", "o_orderdate"],
         filter=(pc.field("o_orderdate") >= pa.scalar(cutoff)),
     )
-
-    def uniq(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.greater_equal(b["o_orderdate"], pa.scalar(cutoff)))
-        return pa.table(
-            {"k": pa.array(np.unique(b["o_custkey"].to_numpy().astype(np.int64)))}
-        )
-
-    have = np.unique(
-        _collect_columns(
-            ord_ds.map_batches(uniq, batch_format="pyarrow",
-                               zero_copy_batch=True),
-            ["k"],
-        )["k"]
-    )
-    ref = ray.put(have)
-
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
+    if via == "auto":
+        via = ("broadcast" if cust.count() <= FACT_BROADCAST_MAX_ROWS
+               else "partitioned")
 
-    def partial(b: pa.Table) -> pa.Table:
-        hk = ray.get(ref)
-        k = b["c_custkey"].to_numpy().astype(np.int64)
-        idx = np.searchsorted(hk, k)
-        has = (idx < len(hk)) & (hk[np.minimum(idx, len(hk) - 1)] == k)
-        b = b.filter(pa.array(~has))
-        t = pa.table(
-            {
-                "c_mktsegment": b["c_mktsegment"],
-                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
-            }
+    if via == "broadcast":
+
+        def uniq(b: pa.Table) -> pa.Table:
+            b = b.filter(
+                pc.greater_equal(b["o_orderdate"], pa.scalar(cutoff)))
+            return pa.table(
+                {"k": pa.array(np.unique(
+                    b["o_custkey"].to_numpy().astype(np.int64)))}
+            )
+
+        have = np.unique(
+            _collect_columns(
+                ord_ds.map_batches(uniq, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                ["k"],
+            )["k"]
         )
-        return t.group_by("c_mktsegment").aggregate([("one", "sum")])
+        ref = ray.put(have)
+
+        def partial(b: pa.Table) -> pa.Table:
+            hk = ray.get(ref)
+            k = b["c_custkey"].to_numpy().astype(np.int64)
+            b = b.filter(pa.array(_anti_probe(hk, k)))
+            t = pa.table(
+                {
+                    "c_mktsegment": b["c_mktsegment"],
+                    "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                }
+            )
+            return t.group_by("c_mktsegment").aggregate([("one", "sum")])
+
+        partials = cust.map_batches(partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    else:
+
+        def o_norm(b: pa.Table) -> pa.Table:
+            b = b.filter(
+                pc.greater_equal(b["o_orderdate"], pa.scalar(cutoff)))
+            k = np.unique(b["o_custkey"].to_numpy().astype(np.int64))
+            return pa.table({
+                "part": pa.array(_copart_tag(k)), "key": pa.array(k),
+                "seg": pa.array([""] * len(k), type=pa.string()),
+                "side": pa.array(np.zeros(len(k), dtype=np.int8)),
+            })
+
+        def c_norm(b: pa.Table) -> pa.Table:
+            k = b["c_custkey"].to_numpy().astype(np.int64)
+            return pa.table({
+                "part": pa.array(_copart_tag(k)), "key": pa.array(k),
+                "seg": b["c_mktsegment"],
+                "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+            })
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            side = g["side"].to_numpy()
+            o = g[side == 0]
+            c = g[side == 1]
+            if len(c) == 0:
+                return pd.DataFrame({
+                    "c_mktsegment": np.array([], dtype=object),
+                    "one_sum": np.array([], dtype=np.int64),
+                })
+            have = np.unique(o["key"].to_numpy().astype(np.int64))
+            keep = _anti_probe(have, c["key"].to_numpy().astype(np.int64))
+            seg = c["seg"].to_numpy()[keep]
+            su, counts = np.unique(seg, return_counts=True)
+            return pd.DataFrame({
+                "c_mktsegment": su.astype(object),
+                "one_sum": counts.astype(np.int64),
+            })
+
+        partials = (
+            ord_ds.map_batches(o_norm, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .union(cust.map_batches(c_norm, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+            .groupby("part")
+            .map_groups(fold, batch_format="pandas")
+        )
 
     return (
-        cust.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        partials
         .groupby("c_mktsegment")
         .aggregate(Sum("one_sum", alias_name="n_no_order"))
     )
@@ -3302,21 +3363,26 @@ TRADE_START = "1995-01-01"  # Q7's two shipping years
 TRADE_END = "1997-01-01"
 
 
-def trade_volume(sf_dir: str):
+def trade_volume(sf_dir: str, *, via: str = "auto"):
     """TPC-H Q7 shape: revenue by (supplier nation, customer nation,
     ship year) over two shipping years — the cross-nation trade-volume
     matrix.
 
-    Plan: the lineitem->orders custkey attach is the fact-fact copart
-    layout (hash(orderkey) % N_COPART, one shuffle); supplier and
-    customer are DIMENSIONS (TPC-H: 10k / 150k rows x SF) whose
-    (key, nationkey) arrays broadcast once via ray.put and probe by
-    searchsorted inside the fold — at a 10^9-customer design point the
-    customer side flips to the _probe_join co-partition discipline
-    instead (documented gate, same as as-of's FACT_BROADCAST_MAX_ROWS).
-    Each part emits <= 25 * 25 * n_years (snatkey, cnatkey, year, rev)
-    partials; nation-name attach happens once on the bounded final
-    table."""
+    Plan: the lineitem->orders custkey attach is always the fact-fact
+    copart layout (hash(orderkey) % N_COPART, one shuffle).  The
+    supplier/customer dimension attach is SIZE-GATED like the as-of
+    join: via="broadcast" ships the sorted (key, nationkey) arrays
+    once via ray.put and probes by searchsorted inside the stage-1
+    fold — right while both dimensions fit a worker heap;
+    via="partitioned" runs two further co-partition stages (rows
+    re-tag by hash(suppkey), then hash(custkey), each joined against
+    the correspondingly-partitioned dimension scan) — the layout for a
+    10^9-customer design point where no dimension broadcasts.
+    via="auto" (default) picks by the summed dimension row counts
+    (parquet metadata — no scan) vs FACT_BROADCAST_MAX_ROWS.  Both
+    paths produce identical integers (pytest asserts equality).  Each
+    final part emits <= 25 * 25 * n_years composite-code partials;
+    nation-name attach happens once on the bounded final table."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
@@ -3324,22 +3390,24 @@ def trade_volume(sf_dir: str):
     start = np.datetime64(TRADE_START, "us")
     end = np.datetime64(TRADE_END, "us")
 
-    supp = _collect_columns(
-        rd.read_parquet(f"{sf_dir}/supplier.parquet",
-                        columns=["s_suppkey", "s_nationkey"]),
-        ["s_suppkey", "s_nationkey"],
-    )
-    ssort = np.argsort(supp["s_suppkey"].astype(np.int64))
-    supp_ref = ray.put((supp["s_suppkey"].astype(np.int64)[ssort],
-                        supp["s_nationkey"].astype(np.int64)[ssort]))
-    cust = _collect_columns(
-        rd.read_parquet(f"{sf_dir}/customer.parquet",
-                        columns=["c_custkey", "c_nationkey"]),
-        ["c_custkey", "c_nationkey"],
-    )
-    csort = np.argsort(cust["c_custkey"].astype(np.int64))
-    cust_ref = ray.put((cust["c_custkey"].astype(np.int64)[csort],
-                        cust["c_nationkey"].astype(np.int64)[csort]))
+    supp_ds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"])
+    cust_ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+    if via == "auto":
+        via = ("broadcast"
+               if supp_ds.count() + cust_ds.count()
+               <= FACT_BROADCAST_MAX_ROWS else "partitioned")
+
+    if via == "broadcast":
+        supp = _collect_columns(supp_ds, ["s_suppkey", "s_nationkey"])
+        ssort = np.argsort(supp["s_suppkey"].astype(np.int64))
+        supp_ref = ray.put((supp["s_suppkey"].astype(np.int64)[ssort],
+                            supp["s_nationkey"].astype(np.int64)[ssort]))
+        cust = _collect_columns(cust_ds, ["c_custkey", "c_nationkey"])
+        csort = np.argsort(cust["c_custkey"].astype(np.int64))
+        cust_ref = ray.put((cust["c_custkey"].astype(np.int64)[csort],
+                            cust["c_nationkey"].astype(np.int64)[csort]))
 
     ord_ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
@@ -3389,32 +3457,7 @@ def trade_volume(sf_dir: str):
         l_norm, batch_format="pyarrow", zero_copy_batch=True
     ))
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
-
-        side = g["side"].to_numpy()
-        o = g[side == 0]
-        l = g[side == 1]
-        empty = pd.DataFrame({
-            "code": np.array([], dtype=np.int64),
-            "rev": np.array([], dtype=np.int64),
-        })
-        if len(o) == 0 or len(l) == 0:
-            return empty
-        lk = l["key"].to_numpy().astype(np.int64)
-        osort, ok, pos, hit = _sorted_key_attach(
-            o["key"].to_numpy().astype(np.int64), lk
-        )  # orphan lineitems drop
-        if not hit.any():
-            return empty
-        ck = o["a"].to_numpy().astype(np.int64)[osort][pos[hit]]
-        sk = l["a"].to_numpy().astype(np.int64)[hit]
-        rev = l["b"].to_numpy().astype(np.int64)[hit]
-        year = l["c"].to_numpy().astype(np.int64)[hit]
-        skeys, snat = _ray.get(supp_ref)
-        ckeys, cnat = _ray.get(cust_ref)
-        sn = snat[np.searchsorted(skeys, sk)]
-        cn = cnat[np.searchsorted(ckeys, ck)]
+    def _code_fold(sn, cn, year, rev) -> pd.DataFrame:
         # composite (snat, cnat, year) code: nationkeys < 2^10,
         # years < 2^12 — bounded key space, one bincount-free fold
         code = ((sn << np.int64(22)) | (cn << np.int64(12))) | year
@@ -3423,10 +3466,155 @@ def trade_volume(sf_dir: str):
         np.add.at(r, inv, rev)
         return pd.DataFrame({"code": cu, "rev": r})
 
+    _code_empty = pd.DataFrame({
+        "code": np.array([], dtype=np.int64),
+        "rev": np.array([], dtype=np.int64),
+    })
+
+    def _split_attach(g: pd.DataFrame):
+        """Split a co-partition into (left, fact) and attach the left
+        side's `a` column onto fact rows via the shared sorted probe;
+        None when either side is empty or nothing matches."""
+        side = g["side"].to_numpy()
+        o = g[side == 0]
+        l = g[side == 1]
+        if len(o) == 0 or len(l) == 0:
+            return None
+        lk = l["key"].to_numpy().astype(np.int64)
+        osort, ok, pos, hit = _sorted_key_attach(
+            o["key"].to_numpy().astype(np.int64), lk
+        )  # orphan fact rows drop (oracle inner-join parity)
+        if not hit.any():
+            return None
+        attached = o["a"].to_numpy().astype(np.int64)[osort][pos[hit]]
+        return attached, l, hit
+
+    if via == "broadcast":
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            import ray as _ray
+
+            hitrow = _split_attach(g)
+            if hitrow is None:
+                return _code_empty
+            ck, l, hit = hitrow
+            sk = l["a"].to_numpy().astype(np.int64)[hit]
+            rev = l["b"].to_numpy().astype(np.int64)[hit]
+            year = l["c"].to_numpy().astype(np.int64)[hit]
+            skeys, snat = _ray.get(supp_ref)
+            ckeys, cnat = _ray.get(cust_ref)
+            sn = snat[np.searchsorted(skeys, sk)]
+            cn = cnat[np.searchsorted(ckeys, ck)]
+            return _code_fold(sn, cn, year, rev)
+
+        coded = both.groupby("part").map_groups(fold, batch_format="pandas")
+    else:
+        # Stage 1 (orderkey copart): attach custkey, emit raw
+        # (ck, sk, year, rev) rows — cardinality is fact-scale, so no
+        # pre-fold is possible before the nation attach.
+        _row_empty = pd.DataFrame({
+            c: np.array([], dtype=np.int64)
+            for c in ("ck", "sk", "year", "rev")
+        })
+
+        def fold1(g: pd.DataFrame) -> pd.DataFrame:
+            hitrow = _split_attach(g)
+            if hitrow is None:
+                return _row_empty
+            ck, l, hit = hitrow
+            return pd.DataFrame({
+                "ck": ck,
+                "sk": l["a"].to_numpy().astype(np.int64)[hit],
+                "year": l["c"].to_numpy().astype(np.int64)[hit],
+                "rev": l["b"].to_numpy().astype(np.int64)[hit],
+            })
+
+        rows1 = both.groupby("part").map_groups(fold1,
+                                                batch_format="pandas")
+
+        # Stage 2 (suppkey copart): attach s_nationkey.
+        def s_norm(b: pa.Table) -> pa.Table:
+            key = b["s_suppkey"].to_numpy().astype(np.int64)
+            z = np.zeros(b.num_rows, dtype=np.int64)
+            return pa.table({
+                "part": pa.array(_copart_tag(key)), "key": pa.array(key),
+                "a": pa.array(b["s_nationkey"].to_numpy().astype(np.int64)),
+                "b": pa.array(z), "c": pa.array(z),
+                "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+            })
+
+        def retag_sk(b: pa.Table) -> pa.Table:
+            key = b["sk"].to_numpy().astype(np.int64)
+            return pa.table({
+                "part": pa.array(_copart_tag(key)), "key": pa.array(key),
+                "a": pa.array(b["ck"].to_numpy().astype(np.int64)),
+                "b": pa.array(b["rev"].to_numpy().astype(np.int64)),
+                "c": pa.array(b["year"].to_numpy().astype(np.int64)),
+                "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+            })
+
+        def fold2(g: pd.DataFrame) -> pd.DataFrame:
+            hitrow = _split_attach(g)
+            if hitrow is None:
+                return _row_empty.rename(columns={"sk": "snat"})
+            snat, l, hit = hitrow
+            return pd.DataFrame({
+                "ck": l["a"].to_numpy().astype(np.int64)[hit],
+                "snat": snat,
+                "year": l["c"].to_numpy().astype(np.int64)[hit],
+                "rev": l["b"].to_numpy().astype(np.int64)[hit],
+            })
+
+        rows2 = (
+            rows1.map_batches(retag_sk, batch_format="pyarrow")
+            .union(supp_ds.map_batches(s_norm, batch_format="pyarrow",
+                                       zero_copy_batch=True))
+            .groupby("part")
+            .map_groups(fold2, batch_format="pandas")
+        )
+
+        # Stage 3 (custkey copart): attach c_nationkey, fold to the
+        # bounded composite code per part.
+        def c_norm(b: pa.Table) -> pa.Table:
+            key = b["c_custkey"].to_numpy().astype(np.int64)
+            z = np.zeros(b.num_rows, dtype=np.int64)
+            return pa.table({
+                "part": pa.array(_copart_tag(key)), "key": pa.array(key),
+                "a": pa.array(b["c_nationkey"].to_numpy().astype(np.int64)),
+                "b": pa.array(z), "c": pa.array(z),
+                "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+            })
+
+        def retag_ck(b: pa.Table) -> pa.Table:
+            key = b["ck"].to_numpy().astype(np.int64)
+            return pa.table({
+                "part": pa.array(_copart_tag(key)), "key": pa.array(key),
+                "a": pa.array(b["snat"].to_numpy().astype(np.int64)),
+                "b": pa.array(b["rev"].to_numpy().astype(np.int64)),
+                "c": pa.array(b["year"].to_numpy().astype(np.int64)),
+                "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+            })
+
+        def fold3(g: pd.DataFrame) -> pd.DataFrame:
+            hitrow = _split_attach(g)
+            if hitrow is None:
+                return _code_empty
+            cn, l, hit = hitrow
+            sn = l["a"].to_numpy().astype(np.int64)[hit]
+            rev = l["b"].to_numpy().astype(np.int64)[hit]
+            year = l["c"].to_numpy().astype(np.int64)[hit]
+            return _code_fold(sn, cn, year, rev)
+
+        coded = (
+            rows2.map_batches(retag_ck, batch_format="pyarrow")
+            .union(cust_ds.map_batches(c_norm, batch_format="pyarrow",
+                                       zero_copy_batch=True))
+            .groupby("part")
+            .map_groups(fold3, batch_format="pandas")
+        )
+
     agg = (
-        both.groupby("part")
-        .map_groups(fold, batch_format="pandas")
-        .groupby("code")
+        coded.groupby("code")
         .aggregate(Sum("rev", alias_name="revenue_cents"))
         .take_all()  # bounded: <= nations^2 * n_years rows
     )
@@ -3621,7 +3809,19 @@ def q15_top_supplier(sf_dir: str):
     })
 
 
-def global_sales_opportunity(sf_dir: str):
+def _anti_probe(have_sorted: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """True where k is ABSENT from the sorted key array — the shared
+    anti-join probe of the lapsed-customer queries."""
+    if len(have_sorted) == 0:
+        return np.ones(len(k), dtype=bool)
+    idx = np.searchsorted(have_sorted, k)
+    has = (idx < len(have_sorted)) & (
+        have_sorted[np.minimum(idx, len(have_sorted) - 1)] == k
+    )
+    return ~has
+
+
+def global_sales_opportunity(sf_dir: str, *, via: str = "auto"):
     """TPC-H Q22 shape: per nation (the phone-prefix analogue), the
     count and total balance of RICH LAPSED customers — balance above
     the global average of positive balances, and no order since
@@ -3629,14 +3829,20 @@ def global_sales_opportunity(sf_dir: str):
     anti-join.
 
     Plan: the two global scalars (n_pos, sum_pos_cents) fold from
-    per-batch integer partials (two int64s reach the driver); the
-    recent-order custkeys come from the same distributed
-    unique-then-broadcast layout as customers_without_orders (bounded
-    by the customer dimension); one customer pass applies BOTH filters
-    vectorized — the average compare stays exact integers
-    (bal_cents * n_pos > sum_pos_cents) — and emits per-batch
-    per-nation partials into a bounded (25-key) final groupby; nation
-    names attach on the bounded result."""
+    per-batch integer partials (two int64s reach the driver).  The
+    anti-join side is SIZE-GATED: via="broadcast" ships the distinct
+    recent-order custkeys (distributed unique, then ray.put) and one
+    customer pass probes them — right while the customer dimension
+    bounds the key set into a worker heap; via="partitioned"
+    co-partitions customers and recent-order custkeys by
+    hash(custkey) % N_COPART and runs the same anti-probe per part —
+    the 10^9-customer layout where nothing broadcasts.  via="auto"
+    (default) gates on the customer row count (parquet metadata, the
+    true upper bound of the broadcast key set).  Both filters stay
+    exact integers (bal_cents * n_pos > sum_pos_cents); per-nation
+    partials reach a bounded (25-key) final groupby; nation names
+    attach on the bounded result.  Both layouts produce identical
+    integers (pytest asserts equality)."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
@@ -3647,13 +3853,13 @@ def global_sales_opportunity(sf_dir: str):
         columns=["o_custkey", "o_orderdate"],
         filter=(pc.field("o_orderdate") >= pa.scalar(cutoff)),
     )
-
-    def uniq(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.greater_equal(b["o_orderdate"], pa.scalar(cutoff)))
-        return pa.table({"k": pa.array(
-            np.unique(b["o_custkey"].to_numpy().astype(np.int64)))})
-
     cust_path = f"{sf_dir}/customer.parquet"
+    cust_ds = rd.read_parquet(
+        cust_path, columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+    if via == "auto":
+        via = ("broadcast" if cust_ds.count() <= FACT_BROADCAST_MAX_ROWS
+               else "partitioned")
 
     def pos_partial(b: pa.Table) -> pa.Table:
         cents = _cents(b["c_acctbal"].to_numpy())
@@ -3673,36 +3879,99 @@ def global_sales_opportunity(sf_dir: str):
     n_pos = sum(int(r["n_pos"]) for r in scal)
     sum_pos = sum(int(r["sum_pos"]) for r in scal)
 
-    have = np.unique(
-        _collect_columns(
-            ord_ds.map_batches(uniq, batch_format="pyarrow",
-                               zero_copy_batch=True),
-            ["k"],
-        )["k"]
-    )
-    ref = ray.put(have)
-
-    def partial(b: pa.Table) -> pa.Table:
-        hk = ray.get(ref)
-        k = b["c_custkey"].to_numpy().astype(np.int64)
-        cents = _cents(b["c_acctbal"].to_numpy())
-        idx = np.searchsorted(hk, k)
-        has = (idx < len(hk)) & (hk[np.minimum(idx, len(hk) - 1)] == k)
-        keep = (~has) & (cents * n_pos > sum_pos)
-        nk = b["c_nationkey"].to_numpy().astype(np.int64)[keep]
-        cents = cents[keep]
-        ku, inv = np.unique(nk, return_inverse=True)
+    def _nation_partial(cents, nat):
+        """(nationkey, count, balance-sum) partial over the kept rows —
+        shared by both layouts so the fold cannot drift."""
+        ku, inv = np.unique(nat, return_inverse=True)
         n = np.bincount(inv, minlength=len(ku)).astype(np.int64)
         s = np.zeros(len(ku), dtype=np.int64)
         np.add.at(s, inv, cents)
-        return pa.table({
-            "nationkey": pa.array(ku), "n": pa.array(n), "s": pa.array(s),
-        })
+        return ku, n, s
+
+    if via == "broadcast":
+
+        def uniq(b: pa.Table) -> pa.Table:
+            b = b.filter(
+                pc.greater_equal(b["o_orderdate"], pa.scalar(cutoff)))
+            return pa.table({"k": pa.array(
+                np.unique(b["o_custkey"].to_numpy().astype(np.int64)))})
+
+        have = np.unique(
+            _collect_columns(
+                ord_ds.map_batches(uniq, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                ["k"],
+            )["k"]
+        )
+        ref = ray.put(have)
+
+        def partial(b: pa.Table) -> pa.Table:
+            hk = ray.get(ref)
+            k = b["c_custkey"].to_numpy().astype(np.int64)
+            cents = _cents(b["c_acctbal"].to_numpy())
+            keep = _anti_probe(hk, k) & (cents * n_pos > sum_pos)
+            nk = b["c_nationkey"].to_numpy().astype(np.int64)[keep]
+            ku, n, s = _nation_partial(cents[keep], nk)
+            return pa.table({
+                "nationkey": pa.array(ku), "n": pa.array(n),
+                "s": pa.array(s),
+            })
+
+        partials = cust_ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        # co-partition by hash(custkey): order keys (side 0, pre-uniqued
+        # per batch) next to customer rows (side 1); anti-probe per part
+        def o_norm(b: pa.Table) -> pa.Table:
+            b = b.filter(
+                pc.greater_equal(b["o_orderdate"], pa.scalar(cutoff)))
+            k = np.unique(b["o_custkey"].to_numpy().astype(np.int64))
+            z = np.zeros(len(k), dtype=np.int64)
+            return pa.table({
+                "part": pa.array(_copart_tag(k)), "key": pa.array(k),
+                "nat": pa.array(z), "cents": pa.array(z),
+                "side": pa.array(np.zeros(len(k), dtype=np.int8)),
+            })
+
+        def c_norm(b: pa.Table) -> pa.Table:
+            k = b["c_custkey"].to_numpy().astype(np.int64)
+            return pa.table({
+                "part": pa.array(_copart_tag(k)), "key": pa.array(k),
+                "nat": pa.array(
+                    b["c_nationkey"].to_numpy().astype(np.int64)),
+                "cents": pa.array(_cents(b["c_acctbal"].to_numpy())),
+                "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+            })
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            side = g["side"].to_numpy()
+            o = g[side == 0]
+            c = g[side == 1]
+            if len(c) == 0:
+                return pd.DataFrame({
+                    "nationkey": np.array([], dtype=np.int64),
+                    "n": np.array([], dtype=np.int64),
+                    "s": np.array([], dtype=np.int64),
+                })
+            have = np.unique(o["key"].to_numpy().astype(np.int64))
+            k = c["key"].to_numpy().astype(np.int64)
+            cents = c["cents"].to_numpy().astype(np.int64)
+            keep = _anti_probe(have, k) & (cents * n_pos > sum_pos)
+            nk = c["nat"].to_numpy().astype(np.int64)[keep]
+            ku, n, s = _nation_partial(cents[keep], nk)
+            return pd.DataFrame({"nationkey": ku, "n": n, "s": s})
+
+        partials = (
+            ord_ds.map_batches(o_norm, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .union(cust_ds.map_batches(c_norm, batch_format="pyarrow",
+                                       zero_copy_batch=True))
+            .groupby("part")
+            .map_groups(fold, batch_format="pandas")
+        )
 
     agg = (
-        rd.read_parquet(cust_path,
-                        columns=["c_custkey", "c_nationkey", "c_acctbal"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        partials
         .groupby("nationkey")
         .aggregate(Sum("n", alias_name="n_customers"),
                    Sum("s", alias_name="acctbal_cents"))

@@ -161,7 +161,10 @@ def _normalize(res):
 
 
 @pytest.mark.parametrize("fn_name", ["asof_latest_order",
-                                     "range_join_recent_orders"])
+                                     "range_join_recent_orders",
+                                     "trade_volume",
+                                     "global_sales_opportunity",
+                                     "customers_without_orders"])
 def test_probe_join_partitioned_equals_broadcast(ray_session, sf_dir, fn_name):
     """The co-partitioned (10^12-row) layout must produce the exact
     integers of the broadcast layout."""
@@ -171,6 +174,18 @@ def test_probe_join_partitioned_equals_broadcast(ray_session, sf_dir, fn_name):
     bc = _normalize(fn(sf_dir, via="broadcast"))
     part = _normalize(fn(sf_dir, via="partitioned"))
     assert bc.equals(part), f"{fn_name}: partitioned != broadcast"
+
+
+def test_trade_volume_auto_gate(ray_session, sf_dir, monkeypatch):
+    """trade_volume's via='auto' flips to the fully co-partitioned
+    dimension attach above the summed dimension row-count threshold and
+    stays exact."""
+    from prlib_ray import relational as rel
+
+    base = _normalize(rel.trade_volume(sf_dir, via="broadcast"))
+    monkeypatch.setattr(rel, "FACT_BROADCAST_MAX_ROWS", 1)
+    auto = _normalize(rel.trade_volume(sf_dir))  # now partitioned
+    assert base.equals(auto)
 
 
 def test_probe_join_auto_gate(ray_session, sf_dir, monkeypatch):
