@@ -195,7 +195,8 @@ def run_bench() -> dict:
                  "user_stickiness", "q13_custdist", "q18_large_orders",
                  "q10_returned_revenue", "trade_volume",
                  "q17_small_quantity", "q15_top_supplier",
-                 "global_sales_opportunity"):
+                 "global_sales_opportunity", "dedup_rate_by_source",
+                 "cross_source_dup_matrix"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

@@ -89,12 +89,12 @@ _PRIORITY = [
     "dedup_normalized",  # new: normalization-invariant exact dedup
     "dedup_best_survivor",  # new: keep-the-richest-copy survivor policy
     "dedup_winnow_pairs",  # new: MOSS shared-fingerprint near-dup pairs
+    "dedup_rate_by_source",  # new: per-source dedup accounting report
+    "cross_source_dup_matrix",  # new: cross-source provenance matrix
     "dedup_minhash_lsh",
     "dedup_embedding", "dedup_semantic",
     "cluster_top_terms",  # new: cross-modal cluster topic labeling
     "cluster_balance",  # new: embedding-space class-balance audit
-    "embedding_outliers",  # new: farthest-from-own-centroid prune audit
-    "label_norm_quantiles",  # new: per-label norm spectrum (exact pctl)
     "dedup_incremental",
     "knn_label_agreement",  # new: label-noise audit (exact kNN vote)
     "hard_negatives",  # new: contrastive wrong-class nearest neighbors
@@ -133,6 +133,12 @@ _PRIORITY = [
     "asof_latest_order",
     "segment_price_quantiles",
     "search_topk",  # exercises the postings build end-to-end
+    # displaced in the thirteenth session by dedup_rate_by_source /
+    # cross_source_dup_matrix (the embedding-audit family keeps
+    # cluster_balance in-window; the exact-percentile discipline is
+    # in-window via segment_price_quantiles, centroid geometry via
+    # knn_label_agreement / hard_negatives — both sim+pytest covered)
+    "embedding_outliers", "label_norm_quantiles",
     # displaced in the thirteenth session by q17_small_quantity /
     # global_sales_opportunity (cms's EXACT heavy-hitter twin
     # frequent_ngrams holds the in-window frequency slot; the

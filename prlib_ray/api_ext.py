@@ -128,6 +128,12 @@ def _register_data_ops(queries, sql) -> None:
     # cross-split contamination audit over the normalized groups
     queries["split_leakage"] = dedup.split_leakage
     sql["split_leakage"] = odata.SPLIT_LEAKAGE
+    # per-source dedup accounting + provenance matrix (planted
+    # cross-source duplicates keep both non-vacuous at every sf)
+    queries["dedup_rate_by_source"] = dedup.dedup_rate_by_source
+    sql["dedup_rate_by_source"] = odata.DEDUP_RATE_BY_SOURCE
+    queries["cross_source_dup_matrix"] = dedup.cross_source_dup_matrix
+    sql["cross_source_dup_matrix"] = odata.CROSS_SOURCE_DUP_MATRIX
     # MOSS-style shared-winnow-fingerprint pairs (df-capped stop
     # fingerprints; reuses fingerprint_winnow's selection kernel)
     queries["dedup_winnow_pairs"] = dedup.winnow_pair_dedup

@@ -1630,3 +1630,57 @@ SELECT label,
             AS BIGINT) AS p90_norm2,
        CAST(max(n) AS BIGINT) AS n_vecs
 FROM t GROUP BY label ORDER BY label"""
+
+
+# mirrors dedup.dedup_rate_by_source: the plant interpolates from the
+# implementation constants so the two sides cannot desynchronize
+def _dedup_rate_sql() -> str:
+    n, off, src = (_dd.N_PLANT_XSRC, _dd.PLANT_XSRC_OFFSET,
+                   _dd.PLANT_XSRC_SOURCE)
+    return f"""
+WITH aug AS (
+    SELECT doc_id, text, source FROM documents
+    UNION ALL
+    SELECT doc_id + {off}, text, '{src}' FROM documents
+    WHERE doc_id < {n}
+),
+s AS (SELECT md5(text) AS h, min(doc_id) AS keep FROM aug GROUP BY 1),
+tot AS (SELECT source, count(*) AS n_docs FROM aug GROUP BY 1),
+surv AS (
+    SELECT a.source, count(*) AS n_survivors
+    FROM aug a JOIN s ON a.doc_id = s.keep
+    GROUP BY 1
+)
+SELECT t.source,
+       CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(surv.n_survivors, 0) AS BIGINT) AS n_survivors,
+       CAST(t.n_docs - COALESCE(surv.n_survivors, 0) AS BIGINT)
+           AS n_removed,
+       CAST((1000 * (t.n_docs - COALESCE(surv.n_survivors, 0)))
+            // t.n_docs AS BIGINT) AS removed_permille
+FROM tot t LEFT JOIN surv ON surv.source = t.source
+ORDER BY t.source"""
+
+
+DEDUP_RATE_BY_SOURCE = _dedup_rate_sql()
+
+
+# mirrors dedup.cross_source_dup_matrix
+def _xsrc_matrix_sql() -> str:
+    n, off, src = (_dd.N_PLANT_XSRC, _dd.PLANT_XSRC_OFFSET,
+                   _dd.PLANT_XSRC_SOURCE)
+    return f"""
+WITH aug AS (
+    SELECT doc_id, text, source FROM documents
+    UNION ALL
+    SELECT doc_id + {off}, text, '{src}' FROM documents
+    WHERE doc_id < {n}
+),
+g AS (SELECT DISTINCT md5(text) AS h, source FROM aug)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_dup_groups
+FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+CROSS_SOURCE_DUP_MATRIX = _xsrc_matrix_sql()

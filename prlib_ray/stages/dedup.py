@@ -1476,3 +1476,237 @@ def best_survivor_dedup(sf_dir: str):
         folded.map_batches(finalize, batch_format="pyarrow")
         .sort("survivor")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source dedup reporting (thirteenth session).  The raw documents
+# table has no exact duplicates below sf0.1, so both queries plant
+# deterministic cross-source duplicates (doc_id < N_PLANT_XSRC
+# duplicated at + PLANT_XSRC_OFFSET with IDENTICAL text under the
+# synthetic source PLANT_XSRC_SOURCE); the oracle mirrors the plant
+# with a UNION ALL, so the per-source accounting and the cross-source
+# matrix are provably non-vacuous at every scale.
+
+N_PLANT_XSRC = 10
+PLANT_XSRC_OFFSET = 1_000_000
+PLANT_XSRC_SOURCE = "planted"
+
+
+def _plant_xsrc_batch(b: pa.Table) -> pa.Table:
+    """Append this batch's planted exact cross-source duplicates."""
+    ids = b["doc_id"].to_numpy().astype(np.int64)
+    base = pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": b["text"],
+        "source": b["source"],
+    })
+    m = ids < N_PLANT_XSRC
+    if not m.any():
+        return base
+    dup = b.filter(pa.array(m))
+    dup = pa.table({
+        "doc_id": pa.array(
+            dup["doc_id"].to_numpy().astype(np.int64) + PLANT_XSRC_OFFSET
+        ),
+        "text": dup["text"],
+        "source": pa.array([PLANT_XSRC_SOURCE] * dup.num_rows,
+                           type=pa.string()),
+    })
+    return pa.concat_tables([base, dup.cast(base.schema)])
+
+
+def dedup_rate_by_source(sf_dir: str):
+    """Per-source exact-dedup accounting: how many documents each
+    source contributes, how many SURVIVE byte-exact dedup (min doc_id
+    per md5(text) group), and the removed count + exact permille — the
+    report a curation pipeline reads to see which sources feed it
+    duplicates.
+
+    Layout mirrors _hash_min_fold (per-batch survivor pre-combine,
+    crc32(h) % N_DEDUP_PARTS coarse partitions, one lexsort
+    run-boundary fold per part — a hash never spans parts) with the
+    survivor's SOURCE carried through the fold; the per-source totals
+    are one separate partial pass.  Both ends are bounded (one row per
+    source), so only survivor candidates shuffle."""
+    import zlib
+
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+
+    def totals(b: pa.Table) -> pa.Table:
+        b = _plant_xsrc_batch(b)
+        src = b["source"].to_numpy(zero_copy_only=False).astype(object)
+        su, counts = np.unique(src, return_counts=True)
+        return pa.table({
+            "source": pa.array(su.tolist(), type=pa.string()),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    tot_rows = (
+        ds.map_batches(totals, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .take_all()  # bounded: one row per source
+    )
+
+    def cand(b: pa.Table) -> pa.Table:
+        b = _plant_xsrc_batch(b)
+        hs = np.asarray([_md5(t) for t in b["text"].to_pylist()],
+                        dtype=object)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        src = b["source"].to_numpy(zero_copy_only=False).astype(object)
+        order = np.lexsort((ids, hs))
+        h_s, i_s, s_s = hs[order], ids[order], src[order]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        part = np.asarray(
+            [zlib.crc32(h.encode()) % N_DEDUP_PARTS
+             for h in h_s[starts]],
+            dtype=np.int64,
+        )
+        return pa.table({
+            "h": pa.array(h_s[starts], type=pa.string()),
+            "doc_id": pa.array(i_s[starts]),
+            "src": pa.array(s_s[starts].tolist(), type=pa.string()),
+            "part": pa.array(part),
+        })
+
+    def surv_fold(g: pd.DataFrame) -> pd.DataFrame:
+        hs = g["h"].to_numpy().astype(object)
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        src = g["src"].to_numpy().astype(object)
+        order = np.lexsort((ids, hs))
+        h_s, s_s = hs[order], src[order]
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        su, counts = np.unique(s_s[starts].astype(str),
+                               return_counts=True)
+        return pd.DataFrame({
+            "source": su.astype(object),
+            "n": counts.astype(np.int64),
+        })
+
+    surv_rows = (
+        ds.map_batches(cand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(surv_fold, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n_survivors"))
+        .take_all()  # bounded: one row per source
+    )
+
+    tot = {str(r["source"]): int(r["n_docs"]) for r in tot_rows}
+    surv = {str(r["source"]): int(r["n_survivors"]) for r in surv_rows}
+    srcs = sorted(tot)
+    n_docs = np.array([tot[s] for s in srcs], dtype=np.int64)
+    n_surv = np.array([surv.get(s, 0) for s in srcs], dtype=np.int64)
+    removed = n_docs - n_surv
+    return pa.table({
+        "source": pa.array(srcs, type=pa.string()),
+        "n_docs": pa.array(n_docs, type=pa.int64()),
+        "n_survivors": pa.array(n_surv, type=pa.int64()),
+        "n_removed": pa.array(removed, type=pa.int64()),
+        "removed_permille": pa.array(1000 * removed // n_docs,
+                                     type=pa.int64()),
+    })
+
+
+def cross_source_dup_matrix(sf_dir: str):
+    """Which sources copy from which: for every exact-duplicate group
+    (md5(text)) spanning >= 2 DISTINCT sources, one count per unordered
+    source pair — the provenance matrix of a multi-source crawl.
+
+    Layout: per-batch distinct (h, source) partials with the crc32
+    coarse-part tag (a hash never spans parts); per part one lexsort
+    dedups (h, source) globally and enumerates within-run source pairs
+    with a run-offset loop bounded by the SOURCE cardinality (sources
+    per hash <= n_sources, tiny) — sources within a run are sorted, so
+    source_a < source_b by construction; <= n_sources^2 count partials
+    per part reach the bounded final groupby."""
+    import zlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+
+    def pairs_partial(b: pa.Table) -> pa.Table:
+        b = _plant_xsrc_batch(b)
+        hs = np.asarray([_md5(t) for t in b["text"].to_pylist()],
+                        dtype=object)
+        src = b["source"].to_numpy(zero_copy_only=False).astype(object)
+        key = np.char.add(np.char.add(hs.astype(str), "|"),
+                          src.astype(str))
+        _, first = np.unique(key, return_index=True)
+        part = np.asarray(
+            [zlib.crc32(h.encode()) % N_DEDUP_PARTS
+             for h in hs[first]],
+            dtype=np.int64,
+        )
+        return pa.table({
+            "h": pa.array(hs[first], type=pa.string()),
+            "src": pa.array(src[first].tolist(), type=pa.string()),
+            "part": pa.array(part),
+        })
+
+    empty = pd.DataFrame({
+        "source_a": np.array([], dtype=object),
+        "source_b": np.array([], dtype=object),
+        "n": np.array([], dtype=np.int64),
+    })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        hs = g["h"].to_numpy().astype(object)
+        src = g["src"].to_numpy().astype(str)
+        order = np.lexsort((src, hs))
+        h_s, s_s = hs[order], src[order]
+        # global distinct within the part (batches overlap)
+        keep = np.r_[True, (h_s[1:] != h_s[:-1]) | (s_s[1:] != s_s[:-1])]
+        h_s, s_s = h_s[keep], s_s[keep]
+        if len(h_s) == 0:
+            return empty
+        new = np.r_[True, h_s[1:] != h_s[:-1]]
+        run = np.cumsum(new) - 1
+        run_len = np.bincount(run)
+        max_len = int(run_len.max())
+        pa_, pb_ = [], []
+        for d in range(1, max_len):
+            i = np.flatnonzero(run[:-d] == run[d:])
+            if len(i):
+                pa_.append(s_s[i])
+                pb_.append(s_s[i + d])
+        if not pa_:
+            return empty
+        sa = np.concatenate(pa_)
+        sb = np.concatenate(pb_)
+        pair = np.char.add(np.char.add(sa, "|"), sb)
+        pu, counts = np.unique(pair, return_counts=True)
+        split = np.char.partition(pu, "|")
+        return pd.DataFrame({
+            "source_a": split[:, 0].astype(object),
+            "source_b": split[:, 2].astype(object),
+            "n": counts.astype(np.int64),
+        })
+
+    rows = (
+        ds.map_batches(pairs_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .take_all()  # bounded: <= n_sources^2 rows per part
+    )
+    counts: dict[tuple[str, str], int] = {}
+    for r in rows:
+        k = (str(r["source_a"]), str(r["source_b"]))
+        counts[k] = counts.get(k, 0) + int(r["n"])
+    keys = sorted(counts)
+    return pa.table({
+        "source_a": pa.array([k[0] for k in keys], type=pa.string()),
+        "source_b": pa.array([k[1] for k in keys], type=pa.string()),
+        "n_dup_groups": pa.array([counts[k] for k in keys],
+                                 type=pa.int64()),
+    })

@@ -51,6 +51,8 @@ ORACLE_CASES = [
     "split_leakage",
     "embedding_outliers",
     "label_norm_quantiles",
+    "dedup_rate_by_source",
+    "cross_source_dup_matrix",
 ]
 
 
