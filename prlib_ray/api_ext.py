@@ -198,6 +198,9 @@ def _register_data_ops(queries, sql) -> None:
     # integer-exact score (sign * cos^2 * 1e4, floor): full SQL oracle
     queries["ann_bruteforce_topk"] = similarity.ann_bruteforce_topk
     sql["ann_bruteforce_topk"] = odata.ANN_BRUTEFORCE
+    # matryoshka dim-truncation recall audit (one scan, both variants)
+    queries["ann_dim_truncation_audit"] = similarity.ann_dim_truncation_audit
+    sql["ann_dim_truncation_audit"] = odata.ANN_DIM_TRUNCATION
     # contrastive hard-negative mining (wrong-class nearest neighbors)
     queries["hard_negatives"] = similarity.hard_negatives
     sql["hard_negatives"] = odata.HARD_NEGATIVES

@@ -305,15 +305,17 @@ FROM sub s LEFT JOIN cnt c ON s.vec_id = c.vec_id ORDER BY s.vec_id"""
 # spelled out with the mod trick (DuckDB // truncates toward zero;
 # Python floor_divide floors).  Ties break by vec_id asc; zero-norm
 # vectors score 0.
-def _scored_ranked_ctes(dots_cte: str) -> str:
+def _scored_ranked_ctes(dots_cte: str, suffix: str = "") -> str:
     """ONE definition of the integer-score + ranking CTEs (the engine's
     floor(dot*|dot|*1e4/(na*nb)) contract, mod-trick floor division,
     score DESC / vec_id ASC row numbers), composed by ANN_BRUTEFORCE,
-    the LSH probe oracle and KNN_LABEL_AGREEMENT.  Expects CTEs
-    ``{dots_cte}(query_id, vec_id, dot)`` and ``norms(vec_id, nn)`` in
-    scope."""
+    the LSH probe oracle, KNN_LABEL_AGREEMENT and the dim-truncation
+    audit.  Expects CTEs ``{dots_cte}(query_id, vec_id, dot)`` and
+    ``norms{suffix}(vec_id, nn)`` in scope; ``suffix`` renames the
+    emitted scored/ranked CTEs so two chains can coexist in one
+    query."""
     return f""",
-scored AS (
+scored{suffix} AS (
     SELECT d.query_id, d.vec_id,
            CASE WHEN na.nn * nb.nn = 0 THEN 0
                 ELSE CAST((s2x - (((s2x % dd) + dd) % dd)) / dd AS BIGINT)
@@ -323,15 +325,15 @@ scored AS (
                CAST(dot AS HUGEINT) * abs(dot) * 10000 AS s2x
         FROM {dots_cte}
     ) d
-    JOIN norms na ON d.query_id = na.vec_id
-    JOIN norms nb ON d.vec_id = nb.vec_id,
+    JOIN norms{suffix} na ON d.query_id = na.vec_id
+    JOIN norms{suffix} nb ON d.vec_id = nb.vec_id,
     LATERAL (SELECT CAST(na.nn AS HUGEINT) * nb.nn AS dd) x
 ),
-ranked AS (
+ranked{suffix} AS (
     SELECT query_id, vec_id, score,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY score DESC, vec_id ASC) AS rn
-    FROM scored
+    FROM scored{suffix}
 )"""
 
 
@@ -1684,3 +1686,50 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
 CROSS_SOURCE_DUP_MATRIX = _xsrc_matrix_sql()
+
+
+# mirrors similarity.ann_dim_truncation_audit: the truncated chain is
+# the SAME shared scored/ranked contract over the first TRUNC_DIM
+# coordinates (generate_subscripts is 1-based, so i <= TRUNC_DIM);
+# overlap joins the two rn<=k sets per query
+def _dim_truncation_sql() -> str:
+    from prlib_ray.stages.similarity import TRUNC_DIM
+
+    k, nq, td = 5, 10, TRUNC_DIM
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                AS BIGINT) AS qv
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sum(qv * qv) AS nn FROM q GROUP BY vec_id),
+dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+           sum(a.qv * b.qv) AS dot
+    FROM q a JOIN q b ON a.i = b.i AND a.vec_id < {nq}
+                     AND b.vec_id <> a.vec_id
+    GROUP BY a.vec_id, b.vec_id
+)""" + _scored_ranked_ctes("dots") + f""",
+qt AS (SELECT vec_id, i, qv FROM q WHERE i <= {td}),
+normst AS (SELECT vec_id, sum(qv * qv) AS nn FROM qt GROUP BY vec_id),
+dotst AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+           sum(a.qv * b.qv) AS dot
+    FROM qt a JOIN qt b ON a.i = b.i AND a.vec_id < {nq}
+                       AND b.vec_id <> a.vec_id
+    GROUP BY a.vec_id, b.vec_id
+)""" + _scored_ranked_ctes("dotst", "t") + f"""
+SELECT r.query_id,
+       CAST(count(t.vec_id) AS BIGINT) AS n_overlap,
+       CAST((1000 * count(t.vec_id)) // {k} AS BIGINT)
+           AS recall_permille
+FROM ranked r
+LEFT JOIN rankedt t ON t.query_id = r.query_id
+                   AND t.vec_id = r.vec_id AND t.rn <= {k}
+WHERE r.rn <= {k}
+GROUP BY r.query_id ORDER BY r.query_id"""
+
+
+ANN_DIM_TRUNCATION = _dim_truncation_sql()

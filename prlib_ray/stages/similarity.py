@@ -1484,3 +1484,104 @@ def label_norm_quantiles(sf_dir: str):
         .map_groups(quant, batch_format="pandas")
         .sort("label")
     )
+
+
+TRUNC_DIM = 16  # matryoshka audit: first-16-of-64 dims
+
+
+def ann_dim_truncation_audit(sf_dir: str, *, k: int = 5,
+                             n_queries: int = 10,
+                             trunc_dim: int = TRUNC_DIM):
+    """Matryoshka-style dimension-truncation audit: per query, how much
+    of the exact FULL-dimension top-k survives when both queries and
+    corpus are truncated to the first ``trunc_dim`` dimensions — the
+    measurement that decides whether a cheaper truncated index is safe.
+
+    ONE corpus scan computes BOTH score matrices per batch (the shared
+    `_int_cosine_scores` integer contract at full and truncated dims —
+    the truncated variant is the same contract over a prefix slice, so
+    the SQL mirror is the same CTE chain over ``i <= trunc_dim``); each
+    batch emits its local top-k per (variant, query); the driver merges
+    the bounded candidates (<= 2 * n_queries * k per batch) and counts
+    the per-query overlap.  recall_permille = 1000 * overlap // k,
+    exact integers end-to-end."""
+    import ray
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qrows = sorted(
+        emb.map_batches(
+            lambda b: b.filter(
+                pa.array(b["vec_id"].to_numpy() < n_queries)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qm = np.stack(_quantize([list(r["embedding"]) for r in qrows]))
+    qt = qm[:, :trunc_dim]
+    ref = ray.put((qids, qm, (qm * qm).sum(axis=1),
+                   qt, (qt * qt).sum(axis=1)))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        ids_q, qm_, qn_, qt_, qtn_ = ray.get(ref)
+        empty = pa.table({
+            "variant": pa.array([], type=pa.int8()),
+            "query_id": pa.array([], type=pa.int64()),
+            "vec_id": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.int64()),
+        })
+        if b.num_rows == 0:
+            return empty
+        vids = b["vec_id"].to_numpy()
+        mat = np.stack(_quantize(b["embedding"].to_pylist()))
+        mt = mat[:, :trunc_dim]
+        s_full = _int_cosine_scores(qm_, qn_, mat,
+                                    (mat * mat).sum(axis=1))
+        s_trunc = _int_cosine_scores(qt_, qtn_, mt,
+                                     (mt * mt).sum(axis=1))
+        out_var, out_q, out_v, out_s = [], [], [], []
+        for variant, score in ((0, s_full), (1, s_trunc)):
+            for qi in range(len(ids_q)):
+                s = score[qi]
+                mask = vids != ids_q[qi]
+                if not mask.any():
+                    continue
+                order = np.lexsort((vids[mask], -s[mask]))[:k]
+                sel = np.flatnonzero(mask)[order]
+                out_var.extend([variant] * len(sel))
+                out_q.extend([int(ids_q[qi])] * len(sel))
+                out_v.extend(vids[sel].tolist())
+                out_s.extend(s[mask][order].tolist())
+        return pa.table({
+            "variant": pa.array(out_var, type=pa.int8()),
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "score": pa.array(out_s, type=pa.int64()),
+        })
+
+    rows = emb.map_batches(local_topk, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    # bounded driver merge: per (variant, query) global top-k by the
+    # shared (score DESC, vec_id ASC) rank, then per-query overlap
+    var = np.array([r["variant"] for r in rows], dtype=np.int64)
+    qid = np.array([r["query_id"] for r in rows], dtype=np.int64)
+    vid = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    sc = np.array([r["score"] for r in rows], dtype=np.int64)
+    tops: dict[tuple[int, int], set] = {}
+    for v in (0, 1):
+        for q in qids:
+            m = (var == v) & (qid == q)
+            order = np.lexsort((vid[m], -sc[m]))[:k]
+            tops[(v, int(q))] = set(vid[m][order].tolist())
+    overlap = np.array(
+        [len(tops[(0, int(q))] & tops[(1, int(q))]) for q in qids],
+        dtype=np.int64,
+    )
+    return pa.table({
+        "query_id": pa.array(qids, type=pa.int64()),
+        "n_overlap": pa.array(overlap, type=pa.int64()),
+        "recall_permille": pa.array(1000 * overlap // k,
+                                    type=pa.int64()),
+    })

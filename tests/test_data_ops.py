@@ -53,6 +53,7 @@ ORACLE_CASES = [
     "label_norm_quantiles",
     "dedup_rate_by_source",
     "cross_source_dup_matrix",
+    "ann_dim_truncation_audit",
 ]
 
 
