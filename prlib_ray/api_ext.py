@@ -677,6 +677,9 @@ def _register_relational(queries, sql) -> None:
         # TPC-H Q22 shape: global-scalar filter + windowed anti-join
         ("global_sales_opportunity", rel.global_sales_opportunity,
          orel.GLOBAL_SALES_OPPORTUNITY),
+        # TPC-H Q19 shape: disjunctive predicate spanning the part join
+        ("q19_disjunctive_revenue", rel.q19_disjunctive_revenue,
+         orel.Q19_DISJUNCTIVE_REVENUE),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

@@ -829,3 +829,27 @@ GROUP BY 1 ORDER BY 1"""
 
 
 GLOBAL_SALES_OPPORTUNITY = _q22_sql()
+
+
+# mirrors relational.q19_disjunctive_revenue: the OR-of-conjuncts
+# interpolates from the implementation's disjunct table; quantity
+# bounds compare in exact cents, BETWEEN inclusive both ends
+def _q19_sql() -> str:
+    from prlib_ray.relational import Q19_DISJUNCTS
+
+    qc = _CENTS.format(expr='l.l_quantity')
+    ors = " OR ".join(
+        f"(p.p_brand = '{br}' AND p.p_size BETWEEN {slo} AND {shi}"
+        f" AND {qc} BETWEEN {100 * qlo} AND {100 * qhi})"
+        for br, slo, shi, qlo, qhi in Q19_DISJUNCTS
+    )
+    return f"""
+SELECT CAST(COALESCE(SUM(
+           {_CENTS.format(expr='l.l_extendedprice * (1.0 - l.l_discount)')}
+       ), 0) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {ors}"""
+
+
+Q19_DISJUNCTIVE_REVENUE = _q19_sql()

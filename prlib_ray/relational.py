@@ -3995,3 +3995,118 @@ def global_sales_opportunity(sf_dir: str, *, via: str = "auto"):
         "n_customers": pa.array(nn[order], type=pa.int64()),
         "acctbal_cents": pa.array(ss[order], type=pa.int64()),
     })
+
+
+# TPC-H Q19 shape: three (brand, size-range, quantity-range) disjuncts
+Q19_DISJUNCTS = (
+    ("Brand#1", 1, 5, 1, 11),     # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#2", 1, 10, 10, 20),
+    ("Brand#3", 1, 15, 20, 30),
+)
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: total discounted revenue from lineitems
+    satisfying ANY of three conjunctive (brand, size-range,
+    quantity-range) disjuncts — the multi-attribute OR predicate that
+    spans a join (brand/size live on part, quantity on lineitem), so
+    no single-side filter pushdown can evaluate it.
+
+    Plan: the partkey co-partition attaches a per-part DISJUNCT
+    BITMASK (which disjuncts this part's brand+size could satisfy —
+    3 bits packed into one int64 on the dimension side) to each
+    lineitem; the row predicate is then one vectorized AND of the
+    attached mask with the row's quantity-range bits.  Quantity bounds
+    compare in exact cents (BETWEEN is inclusive on both ends,
+    mirrored literally).  Each part emits one revenue partial; the
+    driver folds <= N_COPART rows."""
+    import pandas as pd
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    )
+    part_ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand",
+                                           "p_size"]
+    )
+
+    def part_norm(b: pa.Table) -> pa.Table:
+        key = b["p_partkey"].to_numpy().astype(np.int64)
+        brand = b["p_brand"].to_numpy(zero_copy_only=False).astype(str)
+        size = b["p_size"].to_numpy().astype(np.int64)
+        mask = np.zeros(b.num_rows, dtype=np.int64)
+        for bit, (br, slo, shi, _, _) in enumerate(Q19_DISJUNCTS):
+            mask |= ((brand == br) & (size >= slo)
+                     & (size <= shi)).astype(np.int64) << bit
+        return pa.table({"part": pa.array(_copart_tag(key)),
+                         "key": pa.array(key),
+                         "v": pa.array(mask),
+                         "w": pa.array(np.zeros(b.num_rows,
+                                                dtype=np.int64)),
+                         "side": pa.array(np.zeros(b.num_rows,
+                                                   dtype=np.int8))})
+
+    def li_norm(b: pa.Table) -> pa.Table:
+        key = b["l_partkey"].to_numpy().astype(np.int64)
+        qc = _cents(b["l_quantity"].to_numpy())
+        qmask = np.zeros(b.num_rows, dtype=np.int64)
+        for bit, (_, _, _, qlo, qhi) in enumerate(Q19_DISJUNCTS):
+            qmask |= ((qc >= 100 * qlo)
+                      & (qc <= 100 * qhi)).astype(np.int64) << bit
+        rev = _cents(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy())
+        )
+        return pa.table({"part": pa.array(_copart_tag(key)),
+                         "key": pa.array(key),
+                         "v": pa.array(qmask),
+                         "w": pa.array(rev),
+                         "side": pa.array(np.ones(b.num_rows,
+                                                  dtype=np.int8))})
+
+    both = part_ds.map_batches(
+        part_norm, batch_format="pyarrow", zero_copy_batch=True
+    ).union(li.map_batches(
+        li_norm, batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        p = g[side == 0]
+        l = g[side == 1]
+        empty = pd.DataFrame({
+            "revenue_cents": np.array([0], dtype=np.int64),
+            "n_lineitems": np.array([0], dtype=np.int64),
+        })
+        if len(p) == 0 or len(l) == 0:
+            return empty
+        lk = l["key"].to_numpy().astype(np.int64)
+        osort, pk, pos, hit = _sorted_key_attach(
+            p["key"].to_numpy().astype(np.int64), lk
+        )  # lineitems with an unknown part drop (inner-join parity)
+        pmask = p["v"].to_numpy().astype(np.int64)[osort][pos[hit]]
+        qmask = l["v"].to_numpy().astype(np.int64)[hit]
+        rev = l["w"].to_numpy().astype(np.int64)[hit]
+        keep = (pmask & qmask) != 0
+        return pd.DataFrame({
+            "revenue_cents": np.array([int(rev[keep].sum())],
+                                      dtype=np.int64),
+            "n_lineitems": np.array([int(keep.sum())], dtype=np.int64),
+        })
+
+    parts = (
+        both.groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .take_all()  # <= N_COPART one-row partials
+    )
+    return pa.table({
+        "revenue_cents": pa.array(
+            [sum(int(r["revenue_cents"]) for r in parts)],
+            type=pa.int64()),
+        "n_lineitems": pa.array(
+            [sum(int(r["n_lineitems"]) for r in parts)],
+            type=pa.int64()),
+    })

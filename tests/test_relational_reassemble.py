@@ -25,6 +25,7 @@ CASES = [
     "q17_small_quantity",
     "q15_top_supplier",
     "global_sales_opportunity",
+    "q19_disjunctive_revenue",
     "brand_supplier_counts",
     "user_stickiness",
     "key_skew_profile",
