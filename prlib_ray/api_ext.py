@@ -680,6 +680,9 @@ def _register_relational(queries, sql) -> None:
         # TPC-H Q19 shape: disjunctive predicate spanning the part join
         ("q19_disjunctive_revenue", rel.q19_disjunctive_revenue,
          orel.Q19_DISJUNCTIVE_REVENUE),
+        # TPC-H Q21 shape: EXISTS + NOT-EXISTS self-join, one copart
+        ("q21_waiting_suppliers", rel.q21_waiting_suppliers,
+         orel.Q21_WAITING_SUPPLIERS),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

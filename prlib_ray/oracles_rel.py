@@ -853,3 +853,39 @@ WHERE {ors}"""
 
 
 Q19_DISJUNCTIVE_REVENUE = _q19_sql()
+
+
+# mirrors relational.q21_waiting_suppliers: every quantifier of the
+# EXISTS + NOT-EXISTS self-join is scoped to one order, so the SQL
+# states them as per-order aggregates — COUNT(DISTINCT supplier) >= 2,
+# exactly one DISTINCT LATE supplier — which is the same predicate the
+# per-part run-boundary kernel evaluates; "late" is the repo's shared
+# lateness contract (l_shipdate > o_orderdate + LATE_SHIP_DAYS)
+def _q21_sql() -> str:
+    from prlib_ray.relational import LATE_SHIP_DAYS, Q21_TOPK
+
+    return f"""
+WITH j AS (
+    SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+           (l.l_shipdate > o.o_orderdate
+            + INTERVAL {LATE_SHIP_DAYS} DAY) AS late
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+),
+per AS (
+    SELECT ok,
+           COUNT(DISTINCT sk) AS n_supp,
+           COUNT(DISTINCT CASE WHEN late THEN sk END) AS n_late,
+           MIN(CASE WHEN late THEN sk END) AS late_supp
+    FROM j GROUP BY ok
+)
+SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per JOIN supplier s ON s.s_suppkey = per.late_supp
+WHERE per.n_supp >= 2 AND per.n_late = 1
+GROUP BY 1, 2
+ORDER BY numwait DESC, s.s_suppkey
+LIMIT {Q21_TOPK}"""
+
+
+Q21_WAITING_SUPPLIERS = _q21_sql()

@@ -2301,14 +2301,17 @@ LATE_SHIP_DAYS = 60
 
 
 def _copart_two_fact_union(left_ds, right_ds, *, left_key, left_t,
-                           right_key, right_t, left_extra=()):
+                           right_key, right_t, left_extra=(),
+                           right_extra=()):
     """(part, key, t, [extra...], side) union of two FACT tables
     co-partitioned by _copart_tag(key) — the ONE definition of the
     fact-fact co-location layout (orders_with_late_items /
-    fulfillment_latency), so the partition scheme and the column
-    shape cannot drift between consumers.  ``left_extra`` is a list of
-    (out_name, src_col) STRING columns carried on the left side only
-    (null-filled on the right so the union schemas match)."""
+    fulfillment_latency / q21_waiting_suppliers), so the partition
+    scheme and the column shape cannot drift between consumers.
+    ``left_extra`` is a list of (out_name, src_col) STRING columns
+    carried on the left side only; ``right_extra`` the same for INT64
+    columns on the right side (each null-filled on the other side so
+    the union schemas match)."""
 
     def l_norm(b: pa.Table) -> pa.Table:
         key = b[left_key].to_numpy().astype(np.int64)
@@ -2316,6 +2319,8 @@ def _copart_two_fact_union(left_ds, right_ds, *, left_key, left_t,
                 "t": pa.array(b[left_t].cast(pa.int64()).to_numpy())}
         for name, src in left_extra:
             cols[name] = b[src]
+        for name, _ in right_extra:
+            cols[name] = pa.nulls(b.num_rows, pa.int64())
         cols["side"] = pa.array(np.zeros(b.num_rows, dtype=np.int8))
         return pa.table(cols)
 
@@ -2325,6 +2330,8 @@ def _copart_two_fact_union(left_ds, right_ds, *, left_key, left_t,
                 "t": pa.array(b[right_t].cast(pa.int64()).to_numpy())}
         for name, _ in left_extra:
             cols[name] = pa.nulls(b.num_rows, pa.string())
+        for name, src in right_extra:
+            cols[name] = b[src].cast(pa.int64())
         cols["side"] = pa.array(np.ones(b.num_rows, dtype=np.int8))
         return pa.table(cols)
 
@@ -4109,4 +4116,149 @@ def q19_disjunctive_revenue(sf_dir: str):
         "n_lineitems": pa.array(
             [sum(int(r["n_lineitems"]) for r in parts)],
             type=pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who kept orders waiting.  The reference
+# query's l_receiptdate/l_commitdate columns don't exist on this
+# lineitem, so "late" is the repo's shared lateness contract
+# (l_shipdate > o_orderdate + LATE_SHIP_DAYS, orders_with_late_items).
+
+Q21_TOPK = 10
+
+
+def q21_waiting_suppliers(sf_dir: str, *, k: int = Q21_TOPK,
+                          days: int = LATE_SHIP_DAYS):
+    """Suppliers who kept multi-supplier orders waiting: for each
+    finished ('F') order with lineitems from >= 2 distinct suppliers
+    where EXACTLY ONE supplier shipped late, that supplier gets one
+    "waiting" count; top-k suppliers by (numwait DESC, suppkey ASC)
+    with names.  The classic EXISTS + NOT-EXISTS self-join on the fact
+    table — but every quantifier is scoped to ONE order, so the whole
+    predicate evaluates inside a single orderkey co-partition.
+
+    Plan: both facts co-partition by hash(orderkey) % N_COPART
+    (_copart_two_fact_union — the orders side pre-filtered to 'F',
+    lineitems carry l_suppkey as a right_extra).  Per part: one
+    searchsorted attaches each lineitem's order date (orphans and
+    non-'F' orders drop), then ONE lexsort by (orderkey, suppkey)
+    yields both quantifiers as run-boundary counts — distinct
+    suppliers per order, distinct LATE suppliers per order (a pair is
+    late if ANY of its rows is late: np.logical_or.at over pair run
+    ids) — and the unique late supplier of each qualifying order is
+    the late pair whose order qualifies.  Only <= n_suppliers
+    (suppkey, numwait) partial rows leave each part; the final
+    groupby is dimension-bounded, the top-k fold and the winner-name
+    attach (key-filtered pruned scan) mirror q15/q10."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    span = days * 86_400_000_000  # us
+
+    ord_ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+        filter=(pc.field("o_orderstatus") == pa.scalar("F")),
+    )
+
+    def _keep_f(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["o_orderstatus"], pa.scalar("F")))
+        return b.select(["o_orderkey", "o_orderdate"])
+
+    ord_ds = ord_ds.map_batches(_keep_f, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    li_ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_suppkey"],
+    )
+
+    both = _copart_two_fact_union(
+        ord_ds, li_ds,
+        left_key="o_orderkey", left_t="o_orderdate",
+        right_key="l_orderkey", right_t="l_shipdate",
+        right_extra=(("sk", "l_suppkey"),),
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        o = g[side == 0]
+        l = g[side == 1]
+        empty = pd.DataFrame({
+            "s_suppkey": np.array([], dtype=np.int64),
+            "numwait": np.array([], dtype=np.int64),
+        })
+        if len(o) == 0 or len(l) == 0:
+            return empty
+        lk = l["key"].to_numpy().astype(np.int64)
+        lt = l["t"].to_numpy().astype(np.int64)
+        sk = l["sk"].to_numpy().astype(np.int64)
+        osort, ok, pos, hit = _sorted_key_attach(
+            o["key"].to_numpy().astype(np.int64), lk
+        )  # lineitems of non-'F' / unknown orders drop
+        ot = o["t"].to_numpy().astype(np.int64)[osort]
+        lk, lt, sk = lk[hit], lt[hit], sk[hit]
+        if len(lk) == 0:
+            return empty
+        late = lt > ot[pos[hit]] + span
+        # one lexsort gives both per-order quantifiers as run counts
+        order = np.lexsort((sk, lk))
+        lk_s, sk_s, late_s = lk[order], sk[order], late[order]
+        new_pair = np.r_[True, (lk_s[1:] != lk_s[:-1])
+                         | (sk_s[1:] != sk_s[:-1])]
+        pair_run = np.cumsum(new_pair) - 1
+        n_pairs = int(pair_run[-1]) + 1
+        pair_late = np.zeros(n_pairs, dtype=bool)
+        np.logical_or.at(pair_late, pair_run[late_s], True)
+        pair_ok = lk_s[new_pair]          # each pair's orderkey
+        pair_sk = sk_s[new_pair]          # each pair's suppkey
+        new_ord = np.r_[True, pair_ok[1:] != pair_ok[:-1]]
+        ord_run = np.cumsum(new_ord) - 1
+        n_ord = int(ord_run[-1]) + 1
+        n_supp = np.bincount(ord_run, minlength=n_ord)
+        n_late = np.bincount(ord_run[pair_late], minlength=n_ord)
+        ord_ok = (n_supp >= 2) & (n_late == 1)
+        waiting = pair_sk[pair_late & ord_ok[ord_run]]
+        if len(waiting) == 0:
+            return empty
+        wk, cnt = np.unique(waiting, return_counts=True)
+        return pd.DataFrame({"s_suppkey": wk.astype(np.int64),
+                             "numwait": cnt.astype(np.int64)})
+
+    totals = (
+        both.groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("s_suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+        .take_all()  # dimension-bounded: <= n_suppliers rows
+    )
+    empty = pa.table({
+        "s_suppkey": pa.array([], type=pa.int64()),
+        "s_name": pa.array([], type=pa.string()),
+        "numwait": pa.array([], type=pa.int64()),
+    })
+    if not totals:
+        return empty
+    keys = np.array([r["s_suppkey"] for r in totals], dtype=np.int64)
+    nw = np.array([r["numwait"] for r in totals], dtype=np.int64)
+    top = np.lexsort((keys, -nw))[:k]     # numwait DESC, suppkey ASC
+    wkeys, wnw = keys[top], nw[top]
+    ssort = np.argsort(wkeys, kind="stable")
+    wkeys, wnw = wkeys[ssort], wnw[ssort]
+    supp = _collect_columns(
+        rd.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+            filter=(pc.field("s_suppkey").isin(
+                pa.array(wkeys, type=pa.int64()))),
+        ),
+        ["s_suppkey", "s_name"],
+    )
+    psort = np.argsort(supp["s_suppkey"].astype(np.int64))
+    pos = psort[np.searchsorted(
+        supp["s_suppkey"].astype(np.int64)[psort], wkeys)]
+    return pa.table({
+        "s_suppkey": pa.array(wkeys, type=pa.int64()),
+        "s_name": pa.array(supp["s_name"][pos].astype(object).tolist(),
+                           type=pa.string()),
+        "numwait": pa.array(wnw, type=pa.int64()),
     })

@@ -26,6 +26,7 @@ CASES = [
     "q15_top_supplier",
     "global_sales_opportunity",
     "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
     "brand_supplier_counts",
     "user_stickiness",
     "key_skew_profile",
@@ -1003,3 +1004,60 @@ def test_q15_top_supplier_tie_complete(ray_session, tmp_path):
     got = list(zip(df["s_suppkey"], df["s_name"],
                    df["total_revenue_cents"]))
     assert got == [(100, "SA", 1000), (200, "SB", 1000)]
+
+
+def test_q21_waiting_suppliers_constructed(ray_session, tmp_path):
+    """Q21 quantifier semantics on hand-built facts: only 'F' orders
+    count, the order needs >= 2 DISTINCT suppliers, EXACTLY ONE of
+    them late (two late suppliers disqualify the order), a supplier
+    late on several lineitems of one order counts once, orphan
+    lineitems drop, and the top-k fold orders (numwait DESC,
+    suppkey ASC)."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import q21_waiting_suppliers
+
+    base = np.datetime64("1995-01-01", "us")
+    late = (base + np.timedelta64(100, "D")).item()   # > 60 days
+    ontime = (base + np.timedelta64(10, "D")).item()
+    pq2.write_table(pa2.table({
+        "o_orderkey": pa2.array([1, 2, 3, 4, 5], type=pa2.int64()),
+        "o_orderdate": pa2.array([base.item()] * 5,
+                                 type=pa2.timestamp("us")),
+        "o_orderstatus": pa2.array(["F", "F", "F", "O", "F"]),
+    }), tmp_path / "orders.parquet")
+    li = [
+        # order 1: supp 7 late (twice -> one count), supp 8 on time
+        (1, 7, late), (1, 7, late), (1, 8, ontime),
+        # order 2: both suppliers late -> disqualified (n_late = 2)
+        (2, 7, late), (2, 8, late),
+        # order 3: single supplier late -> disqualified (n_supp = 1)
+        (3, 7, late),
+        # order 4: would qualify but status 'O' -> drops
+        (4, 9, late), (4, 8, ontime),
+        # order 5: supp 9 late, supp 7 on time -> counts for 9
+        (5, 9, late), (5, 7, ontime),
+        # orphan lineitem -> drops
+        (99, 9, late),
+    ]
+    pq2.write_table(pa2.table({
+        "l_orderkey": pa2.array([r[0] for r in li], type=pa2.int64()),
+        "l_suppkey": pa2.array([r[1] for r in li], type=pa2.int64()),
+        "l_shipdate": pa2.array([r[2] for r in li],
+                                type=pa2.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    pq2.write_table(pa2.table({
+        "s_suppkey": pa2.array([7, 8, 9], type=pa2.int64()),
+        "s_name": pa2.array(["s7", "s8", "s9"]),
+    }), tmp_path / "supplier.parquet")
+
+    t = q21_waiting_suppliers(str(tmp_path)).to_pandas()
+    got = dict(zip(t["s_suppkey"], t["numwait"]))
+    assert got == {7: 1, 9: 1}
+    assert set(t["s_name"]) == {"s7", "s9"}
+    # k=1 truncates at (numwait DESC, suppkey ASC): the tie at 1
+    # resolves to suppkey 7
+    t1 = q21_waiting_suppliers(str(tmp_path), k=1)
+    assert t1["s_suppkey"].to_pylist() == [7]
