@@ -2865,11 +2865,11 @@ def brand_supplier_counts(sf_dir: str):
     supplier) triples pre-combined, which re-partition by SUPPLIER
     hash — a triple lives in exactly one supplier partition, so a
     per-part drop_duplicates is globally exact and only (brand, size,
-    1-per-distinct-supplier) count partials reach the bounded
-    (<= brands x sizes) final groupby."""
+    1-per-distinct-supplier) count partials reach the crc32(brand)
+    coarse final fold (<= brands x sizes rows per part, one lexsort +
+    bincount pass — NOT a per-key groupby().aggregate())."""
     import pandas as pd
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
@@ -2932,19 +2932,42 @@ def brand_supplier_counts(sf_dir: str):
         return t
 
     def count_fold(g: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
         d = g[["brand", "size", "supp"]].drop_duplicates()
         out = (d.groupby(["brand", "size"], sort=False, as_index=False)
                .agg(n=("supp", "size")))
         out["n"] = out["n"].astype(np.int64)
+        # coarse final partition by brand (a (brand, size) group lives in
+        # exactly one bpart) — Ray's groupby().aggregate() pays per-KEY
+        # scheduling on the ~brands*sizes grouped keys (measured 12.6 s
+        # of this query's 20 s at sf0.1); one vectorized fold per coarse
+        # part is the repo-standard fix (user_path_topk, corpus_stats)
+        out["bpart"] = np.asarray(
+            [zlib.crc32(s.encode()) % N_COPART for s in out["brand"]],
+            dtype=np.int64,
+        )
         return out
+
+    def final_fold(g: pd.DataFrame) -> pd.DataFrame:
+        brand = g["brand"].to_numpy().astype(object)
+        size = g["size"].to_numpy().astype(np.int64)
+        n = g["n"].to_numpy().astype(np.int64)
+        order = np.lexsort((size, brand))
+        b_s, s_s, n_s = brand[order], size[order], n[order]
+        new = np.r_[True, (b_s[1:] != b_s[:-1]) | (s_s[1:] != s_s[:-1])]
+        gid = np.cumsum(new) - 1
+        tot = np.bincount(gid, weights=n_s).astype(np.int64)
+        return pd.DataFrame({"brand": b_s[new], "size": s_s[new],
+                             "n_suppliers": tot})
 
     return (
         both.groupby("part")
         .map_groups(attach, batch_format="pandas")
         .groupby("spart")
         .map_groups(count_fold, batch_format="pandas")
-        .groupby(["brand", "size"])
-        .aggregate(Sum("n", alias_name="n_suppliers"))
+        .groupby("bpart")
+        .map_groups(final_fold, batch_format="pandas")
         .sort(["brand", "size"])
     )
 
@@ -3392,7 +3415,6 @@ def trade_volume(sf_dir: str, *, via: str = "auto"):
     nation-name attach happens once on the bounded final table."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     start = np.datetime64(TRADE_START, "us")
     end = np.datetime64(TRADE_END, "us")
@@ -3466,16 +3488,23 @@ def trade_volume(sf_dir: str, *, via: str = "auto"):
 
     def _code_fold(sn, cn, year, rev) -> pd.DataFrame:
         # composite (snat, cnat, year) code: nationkeys < 2^10,
-        # years < 2^12 — bounded key space, one bincount-free fold
+        # years < 2^12 — bounded key space, one bincount-free fold.
+        # fpart = code % 8 coarse-partitions the final fold (a code
+        # lives in exactly one fpart) — groupby("code").aggregate()
+        # would pay per-KEY scheduling on ~nations^2*years pandas-block
+        # keys (the brand_supplier_counts lesson: 12.6 s of a 20 s
+        # query), where one vectorized pass per coarse part is ~free
         code = ((sn << np.int64(22)) | (cn << np.int64(12))) | year
         cu, inv = np.unique(code, return_inverse=True)
         r = np.zeros(len(cu), dtype=np.int64)
         np.add.at(r, inv, rev)
-        return pd.DataFrame({"code": cu, "rev": r})
+        return pd.DataFrame({"code": cu, "rev": r,
+                             "fpart": cu % np.int64(8)})
 
     _code_empty = pd.DataFrame({
         "code": np.array([], dtype=np.int64),
         "rev": np.array([], dtype=np.int64),
+        "fpart": np.array([], dtype=np.int64),
     })
 
     def _split_attach(g: pd.DataFrame):
@@ -3620,9 +3649,17 @@ def trade_volume(sf_dir: str, *, via: str = "auto"):
             .map_groups(fold3, batch_format="pandas")
         )
 
+    def _final_code_fold(g: pd.DataFrame) -> pd.DataFrame:
+        code = g["code"].to_numpy().astype(np.int64)
+        rev = g["rev"].to_numpy().astype(np.int64)
+        cu, inv = np.unique(code, return_inverse=True)
+        r = np.zeros(len(cu), dtype=np.int64)
+        np.add.at(r, inv, rev)
+        return pd.DataFrame({"code": cu, "revenue_cents": r})
+
     agg = (
-        coded.groupby("code")
-        .aggregate(Sum("rev", alias_name="revenue_cents"))
+        coded.groupby("fpart")
+        .map_groups(_final_code_fold, batch_format="pandas")
         .take_all()  # bounded: <= nations^2 * n_years rows
     )
     nat = _collect_columns(
@@ -4152,7 +4189,6 @@ def q21_waiting_suppliers(sf_dir: str, *, k: int = Q21_TOPK,
     groupby is dimension-bounded, the top-k fold and the winner-name
     attach (key-filtered pruned scan) mirror q15/q10."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     span = days * 86_400_000_000  # us
 
@@ -4187,6 +4223,7 @@ def q21_waiting_suppliers(sf_dir: str, *, k: int = Q21_TOPK,
         empty = pd.DataFrame({
             "s_suppkey": np.array([], dtype=np.int64),
             "numwait": np.array([], dtype=np.int64),
+            "spart": np.array([], dtype=np.int64),
         })
         if len(o) == 0 or len(l) == 0:
             return empty
@@ -4222,14 +4259,27 @@ def q21_waiting_suppliers(sf_dir: str, *, k: int = Q21_TOPK,
         if len(waiting) == 0:
             return empty
         wk, cnt = np.unique(waiting, return_counts=True)
+        # spart = suppkey % 8 coarse-partitions the final fold (a
+        # supplier lives in exactly one spart): groupby(s_suppkey)
+        # .aggregate() would pay per-KEY scheduling on n_suppliers
+        # pandas-block keys (the brand_supplier_counts lesson)
         return pd.DataFrame({"s_suppkey": wk.astype(np.int64),
-                             "numwait": cnt.astype(np.int64)})
+                             "numwait": cnt.astype(np.int64),
+                             "spart": (wk % 8).astype(np.int64)})
+
+    def final_fold(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["s_suppkey"].to_numpy().astype(np.int64)
+        n = g["numwait"].to_numpy().astype(np.int64)
+        ku, inv = np.unique(k, return_inverse=True)
+        tot = np.zeros(len(ku), dtype=np.int64)
+        np.add.at(tot, inv, n)
+        return pd.DataFrame({"s_suppkey": ku, "numwait": tot})
 
     totals = (
         both.groupby("part")
         .map_groups(fold, batch_format="pandas")
-        .groupby("s_suppkey")
-        .aggregate(Sum("numwait", alias_name="numwait"))
+        .groupby("spart")
+        .map_groups(final_fold, batch_format="pandas")
         .take_all()  # dimension-bounded: <= n_suppliers rows
     )
     empty = pa.table({
