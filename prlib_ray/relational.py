@@ -1189,6 +1189,17 @@ def _copart_tag(key: np.ndarray) -> np.ndarray:
     return ((key.view(np.uint64) * gold) % np.uint64(N_COPART)).astype(np.int32)
 
 
+def _sum_by_key(k: np.ndarray, v: np.ndarray):
+    """(unique_keys, per-key int64 sums) — the vectorized sum-by-key of
+    the coarse-partition final folds (one np.unique + np.add.at pass;
+    NOT a per-key groupby().aggregate(), which pays per-key scheduling
+    on pandas blocks — NOTES_r3 item 65)."""
+    ku, inv = np.unique(k, return_inverse=True)
+    tot = np.zeros(len(ku), dtype=np.int64)
+    np.add.at(tot, inv, v)
+    return ku, tot
+
+
 def _asof_probe_sorted(ev_key, ev_ts, ock, ot, oid) -> np.ndarray:
     """latest oid with ot <= ev_ts among rows of the same key; -1 if none.
     (ock, ot, oid) must be lexsorted by (ock, ot, oid) — ties resolve to
@@ -3350,16 +3361,17 @@ def q10_returned_revenue(sf_dir: str, *, k: int = Q10_TOPK):
     )
     ckeys = np.array([r["custkey"] for r in survivors], dtype=np.int64)
     revs = np.array([r["rev"] for r in survivors], dtype=np.int64)
-    top = np.lexsort((ckeys, -revs))[:k]
-    win_keys, win_rev = ckeys[top], revs[top]
 
-    # dimension attach on exactly k winners (key-filtered pruned scans)
+    # dimension attach is an INNER join in the oracle: a custkey with
+    # no customer row must drop BEFORE the top-k cut (the next customer
+    # fills the slot) — candidates are bounded (<= N_COPART * k), so
+    # one key-filtered pruned scan covers them all
     cust = _collect_columns(
         rd.read_parquet(
             f"{sf_dir}/customer.parquet",
             columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
             filter=(pc.field("c_custkey").isin(
-                pa.array(win_keys, type=pa.int64()))),
+                pa.array(np.sort(ckeys), type=pa.int64()))),
         ),
         ["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
     )
@@ -3369,8 +3381,15 @@ def q10_returned_revenue(sf_dir: str, *, k: int = Q10_TOPK):
         ["n_nationkey", "n_name"],
     )
     csort = np.argsort(cust["c_custkey"].astype(np.int64))
-    cpos = csort[np.searchsorted(
-        cust["c_custkey"].astype(np.int64)[csort], win_keys)]
+    ckeys_s = cust["c_custkey"].astype(np.int64)[csort]
+    idx = np.searchsorted(ckeys_s, ckeys)
+    known = (idx < len(ckeys_s)) & (
+        ckeys_s[np.minimum(idx, max(len(ckeys_s) - 1, 0))] == ckeys
+    ) if len(ckeys_s) else np.zeros(len(ckeys), dtype=bool)
+    ckeys, revs = ckeys[known], revs[known]
+    top = np.lexsort((ckeys, -revs))[:k]
+    win_keys, win_rev = ckeys[top], revs[top]
+    cpos = csort[np.searchsorted(ckeys_s, win_keys)]
     nkey = cust["c_nationkey"].astype(np.int64)[cpos]
     nsort = np.argsort(nat["n_nationkey"].astype(np.int64))
     npos = nsort[np.searchsorted(
@@ -3489,17 +3508,18 @@ def trade_volume(sf_dir: str, *, via: str = "auto"):
     def _code_fold(sn, cn, year, rev) -> pd.DataFrame:
         # composite (snat, cnat, year) code: nationkeys < 2^10,
         # years < 2^12 — bounded key space, one bincount-free fold.
-        # fpart = code % 8 coarse-partitions the final fold (a code
-        # lives in exactly one fpart) — groupby("code").aggregate()
-        # would pay per-KEY scheduling on ~nations^2*years pandas-block
-        # keys (the brand_supplier_counts lesson: 12.6 s of a 20 s
-        # query), where one vectorized pass per coarse part is ~free
+        # fpart coarse-partitions the final fold (a code lives in
+        # exactly one fpart) — groupby("code").aggregate() would pay
+        # per-KEY scheduling on ~nations^2*years pandas-block keys (the
+        # brand_supplier_counts lesson: 12.6 s of a 20 s query), where
+        # one vectorized pass per coarse part is ~free.  Partition on
+        # the cust-nation bits (code >> 12), NOT code % 8: the low 12
+        # bits are the year, and a 2-year window would land everything
+        # in 2 of the 8 parts
         code = ((sn << np.int64(22)) | (cn << np.int64(12))) | year
-        cu, inv = np.unique(code, return_inverse=True)
-        r = np.zeros(len(cu), dtype=np.int64)
-        np.add.at(r, inv, rev)
+        cu, r = _sum_by_key(code, rev)
         return pd.DataFrame({"code": cu, "rev": r,
-                             "fpart": cu % np.int64(8)})
+                             "fpart": (cu >> np.int64(12)) % np.int64(8)})
 
     _code_empty = pd.DataFrame({
         "code": np.array([], dtype=np.int64),
@@ -3650,11 +3670,8 @@ def trade_volume(sf_dir: str, *, via: str = "auto"):
         )
 
     def _final_code_fold(g: pd.DataFrame) -> pd.DataFrame:
-        code = g["code"].to_numpy().astype(np.int64)
-        rev = g["rev"].to_numpy().astype(np.int64)
-        cu, inv = np.unique(code, return_inverse=True)
-        r = np.zeros(len(cu), dtype=np.int64)
-        np.add.at(r, inv, rev)
+        cu, r = _sum_by_key(g["code"].to_numpy().astype(np.int64),
+                            g["rev"].to_numpy().astype(np.int64))
         return pd.DataFrame({"code": cu, "revenue_cents": r})
 
     agg = (
@@ -3841,9 +3858,18 @@ def q15_top_supplier(sf_dir: str):
         ),
         ["s_suppkey", "s_name"],
     )
-    ssort = np.argsort(supp["s_suppkey"].astype(np.int64))
-    pos = ssort[np.searchsorted(
-        supp["s_suppkey"].astype(np.int64)[ssort], wkeys)]
+    # name attach mirrors the oracle's JOIN-after-max: the max is taken
+    # over ALL suppliers, then winners without a supplier row drop (the
+    # runner-up does NOT get promoted — a missing unique max yields an
+    # empty result, like WHERE rev = (SELECT MAX..) joined to supplier)
+    skeys = supp["s_suppkey"].astype(np.int64)
+    ssort = np.argsort(skeys)
+    skeys_s = skeys[ssort]
+    idx = np.searchsorted(skeys_s, wkeys)
+    known = (idx < len(skeys_s)) & (
+        skeys_s[np.minimum(idx, max(len(skeys_s) - 1, 0))] == wkeys
+    ) if len(skeys_s) else np.zeros(len(wkeys), dtype=bool)
+    wkeys, pos = wkeys[known], ssort[idx[known]]
     return pa.table({
         "s_suppkey": pa.array(wkeys, type=pa.int64()),
         "s_name": pa.array(supp["s_name"][pos].astype(object).tolist(),
@@ -4268,11 +4294,8 @@ def q21_waiting_suppliers(sf_dir: str, *, k: int = Q21_TOPK,
                              "spart": (wk % 8).astype(np.int64)})
 
     def final_fold(g: pd.DataFrame) -> pd.DataFrame:
-        k = g["s_suppkey"].to_numpy().astype(np.int64)
-        n = g["numwait"].to_numpy().astype(np.int64)
-        ku, inv = np.unique(k, return_inverse=True)
-        tot = np.zeros(len(ku), dtype=np.int64)
-        np.add.at(tot, inv, n)
+        ku, tot = _sum_by_key(g["s_suppkey"].to_numpy().astype(np.int64),
+                              g["numwait"].to_numpy().astype(np.int64))
         return pd.DataFrame({"s_suppkey": ku, "numwait": tot})
 
     totals = (
@@ -4291,24 +4314,33 @@ def q21_waiting_suppliers(sf_dir: str, *, k: int = Q21_TOPK,
         return empty
     keys = np.array([r["s_suppkey"] for r in totals], dtype=np.int64)
     nw = np.array([r["numwait"] for r in totals], dtype=np.int64)
-    top = np.lexsort((keys, -nw))[:k]     # numwait DESC, suppkey ASC
-    wkeys, wnw = keys[top], nw[top]
-    ssort = np.argsort(wkeys, kind="stable")
-    wkeys, wnw = wkeys[ssort], wnw[ssort]
+    # name attach is an INNER join in the oracle: a suppkey with no
+    # supplier row drops BEFORE the top-k cut (the next supplier fills
+    # the slot), so mask to known suppliers first — candidates are
+    # dimension-bounded, so one key-filtered pruned scan covers them
     supp = _collect_columns(
         rd.read_parquet(
             f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
             filter=(pc.field("s_suppkey").isin(
-                pa.array(wkeys, type=pa.int64()))),
+                pa.array(np.sort(keys), type=pa.int64()))),
         ),
         ["s_suppkey", "s_name"],
     )
-    psort = np.argsort(supp["s_suppkey"].astype(np.int64))
-    pos = psort[np.searchsorted(
-        supp["s_suppkey"].astype(np.int64)[psort], wkeys)]
+    skeys = supp["s_suppkey"].astype(np.int64)
+    psort = np.argsort(skeys)
+    skeys_s = skeys[psort]
+    idx = np.searchsorted(skeys_s, keys)
+    known = (idx < len(skeys_s)) & (
+        skeys_s[np.minimum(idx, max(len(skeys_s) - 1, 0))] == keys
+    ) if len(skeys_s) else np.zeros(len(keys), dtype=bool)
+    keys, nw, idx = keys[known], nw[known], idx[known]
+    if len(keys) == 0:
+        return empty
+    top = np.lexsort((keys, -nw))[:k]     # numwait DESC, suppkey ASC
+    wkeys, wnw, widx = keys[top], nw[top], idx[top]
+    names = supp["s_name"][psort].astype(object)[widx]
     return pa.table({
         "s_suppkey": pa.array(wkeys, type=pa.int64()),
-        "s_name": pa.array(supp["s_name"][pos].astype(object).tolist(),
-                           type=pa.string()),
+        "s_name": pa.array(names.tolist(), type=pa.string()),
         "numwait": pa.array(wnw, type=pa.int64()),
     })

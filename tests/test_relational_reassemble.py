@@ -1061,3 +1061,41 @@ def test_q21_waiting_suppliers_constructed(ray_session, tmp_path):
     # resolves to suppkey 7
     t1 = q21_waiting_suppliers(str(tmp_path), k=1)
     assert t1["s_suppkey"].to_pylist() == [7]
+
+
+def test_q21_missing_supplier_drops_before_topk(ray_session, tmp_path):
+    """The winner-name attach is an INNER join: a waiting suppkey with
+    no supplier row drops BEFORE the top-k cut, so the next supplier
+    fills the slot (oracle JOIN-then-LIMIT parity)."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import q21_waiting_suppliers
+
+    base = np.datetime64("1995-01-01", "us")
+    late = (base + np.timedelta64(100, "D")).item()
+    ontime = (base + np.timedelta64(10, "D")).item()
+    # suppliers 7 and 9 each wait on one order; 7 < 9 so 7 would win
+    # k=1 — but 7 has NO supplier row, so 9 must fill the slot
+    pq2.write_table(pa2.table({
+        "o_orderkey": pa2.array([1, 2], type=pa2.int64()),
+        "o_orderdate": pa2.array([base.item()] * 2,
+                                 type=pa2.timestamp("us")),
+        "o_orderstatus": pa2.array(["F", "F"]),
+    }), tmp_path / "orders.parquet")
+    li = [(1, 7, late), (1, 8, ontime), (2, 9, late), (2, 8, ontime)]
+    pq2.write_table(pa2.table({
+        "l_orderkey": pa2.array([r[0] for r in li], type=pa2.int64()),
+        "l_suppkey": pa2.array([r[1] for r in li], type=pa2.int64()),
+        "l_shipdate": pa2.array([r[2] for r in li],
+                                type=pa2.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    pq2.write_table(pa2.table({
+        "s_suppkey": pa2.array([8, 9], type=pa2.int64()),
+        "s_name": pa2.array(["s8", "s9"]),
+    }), tmp_path / "supplier.parquet")
+
+    t = q21_waiting_suppliers(str(tmp_path), k=1).to_pandas()
+    assert t["s_suppkey"].tolist() == [9]
+    assert t["s_name"].tolist() == ["s9"]
