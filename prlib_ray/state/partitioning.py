@@ -94,14 +94,35 @@ def conv_stats(ds, *, merge: str = "auto"):
             else "driver"
         )
     if merge == "distributed":
-        from ray.data.aggregate import Sum
+        # coarse-partition the merge (a conv_id lives in exactly one
+        # cpart): groupby(conv_id).aggregate() pays per-KEY scheduling
+        # on conv-count keys — fatal at the 10^12-turn design point
+        # where convs are ~10^9 — while one vectorized groupby-sum pass
+        # per coarse part costs conv-count/64 rows of pandas work
+        import zlib
 
-        return partials.groupby("conv_id").aggregate(
-            Sum("n_sum", alias_name="n"),
-            Sum("sx_sum", alias_name="sx"),
-            Sum("sy_sum", alias_name="sy"),
-            Sum("sxy_hi_sum", alias_name="sxy_hi"),
-            Sum("sxy_lo_sum", alias_name="sxy_lo"),
+        def tag(b: pa.Table) -> pa.Table:
+            cp = np.asarray(
+                [zlib.crc32(s.encode()) % 64
+                 for s in b["conv_id"].to_pylist()],
+                dtype=np.int64,
+            )
+            return b.append_column("cpart", pa.array(cp))
+
+        def fold(g):
+            out = (g.drop(columns=["cpart"])
+                   .groupby("conv_id", sort=False, as_index=False)
+                   .sum())
+            return out.rename(columns={
+                "n_sum": "n", "sx_sum": "sx", "sy_sum": "sy",
+                "sxy_hi_sum": "sxy_hi", "sxy_lo_sum": "sxy_lo",
+            })
+
+        return (
+            partials.map_batches(tag, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby("cpart")
+            .map_groups(fold, batch_format="pandas")
         )
     import ray
 
