@@ -683,6 +683,8 @@ def _register_relational(queries, sql) -> None:
         # TPC-H Q21 shape: EXISTS + NOT-EXISTS self-join, one copart
         ("q21_waiting_suppliers", rel.q21_waiting_suppliers,
          orel.Q21_WAITING_SUPPLIERS),
+        # TPC-H Q8 shape: market share as a bounded post-fold of Q7
+        ("q8_market_share", rel.q8_market_share, orel.Q8_MARKET_SHARE),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

@@ -889,3 +889,41 @@ LIMIT {Q21_TOPK}"""
 
 
 Q21_WAITING_SUPPLIERS = _q21_sql()
+
+
+# mirrors relational.q8_market_share: the region-filtered conditional
+# share of the SAME trade matrix (shared ship-date window); the share
+# is exact integer permille (1000 * tgt // tot) on both sides, and
+# HAVING drops no-revenue years like the implementation's tot > 0 mask
+def _q8_sql() -> str:
+    from prlib_ray.relational import (Q8_NATION, Q8_REGION, TRADE_END,
+                                      TRADE_START)
+
+    return f"""
+WITH j AS (
+    SELECT ns.n_name AS supp_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS year,
+           {_CENTS.format(expr='l.l_extendedprice * (1.0 - l.l_discount)')}
+               AS rev
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = nc.n_regionkey
+    WHERE l.l_shipdate >= TIMESTAMP '{TRADE_START}'
+      AND l.l_shipdate <  TIMESTAMP '{TRADE_END}'
+      AND r.r_name = '{Q8_REGION}'
+)
+SELECT year,
+       CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN rev
+                     ELSE 0 END) AS BIGINT) AS target_rev_cents,
+       CAST(SUM(rev) AS BIGINT) AS total_rev_cents,
+       CAST(1000 * SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN rev
+                            ELSE 0 END) // SUM(rev) AS BIGINT)
+           AS share_permille
+FROM j GROUP BY 1 HAVING SUM(rev) > 0 ORDER BY 1"""
+
+
+Q8_MARKET_SHARE = _q8_sql()

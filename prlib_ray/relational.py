@@ -4344,3 +4344,74 @@ def q21_waiting_suppliers(sf_dir: str, *, k: int = Q21_TOPK,
         "s_name": pa.array(names.tolist(), type=pa.string()),
         "numwait": pa.array(wnw, type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share.  Reuses the trade_volume
+# kernel wholesale — the share is a BOUNDED post-fold of the
+# (supp_nation, cust_nation, year) matrix, so the distributed work
+# (orderkey copart + size-gated dimension attach) is ONE shared
+# implementation with Q7.  Window = the shared TRADE ship-date window.
+
+Q8_REGION = "ASIA"        # customer region under audit
+Q8_NATION = "NATION_8"    # target supplier nation
+
+
+def q8_market_share(sf_dir: str, *, via: str = "auto",
+                    region: str = Q8_REGION, nation: str = Q8_NATION):
+    """Per ship year: the target nation's suppliers' share of all
+    revenue delivered to the audited region's customers —
+    share_permille = 1000 * target_rev // total_rev, exact integers.
+
+    Plan: trade_volume's distributed fold produces the bounded
+    (supp_nation, cust_nation, year) revenue matrix (<= nations^2 *
+    n_years rows); the region membership of each cust_nation and the
+    per-year conditional sums are driver arithmetic on that bounded
+    result, so Q8 adds ZERO distributed stages beyond Q7's.  Years
+    with no region revenue drop (mirrored by HAVING in the oracle)."""
+    import ray.data as rd
+
+    tv = trade_volume(sf_dir, via=via)
+    nat = _collect_columns(
+        rd.read_parquet(f"{sf_dir}/nation.parquet",
+                        columns=["n_name", "n_regionkey"]),
+        ["n_name", "n_regionkey"],
+    )
+    reg = _collect_columns(
+        rd.read_parquet(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"]),
+        ["r_regionkey", "r_name"],
+    )
+    rkey = {int(k): str(n) for k, n in
+            zip(reg["r_regionkey"], reg["r_name"])}
+    in_region = {str(n) for n, k in zip(nat["n_name"], nat["n_regionkey"])
+                 if rkey.get(int(k)) == region}
+
+    cn = np.asarray(tv["cust_nation"].to_pylist(), dtype=object)
+    sn = np.asarray(tv["supp_nation"].to_pylist(), dtype=object)
+    yr = tv["year"].to_numpy().astype(np.int64)
+    rev = tv["revenue_cents"].to_numpy().astype(np.int64)
+    keep = np.asarray([c in in_region for c in cn], dtype=bool)
+    sn, yr, rev = sn[keep], yr[keep], rev[keep]
+    empty = pa.table({
+        "year": pa.array([], type=pa.int64()),
+        "target_rev_cents": pa.array([], type=pa.int64()),
+        "total_rev_cents": pa.array([], type=pa.int64()),
+        "share_permille": pa.array([], type=pa.int64()),
+    })
+    if len(yr) == 0:
+        return empty
+    yu, inv = np.unique(yr, return_inverse=True)
+    tot = np.zeros(len(yu), dtype=np.int64)
+    np.add.at(tot, inv, rev)
+    tgt = np.zeros(len(yu), dtype=np.int64)
+    tmask = sn == nation
+    np.add.at(tgt, inv[tmask], rev[tmask])
+    pos = tot > 0  # HAVING parity: no-revenue years drop
+    yu, tot, tgt = yu[pos], tot[pos], tgt[pos]
+    return pa.table({
+        "year": pa.array(yu, type=pa.int64()),
+        "target_rev_cents": pa.array(tgt, type=pa.int64()),
+        "total_rev_cents": pa.array(tot, type=pa.int64()),
+        "share_permille": pa.array(1000 * tgt // tot, type=pa.int64()),
+    })

@@ -27,6 +27,7 @@ CASES = [
     "global_sales_opportunity",
     "q19_disjunctive_revenue",
     "q21_waiting_suppliers",
+    "q8_market_share",
     "brand_supplier_counts",
     "user_stickiness",
     "key_skew_profile",
@@ -1099,3 +1100,59 @@ def test_q21_missing_supplier_drops_before_topk(ray_session, tmp_path):
     t = q21_waiting_suppliers(str(tmp_path), k=1).to_pandas()
     assert t["s_suppkey"].tolist() == [9]
     assert t["s_name"].tolist() == ["s9"]
+
+
+def test_q8_market_share_constructed(ray_session, tmp_path):
+    """Q8 share semantics on hand-built facts: the share is integer
+    floor permille, out-of-region customers don't contribute to either
+    sum, and the target's own revenue counts in the total."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import TRADE_START, q8_market_share
+
+    ship = np.datetime64(TRADE_START, "us") + np.timedelta64(30, "D")
+    pq2.write_table(pa2.table({
+        "r_regionkey": pa2.array([0, 1], type=pa2.int64()),
+        "r_name": pa2.array(["IN", "OUT"]),
+    }), tmp_path / "region.parquet")
+    pq2.write_table(pa2.table({
+        "n_nationkey": pa2.array([0, 1, 2], type=pa2.int64()),
+        "n_name": pa2.array(["TGT", "OTH", "FAR"]),
+        "n_regionkey": pa2.array([0, 0, 1], type=pa2.int64()),
+    }), tmp_path / "nation.parquet")
+    pq2.write_table(pa2.table({
+        "s_suppkey": pa2.array([7, 8], type=pa2.int64()),
+        "s_nationkey": pa2.array([0, 1], type=pa2.int64()),  # 7=TGT
+    }), tmp_path / "supplier.parquet")
+    pq2.write_table(pa2.table({
+        "c_custkey": pa2.array([1, 2], type=pa2.int64()),
+        "c_nationkey": pa2.array([1, 2], type=pa2.int64()),  # 1 in, 2 out
+    }), tmp_path / "customer.parquet")
+    pq2.write_table(pa2.table({
+        "o_orderkey": pa2.array([10, 20], type=pa2.int64()),
+        "o_custkey": pa2.array([1, 2], type=pa2.int64()),
+    }), tmp_path / "orders.parquet")
+    li = [
+        # order 10 (in-region cust): TGT supplier 1.00, OTH supplier 2.00
+        (10, 7, 1.00), (10, 8, 2.00),
+        # order 20 (out-of-region): huge TGT revenue that must NOT count
+        (20, 7, 999.00),
+    ]
+    pq2.write_table(pa2.table({
+        "l_orderkey": pa2.array([r[0] for r in li], type=pa2.int64()),
+        "l_suppkey": pa2.array([r[1] for r in li], type=pa2.int64()),
+        "l_extendedprice": pa2.array([r[2] for r in li],
+                                     type=pa2.float64()),
+        "l_discount": pa2.array([0.0] * len(li), type=pa2.float64()),
+        "l_shipdate": pa2.array([ship.item()] * len(li),
+                                type=pa2.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+
+    t = q8_market_share(str(tmp_path), region="IN",
+                        nation="TGT").to_pandas()
+    assert t["target_rev_cents"].tolist() == [100]
+    assert t["total_rev_cents"].tolist() == [300]
+    # floor permille: 1000*100//300 = 333
+    assert t["share_permille"].tolist() == [333]
