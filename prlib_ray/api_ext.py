@@ -685,6 +685,8 @@ def _register_relational(queries, sql) -> None:
          orel.Q21_WAITING_SUPPLIERS),
         # TPC-H Q8 shape: market share as a bounded post-fold of Q7
         ("q8_market_share", rel.q8_market_share, orel.Q8_MARKET_SHARE),
+        # temporal followed-by pair counts (windowed funnel shape)
+        ("followed_within", rel.followed_within, orel.FOLLOWED_WITHIN),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

@@ -927,3 +927,24 @@ FROM j GROUP BY 1 HAVING SUM(rev) > 0 ORDER BY 1"""
 
 
 Q8_MARKET_SHARE = _q8_sql()
+
+
+# mirrors relational.followed_within: the window is (a.ts, a.ts + W]
+# — strictly after, inclusive right edge — and the pair count is the
+# raw fact-fact self-join cardinality (every (A-event, B-event) pair
+# in window counts, not distinct users)
+def _followed_within_sql() -> str:
+    from prlib_ray.relational import HOUR_US
+
+    return f"""
+SELECT a.event_type AS trigger_type, b.event_type AS target_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM events a
+JOIN events b
+  ON b.user_id = a.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL {HOUR_US // 1_000_000} SECOND
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+FOLLOWED_WITHIN = _followed_within_sql()

@@ -4415,3 +4415,85 @@ def q8_market_share(sf_dir: str, *, via: str = "auto",
         "total_rev_cents": pa.array(tot, type=pa.int64()),
         "share_permille": pa.array(1000 * tgt // tot, type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# temporal followed-by pair counts (MATCH_RECOGNIZE / funnel-window
+# shape): for every ordered event-type pair (A, B), how often a user's
+# B event lands strictly after an A event but within the window — the
+# time-constrained generalization of event_transitions (which only
+# counts ADJACENT steps).
+
+
+def followed_within(sf_dir: str, *, window_us: int = HOUR_US):
+    """Count, per ordered (trigger_type, target_type) pair, the
+    user-local occurrences of target strictly after trigger within
+    ``window_us`` ((t, t + W] — equal timestamps are NOT 'after',
+    matching the oracle's b.ts > a.ts).
+
+    Plan: users hash into coarse partitions (sessionize's layout); per
+    part ONE lexsort by (user, ts) builds the run-offset composite axis
+    (rolling_event_window's trick: run * span + rel with span >
+    ts-range + W, so windows never bleed across users), then each of
+    the <= n_types target types costs TWO global searchsorted calls on
+    its sorted composite subset — per-row window counts bincount into
+    the (trigger, target) matrix by the trigger's dictionary code.  No
+    per-user group, no per-event loop, no self-join: the oracle's
+    fact-fact self-join becomes n_types vectorized passes per part.
+    Only <= n_types^2 count partials leave each part; the final
+    groupby is types^2-bounded."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from prlib_ray.stages.reassemble import _runs
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "trigger_type": np.array([], dtype=object),
+            "target_type": np.array([], dtype=object),
+            "n_pairs": np.array([], dtype=np.int64),
+        })
+        if len(g) == 0:
+            return empty
+        user = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy().astype(object)
+        order = np.lexsort((ts, user))
+        u, t, e = user[order], ts[order], et[order]
+        codes, types = pd.factorize(e, sort=True)
+        run, starts, _ = _runs(u)
+        rel = t - t.min()
+        span = int(rel.max()) + window_us + 2
+        comp = run * span + rel
+        k = len(types)
+        mat = np.zeros((k, k), dtype=np.int64)
+        for b_code in range(k):
+            cb = comp[codes == b_code]  # sorted subset of a sorted axis
+            if len(cb) == 0:
+                continue
+            lo = np.searchsorted(cb, comp, side="right")
+            hi = np.searchsorted(cb, comp + window_us, side="right")
+            np.add.at(mat[:, b_code], codes, hi - lo)
+        ti, bi = np.nonzero(mat)
+        if len(ti) == 0:
+            return empty
+        return pd.DataFrame({
+            "trigger_type": types[ti].astype(object),
+            "target_type": types[bi].astype(object),
+            "n_pairs": mat[ti, bi],
+        })
+
+    return (
+        ds.map_batches(_add_user_part, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby(["trigger_type", "target_type"])
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+        .sort(["trigger_type", "target_type"])
+    )

@@ -28,6 +28,7 @@ CASES = [
     "q19_disjunctive_revenue",
     "q21_waiting_suppliers",
     "q8_market_share",
+    "followed_within",
     "brand_supplier_counts",
     "user_stickiness",
     "key_skew_profile",
@@ -1156,3 +1157,50 @@ def test_q8_market_share_constructed(ray_session, tmp_path):
     assert t["total_rev_cents"].tolist() == [300]
     # floor permille: 1000*100//300 = 333
     assert t["share_permille"].tolist() == [333]
+
+
+def test_followed_within_boundaries(ray_session, tmp_path):
+    """Window-edge semantics on constructed events: equal timestamps
+    are NOT 'after', exactly +1h IS in the window (closed right edge),
+    past the hour is out, users never see each other, same-type pairs
+    count (but never an event with itself), and every qualifying
+    (a, b) pair counts — not distinct users."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import followed_within
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(3_600_000_000, "us")
+    rows = [
+        # user 1: A at t0; B at t0 (equal — excluded), B at t0+1h
+        # (edge — counts), B at t0+1h+1us (out)
+        (1, "A", base),
+        (1, "B", base),
+        (1, "B", base + h),
+        (1, "B", base + h + np.timedelta64(1, "us")),
+        # user 2: B 1 min after user 1's A — isolated (no cross-user)
+        (2, "B", base + np.timedelta64(60, "s")),
+        # user 3: two A's 1 min apart -> one (A, A) pair, and the
+        # pair (earlier A -> later A) only (no self, no backwards)
+        (3, "A", base),
+        (3, "A", base + np.timedelta64(60, "s")),
+    ]
+    pq2.write_table(pa2.table({
+        "user_id": pa2.array([r[0] for r in rows], type=pa2.int64()),
+        "event_type": pa2.array([r[1] for r in rows]),
+        "ts": pa2.array([r[2].astype("datetime64[us]").item()
+                         for r in rows], type=pa2.timestamp("us")),
+    }), tmp_path / "events.parquet")
+
+    df = followed_within(str(tmp_path)).to_pandas()
+    got = {(r.trigger_type, r.target_type): r.n_pairs
+           for r in df.itertuples()}
+    # user 1: A->B edge pair only (equal-ts and past-hour excluded);
+    # user 3: A->A once; user 1's B at t0 -> B at t0+1h is also a
+    # B->B pair (edge), B t0+1h -> +1us pair is B->B within window
+    assert got[("A", "B")] == 1
+    assert got[("A", "A")] == 1
+    assert got[("B", "B")] == 2
+    assert ("B", "A") not in got
