@@ -198,7 +198,8 @@ def run_bench() -> dict:
                  "global_sales_opportunity", "dedup_rate_by_source",
                  "cross_source_dup_matrix", "ann_dim_truncation_audit",
                  "q19_disjunctive_revenue", "q21_waiting_suppliers",
-                 "q8_market_share", "followed_within"):
+                 "q8_market_share", "followed_within",
+                 "price_zscore_outliers"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

@@ -687,6 +687,9 @@ def _register_relational(queries, sql) -> None:
         ("q8_market_share", rel.q8_market_share, orel.Q8_MARKET_SHARE),
         # temporal followed-by pair counts (windowed funnel shape)
         ("followed_within", rel.followed_within, orel.FOLLOWED_WITHIN),
+        # exact distributed variance outliers (hi/lo second moment)
+        ("price_zscore_outliers", rel.price_zscore_outliers,
+         orel.PRICE_ZSCORE_OUTLIERS),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

@@ -948,3 +948,34 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
 FOLLOWED_WITHIN = _followed_within_sql()
+
+
+# mirrors relational.price_zscore_outliers: the same integer
+# inequality 4*(n*x - s)^2 > 9*(n*ss - s^2) in HUGEINT (DuckDB's
+# SUM(BIGINT) is already HUGEINT-exact), strictly > on both sides
+def _zscore_sql() -> str:
+    from prlib_ray.relational import ZSCORE_DEN, ZSCORE_NUM
+
+    xc = _CENTS.format(expr='o_totalprice')
+    num2 = ZSCORE_NUM * ZSCORE_NUM
+    den2 = ZSCORE_DEN * ZSCORE_DEN
+    return f"""
+WITH x AS (SELECT o_orderstatus, {xc} AS xc FROM orders),
+st AS (
+    SELECT o_orderstatus, COUNT(*) AS n, SUM(xc) AS s,
+           SUM(xc * xc) AS ss
+    FROM x GROUP BY 1
+)
+SELECT x.o_orderstatus,
+       CAST(st.n AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN
+                {den2} * (CAST(st.n AS HUGEINT) * xc - st.s)
+                       * (CAST(st.n AS HUGEINT) * xc - st.s)
+              > {num2} * (CAST(st.n AS HUGEINT) * st.ss
+                          - CAST(st.s AS HUGEINT) * st.s)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM x JOIN st USING (o_orderstatus)
+GROUP BY 1, 2 ORDER BY 1"""
+
+
+PRICE_ZSCORE_OUTLIERS = _zscore_sql()

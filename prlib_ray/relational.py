@@ -4497,3 +4497,130 @@ def followed_within(sf_dir: str, *, window_us: int = HOUR_US):
         .aggregate(Sum("n_pairs", alias_name="n_pairs"))
         .sort(["trigger_type", "target_type"])
     )
+
+
+# ---------------------------------------------------------------------------
+# exact distributed variance outliers: feature-normalization stats are
+# the canonical second-moment need of a training pipeline, and float
+# accumulation would desynchronize from any SQL mirror — so the second
+# moment accumulates EXACTLY (hi/lo int64 limbs, conv_stats' trick) and
+# the z-score compare is exact 128-bit integer arithmetic on both
+# sides.
+
+ZSCORE_NUM = 3  # threshold = 3/2 sigma (2 sigma is vacuous on the
+ZSCORE_DEN = 2  # fixtures' uniform-ish prices: max |z| ~ sqrt(3) < 2)
+
+
+def price_zscore_outliers(sf_dir: str):
+    """Per order status: order count and how many orders' total price
+    deviates from the status mean by MORE than 1.5 sigma (population),
+    decided exactly:  |x - mean| > 1.5*sigma
+    <=>  4*(n*x - s)^2 > 9*(n*ss - s^2)  — all integers, strictly >.
+
+    Plan: pass 1 folds per-batch (status, n, sum, sumsq_hi, sumsq_lo)
+    partials — x^2 fits int64 (prices < 2^31 cents) but its SUM does
+    not, so the square accumulates in 32-bit hi/lo limbs and the
+    driver reassembles exact python ints from <= n_statuses rows per
+    batch.  Pass 2 probes with the broadcast per-status constants:
+    the LHS squares in two-limb uint64 (similarity's _mul_u64), the
+    RHS is a 128-bit python int split into limbs — no floats anywhere.
+    int64 envelope: n * max_price_cents < 2^62 (10^10 orders per
+    status at 10^9-cent prices overflows; shard the status first).
+    Oracle: DuckDB HUGEINT mirrors the identical inequality."""
+    import ray.data as rd
+
+    from prlib_ray.stages.similarity import _mul_u64
+
+    mask32 = np.int64(0xFFFFFFFF)
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "st": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+            "s": pa.array([], type=pa.int64()),
+            "ss_hi": pa.array([], type=pa.int64()),
+            "ss_lo": pa.array([], type=pa.int64()),
+        })
+        if b.num_rows == 0:
+            return empty
+        st = b["o_orderstatus"]
+        if isinstance(st, pa.ChunkedArray):
+            st = st.combine_chunks()
+        d = pc.dictionary_encode(st)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(d.dictionary)
+        xc = _cents(b["o_totalprice"].to_numpy())
+        p = xc * xc  # < 2^63: prices < 2^31 cents
+        n = np.bincount(codes, minlength=k).astype(np.int64)
+        s = np.zeros(k, dtype=np.int64)
+        np.add.at(s, codes, xc)
+        hi = np.zeros(k, dtype=np.int64)
+        np.add.at(hi, codes, p >> np.int64(32))
+        lo = np.zeros(k, dtype=np.int64)
+        np.add.at(lo, codes, p & mask32)
+        return pa.table({
+            "st": d.dictionary, "n": pa.array(n), "s": pa.array(s),
+            "ss_hi": pa.array(hi), "ss_lo": pa.array(lo),
+        })
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_totalprice"],
+    )
+    rows = ds.map_batches(stats_partial, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    # exact python-int fold of <= n_statuses * n_batches tiny rows
+    agg: dict[str, list[int]] = {}
+    for r in rows:
+        a = agg.setdefault(r["st"], [0, 0, 0])
+        a[0] += int(r["n"])
+        a[1] += int(r["s"])
+        a[2] += (int(r["ss_hi"]) << 32) + int(r["ss_lo"])
+    consts = {}
+    u64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for st, (n, s, ss) in agg.items():
+        rhs = (ZSCORE_NUM * ZSCORE_NUM) * (n * ss - s * s)  # >= 0
+        consts[st] = (n, s, np.uint64(rhs >> 64),
+                      np.uint64(rhs & int(u64)))
+
+    def probe(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "st": pa.array([], type=pa.string()),
+            "n_out": pa.array([], type=pa.int64()),
+        })
+        if b.num_rows == 0:
+            return empty
+        st = b["o_orderstatus"]
+        if isinstance(st, pa.ChunkedArray):
+            st = st.combine_chunks()
+        d = pc.dictionary_encode(st)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dic = d.dictionary.to_pylist()
+        xc = _cents(b["o_totalprice"].to_numpy())
+        n_arr = np.asarray([consts[s][0] for s in dic], dtype=np.int64)
+        s_arr = np.asarray([consts[s][1] for s in dic], dtype=np.int64)
+        rhs_hi = np.asarray([consts[s][2] for s in dic], dtype=np.uint64)
+        rhs_lo = np.asarray([consts[s][3] for s in dic], dtype=np.uint64)
+        dd = n_arr[codes] * xc - s_arr[codes]          # |d| < 2^62
+        a2 = (np.abs(dd) << np.int64(1)).astype(np.uint64)  # 2|d|
+        lhs_hi, lhs_lo = _mul_u64(a2, a2)              # 4*d^2
+        out = (lhs_hi > rhs_hi[codes]) | (
+            (lhs_hi == rhs_hi[codes]) & (lhs_lo > rhs_lo[codes])
+        )
+        k = len(dic)
+        cnt = np.zeros(k, dtype=np.int64)
+        np.add.at(cnt, codes[out], 1)
+        return pa.table({"st": d.dictionary, "n_out": pa.array(cnt)})
+
+    out_rows = ds.map_batches(probe, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    n_out: dict[str, int] = {}
+    for r in out_rows:
+        n_out[r["st"]] = n_out.get(r["st"], 0) + int(r["n_out"])
+    sts = sorted(agg)
+    return pa.table({
+        "o_orderstatus": pa.array(sts, type=pa.string()),
+        "n_orders": pa.array([agg[s][0] for s in sts], type=pa.int64()),
+        "n_outliers": pa.array([n_out.get(s, 0) for s in sts],
+                               type=pa.int64()),
+    })

@@ -29,6 +29,7 @@ CASES = [
     "q21_waiting_suppliers",
     "q8_market_share",
     "followed_within",
+    "price_zscore_outliers",
     "brand_supplier_counts",
     "user_stickiness",
     "key_skew_profile",
@@ -1204,3 +1205,31 @@ def test_followed_within_boundaries(ray_session, tmp_path):
     assert got[("A", "A")] == 1
     assert got[("B", "B")] == 2
     assert ("B", "A") not in got
+
+
+def test_price_zscore_outliers_exact_boundary(ray_session, tmp_path):
+    """The z-score compare is strict and exact: a 9-vs-4 two-value
+    status sits EXACTLY on 4*(n*x-s)^2 == 9*(n*ss - s^2) for the
+    minority rows (algebra: 4m^2 = 9mk at m=9, k=4), so ZERO outliers;
+    a 5-vs-1 layout puts the single far value beyond 1.5 sigma."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import price_zscore_outliers
+
+    rows = []
+    # status E: nine at 1.00, four at 3.00 -> minority exactly AT the
+    # boundary (strict > means not outliers), majority well inside
+    rows += [("E", 1.00)] * 9 + [("E", 3.00)] * 4
+    # status G: five at 1.00, one at 9.99 -> 4*25 > 9*5 for the one
+    rows += [("G", 1.00)] * 5 + [("G", 9.99)]
+    pq2.write_table(pa2.table({
+        "o_orderstatus": pa2.array([r[0] for r in rows]),
+        "o_totalprice": pa2.array([r[1] for r in rows],
+                                  type=pa2.float64()),
+    }), tmp_path / "orders.parquet")
+
+    t = price_zscore_outliers(str(tmp_path)).to_pandas()
+    got = {r.o_orderstatus: (r.n_orders, r.n_outliers)
+           for r in t.itertuples()}
+    assert got == {"E": (13, 0), "G": (6, 1)}
