@@ -199,7 +199,7 @@ def run_bench() -> dict:
                  "cross_source_dup_matrix", "ann_dim_truncation_audit",
                  "q19_disjunctive_revenue", "q21_waiting_suppliers",
                  "q8_market_share", "followed_within",
-                 "price_zscore_outliers"):
+                 "price_zscore_outliers", "fk_orphan_audit"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

@@ -690,6 +690,8 @@ def _register_relational(queries, sql) -> None:
         # exact distributed variance outliers (hi/lo second moment)
         ("price_zscore_outliers", rel.price_zscore_outliers,
          orel.PRICE_ZSCORE_OUTLIERS),
+        # referential-integrity pre-flight (planted-orphan anti-joins)
+        ("fk_orphan_audit", rel.fk_orphan_audit, orel.FK_ORPHAN_AUDIT),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

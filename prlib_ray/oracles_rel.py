@@ -979,3 +979,37 @@ GROUP BY 1, 2 ORDER BY 1"""
 
 
 PRICE_ZSCORE_OUTLIERS = _zscore_sql()
+
+
+# mirrors relational.fk_orphan_audit: LEFT-JOIN orphan counts per FK
+# edge, with the SAME deterministic negative-key plants UNION-ALLed in
+# (the fixtures are FK-intact; without plants the row is a vacuous
+# 0 == 0)
+def _fk_audit_sql() -> str:
+    from prlib_ray.relational import FK_PLANT_ORPHANS
+
+    plants = " UNION ALL ".join(
+        f"SELECT {-i} AS k" for i in range(1, FK_PLANT_ORPHANS + 1)
+    )
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+    ]
+    parts = []
+    for rel_name, fact, fk, parent, pk in edges:
+        parts.append(f"""
+SELECT '{rel_name}' AS fk_edge,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphans
+FROM (SELECT {fk} AS k FROM {fact} UNION ALL {plants}) f
+LEFT JOIN {parent} p ON p.{pk} = f.k""")
+    return " UNION ALL ".join(parts) + " ORDER BY fk_edge"
+
+
+FK_ORPHAN_AUDIT = _fk_audit_sql()

@@ -4624,3 +4624,106 @@ def price_zscore_outliers(sf_dir: str):
         "n_outliers": pa.array([n_out.get(s, 0) for s in sts],
                                type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity pre-flight: orphan counts for every FK edge a
+# pipeline join relies on.  The fixtures are FK-intact, so the audit
+# AUGMENTS each fact with deterministic orphan rows (negative keys),
+# UNION-ALL-mirrored in the oracle — the dedup_embedding lesson: a
+# 0 == 0 driver row proves nothing.
+
+FK_PLANT_ORPHANS = 3  # planted orphan rows per audited edge
+
+
+def fk_orphan_audit(sf_dir: str):
+    """Per FK edge (lineitem->orders, lineitem->part,
+    lineitem->supplier, orders->customer): total fact rows and how
+    many reference a missing parent key.
+
+    Plan: per edge, the fact side pre-combines to DISTINCT (key, n)
+    partials per batch, then key-hash coarse partitions co-locate the
+    fact's distinct keys with the SAME-tagged parent key scan; one
+    sorted _anti_probe per part counts orphan rows (weighted by n) —
+    neither side broadcasts or reaches the driver; <= 1 count row per
+    part per edge.  Each fact is augmented with FK_PLANT_ORPHANS
+    deterministic negative-key rows so the audit is non-vacuous on
+    FK-intact data (mirrored in SQL via UNION ALL)."""
+    import ray.data as rd
+
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+    ]
+    out_rel, out_n, out_orph = [], [], []
+    for rel_name, fact, fk, parent, pk in edges:
+
+        def f_norm(b: pa.Table, fk=fk) -> pa.Table:
+            k = b[fk].to_numpy().astype(np.int64)
+            ku, cnt = np.unique(k, return_counts=True)
+            return pa.table({
+                "part": pa.array(_copart_tag(ku)), "key": pa.array(ku),
+                "n": pa.array(cnt.astype(np.int64)),
+                "side": pa.array(np.ones(len(ku), dtype=np.int8)),
+            })
+
+        def p_norm(b: pa.Table, pk=pk) -> pa.Table:
+            k = b[pk].to_numpy().astype(np.int64)
+            return pa.table({
+                "part": pa.array(_copart_tag(k)), "key": pa.array(k),
+                "n": pa.array(np.zeros(len(k), dtype=np.int64)),
+                "side": pa.array(np.zeros(len(k), dtype=np.int8)),
+            })
+
+        plant_keys = -np.arange(1, FK_PLANT_ORPHANS + 1, dtype=np.int64)
+        plant = rd.from_arrow(pa.table({
+            "part": pa.array(_copart_tag(plant_keys)),
+            "key": pa.array(plant_keys),
+            "n": pa.array(np.ones(FK_PLANT_ORPHANS, dtype=np.int64)),
+            "side": pa.array(np.ones(FK_PLANT_ORPHANS, dtype=np.int8)),
+        }))
+
+        both = rd.read_parquet(
+            f"{sf_dir}/{fact}.parquet", columns=[fk]
+        ).map_batches(f_norm, batch_format="pyarrow",
+                      zero_copy_batch=True).union(
+            rd.read_parquet(
+                f"{sf_dir}/{parent}.parquet", columns=[pk]
+            ).map_batches(p_norm, batch_format="pyarrow",
+                          zero_copy_batch=True),
+            plant,
+        )
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            side = g["side"].to_numpy()
+            have = np.sort(g["key"].to_numpy().astype(np.int64)[side == 0])
+            fk_keys = g["key"].to_numpy().astype(np.int64)[side == 1]
+            fn = g["n"].to_numpy().astype(np.int64)[side == 1]
+            miss = _anti_probe(have, fk_keys)
+            return pd.DataFrame({
+                "n_rows": np.array([int(fn.sum())], dtype=np.int64),
+                "n_orphans": np.array([int(fn[miss].sum())],
+                                      dtype=np.int64),
+            })
+
+        parts = (
+            both.groupby("part")
+            .map_groups(fold, batch_format="pandas")
+            .take_all()  # <= N_COPART one-row partials
+        )
+        out_rel.append(rel_name)
+        out_n.append(sum(int(r["n_rows"]) for r in parts))
+        out_orph.append(sum(int(r["n_orphans"]) for r in parts))
+    order = np.argsort(np.asarray(out_rel, dtype=object))
+    return pa.table({
+        "fk_edge": pa.array([out_rel[i] for i in order],
+                            type=pa.string()),
+        "n_rows": pa.array([out_n[i] for i in order], type=pa.int64()),
+        "n_orphans": pa.array([out_orph[i] for i in order],
+                              type=pa.int64()),
+    })

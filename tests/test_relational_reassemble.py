@@ -30,6 +30,7 @@ CASES = [
     "q8_market_share",
     "followed_within",
     "price_zscore_outliers",
+    "fk_orphan_audit",
     "brand_supplier_counts",
     "user_stickiness",
     "key_skew_profile",
@@ -1233,3 +1234,48 @@ def test_price_zscore_outliers_exact_boundary(ray_session, tmp_path):
     got = {r.o_orderstatus: (r.n_orders, r.n_outliers)
            for r in t.itertuples()}
     assert got == {"E": (13, 0), "G": (6, 1)}
+
+
+def test_fk_orphan_audit_finds_real_orphans(ray_session, tmp_path):
+    """Beyond the planted negative keys, REAL orphans count too: a
+    lineitem referencing an unknown order/part/supplier and an order
+    referencing an unknown customer each surface on their edge."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import FK_PLANT_ORPHANS, fk_orphan_audit
+
+    pq2.write_table(pa2.table({
+        "o_orderkey": pa2.array([1, 2], type=pa2.int64()),
+        "o_custkey": pa2.array([10, 99], type=pa2.int64()),  # 99 orphan
+    }), tmp_path / "orders.parquet")
+    pq2.write_table(pa2.table({
+        "c_custkey": pa2.array([10], type=pa2.int64()),
+    }), tmp_path / "customer.parquet")
+    pq2.write_table(pa2.table({
+        "p_partkey": pa2.array([5], type=pa2.int64()),
+    }), tmp_path / "part.parquet")
+    pq2.write_table(pa2.table({
+        "s_suppkey": pa2.array([7], type=pa2.int64()),
+    }), tmp_path / "supplier.parquet")
+    li = [
+        (1, 5, 7),    # all parents exist
+        (99, 5, 7),   # unknown order
+        (1, 99, 7),   # unknown part
+        (1, 5, 99),   # unknown supplier
+    ]
+    pq2.write_table(pa2.table({
+        "l_orderkey": pa2.array([r[0] for r in li], type=pa2.int64()),
+        "l_partkey": pa2.array([r[1] for r in li], type=pa2.int64()),
+        "l_suppkey": pa2.array([r[2] for r in li], type=pa2.int64()),
+    }), tmp_path / "lineitem.parquet")
+
+    t = fk_orphan_audit(str(tmp_path)).to_pandas()
+    got = {r.fk_edge: (r.n_rows, r.n_orphans) for r in t.itertuples()}
+    p = FK_PLANT_ORPHANS
+    assert got == {
+        "lineitem->orders": (4 + p, 1 + p),
+        "lineitem->part": (4 + p, 1 + p),
+        "lineitem->supplier": (4 + p, 1 + p),
+        "orders->customer": (2 + p, 1 + p),
+    }
