@@ -121,9 +121,17 @@ _PRIORITY = [
     "q3_top_orders",
     "q17_small_quantity",  # new: correlated per-key AVG threshold (Q17)
     "global_sales_opportunity",  # new: global scalar + anti-join (Q22)
-    "q13_custdist",  # new: LEFT-JOIN order-count distribution (Q13)
+    # fourteenth session: two genuinely-new DISCIPLINES displace two of
+    # the seven in-window TPC-H shapes whose physical plans are
+    # family-represented: q13_custdist (per-customer-count fold — the
+    # lexsort run fold runs in-window via q18; the LEFT-JOIN zero
+    # bucket is constructed-test pinned) and q10_returned_revenue
+    # (two-level fold + winner dims — q18 holds the copart fold +
+    # attach, q3 the bounded top-k merge).  Both stay sim+pytest
+    # covered.
+    "followed_within",   # new: temporal pair counts (windowed funnel)
+    "price_zscore_outliers",  # new: exact 128-bit variance outliers
     "q18_large_orders",  # new: threshold fold + order attach (Q18)
-    "q10_returned_revenue",  # new: two-level fold + winner dims (Q10)
     "trade_volume",  # new: cross-nation revenue matrix (Q7 shape)
     "basket_part_pairs",  # new: market-basket co-purchase mining
     "bloom_semi_join",  # new: bloom-prefilter semi-join (FP-observable)
