@@ -83,7 +83,12 @@ def build_queries() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
 # the remaining binarize/doc-op variants (all driver-green in round 1
 # and still covered by tools/driver_sim.py + pytest) follow.
 _PRIORITY = [
-    "flagship_extract", "curate_corpus",
+    "flagship_extract",
+    # new (15th session): the flagship's oracle-backed exact-integer twin
+    # — per-turn extracted-text equality checked against a full SQL
+    # mirror at the driver gate (the rng flagship stays rows-only)
+    "extract_turns_exact",
+    "curate_corpus",
     "corpus_validate",  # new: pre-flight data-quality audit
     "dedup_exact",
     "dedup_normalized",  # new: normalization-invariant exact dedup
@@ -140,7 +145,12 @@ _PRIORITY = [
     "user_stickiness",  # new: DAU/WAU engagement ratio per week
     "asof_latest_order",
     "segment_price_quantiles",
-    "search_topk",  # exercises the postings build end-to-end
+    # displaced in the fifteenth session by extract_turns_exact (the
+    # flagship's oracle-backed twin belongs in the gate above a second
+    # retrieval entry; search_topk's postings build + integer-idf ranking
+    # stay sim+pytest covered, and the per-part top-K + bounded-merge
+    # physical plan runs in-window via q3/hot-key family)
+    "search_topk",
     # displaced in the thirteenth session by dedup_rate_by_source /
     # cross_source_dup_matrix (the embedding-audit family keeps
     # cluster_balance in-window; the exact-percentile discipline is

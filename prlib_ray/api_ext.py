@@ -388,6 +388,28 @@ def _register_data_ops(queries, sql) -> None:
 
     queries["flagship_extract"] = flagship_extract
 
+    # exact-integer extraction twin: the SAME furniture rules + a Sauvola
+    # keep decision restated in integer arithmetic (boilerplate.py:
+    # extract_exact_batch derivation comment), over a transcript
+    # synthesized DETERMINISTICALLY from documents — so the driver's
+    # value hash checks per-turn extracted-text equality against a full
+    # SQL mirror (the north rule's literal check; the rng flagship stays
+    # the rows-only throughput path)
+    def extract_turns_exact(sf_dir: str):
+        import ray.data as rd
+
+        from prlib_ray.stages.boilerplate import extract_exact_batch
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return ds.map_batches(
+            extract_exact_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    queries["extract_turns_exact"] = extract_turns_exact
+    sql["extract_turns_exact"] = odata.EXTRACT_TURNS_EXACT
+
     _register_morph_and_joins(queries, sql)
 
 

@@ -1733,3 +1733,94 @@ GROUP BY r.query_id ORDER BY r.query_id"""
 
 
 ANN_DIM_TRUNCATION = _dim_truncation_sql()
+
+
+def _extract_turns_exact_sql() -> str:
+    """SQL mirror of the exact-integer extraction twin.
+
+    Rebuilds the deterministic transcript (word-chunked lines + the four
+    furniture plants), applies the SAME furniture rules, and decides the
+    Sauvola keep per candidate window in HUGEINT:
+    D = 640*n*xv - 512*S;  keep <=> D > 0 AND n^2*D^2 > S^2*(n*Q - S^2).
+    Every constant interpolates from the implementation module so a knob
+    change cannot silently desynchronize the mirror."""
+    from prlib_ray.stages import boilerplate as bp
+
+    plants = "\n".join(
+        f"  UNION ALL SELECT doc_id, CAST({lno} AS BIGINT) AS line_no, "
+        f"'{txt}' AS line FROM documents WHERE doc_id % {mod} = 0"
+        for (mod, lno, txt) in bp.EXACT_PLANTS
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+),
+content_lines AS (
+  SELECT doc_id,
+         CAST({bp.EXACT_CONTENT_BASE} + (i - 1) // {bp.EXACT_LINE_WORDS}
+              AS BIGINT) AS line_no,
+         string_agg(w, ' ' ORDER BY i) AS line
+  FROM words GROUP BY doc_id, (i - 1) // {bp.EXACT_LINE_WORDS}
+),
+lines AS (
+  SELECT * FROM content_lines
+{plants}
+),
+feat AS (
+  SELECT doc_id, line_no, line,
+         (regexp_matches(line, '^[-=_]{{4,}}$')
+          OR position('cookie' IN lower(line)) > 0
+          OR position('(c) ' IN lower(line)) > 0
+          OR position('all rights reserved' IN lower(line)) > 0
+          OR (length(line) - length(replace(line, ' | ', ''))) // 3 >= 3
+          OR 2 * (length(line) - length(regexp_replace(line,
+                 '<a\\b[^>]*>|</a>|https?://[^ \\n]+', '', 'g')))
+               > length(line)
+         ) AS furniture,
+         LEAST(length(regexp_replace(line, '[^A-Za-z0-9]', '', 'g')),
+               {bp.EXACT_XMAX}) AS xv
+  FROM lines
+),
+cand AS (
+  SELECT doc_id, line_no, line, CAST(xv AS HUGEINT) AS xv,
+         CAST(COUNT(*) OVER w AS HUGEINT) AS n,
+         CAST(SUM(xv) OVER w AS HUGEINT) AS s,
+         CAST(SUM(xv * xv) OVER w AS HUGEINT) AS q
+  FROM feat WHERE NOT furniture
+  WINDOW w AS (PARTITION BY doc_id ORDER BY line_no
+               ROWS BETWEEN {bp.WINDOW} PRECEDING AND {bp.WINDOW} FOLLOWING)
+),
+kept AS (
+  SELECT doc_id, line_no, line
+  FROM (SELECT *, 640 * n * xv - 512 * s AS d FROM cand)
+  WHERE d > 0 AND n * n * d * d > s * s * (n * q - s * s)
+),
+per_doc AS (
+  SELECT d.doc_id,
+         COALESCE(k.clean_text, '') AS clean_text,
+         COALESCE(k.n_content, 0) AS n_content
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no)
+                    AS clean_text, COUNT(*) AS n_content
+             FROM kept GROUP BY doc_id) k USING (doc_id)
+),
+furn AS (
+  SELECT doc_id,
+         COUNT(*) FILTER (WHERE furniture) AS n_furniture,
+         COUNT(*) FILTER (WHERE NOT furniture) AS n_cand
+  FROM feat GROUP BY doc_id
+)
+SELECT p.doc_id % {bp.EXACT_NCONV} AS conv_id,
+       p.doc_id // {bp.EXACT_NCONV} AS turn_idx,
+       p.clean_text,
+       CAST(p.n_content AS BIGINT) AS n_content,
+       CAST(f.n_furniture AS BIGINT) AS n_furniture,
+       CAST(f.n_cand - p.n_content AS BIGINT) AS n_boilerplate
+FROM per_doc p JOIN furn f USING (doc_id)
+"""
+
+
+EXTRACT_TURNS_EXACT = _extract_turns_exact_sql()

@@ -164,6 +164,45 @@ def _clean_chain(arr: pa.Array) -> pa.Array:
     )
 
 
+def _furniture_mask(
+    values: pa.StringArray, char_lens: np.ndarray, byte_lens: np.ndarray
+) -> np.ndarray:
+    """Vectorized furniture-rule classifier over a flat line array.
+
+    Exactly ``_line_kind(line) == "furniture"`` per line (the scalar
+    rules above), shared by the flagship kernel and the exact-integer
+    oracle twin so the two can never drift."""
+    import pyarrow.compute as pc
+
+    nline = len(values)
+    sep_cnt = _byte_class_counts(values, _SEP_TABLE)
+    is_sep = (sep_cnt == byte_lens) & (byte_lens >= 4)
+
+    is_marker = np.zeros(nline, dtype=bool)
+    for m in ("cookie", "(c) ", "all rights reserved"):
+        is_marker |= pc.match_substring(
+            values, pattern=m, ignore_case=True
+        ).to_numpy(zero_copy_only=False)
+    n_pipes = pc.count_substring(values, pattern=" | ").to_numpy().astype(np.int64)
+
+    # link chars: run the (expensive) link regex only on probed lines
+    probe = (
+        pc.match_substring(values, pattern="http").to_numpy(zero_copy_only=False)
+        | pc.match_substring(values, pattern="<a").to_numpy(zero_copy_only=False)
+        | pc.match_substring(values, pattern="</a").to_numpy(zero_copy_only=False)
+    )
+    link_chars = np.zeros(nline, dtype=np.int64)
+    pidx = np.flatnonzero(probe)
+    if len(pidx):
+        sub = values.take(pa.array(pidx))
+        delinked = pc.replace_substring_regex(
+            sub, pattern="<a\\b[^>]*>|</a>|https?://[^ \n]+", replacement=""
+        )
+        link_chars[pidx] = char_lens[pidx] - pc.utf8_length(delinked).to_numpy()
+
+    return is_sep | is_marker | (n_pipes >= 3) | (2 * link_chars > char_lens)
+
+
 def _extract_batch_arrow(texts_arr: pa.Array, *, with_spans: bool = True):
     """Fully-Arrow batch kernel: identical output to ``extract_turn``
     per row (tests pin it), but every per-line operation is an Arrow
@@ -215,32 +254,7 @@ def _extract_batch_arrow(texts_arr: pa.Array, *, with_spans: bool = True):
 
     # separator lines: every byte in [-=_], length >= 4 (all-ASCII by
     # construction, so byte length == char length for matches)
-    sep_cnt = _byte_class_counts(values, _SEP_TABLE)
-    is_sep = (sep_cnt == byte_lens) & (byte_lens >= 4)
-
-    is_marker = np.zeros(nline, dtype=bool)
-    for m in ("cookie", "(c) ", "all rights reserved"):
-        is_marker |= pc.match_substring(
-            values, pattern=m, ignore_case=True
-        ).to_numpy(zero_copy_only=False)
-    n_pipes = pc.count_substring(values, pattern=" | ").to_numpy().astype(np.int64)
-
-    # link chars: run the (expensive) link regex only on probed lines
-    probe = (
-        pc.match_substring(values, pattern="http").to_numpy(zero_copy_only=False)
-        | pc.match_substring(values, pattern="<a").to_numpy(zero_copy_only=False)
-        | pc.match_substring(values, pattern="</a").to_numpy(zero_copy_only=False)
-    )
-    link_chars = np.zeros(nline, dtype=np.int64)
-    pidx = np.flatnonzero(probe)
-    if len(pidx):
-        sub = values.take(pa.array(pidx))
-        delinked = pc.replace_substring_regex(
-            sub, pattern="<a\\b[^>]*>|</a>|https?://[^ \n]+", replacement=""
-        )
-        link_chars[pidx] = char_lens[pidx] - pc.utf8_length(delinked).to_numpy()
-
-    furniture = is_sep | is_marker | (n_pipes >= 3) | (2 * link_chars > char_lens)
+    furniture = _furniture_mask(values, char_lens, byte_lens)
 
     alnum = _byte_class_counts(values, _ALNUM_TABLE)
     candidate = ~furniture
@@ -416,3 +430,162 @@ class ExtractTurns:
     def __call__(self, batch: pa.Table) -> pa.Table:
         self.n_processed += batch.num_rows
         return extract_turns_batch(batch)
+
+
+# ---------------------------------------------------------------------------
+# exact-integer extraction twin (the oracle-backed driver query)
+#
+# The flagship's per-turn keep decision is float Sauvola
+# (binarizeSauvola.cpp:64-101 analogue): xv > m*(1 + k*(s/R - 1)) with
+# k=0.2, R=128 over the clamped candidate window.  Multiplying through by
+# 640*n and squaring (both sides non-negative once D > 0) turns it into
+# pure integer arithmetic a SQL engine can mirror bit-for-bit:
+#
+#   m = S/n,  s^2 = (n*Q - S^2)/n^2        (S, Q = window sum / sum-sq)
+#   keep  <=>  640*n*xv > 512*S + S*s
+#         <=>  D > 0  AND  n^2*D^2 > S^2*(n*Q - S^2),   D = 640*n*xv - 512*S
+#
+# With the alnum count clamped at EXACT_XMAX = 10^4 and the window <= 5
+# lines, every product fits int64 (S <= 5e4, Q <= 5e8: the RHS tops out
+# at 6.25e18 < 2^63); DuckDB runs the same inequality in HUGEINT.
+#
+# The input transcript is synthesized DETERMINISTICALLY from documents
+# (so the oracle can rebuild it in SQL): each doc is one turn of
+# conv_id = doc_id % EXACT_NCONV; its words chunk into lines of
+# EXACT_LINE_WORDS; four furniture plants keyed on doc_id mods make every
+# furniture rule non-vacuous at every sf (the dedup_embedding lesson).
+# ---------------------------------------------------------------------------
+
+EXACT_NCONV = 37
+EXACT_LINE_WORDS = 8
+EXACT_XMAX = 10_000  # alnum clamp keeping n^2*D^2 and S^2*(nQ-S^2) in int64
+EXACT_CONTENT_BASE = 10  # content line_no offset (plants sit outside it)
+# (doc_id modulus, line_no, text) — each plant fires a DIFFERENT rule:
+# separator run / pipe nav / link farm / copyright chrome
+EXACT_PLANTS = (
+    (2, 0, "===="),
+    (3, 1, "home | products | about | contact | login"),
+    (5, 10**6, "see https://tracker.example/click?id=12345 now"),
+    (7, 10**6 + 1, "(c) 2024 all rights reserved"),
+)
+
+
+def extract_exact_batch(batch: pa.Table) -> pa.Table:
+    """documents (doc_id, text) -> per-turn exact extraction rows.
+
+    Embarrassingly parallel (per-turn windows never cross rows): one
+    map_batches, no shuffle.  Output: (conv_id, turn_idx, clean_text,
+    n_content, n_furniture, n_boilerplate) — the driver's value hash
+    checks the extracted text itself, i.e. per-turn text equality."""
+    import pyarrow.compute as pc
+
+    from prlib_ray.blocks import BlockFrame, window_sum
+
+    ids_col = batch["doc_id"]
+    if isinstance(ids_col, pa.ChunkedArray):
+        ids_col = ids_col.combine_chunks()
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    ids = ids_col.to_numpy(zero_copy_only=False).astype(np.int64)
+    ndocs = len(ids)
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], type=pa.int64()),
+            "turn_idx": pa.array([], type=pa.int64()),
+            "clean_text": pa.array([], type=pa.string()),
+            "n_content": pa.array([], type=pa.int64()),
+            "n_furniture": pa.array([], type=pa.int64()),
+            "n_boilerplate": pa.array([], type=pa.int64()),
+        }
+    )
+    if ndocs == 0:
+        return empty
+
+    # 1. words -> content lines of EXACT_LINE_WORDS (SQL: GROUP BY
+    #    doc_id, (i-1)//8 + string_agg ORDER BY i)
+    lv = pc.split_pattern(texts, pattern=" ")
+    if isinstance(lv, pa.ChunkedArray):
+        lv = lv.combine_chunks()
+    woff = lv.offsets.to_numpy().astype(np.int64)
+    words = lv.values
+    nw = np.diff(woff)  # >= 1 always: split of '' is ['']
+    nl = (nw + EXACT_LINE_WORDS - 1) // EXACT_LINE_WORDS
+    # content line_nos live in [EXACT_CONTENT_BASE, 10^6); a doc would
+    # need ~8M words to collide with the tail plants
+    assert int(nl.max()) < 10**6 - EXACT_CONTENT_BASE
+    line_doc = np.repeat(np.arange(ndocs, dtype=np.int64), nl)
+    nl_starts = np.concatenate(([0], np.cumsum(nl)))
+    line_rank = np.arange(nl_starts[-1], dtype=np.int64) - np.repeat(
+        nl_starts[:-1], nl
+    )
+    starts = woff[:-1][line_doc] + EXACT_LINE_WORDS * line_rank
+    offsets32 = np.append(starts, woff[-1]).astype(np.int32)
+    content_lines = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets32, type=pa.int32()), words),
+        " ",
+    )
+    if isinstance(content_lines, pa.ChunkedArray):
+        content_lines = content_lines.combine_chunks()
+    n_content_lines = len(content_lines)
+
+    # 2. assemble the full (doc, line_no)-ordered line table: content +
+    #    the four deterministic furniture plants
+    doc_parts = [line_doc]
+    lno_parts = [EXACT_CONTENT_BASE + line_rank]
+    src_parts = [np.arange(n_content_lines, dtype=np.int64)]
+    for k, (mod, lno, _txt) in enumerate(EXACT_PLANTS):
+        hit = np.flatnonzero(ids % mod == 0)
+        doc_parts.append(hit)
+        lno_parts.append(np.full(len(hit), lno, dtype=np.int64))
+        src_parts.append(np.full(len(hit), n_content_lines + k, dtype=np.int64))
+    doc_all = np.concatenate(doc_parts)
+    lno_all = np.concatenate(lno_parts)
+    src_all = np.concatenate(src_parts)
+    perm = np.lexsort((lno_all, doc_all))
+    pool = pa.concat_arrays(
+        [content_lines, pa.array([t for _, _, t in EXACT_PLANTS], type=pa.string())]
+    )
+    lines = pool.take(pa.array(src_all[perm]))
+    ldoc = doc_all[perm]
+
+    # 3. per-line features + the shared furniture rules
+    char_lens = pc.utf8_length(lines).to_numpy().astype(np.int64)
+    byte_lens = _byte_lens(lines)
+    furniture = _furniture_mask(lines, char_lens, byte_lens)
+    alnum = _byte_class_counts(lines, _ALNUM_TABLE)
+    xv = np.minimum(alnum, EXACT_XMAX)
+
+    # 4. the exact-integer Sauvola decision over candidate windows
+    cand = ~furniture
+    cidx = np.flatnonzero(cand)
+    keep = np.zeros(len(ldoc), dtype=bool)
+    if len(cidx):
+        ccounts = np.bincount(ldoc[cidx], minlength=ndocs)
+        coff = np.concatenate(([0], np.cumsum(ccounts))).astype(np.int64)
+        frame = BlockFrame(doc_offsets=coff, blocks=[], x=xv[cidx])
+        x_c = xv[cidx]
+        s, n = window_sum(x_c, frame, WINDOW, WINDOW)
+        q, _ = window_sum(x_c * x_c, frame, WINDOW, WINDOW)
+        d = 640 * n * x_c - 512 * s
+        keep[cidx] = (d > 0) & ((n * n) * (d * d) > (s * s) * (n * q - s * s))
+
+    # 5. per-turn outputs: kept lines re-join in (doc, line_no) order
+    kept_vals = lines.filter(pa.array(keep))
+    kcounts = np.bincount(ldoc[keep], minlength=ndocs)
+    koff = np.concatenate(([0], np.cumsum(kcounts))).astype(np.int32)
+    clean = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(koff, type=pa.int32()), kept_vals), "\n"
+    )
+    n_furn = np.bincount(ldoc[furniture], minlength=ndocs)
+    n_boiler = np.bincount(ldoc[cand & ~keep], minlength=ndocs)
+    return pa.table(
+        {
+            "conv_id": pa.array(ids % EXACT_NCONV, type=pa.int64()),
+            "turn_idx": pa.array(ids // EXACT_NCONV, type=pa.int64()),
+            "clean_text": clean,
+            "n_content": pa.array(kcounts.astype(np.int64), type=pa.int64()),
+            "n_furniture": pa.array(n_furn.astype(np.int64), type=pa.int64()),
+            "n_boilerplate": pa.array(n_boiler.astype(np.int64), type=pa.int64()),
+        }
+    )

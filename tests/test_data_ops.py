@@ -54,6 +54,7 @@ ORACLE_CASES = [
     "dedup_rate_by_source",
     "cross_source_dup_matrix",
     "ann_dim_truncation_audit",
+    "extract_turns_exact",
 ]
 
 
@@ -1052,3 +1053,88 @@ def test_corpus_validate_planted_counts(ray_session, tmp_path):
     assert int(r.n_empty_text) == k
     assert int(r.n_len_mismatch) == k + 1  # planted + the real one
     assert int(r.n_dup_ids) == k
+
+
+def test_extract_turns_exact_constructed(ray_session, tmp_path):
+    """Pins the exact-integer Sauvola contract of extract_turns_exact:
+
+    * doc 0: all four furniture plants fire (mod 2/3/5/7), uniform
+      content lines all kept (s=0 -> t = 0.8*m < x).
+    * doc 11: both content lines sit EXACTLY on decision boundaries —
+      alnum 1536/1024 gives t == x for the strong line (n^2*D^2 ==
+      S^2*(nQ-S^2)) and D == 0 for the weak one; strict > drops both.
+    * doc 13: nudging the weak line to 1025 moves the strong line just
+      past its threshold — exactly one line survives.
+    * doc 19: a content line containing 'cookie' classifies as
+      furniture (rules run on every line, not just plants).
+    * doc 23: empty text -> one empty candidate line, x=0 -> D=0 ->
+      dropped; clean_text is ''.
+    Full-table byte equality vs the DuckDB mirror on the same rows.
+    """
+    import duckdb as dk
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 11, 13, 19, 23], type=pa.int64()),
+        "text": pa.array([
+            " ".join(["word"] * 16),                      # 2 uniform lines
+            " ".join(["a" * 192] * 8 + ["b" * 1024]),     # exact boundary
+            " ".join(["a" * 192] * 8 + ["b" * 1025]),     # just past it
+            "we use cookie banners here yes ok fine",     # marker misfire
+            "",                                           # empty turn
+        ]),
+    })
+    pq_.write_table(docs, tmp_path / "documents.parquet")
+
+    from prlib_ray.api import build_queries
+
+    queries, sql = build_queries()
+    out = (
+        queries["extract_turns_exact"](str(tmp_path))
+        .to_pandas()
+        .sort_values("turn_idx")
+        .set_index("turn_idx")
+    )
+    # conv/turn: doc_id % 37 == doc_id here (all < 37), turn_idx 0
+    assert set(out.index) == {0}
+    by_conv = (
+        queries["extract_turns_exact"](str(tmp_path))
+        .to_pandas()
+        .set_index("conv_id")
+    )
+    r0 = by_conv.loc[0]
+    assert r0.n_furniture == 4 and r0.n_content == 2 and r0.n_boilerplate == 0
+    assert r0.clean_text == " ".join(["word"] * 8) + "\n" + " ".join(["word"] * 8)
+    r11 = by_conv.loc[11]
+    assert r11.n_content == 0 and r11.n_boilerplate == 2
+    assert r11.clean_text == ""
+    r13 = by_conv.loc[13]
+    assert r13.n_content == 1 and r13.n_boilerplate == 1
+    assert r13.clean_text == "a" * 192 + " " + " ".join(["a" * 192] * 7)
+    r19 = by_conv.loc[19]
+    assert r19.n_furniture == 1 and r19.n_content == 0 and r19.n_boilerplate == 0
+    r23 = by_conv.loc[23]
+    assert r23.clean_text == "" and r23.n_boilerplate == 1
+
+    con = dk.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = (
+        con.execute(sql["extract_turns_exact"])
+        .fetch_df()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    mine = (
+        queries["extract_turns_exact"](str(tmp_path))
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)[oracle.columns]
+    )
+    pd.testing.assert_frame_equal(
+        mine, oracle.astype(mine.dtypes.to_dict()), check_like=True
+    )
