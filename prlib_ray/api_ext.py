@@ -122,6 +122,10 @@ def _register_data_ops(queries, sql) -> None:
     # mutants keep the collapse path non-vacuous at every sf)
     queries["dedup_normalized"] = dedup.normalized_dedup
     sql["dedup_normalized"] = odata.NORMALIZED_DEDUP
+    # NFC-fold dedup (planted precomposed/decomposed pairs — the
+    # fixtures are ASCII, where NFC is the identity)
+    queries["dedup_unicode"] = dedup.unicode_dedup
+    sql["dedup_unicode"] = odata.UNICODE_DEDUP
     # production survivor policy over the same normalized groups
     queries["dedup_best_survivor"] = dedup.best_survivor_dedup
     sql["dedup_best_survivor"] = odata.BEST_SURVIVOR_DEDUP

@@ -1824,3 +1824,45 @@ FROM per_doc p JOIN furn f USING (doc_id)
 
 
 EXTRACT_TURNS_EXACT = _extract_turns_exact_sql()
+
+
+def _unicode_dedup_sql() -> str:
+    """NFC-fold dedup mirror.  The decomposed plant suffix is rebuilt
+    with chr() codepoints so the SQL text stays ASCII-safe; both plants
+    interpolate from the implementation constants."""
+    from prlib_ray.stages import dedup as dd
+
+    def _sql_lit(s: str) -> str:
+        # 'caf' || chr(233) form: exact codepoints, no encoding games
+        parts = []
+        run = ""
+        for ch in s:
+            if 32 <= ord(ch) < 127 and ch != "'":
+                run += ch
+            else:
+                if run:
+                    parts.append(f"'{run}'")
+                    run = ""
+                parts.append(f"chr({ord(ch)})")
+        if run:
+            parts.append(f"'{run}'")
+        return " || ".join(parts)
+
+    nfc = _sql_lit(dd.UNI_SUFFIX_NFC)
+    nfd = _sql_lit(dd.UNI_SUFFIX_NFD)
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + {dd.PLANT_UNI_OFFSET_NFC}, text || {nfc}
+  FROM documents WHERE doc_id < {dd.N_PLANT_NORM}
+  UNION ALL SELECT doc_id + {dd.PLANT_UNI_OFFSET_NFD}, text || {nfd}
+  FROM documents WHERE doc_id < {dd.N_PLANT_NORM}
+)
+SELECT md5(nfc_normalize(text)) AS h,
+       min(doc_id) AS doc_id,
+       count(*) AS n_docs
+FROM aug GROUP BY 1
+"""
+
+
+UNICODE_DEDUP = _unicode_dedup_sql()

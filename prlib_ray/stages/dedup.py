@@ -1204,6 +1204,79 @@ def normalized_dedup(sf_dir: str):
     return _hash_min_fold(ds, _norm_keys, counts=True)
 
 
+# --- Unicode-normalization-invariant dedup ------------------------------------
+
+# The fixtures are pure ASCII (NFC is the identity there), so the query
+# plants one precomposed/decomposed mutant PAIR per low doc_id — two
+# strings that differ byte-wise but are NFC-equal — mirrored in the
+# oracle with UNION ALLs (the dedup_embedding lesson: a green row must
+# be able to fail).
+PLANT_UNI_OFFSET_NFC = 1_000_000  # precomposed mutant (U+00E9)
+PLANT_UNI_OFFSET_NFD = 2_000_000  # decomposed mutant (e + U+0301)
+UNI_SUFFIX_NFC = " caf\u00e9"
+UNI_SUFFIX_NFD = " cafe\u0301"  # NFC-equal to UNI_SUFFIX_NFC
+
+_NONASCII_TABLE = np.zeros(256, dtype=np.int64)
+_NONASCII_TABLE[0x80:] = 1
+
+
+def _plant_uni_batch(b: pa.Table) -> pa.Table:
+    ids = b["doc_id"].to_numpy().astype(np.int64)
+    m = ids < N_PLANT_NORM
+    if not m.any():
+        return b
+    dup = b.filter(pa.array(m))
+    texts = dup["text"].to_pylist()
+    base = pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()), "text": b["text"]
+    })
+    parts = [base]
+    for off, suffix in ((PLANT_UNI_OFFSET_NFC, UNI_SUFFIX_NFC),
+                        (PLANT_UNI_OFFSET_NFD, UNI_SUFFIX_NFD)):
+        parts.append(pa.table({
+            "doc_id": pa.array(
+                dup["doc_id"].to_numpy().astype(np.int64) + off
+            ),
+            "text": pa.array([t + suffix for t in texts],
+                             type=base.schema.field("text").type),
+        }).cast(base.schema))
+    return pa.concat_tables(parts)
+
+
+def _uni_keys(b: pa.Table):
+    """md5 of the NFC-normalized planted text.  ASCII rows (the
+    overwhelming majority of any real corpus) skip the per-string
+    normalize via a one-pass byte-table scan; only rows with a byte
+    >= 0x80 pay unicodedata.normalize."""
+    import unicodedata
+
+    from prlib_ray.stages.boilerplate import _byte_class_counts
+
+    b = _plant_uni_batch(b)
+    texts = b["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lst = texts.to_pylist()
+    for i in np.flatnonzero(_byte_class_counts(texts, _NONASCII_TABLE) > 0):
+        lst[i] = unicodedata.normalize("NFC", lst[i])
+    hs = np.asarray([_md5(t) for t in lst], dtype=object)
+    return hs, b["doc_id"].to_numpy().astype(np.int64)
+
+
+def unicode_dedup(sf_dir: str):
+    """Unicode-normalization-invariant exact dedup: NFC-fold the text,
+    then md5-group (survivor = min doc_id, n_docs = group size) — the
+    dedup pass that catches precomposed-vs-decomposed near-identical
+    web pages byte-exact dedup misses.  Same _hash_min_fold scale
+    layout as exact/normalized dedup; DuckDB mirrors the fold via
+    nfc_normalize (verified equal to Python's unicodedata NFC)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _hash_min_fold(ds, _uni_keys, counts=True)
+
+
 # --- Cross-split contamination audit ------------------------------------------
 
 # Second mutant set for split_leakage: the md5 split rule sends

@@ -55,6 +55,7 @@ ORACLE_CASES = [
     "cross_source_dup_matrix",
     "ann_dim_truncation_audit",
     "extract_turns_exact",
+    "dedup_unicode",
 ]
 
 
@@ -1138,3 +1139,30 @@ def test_extract_turns_exact_constructed(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         mine, oracle.astype(mine.dtypes.to_dict()), check_like=True
     )
+
+
+def test_unicode_dedup_constructed(ray_session, tmp_path):
+    """NFC-equal variants (precomposed vs decomposed) collapse into one
+    group; byte-different NON-equivalent text stays apart; the planted
+    mutant pair of doc 0 forms its own 2-doc group."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 30, 31, 32], type=pa.int64()),
+            "text": pa.array([
+                "hello world",          # gets the planted NFC/NFD pair
+                "résumé",      # precomposed
+                "résumé",    # decomposed — NFC-equal to 30
+                "resume",                # ASCII, its own group
+            ]),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    from prlib_ray.stages.dedup import unicode_dedup
+
+    df = unicode_dedup(str(tmp_path)).to_pandas()
+    by_doc = {int(r.doc_id): int(r.n_docs) for r in df.itertuples()}
+    # 30+31 NFC-collapse; 0 is alone, its two plants pair up; 32 alone
+    assert by_doc == {0: 1, 1000000: 2, 30: 2, 32: 1}
