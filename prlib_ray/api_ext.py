@@ -126,6 +126,11 @@ def _register_data_ops(queries, sql) -> None:
     # fixtures are ASCII, where NFC is the identity)
     queries["dedup_unicode"] = dedup.unicode_dedup
     sql["dedup_unicode"] = odata.UNICODE_DEDUP
+    # Levenshtein verification of the bounded near-dup candidates
+    # (planted one-word-substitution mutants keep small nonzero
+    # distances non-vacuous at every sf)
+    queries["dedup_edit_distance"] = dedup.edit_distance_pairs
+    sql["dedup_edit_distance"] = odata.EDIT_DISTANCE_PAIRS
     # production survivor policy over the same normalized groups
     queries["dedup_best_survivor"] = dedup.best_survivor_dedup
     sql["dedup_best_survivor"] = odata.BEST_SURVIVOR_DEDUP

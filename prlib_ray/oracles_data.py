@@ -1866,3 +1866,64 @@ FROM aug GROUP BY 1
 
 
 UNICODE_DEDUP = _unicode_dedup_sql()
+
+
+def _edit_distance_sql() -> str:
+    """Candidate pairs = NGRAM_JACCARD's exact CTE chain over the
+    edit-plant-augmented bounded corpus; distances via levenshtein()
+    (char-level — equal to the engine's byte DP on this ASCII corpus)."""
+    from prlib_ray.stages import dedup as dd
+
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents
+              WHERE doc_id < {dd.MAX_PAIR_ID}),
+aug AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {dd.PLANT_EDIT_OFFSET},
+         '{dd.EDIT_VARIANT_WORD}' ||
+         substr(text, length(string_split(text, ' ')[1]) + 1)
+  FROM base WHERE doc_id < {dd.N_PLANT_EDIT}
+),
+words AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM aug
+),
+nz AS (
+    SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+    FROM words WHERE w <> ''
+),
+sh AS (
+    SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+    FROM nz a
+    JOIN nz b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+    JOIN nz c ON a.doc_id = c.doc_id AND c.j = a.j + 2
+),
+ds AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+    FROM ds x JOIN ds y ON x.s = y.s AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE sa.n + sb.n - i.c > 0 AND 5 * i.c >= sa.n + sb.n - i.c
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist,
+       CAST(1000 * levenshtein(ta.text, tb.text)
+            // greatest(length(ta.text), length(tb.text), 1)
+            AS BIGINT) AS near_permille
+FROM pairs p
+JOIN aug ta ON ta.doc_id = p.doc_a
+JOIN aug tb ON tb.doc_id = p.doc_b
+"""
+
+
+EDIT_DISTANCE_PAIRS = _edit_distance_sql()

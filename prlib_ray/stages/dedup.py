@@ -172,6 +172,120 @@ def ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+# --- Edit-distance verification of near-dup candidates ------------------------
+
+N_PLANT_EDIT = 10
+PLANT_EDIT_OFFSET = 1_000_000
+EDIT_VARIANT_WORD = "editvariant"  # replaces each planted doc's first word
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Exact Levenshtein via the row-DP with the rank-trick insertion
+    pass: cur[j] = min_k<=j (cur_pre[k] + (j-k)) computed as one
+    minimum.accumulate over (cur - j).  O(len(a)) vectorized rows —
+    the only Python loop is over a's characters, and the op runs on a
+    BOUNDED candidate set (like the md5 fingerprints, inherently
+    per-pair)."""
+    if a == b:
+        return 0
+    if not a or not b:
+        return max(len(a), len(b))
+    bv = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
+    av = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
+    nb = len(bv)
+    rank = np.arange(nb + 1, dtype=np.int64)
+    prev = rank.copy()
+    cur = np.empty(nb + 1, dtype=np.int64)
+    for i, ca in enumerate(av, start=1):
+        cur[0] = i
+        np.minimum(prev[:-1] + (bv != ca), prev[1:] + 1, out=cur[1:])
+        t = cur - rank
+        np.minimum.accumulate(t, out=t)
+        np.add(t, rank, out=cur)
+        prev, cur = cur, prev
+    return int(prev[-1])
+
+
+def edit_distance_pairs(sf_dir: str):
+    """Levenshtein verification of the near-dup candidate pairs — the
+    fuzzy-dedup verify step an LSH recall stage hands off to.
+
+    Candidates are the SAME bounded all-pairs 5*inter >= union shingle
+    rule as ngram_jaccard_pairs, over the corpus augmented with planted
+    one-word-substitution mutants (doc_id < N_PLANT_EDIT at
+    +PLANT_EDIT_OFFSET, first word -> EDIT_VARIANT_WORD) so small
+    nonzero distances are non-vacuous at every sf.  Output per pair:
+    exact char-level distance + an integer near-dup permille
+    (floor(1000*dist/max(len))), both mirrored by DuckDB's
+    levenshtein().  ASCII corpus contract: the byte-level DP equals
+    DuckDB's per-character distance (documented; the fixtures and
+    plants are ASCII)."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pa.array(b["doc_id"].to_numpy() < MAX_PAIR_ID)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    rows = ds.take_all()  # bounded: < MAX_PAIR_ID rows by construction
+    docs = {int(r["doc_id"]): r["text"] for r in rows}
+    for i in sorted(docs):
+        if i >= N_PLANT_EDIT:
+            break
+        words = docs[i].split(" ")
+        docs[i + PLANT_EDIT_OFFSET] = " ".join(
+            [EDIT_VARIANT_WORD] + words[1:]
+        )
+    items = sorted((d, _shingles(t)) for d, t in docs.items())
+    pairs = []
+    for i in range(len(items)):
+        ida, sa = items[i]
+        for j in range(i + 1, len(items)):
+            idb, sb = items[j]
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union > 0 and 5 * inter >= union:
+                pairs.append((ida, idb))
+    if not pairs:
+        return pa.table({
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "dist": pa.array([], type=pa.int64()),
+            "near_permille": pa.array([], type=pa.int64()),
+        })
+    # the DP runs distributed: pairs are a Dataset, the bounded text
+    # lookup broadcasts once (same boundedness as the candidate rule)
+    texts_ref = ray.put(docs)
+    pair_ds = rd.from_arrow(pa.table({
+        "doc_a": pa.array([p[0] for p in pairs], type=pa.int64()),
+        "doc_b": pa.array([p[1] for p in pairs], type=pa.int64()),
+    }))
+
+    def dist_batch(b: pa.Table) -> pa.Table:
+        lookup = ray.get(texts_ref)
+        da = b["doc_a"].to_numpy()
+        db = b["doc_b"].to_numpy()
+        dist = np.empty(len(da), dtype=np.int64)
+        mx = np.empty(len(da), dtype=np.int64)
+        for k in range(len(da)):
+            ta, tb = lookup[int(da[k])], lookup[int(db[k])]
+            dist[k] = _levenshtein(ta, tb)
+            mx[k] = max(len(ta), len(tb))
+        near = np.where(mx > 0, 1000 * dist // np.maximum(mx, 1), 0)
+        return pa.table({
+            "doc_a": b["doc_a"], "doc_b": b["doc_b"],
+            "dist": pa.array(dist),
+            "near_permille": pa.array(near.astype(np.int64)),
+        })
+
+    return pair_ds.map_batches(
+        dist_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 N_HASH = 64

@@ -56,6 +56,7 @@ ORACLE_CASES = [
     "ann_dim_truncation_audit",
     "extract_turns_exact",
     "dedup_unicode",
+    "dedup_edit_distance",
 ]
 
 
@@ -1166,3 +1167,53 @@ def test_unicode_dedup_constructed(ray_session, tmp_path):
     by_doc = {int(r.doc_id): int(r.n_docs) for r in df.itertuples()}
     # 30+31 NFC-collapse; 0 is alone, its two plants pair up; 32 alone
     assert by_doc == {0: 1, 1000000: 2, 30: 2, 32: 1}
+
+
+def test_edit_distance_constructed(ray_session, tmp_path):
+    """Identical candidate docs score dist 0; the planted one-word
+    mutant's distance equals the word-substitution cost; the DP is
+    property-checked against duckdb levenshtein elsewhere in-module."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    pq_.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 40, 41], type=pa.int64()),
+            "text": pa.array([text, text, text]),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    from prlib_ray.stages.dedup import (
+        EDIT_VARIANT_WORD,
+        PLANT_EDIT_OFFSET,
+        _levenshtein,
+        edit_distance_pairs,
+    )
+
+    df = edit_distance_pairs(str(tmp_path)).to_pandas()
+    key = df.set_index(["doc_a", "doc_b"])["dist"]
+    # identical docs: every unplanted pair has distance 0
+    assert key.loc[(0, 40)] == 0 and key.loc[(40, 41)] == 0
+    # the mutant pair's distance is exactly the first-word edit cost
+    want = _levenshtein("alpha", EDIT_VARIANT_WORD)
+    assert key.loc[(0, PLANT_EDIT_OFFSET)] == want
+    # mutants of identical docs are themselves identical
+    assert key.loc[(40, PLANT_EDIT_OFFSET)] == want
+
+
+def test_levenshtein_matches_duckdb_random():
+    """Random-string property check of the vectorized DP vs duckdb."""
+    import random
+
+    import duckdb as dk
+
+    from prlib_ray.stages.dedup import _levenshtein
+
+    con = dk.connect()
+    random.seed(7)
+    for _ in range(100):
+        a = "".join(random.choice("abcd ") for _ in range(random.randint(0, 25)))
+        b = "".join(random.choice("abcd ") for _ in range(random.randint(0, 25)))
+        want = con.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert _levenshtein(a, b) == want, (a, b)
