@@ -92,8 +92,12 @@ _PRIORITY = [
     "corpus_validate",  # new: pre-flight data-quality audit
     "dedup_exact",
     "dedup_normalized",  # new: normalization-invariant exact dedup
-    "dedup_best_survivor",  # new: keep-the-richest-copy survivor policy
     "dedup_winnow_pairs",  # new: MOSS shared-fingerprint near-dup pairs
+    # fifteenth session: Levenshtein verification of near-dup candidates
+    # (the fuzzy-dedup verify discipline; displaced dedup_best_survivor,
+    # whose ranked _hash_min_fold variant is in-window via dedup_exact +
+    # dedup_normalized — still sim+pytest covered)
+    "dedup_edit_distance",
     "dedup_rate_by_source",  # new: per-source dedup accounting report
     "cross_source_dup_matrix",  # new: cross-source provenance matrix
     "dedup_minhash_lsh",
@@ -125,7 +129,16 @@ _PRIORITY = [
     "pmi_top_pairs",  # new: word-association mining (doc-PMI ranking)
     "q3_top_orders",
     "q17_small_quantity",  # new: correlated per-key AVG threshold (Q17)
-    "global_sales_opportunity",  # new: global scalar + anti-join (Q22)
+    # fifteenth session: the synthesized-partsupp family — two genuinely
+    # new disciplines (a whole dimension rebuilt in mirrored mod
+    # arithmetic; a COMPOSITE-key fact-fact copart).  Displaced:
+    # global_sales_opportunity (its global-scalar threshold now runs
+    # in-window via q11; the windowed anti-join via bloom_semi_join)
+    # and q18_large_orders (copart threshold fold + attach repped by
+    # q17's copart fold + trade_volume's attaches) — both sim+pytest
+    # covered.
+    "q11_important_stock",
+    "q20_excess_parts",
     # fourteenth session: two genuinely-new DISCIPLINES displace two of
     # the seven in-window TPC-H shapes whose physical plans are
     # family-represented: q13_custdist (per-customer-count fold — the
@@ -136,7 +149,6 @@ _PRIORITY = [
     # covered.
     "followed_within",   # new: temporal pair counts (windowed funnel)
     "price_zscore_outliers",  # new: exact 128-bit variance outliers
-    "q18_large_orders",  # new: threshold fold + order attach (Q18)
     "trade_volume",  # new: cross-nation revenue matrix (Q7 shape)
     "basket_part_pairs",  # new: market-basket co-purchase mining
     "bloom_semi_join",  # new: bloom-prefilter semi-join (FP-observable)
@@ -165,6 +177,9 @@ _PRIORITY = [
     # constructed-test pinned and its top-k merge physical plan runs
     # in-window via q3_top_orders — all sim+pytest covered)
     "cms_word_frequency", "length_rank_transform", "q15_top_supplier",
+    # displaced in the fifteenth session by q11/q20/edit-distance/the
+    # extraction twin (see the in-window comments at each insertion)
+    "q18_large_orders", "global_sales_opportunity", "dedup_best_survivor",
     # displaced in the twelfth session by the Q13/Q18/Q10/Q7 family:
     # q14's copart+dimension layout is in-window via trade_volume
     # (same copart union + broadcast-dim probe, richer dims);

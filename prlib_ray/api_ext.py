@@ -723,6 +723,14 @@ def _register_relational(queries, sql) -> None:
          orel.PRICE_ZSCORE_OUTLIERS),
         # referential-integrity pre-flight (planted-orphan anti-joins)
         ("fk_orphan_audit", rel.fk_orphan_audit, orel.FK_ORPHAN_AUDIT),
+        # TPC-H Q11 shape over the SYNTHESIZED partsupp dimension
+        # (global scalar + per-key fold; above-mean strict compare)
+        ("q11_important_stock", rel.q11_important_stock,
+         orel.Q11_IMPORTANT_STOCK),
+        # TPC-H Q20 shape: correlated availqty-vs-shipped compare on a
+        # COMPOSITE (partkey, suppkey) copart key
+        ("q20_excess_parts", rel.q20_excess_parts,
+         orel.Q20_EXCESS_PARTS),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

@@ -1013,3 +1013,71 @@ LEFT JOIN {parent} p ON p.{pk} = f.k""")
 
 
 FK_ORPHAN_AUDIT = _fk_audit_sql()
+
+
+def _ps_cte() -> str:
+    """The synthesized-partsupp CTE — rebuilds relational._partsupp_ds
+    bit-for-bit from the same interpolated constants."""
+    from prlib_ray import relational as rel
+
+    return f"""ps AS (
+  SELECT p_partkey AS ps_partkey,
+         (SELECT min(s_suppkey) FROM supplier)
+           + (p_partkey * {rel.PS_SUPP_A} + k * {rel.PS_SUPP_B})
+             % (SELECT count(*) FROM supplier) AS ps_suppkey,
+         (p_partkey * 13 + k * 17) % {rel.PS_AVAIL_MOD} + 1 AS ps_availqty,
+         (p_partkey * 29 + k * 37) % {rel.PS_COST_MOD} + {rel.PS_COST_BASE}
+           AS ps_cost_cents
+  FROM part CROSS JOIN
+       (SELECT unnest(generate_series(0, {rel.PS_PER_PART - 1})) AS k) ks
+)"""
+
+
+def _q11_sql() -> str:
+    from prlib_ray import relational as rel
+
+    return f"""
+WITH {_ps_cte()},
+flt AS (
+  SELECT ps.ps_partkey, ps.ps_availqty, ps.ps_cost_cents FROM ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = '{rel.Q11_REGION}'
+),
+pv AS (
+  SELECT ps_partkey, SUM(ps_cost_cents * ps_availqty) AS value_cents
+  FROM flt GROUP BY ps_partkey
+),
+tot AS (SELECT SUM(value_cents) AS t, COUNT(*) AS np FROM pv)
+SELECT ps_partkey, CAST(value_cents AS BIGINT) AS value_cents
+FROM pv, tot WHERE value_cents * np > t
+"""
+
+
+def _q20_sql() -> str:
+    from prlib_ray import relational as rel
+
+    return f"""
+WITH {_ps_cte()},
+ship AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{rel.Q20_YEAR[0]}'
+    AND l_shipdate < TIMESTAMP '{rel.Q20_YEAR[1]}'
+  GROUP BY l_partkey, l_suppkey
+),
+ex AS (
+  SELECT ps.ps_suppkey FROM ps
+  JOIN ship sh ON sh.l_partkey = ps.ps_partkey
+              AND sh.l_suppkey = ps.ps_suppkey
+  WHERE 200 * ps.ps_availqty > sh.qty_cents
+)
+SELECT ps_suppkey AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_excess_parts
+FROM ex GROUP BY ps_suppkey
+"""
+
+
+Q11_IMPORTANT_STOCK = _q11_sql()
+Q20_EXCESS_PARTS = _q20_sql()

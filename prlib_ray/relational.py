@@ -4727,3 +4727,239 @@ def fk_orphan_audit(sf_dir: str):
         "n_orphans": pa.array([out_orph[i] for i in order],
                               type=pa.int64()),
     })
+
+
+# --- synthesized partsupp dimension (Q2 / Q11 / Q20 family) --------------------
+
+# The fixtures carry no partsupp table, so these shapes synthesize it
+# DETERMINISTICALLY from part x a supplier-count scalar in pure mod
+# arithmetic — the plant discipline applied to a whole dimension; the
+# oracle rebuilds the identical table from the same CTE (every constant
+# interpolates from here).  Thresholds were measured on the fixtures
+# BEFORE wiring (item-48 lesson): availqty % 30 gives Q20 a real
+# 153/285 excess split; Q11's above-mean rule keeps 35/80 parts.
+PS_PER_PART = 4
+PS_SUPP_A, PS_SUPP_B = 7, 131       # suppkey = smin + (p*7 + k*131) % S
+PS_AVAIL_MOD = 30                    # availqty = (p*13 + k*17) % 30 + 1
+PS_COST_MOD, PS_COST_BASE = 99_000, 1_000  # cost cents in [1000, 100000)
+Q11_REGION = "ASIA"
+Q20_YEAR = ("1997-01-01", "1998-01-01")
+
+
+def _partsupp_ds(sf_dir: str):
+    """Synthesized partsupp as a streamed Dataset: PS_PER_PART rows per
+    part, columns (ps_partkey, ps_suppkey, ps_availqty, ps_cost_cents).
+    The two supplier scalars come from a pruned distributed scan
+    (count is parquet-metadata-only)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey"])
+    n_supp = int(supp.count())
+    smin = int(supp.aggregate(Min("s_suppkey"))["min(s_suppkey)"])
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        p = np.repeat(b["p_partkey"].to_numpy().astype(np.int64),
+                      PS_PER_PART)
+        k = np.tile(np.arange(PS_PER_PART, dtype=np.int64), b.num_rows)
+        return pa.table({
+            "ps_partkey": pa.array(p),
+            "ps_suppkey": pa.array(
+                smin + (p * PS_SUPP_A + k * PS_SUPP_B) % n_supp),
+            "ps_availqty": pa.array((p * 13 + k * 17) % PS_AVAIL_MOD + 1),
+            "ps_cost_cents": pa.array(
+                (p * 29 + k * 37) % PS_COST_MOD + PS_COST_BASE),
+        })
+
+    return part.map_batches(synth, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def _region_suppkeys(sf_dir: str, region: str) -> np.ndarray:
+    """Sorted suppkeys whose nation sits in ``region`` — a bounded
+    dimension chain (supplier -> nation -> region), folded from pruned
+    distributed scans.  Broadcast side; at a design point where the
+    supplier table itself is fact-sized, re-tag by hash(suppkey)
+    against the partitioned supplier scan instead (the trade_volume
+    via="partitioned" layout — machinery exists, shared gate metric)."""
+    import ray.data as rd
+
+    nat = _collect_columns(
+        rd.read_parquet(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"]),
+        ["n_nationkey", "n_regionkey"])
+    reg = rd.read_parquet(f"{sf_dir}/region.parquet").take_all()
+    want_rk = {int(r["r_regionkey"]) for r in reg if r["r_name"] == region}
+    want_nations = set(
+        int(nk) for nk, rk in zip(nat["n_nationkey"], nat["n_regionkey"])
+        if int(rk) in want_rk
+    )
+    supp = _collect_columns(
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]),
+        ["s_suppkey", "s_nationkey"])
+    keys = supp["s_suppkey"].astype(np.int64)
+    mask = np.isin(supp["s_nationkey"].astype(np.int64),
+                   np.asarray(sorted(want_nations), dtype=np.int64))
+    return np.sort(keys[mask])
+
+
+def q11_important_stock(sf_dir: str):
+    """TPC-H Q11 shape over the synthesized partsupp: per-part stock
+    value (cost * availqty) held by one region's suppliers, keeping the
+    parts STRICTLY above the mean part value — the global-scalar +
+    per-key-fold discipline (Q22's shape over a synthesized dimension).
+
+    Plan: partsupp streams off the part scan, the in-region suppkey set
+    broadcasts once (sorted array + searchsorted — dimension-sized),
+    per-part values fold in coarse hash partitions (partkey-scale keys:
+    the item-65 discipline), and the two global scalars (total value,
+    part count) aggregate off the SAME materialized fold, so the
+    threshold pass is one more map_batches — no second scan.  The
+    above-mean compare is exact integers: value * n_parts > total."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    keys_ref = ray.put(_region_suppkeys(sf_dir, Q11_REGION))
+    ps = _partsupp_ds(sf_dir)
+
+    def norm(b: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        sk = b["ps_suppkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(keys, sk)
+        pos = np.minimum(pos, max(len(keys) - 1, 0))
+        hit = (keys[pos] == sk) if len(keys) else np.zeros(len(sk), bool)
+        pk = b["ps_partkey"].to_numpy().astype(np.int64)[hit]
+        val = (b["ps_cost_cents"].to_numpy().astype(np.int64)[hit]
+               * b["ps_availqty"].to_numpy().astype(np.int64)[hit])
+        return pa.table({
+            "part": pa.array(_copart_tag(pk)),
+            "key": pa.array(pk),
+            "v": pa.array(val),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ku, tot = _sum_by_key(g["key"].to_numpy().astype(np.int64),
+                              g["v"].to_numpy().astype(np.int64))
+        return pd.DataFrame({"ps_partkey": ku, "value_cents": tot})
+
+    pv = (
+        ps.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .materialize()
+    )
+    n_parts = int(pv.count())
+    total = int(pv.aggregate(Sum("value_cents"))["sum(value_cents)"] or 0)
+    # int64 guard for the strict above-mean compare (the oracle runs it
+    # in HUGEINT; the engine must not wrap)
+    assert n_parts == 0 or total < (1 << 63) // max(n_parts, 1)
+
+    def thresh(b: pa.Table) -> pa.Table:
+        v = b["value_cents"].to_numpy().astype(np.int64)
+        m = v * n_parts > total
+        return b.filter(pa.array(m))
+
+    return pv.map_batches(thresh, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q20_excess_parts(sf_dir: str):
+    """TPC-H Q20 shape: suppliers holding EXCESS stock — synthesized
+    partsupp pairs whose availqty exceeds half the quantity actually
+    shipped for that (part, supplier) in Q20_YEAR.  The correlated
+    scalar subquery spans partsupp x lineitem on a COMPOSITE key, so
+    both sides co-partition by hash(packed key) (the
+    orders_with_late_items layout with key = partkey << 32 | suppkey);
+    pairs with no shipments drop (the classic inner-correlation
+    semantics).  Per part: one _sum_by_key over the lineitem side, one
+    _sorted_key_attach probe, <= suppliers-per-part (suppkey, n)
+    partial rows out; a second coarse fold sums per supplier (supplier-
+    scale keys — the item-65 discipline).  Excess is exact integers:
+    2 * 100 * availqty > qty_cents."""
+    import ray.data as rd
+
+    start = np.datetime64(Q20_YEAR[0], "us")
+    end = np.datetime64(Q20_YEAR[1], "us")
+    ps = _partsupp_ds(sf_dir)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(start))
+            & (pc.field("l_shipdate") < pa.scalar(end))
+        ),
+    )
+
+    def pack(pk: np.ndarray, sk: np.ndarray) -> np.ndarray:
+        assert (pk >= 0).all() and pk.max(initial=0) < (1 << 31)
+        assert (sk >= 0).all() and sk.max(initial=0) < (1 << 32)
+        return (pk << 32) | sk
+
+    def ps_norm(b: pa.Table) -> pa.Table:
+        key = pack(b["ps_partkey"].to_numpy().astype(np.int64),
+                   b["ps_suppkey"].to_numpy().astype(np.int64))
+        return pa.table({
+            "part": pa.array(_copart_tag(key)), "key": pa.array(key),
+            "t": pa.array(b["ps_availqty"].to_numpy().astype(np.int64)),
+            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+        })
+
+    def li_norm(b: pa.Table) -> pa.Table:
+        key = pack(b["l_partkey"].to_numpy().astype(np.int64),
+                   b["l_suppkey"].to_numpy().astype(np.int64))
+        return pa.table({
+            "part": pa.array(_copart_tag(key)), "key": pa.array(key),
+            "t": pa.array(_cents(b["l_quantity"].to_numpy())),
+            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+        })
+
+    both = ps.map_batches(
+        ps_norm, batch_format="pyarrow", zero_copy_batch=True
+    ).union(li.map_batches(
+        li_norm, batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        key = g["key"].to_numpy().astype(np.int64)
+        t = g["t"].to_numpy().astype(np.int64)
+        empty = pd.DataFrame({
+            "spart": np.array([], dtype=np.int64),
+            "s_suppkey": np.array([], dtype=np.int64),
+            "n": np.array([], dtype=np.int64),
+        })
+        pm = side == 0
+        lm = side == 1
+        if not pm.any() or not lm.any():
+            return empty
+        lk, lsum = _sum_by_key(key[lm], t[lm])
+        ok, avail = key[pm], t[pm]
+        pos = np.searchsorted(lk, ok)
+        pos = np.minimum(pos, len(lk) - 1)
+        hit = lk[pos] == ok
+        excess = hit & (200 * avail > lsum[pos])
+        if not excess.any():
+            return empty
+        sk = (ok[excess] & ((1 << 32) - 1)).astype(np.int64)
+        su, sn = _sum_by_key(sk, np.ones(len(sk), dtype=np.int64))
+        return pd.DataFrame({
+            "spart": _copart_tag(su).astype(np.int64),
+            "s_suppkey": su,
+            "n": sn,
+        })
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        ku, tot = _sum_by_key(g["s_suppkey"].to_numpy().astype(np.int64),
+                              g["n"].to_numpy().astype(np.int64))
+        return pd.DataFrame({"s_suppkey": ku, "n_excess_parts": tot})
+
+    return (
+        both.groupby("part").map_groups(fold, batch_format="pandas")
+        .groupby("spart").map_groups(final, batch_format="pandas")
+        .map_batches(lambda b: b.select(["s_suppkey", "n_excess_parts"]),
+                     batch_format="pyarrow")
+    )

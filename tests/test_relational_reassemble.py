@@ -1279,3 +1279,117 @@ def test_fk_orphan_audit_finds_real_orphans(ray_session, tmp_path):
         "lineitem->supplier": (4 + p, 1 + p),
         "orders->customer": (2 + p, 1 + p),
     }
+
+
+def _write_ps_dims(tmp_path, partkeys, suppkeys=(5,), nation_region=0):
+    """Minimal dimension set for the synthesized-partsupp family: one
+    region named Q11_REGION, one nation in it, suppliers in that
+    nation, and the given partkeys."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import Q11_REGION
+
+    pq2.write_table(pa2.table({
+        "r_regionkey": pa2.array([nation_region], type=pa2.int64()),
+        "r_name": pa2.array([Q11_REGION]),
+    }), tmp_path / "region.parquet")
+    pq2.write_table(pa2.table({
+        "n_nationkey": pa2.array([0], type=pa2.int64()),
+        "n_name": pa2.array(["NATION_0"]),
+        "n_regionkey": pa2.array([nation_region], type=pa2.int64()),
+    }), tmp_path / "nation.parquet")
+    pq2.write_table(pa2.table({
+        "s_suppkey": pa2.array(list(suppkeys), type=pa2.int64()),
+        "s_name": pa2.array([f"S{k}" for k in suppkeys]),
+        "s_nationkey": pa2.array([0] * len(suppkeys), type=pa2.int64()),
+        "s_acctbal": pa2.array([0.0] * len(suppkeys), type=pa2.float64()),
+    }), tmp_path / "supplier.parquet")
+    pq2.write_table(pa2.table({
+        "p_partkey": pa2.array(list(partkeys), type=pa2.int64()),
+        "p_name": pa2.array([f"P{k}" for k in partkeys]),
+    }), tmp_path / "part.parquet")
+
+
+def _ps_value(p, n_supp=1):
+    """Straight-line per-part stock value under the synthesis contract."""
+    from prlib_ray.relational import (
+        PS_AVAIL_MOD, PS_COST_BASE, PS_COST_MOD, PS_PER_PART,
+    )
+
+    return sum(
+        ((p * 29 + k * 37) % PS_COST_MOD + PS_COST_BASE)
+        * ((p * 13 + k * 17) % PS_AVAIL_MOD + 1)
+        for k in range(PS_PER_PART)
+    )
+
+
+def test_q11_strict_above_mean_boundary(ray_session, tmp_path):
+    """Two parts with IDENTICAL synthesized rows (partkey delta =
+    lcm(30, 99000) repeats every mod pattern; one supplier makes the
+    suppkey constant): each part's value equals the mean exactly, and
+    the strict > keeps neither.  Adding a third, higher-value part
+    makes it the only survivor."""
+    from prlib_ray.relational import q11_important_stock
+
+    # equal pair only: value * 2 == total -> empty result
+    _write_ps_dims(tmp_path, [1, 99001])
+    assert q11_important_stock(str(tmp_path)).count() == 0
+
+    v1, v2 = _ps_value(1), _ps_value(2)
+    assert v2 != v1  # constructed split is real
+    _write_ps_dims(tmp_path, [1, 99001, 2])
+    df = q11_important_stock(str(tmp_path)).to_pandas()
+    if v2 > v1:
+        assert list(df["ps_partkey"]) == [2] and int(df["value_cents"]) == v2
+    else:
+        assert sorted(df["ps_partkey"]) == [1, 99001]
+
+
+def test_q20_excess_boundary_and_orphans(ray_session, tmp_path):
+    """Q20 semantics on hand-built facts: exactly-half availqty is NOT
+    excess (strict >), pairs with no shipments drop, and a supplier's
+    count sums once per excess (part, supplier) pair."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import (
+        PS_AVAIL_MOD, PS_SUPP_A, PS_SUPP_B, Q20_YEAR, q20_excess_parts,
+    )
+
+    # one supplier (suppkey 5) so every synthesized row lands on it
+    partkeys = [1, 2, 3]  # part 3 gets no shipments -> drops
+    _write_ps_dims(tmp_path, partkeys)
+    avail = {
+        (p, k): (p * 13 + k * 17) % PS_AVAIL_MOD + 1
+        for p in partkeys for k in range(4)
+    }
+    # per (part, supplier=5): total avail across the 4 synth rows that
+    # all hit suppkey 5; shipped qty compares per (part, supp) pair on
+    # EACH row, so pick quantities against the per-row avail of k=0
+    ts = np.datetime64(Q20_YEAR[0], "us").item()
+    rows = [
+        # part 1: ship exactly 2*avail(1,0) units -> 200*a == qty_cents
+        # on the k=0 row; rows k=1..3 with different avail still compare
+        (1, 5, 2.0 * avail[(1, 0)]),
+        # part 2: ship almost nothing -> all four rows are excess
+        (2, 5, 0.01),
+    ]
+    pq2.write_table(pa2.table({
+        "l_partkey": pa2.array([r[0] for r in rows], type=pa2.int64()),
+        "l_suppkey": pa2.array([r[1] for r in rows], type=pa2.int64()),
+        "l_quantity": pa2.array([r[2] for r in rows], type=pa2.float64()),
+        "l_shipdate": pa2.array([ts] * len(rows), type=pa2.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+
+    df = q20_excess_parts(str(tmp_path)).to_pandas()
+    # expected: for part 1, the 4 synth rows compare against the SAME
+    # shipped total (they share (part, supp)); k=0 is the exact
+    # boundary (not excess), others excess iff 200*avail > qty
+    qty1 = round(2.0 * avail[(1, 0)] * 100)
+    exc1 = sum(1 for k in range(4) if 200 * avail[(1, k)] > qty1)
+    assert exc1 < 4  # the boundary row really is excluded
+    want = exc1 + 4  # part 2: all four rows excess; part 3: dropped
+    assert list(df["s_suppkey"]) == [5]
+    assert int(df["n_excess_parts"]) == want
