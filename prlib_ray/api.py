@@ -119,8 +119,14 @@ _PRIORITY = [
     "lang_agreement",
     "split_leakage",  # new: cross-split contamination audit
     "decontaminate",
-    "pack_sequences", "pii_scan",
+    "pack_sequences",
     "pii_redact",  # new: the redaction transform pii_scan measures
+    # fifteenth session: TPC-H Q9 — the heaviest join chain in the repo
+    # (TWO chained fact-fact coparts with per-stage pre-combines + dim
+    # probes).  Displaced pii_scan: pii_redact computes pii_scan's
+    # removal metric in-window and the two cross-check each other;
+    # pii_scan stays sim+pytest covered.
+    "q9_product_profit",
     "props_field_stats",  # new: semi-structured JSON extraction
     "source_overlap",  # new in round 3: pairwise source vocab overlap
     "source_word_lift",  # new: characteristic vocabulary per source
@@ -180,6 +186,7 @@ _PRIORITY = [
     # displaced in the fifteenth session by q11/q20/edit-distance/the
     # extraction twin (see the in-window comments at each insertion)
     "q18_large_orders", "global_sales_opportunity", "dedup_best_survivor",
+    "pii_scan", "q2_min_cost_supplier", "q12_shipmode_priority",
     # displaced in the twelfth session by the Q13/Q18/Q10/Q7 family:
     # q14's copart+dimension layout is in-window via trade_volume
     # (same copart union + broadcast-dim probe, richer dims);

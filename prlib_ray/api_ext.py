@@ -731,6 +731,15 @@ def _register_relational(queries, sql) -> None:
         # COMPOSITE (partkey, suppkey) copart key
         ("q20_excess_parts", rel.q20_excess_parts,
          orel.Q20_EXCESS_PARTS),
+        # TPC-H Q2 shape: correlated per-part MIN over in-region offers
+        ("q2_min_cost_supplier", rel.q2_min_cost_supplier,
+         orel.Q2_MIN_COST_SUPPLIER),
+        # TPC-H Q9 shape: two chained fact-fact coparts + dim probes
+        ("q9_product_profit", rel.q9_product_profit,
+         orel.Q9_PRODUCT_PROFIT),
+        # TPC-H Q12 shape: synthesized shipmode/commit/receipt dates
+        ("q12_shipmode_priority", rel.q12_shipmode_priority,
+         orel.Q12_SHIPMODE_PRIORITY),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

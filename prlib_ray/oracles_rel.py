@@ -1081,3 +1081,106 @@ FROM ex GROUP BY ps_suppkey
 
 Q11_IMPORTANT_STOCK = _q11_sql()
 Q20_EXCESS_PARTS = _q20_sql()
+
+
+def _q2_sql() -> str:
+    from prlib_ray import relational as rel
+
+    return f"""
+WITH {_ps_cte()},
+sub AS (
+  SELECT ps.* FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+  WHERE p.p_size % {rel.Q2_SIZE_MOD} = 0
+),
+flt AS (
+  SELECT sub.* FROM sub
+  JOIN supplier s ON s.s_suppkey = sub.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = '{rel.Q2_REGION}'
+),
+rk AS (
+  SELECT ps_partkey, ps_suppkey, ps_cost_cents,
+         row_number() OVER (PARTITION BY ps_partkey
+                            ORDER BY ps_cost_cents, ps_suppkey) AS rn
+  FROM flt
+)
+SELECT ps_partkey, ps_suppkey, CAST(ps_cost_cents AS BIGINT) AS cost_cents
+FROM rk WHERE rn = 1
+"""
+
+
+def _q9_sql() -> str:
+    from prlib_ray import relational as rel
+
+    words = ", ".join(f"'{w}'" for w in rel.Q9_NAME_WORDS)
+    return f"""
+WITH {_ps_cte()},
+flt AS (
+  SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_cost_cents FROM ps
+  JOIN part p ON p.p_partkey = ps.ps_partkey
+  WHERE split_part(p.p_name, ' ', 1) IN ({words})
+),
+li AS (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS rev_cents,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_cents
+  FROM lineitem
+),
+j AS (
+  SELECT s.s_nationkey, year(o.o_orderdate) AS yr,
+         100 * li.rev_cents - f.ps_cost_cents * li.qty_cents AS profit
+  FROM li
+  JOIN flt f ON f.ps_partkey = li.l_partkey
+            AND f.ps_suppkey = li.l_suppkey
+  JOIN orders o ON o.o_orderkey = li.l_orderkey
+  JOIN supplier s ON s.s_suppkey = li.l_suppkey
+)
+SELECT n.n_name, CAST(yr AS BIGINT) AS o_year,
+       CAST(SUM(profit) AS BIGINT) AS profit_x100_cents
+FROM j JOIN nation n ON n.n_nationkey = j.s_nationkey
+GROUP BY n.n_name, yr
+"""
+
+
+Q2_MIN_COST_SUPPLIER = _q2_sql()
+Q9_PRODUCT_PROFIT = _q9_sql()
+
+
+def _q12_sql() -> str:
+    from prlib_ray import relational as rel
+
+    modes = ", ".join(f"'{m}'" for m in rel.Q12_MODES)
+    check = ", ".join(f"'{m}'" for m in rel.Q12_CHECK_MODES)
+    highs = ", ".join(f"'{p}'" for p in rel.Q12_HIGH_PRIOS)
+    return f"""
+WITH li AS (
+  SELECT l_orderkey,
+         [{modes}][(l_orderkey * 5 + l_linenumber * 3) % 4 + 1] AS shipmode,
+         l_shipdate,
+         l_shipdate + INTERVAL ((l_orderkey + l_linenumber * 7) % 45 - 10)
+           DAY AS commitdate,
+         l_shipdate + INTERVAL ((l_orderkey * 2 + l_linenumber) % 30 + 1)
+           DAY AS receiptdate
+  FROM lineitem
+),
+flt AS (
+  SELECT li.shipmode, o.o_orderpriority
+  FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+  WHERE li.shipmode IN ({check})
+    AND li.commitdate < li.receiptdate
+    AND li.l_shipdate < li.commitdate
+    AND li.receiptdate >= TIMESTAMP '{rel.Q12_YEAR[0]}'
+    AND li.receiptdate < TIMESTAMP '{rel.Q12_YEAR[1]}'
+)
+SELECT shipmode AS l_shipmode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ({highs})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ({highs})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM flt GROUP BY shipmode
+"""
+
+
+Q12_SHIPMODE_PRIORITY = _q12_sql()

@@ -4963,3 +4963,362 @@ def q20_excess_parts(sf_dir: str):
         .map_batches(lambda b: b.select(["s_suppkey", "n_excess_parts"]),
                      batch_format="pyarrow")
     )
+
+
+Q2_REGION = "EUROPE"
+Q2_SIZE_MOD = 5  # part subset: p_size % 5 == 0 (39/200 parts at sf0.001)
+Q9_NAME_WORDS = ("cold", "small")  # part filter: first name word
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape: for each part in the size subset, the CHEAPEST
+    in-region supplier offer from the synthesized partsupp.  The
+    correlated per-part MIN resolves inside one coarse partkey
+    partition (q17's discipline): per part one lexsort by (key, cost,
+    suppkey) and the run boundary IS the winner — deterministic even
+    under cost ties (suppkey ASC), mirroring the oracle's row_number.
+    Output streams one row per qualifying part."""
+    import ray
+    import ray.data as rd
+
+    keys_ref = ray.put(_region_suppkeys(sf_dir, Q2_REGION))
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_size"])
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey"])
+    n_supp = int(supp.count())
+    from ray.data.aggregate import Min
+
+    smin = int(supp.aggregate(Min("s_suppkey"))["min(s_suppkey)"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        sz = b["p_size"].to_numpy().astype(np.int64)
+        pk0 = b["p_partkey"].to_numpy().astype(np.int64)[sz % Q2_SIZE_MOD == 0]
+        p = np.repeat(pk0, PS_PER_PART)
+        k = np.tile(np.arange(PS_PER_PART, dtype=np.int64), len(pk0))
+        sk = smin + (p * PS_SUPP_A + k * PS_SUPP_B) % max(n_supp, 1)
+        cost = (p * 29 + k * 37) % PS_COST_MOD + PS_COST_BASE
+        pos = np.searchsorted(keys, sk)
+        pos = np.minimum(pos, max(len(keys) - 1, 0))
+        hit = (keys[pos] == sk) if len(keys) else np.zeros(len(sk), bool)
+        return pa.table({
+            "part": pa.array(_copart_tag(p[hit])),
+            "key": pa.array(p[hit]),
+            "sk": pa.array(sk[hit]),
+            "cost": pa.array(cost[hit]),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["key"].to_numpy().astype(np.int64)
+        sk = g["sk"].to_numpy().astype(np.int64)
+        c = g["cost"].to_numpy().astype(np.int64)
+        order = np.lexsort((sk, c, k))
+        k_s = k[order]
+        first = np.r_[True, k_s[1:] != k_s[:-1]] if len(k_s) else np.zeros(0, bool)
+        return pd.DataFrame({
+            "ps_partkey": k_s[first],
+            "ps_suppkey": sk[order][first],
+            "cost_cents": c[order][first],
+        })
+
+    return (
+        part.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part").map_groups(fold, batch_format="pandas")
+        .map_batches(
+            lambda b: b.select(["ps_partkey", "ps_suppkey", "cost_cents"]),
+            batch_format="pyarrow")
+    )
+
+
+def q9_product_profit(sf_dir: str):
+    """TPC-H Q9 shape: profit by (supplier nation, order year) for the
+    Q9_NAME_WORDS part subset — the heaviest join chain in the repo:
+    lineitem x orders (orderkey) AND lineitem x partsupp (composite
+    partkey|suppkey), both fact-sized, plus the supplier dimension.
+
+    Plan: TWO chained co-partitions, each stage pre-combining so the
+    second shuffle moves (pair, year) partials, not lineitems:
+      stage A  hash(orderkey): attach the order year to every lineitem
+               (sorted probe, orphans drop), pre-combine per
+               (packed pk|sk, year) the rev_cents / qty_cents sums;
+      stage B  hash(packed key): attach the synthesized ps_cost_cents
+               (pairs outside the part subset drop — the name-filter
+               semantics), probe s_nationkey from the broadcast
+               supplier dimension, emit <= nations x years
+               composite-code partials into a bounded final fold.
+    Profit stays exact integers in 10^-4-dollar units:
+    profit_x100_cents = 100 * rev_cents - cost_cents * qty_cents."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    supp_ds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"])
+    n_supp = int(supp_ds.count())
+    smin = int(supp_ds.aggregate(Min("s_suppkey"))["min(s_suppkey)"])
+    supp = _collect_columns(supp_ds, ["s_suppkey", "s_nationkey"])
+    ssort = np.argsort(supp["s_suppkey"].astype(np.int64))
+    supp_ref = ray.put((supp["s_suppkey"].astype(np.int64)[ssort],
+                        supp["s_nationkey"].astype(np.int64)[ssort]))
+
+    def _row(part, key, c1, c2, c3, side):
+        return pa.table({
+            "part": pa.array(part), "key": pa.array(key),
+            "c1": pa.array(c1), "c2": pa.array(c2), "c3": pa.array(c3),
+            "side": pa.array(side),
+        })
+
+    # ---- stage A: orderkey copart (orders + lineitem) -------------------
+    ord_ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+    li_ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount", "l_quantity"],
+    )
+
+    def o_norm(b: pa.Table) -> pa.Table:
+        key = b["o_orderkey"].to_numpy().astype(np.int64)
+        yr = (b["o_orderdate"].to_numpy().astype("datetime64[Y]")
+              .astype(np.int64) + 1970)
+        z = np.zeros(b.num_rows, dtype=np.int64)
+        return _row(_copart_tag(key), key, yr, z, z,
+                    np.zeros(b.num_rows, dtype=np.int8))
+
+    def l_norm(b: pa.Table) -> pa.Table:
+        key = b["l_orderkey"].to_numpy().astype(np.int64)
+        pk = b["l_partkey"].to_numpy().astype(np.int64)
+        sk = b["l_suppkey"].to_numpy().astype(np.int64)
+        assert (pk < (1 << 31)).all() and (sk < (1 << 32)).all()
+        rev = _cents(b["l_extendedprice"].to_numpy()
+                     * (1.0 - b["l_discount"].to_numpy()))
+        qty = _cents(b["l_quantity"].to_numpy())
+        return _row(_copart_tag(key), key, (pk << 32) | sk, rev, qty,
+                    np.ones(b.num_rows, dtype=np.int8))
+
+    stage_a = ord_ds.map_batches(
+        o_norm, batch_format="pyarrow", zero_copy_batch=True
+    ).union(li_ds.map_batches(
+        l_norm, batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+    def fold_a(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        empty = pd.DataFrame({
+            "part": np.array([], dtype=np.int64),
+            "key": np.array([], dtype=np.int64),
+            "c1": np.array([], dtype=np.int64),
+            "c2": np.array([], dtype=np.int64),
+            "c3": np.array([], dtype=np.int64),
+            "side": np.array([], dtype=np.int8),
+        })
+        om, lm = side == 0, side == 1
+        if not om.any() or not lm.any():
+            return empty
+        key = g["key"].to_numpy().astype(np.int64)
+        osort, ok_s, pos, hit = _sorted_key_attach(key[om], key[lm])
+        yr = g["c1"].to_numpy().astype(np.int64)[om][osort][pos][hit]
+        packed = g["c1"].to_numpy().astype(np.int64)[lm][hit]
+        rev = g["c2"].to_numpy().astype(np.int64)[lm][hit]
+        qty = g["c3"].to_numpy().astype(np.int64)[lm][hit]
+        # pre-combine per (pair, year): one lexsort + run sums
+        order = np.lexsort((yr, packed))
+        p_s, y_s = packed[order], yr[order]
+        new = np.r_[True, (p_s[1:] != p_s[:-1]) | (y_s[1:] != y_s[:-1])]
+        run = np.cumsum(new) - 1
+        n = int(run[-1]) + 1 if len(run) else 0
+        rsum = np.zeros(n, dtype=np.int64)
+        qsum = np.zeros(n, dtype=np.int64)
+        np.add.at(rsum, run, rev[order])
+        np.add.at(qsum, run, qty[order])
+        kk, yy = p_s[new], y_s[new]
+        return pd.DataFrame({
+            "part": _copart_tag(kk).astype(np.int64), "key": kk,
+            "c1": yy, "c2": rsum, "c3": qsum,
+            "side": np.ones(n, dtype=np.int8),
+        })
+
+    # coerce the fold's pandas blocks back to Arrow before the union —
+    # mixed pandas/arrow blocks in one union crash Ray's output iterator
+    # (NOTES_r3 item 22)
+    pairs = (
+        stage_a.groupby("part").map_groups(fold_a, batch_format="pandas")
+        .map_batches(lambda b: b, batch_format="pyarrow")
+    )
+
+    # ---- stage B: composite-key copart (pairs + synthesized partsupp) ---
+    part_ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_name"])
+
+    # Q9's fold probes lineitem pairs against a UNIQUE (part, supp) key;
+    # the SQL mirror joins every matching partsupp row.  The synthesis
+    # yields distinct suppkeys per part iff n_supp divides none of
+    # 131*{1,2,3} — loud guard instead of a silent engine/SQL divergence.
+    if n_supp > 1:
+        assert all(PS_SUPP_B * d % n_supp != 0 for d in (1, 2, 3)), n_supp
+    else:
+        raise ValueError("q9 synthesis needs >= 2 suppliers for unique "
+                         "(part, supp) keys")
+
+    def ps_norm(b: pa.Table) -> pa.Table:
+        first = pc.list_element(
+            pc.split_pattern(b["p_name"], pattern=" "), 0)
+        m = pc.is_in(first, value_set=pa.array(list(Q9_NAME_WORDS)))
+        pk0 = b["p_partkey"].to_numpy().astype(np.int64)[
+            m.to_numpy(zero_copy_only=False)]
+        p = np.repeat(pk0, PS_PER_PART)
+        k = np.tile(np.arange(PS_PER_PART, dtype=np.int64), len(pk0))
+        sk = smin + (p * PS_SUPP_A + k * PS_SUPP_B) % max(n_supp, 1)
+        cost = (p * 29 + k * 37) % PS_COST_MOD + PS_COST_BASE
+        assert (p < (1 << 31)).all() and (sk < (1 << 32)).all()
+        key = (p << 32) | sk
+        z = np.zeros(len(key), dtype=np.int64)
+        return _row(_copart_tag(key), key, cost, z, z,
+                    np.zeros(len(key), dtype=np.int8))
+
+    stage_b = part_ds.map_batches(
+        ps_norm, batch_format="pyarrow", zero_copy_batch=True
+    ).union(pairs)
+
+    def fold_b(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        empty = pd.DataFrame({
+            "code": np.array([], dtype=np.int64),
+            "profit": np.array([], dtype=np.int64),
+        })
+        psm, prm = side == 0, side == 1
+        if not psm.any() or not prm.any():
+            return empty
+        key = g["key"].to_numpy().astype(np.int64)
+        osort, ok_s, pos, hit = _sorted_key_attach(key[psm], key[prm])
+        cost = g["c1"].to_numpy().astype(np.int64)[psm][osort][pos][hit]
+        yr = g["c1"].to_numpy().astype(np.int64)[prm][hit]
+        rev = g["c2"].to_numpy().astype(np.int64)[prm][hit]
+        qty = g["c3"].to_numpy().astype(np.int64)[prm][hit]
+        sk = (key[prm][hit] & ((1 << 32) - 1)).astype(np.int64)
+        skeys, snat = ray.get(supp_ref)
+        if not len(skeys):
+            return empty
+        spos = np.searchsorted(skeys, sk)
+        spos = np.minimum(spos, len(skeys) - 1)
+        shit = skeys[spos] == sk
+        profit = 100 * rev - cost * qty
+        code = snat[spos][shit] * 10_000 + yr[shit]
+        cu, ptot = _sum_by_key(code, profit[shit])
+        return pd.DataFrame({"code": cu, "profit": ptot})
+
+    folded = (
+        stage_b.groupby("part").map_groups(fold_b, batch_format="pandas")
+        .groupby("code").aggregate(Sum("profit"))  # bounded: nations*years
+        .take_all()
+    )
+    # bounded name attach
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"]).take_all()
+    names = {int(r["n_nationkey"]): r["n_name"] for r in nat}
+    codes = sorted(int(r["code"]) for r in folded)
+    by_code = {int(r["code"]): int(r["sum(profit)"]) for r in folded}
+    return pa.table({
+        "n_name": pa.array([names[c // 10_000] for c in codes],
+                           type=pa.string()),
+        "o_year": pa.array([c % 10_000 for c in codes], type=pa.int64()),
+        "profit_x100_cents": pa.array([by_code[c] for c in codes],
+                                      type=pa.int64()),
+    })
+
+
+Q12_MODES = ("MAIL", "SHIP", "RAIL", "AIR")
+Q12_CHECK_MODES = ("MAIL", "SHIP")
+Q12_YEAR = ("1997-01-01", "1998-01-01")
+Q12_HIGH_PRIOS = ("1-URGENT", "2-HIGH")
+_DAY_US = 86_400_000_000
+
+
+def q12_shipmode_priority(sf_dir: str):
+    """TPC-H Q12 shape: late-vs-committed shipping discipline per ship
+    mode.  The fixtures' lineitem has no shipmode/commitdate/receiptdate,
+    so all three synthesize deterministically from (orderkey, linenumber)
+    in mirrored mod arithmetic (the partsupp discipline):
+      mode        = Q12_MODES[(ok*5 + ln*3) % 4]
+      commitdate  = shipdate + ((ok + ln*7) % 45 - 10) days
+      receiptdate = shipdate + ((ok*2 + ln) % 30 + 1) days
+    Predicates (ship < commit < receipt, receipt in Q12_YEAR, mode in
+    Q12_CHECK_MODES) filter INSIDE the lineitem norm — only qualifying
+    rows enter the orderkey copart; the fold attaches o_orderpriority
+    (sorted probe, orphans drop) and emits <= 4 (mode, high) count
+    partials per part into the bounded final fold."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    start = np.datetime64(Q12_YEAR[0], "us").astype(np.int64)
+    end = np.datetime64(Q12_YEAR[1], "us").astype(np.int64)
+    ord_ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+    li_ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_shipdate"])
+    check = [Q12_MODES.index(m) for m in Q12_CHECK_MODES]
+
+    def li_norm(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy().astype(np.int64)
+        ln = b["l_linenumber"].to_numpy().astype(np.int64)
+        ship = b["l_shipdate"].cast(pa.int64()).to_numpy()
+        mode = (ok * 5 + ln * 3) % 4
+        commit = ship + ((ok + ln * 7) % 45 - 10) * _DAY_US
+        receipt = ship + ((ok * 2 + ln) % 30 + 1) * _DAY_US
+        keep = ((commit < receipt) & (ship < commit)
+                & (receipt >= start) & (receipt < end)
+                & np.isin(mode, check))
+        return pa.table({
+            "l_orderkey": pa.array(ok[keep]),
+            "mode": pa.array(mode[keep]),
+        })
+
+    both = _copart_two_fact_union(
+        ord_ds,
+        li_ds.map_batches(li_norm, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        left_key="o_orderkey", left_t="o_orderdate",
+        right_key="l_orderkey", right_t="mode",
+        left_extra=(("prio", "o_orderpriority"),),
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        empty = pd.DataFrame({
+            "mode": np.array([], dtype=np.int64),
+            "high": np.array([], dtype=np.int64),
+            "n": np.array([], dtype=np.int64),
+        })
+        om, lm = side == 0, side == 1
+        if not om.any() or not lm.any():
+            return empty
+        key = g["key"].to_numpy().astype(np.int64)
+        osort, ok_s, pos, hit = _sorted_key_attach(key[om], key[lm])
+        prio = g["prio"].to_numpy()[om][osort][pos][hit]
+        mode = g["t"].to_numpy().astype(np.int64)[lm][hit]
+        high = np.isin(prio, np.asarray(Q12_HIGH_PRIOS, dtype=object))
+        code = mode * 2 + high.astype(np.int64)
+        cu, n = _sum_by_key(code, np.ones(len(code), dtype=np.int64))
+        return pd.DataFrame({"mode": cu // 2, "high": cu % 2, "n": n})
+
+    rows = (
+        both.groupby("part").map_groups(fold, batch_format="pandas")
+        .groupby(["mode", "high"]).aggregate(Sum("n"))  # <= 8 keys
+        .take_all()
+    )
+    agg: dict[int, list[int]] = {}
+    for r in rows:
+        agg.setdefault(int(r["mode"]), [0, 0])[int(r["high"])] = int(
+            r["sum(n)"])
+    modes = sorted(agg)
+    return pa.table({
+        "l_shipmode": pa.array([Q12_MODES[m] for m in modes],
+                               type=pa.string()),
+        "high_line_count": pa.array([agg[m][1] for m in modes],
+                                    type=pa.int64()),
+        "low_line_count": pa.array([agg[m][0] for m in modes],
+                                   type=pa.int64()),
+    })

@@ -1393,3 +1393,106 @@ def test_q20_excess_boundary_and_orphans(ray_session, tmp_path):
     want = exc1 + 4  # part 2: all four rows excess; part 3: dropped
     assert list(df["s_suppkey"]) == [5]
     assert int(df["n_excess_parts"]) == want
+
+
+def test_q12_strict_date_boundaries(ray_session, tmp_path):
+    """Q12 on hand-built facts: a lineitem whose synthesized commit
+    offset is <= 0 fails ship < commit strictly; receipt-year window is
+    half-open; orphan lineitems drop; priority split counted per LINE.
+    Expectations recomputed from the same synthesis formulas."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import (
+        Q12_CHECK_MODES, Q12_HIGH_PRIOS, Q12_MODES, Q12_YEAR,
+        q12_shipmode_priority,
+    )
+
+    ship = np.datetime64("1997-06-01", "us")
+    rows = [(10, ln) for ln in range(1, 8)] + [(99, 1)]  # 99 = orphan
+    pq2.write_table(pa2.table({
+        "l_orderkey": pa2.array([r[0] for r in rows], type=pa2.int64()),
+        "l_linenumber": pa2.array([r[1] for r in rows], type=pa2.int64()),
+        "l_shipdate": pa2.array([ship.item()] * len(rows),
+                                type=pa2.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    pq2.write_table(pa2.table({
+        "o_orderkey": pa2.array([10], type=pa2.int64()),
+        "o_orderdate": pa2.array([ship.item()], type=pa2.timestamp("us")),
+        "o_orderpriority": pa2.array(["1-URGENT"]),
+    }), tmp_path / "orders.parquet")
+
+    start = np.datetime64(Q12_YEAR[0], "us")
+    end = np.datetime64(Q12_YEAR[1], "us")
+    want: dict[str, int] = {}
+    for ok, ln in rows[:-1]:  # orphan excluded by the join
+        mode = Q12_MODES[(ok * 5 + ln * 3) % 4]
+        commit = ship + np.timedelta64(((ok + ln * 7) % 45 - 10), "D")
+        receipt = ship + np.timedelta64(((ok * 2 + ln) % 30 + 1), "D")
+        if (mode in Q12_CHECK_MODES and commit < receipt and ship < commit
+                and start <= receipt < end):
+            want[mode] = want.get(mode, 0) + 1
+    assert want  # the constructed case really exercises survivors
+
+    df = q12_shipmode_priority(str(tmp_path)).to_pandas()
+    got = dict(zip(df["l_shipmode"], df["high_line_count"]))
+    assert got == want  # all lines are 1-URGENT -> high counts only
+    assert (df["low_line_count"] == 0).all()
+    assert "1-URGENT" in Q12_HIGH_PRIOS
+
+
+def test_q9_orphans_and_profit_sign(ray_session, tmp_path):
+    """Q9 on hand-built facts: lineitems with no order drop, pairs
+    outside the name-filtered partsupp drop, and the exact profit
+    (100*rev - cost*qty, 1e-4-dollar units) matches a straight-line
+    recomputation — including a negative-profit (loss) row."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import (
+        PS_COST_BASE, PS_COST_MOD, PS_SUPP_A, PS_SUPP_B, q9_product_profit,
+    )
+
+    _write_ps_dims(tmp_path, [1, 2], suppkeys=[5, 6, 7, 8])
+    # part 1 named 'cold ...' (in Q9_NAME_WORDS), part 2 'blue' (not)
+    pq2.write_table(pa2.table({
+        "p_partkey": pa2.array([1, 2], type=pa2.int64()),
+        "p_name": pa2.array(["cold widget", "blue widget"]),
+    }), tmp_path / "part.parquet")
+
+    # synthesized suppkeys of part 1: 5 + (1*7 + k*131) % 4
+    sks = [5 + (1 * PS_SUPP_A + k * PS_SUPP_B) % 4 for k in range(4)]
+    costs = {5 + (1 * PS_SUPP_A + k * PS_SUPP_B) % 4:
+             (1 * 29 + k * 37) % PS_COST_MOD + PS_COST_BASE
+             for k in range(4)}
+    sk = sks[0]
+    ts = np.datetime64("1996-03-01", "us").item()
+    pq2.write_table(pa2.table({
+        "o_orderkey": pa2.array([10], type=pa2.int64()),
+        "o_orderdate": pa2.array([ts], type=pa2.timestamp("us")),
+    }), tmp_path / "orders.parquet")
+    li = [
+        (10, 1, sk, 50.0, 0.1, 100.0),   # matches -> big qty: a LOSS
+        (10, 2, sk, 50.0, 0.1, 1.0),     # part 2 filtered out by name
+        (99, 1, sk, 50.0, 0.1, 1.0),     # orphan order -> drops
+        (10, 1, 9, 50.0, 0.1, 1.0),      # suppkey 9 not synthesized
+    ]
+    pq2.write_table(pa2.table({
+        "l_orderkey": pa2.array([r[0] for r in li], type=pa2.int64()),
+        "l_partkey": pa2.array([r[1] for r in li], type=pa2.int64()),
+        "l_suppkey": pa2.array([r[2] for r in li], type=pa2.int64()),
+        "l_extendedprice": pa2.array([r[3] for r in li]),
+        "l_discount": pa2.array([r[4] for r in li]),
+        "l_quantity": pa2.array([r[5] for r in li]),
+        "l_shipdate": pa2.array([ts] * len(li), type=pa2.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+
+    df = q9_product_profit(str(tmp_path)).to_pandas()
+    rev = int(np.floor(50.0 * 0.9 * 100 + 0.5))
+    want = 100 * rev - costs[sk] * 10_000
+    assert want < 0  # the constructed row really is a loss
+    assert len(df) == 1
+    assert df["n_name"][0] == "NATION_0" and int(df["o_year"][0]) == 1996
+    assert int(df["profit_x100_cents"][0]) == want
