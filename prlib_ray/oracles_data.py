@@ -1735,6 +1735,26 @@ GROUP BY r.query_id ORDER BY r.query_id"""
 ANN_DIM_TRUNCATION = _dim_truncation_sql()
 
 
+def _sql_lit(s: str) -> str:
+    """An exact DuckDB string expression for arbitrary text: printable
+    ASCII runs as quoted literals, everything else (and quotes) as
+    chr() codepoints — no escaping or encoding games.  Shared by every
+    oracle that interpolates implementation-module plant text."""
+    parts = []
+    run = ""
+    for ch in s:
+        if 32 <= ord(ch) < 127 and ch != "'":
+            run += ch
+        else:
+            if run:
+                parts.append(f"'{run}'")
+                run = ""
+            parts.append(f"chr({ord(ch)})")
+    if run:
+        parts.append(f"'{run}'")
+    return " || ".join(parts) if parts else "''"
+
+
 def _extract_turns_exact_sql() -> str:
     """SQL mirror of the exact-integer extraction twin.
 
@@ -1748,7 +1768,7 @@ def _extract_turns_exact_sql() -> str:
 
     plants = "\n".join(
         f"  UNION ALL SELECT doc_id, CAST({lno} AS BIGINT) AS line_no, "
-        f"'{txt}' AS line FROM documents WHERE doc_id % {mod} = 0"
+        f"{_sql_lit(txt)} AS line FROM documents WHERE doc_id % {mod} = 0"
         for (mod, lno, txt) in bp.EXACT_PLANTS
     )
     return f"""
@@ -1831,22 +1851,6 @@ def _unicode_dedup_sql() -> str:
     with chr() codepoints so the SQL text stays ASCII-safe; both plants
     interpolate from the implementation constants."""
     from prlib_ray.stages import dedup as dd
-
-    def _sql_lit(s: str) -> str:
-        # 'caf' || chr(233) form: exact codepoints, no encoding games
-        parts = []
-        run = ""
-        for ch in s:
-            if 32 <= ord(ch) < 127 and ch != "'":
-                run += ch
-            else:
-                if run:
-                    parts.append(f"'{run}'")
-                    run = ""
-                parts.append(f"chr({ord(ch)})")
-        if run:
-            parts.append(f"'{run}'")
-        return " || ".join(parts)
 
     nfc = _sql_lit(dd.UNI_SUFFIX_NFC)
     nfd = _sql_lit(dd.UNI_SUFFIX_NFD)

@@ -1025,9 +1025,10 @@ def _ps_cte() -> str:
          (SELECT min(s_suppkey) FROM supplier)
            + (p_partkey * {rel.PS_SUPP_A} + k * {rel.PS_SUPP_B})
              % (SELECT count(*) FROM supplier) AS ps_suppkey,
-         (p_partkey * 13 + k * 17) % {rel.PS_AVAIL_MOD} + 1 AS ps_availqty,
-         (p_partkey * 29 + k * 37) % {rel.PS_COST_MOD} + {rel.PS_COST_BASE}
-           AS ps_cost_cents
+         (p_partkey * {rel.PS_AVAIL_A} + k * {rel.PS_AVAIL_B})
+           % {rel.PS_AVAIL_MOD} + 1 AS ps_availqty,
+         (p_partkey * {rel.PS_COST_A} + k * {rel.PS_COST_B})
+           % {rel.PS_COST_MOD} + {rel.PS_COST_BASE} AS ps_cost_cents
   FROM part CROSS JOIN
        (SELECT unnest(generate_series(0, {rel.PS_PER_PART - 1})) AS k) ks
 )"""

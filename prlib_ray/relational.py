@@ -4737,20 +4737,31 @@ def fk_orphan_audit(sf_dir: str):
 # oracle rebuilds the identical table from the same CTE (every constant
 # interpolates from here).  Thresholds were measured on the fixtures
 # BEFORE wiring (item-48 lesson): availqty % 30 gives Q20 a real
-# 153/285 excess split; Q11's above-mean rule keeps 35/80 parts.
+# 153/285 excess split; Q11's above-mean rule keeps 34/80 parts.
 PS_PER_PART = 4
 PS_SUPP_A, PS_SUPP_B = 7, 131       # suppkey = smin + (p*7 + k*131) % S
 PS_AVAIL_MOD = 30                    # availqty = (p*13 + k*17) % 30 + 1
+PS_AVAIL_A, PS_AVAIL_B = 13, 17
 PS_COST_MOD, PS_COST_BASE = 99_000, 1_000  # cost cents in [1000, 100000)
+PS_COST_A, PS_COST_B = 29, 37       # cost = (p*29 + k*37) % mod + base
 Q11_REGION = "ASIA"
 Q20_YEAR = ("1997-01-01", "1998-01-01")
 
 
-def _partsupp_ds(sf_dir: str):
-    """Synthesized partsupp as a streamed Dataset: PS_PER_PART rows per
-    part, columns (ps_partkey, ps_suppkey, ps_availqty, ps_cost_cents).
-    The two supplier scalars come from a pruned distributed scan
-    (count is parquet-metadata-only)."""
+def _ps_synth(p: np.ndarray, k: np.ndarray, smin: int, n_supp: int):
+    """(ps_suppkey, ps_availqty, ps_cost_cents) for partsupp rows
+    (p, k) — the ONE synthesis site.  _partsupp_ds (q11/q20), q2, q9
+    and the oracle CTE (oracles_rel._ps_cte) all derive from these
+    formulas/constants, so a knob change cannot desynchronize them."""
+    sk = smin + (p * PS_SUPP_A + k * PS_SUPP_B) % max(n_supp, 1)
+    avail = (p * PS_AVAIL_A + k * PS_AVAIL_B) % PS_AVAIL_MOD + 1
+    cost = (p * PS_COST_A + k * PS_COST_B) % PS_COST_MOD + PS_COST_BASE
+    return sk, avail, cost
+
+
+def _supp_key_scalars(sf_dir: str) -> tuple[int, int]:
+    """(smin, n_supp) from ONE pruned scan: count is parquet-metadata-
+    only, min is a single-column aggregate job."""
     import ray.data as rd
     from ray.data.aggregate import Min
 
@@ -4758,19 +4769,27 @@ def _partsupp_ds(sf_dir: str):
                            columns=["s_suppkey"])
     n_supp = int(supp.count())
     smin = int(supp.aggregate(Min("s_suppkey"))["min(s_suppkey)"])
+    return smin, n_supp
+
+
+def _partsupp_ds(sf_dir: str):
+    """Synthesized partsupp as a streamed Dataset: PS_PER_PART rows per
+    part, columns (ps_partkey, ps_suppkey, ps_availqty, ps_cost_cents)."""
+    import ray.data as rd
+
+    smin, n_supp = _supp_key_scalars(sf_dir)
     part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
 
     def synth(b: pa.Table) -> pa.Table:
         p = np.repeat(b["p_partkey"].to_numpy().astype(np.int64),
                       PS_PER_PART)
         k = np.tile(np.arange(PS_PER_PART, dtype=np.int64), b.num_rows)
+        sk, avail, cost = _ps_synth(p, k, smin, n_supp)
         return pa.table({
             "ps_partkey": pa.array(p),
-            "ps_suppkey": pa.array(
-                smin + (p * PS_SUPP_A + k * PS_SUPP_B) % n_supp),
-            "ps_availqty": pa.array((p * 13 + k * 17) % PS_AVAIL_MOD + 1),
-            "ps_cost_cents": pa.array(
-                (p * 29 + k * 37) % PS_COST_MOD + PS_COST_BASE),
+            "ps_suppkey": pa.array(sk),
+            "ps_availqty": pa.array(avail),
+            "ps_cost_cents": pa.array(cost),
         })
 
     return part.map_batches(synth, batch_format="pyarrow",
@@ -4984,12 +5003,7 @@ def q2_min_cost_supplier(sf_dir: str):
     keys_ref = ray.put(_region_suppkeys(sf_dir, Q2_REGION))
     part = rd.read_parquet(f"{sf_dir}/part.parquet",
                            columns=["p_partkey", "p_size"])
-    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
-                           columns=["s_suppkey"])
-    n_supp = int(supp.count())
-    from ray.data.aggregate import Min
-
-    smin = int(supp.aggregate(Min("s_suppkey"))["min(s_suppkey)"])
+    smin, n_supp = _supp_key_scalars(sf_dir)
 
     def synth(b: pa.Table) -> pa.Table:
         keys = ray.get(keys_ref)
@@ -4997,8 +5011,7 @@ def q2_min_cost_supplier(sf_dir: str):
         pk0 = b["p_partkey"].to_numpy().astype(np.int64)[sz % Q2_SIZE_MOD == 0]
         p = np.repeat(pk0, PS_PER_PART)
         k = np.tile(np.arange(PS_PER_PART, dtype=np.int64), len(pk0))
-        sk = smin + (p * PS_SUPP_A + k * PS_SUPP_B) % max(n_supp, 1)
-        cost = (p * 29 + k * 37) % PS_COST_MOD + PS_COST_BASE
+        sk, _, cost = _ps_synth(p, k, smin, n_supp)
         pos = np.searchsorted(keys, sk)
         pos = np.minimum(pos, max(len(keys) - 1, 0))
         hit = (keys[pos] == sk) if len(keys) else np.zeros(len(sk), bool)
@@ -5051,15 +5064,20 @@ def q9_product_profit(sf_dir: str):
     profit_x100_cents = 100 * rev_cents - cost_cents * qty_cents."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
     supp_ds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
                               columns=["s_suppkey", "s_nationkey"])
-    n_supp = int(supp_ds.count())
-    smin = int(supp_ds.aggregate(Min("s_suppkey"))["min(s_suppkey)"])
     supp = _collect_columns(supp_ds, ["s_suppkey", "s_nationkey"])
-    ssort = np.argsort(supp["s_suppkey"].astype(np.int64))
-    supp_ref = ray.put((supp["s_suppkey"].astype(np.int64)[ssort],
+    skeys_all = supp["s_suppkey"].astype(np.int64)
+    if not len(skeys_all):
+        raise ValueError("q9 synthesis needs >= 2 suppliers for unique "
+                         "(part, supp) keys")
+    # scalars derive from the collected dimension — no extra Ray jobs
+    n_supp = len(skeys_all)
+    smin = int(skeys_all.min())
+    ssort = np.argsort(skeys_all)
+    supp_ref = ray.put((skeys_all[ssort],
                         supp["s_nationkey"].astype(np.int64)[ssort]))
 
     def _row(part, key, c1, c2, c3, side):
@@ -5169,8 +5187,7 @@ def q9_product_profit(sf_dir: str):
             m.to_numpy(zero_copy_only=False)]
         p = np.repeat(pk0, PS_PER_PART)
         k = np.tile(np.arange(PS_PER_PART, dtype=np.int64), len(pk0))
-        sk = smin + (p * PS_SUPP_A + k * PS_SUPP_B) % max(n_supp, 1)
-        cost = (p * 29 + k * 37) % PS_COST_MOD + PS_COST_BASE
+        sk, _, cost = _ps_synth(p, k, smin, n_supp)
         assert (p < (1 << 31)).all() and (sk < (1 << 32)).all()
         key = (p << 32) | sk
         z = np.zeros(len(key), dtype=np.int64)
@@ -5217,8 +5234,10 @@ def q9_product_profit(sf_dir: str):
     nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
                           columns=["n_nationkey", "n_name"]).take_all()
     names = {int(r["n_nationkey"]): r["n_name"] for r in nat}
-    codes = sorted(int(r["code"]) for r in folded)
     by_code = {int(r["code"]): int(r["sum(profit)"]) for r in folded}
+    # inner-JOIN-nation parity: a supplier nationkey absent from the
+    # nation dimension DROPS (like every other join in this function)
+    codes = sorted(c for c in by_code if c // 10_000 in names)
     return pa.table({
         "n_name": pa.array([names[c // 10_000] for c in codes],
                            type=pa.string()),

@@ -133,6 +133,26 @@ def _shingles(text: str, k: int = 3) -> set[str]:
 MAX_PAIR_ID = 300  # bounded id range for the exact all-pairs oracle query
 
 
+def _bounded_candidate_pairs(docs: dict[int, str]):
+    """All-pairs integer-Jaccard candidates (union > 0 and
+    5*inter >= union, i.e. J >= 0.2) over a BOUNDED {doc_id: text}
+    map — THE candidate rule, shared by ngram_jaccard_pairs and
+    edit_distance_pairs (both SQL mirrors state the same inequality)
+    so the two queries cannot silently disagree on candidates.
+    Returns id-ordered (doc_a, doc_b, inter, union) tuples."""
+    items = sorted((d, _shingles(t)) for d, t in docs.items())
+    out = []
+    for i in range(len(items)):
+        ida, sa = items[i]
+        for j in range(i + 1, len(items)):
+            idb, sb = items[j]
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union > 0 and 5 * inter >= union:
+                out.append((ida, idb, inter, union))
+    return out
+
+
 def ngram_jaccard_pairs(sf_dir: str):
     """Exact n-gram Jaccard near-dup pairs over doc_id < MAX_PAIR_ID.
 
@@ -149,25 +169,14 @@ def ngram_jaccard_pairs(sf_dir: str):
         zero_copy_batch=True,
     )
     rows = ds.take_all()  # bounded: < MAX_PAIR_ID rows by construction
-    docs = sorted((r["doc_id"], _shingles(r["text"])) for r in rows)
-    out_a, out_b, out_i, out_u = [], [], [], []
-    for i in range(len(docs)):
-        ida, sa = docs[i]
-        for j in range(i + 1, len(docs)):
-            idb, sb = docs[j]
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            if union > 0 and 5 * inter >= union:
-                out_a.append(ida)
-                out_b.append(idb)
-                out_i.append(inter)
-                out_u.append(union)
+    cand = _bounded_candidate_pairs(
+        {int(r["doc_id"]): r["text"] for r in rows})
     return pa.table(
         {
-            "doc_a": pa.array(out_a, type=pa.int64()),
-            "doc_b": pa.array(out_b, type=pa.int64()),
-            "inter": pa.array(out_i, type=pa.int64()),
-            "uni": pa.array(out_u, type=pa.int64()),
+            "doc_a": pa.array([a for a, _, _, _ in cand], type=pa.int64()),
+            "doc_b": pa.array([b for _, b, _, _ in cand], type=pa.int64()),
+            "inter": pa.array([i for _, _, i, _ in cand], type=pa.int64()),
+            "uni": pa.array([u for _, _, _, u in cand], type=pa.int64()),
         }
     )
 
@@ -239,16 +248,7 @@ def edit_distance_pairs(sf_dir: str):
         docs[i + PLANT_EDIT_OFFSET] = " ".join(
             [EDIT_VARIANT_WORD] + words[1:]
         )
-    items = sorted((d, _shingles(t)) for d, t in docs.items())
-    pairs = []
-    for i in range(len(items)):
-        ida, sa = items[i]
-        for j in range(i + 1, len(items)):
-            idb, sb = items[j]
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            if union > 0 and 5 * inter >= union:
-                pairs.append((ida, idb))
+    pairs = [(a, b) for a, b, _, _ in _bounded_candidate_pairs(docs)]
     if not pairs:
         return pa.table({
             "doc_a": pa.array([], type=pa.int64()),

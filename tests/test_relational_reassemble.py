@@ -28,6 +28,11 @@ CASES = [
     "q19_disjunctive_revenue",
     "q21_waiting_suppliers",
     "q8_market_share",
+    "q11_important_stock",
+    "q20_excess_parts",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q12_shipmode_priority",
     "followed_within",
     "price_zscore_outliers",
     "fk_orphan_audit",
@@ -1496,3 +1501,57 @@ def test_q9_orphans_and_profit_sign(ray_session, tmp_path):
     assert len(df) == 1
     assert df["n_name"][0] == "NATION_0" and int(df["o_year"][0]) == 1996
     assert int(df["profit_x100_cents"][0]) == want
+
+
+def test_q2_size_region_and_min_winner(ray_session, tmp_path):
+    """Q2 semantics on hand-built dims: the size subset filters parts,
+    out-of-region offers drop, and the per-part winner is the exact
+    min-cost in-region offer (straight-line recompute).  Two suppliers
+    alternate by (p + k) parity under the synthesis, so each part keeps
+    exactly 2 of its 4 offers."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import (
+        PS_COST_BASE, PS_COST_MOD, PS_PER_PART, Q2_REGION, Q2_SIZE_MOD,
+        q2_min_cost_supplier,
+    )
+
+    pq2.write_table(pa2.table({
+        "r_regionkey": pa2.array([0, 1], type=pa2.int64()),
+        "r_name": pa2.array([Q2_REGION, "ELSEWHERE"]),
+    }), tmp_path / "region.parquet")
+    pq2.write_table(pa2.table({
+        "n_nationkey": pa2.array([0, 1], type=pa2.int64()),
+        "n_name": pa2.array(["NATION_0", "NATION_1"]),
+        "n_regionkey": pa2.array([0, 1], type=pa2.int64()),
+    }), tmp_path / "nation.parquet")
+    # suppkey 5 in-region, 6 out: smin=5, n_supp=2, so offer (p, k)
+    # lands on suppkey 5 + (p*7 + k*131) % 2 == 5 + (p + k) % 2
+    pq2.write_table(pa2.table({
+        "s_suppkey": pa2.array([5, 6], type=pa2.int64()),
+        "s_name": pa2.array(["S5", "S6"]),
+        "s_nationkey": pa2.array([0, 1], type=pa2.int64()),
+        "s_acctbal": pa2.array([0.0, 0.0], type=pa2.float64()),
+    }), tmp_path / "supplier.parquet")
+    # part 12 fails the size filter; 10 (even) keeps k in {0, 2};
+    # 11 (odd) keeps k in {1, 3}
+    pq2.write_table(pa2.table({
+        "p_partkey": pa2.array([10, 11, 12], type=pa2.int64()),
+        "p_name": pa2.array(["P10", "P11", "P12"]),
+        "p_size": pa2.array([Q2_SIZE_MOD, 2 * Q2_SIZE_MOD,
+                             Q2_SIZE_MOD + 1], type=pa2.int64()),
+    }), tmp_path / "part.parquet")
+
+    def cost(p, k):
+        return (p * 29 + k * 37) % PS_COST_MOD + PS_COST_BASE
+
+    df = (q2_min_cost_supplier(str(tmp_path)).to_pandas()
+          .sort_values("ps_partkey").reset_index(drop=True))
+    assert list(df["ps_partkey"]) == [10, 11]
+    assert list(df["ps_suppkey"]) == [5, 5]  # only the in-region supplier
+    want = {10: min(cost(10, k) for k in (0, 2)),
+            11: min(cost(11, k) for k in (1, 3))}
+    assert {int(r.ps_partkey): int(r.cost_cents)
+            for r in df.itertuples()} == want
+    assert PS_PER_PART == 4  # the parity argument above relies on it
