@@ -90,6 +90,12 @@ _PRIORITY = [
     "extract_turns_exact",
     "curate_corpus",
     "corpus_validate",  # new: pre-flight data-quality audit
+    # sixteenth session: per-source mojibake/encoding audit + the
+    # Deequ-style exact column profiler (displaced q20_excess_parts —
+    # the synthesized-partsupp family stays repped by q11 + q9 — and
+    # basket_part_pairs — pair mining repped by pmi_top_pairs)
+    "utf8_hygiene",
+    "profile_columns",
     "dedup_exact",
     "dedup_normalized",  # new: normalization-invariant exact dedup
     "dedup_winnow_pairs",  # new: MOSS shared-fingerprint near-dup pairs
@@ -144,7 +150,6 @@ _PRIORITY = [
     # q17's copart fold + trade_volume's attaches) — both sim+pytest
     # covered.
     "q11_important_stock",
-    "q20_excess_parts",
     # fourteenth session: two genuinely-new DISCIPLINES displace two of
     # the seven in-window TPC-H shapes whose physical plans are
     # family-represented: q13_custdist (per-customer-count fold — the
@@ -156,7 +161,6 @@ _PRIORITY = [
     "followed_within",   # new: temporal pair counts (windowed funnel)
     "price_zscore_outliers",  # new: exact 128-bit variance outliers
     "trade_volume",  # new: cross-nation revenue matrix (Q7 shape)
-    "basket_part_pairs",  # new: market-basket co-purchase mining
     "bloom_semi_join",  # new: bloom-prefilter semi-join (FP-observable)
     "customer_running_total",  # new: cumulative PARTITION-ORDER window
     "funnel_conversion",  # ordered funnel (earliest-event chain)
@@ -169,6 +173,10 @@ _PRIORITY = [
     # stay sim+pytest covered, and the per-part top-K + bounded-merge
     # physical plan runs in-window via q3/hot-key family)
     "search_topk",
+    # displaced in the sixteenth session by utf8_hygiene /
+    # profile_columns (partsupp family repped in-window by q11 + q9;
+    # pair mining by pmi_top_pairs) — both sim+pytest covered
+    "q20_excess_parts", "basket_part_pairs",
     # displaced in the thirteenth session by dedup_rate_by_source /
     # cross_source_dup_matrix (the embedding-audit family keeps
     # cluster_balance in-window; the exact-percentile discipline is

@@ -196,6 +196,10 @@ def _register_data_ops(queries, sql) -> None:
     sql["lang_id"] = odata.LANG_ID
     queries["lang_agreement"] = text_analysis.lang_agreement
     sql["lang_agreement"] = odata.LANG_AGREEMENT
+    # per-source mojibake/encoding audit (planted control/replacement/
+    # accent suffixes — the fixtures are pure ASCII)
+    queries["utf8_hygiene"] = text_analysis.utf8_hygiene
+    sql["utf8_hygiene"] = odata.UTF8_HYGIENE
     queries["fingerprint_md5"] = _doc_query(text_analysis.fingerprint_batch)
     sql["fingerprint_md5"] = odata.FINGERPRINT
     queries["fingerprint_winnow"] = _doc_query(text_analysis.winnow_batch)
@@ -740,6 +744,9 @@ def _register_relational(queries, sql) -> None:
         # TPC-H Q12 shape: synthesized shipmode/commit/receipt dates
         ("q12_shipmode_priority", rel.q12_shipmode_priority,
          orel.Q12_SHIPMODE_PRIORITY),
+        # Deequ/dbt-style column profiler (exact n_distinct/min/max per
+        # column; planted NULLs keep the null accounting non-vacuous)
+        ("profile_columns", rel.profile_columns, orel.PROFILE_COLUMNS),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

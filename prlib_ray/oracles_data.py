@@ -1931,3 +1931,35 @@ JOIN aug tb ON tb.doc_id = p.doc_b
 
 
 EDIT_DISTANCE_PAIRS = _edit_distance_sql()
+
+
+def _utf8_hygiene_sql() -> str:
+    """Per-source mojibake audit mirror: plants, RE2 patterns and the
+    replacement-char literal all interpolate from the implementation
+    module (patterns are RE2 on BOTH sides — pyarrow and DuckDB)."""
+    from prlib_ray.stages import text_analysis as ta
+
+    n = ta.N_PLANT_HYG
+    plant = "\n".join(
+        f"  UNION ALL SELECT source, text || {_sql_lit(sfx)} "
+        f"FROM documents WHERE doc_id < {n}"
+        for sfx in (ta.HYG_SUFFIX_CTRL, ta.HYG_SUFFIX_REPL,
+                    ta.HYG_SUFFIX_ACC)
+    )
+    return f"""
+WITH aug AS (
+  SELECT source, text FROM documents
+{plant}
+)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(CASE WHEN regexp_matches(text, '{ta.HYG_CTRL_RE}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+  CAST(sum(CASE WHEN position({_sql_lit(ta.HYG_SUFFIX_REPL)} IN text) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_repl,
+  CAST(sum(CASE WHEN regexp_matches(text, '{ta.HYG_NONASCII_RE}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_nonascii
+FROM aug GROUP BY source ORDER BY source
+"""
+
+
+UTF8_HYGIENE = _utf8_hygiene_sql()

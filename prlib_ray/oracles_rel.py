@@ -1185,3 +1185,47 @@ FROM flt GROUP BY shipmode
 
 
 Q12_SHIPMODE_PRIORITY = _q12_sql()
+
+
+def _profile_columns_sql() -> str:
+    """Per-column profile mirror: the NULL plant, the integer views
+    (cents / epoch-us) and the column list all interpolate from
+    relational._PROFILE_COLS so the two sides cannot drift."""
+    from prlib_ray import relational as rel
+
+    view_expr = {
+        "int": "{c}",
+        "cents": "CAST(floor({c} * 100 + 0.5) AS BIGINT)",
+        "ts": "epoch_us({c})",
+        "str": "{c}",
+    }
+    vcols = ",\n         ".join(
+        view_expr[kind].format(c=name) + f" AS c{cid}"
+        for cid, name, kind in rel._PROFILE_COLS
+    )
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS col, count(*) AS n_rows,\n"
+        f"       count(*) - count(c{cid}) AS n_null,\n"
+        f"       count(DISTINCT c{cid}) AS n_distinct,\n"
+        f"       CAST(min(c{cid}) AS VARCHAR) AS min_s,\n"
+        f"       CAST(max(c{cid}) AS VARCHAR) AS max_s\nFROM v"
+        for cid, name, kind in rel._PROFILE_COLS
+    )
+    return f"""
+WITH aug AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {rel.PROFILE_NULL_MOD_CK} = 0
+              THEN NULL ELSE o_custkey END AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate,
+         CASE WHEN o_orderkey % {rel.PROFILE_NULL_MOD_PR} = 0
+              THEN NULL ELSE o_orderpriority END AS o_orderpriority
+  FROM orders
+), v AS (
+  SELECT {vcols}
+  FROM aug
+)
+{branches}
+"""
+
+
+PROFILE_COLUMNS = _profile_columns_sql()

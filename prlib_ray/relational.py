@@ -5341,3 +5341,198 @@ def q12_shipmode_priority(sf_dir: str):
         "low_line_count": pa.array([agg[m][0] for m in modes],
                                    type=pa.int64()),
     })
+
+
+# --- column profiling (Deequ/dbt-style pre-flight) ----------------------------
+
+# The fixtures are NULL-free, so the profiler plants NULLs
+# deterministically (CASE-mirrored in the oracle) to keep the null
+# accounting non-vacuous at every sf.
+PROFILE_NULL_MOD_CK = 101  # o_custkey NULL where o_orderkey % 101 == 0
+PROFILE_NULL_MOD_PR = 97   # o_orderpriority NULL where o_orderkey % 97 == 0
+PROFILE_DISTINCT_PARTS = 32
+
+# (col_id, name, kind): profiled columns of orders.  Numeric columns
+# profile an integer VIEW — keys as-is, totalprice in floor(x*100+0.5)
+# cents, orderdate in epoch-us — and format min/max as decimal strings;
+# string columns compare bytewise (binary collation on both sides).
+_PROFILE_COLS = (
+    (0, "o_orderkey", "int"),
+    (1, "o_custkey", "int"),
+    (2, "o_orderstatus", "str"),
+    (3, "o_totalprice", "cents"),
+    (4, "o_orderdate", "ts"),
+    (5, "o_orderpriority", "str"),
+)
+
+
+def profile_columns(sf_dir: str):
+    """Per-column profile of orders: n_rows / n_null / EXACT n_distinct
+    / min / max — the pre-flight audit a pipeline runs before trusting
+    keys, join cardinalities or value ranges (corpus_validate's
+    relational sibling).
+
+    Plan: one full-width scan (reading every column is the point of a
+    profiler) feeds two partial streams:
+      counts — 6 tiny (col, n, n_null) rows per batch into a 6-key
+        Ray-native aggregate;
+      distinct — per-batch DISTINCT (col, value) pairs (the exact-
+        profile cost: each distinct value ships once per batch), coarse
+        value-hash partitions (vi % P numeric, crc32 % P strings — a
+        value lives in exactly one part), each of the <= 6*P bounded
+        groups reducing to one (col, n_distinct, min, max) row: min/max
+        over a column == min/max over its distinct set.  The driver
+        folds <= 6*P + 6 rows.
+    At 10^12 rows exact distinct is the honest cost of an exact
+    profile; the scale path for distinct counts alone is the HLL op
+    (approx_distinct_users).  String distincts use dictionary_encode /
+    pandas C hash tables (NOTES item 43), never object-array sorts."""
+    import zlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    P = PROFILE_DISTINCT_PARTS
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet")
+
+    def _views(b: pa.Table):
+        """Per column: (null mask, int view or None, string values or
+        None) after the deterministic NULL plant."""
+        okey = b["o_orderkey"].to_numpy().astype(np.int64)
+        out = {}
+        for cid, name, kind in _PROFILE_COLS:
+            if name == "o_custkey":
+                nulls = okey % PROFILE_NULL_MOD_CK == 0
+            elif name == "o_orderpriority":
+                nulls = okey % PROFILE_NULL_MOD_PR == 0
+            else:
+                nulls = np.zeros(len(okey), dtype=bool)
+            if kind == "int":
+                vi = b[name].to_numpy().astype(np.int64)
+            elif kind == "cents":
+                vi = _cents(b[name].to_numpy())
+            elif kind == "ts":
+                vi = b[name].to_numpy().astype("datetime64[us]").astype(
+                    np.int64)
+            else:
+                out[cid] = (nulls, None, b[name])
+                continue
+            out[cid] = (nulls, vi, None)
+        return out
+
+    def counts(b: pa.Table) -> pa.Table:
+        views = _views(b)
+        n = b.num_rows
+        return pa.table({
+            "col": pa.array([cid for cid, _, _ in _PROFILE_COLS],
+                            type=pa.int64()),
+            "n": pa.array([n] * len(_PROFILE_COLS), type=pa.int64()),
+            "n_null": pa.array(
+                [int(views[cid][0].sum()) for cid, _, _ in _PROFILE_COLS],
+                type=pa.int64()),
+        })
+
+    def distinct(b: pa.Table) -> pa.Table:
+        views = _views(b)
+        gpart, vs, vi = [], [], []
+        for cid, _, kind in _PROFILE_COLS:
+            nulls, iv, sv = views[cid]
+            if iv is not None:
+                u = np.unique(iv[~nulls])
+                gpart.append(cid * P + (u % P))
+                vs.append(u.astype("U21"))
+                vi.append(u)
+            else:
+                u = pc.unique(pc.drop_null(
+                    sv.filter(pa.array(~nulls)))).to_pylist()
+                gpart.append(np.array(
+                    [cid * P + zlib.crc32(s.encode()) % P for s in u],
+                    dtype=np.int64))
+                vs.append(np.array(u, dtype=object))
+                vi.append(np.zeros(len(u), dtype=np.int64))
+        return pa.table({
+            "gpart": pa.array(np.concatenate(gpart), type=pa.int64()),
+            "vs": pa.array(np.concatenate(vs).astype(object),
+                           type=pa.string()),
+            "vi": pa.array(np.concatenate(vi), type=pa.int64()),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "col": pd.array([], dtype="int64"),
+                "nd": pd.array([], dtype="int64"),
+                "mini": pd.array([], dtype="int64"),
+                "maxi": pd.array([], dtype="int64"),
+                "mins": pd.array([], dtype="object"),
+                "maxs": pd.array([], dtype="object"),
+            })
+        # gpart carries the column id; values within one group belong
+        # to exactly one column
+        cid = int(g["gpart"].iloc[0]) // P
+        kind = _PROFILE_COLS[cid][2]
+        if kind == "str":
+            u = g["vs"].drop_duplicates()
+            return pd.DataFrame({
+                "col": [cid], "nd": [len(u)], "mini": [0], "maxi": [0],
+                "mins": [u.min()], "maxs": [u.max()],
+            })
+        vi = pd.unique(g["vi"].to_numpy())
+        return pd.DataFrame({
+            "col": [cid], "nd": [len(vi)],
+            "mini": [int(vi.min())], "maxi": [int(vi.max())],
+            "mins": [""], "maxs": [""],
+        })
+
+    cnt_rows = (
+        ds.map_batches(counts, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("col").aggregate(Sum("n"), Sum("n_null"))  # 6 keys
+        .take_all()
+    )
+    dis_rows = (
+        ds.map_batches(distinct, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("gpart").map_groups(fold, batch_format="pandas")
+        .take_all()  # bounded: <= 6 * PROFILE_DISTINCT_PARTS rows
+    )
+
+    by_col = {int(r["col"]): r for r in cnt_rows}
+    prof: dict[int, dict] = {}
+    for r in dis_rows:
+        cid = int(r["col"])
+        p = prof.setdefault(cid, {"nd": 0, "mini": None, "maxi": None,
+                                  "mins": None, "maxs": None})
+        p["nd"] += int(r["nd"])
+        if _PROFILE_COLS[cid][2] == "str":
+            s_lo, s_hi = r["mins"], r["maxs"]
+            p["mins"] = s_lo if p["mins"] is None else min(p["mins"], s_lo)
+            p["maxs"] = s_hi if p["maxs"] is None else max(p["maxs"], s_hi)
+        else:
+            lo, hi = int(r["mini"]), int(r["maxi"])
+            p["mini"] = lo if p["mini"] is None else min(p["mini"], lo)
+            p["maxi"] = hi if p["maxi"] is None else max(p["maxi"], hi)
+
+    names, n_rows, n_null, n_distinct, min_s, max_s = [], [], [], [], [], []
+    for cid, name, kind in _PROFILE_COLS:
+        c = by_col[cid]
+        p = prof.get(cid, {"nd": 0, "mini": None, "maxi": None,
+                           "mins": None, "maxs": None})
+        names.append(name)
+        n_rows.append(int(c["sum(n)"]))
+        n_null.append(int(c["sum(n_null)"]))
+        n_distinct.append(p["nd"])
+        if kind == "str":
+            min_s.append(p["mins"])
+            max_s.append(p["maxs"])
+        else:
+            min_s.append(None if p["mini"] is None else str(p["mini"]))
+            max_s.append(None if p["maxi"] is None else str(p["maxi"]))
+    return pa.table({
+        "col": pa.array(names, type=pa.string()),
+        "n_rows": pa.array(n_rows, type=pa.int64()),
+        "n_null": pa.array(n_null, type=pa.int64()),
+        "n_distinct": pa.array(n_distinct, type=pa.int64()),
+        "min_s": pa.array(min_s, type=pa.string()),
+        "max_s": pa.array(max_s, type=pa.string()),
+    })

@@ -422,3 +422,90 @@ def winnow_batch(batch: pa.Table) -> pa.Table:
             "h": pa.array(out_h, type=pa.int64()),
         }
     )
+
+
+# --- UTF-8 hygiene audit -------------------------------------------------------
+
+# The fixtures are pure ASCII, so the audit plants deterministic
+# mojibake (UNION-ALL-mirrored in the oracle) to keep every counter
+# non-vacuous: a control-char suffix, a replacement-char suffix (the
+# classic mis-decode residue) and an accented suffix.
+N_PLANT_HYG = 12
+HYG_SUFFIX_CTRL = "\x07"
+HYG_SUFFIX_REPL = "�"
+HYG_SUFFIX_ACC = "caf\xe9"
+# RE2 patterns shared verbatim with the DuckDB oracle (both sides RE2):
+# C0 controls except \t \n \r, plus DEL; and any non-ASCII codepoint.
+HYG_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+HYG_NONASCII_RE = r"[^\x00-\x7f]"
+
+
+def utf8_hygiene(sf_dir: str):
+    """Per-source mojibake/encoding audit: documents containing raw
+    control characters, U+FFFD replacement characters (the fingerprint
+    of a lossy re-decode) or any non-ASCII codepoint — the hygiene
+    report a crawl-ingest pipeline gates on before tokenization.
+
+    Embarrassingly parallel: per batch, three vectorized RE2/substring
+    matches + one factorized per-source exact-int64 bincount;
+    <= n_sources partial rows per batch reach the bounded final
+    groupby.  Nothing but the count matrix leaves the workers."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+
+    def hyg_partial(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy().astype(np.int64)
+        m = doc_id < N_PLANT_HYG
+        tabs = [b.select(["text", "source"])]
+        if m.any():
+            planted = b.filter(pa.array(m))
+            texts = planted["text"].to_pylist()  # bounded: < N_PLANT_HYG
+            for suffix in (HYG_SUFFIX_CTRL, HYG_SUFFIX_REPL,
+                           HYG_SUFFIX_ACC):
+                tabs.append(pa.table({
+                    "text": pa.array([t + suffix for t in texts],
+                                     type=pa.string()),
+                    "source": planted["source"],
+                }).cast(tabs[0].schema))
+        aug = pa.concat_tables(tabs)
+        text = aug["text"]
+        flags = {
+            "n_ctrl": pc.match_substring_regex(text, HYG_CTRL_RE),
+            "n_repl": pc.match_substring(text, HYG_SUFFIX_REPL),
+            "n_nonascii": pc.match_substring_regex(text, HYG_NONASCII_RE),
+        }
+        codes, uniq = pd.factorize(aug["source"].to_pandas())
+        k = len(uniq)
+        cols = {"source": pa.array(list(uniq), type=pa.string()),
+                "n_docs": pa.array(np.bincount(codes, minlength=k)
+                                   .astype(np.int64))}
+        for name, f in flags.items():
+            hit = f.to_numpy(zero_copy_only=False).astype(bool)
+            cnt = np.zeros(k, dtype=np.int64)  # exact int64 (item 39)
+            np.add.at(cnt, codes[hit], 1)
+            cols[name] = pa.array(cnt)
+        return pa.table(cols)
+
+    rows = (
+        ds.map_batches(hyg_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("source").aggregate(  # bounded: n_sources keys
+            Sum("n_docs"), Sum("n_ctrl"), Sum("n_repl"), Sum("n_nonascii"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["source"])
+    return pa.table({
+        "source": pa.array([r["source"] for r in rows], type=pa.string()),
+        "n_docs": pa.array([int(r["sum(n_docs)"]) for r in rows],
+                           type=pa.int64()),
+        "n_ctrl": pa.array([int(r["sum(n_ctrl)"]) for r in rows],
+                           type=pa.int64()),
+        "n_repl": pa.array([int(r["sum(n_repl)"]) for r in rows],
+                           type=pa.int64()),
+        "n_nonascii": pa.array([int(r["sum(n_nonascii)"]) for r in rows],
+                               type=pa.int64()),
+    })

@@ -33,6 +33,8 @@ CASES = [
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q12_shipmode_priority",
+    "profile_columns",
+    "utf8_hygiene",
     "followed_within",
     "price_zscore_outliers",
     "fk_orphan_audit",
@@ -1555,3 +1557,102 @@ def test_q2_size_region_and_min_winner(ray_session, tmp_path):
     assert {int(r.ps_partkey): int(r.cost_cents)
             for r in df.itertuples()} == want
     assert PS_PER_PART == 4  # the parity argument above relies on it
+
+
+def test_profile_columns_semantics(ray_session, tmp_path):
+    """Column profiler on hand-built orders: planted NULLs (keys 0/97/
+    101 trigger the mod rules), n_distinct under duplicates, numeric —
+    not lexicographic — min/max formatting (keys 9 vs 10), the cents
+    view and the epoch-us view."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import profile_columns
+
+    base = np.datetime64("2024-03-01T00:00:00", "us").item()
+    keys = [0, 9, 10, 97, 101, 202]
+    pq2.write_table(pa2.table({
+        "o_orderkey": pa2.array(keys, type=pa2.int64()),
+        # duplicates: only 3 distinct custkeys BEFORE the null plant;
+        # key 0 and 101 null out (0 % 101 == 0), leaving {7, 8}
+        "o_custkey": pa2.array([7, 7, 8, 8, 7, 8], type=pa2.int64()),
+        "o_orderstatus": pa2.array(["O", "F", "O", "P", "F", "O"]),
+        "o_totalprice": pa2.array([1.005, 2.0, 3.5, 2.0, 9.99, 3.5]),
+        "o_orderdate": pa2.array([base] * 6, type=pa2.timestamp("us")),
+        "o_orderpriority": pa2.array(
+            ["1-URGENT", "5-LOW", "5-LOW", "3-MEDIUM", "1-URGENT",
+             "2-HIGH"]),
+    }), tmp_path / "orders.parquet")
+
+    df = (profile_columns(str(tmp_path)).to_pandas()
+          .set_index("col"))
+    assert (df["n_rows"] == 6).all()
+    # null plants: custkey nulls at keys 0, 101 AND 202 (all % 101 == 0);
+    # priority at 0 and 97
+    assert int(df.loc["o_custkey", "n_null"]) == 3
+    assert int(df.loc["o_orderpriority", "n_null"]) == 2
+    assert int(df.loc["o_orderkey", "n_null"]) == 0
+    # distinct excludes nulls: custkey keeps {7, 8} (0/101/202 nulled)
+    assert int(df.loc["o_custkey", "n_distinct"]) == 2
+    assert int(df.loc["o_orderkey", "n_distinct"]) == 6
+    assert int(df.loc["o_totalprice", "n_distinct"]) == 4
+    assert int(df.loc["o_orderdate", "n_distinct"]) == 1
+    # priority distinct after nulling keys 0 ('1-URGENT') and 97
+    # ('3-MEDIUM'): {5-LOW, 5-LOW, 1-URGENT, 2-HIGH} -> 3
+    assert int(df.loc["o_orderpriority", "n_distinct"]) == 3
+    # numeric min/max formatting: min is '0', max '202' — NOT the
+    # lexicographic '9'
+    assert df.loc["o_orderkey", "min_s"] == "0"
+    assert df.loc["o_orderkey", "max_s"] == "202"
+    # cents view under the SHARED IEEE expression: 1.005 is really
+    # 1.00499999..., so floor(x*100 + 0.5) = 100 on BOTH sides — the
+    # parity contract is the expression tree, not decimal arithmetic
+    assert df.loc["o_totalprice", "min_s"] == "100"
+    assert df.loc["o_totalprice", "max_s"] == "999"
+    # epoch-us view (integer micros, not timestamp text)
+    us = int(np.datetime64("2024-03-01T00:00:00", "us").astype(np.int64))
+    assert df.loc["o_orderdate", "min_s"] == str(us)
+    # string min/max bytewise
+    assert df.loc["o_orderstatus", "min_s"] == "F"
+    assert df.loc["o_orderstatus", "max_s"] == "P"
+    # nulled values can't win min/max: priority min is '1-URGENT'
+    # (key 0's instance is nulled but key 9... the surviving rows
+    # still include 1-URGENT at key 101)
+    assert df.loc["o_orderpriority", "min_s"] == "1-URGENT"
+    assert df.loc["o_orderpriority", "max_s"] == "5-LOW"
+
+
+def test_utf8_hygiene_flags(ray_session, tmp_path):
+    """Hygiene audit on hand-built documents: a control char flags
+    n_ctrl only, U+FFFD flags repl AND nonascii, an accent flags
+    nonascii only, \\t and \\n do NOT flag, and REAL dirt surfaces
+    beyond the plants (doc_id >= N_PLANT_HYG)."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.stages.text_analysis import N_PLANT_HYG, utf8_hygiene
+
+    rows = [
+        (N_PLANT_HYG + 1, "clean ascii text", "a"),
+        (N_PLANT_HYG + 2, "tabs\tand\nnewlines are fine", "a"),
+        (N_PLANT_HYG + 3, "bell \x07 inside", "a"),       # ctrl only
+        (N_PLANT_HYG + 4, "lossy � decode", "b"),     # repl + nonascii
+        (N_PLANT_HYG + 5, "caf\xe9 au lait", "b"),         # nonascii only
+        (N_PLANT_HYG + 6, "del \x7f char", "b"),           # ctrl only
+    ]
+    pq2.write_table(pa2.table({
+        "doc_id": pa2.array([r[0] for r in rows], type=pa2.int64()),
+        "text": pa2.array([r[1] for r in rows], type=pa2.string()),
+        "source": pa2.array([r[2] for r in rows], type=pa2.string()),
+    }), tmp_path / "documents.parquet")
+
+    df = utf8_hygiene(str(tmp_path)).to_pandas().set_index("source")
+    assert int(df.loc["a", "n_docs"]) == 3
+    assert int(df.loc["a", "n_ctrl"]) == 1      # bell; \t\n don't count
+    assert int(df.loc["a", "n_repl"]) == 0
+    assert int(df.loc["a", "n_nonascii"]) == 0
+    assert int(df.loc["b", "n_docs"]) == 3
+    assert int(df.loc["b", "n_ctrl"]) == 1      # DEL
+    assert int(df.loc["b", "n_repl"]) == 1
+    assert int(df.loc["b", "n_nonascii"]) == 2  # U+FFFD and é
