@@ -199,7 +199,12 @@ def run_bench() -> dict:
                  "cross_source_dup_matrix", "ann_dim_truncation_audit",
                  "q19_disjunctive_revenue", "q21_waiting_suppliers",
                  "q8_market_share", "followed_within",
-                 "price_zscore_outliers", "fk_orphan_audit"):
+                 "price_zscore_outliers", "fk_orphan_audit",
+                 "extract_turns_exact", "dedup_unicode",
+                 "dedup_edit_distance", "q11_important_stock",
+                 "q20_excess_parts", "q2_min_cost_supplier",
+                 "q9_product_profit", "q12_shipmode_priority",
+                 "profile_columns", "utf8_hygiene"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):
