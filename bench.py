@@ -204,7 +204,8 @@ def run_bench() -> dict:
                  "dedup_edit_distance", "q11_important_stock",
                  "q20_excess_parts", "q2_min_cost_supplier",
                  "q9_product_profit", "q12_shipmode_priority",
-                 "profile_columns", "utf8_hygiene"):
+                 "profile_columns", "utf8_hygiene",
+                 "snapshot_diff", "price_rank_ntile"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

@@ -111,6 +111,12 @@ _PRIORITY = [
     "cluster_top_terms",  # new: cross-modal cluster topic labeling
     "cluster_balance",  # new: embedding-space class-balance audit
     "dedup_incremental",
+    # seventeenth session: CDC-style per-id snapshot reconciliation —
+    # the registry's one FULL OUTER join shape (added/removed/changed/
+    # unchanged per source; displaced followed_within, whose user-stream
+    # searchsorted pair counting is in-window via funnel_conversion +
+    # user_stickiness — still sim+pytest covered)
+    "snapshot_diff",
     "knn_label_agreement",  # new: label-noise audit (exact kNN vote)
     "hard_negatives",  # new: contrastive wrong-class nearest neighbors
     "ann_ivf_topk",
@@ -158,11 +164,17 @@ _PRIORITY = [
     # (two-level fold + winner dims — q18 holds the copart fold +
     # attach, q3 the bounded top-k merge).  Both stay sim+pytest
     # covered.
-    "followed_within",   # new: temporal pair counts (windowed funnel)
     "price_zscore_outliers",  # new: exact 128-bit variance outliers
     "trade_volume",  # new: cross-nation revenue matrix (Q7 shape)
     "bloom_semi_join",  # new: bloom-prefilter semi-join (FP-observable)
-    "customer_running_total",  # new: cumulative PARTITION-ORDER window
+    # seventeenth session: exact global rank + NTILE deciles via ordered
+    # range partitions — the distributed sort-rank over row-count value
+    # cardinality (length_rank's bounded histogram can't) with NO global
+    # sort exchange (displaced customer_running_total: the run-boundary
+    # cumsum kernel is in-window via funnel_conversion's chained minima,
+    # and the window-function family keeps this stronger global entry —
+    # still sim+pytest covered)
+    "price_rank_ntile",
     "funnel_conversion",  # ordered funnel (earliest-event chain)
     "user_stickiness",  # new: DAU/WAU engagement ratio per week
     "asof_latest_order",
@@ -173,6 +185,11 @@ _PRIORITY = [
     # stay sim+pytest covered, and the per-part top-K + bounded-merge
     # physical plan runs in-window via q3/hot-key family)
     "search_topk",
+    # displaced in the seventeenth session by snapshot_diff /
+    # price_rank_ntile (user-stream pair counting repped in-window by
+    # funnel_conversion + user_stickiness; the run-boundary cumsum by
+    # funnel_conversion's chained minima — both sim+pytest covered)
+    "followed_within", "customer_running_total",
     # displaced in the sixteenth session by utf8_hygiene /
     # profile_columns (partsupp family repped in-window by q11 + q9;
     # pair mining by pmi_top_pairs) — both sim+pytest covered

@@ -289,6 +289,10 @@ def _register_data_ops(queries, sql) -> None:
     sql["pii_redact"] = oprep.PII_REDACT
     queries["source_term_stats"] = dataset_prep.source_term_stats
     sql["source_term_stats"] = oprep.SOURCE_TERM_STATS
+    # CDC-style snapshot reconciliation: the FULL OUTER join shape
+    # (added/removed/changed/unchanged per source)
+    queries["snapshot_diff"] = dataset_prep.snapshot_diff
+    sql["snapshot_diff"] = oprep.SNAPSHOT_DIFF
     queries["length_filter_p95"] = dataset_prep.length_filter_p95
     sql["length_filter_p95"] = oprep.LENGTH_FILTER_P95
     queries["sample_per_source"] = dataset_prep.sample_per_source
@@ -747,6 +751,9 @@ def _register_relational(queries, sql) -> None:
         # Deequ/dbt-style column profiler (exact n_distinct/min/max per
         # column; planted NULLs keep the null accounting non-vacuous)
         ("profile_columns", rel.profile_columns, orel.PROFILE_COLUMNS),
+        # exact global rank + NTILE decile via ordered range partitions
+        # (the distributed sort-rank; no global sort exchange)
+        ("price_rank_ntile", rel.price_rank_ntile, orel.PRICE_RANK_NTILE),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

@@ -294,3 +294,44 @@ SELECT doc_id,
        CAST(length(t) - length(gone) AS BIGINT) AS n_redacted_chars,
        md5(red) AS redacted_md5
 FROM r ORDER BY doc_id"""
+
+
+def _snapshot_diff_sql() -> str:
+    """Mirror of dataset_prep.snapshot_diff: the two snapshots as CTEs
+    over the SAME mod rules (constants interpolate from the stage
+    module so a rule change cannot desynchronize the mirror), a FULL
+    OUTER JOIN on id, status by presence + md5 equality."""
+    from prlib_ray.oracles_data import _sql_lit
+    from prlib_ray.stages.dataset_prep import (
+        SNAP_ADDED_MOD, SNAP_ADDED_RES, SNAP_CHANGED_MOD, SNAP_CHANGED_RES,
+        SNAP_REMOVED_MOD, SNAP_REMOVED_RES, SNAP_REMOVED_OFF,
+        SNAP_REV_SUFFIX)
+
+    return f"""
+WITH newv AS (
+    SELECT doc_id AS id, source,
+           md5(CASE WHEN doc_id % {SNAP_CHANGED_MOD} = {SNAP_CHANGED_RES}
+                    THEN text || {_sql_lit(SNAP_REV_SUFFIX)}
+                    ELSE text END) AS h
+    FROM documents
+),
+oldv AS (
+    SELECT doc_id AS id, source, md5(text) AS h FROM documents
+    WHERE doc_id % {SNAP_ADDED_MOD} <> {SNAP_ADDED_RES}
+    UNION ALL
+    SELECT doc_id + {SNAP_REMOVED_OFF} AS id, source, md5(text) AS h
+    FROM documents WHERE doc_id % {SNAP_REMOVED_MOD} = {SNAP_REMOVED_RES}
+),
+j AS (
+    SELECT coalesce(n.source, o.source) AS source,
+           CASE WHEN o.id IS NULL THEN 'added'
+                WHEN n.id IS NULL THEN 'removed'
+                WHEN n.h <> o.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM newv n FULL OUTER JOIN oldv o ON n.id = o.id
+)
+SELECT source, status, CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+SNAPSHOT_DIFF = _snapshot_diff_sql()

@@ -1229,3 +1229,24 @@ WITH aug AS (
 
 
 PROFILE_COLUMNS = _profile_columns_sql()
+
+
+def _price_rank_ntile_sql() -> str:
+    """Mirror of relational.price_rank_ntile: row_number()-1 under the
+    unique (cents, orderkey) composite order and 0-based ntile; the
+    bucket count interpolates from the implementation module."""
+    from prlib_ray.relational import NTILE_BUCKETS
+
+    return f"""
+WITH c AS (
+    SELECT o_orderkey, {_CENTS.format(expr='o_totalprice')} AS cents
+    FROM orders
+)
+SELECT o_orderkey, cents,
+       CAST(row_number() OVER w - 1 AS BIGINT) AS rnk,
+       CAST(ntile({NTILE_BUCKETS}) OVER w - 1 AS BIGINT) AS tile
+FROM c WINDOW w AS (ORDER BY cents, o_orderkey)
+ORDER BY o_orderkey"""
+
+
+PRICE_RANK_NTILE = _price_rank_ntile_sql()

@@ -5536,3 +5536,92 @@ def profile_columns(sf_dir: str):
         "min_s": pa.array(min_s, type=pa.string()),
         "max_s": pa.array(max_s, type=pa.string()),
     })
+
+
+# ---------------------------------------------------------------------------
+# exact global rank / NTILE via ordered range partitions (no global sort)
+
+NTILE_BUCKETS = 10
+# range part = cents // RANK_RANGE_STEP: ordered, disjoint value
+# intervals, so per-part local ranks + the exclusive prefix of part
+# counts compose the EXACT global rank.  2^20 cents (~$10.5k) over the
+# fixtures' ~$500k price ceiling gives ~48 parts — bounded by the VALUE
+# range, not the row count.  In production the split points would come
+# from a quantile sketch (cf. sampled_quantiles) to equalize part sizes
+# under skew; a fixed step keeps this deterministic.
+RANK_RANGE_STEP = 1 << 20
+
+
+def price_rank_ntile(sf_dir: str):
+    """Every order's exact global price rank and NTILE decile — the
+    equi-depth bucketing a curation pipeline uses to stratify by a
+    corpus-relative value instead of absolute thresholds, over a column
+    whose value cardinality ~ row count (where length_rank_transform's
+    bounded-histogram broadcast cannot work).
+
+    The classic global-sort query WITHOUT a global sort: rows partition
+    by ordered value RANGE (equal keys share a part; parts are disjoint
+    intervals), a bounded (part, count) fold prefix-sums on the driver
+    into per-part exclusive offsets, and each part independently
+    lexsorts (cents, orderkey) — global_rank = part offset + local
+    rank.  NTILE follows from the rank in closed form (first n % B
+    buckets get one extra row).  Only the bounded count fold and the
+    offsets broadcast leave the parts; no all-to-all sort exchange."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        cents = _cents(b["o_totalprice"].to_numpy())
+        return pa.table({
+            "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+            "cents": pa.array(cents),
+            "rpart": pa.array(cents // RANK_RANGE_STEP),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"rpart": z, "c": z})
+        ku, tot = _sum_by_key(b["rpart"].to_numpy().astype(np.int64),
+                              np.ones(b.num_rows, dtype=np.int64))
+        return pa.table({"rpart": pa.array(ku), "c": pa.array(tot)})
+
+    rows = tagged.map_batches(count_partial, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    pk = np.asarray([r["rpart"] for r in rows], dtype=np.int64)
+    pc_ = np.asarray([r["c"] for r in rows], dtype=np.int64)
+    ku, tot = _sum_by_key(pk, pc_)  # ku sorted ascending (np.unique)
+    offsets = dict(zip(
+        ku.tolist(),
+        np.concatenate(([0], np.cumsum(tot)[:-1])).tolist(),
+    ))
+    n_total = int(tot.sum())
+    q, r = divmod(n_total, NTILE_BUCKETS)
+    ref = ray.put(offsets)
+
+    def rank_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"o_orderkey": pd.Series([], dtype=np.int64),
+                                 "cents": pd.Series([], dtype=np.int64),
+                                 "rnk": pd.Series([], dtype=np.int64),
+                                 "tile": pd.Series([], dtype=np.int64)})
+        off = ray.get(ref)[int(g["rpart"].iloc[0])]
+        keys = g["o_orderkey"].to_numpy().astype(np.int64)
+        cents = g["cents"].to_numpy().astype(np.int64)
+        o = np.lexsort((keys, cents))
+        rnk = np.empty(len(g), dtype=np.int64)
+        rnk[o] = off + np.arange(len(g), dtype=np.int64)
+        cut = r * (q + 1)
+        tile = np.where(rnk < cut, rnk // (q + 1),
+                        r + (rnk - cut) // max(q, 1))
+        return pd.DataFrame({"o_orderkey": keys, "cents": cents,
+                             "rnk": rnk, "tile": tile.astype(np.int64)})
+
+    return tagged.groupby("rpart").map_groups(rank_fold,
+                                              batch_format="pandas")

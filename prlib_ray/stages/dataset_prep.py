@@ -1355,3 +1355,142 @@ def pii_redact(sf_dir: str):
         })
 
     return ds.map_batches(redact, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# snapshot reconciliation (CDC-style diff between two crawl snapshots)
+
+# The fixtures ship ONE documents table, so the two snapshots derive
+# from it in pure mod arithmetic (the partsupp-synthesis discipline,
+# NOTES_r3 item 75), mirrored 1:1 by the oracle's CTEs:
+#   * NEW  = every document; doc_id % 11 == 5 rows carry revised text
+#     (changed), so their fingerprints differ between snapshots.
+#   * OLD  = every document EXCEPT doc_id % 7 == 3 (those are "added"
+#     in NEW), PLUS stale rows at doc_id + SNAP_REMOVED_OFF for
+#     doc_id % 13 == 1 (present ONLY in OLD -> "removed").
+SNAP_ADDED_MOD, SNAP_ADDED_RES = 7, 3
+SNAP_CHANGED_MOD, SNAP_CHANGED_RES = 11, 5
+SNAP_REMOVED_MOD, SNAP_REMOVED_RES = 13, 1
+SNAP_REMOVED_OFF = 3_000_000
+SNAP_REV_SUFFIX = " rev2"
+N_SNAP_PARTS = 32
+_SNAP_STATUS = np.asarray(["added", "removed", "changed", "unchanged"],
+                          dtype=object)
+
+
+def snapshot_diff(sf_dir: str):
+    """CDC-style snapshot reconciliation: per (source, status) counts of
+    added / removed / changed / unchanged documents between two crawl
+    snapshots — the ingest audit run before an incremental dedup pass
+    decides what to reprocess.  The one FULL-OUTER-join shape in the
+    registry (q13 is LEFT, bloom/fk are semi/anti); distinct from
+    dedup.corpus_diff, which set-diffs FINGERPRINTS (no identity, no
+    changed/unchanged classification) — this op reconciles per doc ID.
+
+    Plan (both sides fact-sized, so neither may broadcast): each side
+    reduces per batch to (id, side, source, md5-hex) rows — text never
+    shuffles; rows co-locate by id hash into N_SNAP_PARTS coarse
+    partitions (an id lives in exactly one part, so the full outer join
+    resolves per part); per part ONE lexsort + run-boundary pass
+    classifies every id (run length 1 -> added/removed by side, length
+    2 -> changed/unchanged by fingerprint equality) and pre-folds to
+    (source, status) counts; the driver merges <= 4 * n_sources *
+    N_SNAP_PARTS count rows.  At 100 TB the same plan holds — the
+    shuffle payload is (id, hash) pairs, the driver fold is bounded by
+    source cardinality."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def sides(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "id": pa.array([], type=pa.int64()),
+                "side": pa.array([], type=pa.int64()),
+                "source": pa.array([], type=pa.string()),
+                "h": pa.array([], type=pa.string()),
+                "part": pa.array([], type=pa.int64()),
+            })
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        src = np.asarray(b["source"].to_pylist(), dtype=object)
+        txt = b["text"].to_pylist()
+        h = np.asarray(
+            [hashlib.md5(t.encode()).hexdigest() for t in txt], dtype=object
+        )
+        chg = (ids % SNAP_CHANGED_MOD) == SNAP_CHANGED_RES
+        hn = h.copy()
+        for i in np.flatnonzero(chg):
+            hn[i] = hashlib.md5(
+                (txt[i] + SNAP_REV_SUFFIX).encode()
+            ).hexdigest()
+        in_old = (ids % SNAP_ADDED_MOD) != SNAP_ADDED_RES
+        rem = (ids % SNAP_REMOVED_MOD) == SNAP_REMOVED_RES
+        out_id = np.concatenate(
+            [ids, ids[in_old], ids[rem] + SNAP_REMOVED_OFF])
+        out_side = np.concatenate([
+            np.ones(len(ids), dtype=np.int64),
+            np.zeros(int(in_old.sum()) + int(rem.sum()), dtype=np.int64),
+        ])
+        out_src = np.concatenate([src, src[in_old], src[rem]])
+        out_h = np.concatenate([hn, h[in_old], h[rem]])
+        part = ((out_id.view(np.uint64) * gold)
+                % np.uint64(N_SNAP_PARTS)).astype(np.int64)
+        return pa.table({
+            "id": pa.array(out_id),
+            "side": pa.array(out_side),
+            "source": pa.array(out_src, type=pa.string()),
+            "h": pa.array(out_h, type=pa.string()),
+            "part": pa.array(part),
+        })
+
+    def diff_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "st": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        ids = g["id"].to_numpy().astype(np.int64)
+        side = g["side"].to_numpy().astype(np.int64)
+        codes, uniq = pd.factorize(g["source"].to_numpy(), sort=True)
+        hc = pd.factorize(g["h"].to_numpy())[0]
+        o = np.lexsort((side, ids))
+        ids, side, codes, hc = ids[o], side[o], codes[o], hc[o]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        lens = np.diff(np.r_[starts, len(ids)])
+        status = np.empty(len(starts), dtype=np.int64)
+        one = lens == 1
+        status[one] = np.where(side[starts[one]] == 1, 0, 1)
+        two = np.flatnonzero(lens == 2)
+        eq = hc[starts[two]] == hc[starts[two] + 1]
+        status[two] = np.where(eq, 3, 2)
+        comp = codes[starts] * 4 + status
+        cu, tot = np.unique(comp, return_counts=True)
+        return pd.DataFrame({
+            "source": uniq[cu // 4],
+            "st": (cu % 4).astype(np.int64),
+            "n": tot.astype(np.int64),
+        })
+
+    parts = (
+        ds.map_batches(sides, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(diff_fold, batch_format="pandas")
+        .take_all()  # bounded: <= 4 * n_sources * N_SNAP_PARTS count rows
+    )
+    src = np.asarray([r["source"] for r in parts], dtype=object)
+    st = np.asarray([int(r["st"]) for r in parts], dtype=np.int64)
+    n = np.asarray([int(r["n"]) for r in parts], dtype=np.int64)
+    scodes, suniq = pd.factorize(src, sort=True)
+    comp = scodes * 4 + st
+    cu, inv = np.unique(comp, return_inverse=True)
+    tot = np.zeros(len(cu), dtype=np.int64)
+    np.add.at(tot, inv, n)
+    out_src = suniq[cu // 4]
+    out_st = _SNAP_STATUS[cu % 4]
+    o = np.lexsort((out_st, out_src))
+    return pa.table({
+        "source": pa.array(out_src[o], type=pa.string()),
+        "status": pa.array(out_st[o], type=pa.string()),
+        "n": pa.array(tot[o]),
+    })

@@ -32,7 +32,7 @@ def registry():
 PREP_CASES = ["mix_sources", "shuffle_head", "decontaminate",
               "pack_sequences", "chunk_tokens", "pii_scan", "pii_redact",
               "source_term_stats", "length_filter_p95",
-              "sample_per_source", "heavy_hitter_words"]
+              "sample_per_source", "heavy_hitter_words", "snapshot_diff"]
 
 
 @pytest.mark.parametrize("name", PREP_CASES)
@@ -440,3 +440,50 @@ def test_corpus_diff_planted(ray_session, tmp_path):
     df = corpus_diff(str(tmp_path)).to_pandas()
     got = dict(zip(df["status"], df["n_fingerprints"]))
     assert got == {"added": 1, "removed": 1, "common": 1}
+
+
+def test_snapshot_diff_constructed(ray_session, tmp_path):
+    """Per-id FULL OUTER reconciliation vs an independent dict-based
+    brute force on ids 0..45: pins that added wins over changed when
+    both rules hit (id 38: % 7 == 3 AND % 11 == 5), that a removed
+    clone coexists with its changed base (id 27: % 11 == 5 AND
+    % 13 == 1), and the per-source breakdown."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.stages.dataset_prep import (
+        SNAP_ADDED_MOD, SNAP_ADDED_RES, SNAP_CHANGED_MOD, SNAP_CHANGED_RES,
+        SNAP_REMOVED_MOD, SNAP_REMOVED_RES, snapshot_diff)
+
+    ids = list(range(46))
+    src = ["srcA" if i % 2 == 0 else "srcB" for i in ids]
+    txt = [f"document body {i}" for i in ids]
+    pq2.write_table(
+        pa2.table({"doc_id": pa2.array(ids, type=pa2.int64()),
+                   "text": txt, "source": src}),
+        tmp_path / "documents.parquet")
+
+    # independent brute force over the same mod rules
+    want: dict[tuple[str, str], int] = {}
+    for i in ids:
+        if i % SNAP_ADDED_MOD == SNAP_ADDED_RES:
+            st = "added"          # absent from OLD entirely
+        elif i % SNAP_CHANGED_MOD == SNAP_CHANGED_RES:
+            st = "changed"        # both sides, text revised in NEW
+        else:
+            st = "unchanged"
+        want[(src[i], st)] = want.get((src[i], st), 0) + 1
+        if i % SNAP_REMOVED_MOD == SNAP_REMOVED_RES:
+            # the stale clone exists ONLY in OLD
+            k = (src[i], "removed")
+            want[k] = want.get(k, 0) + 1
+
+    # the overlap cases are live in this id range
+    assert 38 % SNAP_ADDED_MOD == SNAP_ADDED_RES
+    assert 38 % SNAP_CHANGED_MOD == SNAP_CHANGED_RES
+    assert 27 % SNAP_CHANGED_MOD == SNAP_CHANGED_RES
+    assert 27 % SNAP_REMOVED_MOD == SNAP_REMOVED_RES
+
+    df = snapshot_diff(str(tmp_path)).to_pandas()
+    got = {(r.source, r.status): int(r.n) for r in df.itertuples()}
+    assert got == want

@@ -35,6 +35,7 @@ CASES = [
     "q12_shipmode_priority",
     "profile_columns",
     "utf8_hygiene",
+    "price_rank_ntile",
     "followed_within",
     "price_zscore_outliers",
     "fk_orphan_audit",
@@ -1656,3 +1657,53 @@ def test_utf8_hygiene_flags(ray_session, tmp_path):
     assert int(df.loc["b", "n_ctrl"]) == 1      # DEL
     assert int(df.loc["b", "n_repl"]) == 1
     assert int(df.loc["b", "n_nonascii"]) == 2  # U+FFFD and é
+
+
+def test_price_rank_ntile_semantics(ray_session, tmp_path):
+    """Rank/NTILE on hand-built orders: n = 13 with B = 10 (q = 1,
+    r = 3 — the first three deciles get 2 rows), a cents tie broken by
+    orderkey, and prices spanning several range partitions; the engine
+    must equal DuckDB's row_number/ntile on the same frame."""
+    import duckdb as _dd
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import (NTILE_BUCKETS, RANK_RANGE_STEP,
+                                      price_rank_ntile)
+
+    # two ties at 25.00; values spread over > 4 range parts
+    prices = [25.0, 25.0, 13.0, 99_000.0, 47_000.0, 5.0, 230_000.0,
+              230_000.5, 18_000.0, 310_000.0, 1.0, 47_000.0, 0.5]
+    keys = list(range(100, 100 + len(prices)))
+    pq2.write_table(pa2.table({
+        "o_orderkey": pa2.array(keys, type=pa2.int64()),
+        "o_totalprice": pa2.array(prices, type=pa2.float64()),
+    }), tmp_path / "orders.parquet")
+
+    cents = np.floor(np.asarray(prices) * 100.0 + 0.5).astype(np.int64)
+    assert len(np.unique(cents // RANK_RANGE_STEP)) >= 4
+    assert NTILE_BUCKETS == 10 and len(prices) % NTILE_BUCKETS != 0
+
+    df = (price_rank_ntile(str(tmp_path)).to_pandas()
+          .sort_values("o_orderkey").reset_index(drop=True))
+    con = _dd.connect()
+    want = con.execute(f"""
+        WITH c AS (SELECT * FROM read_parquet(
+            '{tmp_path / "orders.parquet"}'))
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(row_number() OVER w - 1 AS BIGINT) AS rnk,
+               CAST(ntile({NTILE_BUCKETS}) OVER w - 1 AS BIGINT) AS tile
+        FROM c WINDOW w AS (ORDER BY cents, o_orderkey)
+        ORDER BY o_orderkey""").df()
+    for c in ("o_orderkey", "cents", "rnk", "tile"):
+        assert np.array_equal(df[c].to_numpy(), want[c].to_numpy()), c
+    # the tie at 25.00 resolves by orderkey: key 100 ranks before 101
+    tie = df.set_index("o_orderkey")
+    assert tie.loc[100, "rnk"] + 1 == tie.loc[101, "rnk"]
+    # equi-depth: first r deciles hold q+1 rows, the rest q
+    sizes = df.groupby("tile").size()
+    q, r = divmod(len(prices), NTILE_BUCKETS)
+    assert all(int(sizes.get(t, 0)) == (q + 1 if t < r else q)
+               for t in range(NTILE_BUCKETS))
