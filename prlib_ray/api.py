@@ -88,6 +88,11 @@ _PRIORITY = [
     # — per-turn extracted-text equality checked against a full SQL
     # mirror at the driver gate (the rng flagship stays rows-only)
     "extract_turns_exact",
+    # eighteenth session: per-conversation structural QA (role
+    # alternation / tool turns / char budgets) over the SAME
+    # deterministic transcript as the exact twin — the transcript-shape
+    # audit the north rule's chat-data pipeline runs before packing
+    "conv_structure_audit",
     "curate_corpus",
     "corpus_validate",  # new: pre-flight data-quality audit
     # sixteenth session: per-source mojibake/encoding audit + the
@@ -117,8 +122,19 @@ _PRIORITY = [
     # searchsorted pair counting is in-window via funnel_conversion +
     # user_stickiness — still sim+pytest covered)
     "snapshot_diff",
+    # eighteenth session: link-graph centrality — integer PageRank over
+    # the synthesized closed doc graph (the crawl-quality prior; a new
+    # family: distributed unrolled power iteration, oracle-exact via
+    # MATERIALIZED iteration CTEs)
+    "pagerank_docs",
     "knn_label_agreement",  # new: label-noise audit (exact kNN vote)
-    "hard_negatives",  # new: contrastive wrong-class nearest neighbors
+    # eighteenth session: MMR diversified retrieval — the greedy
+    # relevance-vs-redundancy top-k (a new retrieval discipline; its
+    # unrolled-argmax mirror rides the shared scored/ranked CTEs).
+    # Displaced hard_negatives: the broadcast exact-top-k physical plan
+    # + label masking are in-window via knn_label_agreement, and MMR
+    # runs the same shortlist plan end-to-end — sim+pytest covered.
+    "mmr_diversified_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",  # probe+score fully SQL-mirrored in round 3
     # ann_bruteforce_topk and pq_codes moved below: the bf baseline and
@@ -140,13 +156,10 @@ _PRIORITY = [
     # pii_scan stays sim+pytest covered.
     "q9_product_profit",
     "props_field_stats",  # new: semi-structured JSON extraction
-    "source_overlap",  # new in round 3: pairwise source vocab overlap
-    "source_word_lift",  # new: characteristic vocabulary per source
     "weighted_sample",
     "frequent_ngrams",
     "pmi_top_pairs",  # new: word-association mining (doc-PMI ranking)
     "q3_top_orders",
-    "q17_small_quantity",  # new: correlated per-key AVG threshold (Q17)
     # fifteenth session: the synthesized-partsupp family — two genuinely
     # new disciplines (a whole dimension rebuilt in mirrored mod
     # arithmetic; a COMPOSITE-key fact-fact copart).  Displaced:
@@ -175,6 +188,9 @@ _PRIORITY = [
     # and the window-function family keeps this stronger global entry —
     # still sim+pytest covered)
     "price_rank_ntile",
+    # eighteenth session: the multi-objective dominance (skyline) shape
+    # — subset-stable local frontiers + a bounded driver merge
+    "pareto_orders",
     "funnel_conversion",  # ordered funnel (earliest-event chain)
     "user_stickiness",  # new: DAU/WAU engagement ratio per week
     "asof_latest_order",
@@ -185,6 +201,16 @@ _PRIORITY = [
     # stay sim+pytest covered, and the per-part top-K + bounded-merge
     # physical plan runs in-window via q3/hot-key family)
     "search_topk",
+    # displaced in the eighteenth session by conv_structure_audit /
+    # pagerank_docs / pareto_orders (three genuinely-new disciplines):
+    # source_word_lift's _word_lift_rank fold runs IN-WINDOW inside
+    # cluster_top_terms (shared code); source_overlap's pairwise source
+    # stats are repped by dedup_rate_by_source + cross_source_dup_matrix
+    # and its matmul pair counting by pmi_top_pairs; q17's partkey
+    # copart fold is repped by q9_product_profit's chained coparts +
+    # q11's global-scalar threshold — all three sim+pytest covered
+    "source_word_lift", "source_overlap", "q17_small_quantity",
+    "hard_negatives",
     # displaced in the seventeenth session by snapshot_diff /
     # price_rank_ntile (user-stream pair counting repped in-window by
     # funnel_conversion + user_stickiness; the run-boundary cumsum by

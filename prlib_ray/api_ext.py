@@ -293,6 +293,16 @@ def _register_data_ops(queries, sql) -> None:
     # (added/removed/changed/unchanged per source)
     queries["snapshot_diff"] = dataset_prep.snapshot_diff
     sql["snapshot_diff"] = oprep.SNAPSHOT_DIFF
+    # per-conversation structural QA over the deterministic transcript
+    # (role alternation / tool turns / char budgets)
+    queries["conv_structure_audit"] = dataset_prep.conv_structure_audit
+    sql["conv_structure_audit"] = oprep.CONV_STRUCTURE_AUDIT
+    # link-graph centrality: integer PageRank over the synthesized
+    # closed doc graph (unrolled power iteration, exact both sides)
+    from prlib_ray.stages.graph import pagerank_docs
+
+    queries["pagerank_docs"] = pagerank_docs
+    sql["pagerank_docs"] = oprep.PAGERANK_DOCS
     queries["length_filter_p95"] = dataset_prep.length_filter_p95
     sql["length_filter_p95"] = oprep.LENGTH_FILTER_P95
     queries["sample_per_source"] = dataset_prep.sample_per_source
@@ -426,6 +436,13 @@ def _register_data_ops(queries, sql) -> None:
 
     queries["extract_turns_exact"] = extract_turns_exact
     sql["extract_turns_exact"] = odata.EXTRACT_TURNS_EXACT
+
+    # MMR diversified retrieval: bounded greedy over the integer-score
+    # shortlist, unrolled selection CTEs in the mirror
+    from prlib_ray.stages.similarity import mmr_diversified_topk
+
+    queries["mmr_diversified_topk"] = mmr_diversified_topk
+    sql["mmr_diversified_topk"] = odata.MMR_DIVERSIFIED
 
     _register_morph_and_joins(queries, sql)
 
@@ -754,6 +771,9 @@ def _register_relational(queries, sql) -> None:
         # exact global rank + NTILE decile via ordered range partitions
         # (the distributed sort-rank; no global sort exchange)
         ("price_rank_ntile", rel.price_rank_ntile, orel.PRICE_RANK_NTILE),
+        # multi-objective dominance (skyline): subset-stable local
+        # frontiers + a bounded driver merge of the same kernel
+        ("pareto_orders", rel.pareto_orders, orel.PARETO_ORDERS),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

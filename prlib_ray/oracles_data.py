@@ -1963,3 +1963,66 @@ FROM aug GROUP BY source ORDER BY source
 
 
 UTF8_HYGIENE = _utf8_hygiene_sql()
+
+
+def _mmr_diversified_sql() -> str:
+    """Mirror of similarity.mmr_diversified_topk: the shared scored/
+    ranked chain picks the MMR_CAND relevance shortlist vs anchor
+    vec_id 0, a second (suffix 'p') chain scores candidate pairs, and
+    MMR_K unrolled selection CTEs replay the greedy argmax — objective
+    DESC, vec_id ASC, first pick pure relevance."""
+    from prlib_ray.stages.similarity import (MMR_CAND, MMR_DIV_W, MMR_K,
+                                             MMR_REL_W)
+
+    steps = [f"""
+s1 AS (SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel,
+              CAST({MMR_REL_W} AS BIGINT) * rel AS obj
+       FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+sel1 AS (SELECT vec_id FROM s1)"""]
+    for t in range(2, MMR_K + 1):
+        steps.append(f"""
+s{t} AS (SELECT CAST({t} AS BIGINT) AS rank, c.vec_id, c.rel,
+              {MMR_REL_W} * c.rel - {MMR_DIV_W} * (
+                  SELECT max(p.score) FROM scoredp p
+                  WHERE p.query_id = c.vec_id
+                    AND p.vec_id IN (SELECT vec_id FROM sel{t - 1})
+              ) AS obj
+       FROM cand c
+       WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+       ORDER BY obj DESC, c.vec_id LIMIT 1),
+sel{t} AS (SELECT vec_id FROM sel{t - 1}
+           UNION ALL SELECT vec_id FROM s{t})""")
+    union = "\nUNION ALL ".join(
+        f"SELECT * FROM s{t}" for t in range(1, MMR_K + 1))
+    return ("""
+WITH q AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sum(qv * qv) AS nn FROM q GROUP BY vec_id),
+dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS vec_id, sum(a.qv * b.qv) AS dot
+    FROM q a JOIN q b ON a.i = b.i AND a.vec_id = 0 AND b.vec_id <> 0
+    GROUP BY a.vec_id, b.vec_id
+)"""
+        + _scored_ranked_ctes("dots")
+        + f""",
+cand AS (SELECT vec_id, score AS rel FROM ranked WHERE rn <= {MMR_CAND}),
+normsp AS (SELECT * FROM norms),
+pd AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS vec_id, sum(a.qv * b.qv) AS dot
+    FROM q a JOIN q b ON a.i = b.i AND a.vec_id <> b.vec_id
+    JOIN cand ca ON ca.vec_id = a.vec_id
+    JOIN cand cb ON cb.vec_id = b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+)"""
+        + _scored_ranked_ctes("pd", suffix="p")
+        + ","
+        + ",".join(steps)
+        + f"""
+SELECT rank, vec_id, rel, obj FROM ({union}) ORDER BY rank""")
+
+
+MMR_DIVERSIFIED = _mmr_diversified_sql()

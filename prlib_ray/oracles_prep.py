@@ -335,3 +335,91 @@ FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
 SNAPSHOT_DIFF = _snapshot_diff_sql()
+
+
+def _pagerank_docs_sql() -> str:
+    """Mirror of stages/graph.pagerank_docs: the synthesized closed link
+    graph as an edge CTE (constants interpolate from the stage module),
+    PR_ITERS unrolled MATERIALIZED iteration CTEs (DuckDB re-expands a
+    non-materialized chain exponentially — the IVF-training lesson),
+    floor division exact on both engines (all values non-negative)."""
+    from prlib_ray.stages.graph import (
+        PR_ADD, PR_BASE, PR_DAMP_DEN, PR_DAMP_NUM, PR_ITERS, PR_MULT,
+        PR_SCALE, PR_TOPK)
+
+    edge_arms = []
+    for j, (m, a) in enumerate(zip(PR_MULT, PR_ADD)):
+        where = f"\n    WHERE doc_id % 3 >= {j}" if j else ""
+        edge_arms.append(
+            f"SELECT doc_id AS src, 1 + doc_id % 3 AS deg,\n"
+            f"           (doc_id * {m} + {a}) % (SELECT n FROM nn) AS dst\n"
+            f"    FROM documents{where}"
+        )
+    edges = "\n    UNION ALL\n    ".join(edge_arms)
+    iters = []
+    for t in range(1, PR_ITERS + 1):
+        iters.append(f"""
+r{t} AS MATERIALIZED (
+    SELECT d.doc_id AS node,
+           CAST({PR_BASE} + coalesce(
+               SUM(({PR_DAMP_NUM} * r.r) // ({PR_DAMP_DEN} * e.deg)), 0)
+               AS BIGINT) AS r
+    FROM documents d
+    LEFT JOIN e ON e.dst = d.doc_id
+    LEFT JOIN r{t - 1} r ON r.node = e.src
+    GROUP BY d.doc_id
+)""")
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+e AS MATERIALIZED (
+    {edges}
+),
+r0 AS MATERIALIZED (
+    SELECT doc_id AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM documents
+),{",".join(iters)}
+SELECT node AS doc_id, r AS pr FROM r{PR_ITERS}
+ORDER BY pr DESC, doc_id ASC LIMIT {PR_TOPK}"""
+
+
+PAGERANK_DOCS = _pagerank_docs_sql()
+
+
+def _conv_structure_audit_sql() -> str:
+    """Mirror of dataset_prep.conv_structure_audit: the same transcript
+    synthesis (conv = doc_id % EXACT_NCONV, turn order = doc_id) and the
+    same md5-hex role rule; adjacency via LAG over the conv window."""
+    from prlib_ray.stages.boilerplate import EXACT_NCONV
+    from prlib_ray.stages.dataset_prep import (
+        CONV_ROLE_B1, CONV_ROLE_B2, CONV_ROLE_SALT)
+
+    return f"""
+WITH t AS (
+    SELECT doc_id % {EXACT_NCONV} AS conv_id, doc_id,
+           CASE WHEN substr(md5('{CONV_ROLE_SALT}'
+                             || CAST(doc_id AS VARCHAR)), 1, 2)
+                     < '{CONV_ROLE_B1}' THEN 0
+                WHEN substr(md5('{CONV_ROLE_SALT}'
+                             || CAST(doc_id AS VARCHAR)), 1, 2)
+                     < '{CONV_ROLE_B2}' THEN 1
+                ELSE 2 END AS role,
+           length(text) AS chars
+    FROM documents
+),
+a AS (
+    SELECT conv_id, role, chars,
+           CASE WHEN role = lag(role) OVER
+                (PARTITION BY conv_id ORDER BY doc_id)
+                THEN 1 ELSE 0 END AS v
+    FROM t
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(v) AS BIGINT) AS n_role_violations,
+       CAST(sum(CASE WHEN role = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tool_turns,
+       CAST(sum(chars) AS BIGINT) AS total_chars,
+       CAST(max(chars) AS BIGINT) AS max_turn_chars
+FROM a GROUP BY conv_id ORDER BY conv_id"""
+
+
+CONV_STRUCTURE_AUDIT = _conv_structure_audit_sql()

@@ -1250,3 +1250,21 @@ ORDER BY o_orderkey"""
 
 
 PRICE_RANK_NTILE = _price_rank_ntile_sql()
+
+
+# mirrors relational.pareto_orders: strict-somewhere dominance over
+# (IEEE cents, epoch microseconds) — the NOT EXISTS skyline
+PARETO_ORDERS = f"""
+WITH t AS (
+    SELECT o_orderkey,
+           {_CENTS.format(expr='o_totalprice')} AS cents,
+           epoch_us(o_orderdate) AS ts_us
+    FROM orders
+)
+SELECT o.o_orderkey, o.cents, o.ts_us FROM t o
+WHERE NOT EXISTS (
+    SELECT 1 FROM t x
+    WHERE x.cents >= o.cents AND x.ts_us >= o.ts_us
+      AND (x.cents > o.cents OR x.ts_us > o.ts_us)
+)
+ORDER BY o.o_orderkey"""

@@ -1494,3 +1494,107 @@ def snapshot_diff(sf_dir: str):
         "status": pa.array(out_st[o], type=pa.string()),
         "n": pa.array(tot[o]),
     })
+
+
+# ---------------------------------------------------------------------------
+# conversation-structure audit (transcript-shape QA)
+
+# The transcript synthesizes like boilerplate's exact-extraction twin
+# (each doc = one turn of conv_id = doc_id % EXACT_NCONV, turns ordered
+# by doc_id) plus a deterministic ROLE: the first md5 hex byte of
+# 'role:<doc_id>' buckets into user/assistant/tool at ~1/3 each.  The
+# hash makes the within-conversation role sequence aperiodic, so
+# alternation violations are non-vacuous at every sf (a mod-arithmetic
+# role would cycle with the id stride and never violate).
+CONV_ROLE_SALT = "role:"
+CONV_ROLE_B1 = "55"   # < '55' -> user (85/256)
+CONV_ROLE_B2 = "aa"   # < 'aa' -> assistant, else tool
+N_CONV_PARTS = 16
+
+
+def conv_structure_audit(sf_dir: str):
+    """Per-conversation structural QA over the deterministic transcript:
+    n_turns, adjacent same-role pairs (alternation violations), tool
+    turns, total/max turn chars — the pre-train chat-data audit that
+    decides which conversations need repair before packing.
+
+    Physical plan: per batch each turn reduces to 4 int64s + a role code
+    (text never shuffles — chars are measured in place); rows co-locate
+    by conv hash into N_CONV_PARTS coarse partitions (a conversation
+    lives in exactly one part, so adjacency is exact per part); per part
+    ONE lexsort (conv, doc_id) + run-boundary pass folds every metric;
+    <= EXACT_NCONV rows reach the driver.  At 10^12 turns the same plan
+    holds — the shuffle payload is int rows, and a mega-conversation
+    skewing one part is the flagship's salting discussion (here the
+    fold is a linear scan, so skew costs time not memory)."""
+    import ray.data as rd
+
+    from prlib_ray.stages.boilerplate import EXACT_NCONV
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "conv_id": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "role": pa.array([], type=pa.int64()),
+                "chars": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int64()),
+            })
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        chars = pc.utf8_length(b["text"]).to_numpy().astype(np.int64)
+        h2 = [hashlib.md5(f"{CONV_ROLE_SALT}{int(i)}".encode())
+              .hexdigest()[:2] for i in ids]
+        role = np.asarray(
+            [0 if h < CONV_ROLE_B1 else (1 if h < CONV_ROLE_B2 else 2)
+             for h in h2], dtype=np.int64)
+        conv = ids % EXACT_NCONV
+        return pa.table({
+            "conv_id": pa.array(conv),
+            "doc_id": pa.array(ids),
+            "role": pa.array(role),
+            "chars": pa.array(chars),
+            "part": pa.array(conv % N_CONV_PARTS),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("conv_id", "n_turns", "n_role_violations", "n_tool_turns",
+                "total_chars", "max_turn_chars")
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        conv = g["conv_id"].to_numpy().astype(np.int64)
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        role = g["role"].to_numpy().astype(np.int64)
+        chars = g["chars"].to_numpy().astype(np.int64)
+        o = np.lexsort((ids, conv))
+        conv, role, chars = conv[o], role[o], chars[o]
+        starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+        n_turns = np.diff(np.r_[starts, len(conv)])
+        same_run = np.r_[False, (conv[1:] == conv[:-1])
+                         & (role[1:] == role[:-1])].astype(np.int64)
+        csum = np.r_[0, np.cumsum(same_run)]
+        ends = np.r_[starts[1:], len(conv)]
+        viol = csum[ends] - csum[starts]
+        tool = np.add.reduceat((role == 2).astype(np.int64), starts)
+        tot = np.add.reduceat(chars, starts)
+        mx = np.maximum.reduceat(chars, starts)
+        return pd.DataFrame({
+            "conv_id": conv[starts],
+            "n_turns": n_turns.astype(np.int64),
+            "n_role_violations": viol.astype(np.int64),
+            "n_tool_turns": tool,
+            "total_chars": tot,
+            "max_turn_chars": mx,
+        })
+
+    rows = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .take_all()  # bounded: <= EXACT_NCONV conversation rows
+    )
+    df = pd.DataFrame(rows).sort_values("conv_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -1,0 +1,161 @@
+"""Distributed graph analytics over the document corpus.
+
+The web-curation signal family the registry lacked: link-graph
+centrality (PageRank is the canonical quality prior a web-scale
+pipeline attaches to crawled pages before sampling — the CommonCrawl /
+harmonic-centrality discipline).  The fixtures carry no link table, so
+the graph SYNTHESIZES deterministically from doc ids in pure mod
+arithmetic (the partsupp discipline applied to an edge table), mirrored
+1:1 by the oracle's CTEs — doc ids are contiguous 0..N-1 in every
+fixture, so the affine targets form a CLOSED node set (no dangling
+mass).
+
+Everything is exact int64: ranks start at PR_SCALE, each iteration is
+
+    r[v] <- PR_BASE + sum over in-edges (u -> v) of
+            (PR_DAMP_NUM * r[u]) // (PR_DAMP_DEN * outdeg(u))
+
+with floor division on both engines (all values non-negative, so
+DuckDB's truncating ``//`` equals numpy's floor).  PR_ITERS is a fixed
+unrolled count — the oracle mirrors each iteration as a MATERIALIZED
+CTE (the IVF-training lesson: DuckDB re-expands non-materialized
+iteration chains exponentially).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+PR_ITERS = 3          # unrolled power-iteration count (oracle mirrors each)
+PR_SCALE = 1_000_000  # initial rank mass per node
+PR_DAMP_NUM = 85      # damping 0.85 as an exact integer ratio
+PR_DAMP_DEN = 100
+PR_BASE = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN  # 150_000
+# out-edges of node i: deg(i) = 1 + i % 3 targets (i*m_j + a_j) % N for
+# j < deg(i).  Affine maps keep in-degree near-uniform (a bijection per
+# j whenever gcd(m_j, N) == 1); duplicate targets count as parallel
+# edges on both engines.
+PR_MULT = (17, 29, 41)
+PR_ADD = (7, 13, 19)
+PR_TOPK = 20
+N_PR_PARTS = 32       # coarse dst-hash partitions per iteration fold
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _pr_contribs(n_docs: int):
+    """Per-batch edge explosion: (node, r) rank rows -> (dst, contrib,
+    part) contribution rows plus one (node, 0) self row per node so
+    zero-in-edge nodes persist through the fold."""
+
+    def contribs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "node": pa.array([], type=pa.int64()),
+                "c": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int64()),
+            })
+        node = b["node"].to_numpy().astype(np.int64)
+        r = b["r"].to_numpy().astype(np.int64)
+        deg = 1 + node % 3
+        # per-edge contribution: same value for every out-edge of node
+        c = (PR_DAMP_NUM * r) // (PR_DAMP_DEN * deg)
+        dst_parts = [node]
+        c_parts = [np.zeros(len(node), dtype=np.int64)]  # self rows
+        for j, (m, a) in enumerate(zip(PR_MULT, PR_ADD)):
+            live = deg > j
+            dst_parts.append((node[live] * m + a) % n_docs)
+            c_parts.append(c[live])
+        dst = np.concatenate(dst_parts)
+        cc = np.concatenate(c_parts)
+        part = ((dst.view(np.uint64) * _GOLD)
+                % np.uint64(N_PR_PARTS)).astype(np.int64)
+        return pa.table({
+            "node": pa.array(dst),
+            "c": pa.array(cc),
+            "part": pa.array(part),
+        })
+
+    return contribs
+
+
+def _pr_fold(g: pd.DataFrame) -> pd.DataFrame:
+    """Per coarse partition (a node's contributions all land in its
+    hash partition): r_next[v] = PR_BASE + sum(contribs to v)."""
+    if len(g) == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                             "r": pd.Series([], dtype=np.int64)})
+    node = g["node"].to_numpy().astype(np.int64)
+    c = g["c"].to_numpy().astype(np.int64)
+    o = np.argsort(node, kind="stable")
+    node, c = node[o], c[o]
+    starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+    sums = np.add.reduceat(c, starts)
+    return pd.DataFrame({
+        "node": node[starts],
+        "r": PR_BASE + sums,
+    })
+
+
+def pagerank_docs(sf_dir: str):
+    """Integer PageRank over the synthesized doc link graph; top-PR_TOPK
+    pages by (rank DESC, doc_id ASC) — the crawl-quality prior.
+
+    Physical plan per iteration (edges never materialize as a table —
+    they regenerate from node ids in closed form, so only rank rows and
+    (dst, contrib) int64 pairs ever shuffle): map_batches explodes each
+    node's out-edge contributions tagged with hash(dst) % N_PR_PARTS,
+    one coarse groupby co-locates every in-edge of a node, one
+    vectorized sort + reduceat per part folds r_next.  PR_ITERS
+    iterations chain lazily = 2*PR_ITERS narrow/shuffle stages; the
+    final top-k is per-batch local top-k -> a <= PR_TOPK * n_blocks
+    driver merge (no global sort).  At 10^12 nodes the same plan holds:
+    per-iteration shuffle payload is 2 int64 columns x |E|, the fold is
+    linear per part, and nothing is ever driver-materialized except the
+    bounded top-k candidates.  int64 bound: r <= PR_BASE +
+    0.85 * max_indeg * max(r); the affine edge maps keep in-degree <=
+    len(PR_MULT) * max_j gcd(PR_MULT[j], N), far from the 2^63 / 85
+    overflow point at any realistic N."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = ds.count()  # parquet metadata only — no scan
+
+    def init(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["doc_id"],
+            "r": pa.array(
+                np.full(b.num_rows, PR_SCALE, dtype=np.int64)),
+        })
+
+    ranks = ds.map_batches(init, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    for _ in range(PR_ITERS):
+        ranks = (
+            ranks.map_batches(_pr_contribs(n_docs), batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("part")
+            .map_groups(_pr_fold, batch_format="pandas")
+        )
+
+    def local_top(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"node": pa.array([], type=pa.int64()),
+                             "r": pa.array([], type=pa.int64())})
+        node = b["node"].to_numpy().astype(np.int64)
+        r = b["r"].to_numpy().astype(np.int64)
+        o = np.lexsort((node, -r))[:PR_TOPK]
+        return pa.table({"node": pa.array(node[o]), "r": pa.array(r[o])})
+
+    cands = ranks.map_batches(
+        local_top, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # bounded: <= PR_TOPK rows per block
+    node = np.asarray([c["node"] for c in cands], dtype=np.int64)
+    r = np.asarray([c["r"] for c in cands], dtype=np.int64)
+    o = np.lexsort((node, -r))[:PR_TOPK]
+    return pa.table({
+        "doc_id": pa.array(node[o]),
+        "pr": pa.array(r[o]),
+    })

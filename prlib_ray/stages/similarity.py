@@ -1585,3 +1585,115 @@ def ann_dim_truncation_audit(sf_dir: str, *, k: int = 5,
         "recall_permille": pa.array(1000 * overlap // k,
                                     type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval
+
+MMR_K = 5          # picks
+MMR_CAND = 24      # relevance shortlist size (bounded greedy input)
+MMR_REL_W = 7      # objective = MMR_REL_W*rel - MMR_DIV_W*max_sim
+MMR_DIV_W = 3      # (both terms on the shared integer score scale)
+
+
+def mmr_diversified_topk(sf_dir: str):
+    """Maximal-marginal-relevance retrieval: MMR_K vectors balancing
+    relevance to the anchor (vec_id 0) against redundancy with what is
+    already selected — the diversity-aware top-k a RAG / dataset-
+    sampling pipeline runs instead of plain ANN when near-duplicate
+    hits waste the context budget.
+
+    Every number is exact on the shared integer cosine contract
+    (_int_cosine_scores), so the greedy argmax sequence — including
+    ties (objective DESC, vec_id ASC) — mirrors bit-for-bit in SQL as
+    MMR_K unrolled selection CTEs.  objective = MMR_REL_W*rel -
+    MMR_DIV_W*max(sim to selected); the first pick maximizes pure
+    relevance (empty selected set -> diversity term 0).
+
+    Physical plan: the anchor broadcasts once; per batch one integer
+    matmul + local top-MMR_CAND (score DESC, vec_id ASC) bounds the
+    driver merge at MMR_CAND * n_blocks rows; the MMR_CAND winning
+    VECTORS come back via one distributed is_in filter (a bounded
+    dimension take), and the greedy loop runs driver-side over the
+    MMR_CAND x MMR_CAND pairwise score matrix — O(K * C) integer ops
+    on a constant-size problem, exactly like search_topk's bounded
+    merge.  At 100 TB only the shortlist scan is corpus-sized."""
+    import ray
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    Q, qids = _low_id_seed_matrix(emb, 1)
+    qn = (Q * Q).sum(axis=1)
+    ref = ray.put((Q, qn))
+
+    def local_topc(b: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                          "rel": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        qm, qnorm = ray.get(ref)
+        vids = b["vec_id"].to_numpy().astype(np.int64)
+        mat = np.stack(_quantize(b["embedding"].to_pylist()))
+        xn = (mat * mat).sum(axis=1)
+        s = _int_cosine_scores(qm, qnorm, mat, xn)[0]
+        mask = vids != 0  # the anchor never retrieves itself
+        if not mask.any():
+            return empty
+        order = np.lexsort((vids[mask], -s[mask]))[:MMR_CAND]
+        sel = np.flatnonzero(mask)[order]
+        return pa.table({"vec_id": pa.array(vids[sel]),
+                         "rel": pa.array(s[mask][order])})
+
+    cands = emb.map_batches(local_topc, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    cid = np.asarray([c["vec_id"] for c in cands], dtype=np.int64)
+    crel = np.asarray([c["rel"] for c in cands], dtype=np.int64)
+    o = np.lexsort((cid, -crel))[:MMR_CAND]
+    cid, crel = cid[o], crel[o]
+
+    # fetch the shortlist's vectors (bounded distributed filter + take)
+    want = set(cid.tolist())
+    rows = emb.map_batches(
+        lambda b: b.filter(pa.array(np.isin(b["vec_id"].to_numpy(),
+                                            cid))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    assert len(rows) == len(want)
+    rows.sort(key=lambda r: r["vec_id"])
+    rmat = np.stack(_quantize([list(r["embedding"]) for r in rows]))
+    rids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    rn = (rmat * rmat).sum(axis=1)
+    pair = _int_cosine_scores(rmat, rn, rmat, rn)  # (C, C) int64
+    pos = {int(v): i for i, v in enumerate(rids)}
+
+    rel_of = dict(zip(cid.tolist(), crel.tolist()))
+    remaining = cid.tolist()
+    out_rank, out_id, out_rel, out_obj = [], [], [], []
+    selected: list[int] = []
+    for t in range(1, MMR_K + 1):
+        if not remaining:
+            break
+        best = None
+        for v in remaining:  # MMR_CAND-bounded: constant-size loop
+            if selected:
+                ms = max(int(pair[pos[v], pos[s]]) for s in selected)
+            else:
+                ms = 0
+            obj = MMR_REL_W * rel_of[v] - MMR_DIV_W * ms
+            key = (-obj, v)
+            if best is None or key < best[0]:
+                best = (key, v, obj)
+        _, v, obj = best
+        remaining.remove(v)
+        selected.append(v)
+        out_rank.append(t)
+        out_id.append(v)
+        out_rel.append(rel_of[v])
+        out_obj.append(obj)
+    return pa.table({
+        "rank": pa.array(out_rank, type=pa.int64()),
+        "vec_id": pa.array(out_id, type=pa.int64()),
+        "rel": pa.array(out_rel, type=pa.int64()),
+        "obj": pa.array(out_obj, type=pa.int64()),
+    })

@@ -57,6 +57,7 @@ ORACLE_CASES = [
     "extract_turns_exact",
     "dedup_unicode",
     "dedup_edit_distance",
+    "mmr_diversified_topk",
 ]
 
 
@@ -1217,3 +1218,65 @@ def test_levenshtein_matches_duckdb_random():
         b = "".join(random.choice("abcd ") for _ in range(random.randint(0, 25)))
         want = con.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0]
         assert _levenshtein(a, b) == want, (a, b)
+
+
+def test_mmr_diversity_reorders_and_matches_bruteforce(ray_session, tmp_path):
+    """On a hand geometry where the 2nd-most-relevant candidate is an
+    exact duplicate of the first pick, MMR must skip it for the
+    equally-relevant but diverse vector (pure relevance would not), and
+    the full table must equal an independent integer greedy."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.stages.similarity import (MMR_DIV_W, MMR_K, MMR_REL_W,
+                                             mmr_diversified_topk)
+
+    vecs = [
+        [1.0, 0.0, 0.0],      # 0: the anchor
+        [0.9, 0.43, 0.0],     # 1: A (cos ~0.9)
+        [0.9, 0.43, 0.0],     # 2: exact duplicate of A
+        [0.9, -0.43, 0.0],    # 3: C — same relevance, diverse
+        [0.5, 0.0, 0.5],      # 4: filler
+        [0.3, 0.3, 0.3],      # 5: filler
+        [0.1, 0.0, 0.9],      # 6: filler
+    ]
+    pq2.write_table(pa2.table({
+        "vec_id": pa2.array(list(range(len(vecs))), type=pa2.int64()),
+        "embedding": pa2.array(vecs, type=pa2.list_(pa2.float32())),
+    }), tmp_path / "embeddings.parquet")
+
+    out = mmr_diversified_topk(str(tmp_path)).to_pandas()
+
+    # independent integer greedy over the same contract
+    q = [np.floor(np.asarray(v, dtype=np.float64) * 1000 + 0.5)
+         .astype(np.int64) for v in vecs]
+    nrm = [int(v @ v) for v in q]
+
+    def score(a, b):
+        d = int(q[a] @ q[b])
+        den = nrm[a] * nrm[b]
+        return 0 if den == 0 else (d * abs(d) * 10_000) // den
+
+    cand = sorted(range(1, len(vecs)),
+                  key=lambda v: (-score(0, v), v))
+    rel = {v: score(0, v) for v in cand}
+    picks, rem = [], list(cand)
+    rows = []
+    for t in range(1, MMR_K + 1):
+        best = min(
+            rem,
+            key=lambda v: (-(MMR_REL_W * rel[v] - MMR_DIV_W * max(
+                (score(v, s) for s in picks), default=0)), v))
+        obj = MMR_REL_W * rel[best] - MMR_DIV_W * max(
+            (score(best, s) for s in picks), default=0)
+        picks.append(best)
+        rem.remove(best)
+        rows.append((t, best, rel[best], obj))
+
+    got = [tuple(int(x) for x in r)
+           for r in out[["rank", "vec_id", "rel", "obj"]].to_numpy()]
+    assert got == rows
+    # relevance alone ranks the duplicate (id 2) second; MMR must not
+    assert cand[1] == 2 and rel[2] == rel[3]
+    assert list(out["vec_id"])[:2] == [1, 3]

@@ -32,7 +32,8 @@ def registry():
 PREP_CASES = ["mix_sources", "shuffle_head", "decontaminate",
               "pack_sequences", "chunk_tokens", "pii_scan", "pii_redact",
               "source_term_stats", "length_filter_p95",
-              "sample_per_source", "heavy_hitter_words", "snapshot_diff"]
+              "sample_per_source", "heavy_hitter_words", "snapshot_diff",
+              "conv_structure_audit", "pagerank_docs"]
 
 
 @pytest.mark.parametrize("name", PREP_CASES)
@@ -487,3 +488,79 @@ def test_snapshot_diff_constructed(ray_session, tmp_path):
     df = snapshot_diff(str(tmp_path)).to_pandas()
     got = {(r.source, r.status): int(r.n) for r in df.itertuples()}
     assert got == want
+
+
+def test_pagerank_docs_constructed(ray_session, tmp_path):
+    """Integer PageRank on a 12-node synthesized graph must equal the
+    straight-line per-edge reference (same floor arithmetic, same
+    (rank DESC, id ASC) top-k order), and the rank spread must be real
+    (the graph is non-regular, so ranks cannot all be equal)."""
+    import pyarrow as pa2
+
+    from prlib_ray.stages.graph import (
+        PR_ADD, PR_BASE, PR_DAMP_DEN, PR_DAMP_NUM, PR_ITERS, PR_MULT,
+        PR_SCALE, PR_TOPK, pagerank_docs)
+
+    n = 12
+    pq.write_table(pa2.table({
+        "doc_id": pa2.array(list(range(n)), type=pa2.int64()),
+        "text": pa2.array(["x"] * n, type=pa2.string()),
+    }), tmp_path / "documents.parquet")
+
+    r = np.full(n, PR_SCALE, dtype=np.int64)
+    for _ in range(PR_ITERS):
+        nxt = np.full(n, PR_BASE, dtype=np.int64)
+        for i in range(n):
+            deg = 1 + i % 3
+            c = (PR_DAMP_NUM * r[i]) // (PR_DAMP_DEN * deg)
+            for j in range(deg):
+                nxt[(i * PR_MULT[j] + PR_ADD[j]) % n] += c
+        r = nxt
+    o = np.lexsort((np.arange(n), -r))[:PR_TOPK]
+
+    out = pagerank_docs(str(tmp_path)).to_pandas()
+    assert np.array_equal(out["doc_id"].to_numpy(), o)
+    assert np.array_equal(out["pr"].to_numpy(), r[o])
+    assert out["pr"].nunique() > 1  # non-regular graph -> real spread
+
+
+def test_conv_structure_audit_constructed(ray_session, tmp_path):
+    """Per-conversation metrics on a hand corpus must equal an
+    independent per-turn brute force (same md5 role rule, doc_id turn
+    order), including at least one adjacent same-role violation."""
+    import pyarrow as pa2
+
+    from prlib_ray.stages.boilerplate import EXACT_NCONV
+    from prlib_ray.stages.dataset_prep import (
+        CONV_ROLE_B1, CONV_ROLE_B2, CONV_ROLE_SALT, conv_structure_audit)
+
+    n = 120  # > EXACT_NCONV so conversations have multi-turn runs
+    texts = [f"turn {i} " + "w" * (i % 7) for i in range(n)]
+    pq.write_table(pa2.table({
+        "doc_id": pa2.array(list(range(n)), type=pa2.int64()),
+        "text": pa2.array(texts, type=pa2.string()),
+    }), tmp_path / "documents.parquet")
+
+    def role(i: int) -> int:
+        h = hashlib.md5(f"{CONV_ROLE_SALT}{i}".encode()).hexdigest()[:2]
+        return 0 if h < CONV_ROLE_B1 else (1 if h < CONV_ROLE_B2 else 2)
+
+    convs: dict[int, list[int]] = {}
+    for i in range(n):
+        convs.setdefault(i % EXACT_NCONV, []).append(i)
+    want = {}
+    for c, ids in convs.items():
+        roles = [role(i) for i in ids]  # ids already ascending
+        chars = [len(texts[i]) for i in ids]
+        viol = sum(1 for a, b in zip(roles, roles[1:]) if a == b)
+        want[c] = (len(ids), viol, sum(1 for x in roles if x == 2),
+                   sum(chars), max(chars))
+    assert sum(v[1] for v in want.values()) > 0  # violations non-vacuous
+
+    out = conv_structure_audit(str(tmp_path)).to_pandas()
+    assert list(out["conv_id"]) == sorted(want)
+    for _, row in out.iterrows():
+        assert want[int(row["conv_id"])] == (
+            int(row["n_turns"]), int(row["n_role_violations"]),
+            int(row["n_tool_turns"]), int(row["total_chars"]),
+            int(row["max_turn_chars"]))

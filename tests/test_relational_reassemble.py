@@ -36,6 +36,7 @@ CASES = [
     "profile_columns",
     "utf8_hygiene",
     "price_rank_ntile",
+    "pareto_orders",
     "followed_within",
     "price_zscore_outliers",
     "fk_orphan_audit",
@@ -1707,3 +1708,44 @@ def test_price_rank_ntile_semantics(ray_session, tmp_path):
     q, r = divmod(len(prices), NTILE_BUCKETS)
     assert all(int(sizes.get(t, 0)) == (q + 1 if t < r else q)
                for t in range(NTILE_BUCKETS))
+
+
+def test_pareto_orders_semantics(ray_session, tmp_path):
+    """Skyline on a hand frame pins the dominance contract: an exact
+    duplicate pair both survive (neither strictly improves), a
+    same-price/older row and a same-date/cheaper row are dominated,
+    and the engine equals the O(n^2) strict-somewhere brute force."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import pareto_orders
+
+    rows = [  # (key, price, date)
+        (1, 100.00, "1995-01-01"),   # frontier (max price)
+        (2, 100.00, "1995-01-01"),   # exact duplicate -> also frontier
+        (3, 100.00, "1994-06-01"),   # same price, older -> dominated
+        (4, 50.00, "1996-01-01"),    # frontier (most recent)
+        (5, 49.99, "1996-01-01"),    # same date, cheaper -> dominated
+        (6, 75.00, "1995-06-01"),    # frontier (middle of the staircase)
+        (7, 74.00, "1995-05-01"),    # dominated by 6 on both axes
+    ]
+    pq2.write_table(pa2.table({
+        "o_orderkey": pa2.array([r[0] for r in rows], type=pa2.int64()),
+        "o_totalprice": pa2.array([r[1] for r in rows], type=pa2.float64()),
+        "o_orderdate": pa2.array(
+            [np.datetime64(r[2], "us") for r in rows],
+            type=pa2.timestamp("us")),
+    }), tmp_path / "orders.parquet")
+
+    out = pareto_orders(str(tmp_path)).to_pandas()
+    assert list(out["o_orderkey"]) == [1, 2, 4, 6]
+
+    cents = np.asarray([int(r[1] * 100 + 0.5) for r in rows])
+    ts = np.asarray([np.datetime64(r[2], "us").astype(np.int64)
+                     for r in rows])
+    brute = [rows[i][0] for i in range(len(rows))
+             if not any((cents[j] >= cents[i]) and (ts[j] >= ts[i])
+                        and (cents[j] > cents[i] or ts[j] > ts[i])
+                        for j in range(len(rows)))]
+    assert list(out["o_orderkey"]) == sorted(brute)
