@@ -127,6 +127,12 @@ _PRIORITY = [
     # family: distributed unrolled power iteration, oracle-exact via
     # MATERIALIZED iteration CTEs)
     "pagerank_docs",
+    # eighteenth session: inbound-link anchor aggregation over the same
+    # closed graph (the WARC anchor-text signal; n_inlinks / distinct
+    # sources / anchor chars per page).  Displaced user_stickiness: the
+    # distinct-(user, day) partials + coarse user partitions run
+    # in-window via funnel_conversion — sim+pytest covered.
+    "anchor_text_stats",
     "knn_label_agreement",  # new: label-noise audit (exact kNN vote)
     # eighteenth session: MMR diversified retrieval — the greedy
     # relevance-vs-redundancy top-k (a new retrieval discipline; its
@@ -192,7 +198,6 @@ _PRIORITY = [
     # — subset-stable local frontiers + a bounded driver merge
     "pareto_orders",
     "funnel_conversion",  # ordered funnel (earliest-event chain)
-    "user_stickiness",  # new: DAU/WAU engagement ratio per week
     "asof_latest_order",
     "segment_price_quantiles",
     # displaced in the fifteenth session by extract_turns_exact (the
@@ -210,7 +215,7 @@ _PRIORITY = [
     # copart fold is repped by q9_product_profit's chained coparts +
     # q11's global-scalar threshold — all three sim+pytest covered
     "source_word_lift", "source_overlap", "q17_small_quantity",
-    "hard_negatives",
+    "hard_negatives", "user_stickiness",
     # displaced in the seventeenth session by snapshot_diff /
     # price_rank_ntile (user-stream pair counting repped in-window by
     # funnel_conversion + user_stickiness; the run-boundary cumsum by

@@ -2009,13 +2009,16 @@ dots AS (
 )"""
         + _scored_ranked_ctes("dots")
         + f""",
-cand AS (SELECT vec_id, score AS rel FROM ranked WHERE rn <= {MMR_CAND}),
+cand AS MATERIALIZED (
+    SELECT vec_id, score AS rel FROM ranked WHERE rn <= {MMR_CAND}),
 normsp AS (SELECT * FROM norms),
+qc AS MATERIALIZED (
+    -- restrict to shortlist vectors BEFORE the pairwise self-join
+    -- (joining the full unnested table first is corpus-quadratic)
+    SELECT q.* FROM q JOIN cand ON cand.vec_id = q.vec_id),
 pd AS (
     SELECT a.vec_id AS query_id, b.vec_id AS vec_id, sum(a.qv * b.qv) AS dot
-    FROM q a JOIN q b ON a.i = b.i AND a.vec_id <> b.vec_id
-    JOIN cand ca ON ca.vec_id = a.vec_id
-    JOIN cand cb ON cb.vec_id = b.vec_id
+    FROM qc a JOIN qc b ON a.i = b.i AND a.vec_id <> b.vec_id
     GROUP BY a.vec_id, b.vec_id
 )"""
         + _scored_ranked_ctes("pd", suffix="p")

@@ -423,3 +423,50 @@ FROM a GROUP BY conv_id ORDER BY conv_id"""
 
 
 CONV_STRUCTURE_AUDIT = _conv_structure_audit_sql()
+
+
+def _anchor_text_stats_sql() -> str:
+    """Mirror of stages/graph.anchor_text_stats: the same edge CTE as
+    PAGERANK_DOCS joined to each SOURCE's anchor length (first
+    ANCHOR_WORDS space-split parts re-joined by ' '), LEFT JOIN so
+    zero-inlink pages emit a zero row."""
+    from prlib_ray.stages.graph import ANCHOR_WORDS, PR_ADD, PR_MULT
+
+    edge_arms = []
+    for j, (m, a) in enumerate(zip(PR_MULT, PR_ADD)):
+        where = f"\n    WHERE doc_id % 3 >= {j}" if j else ""
+        edge_arms.append(
+            f"SELECT doc_id AS src,\n"
+            f"           (doc_id * {m} + {a}) % (SELECT n FROM nn) AS dst\n"
+            f"    FROM documents{where}"
+        )
+    edges = "\n    UNION ALL\n    ".join(edge_arms)
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+a AS (
+    SELECT doc_id,
+           CAST(length(array_to_string(
+               string_split(text, ' ')[1:{ANCHOR_WORDS}], ' '))
+               AS BIGINT) AS alen
+    FROM documents
+),
+e AS (
+    {edges}
+),
+g AS (
+    SELECT e.dst,
+           CAST(count(*) AS BIGINT) AS n_inlinks,
+           CAST(count(DISTINCT e.src) AS BIGINT) AS n_sources,
+           CAST(sum(a.alen) AS BIGINT) AS sum_anchor_chars
+    FROM e JOIN a ON a.doc_id = e.src
+    GROUP BY e.dst
+)
+SELECT d.doc_id,
+       coalesce(g.n_inlinks, 0) AS n_inlinks,
+       coalesce(g.n_sources, 0) AS n_sources,
+       coalesce(g.sum_anchor_chars, 0) AS sum_anchor_chars
+FROM documents d LEFT JOIN g ON g.dst = d.doc_id
+ORDER BY d.doc_id"""
+
+
+ANCHOR_TEXT_STATS = _anchor_text_stats_sql()

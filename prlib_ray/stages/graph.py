@@ -159,3 +159,109 @@ def pagerank_docs(sf_dir: str):
         "doc_id": pa.array(node[o]),
         "pr": pa.array(r[o]),
     })
+
+
+# ---------------------------------------------------------------------------
+# anchor-text aggregation (the inbound-link signal)
+
+ANCHOR_WORDS = 5      # an edge's anchor text = first K space-split parts
+N_ANCHOR_PARTS = 32   # coarse dst-hash partitions for the inbound fold
+
+
+def anchor_text_stats(sf_dir: str):
+    """Per target page: inbound-link count, distinct linking sources and
+    total anchor-text chars — the WARC-style anchor aggregation a web
+    pipeline runs to enrich each page with how OTHERS describe it (a
+    ranking/quality feature next to the PageRank prior).  Same
+    synthesized closed graph as pagerank_docs; an edge's anchor text is
+    the first ANCHOR_WORDS space-split parts of the SOURCE doc joined
+    by ' ' (chars measured in place — anchor text itself never
+    shuffles).
+
+    Physical plan: one documents scan explodes each doc's out-edges as
+    (dst, src, anchor_len) int64 rows plus a (doc, -1, 0) presence row
+    so zero-inlink pages emit a zero row; coarse dst-hash partitions
+    co-locate every in-edge of a page; per part ONE lexsort (node, src)
+    + run-boundary pass folds count / distinct-src / char sum.  Output
+    streams one row per page (a transform — nothing funnels to the
+    driver).  At 10^12 pages the shuffle payload is 3 int64 columns x
+    (|E| + N)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata only
+
+    def edges(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "node": pa.array([], type=pa.int64()),
+                "src": pa.array([], type=pa.int64()),
+                "alen": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int64()),
+            })
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        texts = b["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lv = pc.split_pattern(texts, pattern=" ")
+        if isinstance(lv, pa.ChunkedArray):
+            lv = lv.combine_chunks()
+        woff = lv.offsets.to_numpy().astype(np.int64)
+        wlen = pc.utf8_length(lv.values).to_numpy().astype(np.int64)
+        cum = np.r_[0, np.cumsum(wlen)]
+        nw = np.diff(woff)
+        m = np.minimum(ANCHOR_WORDS, nw)
+        alen = cum[woff[:-1] + m] - cum[woff[:-1]] + (m - 1)
+        deg = 1 + ids % 3
+        dst_parts = [ids]
+        src_parts = [np.full(len(ids), -1, dtype=np.int64)]
+        len_parts = [np.zeros(len(ids), dtype=np.int64)]
+        for j, (mu, ad) in enumerate(zip(PR_MULT, PR_ADD)):
+            live = deg > j
+            dst_parts.append((ids[live] * mu + ad) % n_docs)
+            src_parts.append(ids[live])
+            len_parts.append(alen[live])
+        dst = np.concatenate(dst_parts)
+        part = ((dst.view(np.uint64) * _GOLD)
+                % np.uint64(N_ANCHOR_PARTS)).astype(np.int64)
+        return pa.table({
+            "node": pa.array(dst),
+            "src": pa.array(np.concatenate(src_parts)),
+            "alen": pa.array(np.concatenate(len_parts)),
+            "part": pa.array(part),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("doc_id", "n_inlinks", "n_sources", "sum_anchor_chars")
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        node = g["node"].to_numpy().astype(np.int64)
+        src = g["src"].to_numpy().astype(np.int64)
+        alen = g["alen"].to_numpy().astype(np.int64)
+        o = np.lexsort((src, node))
+        node, src, alen = node[o], src[o], alen[o]
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        real = (src >= 0).astype(np.int64)
+        n_in = np.add.reduceat(real, starts)
+        # distinct src per node: (node, src) run boundaries, presence
+        # rows (src == -1) excluded
+        new_pair = np.r_[True, (node[1:] != node[:-1])
+                         | (src[1:] != src[:-1])]
+        distinct = np.add.reduceat((new_pair & (src >= 0)).astype(np.int64),
+                                   starts)
+        tot = np.add.reduceat(alen, starts)
+        return pd.DataFrame({
+            "doc_id": node[starts],
+            "n_inlinks": n_in,
+            "n_sources": distinct,
+            "sum_anchor_chars": tot,
+        })
+
+    return (
+        ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+    )

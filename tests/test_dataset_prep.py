@@ -33,7 +33,8 @@ PREP_CASES = ["mix_sources", "shuffle_head", "decontaminate",
               "pack_sequences", "chunk_tokens", "pii_scan", "pii_redact",
               "source_term_stats", "length_filter_p95",
               "sample_per_source", "heavy_hitter_words", "snapshot_diff",
-              "conv_structure_audit", "pagerank_docs"]
+              "conv_structure_audit", "pagerank_docs",
+              "anchor_text_stats"]
 
 
 @pytest.mark.parametrize("name", PREP_CASES)
@@ -564,3 +565,42 @@ def test_conv_structure_audit_constructed(ray_session, tmp_path):
             int(row["n_turns"]), int(row["n_role_violations"]),
             int(row["n_tool_turns"]), int(row["total_chars"]),
             int(row["max_turn_chars"]))
+
+
+def test_anchor_text_stats_constructed(ray_session, tmp_path):
+    """n = 17 makes the first affine arm degenerate (17*i % 17 == 0, so
+    every arm-0 edge lands on node 7): the engine must equal the
+    per-edge brute force including multi-inlink concentration AND
+    zero-inlink nodes emitting (0, 0, 0) rows."""
+    import pyarrow as pa2
+
+    from prlib_ray.stages.graph import (ANCHOR_WORDS, PR_ADD, PR_MULT,
+                                        anchor_text_stats)
+
+    n = 17
+    texts = [" ".join(f"w{i}x{j}" for j in range(i % 9)) for i in range(n)]
+    pq.write_table(pa2.table({
+        "doc_id": pa2.array(list(range(n)), type=pa2.int64()),
+        "text": pa2.array(texts, type=pa2.string()),
+    }), tmp_path / "documents.parquet")
+
+    def alen(s: str) -> int:
+        return len(" ".join(s.split(" ")[:ANCHOR_WORDS]))
+
+    want = {i: [0, set(), 0] for i in range(n)}
+    for i in range(n):
+        for j in range(1 + i % 3):
+            d = (i * PR_MULT[j] + PR_ADD[j]) % n
+            want[d][0] += 1
+            want[d][1].add(i)
+            want[d][2] += alen(texts[i])
+    assert any(v[0] == 0 for v in want.values())  # zero-inlink exists
+    assert any(v[0] > len(v[1]) for v in want.values())  # parallel edges
+
+    out = (anchor_text_stats(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == list(range(n))
+    for _, r in out.iterrows():
+        w = want[int(r["doc_id"])]
+        assert (int(r["n_inlinks"]), int(r["n_sources"]),
+                int(r["sum_anchor_chars"])) == (w[0], len(w[1]), w[2])
