@@ -205,7 +205,9 @@ def run_bench() -> dict:
                  "q20_excess_parts", "q2_min_cost_supplier",
                  "q9_product_profit", "q12_shipmode_priority",
                  "profile_columns", "utf8_hygiene",
-                 "snapshot_diff", "price_rank_ntile"):
+                 "snapshot_diff", "price_rank_ntile",
+                 "pagerank_docs", "anchor_text_stats", "pareto_orders",
+                 "conv_structure_audit", "mmr_diversified_topk"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

@@ -53,6 +53,8 @@ def main(argv: list[str] | None = None) -> int:
     manifests = write_partitioned(
         ds, args.out, num_buckets=args.num_buckets, skip_buckets=skip,
         with_counters=True,
+        input_meta={"sf_dir": args.sf_dir, "stage": "flagship",
+                    "meta_via": args.meta_via},
     )
     summary = {
         "out": args.out,

@@ -378,7 +378,8 @@ def _counter_partials(out: pa.Table) -> tuple[bytes, dict, dict]:
 def write_partitioned(ds, out_dir: str, *, num_buckets: int = 16,
                       skip_buckets: set[int] | None = None,
                       with_counters: bool = False,
-                      clean: bool = False) -> list[dict]:
+                      clean: bool = False,
+                      input_meta: dict | None = None) -> list[dict]:
     """Resumable sink: one directory per bucket + per-bucket manifest.
 
     Returns the manifests written.  ``skip_buckets`` (from
@@ -397,7 +398,12 @@ def write_partitioned(ds, out_dir: str, *, num_buckets: int = 16,
     that is about to be rewritten — crashed manifest-less dirs, plus
     manifested dirs deliberately excluded from the skip set — is
     deleted and rebuilt from scratch; the manifest is the commit
-    record."""
+    record.
+
+    ``input_meta`` (e.g. ``{"path": ..., "stage": ...}``) is recorded
+    verbatim in every bucket manifest as the ``input`` lineage field,
+    so a resumed or audited run can tell WHICH source each committed
+    partition came from without re-deriving it."""
     import shutil
 
     import pyarrow.parquet as pq
@@ -480,6 +486,8 @@ def write_partitioned(ds, out_dir: str, *, num_buckets: int = 16,
             "files": len(files),
             "stage_version": STAGE_VERSION,
         }
+        if input_meta is not None:
+            manifest["input"] = input_meta
         if with_counters:
             # per-bucket lineage counters, streamed from the write
             # stage's own map tasks (no second read of written parquet)

@@ -412,3 +412,24 @@ def test_conv_stats_auto_gate(ray_session, sf_dir, monkeypatch):
     a = part.directions_and_sizes(drv)
     b = part.directions_and_sizes(auto_big)
     assert a == b
+
+
+def test_manifest_records_input_lineage(ray_session, tmp_path, sf_dir):
+    """input_meta is recorded verbatim in every bucket manifest and
+    survives on disk, so a resumed/audited run can trace which source
+    each committed partition came from."""
+    import json
+    import os
+
+    from prlib_ray.pipelines.extract import flagship
+    from prlib_ray.state.partitioning import write_partitioned
+
+    out = str(tmp_path / "out")
+    meta = {"sf_dir": sf_dir, "stage": "flagship"}
+    ds = flagship(sf_dir, include_spans=False)
+    manifests = write_partitioned(ds, out, num_buckets=4, input_meta=meta)
+    assert manifests and all(m["input"] == meta for m in manifests)
+    for m in manifests:
+        with open(os.path.join(out, f"bucket={m['bucket']}",
+                               "_manifest.json")) as f:
+            assert json.load(f)["input"] == meta
