@@ -174,7 +174,6 @@ _PRIORITY = [
     # and q18_large_orders (copart threshold fold + attach repped by
     # q17's copart fold + trade_volume's attaches) — both sim+pytest
     # covered.
-    "q11_important_stock",
     # fourteenth session: two genuinely-new DISCIPLINES displace two of
     # the seven in-window TPC-H shapes whose physical plans are
     # family-represented: q13_custdist (per-customer-count fold — the
@@ -197,6 +196,15 @@ _PRIORITY = [
     # eighteenth session: the multi-objective dominance (skyline) shape
     # — subset-stable local frontiers + a bounded driver merge
     "pareto_orders",
+    # eighteenth session: the sliding-window COUNT(DISTINCT) — trailing
+    # 7-day active users for every observed day via per-user merged
+    # interval-coverage deltas + one calendar-bounded prefix sum (no
+    # per-day distinct, no 7-day self-join).  Displaced
+    # q11_important_stock: the synthesized-partsupp discipline is
+    # in-window via q9_product_profit, and q11's global-scalar
+    # strict-above-mean compare stays constructed-test pinned and
+    # sim-covered (global_sales_opportunity runs the same shape).
+    "rolling_active_users",
     "funnel_conversion",  # ordered funnel (earliest-event chain)
     "asof_latest_order",
     "segment_price_quantiles",
@@ -215,7 +223,7 @@ _PRIORITY = [
     # copart fold is repped by q9_product_profit's chained coparts +
     # q11's global-scalar threshold — all three sim+pytest covered
     "source_word_lift", "source_overlap", "q17_small_quantity",
-    "hard_negatives", "user_stickiness",
+    "hard_negatives", "user_stickiness", "q11_important_stock",
     # displaced in the seventeenth session by snapshot_diff /
     # price_rank_ntile (user-stream pair counting repped in-window by
     # funnel_conversion + user_stickiness; the run-boundary cumsum by

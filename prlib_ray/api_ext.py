@@ -779,6 +779,10 @@ def _register_relational(queries, sql) -> None:
         # multi-objective dominance (skyline): subset-stable local
         # frontiers + a bounded driver merge of the same kernel
         ("pareto_orders", rel.pareto_orders, orel.PARETO_ORDERS),
+        # sliding-window COUNT(DISTINCT) via per-user interval-coverage
+        # deltas + a calendar-bounded prefix sum
+        ("rolling_active_users", rel.rolling_active_users,
+         orel.ROLLING_ACTIVE_USERS),
     ]
     for name, fn, oracle in pairs:
         queries[name] = fn

@@ -1268,3 +1268,27 @@ WHERE NOT EXISTS (
       AND (x.cents > o.cents OR x.ts_us > o.ts_us)
 )
 ORDER BY o.o_orderkey"""
+
+
+def _rolling_active_users_sql() -> str:
+    """Mirror of relational.rolling_active_users: trailing-W-day
+    COUNT(DISTINCT user) for every day in the observed span; the day
+    bucket floors (the retention_cohorts contract)."""
+    from prlib_ray.relational import ROLLING_DAU_WINDOW
+
+    return f"""
+WITH ud AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+                AS BIGINT) AS day
+    FROM events
+),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+days AS (SELECT unnest(generate_series(lo, hi)) AS day FROM span)
+SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_active
+FROM days d
+LEFT JOIN ud u ON u.day BETWEEN d.day - {ROLLING_DAU_WINDOW - 1} AND d.day
+GROUP BY d.day ORDER BY d.day"""
+
+
+ROLLING_ACTIVE_USERS = _rolling_active_users_sql()

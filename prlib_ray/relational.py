@@ -5706,3 +5706,111 @@ def pareto_orders(sf_dir: str):
         "cents": pa.array(cents[k]),
         "ts_us": pa.array(ts[k]),
     })
+
+
+ROLLING_DAU_WINDOW = 7  # trailing-window width in utc days
+
+
+def rolling_active_users(sf_dir: str):
+    """Trailing-7-day active users for EVERY utc day in the observed
+    span — the rolling-DAU curve growth dashboards plot.  A sliding
+    COUNT(DISTINCT) is the classic hard distributed window: the naive
+    form re-counts a 7-day self-join per day.  Here it is exact with
+    ONE pass and a bounded fold via interval-coverage deltas: a user
+    contributes to day d iff they have activity in [d-6, d], i.e. their
+    coverage is the union of [day, day+W-1] over their distinct
+    activity days — merged intervals per user emit just (+1 at start,
+    -1 past end) delta rows, and the global prefix sum over days IS the
+    distinct count (a user's merged intervals never overlap, so they
+    never double-count).
+
+    Physical plan: per-batch DISTINCT (user, day) partials hash into
+    the shared coarse user partitions (a user lives in one part, so
+    per-part interval merging is globally exact); per part ONE lexsort
+    + run-boundary pass merges intervals (gap > W starts a new one —
+    gap == W is adjacent coverage and merges freely: the split deltas
+    would cancel) and bincounts deltas per day; <= 2 * span day-delta
+    rows per part plus two span-marker rows reach the driver, which
+    prefix-sums <= span values.  At 10^12 events the shuffle payload is
+    distinct (user, day) int64 pairs and the driver fold is bounded by
+    the calendar, not the corpus.  The day bucket FLOORS (the
+    retention_cohorts contract)."""
+    import ray.data as rd
+
+    from prlib_ray.stages.reassemble import N_REASSEMBLE_PARTS
+
+    W = ROLLING_DAU_WINDOW
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "day": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int64()),
+            })
+        u = b["user_id"].to_numpy().astype(np.int64)
+        day = np.floor_divide(
+            b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+            _DAY_US)
+        pair = np.unique(np.stack([u, day], axis=1), axis=0)
+        return pa.table({
+            "user_id": pa.array(pair[:, 0]),
+            "day": pa.array(pair[:, 1]),
+            "part": pa.array(pair[:, 0] % N_REASSEMBLE_PARTS),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("day", "delta", "kind")
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        u = g["user_id"].to_numpy().astype(np.int64)
+        d = g["day"].to_numpy().astype(np.int64)
+        o = np.lexsort((d, u))
+        u, d = u[o], d[o]
+        # cross-batch duplicate (user, day) pairs collapse here (a user
+        # lives in exactly one part, so this distinct is globally exact)
+        keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        u, d = u[keep], d[keep]
+        # merged coverage intervals: new one at a user boundary or a
+        # gap > W (gap == W is adjacent coverage: [d, d+W-1], [d+W, ...])
+        new = np.r_[True, (u[1:] != u[:-1]) | (d[1:] - d[:-1] > W)]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(d)] - 1
+        s_day = d[starts]                # +1 at interval start
+        e_day = d[ends] + W              # -1 one past interval end
+        lo, hi = int(d.min()), int(d.max())
+        base = lo
+        width = (hi + W) - base + 1
+        deltas = np.zeros(width, dtype=np.int64)
+        np.add.at(deltas, s_day - base, 1)
+        np.add.at(deltas, e_day - base, -1)
+        nz = np.flatnonzero(deltas)
+        return pd.DataFrame({
+            "day": np.r_[base + nz, lo, hi],
+            "delta": np.r_[deltas[nz], 0, 0],
+            "kind": np.r_[np.zeros(len(nz), dtype=np.int64), 1, 2],
+        })
+
+    rows = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .take_all()  # bounded: <= (2*span + 2) rows per part
+    )
+    day = np.asarray([r["day"] for r in rows], dtype=np.int64)
+    delta = np.asarray([r["delta"] for r in rows], dtype=np.int64)
+    kind = np.asarray([r["kind"] for r in rows], dtype=np.int64)
+    lo = int(day[kind == 1].min())
+    hi = int(day[kind == 2].max())
+    width = (hi + W) - lo + 1
+    acc = np.zeros(width, dtype=np.int64)
+    m = kind == 0
+    np.add.at(acc, day[m] - lo, delta[m])
+    curve = np.cumsum(acc)[: hi - lo + 1]  # report observed days only
+    return pa.table({
+        "day": pa.array(lo + np.arange(hi - lo + 1, dtype=np.int64)),
+        "n_active": pa.array(curve),
+    })

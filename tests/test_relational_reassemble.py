@@ -37,6 +37,7 @@ CASES = [
     "utf8_hygiene",
     "price_rank_ntile",
     "pareto_orders",
+    "rolling_active_users",
     "followed_within",
     "price_zscore_outliers",
     "fk_orphan_audit",
@@ -1749,3 +1750,50 @@ def test_pareto_orders_semantics(ray_session, tmp_path):
                         and (cents[j] > cents[i] or ts[j] > ts[i])
                         for j in range(len(rows)))]
     assert list(out["o_orderkey"]) == sorted(brute)
+
+
+def test_rolling_active_users_semantics(ray_session, tmp_path):
+    """Hand events pin the trailing-window contract: a day-0-only user
+    drops out exactly at day W, a gap == W leaves adjacent coverage
+    (the split deltas cancel), quiet days still report trailing
+    actives, and the engine equals the per-day brute force."""
+    import numpy as np
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.relational import ROLLING_DAU_WINDOW as W
+    from prlib_ray.relational import rolling_active_users
+
+    day0 = np.datetime64("2024-03-01", "us")
+    DAY = np.timedelta64(86_400_000_000, "us")
+    events = [
+        (1, 0), (1, 0),          # user 1: day 0 only (dup event)
+        (2, 0), (2, W),          # user 2: gap == W -> adjacent coverage
+        (35, 3),                 # user 35: same part as 3 (mod 32)
+        (3, 2), (3, 20),         # user 3: two disjoint intervals
+    ]
+    pq2.write_table(pa2.table({
+        "user_id": pa2.array([u for u, _ in events], type=pa2.int64()),
+        "ts": pa2.array([day0 + d * DAY for _, d in events],
+                        type=pa2.timestamp("us")),
+    }), tmp_path / "events.parquet")
+
+    out = rolling_active_users(str(tmp_path)).to_pandas()
+    base = int(day0.astype("datetime64[D]").astype(int))
+    days = {int(r.day) - base + 0: int(r.n_active)
+            for r in out.itertuples()}
+    # observed span = day 0 .. 20
+    assert sorted(days) == list(range(0, 21))
+    by_user = {1: [0], 2: [0, W], 35: [3], 3: [2, 20]}
+    for d in range(0, 21):
+        brute = sum(1 for ds_ in by_user.values()
+                    if any(d - (W - 1) <= x <= d for x in ds_))
+        assert days[d] == brute, (d, days[d], brute)
+    # the pinned edge: user 1 counts on day W-1 but not on day W (the
+    # only membership change at day W — user 2's re-up was already
+    # counted via day 0, so the curve drops by exactly one)
+    assert days[W - 1] == 4 and days[W] == 3
+    # user 2's adjacent coverage never dips between day 0 and day 2W-1
+    # (handled via brute force above); quiet day 15 still reports u3? no:
+    # u3's day-2 window ended at day 8; day 15 has zero actives
+    assert days[15] == 0
