@@ -337,6 +337,25 @@ FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
 SNAPSHOT_DIFF = _snapshot_diff_sql()
 
 
+def _edge_arms_sql(*, with_deg: bool) -> str:
+    """THE one SQL definition of the synthesized closed link graph
+    (deg(i) = 1 + i %% 3, dst = (i*m_j + a_j) %% N), consumed by the
+    PageRank AND anchor-text mirrors; the engine twin is
+    graph.iter_out_edges.  Expects a CTE ``nn(n)`` in scope."""
+    from prlib_ray.stages.graph import PR_ADD, PR_MULT
+
+    deg = "1 + doc_id % 3 AS deg,\n           " if with_deg else ""
+    arms = []
+    for j, (m, a) in enumerate(zip(PR_MULT, PR_ADD)):
+        where = f"\n    WHERE doc_id % 3 >= {j}" if j else ""
+        arms.append(
+            f"SELECT doc_id AS src, {deg}"
+            f"(doc_id * {m} + {a}) % (SELECT n FROM nn) AS dst\n"
+            f"    FROM documents{where}"
+        )
+    return "\n    UNION ALL\n    ".join(arms)
+
+
 def _pagerank_docs_sql() -> str:
     """Mirror of stages/graph.pagerank_docs: the synthesized closed link
     graph as an edge CTE (constants interpolate from the stage module),
@@ -344,18 +363,9 @@ def _pagerank_docs_sql() -> str:
     non-materialized chain exponentially — the IVF-training lesson),
     floor division exact on both engines (all values non-negative)."""
     from prlib_ray.stages.graph import (
-        PR_ADD, PR_BASE, PR_DAMP_DEN, PR_DAMP_NUM, PR_ITERS, PR_MULT,
-        PR_SCALE, PR_TOPK)
+        PR_BASE, PR_DAMP_DEN, PR_DAMP_NUM, PR_ITERS, PR_SCALE, PR_TOPK)
 
-    edge_arms = []
-    for j, (m, a) in enumerate(zip(PR_MULT, PR_ADD)):
-        where = f"\n    WHERE doc_id % 3 >= {j}" if j else ""
-        edge_arms.append(
-            f"SELECT doc_id AS src, 1 + doc_id % 3 AS deg,\n"
-            f"           (doc_id * {m} + {a}) % (SELECT n FROM nn) AS dst\n"
-            f"    FROM documents{where}"
-        )
-    edges = "\n    UNION ALL\n    ".join(edge_arms)
+    edges = _edge_arms_sql(with_deg=True)
     iters = []
     for t in range(1, PR_ITERS + 1):
         iters.append(f"""
@@ -430,17 +440,9 @@ def _anchor_text_stats_sql() -> str:
     PAGERANK_DOCS joined to each SOURCE's anchor length (first
     ANCHOR_WORDS space-split parts re-joined by ' '), LEFT JOIN so
     zero-inlink pages emit a zero row."""
-    from prlib_ray.stages.graph import ANCHOR_WORDS, PR_ADD, PR_MULT
+    from prlib_ray.stages.graph import ANCHOR_WORDS
 
-    edge_arms = []
-    for j, (m, a) in enumerate(zip(PR_MULT, PR_ADD)):
-        where = f"\n    WHERE doc_id % 3 >= {j}" if j else ""
-        edge_arms.append(
-            f"SELECT doc_id AS src,\n"
-            f"           (doc_id * {m} + {a}) % (SELECT n FROM nn) AS dst\n"
-            f"    FROM documents{where}"
-        )
-    edges = "\n    UNION ALL\n    ".join(edge_arms)
+    edges = _edge_arms_sql(with_deg=False)
     return f"""
 WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
 a AS (

@@ -5627,8 +5627,7 @@ def price_rank_ntile(sf_dir: str):
                                               batch_format="pandas")
 
 
-def _skyline_2d(key: np.ndarray, cents: np.ndarray,
-                ts: np.ndarray) -> np.ndarray:
+def _skyline_2d(cents: np.ndarray, ts: np.ndarray) -> np.ndarray:
     """Indices of the 2D Pareto frontier maximizing (cents, ts).
 
     Dominance is strict-somewhere: x dominates o iff x.cents >= o.cents
@@ -5639,6 +5638,8 @@ def _skyline_2d(key: np.ndarray, cents: np.ndarray,
     cents; a row survives iff its ts equals its group's max AND that
     max strictly exceeds the running max over all strictly-greater-cents
     groups."""
+    if len(cents) == 0:
+        return np.zeros(0, dtype=np.int64)
     o = np.lexsort((-ts, -cents))
     cs, dy = cents[o], ts[o]
     new_grp = np.r_[True, cs[1:] != cs[:-1]]
@@ -5685,7 +5686,7 @@ def pareto_orders(sf_dir: str):
         cents = _cents(b["o_totalprice"].to_numpy())
         ts = b["o_orderdate"].to_numpy().astype("datetime64[us]") \
             .astype(np.int64)
-        k = _skyline_2d(key, cents, ts)
+        k = _skyline_2d(cents, ts)
         return pa.table({
             "o_orderkey": pa.array(key[k]),
             "cents": pa.array(cents[k]),
@@ -5698,7 +5699,7 @@ def pareto_orders(sf_dir: str):
     key = np.asarray([c["o_orderkey"] for c in cands], dtype=np.int64)
     cents = np.asarray([c["cents"] for c in cands], dtype=np.int64)
     ts = np.asarray([c["ts_us"] for c in cands], dtype=np.int64)
-    k = _skyline_2d(key, cents, ts)
+    k = _skyline_2d(cents, ts)
     o = np.argsort(key[k], kind="stable")
     k = k[o]
     return pa.table({
@@ -5800,6 +5801,10 @@ def rolling_active_users(sf_dir: str):
         .map_groups(fold, batch_format="pandas")
         .take_all()  # bounded: <= (2*span + 2) rows per part
     )
+    empty_out = pa.table({"day": pa.array([], type=pa.int64()),
+                          "n_active": pa.array([], type=pa.int64())})
+    if not rows:
+        return empty_out  # no events at all: the oracle is empty too
     day = np.asarray([r["day"] for r in rows], dtype=np.int64)
     delta = np.asarray([r["delta"] for r in rows], dtype=np.int64)
     kind = np.asarray([r["kind"] for r in rows], dtype=np.int64)

@@ -45,6 +45,18 @@ N_PR_PARTS = 32       # coarse dst-hash partitions per iteration fold
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
+def iter_out_edges(ids: np.ndarray, n_docs: int):
+    """Yield (j, live_mask, dst) per affine arm — THE one engine-side
+    definition of the synthesized closed graph (deg(i) = 1 + i % 3,
+    dst = (i*m_j + a_j) % N), consumed by pagerank_docs AND
+    anchor_text_stats so the 'same graph' contract cannot drift; the
+    SQL twin is oracles_prep._edge_arms_sql."""
+    deg = 1 + ids % 3
+    for j, (m, a) in enumerate(zip(PR_MULT, PR_ADD)):
+        live = deg > j
+        yield j, live, (ids[live] * m + a) % n_docs
+
+
 def _pr_contribs(n_docs: int):
     """Per-batch edge explosion: (node, r) rank rows -> (dst, contrib,
     part) contribution rows plus one (node, 0) self row per node so
@@ -64,9 +76,8 @@ def _pr_contribs(n_docs: int):
         c = (PR_DAMP_NUM * r) // (PR_DAMP_DEN * deg)
         dst_parts = [node]
         c_parts = [np.zeros(len(node), dtype=np.int64)]  # self rows
-        for j, (m, a) in enumerate(zip(PR_MULT, PR_ADD)):
-            live = deg > j
-            dst_parts.append((node[live] * m + a) % n_docs)
+        for _, live, dst in iter_out_edges(node, n_docs):
+            dst_parts.append(dst)
             c_parts.append(c[live])
         dst = np.concatenate(dst_parts)
         cc = np.concatenate(c_parts)
@@ -214,13 +225,11 @@ def anchor_text_stats(sf_dir: str):
         nw = np.diff(woff)
         m = np.minimum(ANCHOR_WORDS, nw)
         alen = cum[woff[:-1] + m] - cum[woff[:-1]] + (m - 1)
-        deg = 1 + ids % 3
         dst_parts = [ids]
         src_parts = [np.full(len(ids), -1, dtype=np.int64)]
         len_parts = [np.zeros(len(ids), dtype=np.int64)]
-        for j, (mu, ad) in enumerate(zip(PR_MULT, PR_ADD)):
-            live = deg > j
-            dst_parts.append((ids[live] * mu + ad) % n_docs)
+        for _, live, dst in iter_out_edges(ids, n_docs):
+            dst_parts.append(dst)
             src_parts.append(ids[live])
             len_parts.append(alen[live])
         dst = np.concatenate(dst_parts)

@@ -1612,12 +1612,12 @@ def mmr_diversified_topk(sf_dir: str):
 
     Physical plan: the anchor broadcasts once; per batch one integer
     matmul + local top-MMR_CAND (score DESC, vec_id ASC) bounds the
-    driver merge at MMR_CAND * n_blocks rows; the MMR_CAND winning
-    VECTORS come back via one distributed is_in filter (a bounded
-    dimension take), and the greedy loop runs driver-side over the
-    MMR_CAND x MMR_CAND pairwise score matrix — O(K * C) integer ops
-    on a constant-size problem, exactly like search_topk's bounded
-    merge.  At 100 TB only the shortlist scan is corpus-sized."""
+    driver merge at MMR_CAND * n_blocks rows, and the candidate VECTORS
+    ride along in the same bounded rows (no second corpus scan); the
+    greedy loop runs driver-side over the MMR_CAND x MMR_CAND pairwise
+    score matrix — O(K * C) integer ops on a constant-size problem,
+    exactly like search_topk's bounded merge.  At 100 TB only the ONE
+    shortlist scan is corpus-sized."""
     import ray
     import ray.data as rd
 
@@ -1628,8 +1628,11 @@ def mmr_diversified_topk(sf_dir: str):
     ref = ray.put((Q, qn))
 
     def local_topc(b: pa.Table) -> pa.Table:
-        empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
-                          "rel": pa.array([], type=pa.int64())})
+        empty = pa.table({
+            "vec_id": pa.array([], type=pa.int64()),
+            "rel": pa.array([], type=pa.int64()),
+            "embedding": pa.array([], type=pa.list_(pa.float32())),
+        })
         if b.num_rows == 0:
             return empty
         qm, qnorm = ray.get(ref)
@@ -1642,8 +1645,14 @@ def mmr_diversified_topk(sf_dir: str):
             return empty
         order = np.lexsort((vids[mask], -s[mask]))[:MMR_CAND]
         sel = np.flatnonzero(mask)[order]
+        ecol = b["embedding"]
+        if isinstance(ecol, pa.ChunkedArray):
+            ecol = ecol.combine_chunks()
+        # the candidate VECTORS ride along (<= MMR_CAND rows per block),
+        # so no second corpus scan is needed to fetch them
         return pa.table({"vec_id": pa.array(vids[sel]),
-                         "rel": pa.array(s[mask][order])})
+                         "rel": pa.array(s[mask][order]),
+                         "embedding": ecol.take(pa.array(sel))})
 
     cands = emb.map_batches(local_topc, batch_format="pyarrow",
                             zero_copy_batch=True).take_all()
@@ -1652,20 +1661,10 @@ def mmr_diversified_topk(sf_dir: str):
     o = np.lexsort((cid, -crel))[:MMR_CAND]
     cid, crel = cid[o], crel[o]
 
-    # fetch the shortlist's vectors (bounded distributed filter + take)
-    want = set(cid.tolist())
-    rows = emb.map_batches(
-        lambda b: b.filter(pa.array(np.isin(b["vec_id"].to_numpy(),
-                                            cid))),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).take_all()
-    assert len(rows) == len(want)
-    rows.sort(key=lambda r: r["vec_id"])
-    rmat = np.stack(_quantize([list(r["embedding"]) for r in rows]))
-    rids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    rmat = np.stack(_quantize([list(cands[i]["embedding"]) for i in o]))
     rn = (rmat * rmat).sum(axis=1)
     pair = _int_cosine_scores(rmat, rn, rmat, rn)  # (C, C) int64
-    pos = {int(v): i for i, v in enumerate(rids)}
+    pos = {int(v): i for i, v in enumerate(cid)}
 
     rel_of = dict(zip(cid.tolist(), crel.tolist()))
     remaining = cid.tolist()
