@@ -94,6 +94,13 @@ _PRIORITY = [
     # audit the north rule's chat-data pipeline runs before packing
     "conv_structure_audit",
     "curate_corpus",
+    # eighteenth session: the web-curation funnel — PageRank prior +
+    # in-degree gate composed with the Gopher content gate (one coarse
+    # id-hash shuffle unions the three signal streams).  Displaced
+    # lang_agreement: per-source QA audits are in-window via
+    # utf8_hygiene + gopher_quality, and lang_id's n-gram heuristic is
+    # exercised by lang_agreement's sim+pytest coverage.
+    "web_curate",
     "corpus_validate",  # new: pre-flight data-quality audit
     # sixteenth session: per-source mojibake/encoding audit + the
     # Deequ-style exact column profiler (displaced q20_excess_parts —
@@ -150,7 +157,6 @@ _PRIORITY = [
     "token_count_subword",
     "tokenizer_budget_curve",  # new: OOV mass at several vocab sizes
     "gopher_quality", "quality_classifier",
-    "lang_agreement",
     "split_leakage",  # new: cross-split contamination audit
     "decontaminate",
     "pack_sequences",
@@ -223,7 +229,7 @@ _PRIORITY = [
     # copart fold is repped by q9_product_profit's chained coparts +
     # q11's global-scalar threshold — all three sim+pytest covered
     "source_word_lift", "source_overlap", "q17_small_quantity",
-    "hard_negatives", "user_stickiness", "q11_important_stock",
+    "hard_negatives", "user_stickiness", "q11_important_stock", "lang_agreement",
     # displaced in the seventeenth session by snapshot_diff /
     # price_rank_ntile (user-stream pair counting repped in-window by
     # funnel_conversion + user_stickiness; the run-boundary cumsum by

@@ -383,6 +383,14 @@ def _register_data_ops(queries, sql) -> None:
     queries["curate_corpus"] = curate_corpus
     sql["curate_corpus"] = ocorp.CURATE_CORPUS
 
+    # web-curation funnel: PageRank prior + in-degree gate alongside the
+    # Gopher content gate (graph signals feeding curation)
+    from prlib_ray import oracles_prep as _oprep
+    from prlib_ray.pipelines.curate import web_curate
+
+    queries["web_curate"] = web_curate
+    sql["web_curate"] = _oprep.WEB_CURATE
+
     # config-driven pipeline assembly (SURVEY §2.7 extension surface)
     def pipeline_chain(sf_dir: str):
         from prlib_ray.pipeline import run_config

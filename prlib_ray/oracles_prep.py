@@ -356,14 +356,16 @@ def _edge_arms_sql(*, with_deg: bool) -> str:
     return "\n    UNION ALL\n    ".join(arms)
 
 
-def _pagerank_docs_sql() -> str:
-    """Mirror of stages/graph.pagerank_docs: the synthesized closed link
-    graph as an edge CTE (constants interpolate from the stage module),
-    PR_ITERS unrolled MATERIALIZED iteration CTEs (DuckDB re-expands a
-    non-materialized chain exponentially — the IVF-training lesson),
-    floor division exact on both engines (all values non-negative)."""
+def _pagerank_ctes() -> tuple[str, str]:
+    """(WITH-clause body, final rank CTE name) of the PageRank mirror —
+    the synthesized closed link graph as an edge CTE (constants
+    interpolate from the stage module), PR_ITERS unrolled MATERIALIZED
+    iteration CTEs (DuckDB re-expands a non-materialized chain
+    exponentially — the IVF-training lesson), floor division exact on
+    both engines (all values non-negative).  Composed by PAGERANK_DOCS
+    and the web_curate funnel mirror."""
     from prlib_ray.stages.graph import (
-        PR_BASE, PR_DAMP_DEN, PR_DAMP_NUM, PR_ITERS, PR_SCALE, PR_TOPK)
+        PR_BASE, PR_DAMP_DEN, PR_DAMP_NUM, PR_ITERS, PR_SCALE)
 
     edges = _edge_arms_sql(with_deg=True)
     iters = []
@@ -379,15 +381,25 @@ r{t} AS MATERIALIZED (
     LEFT JOIN r{t - 1} r ON r.node = e.src
     GROUP BY d.doc_id
 )""")
-    return f"""
+    body = f"""
 WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
 e AS MATERIALIZED (
     {edges}
 ),
 r0 AS MATERIALIZED (
     SELECT doc_id AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM documents
-),{",".join(iters)}
-SELECT node AS doc_id, r AS pr FROM r{PR_ITERS}
+),{",".join(iters)}"""
+    return body, f"r{PR_ITERS}"
+
+
+def _pagerank_docs_sql() -> str:
+    """Mirror of stages/graph.pagerank_docs: the shared rank chain +
+    the (rank DESC, doc_id ASC) top-k tail."""
+    from prlib_ray.stages.graph import PR_TOPK
+
+    body, final = _pagerank_ctes()
+    return f"""{body}
+SELECT node AS doc_id, r AS pr FROM {final}
 ORDER BY pr DESC, doc_id ASC LIMIT {PR_TOPK}"""
 
 
@@ -472,3 +484,58 @@ ORDER BY d.doc_id"""
 
 
 ANCHOR_TEXT_STATS = _anchor_text_stats_sql()
+
+
+def _web_curate_sql() -> str:
+    """Mirror of pipelines/curate.web_curate: the shared PageRank rank
+    chain (_pagerank_ctes — the 'same graph' contract), in-edge counts
+    straight off ITS e CTE (parallel edges count, exactly like the
+    engine's per-batch edge partials), the Gopher pass expression with
+    interpolated rule constants, and the per-source funnel."""
+    from prlib_ray.oracles_data import _GOPHER_STOP_LIST
+    from prlib_ray.pipelines.curate import WEB_MIN_INLINKS, WEB_PRIOR_MIN
+    from prlib_ray.stages.text_analysis import (
+        GOPHER_MAX_MEAN_LEN, GOPHER_MAX_WORDS, GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOP, GOPHER_MIN_WORDS)
+
+    body, final = _pagerank_ctes()
+    return f"""{body},
+inl AS (SELECT dst, CAST(count(*) AS BIGINT) AS n_in FROM e GROUP BY dst),
+w2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+a2 AS (
+    SELECT doc_id,
+           count(*) FILTER (WHERE w <> '') AS n_words,
+           COALESCE(sum(length(w)) FILTER (WHERE w <> ''), 0)
+               AS sum_word_len,
+           count(*) FILTER (WHERE regexp_matches(w, '[A-Za-z]'))
+               AS n_alpha,
+           count(*) FILTER (WHERE w IN ({_GOPHER_STOP_LIST})) AS n_stop
+    FROM w2 GROUP BY doc_id
+),
+gg AS (
+    SELECT doc_id,
+           CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                 AND n_words <= {GOPHER_MAX_WORDS}
+                 AND {GOPHER_MIN_MEAN_LEN} * n_words <= sum_word_len
+                 AND sum_word_len <= {GOPHER_MAX_MEAN_LEN} * n_words
+                 AND 5 * n_alpha >= 4 * n_words
+                 AND n_stop >= {GOPHER_MIN_STOP}
+            THEN 1 ELSE 0 END AS passes
+    FROM a2
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(gg.passes) AS BIGINT) AS n_gopher,
+       CAST(sum(CASE WHEN gg.passes = 1 AND rr.r >= {WEB_PRIOR_MIN}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_prior,
+       CAST(sum(CASE WHEN gg.passes = 1 AND rr.r >= {WEB_PRIOR_MIN}
+                      AND coalesce(inl.n_in, 0) >= {WEB_MIN_INLINKS}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+FROM documents d
+JOIN gg ON gg.doc_id = d.doc_id
+JOIN {final} rr ON rr.node = d.doc_id
+LEFT JOIN inl ON inl.dst = d.doc_id
+GROUP BY d.source ORDER BY d.source"""
+
+
+WEB_CURATE = _web_curate_sql()

@@ -251,3 +251,153 @@ def curate_corpus(sf_dir: str):
         .groupby("source")
         .aggregate(*[Sum(c, alias_name=c) for c in FUNNEL_COLS])
     )
+
+
+# ---------------------------------------------------------------------------
+# web-curation funnel: graph signals feeding the quality gate
+
+WEB_PRIOR_MIN = 1_000_000   # keep iff pagerank r >= initial mass PR_SCALE
+WEB_MIN_INLINKS = 2         # and >= this many inbound links
+N_WEB_PARTS = 32
+
+
+def web_curate(sf_dir: str):
+    """The web-corpus curation funnel: per source, documents entering,
+    passing the Gopher gate, carrying a PageRank prior >= WEB_PRIOR_MIN,
+    and also having >= WEB_MIN_INLINKS inbound links — the
+    CommonCrawl-style pipeline where LINK-GRAPH signals (centrality,
+    in-degree) gate alongside content quality.  One row per source.
+
+    Physical plan: three int-row streams union into ONE coarse id-hash
+    shuffle — (id, passes, source) from the text scan, (id, r) from
+    pagerank_ranks (the shared iterative kernel), and per-batch
+    pre-combined (dst, count) in-edge partials from a doc_id-only scan
+    (edges regenerate in closed form via graph.iter_out_edges; no
+    second text read, no anchor-char work).  Per part ONE lexsort
+    (id, kind) resolves every doc's (passes, r, n_inlinks) — the id's
+    rows are adjacent, kind 0/1 lead the run — and folds per-source
+    counts; <= 4 * sources rows per part reach the bounded final
+    groupby.  Thresholds were measured for a real split before wiring
+    (sf0.001: 500 -> 208 gopher -> prior/inlink cuts below that)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from prlib_ray.stages.graph import iter_out_edges, pagerank_ranks
+
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def tag_part(ids: np.ndarray) -> np.ndarray:
+        return ((ids.view(np.uint64) * gold)
+                % np.uint64(N_WEB_PARTS)).astype(np.int64)
+
+    def empty_stream() -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        return pa.table({"id": z, "kind": z, "a": z,
+                         "src": pa.array([], type=pa.string()),
+                         "part": z})
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def base(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_stream()
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        q = gopher_quality_batch(b)
+        return pa.table({
+            "id": pa.array(ids),
+            "kind": pa.array(np.zeros(len(ids), dtype=np.int64)),
+            "a": q["passes"],
+            "src": b["source"],
+            "part": pa.array(tag_part(ids)),
+        })
+
+    def rank_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_stream()
+        ids = b["node"].to_numpy().astype(np.int64)
+        return pa.table({
+            "id": pa.array(ids),
+            "kind": pa.array(np.ones(len(ids), dtype=np.int64)),
+            "a": b["r"],
+            "src": pa.array([""] * len(ids), type=pa.string()),
+            "part": pa.array(tag_part(ids)),
+        })
+
+    ids_only = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    n_docs = ids_only.count()  # parquet metadata only
+
+    def inlink_partials(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_stream()
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        dst = np.concatenate(
+            [d for _, _, d in iter_out_edges(ids, n_docs)])
+        u, c = np.unique(dst, return_counts=True)
+        return pa.table({
+            "id": pa.array(u),
+            "kind": pa.array(np.full(len(u), 2, dtype=np.int64)),
+            "a": pa.array(c.astype(np.int64)),
+            "src": pa.array([""] * len(u), type=pa.string()),
+            "part": pa.array(tag_part(u)),
+        })
+
+    stream = (
+        docs.map_batches(base, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            pagerank_ranks(sf_dir).map_batches(
+                rank_rows, batch_format="pyarrow", zero_copy_batch=True),
+            ids_only.map_batches(
+                inlink_partials, batch_format="pyarrow",
+                zero_copy_batch=True),
+        )
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("source", "n_docs", "n_gopher", "n_prior", "n_final")
+        if len(g) == 0:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                **{c: pd.Series([], dtype=np.int64) for c in cols[1:]},
+            })
+        ids = g["id"].to_numpy().astype(np.int64)
+        kind = g["kind"].to_numpy().astype(np.int64)
+        a = g["a"].to_numpy().astype(np.int64)
+        src = g["src"].to_numpy()
+        o = np.lexsort((kind, ids))
+        ids, kind, a, src = ids[o], kind[o], a[o], src[o]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        assert (kind[starts] == 0).all() and (kind[starts + 1] == 1).all()
+        passes = a[starts]
+        r = a[starts + 1]
+        n_in = np.add.reduceat(a * (kind == 2), starts)
+        prior = (passes == 1) & (r >= WEB_PRIOR_MIN)
+        final = prior & (n_in >= WEB_MIN_INLINKS)
+        codes, uniq = pd.factorize(src[starts], sort=True)
+        nsrc = len(uniq)
+        # masked integer bincounts (never float weights= — the repo's
+        # 2^53 exactness rule)
+        return pd.DataFrame({
+            "source": uniq,
+            "n_docs": np.bincount(codes, minlength=nsrc).astype(np.int64),
+            "n_gopher": np.bincount(
+                codes[passes == 1], minlength=nsrc).astype(np.int64),
+            "n_prior": np.bincount(
+                codes[prior], minlength=nsrc).astype(np.int64),
+            "n_final": np.bincount(
+                codes[final], minlength=nsrc).astype(np.int64),
+        })
+
+    out = (
+        stream.groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_gopher", alias_name="n_gopher"),
+                   Sum("n_prior", alias_name="n_prior"),
+                   Sum("n_final", alias_name="n_final"))
+        .sort("source")
+    )
+    return out

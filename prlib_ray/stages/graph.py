@@ -110,25 +110,10 @@ def _pr_fold(g: pd.DataFrame) -> pd.DataFrame:
     })
 
 
-def pagerank_docs(sf_dir: str):
-    """Integer PageRank over the synthesized doc link graph; top-PR_TOPK
-    pages by (rank DESC, doc_id ASC) — the crawl-quality prior.
-
-    Physical plan per iteration (edges never materialize as a table —
-    they regenerate from node ids in closed form, so only rank rows and
-    (dst, contrib) int64 pairs ever shuffle): map_batches explodes each
-    node's out-edge contributions tagged with hash(dst) % N_PR_PARTS,
-    one coarse groupby co-locates every in-edge of a node, one
-    vectorized sort + reduceat per part folds r_next.  PR_ITERS
-    iterations chain lazily = 2*PR_ITERS narrow/shuffle stages; the
-    final top-k is per-batch local top-k -> a <= PR_TOPK * n_blocks
-    driver merge (no global sort).  At 10^12 nodes the same plan holds:
-    per-iteration shuffle payload is 2 int64 columns x |E|, the fold is
-    linear per part, and nothing is ever driver-materialized except the
-    bounded top-k candidates.  int64 bound: r <= PR_BASE +
-    0.85 * max_indeg * max(r); the affine edge maps keep in-degree <=
-    len(PR_MULT) * max_j gcd(PR_MULT[j], N), far from the 2^63 / 85
-    overflow point at any realistic N."""
+def pagerank_ranks(sf_dir: str):
+    """The full (node, r) rank Dataset after PR_ITERS power iterations —
+    the reusable inner computation of pagerank_docs, also consumed as
+    the crawl-quality PRIOR by pipelines.curate.web_curate."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
@@ -150,6 +135,29 @@ def pagerank_docs(sf_dir: str):
             .groupby("part")
             .map_groups(_pr_fold, batch_format="pandas")
         )
+    return ranks
+
+
+def pagerank_docs(sf_dir: str):
+    """Integer PageRank over the synthesized doc link graph; top-PR_TOPK
+    pages by (rank DESC, doc_id ASC) — the crawl-quality prior.
+
+    Physical plan per iteration (edges never materialize as a table —
+    they regenerate from node ids in closed form, so only rank rows and
+    (dst, contrib) int64 pairs ever shuffle): map_batches explodes each
+    node's out-edge contributions tagged with hash(dst) % N_PR_PARTS,
+    one coarse groupby co-locates every in-edge of a node, one
+    vectorized sort + reduceat per part folds r_next.  PR_ITERS
+    iterations chain lazily = 2*PR_ITERS narrow/shuffle stages; the
+    final top-k is per-batch local top-k -> a <= PR_TOPK * n_blocks
+    driver merge (no global sort).  At 10^12 nodes the same plan holds:
+    per-iteration shuffle payload is 2 int64 columns x |E|, the fold is
+    linear per part, and nothing is ever driver-materialized except the
+    bounded top-k candidates.  int64 bound: r <= PR_BASE +
+    0.85 * max_indeg * max(r); the affine edge maps keep in-degree <=
+    len(PR_MULT) * max_j gcd(PR_MULT[j], N), far from the 2^63 / 85
+    overflow point at any realistic N."""
+    ranks = pagerank_ranks(sf_dir)
 
     def local_top(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:

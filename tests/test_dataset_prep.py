@@ -34,7 +34,7 @@ PREP_CASES = ["mix_sources", "shuffle_head", "decontaminate",
               "source_term_stats", "length_filter_p95",
               "sample_per_source", "heavy_hitter_words", "snapshot_diff",
               "conv_structure_audit", "pagerank_docs",
-              "anchor_text_stats"]
+              "anchor_text_stats", "web_curate"]
 
 
 @pytest.mark.parametrize("name", PREP_CASES)
@@ -604,3 +604,33 @@ def test_anchor_text_stats_constructed(ray_session, tmp_path):
         w = want[int(r["doc_id"])]
         assert (int(r["n_inlinks"]), int(r["n_sources"]),
                 int(r["sum_anchor_chars"])) == (w[0], len(w[1]), w[2])
+
+
+def test_web_curate_cross_checks_components(registry, ray_session, sf_dir):
+    """The funnel's stage totals must equal the standalone operators it
+    composes: n_gopher == gopher_quality's pass count, n_prior == the
+    passing docs whose pagerank_ranks rank clears the prior threshold,
+    n_final additionally requires the anchor_text_stats inlink floor —
+    and every stage weakly reduces per source with a strict reduction
+    in total (non-vacuous gates)."""
+    queries, _ = registry
+    df = queries["web_curate"](sf_dir).to_pandas()
+    assert (df["n_docs"] >= df["n_gopher"]).all()
+    assert (df["n_gopher"] >= df["n_prior"]).all()
+    assert (df["n_prior"] >= df["n_final"]).all()
+    tot = df[["n_docs", "n_gopher", "n_prior", "n_final"]].sum()
+    assert tot["n_docs"] > tot["n_gopher"] > tot["n_prior"] > tot["n_final"]
+
+    from prlib_ray.pipelines.curate import WEB_MIN_INLINKS, WEB_PRIOR_MIN
+    from prlib_ray.stages.graph import anchor_text_stats, pagerank_ranks
+
+    g = queries["gopher_quality"](sf_dir).to_pandas()
+    assert int(tot["n_gopher"]) == int(g["passes"].sum())
+    ranks = pagerank_ranks(sf_dir).to_pandas().set_index("node")["r"]
+    passing = set(g[g["passes"] == 1]["doc_id"])
+    prior = {d for d in passing if int(ranks.loc[d]) >= WEB_PRIOR_MIN}
+    assert int(tot["n_prior"]) == len(prior)
+    inl = anchor_text_stats(sf_dir).to_pandas().set_index("doc_id")
+    final = {d for d in prior
+             if int(inl.loc[d, "n_inlinks"]) >= WEB_MIN_INLINKS}
+    assert int(tot["n_final"]) == len(final)
