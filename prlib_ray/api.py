@@ -93,6 +93,14 @@ _PRIORITY = [
     # deterministic transcript as the exact twin — the transcript-shape
     # audit the north rule's chat-data pipeline runs before packing
     "conv_structure_audit",
+    # eighteenth session: the conversation-LEVEL ordering digest — md5
+    # of the '\n'-joined extracted turns in (conv, turn) order, so the
+    # driver's value hash checks the north rule's stable turn ordering
+    # itself, not just per-turn content.  Displaced token_count_subword:
+    # the BPE-ish regex counting is repped in-window by
+    # tokenizer_budget_curve + pack_sequences' token contract —
+    # sim+pytest covered.
+    "conv_extract_digest",
     "curate_corpus",
     # eighteenth session: the web-curation funnel — PageRank prior +
     # in-degree gate composed with the Gopher content gate (one coarse
@@ -154,7 +162,6 @@ _PRIORITY = [
     # the code assignment are both exercised end-to-end by the windowed
     # ann_*_topk entries (pytest ORACLE_CASES + driver_sim still check
     # them), freeing window slots for the round's new operator families
-    "token_count_subword",
     "tokenizer_budget_curve",  # new: OOV mass at several vocab sizes
     "gopher_quality", "quality_classifier",
     "split_leakage",  # new: cross-split contamination audit
@@ -230,6 +237,7 @@ _PRIORITY = [
     # q11's global-scalar threshold — all three sim+pytest covered
     "source_word_lift", "source_overlap", "q17_small_quantity",
     "hard_negatives", "user_stickiness", "q11_important_stock", "lang_agreement",
+    "token_count_subword",
     # displaced in the seventeenth session by snapshot_diff /
     # price_rank_ntile (user-stream pair counting repped in-window by
     # funnel_conversion + user_stickiness; the run-boundary cumsum by

@@ -297,6 +297,12 @@ def _register_data_ops(queries, sql) -> None:
     # (role alternation / tool turns / char budgets)
     queries["conv_structure_audit"] = dataset_prep.conv_structure_audit
     sql["conv_structure_audit"] = oprep.CONV_STRUCTURE_AUDIT
+    # conversation-level extraction digest: md5 of the '\n'-joined
+    # clean turns in (conv, turn) order — the stable-ordering check
+    from prlib_ray import oracles_data as _odata
+
+    queries["conv_extract_digest"] = dataset_prep.conv_extract_digest
+    sql["conv_extract_digest"] = _odata.CONV_EXTRACT_DIGEST
     # link-graph centrality: integer PageRank over the synthesized
     # closed doc graph (unrolled power iteration, exact both sides)
     from prlib_ray.stages.graph import pagerank_docs

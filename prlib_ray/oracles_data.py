@@ -2029,3 +2029,21 @@ SELECT rank, vec_id, rel, obj FROM ({union}) ORDER BY rank""")
 
 
 MMR_DIVERSIFIED = _mmr_diversified_sql()
+
+
+def _conv_extract_digest_sql() -> str:
+    """Mirror of dataset_prep.conv_extract_digest: the per-turn
+    extraction mirror (EXTRACT_TURNS_EXACT) wrapped in an ORDERED
+    string_agg + md5 per conversation — SQL checks the same
+    stable-turn-ordering digest the engine computes."""
+    return f"""
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(length(string_agg(clean_text, chr(10) ORDER BY turn_idx))
+            AS BIGINT) AS n_chars,
+       md5(string_agg(clean_text, chr(10) ORDER BY turn_idx)) AS digest
+FROM ({EXTRACT_TURNS_EXACT}) t
+GROUP BY conv_id ORDER BY conv_id"""
+
+
+CONV_EXTRACT_DIGEST = _conv_extract_digest_sql()

@@ -1598,3 +1598,70 @@ def conv_structure_audit(sf_dir: str):
     )
     df = pd.DataFrame(rows).sort_values("conv_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def conv_extract_digest(sf_dir: str):
+    """Per-conversation digest of the extracted transcript: md5 of the
+    '\\n'-joined clean_text in (conv_id, turn_idx) order, plus turn and
+    char counts — the conversation-level restatement of the north
+    rule's contract (per-turn text equality UNDER STABLE TURN
+    ORDERING): any turn mis-ordered, dropped or altered anywhere in the
+    distributed pipeline changes the digest, so the driver's value hash
+    checks ordering itself, not just per-turn content.
+
+    Physical plan: the embarrassingly-parallel exact-extraction kernel
+    (boilerplate.extract_exact_batch) emits per-turn rows; turns
+    co-locate by conv hash into coarse partitions (a digest needs the
+    whole conversation in one place — the flagship's bucketed layout
+    assumption; mega-conversations are the salting discussion, here a
+    time-not-memory cost); per part ONE lexsort (conv, turn) + one
+    run-boundary '\\n'.join + md5 per conversation; <= EXACT_NCONV
+    digest rows reach the driver."""
+    import ray.data as rd
+
+    from prlib_ray.stages.boilerplate import EXACT_NCONV, extract_exact_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = extract_exact_batch(b)
+        conv = t["conv_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "clean_text": t["clean_text"],
+            "part": pa.array(conv % N_CONV_PARTS),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"conv_id": np.int64, "n_turns": np.int64,
+                "n_chars": np.int64, "digest": object}
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in cols.items()})
+        conv = g["conv_id"].to_numpy().astype(np.int64)
+        turn = g["turn_idx"].to_numpy().astype(np.int64)
+        txt = g["clean_text"].to_numpy()
+        o = np.lexsort((turn, conv))
+        conv, txt = conv[o], txt[o]
+        starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+        ends = np.r_[starts[1:], len(conv)]
+        out = {c: [] for c in cols}
+        for s, e in zip(starts, ends):  # <= EXACT_NCONV iterations
+            joined = "\n".join(txt[s:e])
+            out["conv_id"].append(int(conv[s]))
+            out["n_turns"].append(e - s)
+            out["n_chars"].append(len(joined))
+            out["digest"].append(
+                hashlib.md5(joined.encode("utf-8")).hexdigest())
+        return pd.DataFrame(out)
+
+    rows = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .take_all()  # bounded: <= EXACT_NCONV digest rows
+    )
+    df = pd.DataFrame(rows).sort_values("conv_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

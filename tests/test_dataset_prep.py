@@ -34,7 +34,8 @@ PREP_CASES = ["mix_sources", "shuffle_head", "decontaminate",
               "source_term_stats", "length_filter_p95",
               "sample_per_source", "heavy_hitter_words", "snapshot_diff",
               "conv_structure_audit", "pagerank_docs",
-              "anchor_text_stats", "web_curate"]
+              "anchor_text_stats", "web_curate",
+              "conv_extract_digest"]
 
 
 @pytest.mark.parametrize("name", PREP_CASES)
@@ -634,3 +635,32 @@ def test_web_curate_cross_checks_components(registry, ray_session, sf_dir):
     final = {d for d in prior
              if int(inl.loc[d, "n_inlinks"]) >= WEB_MIN_INLINKS}
     assert int(tot["n_final"]) == len(final)
+
+
+def test_conv_extract_digest_detects_misordering(ray_session, sf_dir):
+    """The digest is the ordering check: recomputing it from the
+    per-turn extraction rows in the CORRECT order reproduces it, and
+    swapping any two turns of a multi-turn conversation changes it."""
+    import hashlib as _h
+
+    from prlib_ray.stages.boilerplate import extract_exact_batch
+    from prlib_ray.stages.dataset_prep import conv_extract_digest
+
+    t = pq.read_table(sf_dir + "/documents.parquet",
+                      columns=["doc_id", "text"])
+    rows = extract_exact_batch(t).to_pandas()
+    out = conv_extract_digest(sf_dir).to_pandas().set_index("conv_id")
+    swapped = 0
+    for conv, g in rows.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        texts = list(g["clean_text"])
+        want = _h.md5("\n".join(texts).encode()).hexdigest()
+        assert out.loc[conv, "digest"] == want
+        assert int(out.loc[conv, "n_turns"]) == len(texts)
+        if len(texts) >= 2 and texts[0] != texts[1]:
+            bad = _h.md5(
+                "\n".join([texts[1], texts[0]] + texts[2:]).encode()
+            ).hexdigest()
+            assert bad != want
+            swapped += 1
+    assert swapped > 0  # the misordering check really fired
