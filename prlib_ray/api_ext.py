@@ -310,10 +310,13 @@ def _register_data_ops(queries, sql) -> None:
     queries["pagerank_docs"] = pagerank_docs
     sql["pagerank_docs"] = oprep.PAGERANK_DOCS
     # inbound-link anchor aggregation over the same closed graph
-    from prlib_ray.stages.graph import anchor_text_stats
+    from prlib_ray.stages.graph import anchor_text_stats, pagerank_mass_audit
 
     queries["anchor_text_stats"] = anchor_text_stats
     sql["anchor_text_stats"] = oprep.ANCHOR_TEXT_STATS
+    # per-iteration rank-mass telemetry (no-silent-iteration discipline)
+    queries["pagerank_mass_audit"] = pagerank_mass_audit
+    sql["pagerank_mass_audit"] = oprep.PAGERANK_MASS_AUDIT
     queries["length_filter_p95"] = dataset_prep.length_filter_p95
     sql["length_filter_p95"] = oprep.LENGTH_FILTER_P95
     queries["sample_per_source"] = dataset_prep.sample_per_source

@@ -539,3 +539,22 @@ GROUP BY d.source ORDER BY d.source"""
 
 
 WEB_CURATE = _web_curate_sql()
+
+
+def _pagerank_mass_audit_sql() -> str:
+    """Mirror of stages/graph.pagerank_mass_audit: one aggregate row per
+    iteration CTE of the SHARED rank chain (r0 included)."""
+    from prlib_ray.stages.graph import PR_ITERS
+
+    body, _ = _pagerank_ctes()
+    arms = "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS iteration,"
+        f" CAST(sum(r) AS BIGINT) AS total_mass,"
+        f" CAST(max(r) AS BIGINT) AS max_rank,"
+        f" CAST(count(*) AS BIGINT) AS n_nodes FROM r{t}"
+        for t in range(0, PR_ITERS + 1))
+    return f"""{body}
+SELECT * FROM ({arms}) ORDER BY iteration"""
+
+
+PAGERANK_MASS_AUDIT = _pagerank_mass_audit_sql()

@@ -282,3 +282,78 @@ def anchor_text_stats(sf_dir: str):
         .groupby("part")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def pagerank_mass_audit(sf_dir: str):
+    """Per-iteration telemetry of the PageRank computation: total rank
+    mass, max rank and node count after every iteration 0..PR_ITERS —
+    the no-silent-iteration discipline (lsh_bucket_stats' role for the
+    banding pipeline): a power iteration that diverges, loses mass to a
+    partitioning bug or collapses onto one node is visible in this
+    bounded report before anyone consumes the ranks.
+
+    Physical plan: the SAME iteration kernel as pagerank_ranks
+    (_pr_contribs/_pr_fold — shared code, not a re-implementation);
+    each iteration's rank Dataset is materialized (it feeds BOTH the
+    next iteration and its own bounded aggregate — without pinning, the
+    audit fork would re-execute the whole prefix), then reduces via
+    per-batch (sum, max, n) partials to ONE row per iteration.  At
+    10^12 nodes the materialization is the audit's cost — run it on a
+    sampled node range there; the per-iteration report stays 3 int64s.
+    int64 bound: total mass <= ~N * PR_SCALE * (1/(1-damp)) — beyond
+    ~10^12 nodes move the sum to two int64 limbs (conv_stats' trick)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = ds.count()
+
+    def init(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["doc_id"],
+            "r": pa.array(np.full(b.num_rows, PR_SCALE, dtype=np.int64)),
+        })
+
+    ranks = ds.map_batches(init, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    def stats(ranks_ds, it: int) -> dict:
+        def partial(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                z = pa.array([], type=pa.int64())
+                return pa.table({"s": z, "m": z, "n": z})
+            r = b["r"].to_numpy().astype(np.int64)
+            return pa.table({
+                "s": pa.array([int(r.sum())]),
+                "m": pa.array([int(r.max())]),
+                "n": pa.array([len(r)]),
+            })
+
+        rows = ranks_ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()  # bounded: one row per block
+        return {
+            "iteration": it,
+            "total_mass": sum(int(r["s"]) for r in rows),
+            "max_rank": max(int(r["m"]) for r in rows),
+            "n_nodes": sum(int(r["n"]) for r in rows),
+        }
+
+    out = [stats(ranks, 0)]
+    for t in range(1, PR_ITERS + 1):
+        ranks = (
+            ranks.map_batches(_pr_contribs(n_docs), batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("part")
+            .map_groups(_pr_fold, batch_format="pandas")
+            .materialize()
+        )
+        out.append(stats(ranks, t))
+    return pa.table({
+        "iteration": pa.array([o["iteration"] for o in out],
+                              type=pa.int64()),
+        "total_mass": pa.array([o["total_mass"] for o in out],
+                               type=pa.int64()),
+        "max_rank": pa.array([o["max_rank"] for o in out],
+                             type=pa.int64()),
+        "n_nodes": pa.array([o["n_nodes"] for o in out], type=pa.int64()),
+    })

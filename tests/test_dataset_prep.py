@@ -35,7 +35,7 @@ PREP_CASES = ["mix_sources", "shuffle_head", "decontaminate",
               "sample_per_source", "heavy_hitter_words", "snapshot_diff",
               "conv_structure_audit", "pagerank_docs",
               "anchor_text_stats", "web_curate",
-              "conv_extract_digest"]
+              "conv_extract_digest", "pagerank_mass_audit"]
 
 
 @pytest.mark.parametrize("name", PREP_CASES)
@@ -664,3 +664,27 @@ def test_conv_extract_digest_detects_misordering(ray_session, sf_dir):
             assert bad != want
             swapped += 1
     assert swapped > 0  # the misordering check really fired
+
+
+def test_pagerank_mass_audit_invariants(registry, ray_session, sf_dir):
+    """The audit's whole point: node count is conserved through every
+    iteration, total mass moves only by bounded floor loss (mass at
+    t+1 is within N of damped mass + base mass), and the final max
+    equals pagerank_docs' top rank."""
+    queries, _ = registry
+    from prlib_ray.stages.graph import (PR_BASE, PR_DAMP_DEN, PR_DAMP_NUM,
+                                        PR_ITERS)
+
+    df = queries["pagerank_mass_audit"](sf_dir).to_pandas()
+    assert list(df["iteration"]) == list(range(PR_ITERS + 1))
+    n = df["n_nodes"].iloc[0]
+    assert (df["n_nodes"] == n).all()
+    for t in range(1, PR_ITERS + 1):
+        prev = int(df["total_mass"].iloc[t - 1])
+        cur = int(df["total_mass"].iloc[t])
+        ideal = n * PR_BASE + PR_DAMP_NUM * prev // PR_DAMP_DEN
+        # floor division loses < 1 per EDGE (<= 3 per node) plus the
+        # damped-mass rounding; never gains
+        assert ideal - 4 * n <= cur <= ideal
+    top = queries["pagerank_docs"](sf_dir).to_pandas()
+    assert int(df["max_rank"].iloc[-1]) == int(top["pr"].max())
