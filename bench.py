@@ -207,7 +207,11 @@ def run_bench() -> dict:
                  "profile_columns", "utf8_hygiene",
                  "snapshot_diff", "price_rank_ntile",
                  "pagerank_docs", "anchor_text_stats", "pareto_orders",
-                 "conv_structure_audit", "mmr_diversified_topk"):
+                 "conv_structure_audit", "mmr_diversified_topk",
+                 "rolling_active_users", "web_curate",
+                 "conv_extract_digest", "crawl_frontier_depth",
+                 "triangle_count", "indegree_histogram",
+                 "link_reciprocity"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

@@ -148,6 +148,22 @@ _PRIORITY = [
     # distinct-(user, day) partials + coarse user partitions run
     # in-window via funnel_conversion — sim+pytest covered.
     "anchor_text_stats",
+    # nineteenth session: BFS hops-from-seeds over the same closed
+    # graph — the crawl-frontier discipline (iterative min-fold with
+    # frontier-only expansion, provably equal to the full expansion the
+    # oracle could also run; unrolled hop-for-hop mirror).  Displaced
+    # q3_top_orders: its semi-join + copart + bounded top-k physical
+    # plan is in-window via q9_product_profit (chained coparts + dim
+    # probes) and pareto_orders (bounded driver merge) — sim+pytest
+    # covered.
+    "crawl_frontier_depth",
+    # nineteenth session: wedge-join triangle census (grouped-arange
+    # pair expansion + pair-hash existence probe; planted closure arm
+    # keeps the count non-vacuous — the bare affine graph is
+    # triangle-free).  Displaced segment_price_quantiles: the exact
+    # grouped-percentile discipline is in-window via price_rank_ntile's
+    # ordered range partitions — sim+pytest covered.
+    "triangle_count",
     "knn_label_agreement",  # new: label-noise audit (exact kNN vote)
     # eighteenth session: MMR diversified retrieval — the greedy
     # relevance-vs-redundancy top-k (a new retrieval discipline; its
@@ -178,7 +194,6 @@ _PRIORITY = [
     "weighted_sample",
     "frequent_ngrams",
     "pmi_top_pairs",  # new: word-association mining (doc-PMI ranking)
-    "q3_top_orders",
     # fifteenth session: the synthesized-partsupp family — two genuinely
     # new disciplines (a whole dimension rebuilt in mirrored mod
     # arithmetic; a COMPOSITE-key fact-fact copart).  Displaced:
@@ -220,13 +235,18 @@ _PRIORITY = [
     "rolling_active_users",
     "funnel_conversion",  # ordered funnel (earliest-event chain)
     "asof_latest_order",
-    "segment_price_quantiles",
     # displaced in the fifteenth session by extract_turns_exact (the
     # flagship's oracle-backed twin belongs in the gate above a second
     # retrieval entry; search_topk's postings build + integer-idf ranking
     # stay sim+pytest covered, and the per-part top-K + bounded-merge
     # physical plan runs in-window via q3/hot-key family)
     "search_topk",
+    # displaced in the nineteenth session by crawl_frontier_depth /
+    # triangle_count (q3's semi-join + copart + bounded top-k plan is
+    # in-window via q9_product_profit + pareto_orders; the exact
+    # grouped-percentile discipline via price_rank_ntile) — both
+    # sim+pytest covered
+    "q3_top_orders", "segment_price_quantiles",
     # displaced in the eighteenth session by conv_structure_audit /
     # pagerank_docs / pareto_orders (three genuinely-new disciplines):
     # source_word_lift's _word_lift_rank fold runs IN-WINDOW inside

@@ -317,6 +317,22 @@ def _register_data_ops(queries, sql) -> None:
     # per-iteration rank-mass telemetry (no-silent-iteration discipline)
     queries["pagerank_mass_audit"] = pagerank_mass_audit
     sql["pagerank_mass_audit"] = oprep.PAGERANK_MASS_AUDIT
+    # BFS hops-from-seeds over the same closed graph (frontier-only
+    # expansion, min-fold per coarse node-hash part, unrolled mirror)
+    from prlib_ray.stages.graph import (
+        crawl_frontier_depth, indegree_histogram, link_reciprocity,
+        triangle_count)
+
+    queries["crawl_frontier_depth"] = crawl_frontier_depth
+    sql["crawl_frontier_depth"] = oprep.CRAWL_FRONTIER_DEPTH
+    # link-graph shape audits: in-degree histogram, mutual-link census
+    queries["indegree_histogram"] = indegree_histogram
+    sql["indegree_histogram"] = oprep.INDEGREE_HISTOGRAM
+    queries["link_reciprocity"] = link_reciprocity
+    sql["link_reciprocity"] = oprep.LINK_RECIPROCITY
+    # wedge-join triangle census (affine arms + planted closure arm)
+    queries["triangle_count"] = triangle_count
+    sql["triangle_count"] = oprep.TRIANGLE_COUNT
     queries["length_filter_p95"] = dataset_prep.length_filter_p95
     sql["length_filter_p95"] = oprep.LENGTH_FILTER_P95
     queries["sample_per_source"] = dataset_prep.sample_per_source

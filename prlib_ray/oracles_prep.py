@@ -558,3 +558,139 @@ SELECT * FROM ({arms}) ORDER BY iteration"""
 
 
 PAGERANK_MASS_AUDIT = _pagerank_mass_audit_sql()
+
+
+def _crawl_frontier_depth_sql() -> str:
+    """Mirror of stages/graph.crawl_frontier_depth: the shared edge
+    arms, the deterministic seed set, and BFS_ITERS unrolled
+    MATERIALIZED min-merge hops — each hop expands ONLY the frontier
+    (d = t-1), the same provably-equivalent restriction the engine
+    uses, so both sides compute the identical plan."""
+    from prlib_ray.stages.graph import BFS_ITERS, BFS_SEED_MOD
+
+    edges = _edge_arms_sql(with_deg=False)
+    iters = []
+    for t in range(1, BFS_ITERS + 1):
+        iters.append(f"""
+d{t} AS MATERIALIZED (
+    SELECT node, MIN(d) AS d FROM (
+        SELECT node, d FROM d{t - 1}
+        UNION ALL
+        SELECT e.dst AS node, CAST({t} AS BIGINT) AS d
+        FROM e JOIN d{t - 1} f ON e.src = f.node AND f.d = {t - 1}
+    ) u
+    GROUP BY node
+)""")
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+e AS MATERIALIZED (
+    {edges}
+),
+d0 AS MATERIALIZED (
+    SELECT doc_id AS node, CAST(0 AS BIGINT) AS d FROM documents
+    WHERE doc_id % {BFS_SEED_MOD} = 0
+),{",".join(iters)}
+SELECT node AS doc_id, d AS depth FROM d{BFS_ITERS}
+"""
+
+
+CRAWL_FRONTIER_DEPTH = _crawl_frontier_depth_sql()
+
+
+def _indegree_histogram_sql() -> str:
+    """Mirror of stages/graph.indegree_histogram: LEFT JOIN keeps
+    zero-in-degree pages (count(e.src) = 0), parallel edges count."""
+    edges = _edge_arms_sql(with_deg=False)
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+e AS MATERIALIZED (
+    {edges}
+),
+ind AS MATERIALIZED (
+    SELECT d.doc_id, CAST(count(e.src) AS BIGINT) AS indeg
+    FROM documents d LEFT JOIN e ON e.dst = d.doc_id
+    GROUP BY d.doc_id
+)
+SELECT indeg, CAST(count(*) AS BIGINT) AS n_nodes
+FROM ind GROUP BY indeg
+"""
+
+
+INDEGREE_HISTOGRAM = _indegree_histogram_sql()
+
+
+def _link_reciprocity_sql() -> str:
+    """Mirror of stages/graph.link_reciprocity over DISTINCT directed
+    edges: total, self-loops, and unordered pairs present in both
+    directions (counted once per pair via src < dst)."""
+    edges = _edge_arms_sql(with_deg=False)
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+e AS MATERIALIZED (
+    {edges}
+),
+ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e)
+SELECT
+    CAST((SELECT count(*) FROM ed) AS BIGINT) AS n_edges_distinct,
+    CAST((SELECT count(*) FROM ed WHERE src = dst) AS BIGINT)
+        AS n_self_loops,
+    CAST((SELECT count(*) FROM ed a
+          JOIN ed b ON a.src = b.dst AND a.dst = b.src
+          WHERE a.src < a.dst) AS BIGINT) AS n_reciprocal
+"""
+
+
+LINK_RECIPROCITY = _link_reciprocity_sql()
+
+
+def _closure_arms_sql() -> str:
+    """THE one SQL definition of the planted triangle-closure arm
+    (engine twin: stages/graph.iter_closure_edges): every doc with
+    id %% TRI_PLANT_MOD == 0 contributes the directed 3-cycle chords
+    (i, i+1), (i+1, i+2), (i, i+2) mod N.  Expects ``nn(n)`` in
+    scope."""
+    from prlib_ray.stages.graph import TRI_PLANT_MOD
+
+    w = f"FROM documents WHERE doc_id % {TRI_PLANT_MOD} = 0"
+    n = "(SELECT n FROM nn)"
+    return (
+        f"SELECT doc_id AS src, (doc_id + 1) % {n} AS dst\n    {w}"
+        f"\n    UNION ALL\n    "
+        f"SELECT (doc_id + 1) % {n} AS src, (doc_id + 2) % {n} AS dst"
+        f"\n    {w}"
+        f"\n    UNION ALL\n    "
+        f"SELECT doc_id AS src, (doc_id + 2) % {n} AS dst\n    {w}"
+    )
+
+
+def _triangle_count_sql() -> str:
+    """Mirror of stages/graph.triangle_count: shared affine arms UNION
+    the planted closure arm, canonicalized to distinct undirected
+    (lo < hi) edges; wedges = per-lo higher-neighbor pairs; triangles
+    via the ordered (x<y<z) triple join."""
+    edges = _edge_arms_sql(with_deg=False)
+    closure = _closure_arms_sql()
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+e AS MATERIALIZED (
+    {edges}
+    UNION ALL
+    {closure}
+),
+eu AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+    FROM e WHERE src <> dst
+)
+SELECT
+    CAST((SELECT count(*) FROM eu) AS BIGINT) AS n_edges,
+    CAST((SELECT coalesce(sum((c * (c - 1)) // 2), 0)
+          FROM (SELECT count(*) AS c FROM eu GROUP BY lo) t)
+        AS BIGINT) AS n_wedges,
+    CAST((SELECT count(*) FROM eu a
+          JOIN eu b ON b.lo = a.lo AND b.hi > a.hi
+          JOIN eu c ON c.lo = a.hi AND c.hi = b.hi) AS BIGINT)
+        AS n_triangles
+"""
+
+
+TRIANGLE_COUNT = _triangle_count_sql()

@@ -357,3 +357,454 @@ def pagerank_mass_audit(sf_dir: str):
                              type=pa.int64()),
         "n_nodes": pa.array([o["n_nodes"] for o in out], type=pa.int64()),
     })
+
+# ---------------------------------------------------------------------------
+# BFS crawl-frontier depth (the crawl-scheduling signal)
+
+BFS_SEED_MOD = 97     # seed pages: doc_id % BFS_SEED_MOD == 0
+BFS_ITERS = 4         # unrolled hop bound (oracle mirrors each hop)
+N_BFS_PARTS = 32      # coarse node-hash partitions per min-fold
+
+
+def _node_part(node: np.ndarray, n_parts: int) -> np.ndarray:
+    return ((node.astype(np.uint64) * _GOLD)
+            % np.uint64(n_parts)).astype(np.int64)
+
+
+def _pair_part(lo: np.ndarray, hi: np.ndarray, n_parts: int) -> np.ndarray:
+    """Coarse partition of a canonical (lo, hi) pair: both rows of the
+    same pair land in the same part, so pair-level dedup / existence
+    checks are part-local."""
+    h = (lo.astype(np.uint64) * _GOLD + hi.astype(np.uint64)) * _GOLD
+    return (h % np.uint64(n_parts)).astype(np.int64)
+
+
+def crawl_frontier_depth(sf_dir: str):
+    """BFS depth (hops <= BFS_ITERS) from the deterministic seed set
+    (doc_id %% BFS_SEED_MOD == 0) over the SAME synthesized closed link
+    graph as pagerank_docs — the crawl-frontier discipline: a crawler
+    schedules by distance from its seed list, and a training pipeline
+    keeps "hops from trusted seeds" as a per-page quality feature
+    (reference analogue: the iterate-until-stable discipline of
+    thinZhangSuen.cpp:57-108, here with a FIXED unrolled hop bound the
+    oracle mirrors hop-for-hop).
+
+    Returns one row per REACHED page: (doc_id, depth), depth in
+    [0, BFS_ITERS].
+
+    Physical plan per hop: only FRONTIER nodes (d == t-1) explode their
+    out-edges — provably equal to expanding every known node, because a
+    node first labeled d' < t-1 already contributed its (dst, d'+1)
+    rows in hop d'+1 and the min-fold makes re-contributions no-ops.
+    Best-known labels stay a Dataset keyed by the same coarse node-hash
+    partition as the PageRank fold; each hop is one narrow explode +
+    one coarse shuffle, and the labels Dataset is materialized per hop
+    because it feeds both the next explode and (ultimately) the output
+    — the materialize-the-fork lesson.  At 10^12 nodes: shuffle payload
+    is 2 int64 columns x (frontier out-degree), the fold is one lexsort
+    per part, and nothing driver-materializes."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = ds.count()  # parquet metadata only
+
+    def init(b: pa.Table) -> pa.Table:
+        ids = (b["doc_id"].to_numpy().astype(np.int64)
+               if b.num_rows else np.empty(0, dtype=np.int64))
+        s = ids[ids % BFS_SEED_MOD == 0]
+        return pa.table({
+            "node": pa.array(s),
+            "d": pa.array(np.zeros(len(s), dtype=np.int64)),
+            "part": pa.array(_node_part(s, N_BFS_PARTS)),
+        })
+
+    def expand(t: int):
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                z = pa.array([], type=pa.int64())
+                return pa.table({"node": z, "d": z, "part": z})
+            node = b["node"].to_numpy().astype(np.int64)
+            d = b["d"].to_numpy().astype(np.int64)
+            frontier = node[d == t - 1]
+            nodes = [node]
+            ds_ = [d]
+            for _, live, dst in iter_out_edges(frontier, n_docs):
+                nodes.append(dst)
+                ds_.append(np.full(len(dst), t, dtype=np.int64))
+            out = np.concatenate(nodes)
+            return pa.table({
+                "node": pa.array(out),
+                "d": pa.array(np.concatenate(ds_)),
+                "part": pa.array(_node_part(out, N_BFS_PARTS)),
+            })
+
+        return fn
+
+    def min_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                 "d": pd.Series([], dtype=np.int64),
+                                 "part": pd.Series([], dtype=np.int64)})
+        node = g["node"].to_numpy().astype(np.int64)
+        d = g["d"].to_numpy().astype(np.int64)
+        o = np.lexsort((d, node))
+        node, d = node[o], d[o]
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        return pd.DataFrame({
+            "node": node[starts],
+            "d": d[starts],
+            "part": _node_part(node[starts], N_BFS_PARTS),
+        })
+
+    best = ds.map_batches(init, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    for t in range(1, BFS_ITERS + 1):
+        best = (
+            best.map_batches(expand(t), batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("part")
+            .map_groups(min_fold, batch_format="pandas")
+            .materialize()
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["node"], "depth": b["d"]})
+
+    return best.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# degree / reciprocity audits over the same closed graph
+
+N_DEG_PARTS = 32
+
+
+def indegree_histogram(sf_dir: str):
+    """Histogram of page in-degree (counting parallel edges — the same
+    multiplicity convention as the PageRank fold): one row per distinct
+    in-degree with the number of pages at it.  The link-graph shape
+    audit a crawl pipeline runs before trusting centrality signals: a
+    histogram collapsed onto one bucket or sprouting a mega-hub tail
+    flags a broken link extractor before PageRank consumes the edges.
+
+    Physical plan: one documents scan explodes (dst, 1) in-edge rows
+    plus a (doc, 0) presence row per page (zero-in-degree pages must
+    emit — the LEFT-JOIN-zero discipline); coarse dst-hash partitions
+    co-locate each page's in-edges; per part ONE lexsort folds per-node
+    degree and then per-degree node counts; the per-part partials
+    (<= distinct-degree rows each, degrees bounded by max in-degree)
+    merge on the driver — bounded like pareto_orders' frontier merge.
+    At 10^12 pages the shuffle payload is 2 int64 columns x (|E| + N)
+    and the report stays a few dozen rows."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = ds.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"node": z, "c": z, "part": z})
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        nodes = [ids]
+        cs = [np.zeros(len(ids), dtype=np.int64)]
+        for _, live, dst in iter_out_edges(ids, n_docs):
+            nodes.append(dst)
+            cs.append(np.ones(len(dst), dtype=np.int64))
+        node = np.concatenate(nodes)
+        return pa.table({
+            "node": pa.array(node),
+            "c": pa.array(np.concatenate(cs)),
+            "part": pa.array(_node_part(node, N_DEG_PARTS)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"indeg": pd.Series([], dtype=np.int64),
+                                 "n_nodes": pd.Series([], dtype=np.int64)})
+        node = g["node"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        o = np.argsort(node, kind="stable")
+        node, c = node[o], c[o]
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        indeg = np.add.reduceat(c, starts)
+        vals, counts = np.unique(indeg, return_counts=True)
+        return pd.DataFrame({"indeg": vals,
+                             "n_nodes": counts.astype(np.int64)})
+
+    rows = (
+        ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .take_all()  # bounded: <= N_DEG_PARTS x distinct-degree rows
+    )
+    acc: dict[int, int] = {}
+    for r in rows:
+        acc[int(r["indeg"])] = acc.get(int(r["indeg"]), 0) + int(r["n_nodes"])
+    ks = sorted(acc)
+    return pa.table({
+        "indeg": pa.array(ks, type=pa.int64()),
+        "n_nodes": pa.array([acc[k] for k in ks], type=pa.int64()),
+    })
+
+
+def link_reciprocity(sf_dir: str):
+    """One-row reciprocity audit of the directed link graph: distinct
+    directed edges, self-loops, and unordered pairs linked in BOTH
+    directions — the mutual-link fraction is a classic crawl-graph
+    health metric (blog circles reciprocate; scraped link farms do
+    not).
+
+    Physical plan: edges explode with a CANONICAL (lo, hi) key and a
+    direction tag (0: src<dst, 1: src>dst, 2: self); a coarse
+    unordered-pair-hash partition co-locates both directions of every
+    pair, so dedup AND both-directions detection are part-local (ONE
+    lexsort per part); per-part one-row partials sum on the driver.
+    At 10^12 pages: 4 int64 columns x |E| shuffle, bounded report."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = ds.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"lo": z, "hi": z, "dir": z, "part": z})
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        srcs, dsts = [], []
+        for _, live, dst in iter_out_edges(ids, n_docs):
+            srcs.append(ids[live])
+            dsts.append(dst)
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        drn = np.where(src == dst, 2, np.where(src < dst, 0, 1)).astype(
+            np.int64)
+        return pa.table({
+            "lo": pa.array(lo),
+            "hi": pa.array(hi),
+            "dir": pa.array(drn),
+            "part": pa.array(_pair_part(lo, hi, N_DEG_PARTS)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("n_edges_distinct", "n_self_loops", "n_reciprocal")
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        lo = g["lo"].to_numpy().astype(np.int64)
+        hi = g["hi"].to_numpy().astype(np.int64)
+        drn = g["dir"].to_numpy().astype(np.int64)
+        o = np.lexsort((drn, hi, lo))
+        lo, hi, drn = lo[o], hi[o], drn[o]
+        # distinct (lo, hi, dir) triples <=> distinct directed edges
+        new3 = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+                     | (drn[1:] != drn[:-1])]
+        n_edges = int(new3.sum())
+        n_self = int(np.unique(lo[drn == 2]).size)
+        # reciprocal: a (lo, hi) run containing BOTH dir 0 and dir 1
+        new2 = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
+        starts = np.flatnonzero(new2)
+        has0 = np.add.reduceat((drn == 0).astype(np.int64), starts) > 0
+        has1 = np.add.reduceat((drn == 1).astype(np.int64), starts) > 0
+        n_recip = int((has0 & has1).sum())
+        return pd.DataFrame({
+            "n_edges_distinct": np.array([n_edges], dtype=np.int64),
+            "n_self_loops": np.array([n_self], dtype=np.int64),
+            "n_reciprocal": np.array([n_recip], dtype=np.int64),
+        })
+
+    rows = (
+        ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .take_all()  # bounded: one row per part
+    )
+    return pa.table({
+        "n_edges_distinct": pa.array(
+            [sum(int(r["n_edges_distinct"]) for r in rows)],
+            type=pa.int64()),
+        "n_self_loops": pa.array(
+            [sum(int(r["n_self_loops"]) for r in rows)], type=pa.int64()),
+        "n_reciprocal": pa.array(
+            [sum(int(r["n_reciprocal"]) for r in rows)], type=pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (wedge join) over the closed graph + planted closures
+
+TRI_PLANT_MOD = 7     # closure plant: i % 7 == 0 adds the 3-cycle
+                      # {i, (i+1) % N, (i+2) % N} — the affine arms alone
+                      # close no triangles (measured: 0 at every sf), so
+                      # the planted-pair discipline (dedup_embedding's)
+                      # makes the count non-vacuous at every scale
+N_TRI_PARTS = 32
+
+
+def iter_closure_edges(ids: np.ndarray, n_docs: int):
+    """The planted triangle-closure arm — THE one engine-side
+    definition (SQL twin: oracles_prep._closure_arms_sql): every doc
+    with id %% TRI_PLANT_MOD == 0 contributes the directed 3-cycle
+    chords (i, i+1), (i+1, i+2), (i, i+2) mod N."""
+    p = ids[ids % TRI_PLANT_MOD == 0]
+    b = (p + 1) % n_docs
+    c = (p + 2) % n_docs
+    yield p, b
+    yield b, c
+    yield p, c
+
+
+def triangle_count(sf_dir: str):
+    """One-row triangle census of the undirected link graph (shared
+    affine arms + the planted closure arm): distinct undirected edges,
+    wedges (ordered open 2-paths) and closed triangles — the clustering
+    signal that separates organic link neighborhoods from spam farms
+    (triangle-free at crawl scale = a generated graph, like the bare
+    affine arms here).
+
+    Physical plan (the wedge-join discipline): (1) canonical (lo, hi)
+    edge rows dedup per unordered-pair-hash part (each distinct pair
+    lives in exactly one part => global dedup without a global sort);
+    (2) re-partitioned by hash(lo), each node's higher-neighbor run
+    emits its wedge pairs (v, w) via a grouped-arange pair expansion —
+    vectorized, no per-node Python loop; (3) wedge rows (kind 1) union
+    the edge rows (kind 0) keyed by the pair hash of (v, w), and one
+    lexsort per part counts wedge rows whose pair run contains an edge
+    row.  eu and the wedge Dataset each feed two consumers and are
+    materialized (the materialize-the-fork lesson).  Counted once per
+    triangle {x<y<z}: the wedge is emitted only at the minimum vertex.
+    SCALE ASSUMPTION (documented like the LSH hot-bucket cap): wedge
+    count is sum-of-deg^2 — bounded here (affine out-degree <= 3,
+    near-uniform in-degree), but a power-law web graph needs a
+    per-node degree cap or wedge sampling before step (2)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = ds.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"lo": z, "hi": z, "part": z})
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        srcs, dsts = [], []
+        for _, live, dst in iter_out_edges(ids, n_docs):
+            srcs.append(ids[live])
+            dsts.append(dst)
+        for s, d in iter_closure_edges(ids, n_docs):
+            srcs.append(s)
+            dsts.append(d)
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        keep = src != dst
+        lo = np.minimum(src[keep], dst[keep])
+        hi = np.maximum(src[keep], dst[keep])
+        return pa.table({
+            "lo": pa.array(lo),
+            "hi": pa.array(hi),
+            "part": pa.array(_pair_part(lo, hi, N_TRI_PARTS)),
+        })
+
+    def dedup_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"lo": pd.Series([], dtype=np.int64),
+                                 "hi": pd.Series([], dtype=np.int64)})
+        lo = g["lo"].to_numpy().astype(np.int64)
+        hi = g["hi"].to_numpy().astype(np.int64)
+        o = np.lexsort((hi, lo))
+        lo, hi = lo[o], hi[o]
+        first = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
+        return pd.DataFrame({"lo": lo[first], "hi": hi[first]})
+
+    eu = (
+        ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(dedup_fold, batch_format="pandas")
+        .materialize()  # feeds count + wedge explode + edge probe
+    )
+    n_edges = eu.count()
+
+    def tag_lo(b: pa.Table) -> pa.Table:
+        lo = (b["lo"].to_numpy().astype(np.int64)
+              if b.num_rows else np.empty(0, dtype=np.int64))
+        return b.append_column("part2",
+                               pa.array(_node_part(lo, N_TRI_PARTS)))
+
+    def wedge_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"v": pd.Series([], dtype=np.int64),
+                                 "w": pd.Series([], dtype=np.int64)})
+        lo = g["lo"].to_numpy().astype(np.int64)
+        hi = g["hi"].to_numpy().astype(np.int64)
+        o = np.lexsort((hi, lo))
+        lo, hi = lo[o], hi[o]
+        # per lo-run of length L, emit all C(L, 2) ordered (v < w)
+        # higher-neighbor pairs via a grouped arange — no Python loop
+        starts = np.flatnonzero(np.r_[True, lo[1:] != lo[:-1]])
+        ends = np.r_[starts[1:], len(lo)]
+        run_end = np.repeat(ends, ends - starts)      # per element
+        idx = np.arange(len(lo))
+        cnt = run_end - idx - 1                       # partners after me
+        v = np.repeat(hi, cnt)
+        off = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        w = hi[np.arange(cnt.sum()) - off + np.repeat(idx + 1, cnt)]
+        return pd.DataFrame({"v": v, "w": w})
+
+    wedges = (
+        eu.map_batches(tag_lo, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part2")
+        .map_groups(wedge_fold, batch_format="pandas")
+        .materialize()  # feeds count + probe union
+    )
+    n_wedges = wedges.count()
+
+    def tag_pair(kind: int, v_col: str, w_col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                z = pa.array([], type=pa.int64())
+                return pa.table({"v": z, "w": z, "kind": z, "part3": z})
+            v = b[v_col].to_numpy().astype(np.int64)
+            w = b[w_col].to_numpy().astype(np.int64)
+            return pa.table({
+                "v": pa.array(v),
+                "w": pa.array(w),
+                "kind": pa.array(np.full(len(v), kind, dtype=np.int64)),
+                "part3": pa.array(_pair_part(v, w, N_TRI_PARTS)),
+            })
+
+        return fn
+
+    def match_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"n": pd.Series([], dtype=np.int64)})
+        v = g["v"].to_numpy().astype(np.int64)
+        w = g["w"].to_numpy().astype(np.int64)
+        kind = g["kind"].to_numpy().astype(np.int64)
+        o = np.lexsort((kind, w, v))
+        v, w, kind = v[o], w[o], kind[o]
+        starts = np.flatnonzero(
+            np.r_[True, (v[1:] != v[:-1]) | (w[1:] != w[:-1])])
+        has_edge = np.add.reduceat((kind == 0).astype(np.int64), starts) > 0
+        n_wedge_rows = np.add.reduceat((kind == 1).astype(np.int64), starts)
+        n = int(n_wedge_rows[has_edge].sum())
+        return pd.DataFrame({"n": np.array([n], dtype=np.int64)})
+
+    probe = wedges.map_batches(
+        tag_pair(1, "v", "w"), batch_format="pyarrow", zero_copy_batch=True
+    ).union(eu.map_batches(
+        tag_pair(0, "lo", "hi"), batch_format="pyarrow",
+        zero_copy_batch=True))
+    rows = (
+        probe.groupby("part3")
+        .map_groups(match_fold, batch_format="pandas")
+        .take_all()  # bounded: one row per part
+    )
+    n_tri = sum(int(r["n"]) for r in rows)
+    return pa.table({
+        "n_edges": pa.array([int(n_edges)], type=pa.int64()),
+        "n_wedges": pa.array([int(n_wedges)], type=pa.int64()),
+        "n_triangles": pa.array([n_tri], type=pa.int64()),
+    })

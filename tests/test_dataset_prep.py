@@ -35,7 +35,9 @@ PREP_CASES = ["mix_sources", "shuffle_head", "decontaminate",
               "sample_per_source", "heavy_hitter_words", "snapshot_diff",
               "conv_structure_audit", "pagerank_docs",
               "anchor_text_stats", "web_curate",
-              "conv_extract_digest", "pagerank_mass_audit"]
+              "conv_extract_digest", "pagerank_mass_audit",
+              "crawl_frontier_depth", "indegree_histogram",
+              "link_reciprocity", "triangle_count"]
 
 
 @pytest.mark.parametrize("name", PREP_CASES)
@@ -688,3 +690,111 @@ def test_pagerank_mass_audit_invariants(registry, ray_session, sf_dir):
         assert ideal - 4 * n <= cur <= ideal
     top = queries["pagerank_docs"](sf_dir).to_pandas()
     assert int(df["max_rank"].iloc[-1]) == int(top["pr"].max())
+
+
+def _tiny_docs(tmp_path, n):
+    import pyarrow as pa2
+
+    pq.write_table(pa2.table({
+        "doc_id": pa2.array(list(range(n)), type=pa2.int64()),
+        "text": pa2.array(["x"] * n, type=pa2.string()),
+    }), tmp_path / "documents.parquet")
+
+
+def _brute_edges(n, closure=False):
+    """Straight-line directed edge list of the synthesized graph."""
+    from prlib_ray.stages.graph import PR_ADD, PR_MULT, TRI_PLANT_MOD
+
+    out = []
+    for i in range(n):
+        for j in range(1 + i % 3):
+            out.append((i, (i * PR_MULT[j] + PR_ADD[j]) % n))
+    if closure:
+        for i in range(0, n, TRI_PLANT_MOD):
+            out += [(i, (i + 1) % n), ((i + 1) % n, (i + 2) % n),
+                    (i, (i + 2) % n)]
+    return out
+
+
+def test_crawl_frontier_depth_constructed(ray_session, tmp_path):
+    """BFS depths on a 200-node graph (3 seeds) must equal a
+    straight-line BFS, with a real multi-level frontier."""
+    from prlib_ray.stages.graph import (BFS_ITERS, BFS_SEED_MOD,
+                                        crawl_frontier_depth)
+
+    n = 200
+    _tiny_docs(tmp_path, n)
+    out_adj = {}
+    for u, v in _brute_edges(n):
+        out_adj.setdefault(u, []).append(v)
+    depth = {s: 0 for s in range(0, n, BFS_SEED_MOD)}
+    frontier = sorted(depth)
+    for t in range(1, BFS_ITERS + 1):
+        nxt = []
+        for u in frontier:
+            for v in out_adj.get(u, ()):
+                if v not in depth:
+                    depth[v] = t
+                    nxt.append(v)
+        frontier = nxt
+
+    df = crawl_frontier_depth(str(tmp_path)).to_pandas()
+    got = dict(zip(df["doc_id"], df["depth"]))
+    assert got == depth
+    assert len(set(depth.values())) == BFS_ITERS + 1  # real frontier
+
+
+def test_triangle_count_constructed(ray_session, tmp_path):
+    """The wedge-join census on a 70-node graph must equal the
+    straight-line adjacency-set count, with planted triangles > 0."""
+    from prlib_ray.stages.graph import triangle_count
+
+    n = 70
+    _tiny_docs(tmp_path, n)
+    eu = {(min(u, v), max(u, v))
+          for u, v in _brute_edges(n, closure=True) if u != v}
+    adj = {}
+    for u, v in eu:
+        adj.setdefault(u, set()).add(v)
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    tri = 0
+    for u, s in adj.items():
+        sl = sorted(s)
+        for i in range(len(sl)):
+            for k in range(i + 1, len(sl)):
+                if sl[k] in adj.get(sl[i], ()):
+                    tri += 1
+
+    df = triangle_count(str(tmp_path)).to_pandas()
+    assert int(df["n_edges"].iloc[0]) == len(eu)
+    assert int(df["n_wedges"].iloc[0]) == wedges
+    assert int(df["n_triangles"].iloc[0]) == tri
+    assert tri > 0  # the planted closure arm fired
+
+
+def test_reciprocity_and_indegree_constructed(ray_session, tmp_path):
+    """Reciprocity census + in-degree histogram on a 60-node graph
+    must equal the straight-line sets."""
+    from prlib_ray.stages.graph import indegree_histogram, link_reciprocity
+
+    n = 60
+    _tiny_docs(tmp_path, n)
+    edges = _brute_edges(n)
+    ed = set(edges)
+    n_self = sum(1 for u, v in ed if u == v)
+    n_recip = sum(1 for u, v in ed if u < v and (v, u) in ed)
+
+    df = link_reciprocity(str(tmp_path)).to_pandas()
+    assert int(df["n_edges_distinct"].iloc[0]) == len(ed)
+    assert int(df["n_self_loops"].iloc[0]) == n_self
+    assert int(df["n_reciprocal"].iloc[0]) == n_recip
+
+    indeg = np.zeros(n, dtype=int)
+    for _, v in edges:  # parallel edges count (multiplicity)
+        indeg[v] += 1
+    want = {d: int(c) for d, c in
+            zip(*np.unique(indeg, return_counts=True))}
+    hf = indegree_histogram(str(tmp_path)).to_pandas()
+    got = dict(zip(hf["indeg"], hf["n_nodes"]))
+    assert got == want
+    assert len(got) > 1  # non-regular in-degree
