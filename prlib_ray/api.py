@@ -88,6 +88,14 @@ _PRIORITY = [
     # — per-turn extracted-text equality checked against a full SQL
     # mirror at the driver gate (the rng flagship stays rows-only)
     "extract_turns_exact",
+    # nineteenth session: the SPANS view of the same extraction —
+    # SURVEY §1.2's spans column as flat driver-hashable rows (one row
+    # per kept line, char offsets into the turn's clean_text; shares
+    # _exact_line_frame/_extract_kept_ctes with the exact twin so the
+    # keep decisions cannot drift).  Displaced dedup_semantic: the
+    # embedding near-dup discipline is in-window via dedup_embedding
+    # (same planted-pair gate) — sim+pytest covered.
+    "extract_turn_spans",
     # eighteenth session: per-conversation structural QA (role
     # alternation / tool turns / char budgets) over the SAME
     # deterministic transcript as the exact twin — the transcript-shape
@@ -127,7 +135,7 @@ _PRIORITY = [
     "dedup_rate_by_source",  # new: per-source dedup accounting report
     "cross_source_dup_matrix",  # new: cross-source provenance matrix
     "dedup_minhash_lsh",
-    "dedup_embedding", "dedup_semantic",
+    "dedup_embedding",
     "cluster_top_terms",  # new: cross-modal cluster topic labeling
     "cluster_balance",  # new: embedding-space class-balance audit
     "dedup_incremental",
@@ -247,6 +255,10 @@ _PRIORITY = [
     # grouped-percentile discipline via price_rank_ntile) — both
     # sim+pytest covered
     "q3_top_orders", "segment_price_quantiles",
+    # displaced in the nineteenth session by extract_turn_spans (the
+    # embedding near-dup discipline stays in-window via dedup_embedding
+    # — same planted-pair gate; sim+pytest covered)
+    "dedup_semantic",
     # displaced in the eighteenth session by conv_structure_audit /
     # pagerank_docs / pareto_orders (three genuinely-new disciplines):
     # source_word_lift's _word_lift_rank fold runs IN-WINDOW inside

@@ -475,6 +475,25 @@ def _register_data_ops(queries, sql) -> None:
     queries["extract_turns_exact"] = extract_turns_exact
     sql["extract_turns_exact"] = odata.EXTRACT_TURNS_EXACT
 
+    # the SPANS view of the same extraction (SURVEY §1.2's spans column
+    # as flat driver-hashable rows): one row per kept line with char
+    # offsets into the turn's clean_text; shares _exact_line_frame so
+    # the keep decisions cannot drift from extract_turns_exact
+    def extract_turn_spans(sf_dir: str):
+        import ray.data as rd
+
+        from prlib_ray.stages.boilerplate import extract_spans_batch
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return ds.map_batches(
+            extract_spans_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    queries["extract_turn_spans"] = extract_turn_spans
+    sql["extract_turn_spans"] = odata.EXTRACT_TURN_SPANS
+
     # MMR diversified retrieval: bounded greedy over the integer-score
     # shortlist, unrolled selection CTEs in the mirror
     from prlib_ray.stages.similarity import mmr_diversified_topk

@@ -1755,8 +1755,10 @@ def _sql_lit(s: str) -> str:
     return " || ".join(parts) if parts else "''"
 
 
-def _extract_turns_exact_sql() -> str:
-    """SQL mirror of the exact-integer extraction twin.
+def _extract_kept_ctes() -> str:
+    """WITH-clause body (words .. kept) of the exact-extraction mirror,
+    shared by EXTRACT_TURNS_EXACT and EXTRACT_TURN_SPANS (the engine
+    twin of the sharing is boilerplate._exact_line_frame).
 
     Rebuilds the deterministic transcript (word-chunked lines + the four
     furniture plants), applies the SAME furniture rules, and decides the
@@ -1817,7 +1819,15 @@ kept AS (
   SELECT doc_id, line_no, line
   FROM (SELECT *, 640 * n * xv - 512 * s AS d FROM cand)
   WHERE d > 0 AND n * n * d * d > s * s * (n * q - s * s)
-),
+)"""
+
+
+def _extract_turns_exact_sql() -> str:
+    """The per-turn extraction mirror: the shared kept-line chain + the
+    per-doc string_agg / count tail."""
+    from prlib_ray.stages import boilerplate as bp
+
+    return f"""{_extract_kept_ctes()},
 per_doc AS (
   SELECT d.doc_id,
          COALESCE(k.clean_text, '') AS clean_text,
@@ -1844,6 +1854,37 @@ FROM per_doc p JOIN furn f USING (doc_id)
 
 
 EXTRACT_TURNS_EXACT = _extract_turns_exact_sql()
+
+
+def _extract_turn_spans_sql() -> str:
+    """Mirror of boilerplate.extract_spans_batch: the shared kept-line
+    chain + per-kept-line rank and character offsets into the turn's
+    '\\n'-joined clean_text (exclusive prefix sum of length + 1 over
+    prior kept lines in line_no order)."""
+    from prlib_ray.stages import boilerplate as bp
+
+    return f"""{_extract_kept_ctes()},
+span AS (
+  SELECT doc_id,
+         row_number() OVER w - 1 AS span_idx,
+         COALESCE(SUM(length(line) + 1) OVER (
+             PARTITION BY doc_id ORDER BY line_no
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS span_start,
+         length(line) AS len
+  FROM kept
+  WINDOW w AS (PARTITION BY doc_id ORDER BY line_no)
+)
+SELECT doc_id % {bp.EXACT_NCONV} AS conv_id,
+       doc_id // {bp.EXACT_NCONV} AS turn_idx,
+       CAST(span_idx AS BIGINT) AS span_idx,
+       CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_start + len AS BIGINT) AS span_end
+FROM span
+"""
+
+
+EXTRACT_TURN_SPANS = _extract_turn_spans_sql()
 
 
 def _unicode_dedup_sql() -> str:

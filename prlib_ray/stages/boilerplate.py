@@ -470,13 +470,13 @@ EXACT_PLANTS = (
 )
 
 
-def extract_exact_batch(batch: pa.Table) -> pa.Table:
-    """documents (doc_id, text) -> per-turn exact extraction rows.
-
-    Embarrassingly parallel (per-turn windows never cross rows): one
-    map_batches, no shuffle.  Output: (conv_id, turn_idx, clean_text,
-    n_content, n_furniture, n_boilerplate) — the driver's value hash
-    checks the extracted text itself, i.e. per-turn text equality."""
+def _exact_line_frame(batch: pa.Table):
+    """Steps 1-4 of the exact-extraction kernel, shared by the per-turn
+    emitters (extract_exact_batch, extract_spans_batch): the
+    deterministic transcript's line table in (doc, line_no) order with
+    per-line furniture flags and Sauvola keep decisions.  Returns None
+    on an empty batch, else (ids, ldoc, lines, char_lens, furniture,
+    keep)."""
     import pyarrow.compute as pc
 
     from prlib_ray.blocks import BlockFrame, window_sum
@@ -489,18 +489,8 @@ def extract_exact_batch(batch: pa.Table) -> pa.Table:
         texts = texts.combine_chunks()
     ids = ids_col.to_numpy(zero_copy_only=False).astype(np.int64)
     ndocs = len(ids)
-    empty = pa.table(
-        {
-            "conv_id": pa.array([], type=pa.int64()),
-            "turn_idx": pa.array([], type=pa.int64()),
-            "clean_text": pa.array([], type=pa.string()),
-            "n_content": pa.array([], type=pa.int64()),
-            "n_furniture": pa.array([], type=pa.int64()),
-            "n_boilerplate": pa.array([], type=pa.int64()),
-        }
-    )
     if ndocs == 0:
-        return empty
+        return None
 
     # 1. words -> content lines of EXACT_LINE_WORDS (SQL: GROUP BY
     #    doc_id, (i-1)//8 + string_agg ORDER BY i)
@@ -569,6 +559,34 @@ def extract_exact_batch(batch: pa.Table) -> pa.Table:
         q, _ = window_sum(x_c * x_c, frame, WINDOW, WINDOW)
         d = 640 * n * x_c - 512 * s
         keep[cidx] = (d > 0) & ((n * n) * (d * d) > (s * s) * (n * q - s * s))
+    return ids, ldoc, lines, char_lens, furniture, keep
+
+
+def extract_exact_batch(batch: pa.Table) -> pa.Table:
+    """documents (doc_id, text) -> per-turn exact extraction rows.
+
+    Embarrassingly parallel (per-turn windows never cross rows): one
+    map_batches, no shuffle.  Output: (conv_id, turn_idx, clean_text,
+    n_content, n_furniture, n_boilerplate) — the driver's value hash
+    checks the extracted text itself, i.e. per-turn text equality."""
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], type=pa.int64()),
+            "turn_idx": pa.array([], type=pa.int64()),
+            "clean_text": pa.array([], type=pa.string()),
+            "n_content": pa.array([], type=pa.int64()),
+            "n_furniture": pa.array([], type=pa.int64()),
+            "n_boilerplate": pa.array([], type=pa.int64()),
+        }
+    )
+    frame = _exact_line_frame(batch)
+    if frame is None:
+        return empty
+    ids, ldoc, lines, _char_lens, furniture, keep = frame
+    ndocs = len(ids)
+    cand = ~furniture
 
     # 5. per-turn outputs: kept lines re-join in (doc, line_no) order
     kept_vals = lines.filter(pa.array(keep))
@@ -589,3 +607,51 @@ def extract_exact_batch(batch: pa.Table) -> pa.Table:
             "n_boilerplate": pa.array(n_boiler.astype(np.int64), type=pa.int64()),
         }
     )
+
+
+def extract_spans_batch(batch: pa.Table) -> pa.Table:
+    """documents (doc_id, text) -> one row per KEPT line: the SPANS
+    view of the exact extraction (SURVEY §1.2's spans column as flat
+    driver-hashable rows).  (conv_id, turn_idx, span_idx, span_start,
+    span_end): span_idx ranks kept lines in line_no order within the
+    turn; span_start/span_end are CHARACTER offsets of the line inside
+    the turn's clean_text ('\n'-joined), so span_start = sum of prior
+    kept line lengths + one separator each and span_end - span_start =
+    the line's char length.  Shares _exact_line_frame with
+    extract_exact_batch — the decisions cannot drift.  Embarrassingly
+    parallel: one map_batches, no shuffle, text never leaves the
+    batch."""
+    empty = pa.table({
+        "conv_id": pa.array([], type=pa.int64()),
+        "turn_idx": pa.array([], type=pa.int64()),
+        "span_idx": pa.array([], type=pa.int64()),
+        "span_start": pa.array([], type=pa.int64()),
+        "span_end": pa.array([], type=pa.int64()),
+    })
+    frame = _exact_line_frame(batch)
+    if frame is None:
+        return empty
+    ids, ldoc, _lines, char_lens, _furniture, keep = frame
+    ndocs = len(ids)
+    kdoc = ldoc[keep]
+    klen = char_lens[keep]
+    if len(kdoc) == 0:
+        return empty
+    kcounts = np.bincount(kdoc, minlength=ndocs)
+    koff = np.concatenate(([0], np.cumsum(kcounts))).astype(np.int64)
+    span_idx = np.arange(len(kdoc), dtype=np.int64) - np.repeat(
+        koff[:-1], kcounts)
+    # grouped exclusive prefix sum of (len + 1): global prefix minus the
+    # group's base (prev at the group's first element)
+    prev = np.concatenate(([0], np.cumsum(klen + 1)[:-1]))
+    # zero-kept docs repeat 0 times, but their koff can point one past
+    # the last row — clip before the (unused) gather
+    base = prev[np.minimum(koff[:-1], len(kdoc) - 1)]
+    start = prev - np.repeat(base, kcounts)
+    return pa.table({
+        "conv_id": pa.array(ids[kdoc] % EXACT_NCONV, type=pa.int64()),
+        "turn_idx": pa.array(ids[kdoc] // EXACT_NCONV, type=pa.int64()),
+        "span_idx": pa.array(span_idx),
+        "span_start": pa.array(start),
+        "span_end": pa.array(start + klen),
+    })

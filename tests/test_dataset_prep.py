@@ -37,7 +37,8 @@ PREP_CASES = ["mix_sources", "shuffle_head", "decontaminate",
               "anchor_text_stats", "web_curate",
               "conv_extract_digest", "pagerank_mass_audit",
               "crawl_frontier_depth", "indegree_histogram",
-              "link_reciprocity", "triangle_count"]
+              "link_reciprocity", "triangle_count",
+              "extract_turn_spans"]
 
 
 @pytest.mark.parametrize("name", PREP_CASES)
@@ -798,3 +799,34 @@ def test_reciprocity_and_indegree_constructed(ray_session, tmp_path):
     got = dict(zip(hf["indeg"], hf["n_nodes"]))
     assert got == want
     assert len(got) > 1  # non-regular in-degree
+
+
+def test_extract_turn_spans_reconstruct(registry, ray_session, sf_dir):
+    """Spans must tile each turn's clean_text exactly: n_spans ==
+    n_content, consecutive spans separated by exactly one '\\n' char,
+    last span_end == len(clean_text), and each span slices the kept
+    line it describes."""
+    queries, _ = registry
+    sp = queries["extract_turn_spans"](sf_dir).to_pandas()
+    ex = queries["extract_turns_exact"](sf_dir).to_pandas()
+    clean = {(r.conv_id, r.turn_idx): r.clean_text for r in ex.itertuples()}
+    n_content = {(r.conv_id, r.turn_idx): int(r.n_content)
+                 for r in ex.itertuples()}
+
+    got_counts: dict = {}
+    checked_slices = 0
+    for key, g in sp.groupby(["conv_id", "turn_idx"]):
+        g = g.sort_values("span_idx")
+        got_counts[key] = len(g)
+        txt = clean[key]
+        starts = g["span_start"].to_numpy()
+        ends = g["span_end"].to_numpy()
+        assert starts[0] == 0
+        assert (starts[1:] == ends[:-1] + 1).all()  # one '\n' between
+        assert ends[-1] == len(txt)
+        for s, e in zip(starts, ends):
+            assert "\n" not in txt[s:e]  # a span is exactly one line
+            checked_slices += 1
+    for key, n in n_content.items():
+        assert got_counts.get(key, 0) == n
+    assert checked_slices > 100  # non-vacuous
