@@ -215,6 +215,20 @@ def test_probe_join_auto_gate(ray_session, sf_dir, monkeypatch):
     assert base.equals(auto)
 
 
+def test_fk_orphan_audit_auto_gate(ray_session, sf_dir, monkeypatch):
+    """fk_orphan_audit's via='auto' flips from the no-shuffle broadcast
+    anti-probe to the one-shuffle edge-tagged copart layout above the
+    summed parent row-count threshold, byte-equal."""
+    from prlib_ray import relational as rel
+
+    base = _normalize(rel.fk_orphan_audit(sf_dir, via="broadcast"))
+    cop = _normalize(rel.fk_orphan_audit(sf_dir, via="copart"))
+    assert base.equals(cop)
+    monkeypatch.setattr(rel, "FACT_BROADCAST_MAX_ROWS", 1)
+    auto = _normalize(rel.fk_orphan_audit(sf_dir))  # now copart
+    assert base.equals(auto)
+
+
 def test_skew_profile_and_hot_keys_constructed(ray_session, tmp_path):
     """Bucket histogram and top-K on hand-built group sizes, including
     a count tie at the K boundary (broken by the smaller user_id)."""
