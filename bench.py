@@ -211,7 +211,8 @@ def run_bench() -> dict:
                  "rolling_active_users", "web_curate",
                  "conv_extract_digest", "crawl_frontier_depth",
                  "triangle_count", "indegree_histogram",
-                 "link_reciprocity", "extract_turn_spans"):
+                 "link_reciprocity", "extract_turn_spans",
+                 "hits_scores"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

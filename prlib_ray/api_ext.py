@@ -333,6 +333,11 @@ def _register_data_ops(queries, sql) -> None:
     # wedge-join triangle census (affine arms + planted closure arm)
     queries["triangle_count"] = triangle_count
     sql["triangle_count"] = oprep.TRIANGLE_COUNT
+    # HITS hubs & authorities: the gather-join iterative discipline
+    from prlib_ray.stages.graph import hits_scores
+
+    queries["hits_scores"] = hits_scores
+    sql["hits_scores"] = oprep.HITS_SCORES
     queries["length_filter_p95"] = dataset_prep.length_filter_p95
     sql["length_filter_p95"] = oprep.LENGTH_FILTER_P95
     queries["sample_per_source"] = dataset_prep.sample_per_source

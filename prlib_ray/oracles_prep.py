@@ -694,3 +694,49 @@ SELECT
 
 
 TRIANGLE_COUNT = _triangle_count_sql()
+
+
+def _hits_scores_sql() -> str:
+    """Mirror of stages/graph.hits_scores: HITS_ITERS unrolled
+    MATERIALIZED (authority, hub) rounds over the shared edge arms —
+    authority gathers hubs over in-edges, hub gathers authorities over
+    out-edges; LEFT JOINs keep edge-less nodes at 0."""
+    from prlib_ray.stages.graph import HITS_ITERS, HITS_SCALE, HITS_TOPK
+
+    edges = _edge_arms_sql(with_deg=False)
+    iters = []
+    for t in range(1, HITS_ITERS + 1):
+        iters.append(f"""
+a{t} AS MATERIALIZED (
+    SELECT d.doc_id AS node,
+           CAST(coalesce(SUM(h.h), 0) AS BIGINT) AS a
+    FROM documents d
+    LEFT JOIN e ON e.dst = d.doc_id
+    LEFT JOIN h{t - 1} h ON h.node = e.src
+    GROUP BY d.doc_id
+),
+h{t} AS MATERIALIZED (
+    SELECT d.doc_id AS node,
+           CAST(coalesce(SUM(a.a), 0) AS BIGINT) AS h
+    FROM documents d
+    LEFT JOIN e ON e.src = d.doc_id
+    LEFT JOIN a{t} a ON a.node = e.dst
+    GROUP BY d.doc_id
+)""")
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+e AS MATERIALIZED (
+    {edges}
+),
+h0 AS MATERIALIZED (
+    SELECT doc_id AS node, CAST({HITS_SCALE} AS BIGINT) AS h
+    FROM documents
+),{",".join(iters)}
+SELECT a.node AS doc_id, a.a AS authority, h.h AS hub
+FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h USING (node)
+ORDER BY a.a DESC, a.node ASC
+LIMIT {HITS_TOPK}
+"""
+
+
+HITS_SCORES = _hits_scores_sql()

@@ -808,3 +808,221 @@ def triangle_count(sf_dir: str):
         "n_wedges": pa.array([int(n_wedges)], type=pa.int64()),
         "n_triangles": pa.array([n_tri], type=pa.int64()),
     })
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (mutual-recursion iteration; gather-join step)
+
+HITS_ITERS = 2        # unrolled (authority, hub) rounds (oracle mirrors)
+HITS_SCALE = 1_000    # initial hub mass per node (exact int64 throughout)
+HITS_TOPK = 20
+N_HITS_PARTS = 32
+
+
+def hits_scores(sf_dir: str):
+    """Integer HITS over the synthesized closed graph: authority(v) =
+    sum of hub(u) over in-edges u->v; hub(u) = sum of authority(v) over
+    u's out-edges — the OTHER classic link-centrality prior next to
+    PageRank (Kleinberg's hubs-and-authorities; directories/link hubs
+    vs cited pages).  No normalization: unrolled exact-int64 rounds
+    (values bounded by (max_indeg * max_outdeg)^t * HITS_SCALE — out-deg
+    <= 3 here, far from overflow).  Top-HITS_TOPK rows by (authority
+    DESC, doc_id ASC) with both scores.
+
+    The h-step is a different physical shape from PageRank's
+    scatter-fold: hub(u) GATHERS authority at u's out-neighbors, so the
+    engine co-locates regenerated (dst, src) edge rows with the
+    authority rows by hash(dst) (the authority of v and every edge INTO
+    v land in one part — one searchsorted gather per part), then folds
+    the emitted (src, a[dst]) contributions by hash(src).  Per round:
+    one scatter-fold shuffle (a-step) + two shuffles (h-step gather +
+    fold); every intermediate is 2-3 int64 columns; a and h materialize
+    per round (each feeds the next step AND the final output — the
+    materialize-the-fork lesson).  At 10^12 nodes the plan holds:
+    payloads are |E| int64 pairs, folds are one lexsort per part."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = ds.count()  # parquet metadata only
+
+    def sum_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                 "v": pd.Series([], dtype=np.int64)})
+        node = g["node"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        o = np.argsort(node, kind="stable")
+        node, c = node[o], c[o]
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        return pd.DataFrame({"node": node[starts],
+                             "v": np.add.reduceat(c, starts)})
+
+    def init(b: pa.Table) -> pa.Table:
+        ids = (b["doc_id"].to_numpy().astype(np.int64)
+               if b.num_rows else np.empty(0, dtype=np.int64))
+        return pa.table({
+            "node": pa.array(ids),
+            "v": pa.array(np.full(len(ids), HITS_SCALE, dtype=np.int64)),
+        })
+
+    def scatter(b: pa.Table) -> pa.Table:
+        """(node, v) rows -> per-out-edge (dst, v) contribution rows
+        plus (node, 0) self rows, keyed by hash(dst)."""
+        if b.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"node": z, "c": z, "part": z})
+        node = b["node"].to_numpy().astype(np.int64)
+        v = b["v"].to_numpy().astype(np.int64)
+        nodes = [node]
+        cs = [np.zeros(len(node), dtype=np.int64)]
+        for _, live, dst in iter_out_edges(node, n_docs):
+            nodes.append(dst)
+            cs.append(v[live])
+        out = np.concatenate(nodes)
+        return pa.table({
+            "node": pa.array(out),
+            "c": pa.array(np.concatenate(cs)),
+            "part": pa.array(_node_part(out, N_HITS_PARTS)),
+        })
+
+    def edges_by_dst(b: pa.Table) -> pa.Table:
+        """documents scan -> (key=dst, aux=src, val=0, kind=1) edge
+        rows keyed by hash(dst) — co-located with dst's authority."""
+        if b.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"key": z, "aux": z, "val": z, "kind": z,
+                             "part": z})
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        vs, us = [], []
+        for _, live, dst in iter_out_edges(ids, n_docs):
+            vs.append(dst)
+            us.append(ids[live])
+        v = np.concatenate(vs)
+        u = np.concatenate(us)
+        return pa.table({
+            "key": pa.array(v),
+            "aux": pa.array(u),
+            "val": pa.array(np.zeros(len(v), dtype=np.int64)),
+            "kind": pa.array(np.ones(len(v), dtype=np.int64)),
+            "part": pa.array(_node_part(v, N_HITS_PARTS)),
+        })
+
+    def tag_scores(kind: int):
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                z = pa.array([], type=pa.int64())
+                return pa.table({"key": z, "aux": z, "val": z, "kind": z,
+                                 "part": z})
+            node = b["node"].to_numpy().astype(np.int64)
+            v = b["v"].to_numpy().astype(np.int64)
+            return pa.table({
+                "key": pa.array(node),
+                "aux": pa.array(np.full(len(node), -1, dtype=np.int64)),
+                "val": pa.array(v),
+                "kind": pa.array(np.full(len(node), kind, dtype=np.int64)),
+                "part": pa.array(_node_part(node, N_HITS_PARTS)),
+            })
+
+        return fn
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        """Per part: map each edge row's dst-authority onto its source
+        (one searchsorted — every dst's authority row shares the part
+        by construction) and emit (src, a[dst]) + (node, 0) presence
+        rows keyed by hash(src)."""
+        if len(g) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                                 "c": pd.Series([], dtype=np.int64),
+                                 "part": pd.Series([], dtype=np.int64)})
+        key = g["key"].to_numpy().astype(np.int64)
+        aux = g["aux"].to_numpy().astype(np.int64)
+        val = g["val"].to_numpy().astype(np.int64)
+        kind = g["kind"].to_numpy().astype(np.int64)
+        am = kind == 0
+        anodes = key[am]
+        avals = val[am]
+        o = np.argsort(anodes, kind="stable")
+        anodes, avals = anodes[o], avals[o]
+        ev = key[~am]
+        eu = aux[~am]
+        c = avals[np.searchsorted(anodes, ev)] if len(ev) else \
+            np.empty(0, dtype=np.int64)
+        node = np.concatenate([anodes, eu])
+        cc = np.concatenate([np.zeros(len(anodes), dtype=np.int64), c])
+        return pd.DataFrame({
+            "node": node,
+            "c": cc,
+            "part": _node_part(node, N_HITS_PARTS),
+        })
+
+    h = ds.map_batches(init, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize()
+    a = None
+    for _ in range(HITS_ITERS):
+        a = (
+            h.map_batches(scatter, batch_format="pyarrow",
+                          zero_copy_batch=True)
+            .groupby("part")
+            .map_groups(sum_fold, batch_format="pandas")
+            .materialize()
+        )
+        h = (
+            a.map_batches(tag_scores(0), batch_format="pyarrow",
+                          zero_copy_batch=True)
+            .union(ds.map_batches(edges_by_dst, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+            .groupby("part")
+            .map_groups(gather, batch_format="pandas")
+            .groupby("part")
+            .map_groups(sum_fold, batch_format="pandas")
+            .materialize()
+        )
+
+    def pair_fold(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("node", "a", "h")
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        key = g["key"].to_numpy().astype(np.int64)
+        val = g["val"].to_numpy().astype(np.int64)
+        kind = g["kind"].to_numpy().astype(np.int64)
+        o = np.lexsort((kind, key))
+        key, val, kind = key[o], val[o], kind[o]
+        # every node has exactly one kind-0 (authority) and one kind-1
+        # (hub) row — adjacent after the lexsort
+        return pd.DataFrame({
+            "node": key[kind == 0],
+            "a": val[kind == 0],
+            "h": val[kind == 1],
+        })
+
+    def local_top(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"node": z, "a": z, "h": z})
+        node = b["node"].to_numpy().astype(np.int64)
+        av = b["a"].to_numpy().astype(np.int64)
+        hv = b["h"].to_numpy().astype(np.int64)
+        o = np.lexsort((node, -av))[:HITS_TOPK]
+        return pa.table({"node": pa.array(node[o]), "a": pa.array(av[o]),
+                         "h": pa.array(hv[o])})
+
+    cands = (
+        a.map_batches(tag_scores(0), batch_format="pyarrow",
+                      zero_copy_batch=True)
+        .union(h.map_batches(tag_scores(1), batch_format="pyarrow",
+                             zero_copy_batch=True))
+        .groupby("part")
+        .map_groups(pair_fold, batch_format="pandas")
+        .map_batches(local_top, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .take_all()  # bounded: <= HITS_TOPK rows per block
+    )
+    node = np.asarray([c["node"] for c in cands], dtype=np.int64)
+    av = np.asarray([c["a"] for c in cands], dtype=np.int64)
+    hv = np.asarray([c["h"] for c in cands], dtype=np.int64)
+    o = np.lexsort((node, -av))[:HITS_TOPK]
+    return pa.table({
+        "doc_id": pa.array(node[o]),
+        "authority": pa.array(av[o]),
+        "hub": pa.array(hv[o]),
+    })

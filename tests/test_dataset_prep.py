@@ -38,7 +38,7 @@ PREP_CASES = ["mix_sources", "shuffle_head", "decontaminate",
               "conv_extract_digest", "pagerank_mass_audit",
               "crawl_frontier_depth", "indegree_histogram",
               "link_reciprocity", "triangle_count",
-              "extract_turn_spans"]
+              "extract_turn_spans", "hits_scores"]
 
 
 @pytest.mark.parametrize("name", PREP_CASES)
@@ -830,3 +830,31 @@ def test_extract_turn_spans_reconstruct(registry, ray_session, sf_dir):
     for key, n in n_content.items():
         assert got_counts.get(key, 0) == n
     assert checked_slices > 100  # non-vacuous
+
+
+def test_hits_scores_constructed(ray_session, tmp_path):
+    """Integer HITS on a 90-node graph must equal the straight-line
+    scatter/gather reference (same unrolled rounds, same (authority
+    DESC, id ASC) top-k), with a real authority spread."""
+    from prlib_ray.stages.graph import (HITS_ITERS, HITS_SCALE, HITS_TOPK,
+                                        hits_scores)
+
+    n = 90
+    _tiny_docs(tmp_path, n)
+    edges = _brute_edges(n)
+    src = np.array([u for u, _ in edges], dtype=np.int64)
+    dst = np.array([v for _, v in edges], dtype=np.int64)
+    h = np.full(n, HITS_SCALE, dtype=np.int64)
+    for _ in range(HITS_ITERS):
+        a = np.zeros(n, dtype=np.int64)
+        np.add.at(a, dst, h[src])
+        h = np.zeros(n, dtype=np.int64)
+        np.add.at(h, src, a[dst])
+    o = np.lexsort((np.arange(n), -a))[:HITS_TOPK]
+
+    out = hits_scores(str(tmp_path)).to_pandas()
+    assert np.array_equal(out["doc_id"].to_numpy(), o)
+    assert np.array_equal(out["authority"].to_numpy(), a[o])
+    assert np.array_equal(out["hub"].to_numpy(), h[o])
+    # real spread across the graph (the top-k itself may tie-plateau)
+    assert len(np.unique(a)) > 1 and len(np.unique(h)) > 1
