@@ -149,6 +149,11 @@ def _register_data_ops(queries, sql) -> None:
     sql["dedup_winnow_pairs"] = odata.WINNOW_PAIRS
     queries["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs
     sql["dedup_ngram_jaccard"] = odata.NGRAM_JACCARD
+    # asymmetric subset-duplication pairs (containment of the smaller
+    # doc's shingles; planted snippet docs make it fire where Jaccard
+    # cannot)
+    queries["dedup_containment"] = dedup.containment_pairs
+    sql["dedup_containment"] = odata.CONTAINMENT_PAIRS
     # the banding itself mirrors in SQL (md5_number shingle ids, HUGEINT
     # (a*x+b) mod p minhashes, ':'-joined band sigs): full exact oracle
     queries["dedup_minhash_lsh"] = dedup.minhash_lsh_dedup
@@ -827,6 +832,10 @@ def _register_relational(queries, sql) -> None:
         # TPC-H Q12 shape: synthesized shipmode/commit/receipt dates
         ("q12_shipmode_priority", rel.q12_shipmode_priority,
          orel.Q12_SHIPMODE_PRIORITY),
+        # TPC-H Q4 shape: EXISTS semi-join counted per order priority
+        # (same synthesized commit/receipt dates as Q12)
+        ("q4_order_priority", rel.q4_order_priority,
+         orel.Q4_ORDER_PRIORITY),
         # Deequ/dbt-style column profiler (exact n_distinct/min/max per
         # column; planted NULLs keep the null accounting non-vacuous)
         ("profile_columns", rel.profile_columns, orel.PROFILE_COLUMNS),

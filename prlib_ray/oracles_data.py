@@ -54,6 +54,58 @@ JOIN sizes sb ON i.doc_b = sb.doc_id
 WHERE sa.n + sb.n - i.c > 0 AND 5 * i.c >= sa.n + sb.n - i.c
 ORDER BY i.doc_a, i.doc_b"""
 
+def _containment_pairs_sql() -> str:
+    """Mirror of dedup.containment_pairs: the Jaccard mirror's shingle
+    CTEs over the plant-augmented sub table, with the asymmetric
+    2*inter >= least(n_a, n_b) decision."""
+    from prlib_ray.stages import dedup as dd
+
+    return f"""
+WITH sub AS (
+    SELECT doc_id, text FROM documents WHERE doc_id < {dd.MAX_PAIR_ID}
+    UNION ALL
+    SELECT doc_id + {dd.PLANT_CONTAIN_OFFSET},
+           array_to_string(list_slice(string_split(text, ' '), 1,
+                           {dd.CONTAIN_SNIPPET_WORDS}), ' ')
+    FROM documents WHERE doc_id < {dd.N_PLANT_CONTAIN}
+),
+words AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM sub
+),
+nz AS (
+    SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+    FROM words WHERE w <> ''
+),
+sh AS (
+    SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+    FROM nz a
+    JOIN nz b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+    JOIN nz c ON a.doc_id = c.doc_id AND c.j = a.j + 2
+),
+ds AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+    FROM ds x JOIN ds y ON x.s = y.s AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.c AS BIGINT) AS inter,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE least(sa.n, sb.n) > 0 AND 2 * i.c >= least(sa.n, sb.n)
+ORDER BY i.doc_a, i.doc_b"""
+
+
+CONTAINMENT_PAIRS = _containment_pairs_sql()
+
+
 TOKEN_COUNT = """
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens

@@ -1187,6 +1187,35 @@ FROM flt GROUP BY shipmode
 Q12_SHIPMODE_PRIORITY = _q12_sql()
 
 
+def _q4_sql() -> str:
+    """Mirror of relational.q4_order_priority: the Q12 synthesis's
+    commit/receipt dates, an EXISTS semi-join counted per priority."""
+    from prlib_ray import relational as rel
+
+    return f"""
+WITH li AS (
+  SELECT l_orderkey,
+         l_shipdate + INTERVAL ((l_orderkey + l_linenumber * 7) % 45 - 10)
+           DAY AS commitdate,
+         l_shipdate + INTERVAL ((l_orderkey * 2 + l_linenumber) % 30 + 1)
+           DAY AS receiptdate
+  FROM lineitem
+)
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{rel.Q4_QUARTER[0]}'
+  AND o.o_orderdate < TIMESTAMP '{rel.Q4_QUARTER[1]}'
+  AND EXISTS (SELECT 1 FROM li
+              WHERE li.l_orderkey = o.o_orderkey
+                AND li.commitdate < li.receiptdate)
+GROUP BY o.o_orderpriority
+"""
+
+
+Q4_ORDER_PRIORITY = _q4_sql()
+
+
 def _profile_columns_sql() -> str:
     """Per-column profile mirror: the NULL plant, the integer views
     (cents / epoch-us) and the column list all interpolate from

@@ -5366,6 +5366,102 @@ def q9_product_profit(sf_dir: str):
     })
 
 
+Q4_QUARTER = ("1997-07-01", "1997-10-01")  # one populated quarter
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape: per order priority, how many orders placed in
+    one quarter have AT LEAST ONE late lineitem (commitdate <
+    receiptdate) — the EXISTS semi-join counted per group.  The
+    commit/receipt dates synthesize exactly as in Q12 (the same
+    mirrored mod arithmetic — see q12_shipmode_priority; one
+    definition would ideally be shared, but the two predicates filter
+    different subsets so each norm inlines the same two lines, with
+    the SQL twins likewise both derived from _q12_li_synth_sql).
+
+    Plan: the orders scan filters the quarter and carries
+    o_orderpriority; the lineitem scan keeps only late rows and
+    pre-combines to DISTINCT orderkeys per batch; both co-partition by
+    _copart_tag(orderkey); per part one sorted-membership probe marks
+    existing orders and folds <= 5 (priority, n) partials into the
+    bounded final sum."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    qstart = np.datetime64(Q4_QUARTER[0], "us").astype(np.int64)
+    qend = np.datetime64(Q4_QUARTER[1], "us").astype(np.int64)
+    ord_ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+    li_ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_shipdate"])
+
+    def o_norm(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].cast(pa.int64()).to_numpy()
+        keep = (d >= qstart) & (d < qend)
+        return b.filter(pa.array(keep))
+
+    def li_norm(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy().astype(np.int64)
+        ln = b["l_linenumber"].to_numpy().astype(np.int64)
+        ship = b["l_shipdate"].cast(pa.int64()).to_numpy()
+        commit = ship + ((ok + ln * 7) % 45 - 10) * _DAY_US
+        receipt = ship + ((ok * 2 + ln) % 30 + 1) * _DAY_US
+        late = np.unique(ok[commit < receipt])  # per-batch pre-combine
+        return pa.table({
+            "l_orderkey": pa.array(late),
+            "z": pa.array(np.zeros(len(late), dtype=np.int64)),
+        })
+
+    both = _copart_two_fact_union(
+        ord_ds.map_batches(o_norm, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        li_ds.map_batches(li_norm, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        left_key="o_orderkey", left_t="o_orderdate",
+        right_key="l_orderkey", right_t="z",
+        left_extra=(("prio", "o_orderpriority"),),
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "o_orderpriority": np.array([], dtype=object),
+            "n": np.array([], dtype=np.int64),
+        })
+        side = g["side"].to_numpy()
+        om, lm = side == 0, side == 1
+        if not om.any() or not lm.any():
+            return empty
+        key = g["key"].to_numpy().astype(np.int64)
+        late = np.unique(key[lm])
+        okeys = key[om]
+        idx = np.searchsorted(late, okeys)
+        ex = (idx < len(late)) & (late[np.minimum(idx, len(late) - 1)]
+                                  == okeys)
+        prio = g["prio"].to_numpy()[om][ex]
+        if len(prio) == 0:
+            return empty
+        vals, counts = np.unique(prio.astype(str), return_counts=True)
+        return pd.DataFrame({
+            "o_orderpriority": vals.astype(object),
+            "n": counts.astype(np.int64),
+        })
+
+    rows = (
+        both.groupby("part").map_groups(fold, batch_format="pandas")
+        .groupby("o_orderpriority").aggregate(Sum("n"))  # <= 5 keys
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["o_orderpriority"])
+    return pa.table({
+        "o_orderpriority": pa.array(
+            [r["o_orderpriority"] for r in rows], type=pa.string()),
+        "order_count": pa.array([int(r["sum(n)"]) for r in rows],
+                                  type=pa.int64()),
+    })
+
+
 Q12_MODES = ("MAIL", "SHIP", "RAIL", "AIR")
 Q12_CHECK_MODES = ("MAIL", "SHIP")
 Q12_YEAR = ("1997-01-01", "1998-01-01")

@@ -181,6 +181,65 @@ def ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+# --- Containment (asymmetric subset-duplication) pairs ------------------------
+
+N_PLANT_CONTAIN = 5          # planted snippet docs (quote-in-long-doc)
+PLANT_CONTAIN_OFFSET = 2_000_000
+CONTAIN_SNIPPET_WORDS = 6    # first K space-split parts of the source
+
+
+def containment_pairs(sf_dir: str):
+    """Exact n-gram CONTAINMENT near-dup pairs over doc_id <
+    MAX_PAIR_ID: 2*inter >= min(n_a, n_b), min > 0 — i.e. at least
+    half of the SMALLER doc's shingles appear in the other.  The
+    asymmetric subset-duplication rule Jaccard misses: a short doc
+    quoted verbatim inside a long one has containment ~1.0 but
+    Jaccard ~ |short|/|long| ~ 0.  Bounded all-pairs baseline like
+    ngram_jaccard_pairs (the integer decision mirrors bit-for-bit in
+    SQL); at scale containment dedup runs on suffix-array / CDC-chunk
+    machinery, with minhash banding as the candidate generator.
+
+    The fixtures contain no true subset-duplicate, so the input is
+    AUGMENTED deterministically (the dedup_embedding plant
+    discipline): each doc_id < N_PLANT_CONTAIN contributes a snippet
+    doc at +PLANT_CONTAIN_OFFSET holding its first
+    CONTAIN_SNIPPET_WORDS space-split parts — containment fires on
+    every plant, Jaccard's 5*inter >= union cannot (pinned in
+    pytest)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pa.array(b["doc_id"].to_numpy() < MAX_PAIR_ID)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    rows = ds.take_all()  # bounded: < MAX_PAIR_ID rows by construction
+    docs = {int(r["doc_id"]): r["text"] for r in rows}
+    for did in sorted(docs):
+        if did < N_PLANT_CONTAIN:
+            docs[did + PLANT_CONTAIN_OFFSET] = " ".join(
+                docs[did].split(" ")[:CONTAIN_SNIPPET_WORDS])
+    items = sorted((d, _shingles(t)) for d, t in docs.items())
+    out = []
+    for i in range(len(items)):
+        ida, sa = items[i]
+        for j in range(i + 1, len(items)):
+            idb, sb = items[j]
+            inter = len(sa & sb)
+            lo = min(len(sa), len(sb))
+            if lo > 0 and 2 * inter >= lo:
+                out.append((ida, idb, inter, len(sa), len(sb)))
+    return pa.table({
+        "doc_a": pa.array([a for a, _, _, _, _ in out], type=pa.int64()),
+        "doc_b": pa.array([b for _, b, _, _, _ in out], type=pa.int64()),
+        "inter": pa.array([i for _, _, i, _, _ in out], type=pa.int64()),
+        "n_a": pa.array([x for _, _, _, x, _ in out], type=pa.int64()),
+        "n_b": pa.array([y for _, _, _, _, y in out], type=pa.int64()),
+    })
+
+
 # --- Edit-distance verification of near-dup candidates ------------------------
 
 N_PLANT_EDIT = 10

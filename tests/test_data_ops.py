@@ -58,6 +58,7 @@ ORACLE_CASES = [
     "dedup_unicode",
     "dedup_edit_distance",
     "mmr_diversified_topk",
+    "dedup_containment",
 ]
 
 
@@ -1280,3 +1281,26 @@ def test_mmr_diversity_reorders_and_matches_bruteforce(ray_session, tmp_path):
     # relevance alone ranks the duplicate (id 2) second; MMR must not
     assert cand[1] == 2 and rel[2] == rel[3]
     assert list(out["vec_id"])[:2] == [1, 3]
+
+
+def test_containment_plants_fire_where_jaccard_cannot(registry, ray_session,
+                                                      sf_dir):
+    """Every planted snippet doc must pair with its source under the
+    containment rule while failing the Jaccard rule (the asymmetric
+    case is real, not a Jaccard re-skin), and every reported pair must
+    satisfy the integer decision."""
+    from prlib_ray.stages.dedup import N_PLANT_CONTAIN, PLANT_CONTAIN_OFFSET
+
+    queries, _ = registry
+    df = queries["dedup_containment"](sf_dir).to_pandas()
+    got = {(a, b) for a, b in zip(df["doc_a"], df["doc_b"])}
+    lo = np.minimum(df["n_a"], df["n_b"])
+    assert ((lo > 0) & (2 * df["inter"] >= lo)).all()
+    by_pair = {(a, b): (i, na, nb) for a, b, i, na, nb in zip(
+        df["doc_a"], df["doc_b"], df["inter"], df["n_a"], df["n_b"])}
+    for d in range(N_PLANT_CONTAIN):
+        pair = (d, d + PLANT_CONTAIN_OFFSET)
+        assert pair in got, f"plant {pair} missing"
+        i, na, nb = by_pair[pair]
+        uni = na + nb - i
+        assert 5 * i < uni, "plant unexpectedly passes the Jaccard rule"

@@ -33,6 +33,7 @@ CASES = [
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q12_shipmode_priority",
+    "q4_order_priority",
     "profile_columns",
     "utf8_hygiene",
     "price_rank_ntile",
