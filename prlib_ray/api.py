@@ -126,7 +126,14 @@ _PRIORITY = [
     "profile_columns",
     "dedup_exact",
     "dedup_normalized",  # new: normalization-invariant exact dedup
-    "dedup_winnow_pairs",  # new: MOSS shared-fingerprint near-dup pairs
+    # nineteenth session: sorted-neighborhood candidate pairs — exact
+    # global-order windowing with NO global sort exchange (ordered
+    # range partitions -> exact ranks -> dense-rank blocks with a
+    # forward halo).  Displaced dedup_winnow_pairs: shared-fingerprint
+    # pair mining is in-window via dedup_minhash_lsh and the winnow
+    # selection kernel runs in-window inside fingerprint_winnow's sim
+    # coverage — sim+pytest covered.
+    "dedup_sorted_neighborhood",
     # fifteenth session: Levenshtein verification of near-dup candidates
     # (the fuzzy-dedup verify discipline; displaced dedup_best_survivor,
     # whose ranked _hash_min_fold variant is in-window via dedup_exact +
@@ -255,6 +262,9 @@ _PRIORITY = [
     # grouped-percentile discipline via price_rank_ntile) — both
     # sim+pytest covered
     "q3_top_orders", "segment_price_quantiles",
+    # displaced in the nineteenth session by dedup_sorted_neighborhood
+    # (see that ledger entry) — sim+pytest covered
+    "dedup_winnow_pairs",
     # displaced in the nineteenth session by extract_turn_spans (the
     # embedding near-dup discipline stays in-window via dedup_embedding
     # — same planted-pair gate; sim+pytest covered)

@@ -154,6 +154,11 @@ def _register_data_ops(queries, sql) -> None:
     # cannot)
     queries["dedup_containment"] = dedup.containment_pairs
     sql["dedup_containment"] = odata.CONTAINMENT_PAIRS
+    # sorted-neighborhood candidate pairs: exact global-order windowing
+    # via ordered range partitions + a dense-rank forward halo (no
+    # global sort exchange)
+    queries["dedup_sorted_neighborhood"] = dedup.sorted_neighborhood_pairs
+    sql["dedup_sorted_neighborhood"] = odata.SORTED_NEIGHBORHOOD
     # the banding itself mirrors in SQL (md5_number shingle ids, HUGEINT
     # (a*x+b) mod p minhashes, ':'-joined band sigs): full exact oracle
     queries["dedup_minhash_lsh"] = dedup.minhash_lsh_dedup

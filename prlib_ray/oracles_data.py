@@ -106,6 +106,34 @@ ORDER BY i.doc_a, i.doc_b"""
 CONTAINMENT_PAIRS = _containment_pairs_sql()
 
 
+def _sorted_neighborhood_sql() -> str:
+    """Mirror of dedup.sorted_neighborhood_pairs: row_number over the
+    (blocking key, doc_id) order, self-joined on rank distance."""
+    from prlib_ray.stages import dedup as dd
+
+    return f"""
+WITH k AS (
+    SELECT doc_id,
+           md5(lower(array_to_string(
+               list_slice(string_split(text, ' '), 1,
+                          {dd.SNM_KEY_WORDS}), ' '))) AS h
+    FROM documents
+),
+r AS (
+    SELECT doc_id, h,
+           row_number() OVER (ORDER BY h, doc_id) - 1 AS rn
+    FROM k
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(b.rn - a.rn AS BIGINT) AS dist,
+       CAST(CASE WHEN a.h = b.h THEN 1 ELSE 0 END AS BIGINT) AS key_equal
+FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND {dd.SNM_WINDOW}
+ORDER BY doc_a, doc_b"""
+
+
+SORTED_NEIGHBORHOOD = _sorted_neighborhood_sql()
+
+
 TOKEN_COUNT = """
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens

@@ -240,6 +240,168 @@ def containment_pairs(sf_dir: str):
     })
 
 
+# --- Sorted-neighborhood (SNM) candidate pairs ---------------------------------
+
+SNM_WINDOW = 3       # pair ranks within this distance in the global order
+SNM_KEY_WORDS = 4    # blocking key = md5 of the first K lowercased words
+N_SNM_PARTS = 32     # contiguous key-interval range partitions
+SNM_BLOCK = 4096     # dense-rank block size for the window join
+
+
+def sorted_neighborhood_pairs(sf_dir: str):
+    """Sorted-neighborhood-method candidate pairs: docs within
+    SNM_WINDOW positions of each other in the GLOBAL (blocking key,
+    doc_id) order, where the key is md5 of the first SNM_KEY_WORDS
+    lowercased words — the classic record-linkage candidate generator
+    (Hernandez-Stolfo): sort once, slide a fixed window, compare only
+    neighbors.  Output: (doc_a, doc_b, dist, key_equal) — exact, the
+    oracle is a row_number self-join.
+
+    Physical plan — exact global-order windowing with NO global sort
+    exchange (price_rank_ntile's rank discipline + a dense-rank halo):
+    (1) contiguous key-interval range partitions (leading md5 byte //
+    8) preserve the global order across parts; a bounded (part, n)
+    count fold prefix-sums into exclusive offsets on the driver, each
+    part sorts independently: global rank = offset + local rank.
+    (2) ranked rows route to dense-rank block rank // SNM_BLOCK and
+    ALSO to block (rank + SNM_WINDOW) // SNM_BLOCK when different (the
+    forward halo — ranks are dense, so a window can cross at most one
+    boundary and empty key intervals cannot starve it); per block one
+    sorted grouped-arange pass emits each window pair exactly once
+    (only rows whose natural block is this one emit as the right-hand
+    doc).  ASCII-lower contract: the fixtures' text is pure ASCII, so
+    Python .lower() == DuckDB lower() (the utf8_hygiene plants are
+    query-side and not in this table)."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "h": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "kpart": pa.array([], type=pa.int64()),
+            })
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        # per-doc md5, inherently per-row (the fingerprint_md5 caveat)
+        hs = [hashlib.md5(" ".join(t.split(" ")[:SNM_KEY_WORDS])
+                          .lower().encode()).hexdigest()
+              for t in b["text"].to_pylist()]
+        kpart = np.array([int(h[:2], 16) // (256 // N_SNM_PARTS)
+                          for h in hs], dtype=np.int64)
+        return pa.table({
+            "h": pa.array(hs, type=pa.string()),
+            "doc_id": pa.array(ids),
+            "kpart": pa.array(kpart),
+        })
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"kpart": z, "n": z})
+        kp = b["kpart"].to_numpy().astype(np.int64)
+        vals, counts = np.unique(kp, return_counts=True)
+        return pa.table({"kpart": pa.array(vals),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    totals = np.zeros(N_SNM_PARTS, dtype=np.int64)
+    for r in keyed_ds.map_batches(
+            count_partial, batch_format="pyarrow",
+            zero_copy_batch=True).take_all():  # bounded: <= parts/batch
+        totals[int(r["kpart"])] += int(r["n"])
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+
+    def rank_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "h": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "rank": pd.Series([], dtype=np.int64)})
+        h = g["h"].to_numpy().astype("U32")
+        did = g["doc_id"].to_numpy().astype(np.int64)
+        o = np.lexsort((did, h))
+        base = offsets[int(g["kpart"].iloc[0])]
+        return pd.DataFrame({
+            "h": h[o].astype(object),
+            "doc_id": did[o],
+            "rank": base + np.arange(len(o), dtype=np.int64),
+        })
+
+    ranked = (
+        keyed_ds.groupby("kpart")
+        .map_groups(rank_fold, batch_format="pandas")
+    )
+
+    def route(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "h": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+                "block": pa.array([], type=pa.int64()),
+            })
+        h = b["h"]
+        did = b["doc_id"].to_numpy().astype(np.int64)
+        rank = b["rank"].to_numpy().astype(np.int64)
+        own = rank // SNM_BLOCK
+        fwd = (rank + SNM_WINDOW) // SNM_BLOCK
+        extra = fwd != own
+        return pa.table({
+            "h": pa.concat_arrays([h.combine_chunks()
+                                   if isinstance(h, pa.ChunkedArray)
+                                   else h,
+                                   (h.combine_chunks()
+                                    if isinstance(h, pa.ChunkedArray)
+                                    else h).filter(pa.array(extra))]),
+            "doc_id": pa.array(np.concatenate([did, did[extra]])),
+            "rank": pa.array(np.concatenate([rank, rank[extra]])),
+            "block": pa.array(np.concatenate([own, fwd[extra]])),
+        })
+
+    def window_fold(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("doc_a", "doc_b", "dist", "key_equal")
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        blk = int(g["block"].iloc[0])
+        rank = g["rank"].to_numpy().astype(np.int64)
+        did = g["doc_id"].to_numpy().astype(np.int64)
+        h = g["h"].to_numpy().astype("U32")
+        o = np.argsort(rank, kind="stable")
+        rank, did, h = rank[o], did[o], h[o]
+        # halo copies duplicate ranks only across blocks, never within
+        # one group (a rank routes to two DIFFERENT blocks) — ranks are
+        # unique here by construction
+        nat = rank // SNM_BLOCK == blk  # right-hand docs owned here
+        lo = np.searchsorted(rank, rank - SNM_WINDOW, side="left")
+        j = np.flatnonzero(nat)
+        cnt = j - lo[j]                 # partners strictly before j
+        jj = np.repeat(j, cnt)
+        off = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ii = np.arange(cnt.sum()) - off + np.repeat(lo[j], cnt)
+        return pd.DataFrame({
+            "doc_a": did[ii],
+            "doc_b": did[jj],
+            "dist": rank[jj] - rank[ii],
+            "key_equal": (h[ii] == h[jj]).astype(np.int64),
+        })
+
+    return (
+        ranked.map_batches(route, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("block")
+        .map_groups(window_fold, batch_format="pandas")
+    )
+
+
 # --- Edit-distance verification of near-dup candidates ------------------------
 
 N_PLANT_EDIT = 10

@@ -59,6 +59,7 @@ ORACLE_CASES = [
     "dedup_edit_distance",
     "mmr_diversified_topk",
     "dedup_containment",
+    "dedup_sorted_neighborhood",
 ]
 
 
@@ -1304,3 +1305,40 @@ def test_containment_plants_fire_where_jaccard_cannot(registry, ray_session,
         i, na, nb = by_pair[pair]
         uni = na + nb - i
         assert 5 * i < uni, "plant unexpectedly passes the Jaccard rule"
+
+
+def test_sorted_neighborhood_halo_bruteforce(registry, ray_session, sf_dir,
+                                             monkeypatch):
+    """With tiny dense-rank blocks the window join must cross many
+    block boundaries (the forward-halo path — at the default 4096
+    block size the sf0.001 fixture fits one block and never exercises
+    it) and still equal the straight-line rank self-join."""
+    import hashlib
+
+    from prlib_ray.stages import dedup as dd
+
+    monkeypatch.setattr(dd, "SNM_BLOCK", 16)
+    df = dd.sorted_neighborhood_pairs(sf_dir).to_pandas()
+
+    t = pq.read_table(sf_dir + "/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    keys = [hashlib.md5(" ".join(s.split(" ")[:dd.SNM_KEY_WORDS])
+                        .lower().encode()).hexdigest()
+            for s in t["text"].to_pylist()]
+    order = sorted(range(len(ids)), key=lambda i: (keys[i], ids[i]))
+    want = set()
+    crossings = 0
+    for j in range(len(order)):
+        for d in range(1, dd.SNM_WINDOW + 1):
+            i = j - d
+            if i < 0:
+                break
+            a, b = order[i], order[j]
+            want.add((ids[a], ids[b], d, int(keys[a] == keys[b])))
+            if i // 16 != j // 16:
+                crossings += 1
+    got = set(zip(df["doc_a"], df["doc_b"], df["dist"], df["key_equal"]))
+    assert got == want
+    assert crossings > 0          # the halo path really ran
+    assert any(k for *_, k in got)  # real blocking: same-key neighbors
