@@ -212,7 +212,8 @@ def run_bench() -> dict:
                  "conv_extract_digest", "crawl_frontier_depth",
                  "triangle_count", "indegree_histogram",
                  "link_reciprocity", "extract_turn_spans",
-                 "hits_scores"):
+                 "hits_scores", "dedup_containment",
+                 "dedup_sorted_neighborhood", "dedup_prefix_filter"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

@@ -142,6 +142,14 @@ _PRIORITY = [
     "dedup_rate_by_source",  # new: per-source dedup accounting report
     "cross_source_dup_matrix",  # new: cross-source provenance matrix
     "dedup_minhash_lsh",
+    # twentieth session: exact similarity self-join over the FULL corpus
+    # via prefix filtering (AllPairs/PPJoin) — the complete-recall
+    # counterpart to minhash's probabilistic candidates, with the
+    # registry's only unbounded exact-Jaccard oracle.  Displaced
+    # frequent_ngrams: the n-gram counting family stays in-window via
+    # pmi_top_pairs (same tokenized substrate, pair mining on top) —
+    # sim+pytest covered.
+    "dedup_prefix_filter",
     "dedup_embedding",
     "cluster_top_terms",  # new: cross-modal cluster topic labeling
     "cluster_balance",  # new: embedding-space class-balance audit
@@ -207,7 +215,6 @@ _PRIORITY = [
     "q9_product_profit",
     "props_field_stats",  # new: semi-structured JSON extraction
     "weighted_sample",
-    "frequent_ngrams",
     "pmi_top_pairs",  # new: word-association mining (doc-PMI ranking)
     # fifteenth session: the synthesized-partsupp family — two genuinely
     # new disciplines (a whole dimension rebuilt in mirrored mod
@@ -256,6 +263,9 @@ _PRIORITY = [
     # stay sim+pytest covered, and the per-part top-K + bounded-merge
     # physical plan runs in-window via q3/hot-key family)
     "search_topk",
+    # displaced in the twentieth session by dedup_prefix_filter (n-gram
+    # counting repped in-window by pmi_top_pairs)
+    "frequent_ngrams",
     # displaced in the nineteenth session by crawl_frontier_depth /
     # triangle_count (q3's semi-join + copart + bounded top-k plan is
     # in-window via q9_product_profit + pareto_orders; the exact

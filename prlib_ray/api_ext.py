@@ -149,6 +149,12 @@ def _register_data_ops(queries, sql) -> None:
     sql["dedup_winnow_pairs"] = odata.WINNOW_PAIRS
     queries["dedup_ngram_jaccard"] = dedup.ngram_jaccard_pairs
     sql["dedup_ngram_jaccard"] = odata.NGRAM_JACCARD
+    # exact similarity self-join over the FULL corpus via prefix
+    # filtering (AllPairs/PPJoin): complete recall by construction, so
+    # the oracle is unbounded — the only whole-table exact-Jaccard gate
+    # in the registry (NGRAM_JACCARD's is doc_id-bounded)
+    queries["dedup_prefix_filter"] = dedup.prefix_filter_join
+    sql["dedup_prefix_filter"] = odata.PREFIX_FILTER
     # asymmetric subset-duplication pairs (containment of the smaller
     # doc's shingles; planted snippet docs make it fire where Jaccard
     # cannot)

@@ -54,6 +54,42 @@ JOIN sizes sb ON i.doc_b = sb.doc_id
 WHERE sa.n + sb.n - i.c > 0 AND 5 * i.c >= sa.n + sb.n - i.c
 ORDER BY i.doc_a, i.doc_b"""
 
+# prefix_filter_join has COMPLETE recall (AllPairs/PPJoin prefix bound),
+# so unlike NGRAM_JACCARD the oracle runs UNBOUNDED over the whole
+# documents table: every J >= 0.5 shingle pair, exactly.
+PREFIX_FILTER = """
+WITH words AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+),
+nz AS (
+    SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+    FROM words WHERE w <> ''
+),
+sh AS (
+    SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+    FROM nz a
+    JOIN nz b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+    JOIN nz c ON a.doc_id = c.doc_id AND c.j = a.j + 2
+),
+ds AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+    FROM ds x JOIN ds y ON x.s = y.s AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.c AS BIGINT) AS inter,
+       CAST(sa.n + sb.n - i.c AS BIGINT) AS uni
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE sa.n + sb.n - i.c > 0 AND 2 * i.c >= sa.n + sb.n - i.c
+ORDER BY i.doc_a, i.doc_b"""
+
 def _containment_pairs_sql() -> str:
     """Mirror of dedup.containment_pairs: the Jaccard mirror's shingle
     CTEs over the plant-augmented sub table, with the asymmetric

@@ -60,6 +60,9 @@ ORACLE_CASES = [
     "mmr_diversified_topk",
     "dedup_containment",
     "dedup_sorted_neighborhood",
+    # exact whole-corpus similarity self-join: the one UNBOUNDED
+    # exact-Jaccard oracle (prefix filtering has complete recall)
+    "dedup_prefix_filter",
 ]
 
 
@@ -115,6 +118,32 @@ def test_minhash_recall_vs_exact(registry, ray_session, sf_dir):
     assert not missing, f"minhash missed strong pairs: {missing[:5]}"
     # and every reported pair really passes the threshold
     assert (2 * mh["inter"] >= mh["uni"]).all()
+
+
+def test_prefix_filter_complete_and_superset_of_minhash(
+    registry, ray_session, sf_dir
+):
+    """prefix_filter_join is exact with COMPLETE recall: it must find
+    every J >= 0.5 pair the bounded exact baseline finds (within the
+    baseline's doc_id bound) and every pair minhash verified — minhash
+    candidates pass the same verify rule, so prefix's pair set is a
+    superset of minhash's on any corpus."""
+    queries, _ = registry
+    pf = queries["dedup_prefix_filter"](sf_dir).to_pandas()
+    got = set(zip(pf["doc_a"], pf["doc_b"]))
+    # all reported pairs genuinely pass J >= 0.5
+    assert (2 * pf["inter"] >= pf["uni"]).all()
+    exact = queries["dedup_ngram_jaccard"](sf_dir).to_pandas()
+    strong = exact[2 * exact["inter"] >= exact["uni"]]
+    for a, b in zip(strong["doc_a"], strong["doc_b"]):
+        assert (a, b) in got, f"prefix filter missed exact pair {(a, b)}"
+    mh = queries["dedup_minhash_lsh"](sf_dir).to_pandas()
+    missing = [
+        (a, b)
+        for a, b in zip(mh["doc_a"], mh["doc_b"])
+        if (a, b) not in got
+    ]
+    assert not missing, f"prefix filter missed minhash pairs: {missing[:5]}"
 
 
 def test_minhash_cluster_labels_agree_with_exact_cc(registry, ray_session, sf_dir):
