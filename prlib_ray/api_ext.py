@@ -834,6 +834,11 @@ def _register_relational(queries, sql) -> None:
         # COMPOSITE (partkey, suppkey) copart key
         ("q20_excess_parts", rel.q20_excess_parts,
          orel.Q20_EXCESS_PARTS),
+        # TPC-H Q16 proper (sweep complete at 22/22): filtered part
+        # subset x COUNT(DISTINCT supplier) with a real NOT IN
+        # complaint-supplier anti-filter over synthesized partsupp
+        ("q16_supplier_cnt", rel.q16_supplier_cnt,
+         orel.Q16_SUPPLIER_CNT),
         # TPC-H Q2 shape: correlated per-part MIN over in-region offers
         ("q2_min_cost_supplier", rel.q2_min_cost_supplier,
          orel.Q2_MIN_COST_SUPPLIER),

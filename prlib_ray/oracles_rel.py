@@ -1080,8 +1080,32 @@ FROM ex GROUP BY ps_suppkey
 """
 
 
+def _q16_sql() -> str:
+    """TPC-H Q16 proper over the synthesized partsupp: filtered part
+    subset x distinct suppliers, complaint suppliers excluded via a
+    real NOT IN subquery (the synthesis rule mirrors
+    relational.Q16_COMPLAINT_MOD — no s_comment column exists)."""
+    from prlib_ray import relational as rel
+
+    sizes = ", ".join(str(s) for s in rel.Q16_SIZES)
+    return f"""
+WITH {_ps_cte()}
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> '{rel.Q16_EXCL_BRAND}'
+  AND p_type NOT LIKE '{rel.Q16_EXCL_TYPE_PREFIX}%'
+  AND p_size IN ({sizes})
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier
+    WHERE s_suppkey % {rel.Q16_COMPLAINT_MOD} = 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY p_brand, p_type, p_size"""
+
+
 Q11_IMPORTANT_STOCK = _q11_sql()
 Q20_EXCESS_PARTS = _q20_sql()
+Q16_SUPPLIER_CNT = _q16_sql()
 
 
 def _q2_sql() -> str:

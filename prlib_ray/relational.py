@@ -5107,6 +5107,133 @@ Q2_REGION = "EUROPE"
 Q2_SIZE_MOD = 5  # part subset: p_size % 5 == 0 (39/200 parts at sf0.001)
 Q9_NAME_WORDS = ("cold", "small")  # part filter: first name word
 
+# Q16 constants, measured non-vacuous on the fixtures before wiring
+# (item-48 lesson): 28 groups at sf0.001 / 223 at sf0.01; the
+# complaint-supplier synthesis rule (no s_comment column exists) keeps
+# the NOT IN exclusion set non-empty at every sf (1 of 10 / 8 of 100).
+Q16_EXCL_BRAND = "Brand#13"
+Q16_EXCL_TYPE_PREFIX = "MEDIUM"
+Q16_SIZES = (1, 4, 9, 14, 23, 36, 45, 49)
+Q16_COMPLAINT_MOD = 13  # "Customer Complaints" suppliers: suppkey % 13 == 0
+
+
+def q16_supplier_cnt(sf_dir: str):
+    """TPC-H Q16 proper (parts/supplier relationship — tpch/queries/16.sql
+    shape), completing the sweep at 22/22: per (p_brand, p_type, p_size)
+    in the filtered part subset, the number of DISTINCT partsupp
+    suppliers, EXCLUDING the complaint-supplier set via NOT IN.  The
+    reference's s_comment LIKE filter synthesizes as suppkey %
+    Q16_COMPLAINT_MOD == 0 (mirrored in the oracle's subquery), and the
+    exclusion set reaches probes as a scan-derived broadcast — a real
+    anti-join against the supplier dimension, not an inlined predicate.
+
+    Plan: partsupp is SYNTHESIZED from the part scan (_ps_synth), so the
+    part<->partsupp join is free — each filtered part row emits its own
+    PS_PER_PART supplier rows with brand/type/size already in hand (zero
+    copart shuffle, unlike brand_supplier_counts' lineitem side); the
+    complaint exclusion is one sorted-array searchsorted per batch;
+    per-batch DISTINCT (brand, type, size, supp) quads pre-combine, then
+    re-partition by SUPPLIER hash (a quad lives in exactly one supplier
+    part, so per-part drop_duplicates is globally exact); bounded
+    (brand, type, size, n) count partials fold in coarse brand-hash
+    parts — never a per-key groupby().aggregate()."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    smin, n_supp = _supp_key_scalars(sf_dir)
+    # the NOT IN side: complaint suppkeys from a pruned supplier scan
+    # (dimension-sized — broadcast; at a fact-sized supplier, re-tag by
+    # hash(suppkey) instead, the trade_volume via="partitioned" layout)
+    supp = _collect_columns(
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey"]),
+        ["s_suppkey"])
+    sk_all = supp["s_suppkey"].astype(np.int64)
+    complaints_ref = ray.put(
+        np.sort(sk_all[sk_all % Q16_COMPLAINT_MOD == 0]))
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    )
+
+    def synth(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.not_equal(b["p_brand"], Q16_EXCL_BRAND),
+            pc.invert(pc.starts_with(b["p_type"], Q16_EXCL_TYPE_PREFIX)),
+        )
+        m = pc.and_(m, pc.is_in(
+            b["p_size"],
+            value_set=pa.array(Q16_SIZES, type=b["p_size"].type)))
+        t = b.filter(m)
+        pk = np.repeat(t["p_partkey"].to_numpy().astype(np.int64),
+                       PS_PER_PART)
+        k = np.tile(np.arange(PS_PER_PART, dtype=np.int64), t.num_rows)
+        sk, _, _ = _ps_synth(pk, k, smin, n_supp)
+        bad = ray.get(complaints_ref)
+        pos = np.searchsorted(bad, sk)
+        pos = np.minimum(pos, max(len(bad) - 1, 0))
+        keep = ~((bad[pos] == sk) if len(bad)
+                 else np.zeros(len(sk), bool))
+        quads = pd.DataFrame({
+            "p_brand": np.repeat(
+                t["p_brand"].to_numpy(zero_copy_only=False), PS_PER_PART
+            )[keep],
+            "p_type": np.repeat(
+                t["p_type"].to_numpy(zero_copy_only=False), PS_PER_PART
+            )[keep],
+            "p_size": np.repeat(
+                t["p_size"].to_numpy().astype(np.int64), PS_PER_PART
+            )[keep],
+            "supp": sk[keep],
+        }).drop_duplicates()
+        quads["spart"] = (quads["supp"].to_numpy()
+                          % N_COPART).astype(np.int64)
+        # explicit schema: an all-filtered batch must not emit
+        # null-typed empty string columns into the block union
+        return pa.Table.from_pandas(quads, preserve_index=False, schema=pa.schema([
+            ("p_brand", pa.string()), ("p_type", pa.string()),
+            ("p_size", pa.int64()), ("supp", pa.int64()),
+            ("spart", pa.int64()),
+        ]))
+
+    def count_fold(g: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        d = g[["p_brand", "p_type", "p_size", "supp"]].drop_duplicates()
+        out = (d.groupby(["p_brand", "p_type", "p_size"], sort=False,
+                         as_index=False)
+               .agg(n=("supp", "size")))
+        out["n"] = out["n"].astype(np.int64)
+        out["bpart"] = np.asarray(
+            [zlib.crc32(s.encode()) % N_COPART for s in out["p_brand"]],
+            dtype=np.int64)
+        return out
+
+    def final_fold(g: pd.DataFrame) -> pd.DataFrame:
+        key = (g["p_brand"].astype(str) + "\x1f" + g["p_type"].astype(str)
+               + "\x1f" + g["p_size"].astype(str)).to_numpy(dtype=object)
+        n = g["n"].to_numpy().astype(np.int64)
+        order = np.argsort(key, kind="stable")
+        k_s, n_s = key[order], n[order]
+        new = np.r_[True, k_s[1:] != k_s[:-1]]
+        gid = np.cumsum(new) - 1
+        tot = np.bincount(gid, weights=n_s).astype(np.int64)
+        rows = g.iloc[order][new][["p_brand", "p_type", "p_size"]]
+        rows = rows.reset_index(drop=True)
+        rows["supplier_cnt"] = tot
+        return rows
+
+    return (
+        part.map_batches(synth, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("spart").map_groups(count_fold, batch_format="pandas")
+        .groupby("bpart").map_groups(final_fold, batch_format="pandas")
+        .sort(["p_brand", "p_type", "p_size"])
+    )
+
 
 def q2_min_cost_supplier(sf_dir: str):
     """TPC-H Q2 shape: for each part in the size subset, the CHEAPEST

@@ -30,6 +30,7 @@ CASES = [
     "q8_market_share",
     "q11_important_stock",
     "q20_excess_parts",
+    "q16_supplier_cnt",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q12_shipmode_priority",
