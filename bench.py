@@ -213,7 +213,8 @@ def run_bench() -> dict:
                  "triangle_count", "indegree_histogram",
                  "link_reciprocity", "extract_turn_spans",
                  "hits_scores", "dedup_containment",
-                 "dedup_sorted_neighborhood", "dedup_prefix_filter"):
+                 "dedup_sorted_neighborhood", "dedup_prefix_filter",
+                 "q16_supplier_cnt", "dsir_select"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

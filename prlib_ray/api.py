@@ -203,6 +203,13 @@ _PRIORITY = [
     # them), freeing window slots for the round's new operator families
     "tokenizer_budget_curve",  # new: OOV mass at several vocab sizes
     "gopher_quality", "quality_classifier",
+    # twentieth session: DSIR-style importance resampling — the
+    # domain-matching data-selection discipline (hashed-unigram
+    # target-vs-raw histograms, exact-integer Laplace weights,
+    # length-normalized top-K).  Displaced price_rank_ntile: its
+    # range-partition exact-global-rank machinery runs in-window
+    # inside dedup_sorted_neighborhood, which reuses it directly.
+    "dsir_select",
     "split_leakage",  # new: cross-split contamination audit
     "decontaminate",
     "pack_sequences",
@@ -240,9 +247,6 @@ _PRIORITY = [
     # cardinality (length_rank's bounded histogram can't) with NO global
     # sort exchange (displaced customer_running_total: the run-boundary
     # cumsum kernel is in-window via funnel_conversion's chained minima,
-    # and the window-function family keeps this stronger global entry —
-    # still sim+pytest covered)
-    "price_rank_ntile",
     # eighteenth session: the multi-objective dominance (skyline) shape
     # — subset-stable local frontiers + a bounded driver merge
     "pareto_orders",
@@ -263,6 +267,11 @@ _PRIORITY = [
     # stay sim+pytest covered, and the per-part top-K + bounded-merge
     # physical plan runs in-window via q3/hot-key family)
     "search_topk",
+    # and the window-function family keeps this stronger global entry —
+    # still sim+pytest covered; displaced from the 50-window in the
+    # twentieth session by dsir_select (the exact-global-rank range
+    # partitions run in-window inside dedup_sorted_neighborhood)
+    "price_rank_ntile",
     # displaced in the twentieth session by dedup_prefix_filter (n-gram
     # counting repped in-window by pmi_top_pairs)
     "frequent_ngrams",

@@ -204,6 +204,12 @@ def _register_data_ops(queries, sql) -> None:
     # hashed-feature linear model inference (actor-pool model load)
     queries["quality_classifier"] = text_analysis.quality_classifier
     sql["quality_classifier"] = odata.QUALITY_CLASSIFIER
+    # DSIR-style importance resampling: target-vs-raw hashed-unigram
+    # histograms -> exact-integer Laplace weights -> length-normalized
+    # top-K selection (the published log-ratio becomes an integer
+    # ratio so the oracle is exact)
+    queries["dsir_select"] = text_analysis.dsir_select
+    sql["dsir_select"] = odata.DSIR_SELECT
     queries["repetition_stats"] = _doc_query(
         text_analysis.repetition_stats_batch
     )

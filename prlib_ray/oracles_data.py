@@ -1203,6 +1203,60 @@ ORDER BY d.doc_id"""
 QUALITY_CLASSIFIER = _quality_classifier_sql()
 
 
+def _dsir_select_sql() -> str:
+    """Mirror of text_analysis.dsir_select: hashed-unigram bucket
+    histograms target-vs-raw, Laplace-smoothed exact-integer weights
+    ((tgt+1)*SCALE)//(raw+1), per-doc token-instance score, ranked by
+    score*SCALE//n_tokens.  md5_number_upper(w) is the little-endian
+    read of md5(w)[:8] — the engine's bucket hash exactly (the
+    QUALITY_CLASSIFIER contract)."""
+    from prlib_ray.stages.text_analysis import (
+        DSIR_BUCKETS,
+        DSIR_SCALE,
+        DSIR_TARGET_SOURCE,
+        DSIR_TOP_K,
+    )
+
+    return f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tok AS (
+    SELECT n.doc_id, d.source,
+           CAST(md5_number_upper(w) % {DSIR_BUCKETS} AS BIGINT) AS b
+    FROM words n JOIN documents d USING (doc_id) WHERE w <> ''
+),
+cnt AS (
+    SELECT b,
+           sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}'
+               THEN 1 ELSE 0 END) AS tgt,
+           sum(CASE WHEN source <> '{DSIR_TARGET_SOURCE}'
+               THEN 1 ELSE 0 END) AS raw
+    FROM tok GROUP BY b
+),
+wt AS (
+    SELECT b, CAST(((tgt + 1) * {DSIR_SCALE}) // (raw + 1) AS BIGINT)
+              AS wgt
+    FROM cnt
+),
+sc AS (
+    SELECT t.doc_id,
+           CAST(sum(w.wgt) AS BIGINT) AS score,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM tok t JOIN wt w USING (b)
+    WHERE t.source <> '{DSIR_TARGET_SOURCE}'
+    GROUP BY t.doc_id
+)
+SELECT doc_id, score, n_tokens,
+       CAST((score * {DSIR_SCALE}) // n_tokens AS BIGINT) AS score_pt
+FROM sc
+ORDER BY score_pt DESC, doc_id
+LIMIT {DSIR_TOP_K}"""
+
+
+DSIR_SELECT = _dsir_select_sql()
+
+
 def _ann_ivf_topk_sql() -> str:
     """Mirror of similarity.ann_ivf_topk INCLUDING the training loop:
     IVF_ITERS integer-Lloyd iterations unrolled as CTE stages (assign =

@@ -367,6 +367,118 @@ def quality_classifier(sf_dir: str):
     )
 
 
+# DSIR-style data selection (hashed-feature importance resampling,
+# after Xie et al. 2023, "Data Selection for Language Models via
+# Importance Resampling" — public method).  The published form uses
+# log-ratio weights over hashed unigram+bigram features; here the
+# per-bucket weight is the EXACT integer ratio ((tgt+1)*SCALE)//(raw+1)
+# (Laplace-smoothed) over hashed unigrams so the scoring is int64-exact
+# and the DuckDB oracle mirrors it bit-for-bit; the bigram extension
+# changes only the bucket function.
+DSIR_BUCKETS = 512
+DSIR_TARGET_SOURCE = "src0"  # the "high-quality target" domain
+DSIR_SCALE = 10_000
+DSIR_TOP_K = 100
+
+
+def dsir_select(sf_dir: str):
+    """Select the DSIR_TOP_K raw-pool documents whose hashed-unigram
+    distribution best matches the target domain (source ==
+    DSIR_TARGET_SOURCE): per-token importance weight from the
+    target-vs-raw bucket histograms, per-doc score summed over token
+    instances, ranked by length-normalized score_pt = score * SCALE //
+    n_tokens.
+
+    Physical plan: pass 1 folds the two B-bucket histograms as
+    per-batch bincount partials (B = 512 rows each — a calendar-bounded
+    driver merge, the user_stickiness discipline), broadcasting the
+    weight array once; pass 2 scores every raw doc vectorized (one
+    unique-word md5 gather per batch) and trims to a LOCAL top-K per
+    batch, so only <= K rows per batch reach the global
+    sort-descending + limit.  At 100 TB both passes stream; the only
+    driver state is 2 x 512 int64."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source"],
+    )
+
+    def _buckets(w: np.ndarray) -> np.ndarray:
+        uniq, inv = np.unique(w, return_inverse=True)
+        b = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(u.encode()).digest()[:8], "little"
+                ) % DSIR_BUCKETS
+                for u in uniq
+            ),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        return b[inv]
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        words, doc_of, _ = _flat_words(b)
+        ne = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        w = words.to_numpy(zero_copy_only=False)[ne]
+        src = b["source"].to_numpy(zero_copy_only=False)
+        is_tgt = (src == DSIR_TARGET_SOURCE)[doc_of[ne]]
+        bk = _buckets(w) if len(w) else np.zeros(0, dtype=np.int64)
+        tgt = np.bincount(bk[is_tgt], minlength=DSIR_BUCKETS)
+        raw = np.bincount(bk[~is_tgt], minlength=DSIR_BUCKETS)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(DSIR_BUCKETS, dtype=np.int64)),
+                "tgt": pa.array(tgt.astype(np.int64)),
+                "raw": pa.array(raw.astype(np.int64)),
+            }
+        )
+
+    tgt = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    raw = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    for part in ds.map_batches(
+        hist_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        bk = part["bucket"].to_numpy()
+        np.add.at(tgt, bk, part["tgt"].to_numpy())
+        np.add.at(raw, bk, part["raw"].to_numpy())
+    weights_ref = ray.put((tgt + 1) * DSIR_SCALE // (raw + 1))
+
+    def score(b: pa.Table) -> pa.Table:
+        wts = ray.get(weights_ref)
+        words, doc_of, ndocs = _flat_words(b)
+        ne = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        w = words.to_numpy(zero_copy_only=False)[ne]
+        d = doc_of[ne]
+        scores = np.zeros(ndocs, dtype=np.int64)
+        ntok = np.bincount(d, minlength=ndocs).astype(np.int64)
+        if len(w):
+            np.add.at(scores, d, wts[_buckets(w)])
+        src = b["source"].to_numpy(zero_copy_only=False)
+        keep = (src != DSIR_TARGET_SOURCE) & (ntok > 0)
+        did = b["doc_id"].to_numpy().astype(np.int64)[keep]
+        sc, nt = scores[keep], ntok[keep]
+        spt = sc * DSIR_SCALE // nt
+        # local top-K: only the batch's best K rows travel
+        o = np.lexsort((did, -spt))[:DSIR_TOP_K]
+        return pa.table(
+            {
+                "doc_id": pa.array(did[o]),
+                "score": pa.array(sc[o]),
+                "n_tokens": pa.array(nt[o]),
+                "score_pt": pa.array(spt[o]),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["score_pt", "doc_id"], descending=[True, False])
+        .limit(DSIR_TOP_K)
+    )
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Document fingerprint: md5 of the normalized skeleton (lowercase,
     alnum+space, collapsed) — a canonical content hash."""

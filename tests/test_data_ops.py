@@ -63,6 +63,8 @@ ORACLE_CASES = [
     # exact whole-corpus similarity self-join: the one UNBOUNDED
     # exact-Jaccard oracle (prefix filtering has complete recall)
     "dedup_prefix_filter",
+    # DSIR-style importance resampling (exact-integer weight mirror)
+    "dsir_select",
 ]
 
 
