@@ -214,7 +214,7 @@ def run_bench() -> dict:
                  "link_reciprocity", "extract_turn_spans",
                  "hits_scores", "dedup_containment",
                  "dedup_sorted_neighborhood", "dedup_prefix_filter",
-                 "q16_supplier_cnt", "dsir_select"):
+                 "q16_supplier_cnt", "dsir_select", "cdc_chunk_dups"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

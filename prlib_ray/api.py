@@ -150,6 +150,13 @@ _PRIORITY = [
     # pmi_top_pairs (same tokenized substrate, pair mining on top) —
     # sim+pytest covered.
     "dedup_prefix_filter",
+    # twentieth session: CDC chunk-level cross-doc duplicate inventory
+    # — content-defined boundaries re-align duplicated passages under
+    # insertions, the chunk-hash scale path the containment family
+    # documents.  Displaced funnel_conversion: the event-stream
+    # windowing discipline stays in-window via rolling_active_users —
+    # sim+pytest covered.
+    "cdc_chunk_dups",
     "dedup_embedding",
     "cluster_top_terms",  # new: cross-modal cluster topic labeling
     "cluster_balance",  # new: embedding-space class-balance audit
@@ -259,7 +266,6 @@ _PRIORITY = [
     # strict-above-mean compare stays constructed-test pinned and
     # sim-covered (global_sales_opportunity runs the same shape).
     "rolling_active_users",
-    "funnel_conversion",  # ordered funnel (earliest-event chain)
     "asof_latest_order",
     # displaced in the fifteenth session by extract_turns_exact (the
     # flagship's oracle-backed twin belongs in the gate above a second
@@ -267,6 +273,11 @@ _PRIORITY = [
     # stay sim+pytest covered, and the per-part top-K + bounded-merge
     # physical plan runs in-window via q3/hot-key family)
     "search_topk",
+    # displaced in the twentieth session by cdc_chunk_dups (the
+    # event-stream windowing discipline is in-window via
+    # rolling_active_users; the earliest-event chained-minima kernel
+    # stays sim+pytest covered)
+    "funnel_conversion",
     # and the window-function family keeps this stronger global entry —
     # still sim+pytest covered; displaced from the 50-window in the
     # twentieth session by dsir_select (the exact-global-rank range

@@ -160,6 +160,12 @@ def _register_data_ops(queries, sql) -> None:
     # cannot)
     queries["dedup_containment"] = dedup.containment_pairs
     sql["dedup_containment"] = odata.CONTAINMENT_PAIRS
+    # CDC chunk-level cross-doc duplicate inventory: the chunk-hash
+    # scale path the containment family documents, made real —
+    # content-defined boundaries re-align duplicated passages under
+    # insertions where fixed windows cannot
+    queries["cdc_chunk_dups"] = dedup.cdc_chunk_dups
+    sql["cdc_chunk_dups"] = odata.CDC_CHUNK_DUPS
     # sorted-neighborhood candidate pairs: exact global-order windowing
     # via ordered range partitions + a dense-rank forward halo (no
     # global sort exchange)

@@ -1257,6 +1257,53 @@ LIMIT {DSIR_TOP_K}"""
 DSIR_SELECT = _dsir_select_sql()
 
 
+def _cdc_chunk_dups_sql() -> str:
+    """Mirror of dedup.cdc_chunk_dups: content-defined chunk boundaries
+    (word opens a new chunk when md5_number_upper(w) % G == 0 — the
+    little-endian md5 contract), chunk id = exclusive prefix count of
+    boundary words per doc, chunk hash = md5 of the ' '-joined chunk,
+    inventory of hashes in >= 2 distinct docs."""
+    from prlib_ray.stages.dedup import CDC_GEAR_MOD
+
+    return f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+),
+nz AS (
+    SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+    FROM words WHERE w <> ''
+),
+fl AS (
+    SELECT doc_id, w, j,
+           CASE WHEN md5_number_upper(w) % {CDC_GEAR_MOD} = 0
+                THEN 1 ELSE 0 END AS f
+    FROM nz
+),
+ck AS (
+    SELECT doc_id, w, j,
+           COALESCE(sum(f) OVER (PARTITION BY doc_id ORDER BY j
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+    FROM fl
+),
+chunks AS (
+    SELECT doc_id, c, md5(string_agg(w, ' ' ORDER BY j)) AS ch,
+           count(*) AS nw
+    FROM ck GROUP BY doc_id, c
+)
+SELECT ch AS chunk_hash,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(min(nw) AS BIGINT) AS n_words
+FROM chunks GROUP BY ch HAVING count(DISTINCT doc_id) >= 2
+ORDER BY chunk_hash"""
+
+
+CDC_CHUNK_DUPS = _cdc_chunk_dups_sql()
+
+
 def _ann_ivf_topk_sql() -> str:
     """Mirror of similarity.ann_ivf_topk INCLUDING the training loop:
     IVF_ITERS integer-Lloyd iterations unrolled as CTE stages (assign =

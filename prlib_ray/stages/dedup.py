@@ -2270,3 +2270,122 @@ def cross_source_dup_matrix(sf_dir: str):
         "n_dup_groups": pa.array([counts[k] for k in keys],
                                  type=pa.int64()),
     })
+
+
+# CDC (content-defined chunking) cross-doc duplicate detection — the
+# chunk-level scale path the containment/ngram families document
+# (FastCDC-flavored; public technique).  Boundaries are CONTENT-defined
+# (a word starts a new chunk when md5(word) % CDC_GEAR_MOD == 0), so an
+# insertion early in a doc shifts chunk starts only until the next
+# boundary word — unlike fixed-width windows, duplicated passages
+# re-align and hash identically.  G=8 on the fixture corpus: ~7 chunks
+# per ~56-word doc, 322/316 cross-doc duplicate chunks at sf0.001/0.01
+# (measured non-vacuous before wiring, the item-48 lesson).
+CDC_GEAR_MOD = 8
+
+
+def cdc_chunk_dups(sf_dir: str):
+    """Inventory of chunk texts appearing in >= 2 DISTINCT documents:
+    (chunk_hash, n_docs, n_occ, min_doc, n_words), sorted by hash.
+
+    Physical plan: one map_batches pass computes boundary flags with a
+    single unique-word md5 gather (the little-endian bucket contract
+    shared with QualityClassifier / dsir_select), chunk ids as a
+    per-doc exclusive prefix sum, and emits (chunk md5, doc_id,
+    n_words) rows pre-combined per batch; rows co-locate by
+    crc32(hash) % N_DEDUP_PARTS (a hash lives in exactly ONE part, so
+    per-part distinct-doc counting is globally exact) and one lexsort
+    run-boundary fold per part filters to n_docs >= 2.  The per-chunk
+    md5 is inherently per-string (like fingerprint_md5); everything
+    around it is vectorized.  At 100 TB: rows are (16-byte hex, int64,
+    int64) triples, one coarse shuffle, no caps."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from prlib_ray.stages.text_analysis import _flat_words
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def chunks(b: pa.Table) -> pa.Table:
+        words, doc_of, ndocs = _flat_words(b)
+        ne = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        w = words.to_numpy(zero_copy_only=False)[ne]
+        d = doc_of[ne]
+        cols = ("ch", "doc_id", "n_words", "part")
+        if not len(w):
+            return pa.table({
+                "ch": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_words": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int64()),
+            })
+        uniq, inv = np.unique(w, return_inverse=True)
+        ub = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(u.encode()).digest()[:8], "little"
+                ) % CDC_GEAR_MOD
+                for u in uniq
+            ),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        flag = ub[inv] == 0
+        # exclusive prefix count of boundary words per doc: word j opens
+        # chunk c = #flags among the doc's words strictly before j
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        cs = np.cumsum(np.r_[False, flag[:-1]].astype(np.int64))
+        cid = cs - np.repeat(cs[starts], np.diff(np.r_[starts, len(d)]))
+        # chunk run boundaries in flat word order (d sorted by doc_of
+        # construction; cid nondecreasing within a doc)
+        new = np.r_[True, (d[1:] != d[:-1]) | (cid[1:] != cid[:-1])]
+        cstart = np.flatnonzero(new)
+        cend = np.r_[cstart[1:], len(d)]
+        did = b["doc_id"].to_numpy().astype(np.int64)
+        texts = [
+            " ".join(w[s:e]) for s, e in zip(cstart, cend)
+        ]  # md5 input build — per chunk, inherent like fingerprint_md5
+        ch = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        return pa.table({
+            "ch": pa.array(ch, type=pa.string()),
+            "doc_id": pa.array(did[d[cstart]]),
+            "n_words": pa.array((cend - cstart).astype(np.int64)),
+            "part": pa.array(
+                np.asarray([zlib.crc32(c.encode()) % N_DEDUP_PARTS
+                            for c in ch], dtype=np.int64)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ch = g["ch"].to_numpy(dtype=object)
+        doc = g["doc_id"].to_numpy().astype(np.int64)
+        nw = g["n_words"].to_numpy().astype(np.int64)
+        o = np.lexsort((doc, ch))
+        ch, doc, nw = ch[o], doc[o], nw[o]
+        new = np.r_[True, ch[1:] != ch[:-1]]
+        gid = np.cumsum(new) - 1
+        n_occ = np.bincount(gid).astype(np.int64)
+        # distinct docs per hash: within a run, rows sorted by doc —
+        # count doc changes
+        dnew = new | np.r_[True, doc[1:] != doc[:-1]]
+        n_docs = np.bincount(gid[dnew]).astype(np.int64)
+        min_doc = doc[new]
+        keep = n_docs >= 2
+        return pd.DataFrame({
+            "chunk_hash": ch[new][keep],
+            "n_docs": n_docs[keep],
+            "n_occ": n_occ[keep],
+            "min_doc": min_doc[keep],
+            "n_words": nw[new][keep],
+        })
+
+    return (
+        ds.map_batches(chunks, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("part").map_groups(fold, batch_format="pandas")
+        .sort("chunk_hash")
+    )

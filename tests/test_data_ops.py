@@ -65,6 +65,8 @@ ORACLE_CASES = [
     "dedup_prefix_filter",
     # DSIR-style importance resampling (exact-integer weight mirror)
     "dsir_select",
+    # CDC chunk-level cross-doc duplicate inventory
+    "cdc_chunk_dups",
 ]
 
 
@@ -817,6 +819,60 @@ def test_split_leakage_constructed(ray_session, tmp_path):
     rows = set(zip(df["split_a"], df["split_b"], df["n_groups"]))
     assert rows == {("test", "test", 1), ("test", "val", 1),
                     ("val", "val", 1)}
+
+
+def test_cdc_realigns_after_insertion(ray_session, tmp_path):
+    """The CDC property fixed-width windows lack: a word inserted at the
+    head of one copy shifts chunk starts only until the next boundary
+    word — every chunk of the shared passage that starts at a boundary
+    AFTER the insertion hashes identically in both docs."""
+    import hashlib as hl
+
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.stages.dedup import CDC_GEAR_MOD, cdc_chunk_dups
+
+    def is_boundary(w: str) -> bool:
+        return int.from_bytes(
+            hl.md5(w.encode()).digest()[:8], "little"
+        ) % CDC_GEAR_MOD == 0
+
+    # deterministic passage with >= 2 boundary words so at least one
+    # whole chunk sits strictly after the first boundary
+    passage, i = [], 0
+    nb = 0
+    while nb < 3 or len(passage) < 40:
+        w = f"tok{i}"
+        passage.append(w)
+        nb += is_boundary(w)
+        i += 1
+    text_a = " ".join(passage)
+    text_b = "INSERTED " + text_a  # head insertion, not a boundary-safe spot
+    pq2.write_table(
+        pa2.table({
+            "doc_id": pa2.array([1, 2], type=pa2.int64()),
+            "text": pa2.array([text_a, text_b], type=pa2.string()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    df = cdc_chunk_dups(str(tmp_path)).to_pandas()
+    # boundary-aligned chunks of the shared passage re-align: a boundary
+    # word CLOSES its chunk (exclusive-prefix semantics), so every chunk
+    # opening after the first boundary matches across the docs
+    bpos = [j for j, w in enumerate(passage) if is_boundary(w)]
+    expect = set()
+    for p in bpos:
+        s = p + 1
+        if s >= len(passage):
+            continue
+        nxt = [q for q in bpos if q >= s]
+        e = (nxt[0] + 1) if nxt else len(passage)
+        expect.add(hl.md5(" ".join(passage[s:e]).encode()).hexdigest())
+    assert expect, "fixture produced no post-boundary chunk"
+    got = set(df["chunk_hash"])
+    assert expect <= got, "CDC failed to re-align after head insertion"
+    assert (df["n_docs"] == 2).all()
 
 
 def test_hard_negatives_constructed(ray_session, tmp_path):
