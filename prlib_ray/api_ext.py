@@ -166,6 +166,10 @@ def _register_data_ops(queries, sql) -> None:
     # insertions where fixed windows cannot
     queries["cdc_chunk_dups"] = dedup.cdc_chunk_dups
     sql["cdc_chunk_dups"] = odata.CDC_CHUNK_DUPS
+    # the three-stage record-linkage pipeline composed end-to-end:
+    # SNM blocking -> Levenshtein verify -> CC entity labels
+    queries["entity_resolution"] = dedup.entity_resolution
+    sql["entity_resolution"] = odata.ENTITY_RESOLUTION
     # sorted-neighborhood candidate pairs: exact global-order windowing
     # via ordered range partitions + a dense-rank forward halo (no
     # global sort exchange)

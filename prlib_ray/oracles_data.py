@@ -1304,6 +1304,51 @@ ORDER BY chunk_hash"""
 CDC_CHUNK_DUPS = _cdc_chunk_dups_sql()
 
 
+def _entity_resolution_sql() -> str:
+    """Mirror of dedup.entity_resolution: the SORTED_NEIGHBORHOOD pair
+    CTE filtered by DuckDB levenshtein() under the same integer
+    permille rule, closed transitively by the CLUSTERS_MINHASH
+    recursive shape; entity_id = component minimum."""
+    from prlib_ray.stages import dedup as dd
+
+    return f"""
+WITH RECURSIVE k AS (
+    SELECT doc_id, text,
+           md5(lower(array_to_string(
+               list_slice(string_split(text, ' '), 1,
+                          {dd.SNM_KEY_WORDS}), ' '))) AS h
+    FROM documents
+),
+r AS (
+    SELECT doc_id, text, h,
+           row_number() OVER (ORDER BY h, doc_id) - 1 AS rn
+    FROM k
+),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND {dd.SNM_WINDOW}
+    WHERE greatest(len(a.text), len(b.text)) > 0
+      AND 1000 * levenshtein(a.text, b.text)
+          <= {dd.ER_MATCH_PERMILLE} * greatest(len(a.text), len(b.text))
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM p
+    UNION ALL
+    SELECT doc_b, doc_a FROM p
+),
+nodes AS (SELECT DISTINCT a FROM edges),
+reach(a, b) AS (
+    SELECT a, a FROM nodes
+    UNION
+    SELECT r2.a, e.b FROM reach r2 JOIN edges e ON r2.b = e.a
+)
+SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS entity_id
+FROM reach GROUP BY a ORDER BY doc_id"""
+
+
+ENTITY_RESOLUTION = _entity_resolution_sql()
+
+
 def _ann_ivf_topk_sql() -> str:
     """Mirror of similarity.ann_ivf_topk INCLUDING the training loop:
     IVF_ITERS integer-Lloyd iterations unrolled as CTE stages (assign =

@@ -2389,3 +2389,74 @@ def cdc_chunk_dups(sf_dir: str):
         .groupby("part").map_groups(fold, batch_format="pandas")
         .sort("chunk_hash")
     )
+
+
+# Entity resolution: the classic three-stage record-linkage pipeline
+# (Hernandez-Stolfo blocking -> distance verify -> transitive closure)
+# composed END-TO-END from the registry's own disciplines — the
+# composition a production linkage job actually runs, not a new kernel.
+# Threshold measured before wiring: same-key SNM pairs on the fixture
+# sit at near_permille 7-12, different-key at >= 617, so 100 separates
+# cleanly (non-vacuous at every sf without planting).
+ER_MATCH_PERMILLE = 100
+
+
+def entity_resolution(sf_dir: str):
+    """(doc_id, entity_id) for every document in at least one verified
+    match: SNM candidates (sorted_neighborhood_pairs — exact global
+    windowing, no global sort) -> exact Levenshtein verify with the
+    integer 1000*dist//max(len) <= ER_MATCH_PERMILLE rule -> min-label
+    propagation to fixpoint (_propagate_min_labels, the convergence-
+    guarded CC machinery).  entity_id = component-minimum doc_id.
+
+    The verify stage attaches texts to candidate pairs via two
+    Dataset.joins (the _verify_pairs layout — the text side is
+    corpus-sized, so it is NEVER broadcast), then runs the vectorized
+    row-DP per pair; pair volume is O(N * SNM_WINDOW), linear."""
+    import ray.data as rd
+
+    cand = sorted_neighborhood_pairs(sf_dir)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    npart = _join_partitions()
+
+    def rename(col):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": b["doc_id"], f"t_{col}": b["text"]})
+        return f
+
+    joined = _attach(
+        _attach(
+            cand, docs.map_batches(rename("a"), batch_format="pyarrow"),
+            "doc_a", num_partitions=npart,
+        ).repartition(npart),
+        docs.map_batches(rename("b"), batch_format="pyarrow"),
+        "doc_b", num_partitions=npart,
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        ta = b["t_a"].to_pylist()
+        tb = b["t_b"].to_pylist()
+        dist = np.empty(len(ta), dtype=np.int64)
+        mx = np.empty(len(ta), dtype=np.int64)
+        for k in range(len(ta)):  # per-pair DP, inherent (vectorized rows)
+            dist[k] = _levenshtein(ta[k], tb[k])
+            mx[k] = max(len(ta[k]), len(tb[k]))
+        keep = (mx > 0) & (1000 * dist <= ER_MATCH_PERMILLE * mx)
+        return pa.table({
+            "doc_a": b["doc_a"].filter(pa.array(keep)),
+            "doc_b": b["doc_b"].filter(pa.array(keep)),
+        })
+
+    matched = joined.map_batches(verify, batch_format="pyarrow")
+    labels = _propagate_min_labels(matched)
+    if isinstance(labels, pa.Table):  # no matches anywhere
+        return pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "entity_id": pa.array([], type=pa.int64()),
+        })
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "entity_id": b["label"]}),
+        batch_format="pyarrow",
+    ).sort("doc_id")

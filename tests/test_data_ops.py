@@ -67,6 +67,8 @@ ORACLE_CASES = [
     "dsir_select",
     # CDC chunk-level cross-doc duplicate inventory
     "cdc_chunk_dups",
+    # SNM blocking -> Levenshtein verify -> CC labels, composed
+    "entity_resolution",
 ]
 
 
