@@ -214,7 +214,8 @@ def run_bench() -> dict:
                  "link_reciprocity", "extract_turn_spans",
                  "hits_scores", "dedup_containment",
                  "dedup_sorted_neighborhood", "dedup_prefix_filter",
-                 "q16_supplier_cnt", "dsir_select", "cdc_chunk_dups"):
+                 "q16_supplier_cnt", "dsir_select", "cdc_chunk_dups",
+                 "doc_stitch_candidates"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

@@ -170,6 +170,10 @@ def _register_data_ops(queries, sql) -> None:
     # SNM blocking -> Levenshtein verify -> CC entity labels
     queries["entity_resolution"] = dedup.entity_resolution
     sql["entity_resolution"] = odata.ENTITY_RESOLUTION
+    # shard-boundary stitching: last CDC chunk of one doc == first of
+    # another (the crawl split-record signature), shared chunker
+    queries["doc_stitch_candidates"] = dedup.doc_stitch_candidates
+    sql["doc_stitch_candidates"] = odata.DOC_STITCH
     # sorted-neighborhood candidate pairs: exact global-order windowing
     # via ordered range partitions + a dense-rank forward halo (no
     # global sort exchange)

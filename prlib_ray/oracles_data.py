@@ -1349,6 +1349,57 @@ FROM reach GROUP BY a ORDER BY doc_id"""
 ENTITY_RESOLUTION = _entity_resolution_sql()
 
 
+def _doc_stitch_sql() -> str:
+    """Mirror of dedup.doc_stitch_candidates over the CDC chunk CTEs:
+    last-chunk-of-a == first-chunk-of-b, a <> b."""
+    from prlib_ray.stages.dedup import CDC_GEAR_MOD
+
+    return f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+),
+nz AS (
+    SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+    FROM words WHERE w <> ''
+),
+fl AS (
+    SELECT doc_id, w, j,
+           CASE WHEN md5_number_upper(w) % {CDC_GEAR_MOD} = 0
+                THEN 1 ELSE 0 END AS f
+    FROM nz
+),
+ck AS (
+    SELECT doc_id, w, j,
+           COALESCE(sum(f) OVER (PARTITION BY doc_id ORDER BY j
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+    FROM fl
+),
+chunks AS (
+    SELECT doc_id, c, md5(string_agg(w, ' ' ORDER BY j)) AS ch
+    FROM ck GROUP BY doc_id, c
+),
+fst AS (
+    SELECT doc_id, ch FROM (
+        SELECT doc_id, ch,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c) AS rn
+        FROM chunks) WHERE rn = 1
+),
+lst AS (
+    SELECT doc_id, ch FROM (
+        SELECT doc_id, ch,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC) AS rn
+        FROM chunks) WHERE rn = 1
+)
+SELECT a.doc_id AS doc_tail, b.doc_id AS doc_head, a.ch AS chunk_hash
+FROM lst a JOIN fst b ON a.ch = b.ch AND a.doc_id <> b.doc_id
+ORDER BY doc_tail, doc_head"""
+
+
+DOC_STITCH = _doc_stitch_sql()
+
+
 def _ann_ivf_topk_sql() -> str:
     """Mirror of similarity.ann_ivf_topk INCLUDING the training loop:
     IVF_ITERS integer-Lloyd iterations unrolled as CTE stages (assign =

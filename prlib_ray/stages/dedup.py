@@ -2284,6 +2284,54 @@ def cross_source_dup_matrix(sf_dir: str):
 CDC_GEAR_MOD = 8
 
 
+def _cdc_chunks_batch(b: pa.Table):
+    """Shared CDC chunker: (chunk md5 hexes, doc_id, chunk index,
+    n_words) arrays for a documents batch — ONE definition consumed by
+    cdc_chunk_dups AND doc_stitch_candidates so the boundary rule
+    cannot drift between them (the band-generation lesson).  A word
+    CLOSES its chunk when md5(word) % CDC_GEAR_MOD == 0 (little-endian
+    contract: exclusive prefix count == the SQL 1-PRECEDING window);
+    per-chunk md5 is inherent, everything around it vectorized."""
+    import pyarrow.compute as pc
+
+    from prlib_ray.stages.text_analysis import _flat_words
+
+    words, doc_of, _ = _flat_words(b)
+    ne = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+    w = words.to_numpy(zero_copy_only=False)[ne]
+    d = doc_of[ne]
+    z = np.zeros(0, dtype=np.int64)
+    if not len(w):
+        return [], z, z, z
+    uniq, inv = np.unique(w, return_inverse=True)
+    ub = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.md5(u.encode()).digest()[:8], "little"
+            ) % CDC_GEAR_MOD
+            for u in uniq
+        ),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    flag = ub[inv] == 0
+    # exclusive prefix count of boundary words per doc: word j opens
+    # chunk c = #flags among the doc's words strictly before j (the
+    # global cumsum shift leaks across docs but the per-doc start
+    # offset subtraction cancels it)
+    starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+    cs = np.cumsum(np.r_[False, flag[:-1]].astype(np.int64))
+    cid = cs - np.repeat(cs[starts], np.diff(np.r_[starts, len(d)]))
+    new = np.r_[True, (d[1:] != d[:-1]) | (cid[1:] != cid[:-1])]
+    cstart = np.flatnonzero(new)
+    cend = np.r_[cstart[1:], len(d)]
+    did = b["doc_id"].to_numpy().astype(np.int64)
+    texts = [" ".join(w[s:e]) for s, e in zip(cstart, cend)]
+    ch = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    return (ch, did[d[cstart]], cid[cstart].astype(np.int64),
+            (cend - cstart).astype(np.int64))
+
+
 def cdc_chunk_dups(sf_dir: str):
     """Inventory of chunk texts appearing in >= 2 DISTINCT documents:
     (chunk_hash, n_docs, n_occ, min_doc, n_words), sorted by hash.
@@ -2302,59 +2350,18 @@ def cdc_chunk_dups(sf_dir: str):
     import zlib
 
     import pandas as pd
-    import pyarrow.compute as pc
     import ray.data as rd
-
-    from prlib_ray.stages.text_analysis import _flat_words
 
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
     def chunks(b: pa.Table) -> pa.Table:
-        words, doc_of, ndocs = _flat_words(b)
-        ne = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
-        w = words.to_numpy(zero_copy_only=False)[ne]
-        d = doc_of[ne]
-        cols = ("ch", "doc_id", "n_words", "part")
-        if not len(w):
-            return pa.table({
-                "ch": pa.array([], type=pa.string()),
-                "doc_id": pa.array([], type=pa.int64()),
-                "n_words": pa.array([], type=pa.int64()),
-                "part": pa.array([], type=pa.int64()),
-            })
-        uniq, inv = np.unique(w, return_inverse=True)
-        ub = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.md5(u.encode()).digest()[:8], "little"
-                ) % CDC_GEAR_MOD
-                for u in uniq
-            ),
-            dtype=np.int64,
-            count=len(uniq),
-        )
-        flag = ub[inv] == 0
-        # exclusive prefix count of boundary words per doc: word j opens
-        # chunk c = #flags among the doc's words strictly before j
-        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
-        cs = np.cumsum(np.r_[False, flag[:-1]].astype(np.int64))
-        cid = cs - np.repeat(cs[starts], np.diff(np.r_[starts, len(d)]))
-        # chunk run boundaries in flat word order (d sorted by doc_of
-        # construction; cid nondecreasing within a doc)
-        new = np.r_[True, (d[1:] != d[:-1]) | (cid[1:] != cid[:-1])]
-        cstart = np.flatnonzero(new)
-        cend = np.r_[cstart[1:], len(d)]
-        did = b["doc_id"].to_numpy().astype(np.int64)
-        texts = [
-            " ".join(w[s:e]) for s, e in zip(cstart, cend)
-        ]  # md5 input build — per chunk, inherent like fingerprint_md5
-        ch = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        ch, did, cid, nw = _cdc_chunks_batch(b)
         return pa.table({
             "ch": pa.array(ch, type=pa.string()),
-            "doc_id": pa.array(did[d[cstart]]),
-            "n_words": pa.array((cend - cstart).astype(np.int64)),
+            "doc_id": pa.array(did),
+            "n_words": pa.array(nw),
             "part": pa.array(
                 np.asarray([zlib.crc32(c.encode()) % N_DEDUP_PARTS
                             for c in ch], dtype=np.int64)),
@@ -2460,3 +2467,100 @@ def entity_resolution(sf_dir: str):
                             "entity_id": b["label"]}),
         batch_format="pyarrow",
     ).sort("doc_id")
+
+
+def doc_stitch_candidates(sf_dir: str):
+    """Shard-boundary stitching candidates: (doc_tail, doc_head,
+    chunk_hash) pairs where doc_tail's LAST CDC chunk equals doc_head's
+    FIRST — the signature a crawl leaves when one logical page is split
+    across two fetched records (tail of one == head of the next).
+    Content-defined boundaries make the match insertion-tolerant for
+    the same reason cdc_chunk_dups' are.
+
+    Plan: the shared _cdc_chunks_batch chunker (one definition with the
+    dup inventory — the rule cannot drift) emits per doc only its FIRST
+    (cid == 0) and LAST chunk rows tagged by side — 2 tiny rows per doc
+    regardless of length; rows co-locate by crc32(hash), and one
+    lexsort run pass per part expands tail x head matches
+    (grouped-arange, no pair loop).  Self-pairs drop (a one-chunk doc
+    is its own head AND tail)."""
+    import zlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def ends(b: pa.Table) -> pa.Table:
+        ch, did, cid, _ = _cdc_chunks_batch(b)
+        if not len(ch):
+            return pa.table({
+                "ch": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "side": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int64()),
+            })
+        cha = np.asarray(ch, dtype=object)
+        first = cid == 0
+        # a doc's chunks are contiguous and cid increases: the last row
+        # of each doc run is its last chunk
+        last = np.r_[did[1:] != did[:-1], True]
+        sel = np.concatenate([np.flatnonzero(first),
+                              np.flatnonzero(last)])
+        side = np.concatenate([
+            np.zeros(int(first.sum()), dtype=np.int64),   # 0 = head
+            np.ones(int(last.sum()), dtype=np.int64),     # 1 = tail
+        ])
+        chs = cha[sel]
+        return pa.table({
+            "ch": pa.array(list(chs), type=pa.string()),
+            "doc_id": pa.array(did[sel]),
+            "side": pa.array(side),
+            "part": pa.array(
+                np.asarray([zlib.crc32(c.encode()) % N_DEDUP_PARTS
+                            for c in chs], dtype=np.int64)),
+        })
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        ch = g["ch"].to_numpy(dtype=object)
+        doc = g["doc_id"].to_numpy().astype(np.int64)
+        side = g["side"].to_numpy().astype(np.int64)
+        o = np.lexsort((doc, side, ch))
+        ch, doc, side = ch[o], doc[o], side[o]
+        new = np.r_[True, ch[1:] != ch[:-1]]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, len(ch)])
+        # per hash run: heads (side 0) sort before tails (side 1)
+        n_heads = np.add.reduceat((side == 0).astype(np.int64), starts)
+        n_tails = lens - n_heads
+        # expand tails x heads per run
+        t_idx = np.flatnonzero(side == 1)
+        tails = np.repeat(doc[t_idx], np.repeat(n_heads, n_tails))
+        h_counts = np.repeat(n_heads, n_tails)
+        h_base = np.repeat(starts, n_tails)
+        # head index arithmetic: heads occupy [start, start+n_heads)
+        total = int(h_counts.sum())
+        if total == 0:
+            return pd.DataFrame({
+                "doc_tail": pd.Series([], dtype=np.int64),
+                "doc_head": pd.Series([], dtype=np.int64),
+                "chunk_hash": pd.Series([], dtype=object),
+            })
+        off = np.cumsum(h_counts) - h_counts
+        pos = np.arange(total) - np.repeat(off, h_counts)
+        heads = doc[np.repeat(h_base, h_counts) + pos]
+        chh = ch[np.repeat(h_base, h_counts)]
+        keep = tails != heads
+        return pd.DataFrame({
+            "doc_tail": tails[keep],
+            "doc_head": heads[keep],
+            "chunk_hash": chh[keep],
+        })
+
+    return (
+        ds.map_batches(ends, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part").map_groups(match, batch_format="pandas")
+        .sort(["doc_tail", "doc_head"])
+    )

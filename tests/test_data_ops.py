@@ -69,6 +69,8 @@ ORACLE_CASES = [
     "cdc_chunk_dups",
     # SNM blocking -> Levenshtein verify -> CC labels, composed
     "entity_resolution",
+    # last-chunk == first-chunk shard stitching (shared CDC chunker)
+    "doc_stitch_candidates",
 ]
 
 
