@@ -854,6 +854,10 @@ def _register_relational(queries, sql) -> None:
         # COMPOSITE (partkey, suppkey) copart key
         ("q20_excess_parts", rel.q20_excess_parts,
          orel.Q20_EXCESS_PARTS),
+        # distribution-drift audit between snapshot halves: exact-cents
+        # equal-width bins, permille shares, TVD contributions
+        ("column_drift_tvd", rel.column_drift_tvd,
+         orel.COLUMN_DRIFT_TVD),
         # TPC-H Q16 proper (sweep complete at 22/22): filtered part
         # subset x COUNT(DISTINCT supplier) with a real NOT IN
         # complaint-supplier anti-filter over synthesized partsupp

@@ -1108,6 +1108,49 @@ Q20_EXCESS_PARTS = _q20_sql()
 Q16_SUPPLIER_CNT = _q16_sql()
 
 
+def _column_drift_sql() -> str:
+    """Mirror of relational.column_drift_tvd: exact-cents equal-width
+    bins over the global [min, max], permille floor shares per half."""
+    from prlib_ray import relational as rel
+
+    b = rel.DRIFT_BINS
+    return f"""
+WITH pr AS (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+           CASE WHEN o_orderdate < TIMESTAMP '{rel.DRIFT_SPLIT_DATE}'
+                THEN 0 ELSE 1 END AS side
+    FROM orders
+),
+mm AS (SELECT min(c) AS lo, max(c) - min(c) + 1 AS span FROM pr),
+bn AS (
+    SELECT least((c - lo) * {b} // span, {b - 1}) AS bin, side
+    FROM pr, mm
+),
+g AS (
+    SELECT bin,
+           sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS nb,
+           sum(side) AS na
+    FROM bn GROUP BY bin
+),
+t AS (SELECT greatest(sum(nb), 1) AS tb, greatest(sum(na), 1) AS ta FROM g),
+bins AS (SELECT unnest(generate_series(0, {b - 1})) AS bin)
+SELECT CAST(bins.bin AS BIGINT) AS bin,
+       CAST(COALESCE(g.nb, 0) AS BIGINT) AS n_before,
+       CAST(COALESCE(g.na, 0) AS BIGINT) AS n_after,
+       CAST(1000 * COALESCE(g.nb, 0) // t.tb AS BIGINT)
+           AS share_before_permille,
+       CAST(1000 * COALESCE(g.na, 0) // t.ta AS BIGINT)
+           AS share_after_permille,
+       CAST(abs(1000 * COALESCE(g.nb, 0) // t.tb
+                - 1000 * COALESCE(g.na, 0) // t.ta) AS BIGINT)
+           AS abs_diff_permille
+FROM bins LEFT JOIN g ON bins.bin = g.bin, t
+ORDER BY bin"""
+
+
+COLUMN_DRIFT_TVD = _column_drift_sql()
+
+
 def _q2_sql() -> str:
     from prlib_ray import relational as rel
 

@@ -6161,3 +6161,81 @@ def rolling_active_users(sf_dir: str):
         "day": pa.array(lo + np.arange(hi - lo + 1, dtype=np.int64)),
         "n_active": pa.array(curve),
     })
+
+
+# Drift-audit constants: equal-width integer bins over price CENTS
+# (floor(x*100+0.5) — the repo's exact-cents convention), halves split
+# at a fixed date (fixture dates span 1995..2001, so 1998-01-01 puts
+# mass on both sides at every sf).
+DRIFT_BINS = 10
+DRIFT_SPLIT_DATE = "1998-01-01"
+
+
+def column_drift_tvd(sf_dir: str):
+    """Distribution-drift audit (the Evidently/Deequ-style check a
+    training pipeline runs between snapshot halves): per equal-width
+    bin of o_totalprice cents, row counts and permille shares for the
+    before/after halves of DRIFT_SPLIT_DATE plus the absolute permille
+    gap — total variation distance = sum(abs_diff_permille) / 2, all
+    exact integers (floor shares; no floats anywhere).
+
+    Plan: pass 1 is a pruned Min/Max aggregate on the cents column
+    (aggregate-then-broadcast, the grayWorld pattern); pass 2 emits
+    per-batch (bin, side) bincount partials — 2 x DRIFT_BINS int64 per
+    batch, a calendar-bounded driver merge (the user_stickiness
+    discipline).  Two streaming scans, no shuffle at all."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    day_split = np.datetime64(DRIFT_SPLIT_DATE, "us").astype(np.int64)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_totalprice", "o_orderdate"],
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.floor(
+            b["o_totalprice"].to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        d = b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"c": pa.array(c), "d": d})
+
+    cds = ds.map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    agg = cds.aggregate(Min("c"), Max("c"))
+    lo, hi = int(agg["min(c)"]), int(agg["max(c)"])
+    span = hi - lo + 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy()
+        side = (b["d"].to_numpy() >= day_split).astype(np.int64)
+        bins = np.minimum((c - lo) * DRIFT_BINS // span, DRIFT_BINS - 1)
+        nb = np.bincount(bins[side == 0], minlength=DRIFT_BINS)
+        na = np.bincount(bins[side == 1], minlength=DRIFT_BINS)
+        return pa.table({
+            "bin": pa.array(np.arange(DRIFT_BINS, dtype=np.int64)),
+            "nb": pa.array(nb.astype(np.int64)),
+            "na": pa.array(na.astype(np.int64)),
+        })
+
+    nb = np.zeros(DRIFT_BINS, dtype=np.int64)
+    na = np.zeros(DRIFT_BINS, dtype=np.int64)
+    for part in cds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        k = part["bin"].to_numpy()
+        np.add.at(nb, k, part["nb"].to_numpy())
+        np.add.at(na, k, part["na"].to_numpy())
+    tb, ta = max(int(nb.sum()), 1), max(int(na.sum()), 1)
+    sb = 1000 * nb // tb
+    sa = 1000 * na // ta
+    return pa.table({
+        "bin": pa.array(np.arange(DRIFT_BINS, dtype=np.int64)),
+        "n_before": pa.array(nb),
+        "n_after": pa.array(na),
+        "share_before_permille": pa.array(sb),
+        "share_after_permille": pa.array(sa),
+        "abs_diff_permille": pa.array(np.abs(sb - sa)),
+    })

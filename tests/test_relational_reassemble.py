@@ -31,6 +31,7 @@ CASES = [
     "q11_important_stock",
     "q20_excess_parts",
     "q16_supplier_cnt",
+    "column_drift_tvd",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q12_shipmode_priority",
