@@ -215,7 +215,8 @@ def run_bench() -> dict:
                  "hits_scores", "dedup_containment",
                  "dedup_sorted_neighborhood", "dedup_prefix_filter",
                  "q16_supplier_cnt", "dsir_select", "cdc_chunk_dups",
-                 "doc_stitch_candidates", "column_drift_tvd"):
+                 "doc_stitch_candidates", "column_drift_tvd",
+                 "kcenter_coreset"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

@@ -267,6 +267,10 @@ def _register_data_ops(queries, sql) -> None:
     # in SQL (unrolled iteration CTEs) — full oracle despite recall<1
     queries["ann_ivf_topk"] = similarity.ann_ivf_topk
     sql["ann_ivf_topk"] = odata.ANN_IVF_TOPK
+    # greedy k-center coreset (farthest-point diversity pruning) with
+    # the unrolled-MATERIALIZED-rounds oracle discipline
+    queries["kcenter_coreset"] = similarity.kcenter_coreset
+    sql["kcenter_coreset"] = odata.KCENTER_CORESET
 
     # label-noise audit: exact kNN majority vote over the label column,
     # same integer score contract as the brute-force ranking

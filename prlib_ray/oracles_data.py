@@ -1400,6 +1400,56 @@ ORDER BY doc_tail, doc_head"""
 DOC_STITCH = _doc_stitch_sql()
 
 
+def _kcenter_sql() -> str:
+    """Mirror of similarity.kcenter_coreset: K_CENTER-1 unrolled
+    MATERIALIZED greedy rounds (the IVF-training oracle discipline) —
+    per round, the farthest point from the chosen set (min squared
+    int64 distance on the shared floor(v*1000+0.5) quantization),
+    ties to the smaller vec_id."""
+    from prlib_ray.stages.similarity import K_CENTER
+
+    parts = ["""
+WITH emb AS MATERIALIZED (
+    SELECT vec_id, i, CAST(floor(e * 1000 + 0.5) AS BIGINT) AS v
+    FROM (SELECT vec_id, unnest(embedding) AS e,
+                 generate_subscripts(embedding, 1) AS i FROM embeddings)
+),
+c0 AS (SELECT min(vec_id) AS cid FROM embeddings),
+d0 AS MATERIALIZED (
+    SELECT a.vec_id, sum((a.v - b.v) * (a.v - b.v)) AS d2
+    FROM emb a JOIN emb b ON a.i = b.i AND b.vec_id = (SELECT cid FROM c0)
+    GROUP BY a.vec_id
+)"""]
+    for t in range(1, K_CENTER):
+        parts.append(f""",
+p{t} AS MATERIALIZED (
+    SELECT vec_id, d2 FROM d{t - 1} ORDER BY d2 DESC, vec_id LIMIT 1
+)""")
+        if t < K_CENTER - 1:
+            parts.append(f""",
+n{t} AS MATERIALIZED (
+    SELECT a.vec_id, sum((a.v - b.v) * (a.v - b.v)) AS d2
+    FROM emb a JOIN emb b ON a.i = b.i
+                         AND b.vec_id = (SELECT vec_id FROM p{t})
+    GROUP BY a.vec_id
+),
+d{t} AS MATERIALIZED (
+    SELECT d{t - 1}.vec_id, least(d{t - 1}.d2, n{t}.d2) AS d2
+    FROM d{t - 1} JOIN n{t} USING (vec_id)
+)""")
+    sel = ["SELECT CAST(0 AS BIGINT) AS round, "
+           "CAST((SELECT cid FROM c0) AS BIGINT) AS vec_id, "
+           "CAST(0 AS BIGINT) AS dist2"]
+    for t in range(1, K_CENTER):
+        sel.append(f"SELECT CAST({t} AS BIGINT), CAST(vec_id AS BIGINT), "
+                   f"CAST(d2 AS BIGINT) FROM p{t}")
+    return ("".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+            + "\nORDER BY round")
+
+
+KCENTER_CORESET = _kcenter_sql()
+
+
 def _ann_ivf_topk_sql() -> str:
     """Mirror of similarity.ann_ivf_topk INCLUDING the training loop:
     IVF_ITERS integer-Lloyd iterations unrolled as CTE stages (assign =

@@ -1696,3 +1696,87 @@ def mmr_diversified_topk(sf_dir: str):
         "rel": pa.array(out_rel, type=pa.int64()),
         "obj": pa.array(out_obj, type=pa.int64()),
     })
+
+
+# Greedy k-center coreset (farthest-point traversal — the classic
+# 2-approximation; public technique): diversity-based data pruning, the
+# selection rule coreset/active-learning pipelines run over embedding
+# spaces.  K small by design (centers broadcast; distances recompute
+# per round so the pipeline stays stateless and streaming).
+K_CENTER = 8
+
+
+def kcenter_coreset(sf_dir: str):
+    """The K_CENTER greedy farthest-point centers over the embeddings
+    table: center 0 = min vec_id (deterministic seed), center t =
+    argmax over points of min squared distance to the chosen set
+    (ties -> smaller vec_id).  Output (round, vec_id, dist2) — dist2
+    is the selection distance, the k-center radius certificate each
+    round tightens.  All arithmetic is exact int64 on the shared
+    floor(v*1000+0.5) quantization, so the oracle mirrors with
+    K_CENTER-1 unrolled MATERIALIZED rounds (the IVF-training oracle
+    discipline).
+
+    Physical plan: one streaming scan per round (K scans total); each
+    batch computes min-distance to the broadcast center matrix
+    ((n,1,64)-(1,k,64) squared-sum, one matmul-shaped kernel) and
+    emits ONE local-winner row carrying its embedding, so the global
+    argmax is a bounded one-row-per-batch driver fold and the next
+    center's vector needs NO second scan."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+
+    c0 = int(ds.aggregate(Min("vec_id"))["min(vec_id)"])
+
+    def seed_row(b: pa.Table) -> pa.Table:
+        keep = b["vec_id"].to_numpy() == c0
+        return b.filter(pa.array(keep))
+
+    seed = ds.map_batches(
+        seed_row, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    C = [np.stack(_quantize([list(seed[0]["embedding"])]))[0]]
+    out_round = [0]
+    out_id = [c0]
+    out_d2 = [0]
+
+    for t in range(1, K_CENTER):
+        Cm = np.stack(C)
+
+        def winner(b: pa.Table, Cm=Cm) -> pa.Table:
+            ids = b["vec_id"].to_numpy().astype(np.int64)
+            if not len(ids):
+                return pa.table({
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "d2": pa.array([], type=pa.int64()),
+                    "embedding": pa.array([], type=pa.list_(pa.float64())),
+                })
+            Q = np.stack(_quantize(b["embedding"].to_pylist()))
+            diff = Q[:, None, :] - Cm[None, :, :]
+            d2 = np.einsum("nkd,nkd->nk", diff, diff).min(axis=1)
+            # local winner: max d2, tie -> min vec_id
+            k = np.lexsort((ids, -d2))[0]
+            return pa.table({
+                "vec_id": pa.array([ids[k]]),
+                "d2": pa.array([int(d2[k])]),
+                "embedding": pa.array([b["embedding"][k].as_py()]),
+            })
+
+        parts = ds.map_batches(
+            winner, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()  # bounded: one row per batch
+        best = min(parts, key=lambda r: (-int(r["d2"]), int(r["vec_id"])))
+        C.append(np.stack(_quantize([list(best["embedding"])]))[0])
+        out_round.append(t)
+        out_id.append(int(best["vec_id"]))
+        out_d2.append(int(best["d2"]))
+
+    return pa.table({
+        "round": pa.array(np.asarray(out_round, dtype=np.int64)),
+        "vec_id": pa.array(np.asarray(out_id, dtype=np.int64)),
+        "dist2": pa.array(np.asarray(out_d2, dtype=np.int64)),
+    })

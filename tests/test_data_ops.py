@@ -71,6 +71,8 @@ ORACLE_CASES = [
     "entity_resolution",
     # last-chunk == first-chunk shard stitching (shared CDC chunker)
     "doc_stitch_candidates",
+    # greedy k-center coreset (unrolled-rounds oracle)
+    "kcenter_coreset",
 ]
 
 
@@ -823,6 +825,19 @@ def test_split_leakage_constructed(ray_session, tmp_path):
     rows = set(zip(df["split_a"], df["split_b"], df["n_groups"]))
     assert rows == {("test", "test", 1), ("test", "val", 1),
                     ("val", "val", 1)}
+
+
+def test_kcenter_radius_monotone(registry, ray_session, sf_dir):
+    """Greedy farthest-point selection distances are nonincreasing
+    (each new center can only shrink every point's min distance) and
+    strictly positive after round 0 on the fixture."""
+    queries, _ = registry
+    df = queries["kcenter_coreset"](sf_dir).to_pandas()
+    d = df.sort_values("round")["dist2"].to_numpy()
+    assert d[0] == 0
+    assert (d[1:] > 0).all()
+    assert (np.diff(d[1:]) <= 0).all(), "selection radius must shrink"
+    assert df["vec_id"].is_unique
 
 
 def test_cdc_realigns_after_insertion(ray_session, tmp_path):
