@@ -209,6 +209,14 @@ _PRIORITY = [
     # ann_*_topk entries (pytest ORACLE_CASES + driver_sim still check
     # them), freeing window slots for the round's new operator families
     "tokenizer_budget_curve",  # new: OOV mass at several vocab sizes
+    # twentieth session: distributed BPE vocabulary training — the
+    # tokenizer-training step itself as a registry op (greedy
+    # pair-merge rounds over the word-frequency table; the oracle
+    # unrolls the rounds with the gaps-and-islands greedy-left merge
+    # semantics).  Displaced bloom_semi_join: the broadcast-semi-join
+    # gate is in-window via trade_volume's size-gated broadcast and
+    # q9_product_profit's dim probes — sim+pytest covered.
+    "bpe_train",
     "gopher_quality", "quality_classifier",
     # twentieth session: DSIR-style importance resampling — the
     # domain-matching data-selection discipline (hashed-unigram
@@ -248,7 +256,6 @@ _PRIORITY = [
     # covered.
     "price_zscore_outliers",  # new: exact 128-bit variance outliers
     "trade_volume",  # new: cross-nation revenue matrix (Q7 shape)
-    "bloom_semi_join",  # new: bloom-prefilter semi-join (FP-observable)
     # seventeenth session: exact global rank + NTILE deciles via ordered
     # range partitions — the distributed sort-rank over row-count value
     # cardinality (length_rank's bounded histogram can't) with NO global
@@ -273,6 +280,9 @@ _PRIORITY = [
     # stay sim+pytest covered, and the per-part top-K + bounded-merge
     # physical plan runs in-window via q3/hot-key family)
     "search_topk",
+    # displaced in the twentieth session by bpe_train (broadcast
+    # semi-join gate repped by trade_volume + q9_product_profit)
+    "bloom_semi_join",
     # displaced in the twentieth session by cdc_chunk_dups (the
     # event-stream windowing discipline is in-window via
     # rolling_active_users; the earliest-event chained-minima kernel

@@ -224,6 +224,11 @@ def _register_data_ops(queries, sql) -> None:
     # ratio so the oracle is exact)
     queries["dsir_select"] = text_analysis.dsir_select
     sql["dsir_select"] = odata.DSIR_SELECT
+    # distributed BPE vocabulary training: greedy pair-merge rounds
+    # over the word-frequency table, unrolled-rounds oracle with the
+    # gaps-and-islands greedy-left merge semantics
+    queries["bpe_train"] = text_analysis.bpe_train
+    sql["bpe_train"] = odata.BPE_TRAIN
     queries["repetition_stats"] = _doc_query(
         text_analysis.repetition_stats_batch
     )

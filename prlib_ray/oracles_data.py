@@ -1450,6 +1450,88 @@ d{t} AS MATERIALIZED (
 KCENTER_CORESET = _kcenter_sql()
 
 
+def _bpe_train_sql() -> str:
+    """Mirror of text_analysis.bpe_train: BPE_MERGES unrolled greedy
+    rounds over the word-frequency table — per round, the QUALIFY
+    winner (max weighted pair count, ties lexicographic) and the
+    greedy-left merge application via the gaps-and-islands parity
+    (overlapping candidate chains merge at even offsets — exactly
+    _bpe_apply_merge's rule)."""
+    from prlib_ray.stages.text_analysis import BPE_MERGES
+
+    parts = ["""
+WITH wf AS MATERIALIZED (
+    SELECT w, count(*) AS f FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE w <> '' GROUP BY w
+),
+sym0 AS MATERIALIZED (
+    SELECT w AS wid, i, s, f FROM (
+        SELECT w, f,
+               unnest(regexp_split_to_array(w, '')) AS s,
+               generate_subscripts(regexp_split_to_array(w, ''), 1) AS i
+        FROM wf
+    )
+)"""]
+    for t in range(1, BPE_MERGES + 1):
+        p = t - 1
+        parts.append(f""",
+pc{t} AS MATERIALIZED (
+    SELECT l, r, CAST(sum(f) AS BIGINT) AS cnt FROM (
+        SELECT s AS l,
+               lead(s) OVER (PARTITION BY wid ORDER BY i) AS r,
+               f
+        FROM sym{p}
+    ) WHERE r IS NOT NULL
+    GROUP BY l, r
+    QUALIFY row_number() OVER (ORDER BY sum(f) DESC, l, r) = 1
+),
+mg{t} AS MATERIALIZED (
+    SELECT wid, i, s, f,
+           CASE WHEN s = (SELECT l FROM pc{t})
+                 AND lead(s) OVER (PARTITION BY wid ORDER BY i)
+                     = (SELECT r FROM pc{t})
+                THEN 1 ELSE 0 END AS cand
+    FROM sym{p}
+),
+tk{t} AS MATERIALIZED (
+    SELECT wid, i, s, f, cand,
+           CASE WHEN cand = 1 AND
+                (rnk - min(rnk) OVER (PARTITION BY wid, grp)) % 2 = 0
+                THEN 1 ELSE 0 END AS take
+    FROM (
+        SELECT wid, i, s, f, cand,
+               row_number() OVER (PARTITION BY wid ORDER BY i) AS rnk,
+               row_number() OVER (PARTITION BY wid ORDER BY i)
+                 - row_number() OVER (PARTITION BY wid, cand ORDER BY i)
+                 AS grp
+        FROM mg{t}
+    )
+),
+sym{t} AS MATERIALIZED (
+    SELECT wid,
+           row_number() OVER (PARTITION BY wid ORDER BY i) AS i,
+           CASE WHEN take = 1
+                THEN s || (SELECT r FROM pc{t}) ELSE s END AS s,
+           f
+    FROM (
+        SELECT wid, i, s, f, take,
+               lag(take) OVER (PARTITION BY wid ORDER BY i) AS ptake
+        FROM tk{t}
+    ) WHERE ptake IS NULL OR ptake = 0
+)""")
+    sel = [
+        f"SELECT CAST({t} AS BIGINT) AS round, l AS left_sym, "
+        f"r AS right_sym, cnt AS pair_count FROM pc{t}"
+        for t in range(1, BPE_MERGES + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(sel) \
+        + "\nORDER BY round"
+
+
+BPE_TRAIN = _bpe_train_sql()
+
+
 def _ann_ivf_topk_sql() -> str:
     """Mirror of similarity.ann_ivf_topk INCLUDING the training loop:
     IVF_ITERS integer-Lloyd iterations unrolled as CTE stages (assign =

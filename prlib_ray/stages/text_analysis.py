@@ -621,3 +621,147 @@ def utf8_hygiene(sf_dir: str):
         "n_nonascii": pa.array([int(r["sum(n_nonascii)"]) for r in rows],
                                type=pa.int64()),
     })
+
+
+# Distributed BPE vocabulary training (Sennrich et al. 2016, public):
+# BPE_MERGES greedy rounds of most-frequent-adjacent-pair merging over
+# the corpus word-frequency table, word-internal (no end-of-word
+# marker — documented simplification), ties -> lexicographically
+# smallest (left, right).  The merge-apply is greedy-left
+# non-overlapping; overlapping candidate chains (left == right, e.g.
+# 'aaaa') merge at even chain offsets — the same gaps-and-islands
+# parity the SQL mirror uses, so both sides share one semantics.
+BPE_MERGES = 6
+
+
+def _bpe_apply_merge(wid: np.ndarray, sym: np.ndarray, left: str,
+                     right: str):
+    """One greedy-left merge pass over flat (word-id, symbol) arrays —
+    fully vectorized, including the overlapping-chain parity."""
+    if len(sym) < 2:
+        return wid, sym
+    cand = np.r_[(sym[:-1] == left) & (sym[1:] == right)
+                 & (wid[:-1] == wid[1:]), False]
+    if not cand.any():
+        return wid, sym
+    # maximal runs of consecutive candidates: greedy-left takes even
+    # offsets (runs longer than 1 only possible when left == right)
+    runstart = cand & ~np.r_[False, cand[:-1]]
+    idx = np.arange(len(cand))
+    start = np.maximum.accumulate(np.where(runstart, idx, -1))
+    take = cand & ((idx - start) % 2 == 0)
+    drop = np.r_[False, take[:-1]]  # right halves
+    out_sym = sym.copy()
+    out_sym[take] = left + right
+    keep = ~drop
+    return wid[keep], out_sym[keep]
+
+
+def bpe_train(sf_dir: str):
+    """The first BPE_MERGES learned merges over the corpus:
+    (round, left_sym, right_sym, pair_count) — the tokenizer-training
+    step of an LLM data pipeline as a distributed op, oracle-mirrored
+    with unrolled MATERIALIZED merge rounds (QUALIFY winner + the
+    parity-island merge application).
+
+    Physical plan: the word-frequency table folds once into coarse
+    word-hash partitions and materializes (BPE's working set is the
+    VOCABULARY, not the corpus — scans after pass 0 touch unique words
+    only); each round re-derives symbol state per batch by replaying
+    the t-1 broadcast merges (stateless, exactly what the SQL rounds
+    do) and emits bounded (left, right, count) partials folded on the
+    driver (bounded by the live pair space; at a 10^9-type vocabulary
+    the same fold coarse-partitions by pair hash — documented)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def wf_partial(b: pa.Table) -> pa.Table:
+        words, _, _ = _flat_words(b)
+        ne = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        w = words.to_numpy(zero_copy_only=False)[ne]
+        uniq, counts = np.unique(w, return_counts=True)
+        part = np.asarray(
+            [int.from_bytes(hashlib.md5(u.encode()).digest()[:4], "little")
+             % 64 for u in uniq], dtype=np.int64)
+        return pa.table({
+            "w": pa.array(list(uniq), type=pa.string()),
+            "f": pa.array(counts.astype(np.int64)),
+            "part": pa.array(part),
+        })
+
+    def wf_fold(g) -> pa.Table:
+        w = g["w"].to_numpy(dtype=object)
+        f = g["f"].to_numpy().astype(np.int64)
+        o = np.argsort(w, kind="stable")
+        w, f = w[o], f[o]
+        new = np.r_[True, w[1:] != w[:-1]]
+        gid = np.cumsum(new) - 1
+        tot = np.bincount(gid, weights=f).astype(np.int64)
+        import pandas as pd
+
+        return pd.DataFrame({"w": w[new], "f": tot})
+
+    wf = (
+        ds.map_batches(wf_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("part").map_groups(wf_fold, batch_format="pandas")
+        .materialize()
+    )
+
+    merges: list[tuple[str, str, int]] = []
+    for t in range(BPE_MERGES):
+        done = list(merges)
+
+        def pair_partial(b: pa.Table, done=done) -> pa.Table:
+            words = b["w"].to_pylist()
+            f = b["f"].to_numpy().astype(np.int64)
+            lens = np.fromiter(map(len, words), dtype=np.int64,
+                               count=len(words))
+            sym = np.array(list("".join(words)), dtype=object)
+            wid = np.repeat(np.arange(len(words), dtype=np.int64), lens)
+            for l, r, _ in done:
+                wid, sym = _bpe_apply_merge(wid, sym, l, r)
+            if len(sym) < 2:
+                return pa.table({
+                    "l": pa.array([], type=pa.string()),
+                    "r": pa.array([], type=pa.string()),
+                    "cnt": pa.array([], type=pa.int64()),
+                })
+            adj = wid[:-1] == wid[1:]
+            ls = sym[:-1][adj]
+            rs = sym[1:][adj]
+            fw = f[wid[:-1][adj]]
+            key = np.char.add(np.char.add(ls.astype(str), "\x1f"),
+                              rs.astype(str))
+            uniq, inv = np.unique(key, return_inverse=True)
+            cnt = np.bincount(inv, weights=fw).astype(np.int64)
+            lr = np.char.partition(uniq, "\x1f")
+            return pa.table({
+                "l": pa.array(list(lr[:, 0]), type=pa.string()),
+                "r": pa.array(list(lr[:, 2]), type=pa.string()),
+                "cnt": pa.array(cnt),
+            })
+
+        acc: dict[tuple[str, str], int] = {}
+        for part in wf.map_batches(
+            pair_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow"):
+            for l, r, c in zip(part["l"].to_pylist(),
+                               part["r"].to_pylist(),
+                               part["cnt"].to_pylist()):
+                acc[(l, r)] = acc.get((l, r), 0) + int(c)
+        if not acc:
+            break
+        (l, r), c = min(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, c))
+
+    return pa.table({
+        "round": pa.array(np.arange(1, len(merges) + 1, dtype=np.int64)),
+        "left_sym": pa.array([m[0] for m in merges], type=pa.string()),
+        "right_sym": pa.array([m[1] for m in merges], type=pa.string()),
+        "pair_count": pa.array(np.asarray([m[2] for m in merges],
+                                          dtype=np.int64)),
+    })

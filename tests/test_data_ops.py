@@ -73,6 +73,8 @@ ORACLE_CASES = [
     "doc_stitch_candidates",
     # greedy k-center coreset (unrolled-rounds oracle)
     "kcenter_coreset",
+    # distributed BPE vocabulary training (unrolled merge rounds)
+    "bpe_train",
 ]
 
 
@@ -825,6 +827,54 @@ def test_split_leakage_constructed(ray_session, tmp_path):
     rows = set(zip(df["split_a"], df["split_b"], df["n_groups"]))
     assert rows == {("test", "test", 1), ("test", "val", 1),
                     ("val", "val", 1)}
+
+
+def test_bpe_train_matches_greedy_reference(ray_session, tmp_path):
+    """bpe_train on a constructed corpus equals the straight-line greedy
+    BPE — including the overlapping-candidate case ('aaaa' under merge
+    (a,a) -> '(aa)(aa)', greedy-left at even chain offsets) and the
+    lexicographic tie-break."""
+    import collections
+
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.stages.text_analysis import BPE_MERGES, bpe_train
+
+    texts = ["aaaa aaab baaa", "aaaa cc cc dd", "abab abab cc aaaa"]
+    pq2.write_table(
+        pa2.table({
+            "doc_id": pa2.array([0, 1, 2], type=pa2.int64()),
+            "text": pa2.array(texts, type=pa2.string()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    got = bpe_train(str(tmp_path)).to_pandas()
+
+    wf = collections.Counter(
+        w for t in texts for w in t.split(" ") if w != "")
+    words = {w: list(w) for w in wf}
+    ref = []
+    for t in range(1, BPE_MERGES + 1):
+        cnt = collections.Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] += wf[w]
+        if not cnt:
+            break
+        (l, r), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        ref.append((t, l, r, c))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    assert list(map(tuple, got.itertuples(index=False))) == ref
 
 
 def test_kcenter_radius_monotone(registry, ray_session, sf_dir):
