@@ -229,6 +229,11 @@ def _register_data_ops(queries, sql) -> None:
     # gaps-and-islands greedy-left merge semantics
     queries["bpe_train"] = text_analysis.bpe_train
     sql["bpe_train"] = odata.BPE_TRAIN
+    # encode with the learned merges: per-doc BPE token counts (no
+    # vocab broadcast — each batch replays the tiny merge list on its
+    # own unique words); the oracle composes the SAME chain CTEs
+    queries["bpe_token_count"] = text_analysis.bpe_token_count
+    sql["bpe_token_count"] = odata.BPE_TOKEN_COUNT
     queries["repetition_stats"] = _doc_query(
         text_analysis.repetition_stats_batch
     )

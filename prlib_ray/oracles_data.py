@@ -1450,13 +1450,14 @@ d{t} AS MATERIALIZED (
 KCENTER_CORESET = _kcenter_sql()
 
 
-def _bpe_train_sql() -> str:
-    """Mirror of text_analysis.bpe_train: BPE_MERGES unrolled greedy
-    rounds over the word-frequency table — per round, the QUALIFY
-    winner (max weighted pair count, ties lexicographic) and the
-    greedy-left merge application via the gaps-and-islands parity
-    (overlapping candidate chains merge at even offsets — exactly
-    _bpe_apply_merge's rule)."""
+def _bpe_chain_ctes() -> str:
+    """The shared BPE merge-round CTE chain (wf -> sym0 -> pc/sym 1..M)
+    — ONE definition composed by the train oracle AND the encode
+    oracle, so the two cannot desynchronize (the band-generation
+    lesson): per round, the QUALIFY winner (max weighted pair count,
+    ties lexicographic) and the greedy-left merge application via the
+    gaps-and-islands parity (overlapping candidate chains merge at
+    even offsets — exactly _bpe_apply_merge's rule)."""
     from prlib_ray.stages.text_analysis import BPE_MERGES
 
     parts = ["""
@@ -1520,16 +1521,44 @@ sym{t} AS MATERIALIZED (
         FROM tk{t}
     ) WHERE ptake IS NULL OR ptake = 0
 )""")
+    return "".join(parts)
+
+
+def _bpe_train_sql() -> str:
+    from prlib_ray.stages.text_analysis import BPE_MERGES
+
     sel = [
         f"SELECT CAST({t} AS BIGINT) AS round, l AS left_sym, "
         f"r AS right_sym, cnt AS pair_count FROM pc{t}"
         for t in range(1, BPE_MERGES + 1)
     ]
-    return "".join(parts) + "\n" + "\nUNION ALL\n".join(sel) \
+    return _bpe_chain_ctes() + "\n" + "\nUNION ALL\n".join(sel) \
         + "\nORDER BY round"
 
 
+def _bpe_token_count_sql() -> str:
+    """Mirror of text_analysis.bpe_token_count: per-word symbol counts
+    from the shared chain's final state, summed over each doc's word
+    instances (docs with no non-empty words count 0)."""
+    from prlib_ray.stages.text_analysis import BPE_MERGES
+
+    return _bpe_chain_ctes() + f""",
+wl AS (SELECT wid AS w, count(*) AS n_sym FROM sym{BPE_MERGES} GROUP BY wid),
+dw AS (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE w <> ''
+)
+SELECT d.doc_id,
+       CAST(COALESCE(sum(wl.n_sym), 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d
+LEFT JOIN dw ON d.doc_id = dw.doc_id
+LEFT JOIN wl ON dw.w = wl.w
+GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+
 BPE_TRAIN = _bpe_train_sql()
+BPE_TOKEN_COUNT = _bpe_token_count_sql()
 
 
 def _ann_ivf_topk_sql() -> str:

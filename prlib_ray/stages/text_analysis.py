@@ -657,7 +657,7 @@ def _bpe_apply_merge(wid: np.ndarray, sym: np.ndarray, left: str,
     return wid[keep], out_sym[keep]
 
 
-def bpe_train(sf_dir: str):
+def _bpe_learn(sf_dir: str) -> list[tuple[str, str, int]]:
     """The first BPE_MERGES learned merges over the corpus:
     (round, left_sym, right_sym, pair_count) — the tokenizer-training
     step of an LLM data pipeline as a distributed op, oracle-mirrored
@@ -758,6 +758,13 @@ def bpe_train(sf_dir: str):
         (l, r), c = min(acc.items(), key=lambda kv: (-kv[1], kv[0]))
         merges.append((l, r, c))
 
+    return merges
+
+
+def bpe_train(sf_dir: str):
+    """Driver view of _bpe_learn: (round, left_sym, right_sym,
+    pair_count) rows for the learned merges."""
+    merges = _bpe_learn(sf_dir)
     return pa.table({
         "round": pa.array(np.arange(1, len(merges) + 1, dtype=np.int64)),
         "left_sym": pa.array([m[0] for m in merges], type=pa.string()),
@@ -765,3 +772,46 @@ def bpe_train(sf_dir: str):
         "pair_count": pa.array(np.asarray([m[2] for m in merges],
                                           dtype=np.int64)),
     })
+
+
+def bpe_token_count(sf_dir: str):
+    """Encode with the learned vocabulary: per document, the number of
+    BPE tokens after applying the BPE_MERGES trained merges — train
+    then encode, the full tokenizer loop as registry ops.
+
+    The encode pass needs NO vocabulary broadcast and no join: the
+    merge list is tiny (BPE_MERGES entries), so each batch char-splits
+    its own UNIQUE words, replays the merges with the shared
+    _bpe_apply_merge, and maps per-word symbol counts back through the
+    unique-inverse — one streaming scan after training."""
+    import ray.data as rd
+
+    merges = _bpe_learn(sf_dir)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def encode(b: pa.Table) -> pa.Table:
+        words, doc_of, ndocs = _flat_words(b)
+        ne = pc.not_equal(words, "").to_numpy(zero_copy_only=False)
+        w = words.to_numpy(zero_copy_only=False)[ne]
+        d = doc_of[ne]
+        n = np.zeros(ndocs, dtype=np.int64)
+        if len(w):
+            uniq, inv = np.unique(w, return_inverse=True)
+            lens = np.fromiter(map(len, uniq), dtype=np.int64,
+                               count=len(uniq))
+            sym = np.array(list("".join(uniq)), dtype=object)
+            wid = np.repeat(np.arange(len(uniq), dtype=np.int64), lens)
+            for l, r, _ in merges:
+                wid, sym = _bpe_apply_merge(wid, sym, l, r)
+            n_sym = np.bincount(wid, minlength=len(uniq)).astype(np.int64)
+            np.add.at(n, d, n_sym[inv])
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_bpe_tokens": pa.array(n),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True)

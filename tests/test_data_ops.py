@@ -75,6 +75,8 @@ ORACLE_CASES = [
     "kcenter_coreset",
     # distributed BPE vocabulary training (unrolled merge rounds)
     "bpe_train",
+    # encode with the learned merges (shared chain CTEs)
+    "bpe_token_count",
 ]
 
 
