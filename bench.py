@@ -216,7 +216,8 @@ def run_bench() -> dict:
                  "dedup_sorted_neighborhood", "dedup_prefix_filter",
                  "q16_supplier_cnt", "dsir_select", "cdc_chunk_dups",
                  "doc_stitch_candidates", "column_drift_tvd",
-                 "kcenter_coreset", "bpe_train", "bpe_token_count"):
+                 "kcenter_coreset", "bpe_train", "bpe_token_count",
+                 "ngram_novelty"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

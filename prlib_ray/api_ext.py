@@ -155,6 +155,10 @@ def _register_data_ops(queries, sql) -> None:
     # in the registry (NGRAM_JACCARD's is doc_id-bounded)
     queries["dedup_prefix_filter"] = dedup.prefix_filter_join
     sql["dedup_prefix_filter"] = odata.PREFIX_FILTER
+    # per-doc shingle novelty (corpus df == 1 fraction) — the
+    # curation signal complementing intra-doc dup_ngram_fraction
+    queries["ngram_novelty"] = dedup.ngram_novelty
+    sql["ngram_novelty"] = odata.NGRAM_NOVELTY
     # asymmetric subset-duplication pairs (containment of the smaller
     # doc's shingles; planted snippet docs make it fire where Jaccard
     # cannot)

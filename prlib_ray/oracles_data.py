@@ -1304,6 +1304,44 @@ ORDER BY chunk_hash"""
 CDC_CHUNK_DUPS = _cdc_chunk_dups_sql()
 
 
+def _ngram_novelty_sql() -> str:
+    """Mirror of dedup.ngram_novelty: distinct 3-word shingles per doc,
+    novel = corpus df == 1, exact permille; zero-shingle docs at 0."""
+    return """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+),
+nz AS (
+    SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+    FROM words WHERE w <> ''
+),
+sh AS (
+    SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+    FROM nz a JOIN nz b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+              JOIN nz c ON a.doc_id = c.doc_id AND c.j = a.j + 2
+),
+df AS (SELECT s, count(*) AS n FROM sh GROUP BY s),
+per AS (
+    SELECT sh.doc_id,
+           count(*) AS n_shingles,
+           sum(CASE WHEN df.n = 1 THEN 1 ELSE 0 END) AS n_novel
+    FROM sh JOIN df USING (s) GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(per.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(1000 * COALESCE(per.n_novel, 0)
+            // greatest(COALESCE(per.n_shingles, 0), 1) AS BIGINT)
+           AS novelty_permille
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+NGRAM_NOVELTY = _ngram_novelty_sql()
+
+
 def _entity_resolution_sql() -> str:
     """Mirror of dedup.entity_resolution: the SORTED_NEIGHBORHOOD pair
     CTE filtered by DuckDB levenshtein() under the same integer

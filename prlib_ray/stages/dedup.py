@@ -2564,3 +2564,105 @@ def doc_stitch_candidates(sf_dir: str):
         .groupby("part").map_groups(match, batch_format="pandas")
         .sort(["doc_tail", "doc_head"])
     )
+
+
+def ngram_novelty(sf_dir: str):
+    """Per-document novelty: of the doc's DISTINCT 3-word shingles, how
+    many appear in NO other document (corpus df == 1), as an exact
+    permille — the curation signal separating genuinely novel text from
+    recombinations of corpus boilerplate (complements dup_ngram_fraction,
+    which is intra-doc).  Docs with no shingles stay in the output at
+    permille 0 (a curation signal must rule on every doc).
+
+    Plan: the shared _blobify_batch substrate explodes to (sid, doc)
+    postings; df folds in sid-hash parts (a sid lives in ONE part —
+    globally exact, the prefix_filter_join layout minus the prefix);
+    per-doc novel counts fold back in doc-hash parts; the final
+    permille attaches on a pruned doc_id scan so zero-shingle docs
+    surface.  Three coarse int64 shuffles, no caps, no driver state."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    blob = ds.map_batches(
+        _blobify_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def explode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"sid": z, "doc": z, "part": z})
+        blobs = b["sh"].to_pylist()
+        n = b["n_sh"].to_numpy().astype(np.int64)
+        did = b["doc_id"].to_numpy().astype(np.int64)
+        sid = np.frombuffer(b"".join(blobs), dtype=np.uint64).view(np.int64)
+        part = ((sid.view(np.uint64) * _PF_GOLD)
+                % np.uint64(N_PF_PARTS)).astype(np.int64)
+        return pa.table({
+            "sid": pa.array(sid),
+            "doc": pa.array(np.repeat(did, n)),
+            "part": pa.array(part),
+        })
+
+    def df_fold(g: pd.DataFrame) -> pd.DataFrame:
+        # postings are distinct (doc, sid) by blobify construction, so
+        # run length per sid IS its document frequency
+        sid = g["sid"].to_numpy().astype(np.int64)
+        doc = g["doc"].to_numpy().astype(np.int64)
+        o = np.argsort(sid, kind="stable")
+        sid, doc = sid[o], doc[o]
+        starts = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]])
+        lens = np.diff(np.r_[starts, len(sid)])
+        novel = np.repeat(lens == 1, lens)
+        return pd.DataFrame({
+            "doc": doc,
+            "novel": novel.astype(np.int64),
+            "part2": (doc % N_PF_PARTS).astype(np.int64),
+        })
+
+    def doc_fold(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["doc"].to_numpy().astype(np.int64)
+        nv = g["novel"].to_numpy().astype(np.int64)
+        o = np.argsort(doc, kind="stable")
+        doc, nv = doc[o], nv[o]
+        new = np.r_[True, doc[1:] != doc[:-1]]
+        gid = np.cumsum(new) - 1
+        tot = np.bincount(gid).astype(np.int64)
+        won = np.bincount(gid, weights=nv).astype(np.int64)
+        return pd.DataFrame({"doc_id": doc[new], "n_shingles": tot,
+                             "n_novel": won})
+
+    counts = (
+        blob.map_batches(explode, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("part").map_groups(df_fold, batch_format="pandas")
+        .groupby("part2").map_groups(doc_fold, batch_format="pandas")
+    )
+
+    npart = _join_partitions()
+    all_docs = blob.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"]}),
+        batch_format="pyarrow",
+    )
+    joined = all_docs.join(
+        counts, "left_outer", num_partitions=npart, on=("doc_id",),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy().astype(np.int64)
+        ns = b["n_shingles"].to_numpy(zero_copy_only=False)
+        nv = b["n_novel"].to_numpy(zero_copy_only=False)
+        ns = np.where(np.isnan(ns.astype(np.float64)), 0, ns).astype(np.int64)
+        nv = np.where(np.isnan(nv.astype(np.float64)), 0, nv).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(did),
+            "n_shingles": pa.array(ns),
+            "n_novel": pa.array(nv),
+            "novelty_permille": pa.array(
+                1000 * nv // np.maximum(ns, 1)),
+        })
+
+    return joined.map_batches(
+        finish, batch_format="pyarrow"
+    ).sort("doc_id")

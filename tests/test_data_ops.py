@@ -77,6 +77,8 @@ ORACLE_CASES = [
     "bpe_train",
     # encode with the learned merges (shared chain CTEs)
     "bpe_token_count",
+    # per-doc shingle novelty (corpus df == 1 fraction)
+    "ngram_novelty",
 ]
 
 
