@@ -203,6 +203,10 @@ def _register_data_ops(queries, sql) -> None:
     # the SQL-mirrored minhash pairs
     queries["dedup_clusters_minhash"] = dedup.dedup_clusters_minhash
     sql["dedup_clusters_minhash"] = odata.CLUSTERS_MINHASH
+    # leakage-free splits: assignment by near-dup CLUSTER label, so a
+    # verified pair cannot cross train/test by construction
+    queries["split_no_leakage"] = dedup.split_no_leakage
+    sql["split_no_leakage"] = odata.SPLIT_NO_LEAKAGE
     queries["dedup_incremental"] = dedup.incremental_dedup
     sql["dedup_incremental"] = odata.INCREMENTAL_DEDUP
     queries["corpus_diff"] = dedup.corpus_diff

@@ -1342,6 +1342,26 @@ ORDER BY d.doc_id"""
 NGRAM_NOVELTY = _ngram_novelty_sql()
 
 
+def _split_no_leakage_sql() -> str:
+    """Mirror of dedup.split_no_leakage: the CLUSTERS_MINHASH labels as
+    a subquery, COALESCE singletons to their own doc_id, the shared
+    two-hex-char split rule applied to the LABEL."""
+    return f"""
+SELECT d.doc_id,
+       CAST(COALESCE(l.label, d.doc_id) AS BIGINT) AS label,
+       CASE WHEN substring(md5(CAST(COALESCE(l.label, d.doc_id)
+                                    AS VARCHAR)), 1, 2) < 'fa'
+            THEN 'train'
+            WHEN substring(md5(CAST(COALESCE(l.label, d.doc_id)
+                                    AS VARCHAR)), 1, 2) < 'fd'
+            THEN 'val' ELSE 'test' END AS split
+FROM documents d LEFT JOIN ({CLUSTERS_MINHASH}) l USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+SPLIT_NO_LEAKAGE = _split_no_leakage_sql()
+
+
 def _entity_resolution_sql() -> str:
     """Mirror of dedup.entity_resolution: the SORTED_NEIGHBORHOOD pair
     CTE filtered by DuckDB levenshtein() under the same integer

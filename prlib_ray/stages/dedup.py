@@ -2666,3 +2666,46 @@ def ngram_novelty(sf_dir: str):
     return joined.map_batches(
         finish, batch_format="pyarrow"
     ).sort("doc_id")
+
+
+def split_no_leakage(sf_dir: str):
+    """Leakage-FREE train/val/test assignment: the split key is the
+    near-dup CLUSTER label (minhash CC fixpoint), not the doc — every
+    verified near-duplicate pair lands in the same split by
+    construction, turning split_leakage's AUDIT into a guarantee.
+    Singletons keep label = own doc_id.  The split rule is the shared
+    relational.split_of contract applied to the label (one rule, it
+    cannot drift from split_assign/split_leakage).
+
+    Output (doc_id, label, split) for every document.  Plan: the
+    convergence-guarded label propagation over verified pairs (tiny),
+    then ONE left-outer Dataset.join onto the pruned doc scan —
+    cluster labels never funnel through the driver."""
+    import ray.data as rd
+    from ray.data import from_arrow
+
+    from prlib_ray.relational import split_of
+
+    labels = dedup_clusters_minhash(sf_dir)
+    if isinstance(labels, pa.Table):
+        labels_ds = from_arrow(labels)
+    else:
+        labels_ds = labels
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    npart = _join_partitions()
+    joined = docs.join(labels_ds, "left_outer", num_partitions=npart,
+                       on=("doc_id",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy().astype(np.int64)
+        lab = b["label"].to_numpy(zero_copy_only=False)
+        lab = np.where(np.isnan(lab.astype(np.float64)), did,
+                       lab).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(did),
+            "label": pa.array(lab),
+            "split": pa.array(split_of(lab), type=pa.string()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("doc_id")

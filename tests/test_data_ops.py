@@ -79,6 +79,8 @@ ORACLE_CASES = [
     "bpe_token_count",
     # per-doc shingle novelty (corpus df == 1 fraction)
     "ngram_novelty",
+    # leakage-free cluster-keyed split assignment
+    "split_no_leakage",
 ]
 
 
@@ -831,6 +833,20 @@ def test_split_leakage_constructed(ray_session, tmp_path):
     rows = set(zip(df["split_a"], df["split_b"], df["n_groups"]))
     assert rows == {("test", "test", 1), ("test", "val", 1),
                     ("val", "val", 1)}
+
+
+def test_split_no_leakage_pairs_never_cross(registry, ray_session, sf_dir):
+    """The guarantee itself: every verified minhash near-dup pair lands
+    in ONE split (the leakage split_leakage audits cannot occur)."""
+    queries, _ = registry
+    sp = queries["split_no_leakage"](sf_dir).to_pandas()
+    s = dict(zip(sp["doc_id"], sp["split"]))
+    pairs = queries["dedup_minhash_lsh"](sf_dir).to_pandas()
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert s[a] == s[b], (a, b, s[a], s[b])
+    # and every doc got exactly one verdict
+    assert sp["doc_id"].is_unique
+    assert set(sp["split"]) <= {"train", "val", "test"}
 
 
 def test_bpe_train_matches_greedy_reference(ray_session, tmp_path):
