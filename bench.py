@@ -217,7 +217,8 @@ def run_bench() -> dict:
                  "q16_supplier_cnt", "dsir_select", "cdc_chunk_dups",
                  "doc_stitch_candidates", "column_drift_tvd",
                  "kcenter_coreset", "bpe_train", "bpe_token_count",
-                 "ngram_novelty", "split_no_leakage"):
+                 "ngram_novelty", "split_no_leakage",
+                 "ann_recall_audit"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

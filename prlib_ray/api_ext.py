@@ -289,6 +289,10 @@ def _register_data_ops(queries, sql) -> None:
     # the unrolled-MATERIALIZED-rounds oracle discipline
     queries["kcenter_coreset"] = similarity.kcenter_coreset
     sql["kcenter_coreset"] = odata.KCENTER_CORESET
+    # recall@k of the trained IVF index vs exact brute force — the
+    # index-quality evaluation, composed from the two existing paths
+    queries["ann_recall_audit"] = similarity.ann_recall_audit
+    sql["ann_recall_audit"] = odata.ANN_RECALL_AUDIT
 
     # label-noise audit: exact kNN majority vote over the label column,
     # same integer score contract as the brute-force ranking

@@ -1362,6 +1362,28 @@ ORDER BY d.doc_id"""
 SPLIT_NO_LEAKAGE = _split_no_leakage_sql()
 
 
+def _ann_recall_audit_sql() -> str:
+    """Mirror of similarity.ann_recall_audit: the BF and IVF oracle
+    bodies composed as subqueries, overlap counted per query (LEFT
+    JOIN keeps zero-overlap queries)."""
+    return f"""
+WITH bf AS MATERIALIZED ({ANN_BRUTEFORCE}),
+ivf AS MATERIALIZED ({ANN_IVF_TOPK}),
+o AS (
+    SELECT bf.query_id, count(*) AS n
+    FROM bf JOIN ivf ON bf.query_id = ivf.query_id
+                    AND bf.vec_id = ivf.vec_id
+    GROUP BY bf.query_id
+),
+q AS (SELECT DISTINCT query_id FROM bf)
+SELECT q.query_id,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_overlap,
+       CAST(1000 * COALESCE(o.n, 0) // 5 AS BIGINT) AS recall_permille
+FROM q LEFT JOIN o USING (query_id)
+ORDER BY q.query_id"""
+
+
+
 def _entity_resolution_sql() -> str:
     """Mirror of dedup.entity_resolution: the SORTED_NEIGHBORHOOD pair
     CTE filtered by DuckDB levenshtein() under the same integer
@@ -1732,6 +1754,8 @@ cdots AS (
 
 
 ANN_IVF_TOPK = _ann_ivf_topk_sql()
+# defined above; evaluated here because it composes ANN_IVF_TOPK
+ANN_RECALL_AUDIT = _ann_recall_audit_sql()
 
 
 def _ann_pq_adc_sql() -> str:

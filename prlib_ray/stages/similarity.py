@@ -1780,3 +1780,30 @@ def kcenter_coreset(sf_dir: str):
         "vec_id": pa.array(np.asarray(out_id, dtype=np.int64)),
         "dist2": pa.array(np.asarray(out_d2, dtype=np.int64)),
     })
+
+
+def ann_recall_audit(sf_dir: str, *, k: int = 5):
+    """Index-quality evaluation: per query, how many of the trained IVF
+    index's top-k survive against the exact brute-force top-k
+    (recall@k as an exact permille) — the audit a production ANN
+    deployment runs before trusting an index, composed from the two
+    existing paths so the comparison can never drift from what the
+    registry actually serves.  Both inputs are bounded top-k results
+    (n_queries x k rows); the overlap fold is driver-side by
+    construction, not a funnel."""
+    bf = ann_bruteforce_topk(sf_dir, k=k)
+    ivf = ann_ivf_topk(sf_dir, k=k)
+    bfd = bf.to_pandas() if hasattr(bf, "to_pandas") else bf
+    ivd = ivf.to_pandas() if hasattr(ivf, "to_pandas") else ivf
+    bset = set(zip(bfd["query_id"], bfd["vec_id"]))
+    qids = np.sort(bfd["query_id"].unique()).astype(np.int64)
+    hit = {int(q): 0 for q in qids}
+    for q, v in zip(ivd["query_id"], ivd["vec_id"]):
+        if (q, v) in bset:
+            hit[int(q)] += 1
+    n = np.asarray([hit[int(q)] for q in qids], dtype=np.int64)
+    return pa.table({
+        "query_id": pa.array(qids),
+        "n_overlap": pa.array(n),
+        "recall_permille": pa.array(1000 * n // k),
+    })

@@ -81,6 +81,8 @@ ORACLE_CASES = [
     "ngram_novelty",
     # leakage-free cluster-keyed split assignment
     "split_no_leakage",
+    # IVF-vs-bruteforce recall@k evaluation (composed oracles)
+    "ann_recall_audit",
 ]
 
 
