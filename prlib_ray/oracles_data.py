@@ -142,24 +142,35 @@ ORDER BY i.doc_a, i.doc_b"""
 CONTAINMENT_PAIRS = _containment_pairs_sql()
 
 
-def _sorted_neighborhood_sql() -> str:
-    """Mirror of dedup.sorted_neighborhood_pairs: row_number over the
-    (blocking key, doc_id) order, self-joined on rank distance."""
+def _snm_rank_ctes(*, with_text: bool) -> str:
+    """The SNM blocking-key + global-rank CTEs (k, r) — ONE definition
+    composed by SORTED_NEIGHBORHOOD and ENTITY_RESOLUTION so the
+    blocking rule cannot drift between the candidate generator and the
+    pipeline built on it (review finding / band-generation lesson)."""
     from prlib_ray.stages import dedup as dd
 
-    return f"""
-WITH k AS (
-    SELECT doc_id,
+    t = "text, " if with_text else ""
+    return f"""k AS (
+    SELECT doc_id, {t}
            md5(lower(array_to_string(
                list_slice(string_split(text, ' '), 1,
                           {dd.SNM_KEY_WORDS}), ' '))) AS h
     FROM documents
 ),
 r AS (
-    SELECT doc_id, h,
+    SELECT doc_id, {t}h,
            row_number() OVER (ORDER BY h, doc_id) - 1 AS rn
     FROM k
-)
+)"""
+
+
+def _sorted_neighborhood_sql() -> str:
+    """Mirror of dedup.sorted_neighborhood_pairs: row_number over the
+    (blocking key, doc_id) order, self-joined on rank distance."""
+    from prlib_ray.stages import dedup as dd
+
+    return f"""
+WITH {_snm_rank_ctes(with_text=False)}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(b.rn - a.rn AS BIGINT) AS dist,
        CAST(CASE WHEN a.h = b.h THEN 1 ELSE 0 END AS BIGINT) AS key_equal
@@ -1365,7 +1376,10 @@ SPLIT_NO_LEAKAGE = _split_no_leakage_sql()
 def _ann_recall_audit_sql() -> str:
     """Mirror of similarity.ann_recall_audit: the BF and IVF oracle
     bodies composed as subqueries, overlap counted per query (LEFT
-    JOIN keeps zero-overlap queries)."""
+    JOIN keeps zero-overlap queries); k interpolates from the shared
+    similarity.ANN_AUDIT_K so engine and oracle cannot diverge."""
+    from prlib_ray.stages.similarity import ANN_AUDIT_K
+
     return f"""
 WITH bf AS MATERIALIZED ({ANN_BRUTEFORCE}),
 ivf AS MATERIALIZED ({ANN_IVF_TOPK}),
@@ -1378,7 +1392,7 @@ o AS (
 q AS (SELECT DISTINCT query_id FROM bf)
 SELECT q.query_id,
        CAST(COALESCE(o.n, 0) AS BIGINT) AS n_overlap,
-       CAST(1000 * COALESCE(o.n, 0) // 5 AS BIGINT) AS recall_permille
+       CAST(1000 * COALESCE(o.n, 0) // {ANN_AUDIT_K} AS BIGINT) AS recall_permille
 FROM q LEFT JOIN o USING (query_id)
 ORDER BY q.query_id"""
 
@@ -1392,18 +1406,7 @@ def _entity_resolution_sql() -> str:
     from prlib_ray.stages import dedup as dd
 
     return f"""
-WITH RECURSIVE k AS (
-    SELECT doc_id, text,
-           md5(lower(array_to_string(
-               list_slice(string_split(text, ' '), 1,
-                          {dd.SNM_KEY_WORDS}), ' '))) AS h
-    FROM documents
-),
-r AS (
-    SELECT doc_id, text, h,
-           row_number() OVER (ORDER BY h, doc_id) - 1 AS rn
-    FROM k
-),
+WITH RECURSIVE {_snm_rank_ctes(with_text=True)},
 p AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND {dd.SNM_WINDOW}
@@ -1578,7 +1581,7 @@ mg{t} AS MATERIALIZED (
 tk{t} AS MATERIALIZED (
     SELECT wid, i, s, f, cand,
            CASE WHEN cand = 1 AND
-                (rnk - min(rnk) OVER (PARTITION BY wid, grp)) % 2 = 0
+                (rnk - min(rnk) OVER (PARTITION BY wid, cand, grp)) % 2 = 0
                 THEN 1 ELSE 0 END AS take
     FROM (
         SELECT wid, i, s, f, cand,

@@ -827,6 +827,37 @@ _PF_GOLD = np.uint64(0x9E3779B97F4A7C15)
 N_PF_PARTS = 64
 
 
+def _hp(x: np.ndarray) -> np.ndarray:
+    """Golden-ratio coarse partition hash (sid/doc -> part id) — the
+    ONE hash for every posting-layout stage."""
+    return ((x.view(np.uint64) * _PF_GOLD)
+            % np.uint64(N_PF_PARTS)).astype(np.int64)
+
+
+def _pf_explode_batch(b: pa.Table, *, with_n: bool) -> pa.Table:
+    """Shared posting explode: a blob batch -> (sid, doc[, n], part)
+    rows — ONE definition consumed by prefix_filter_join AND
+    ngram_novelty so the posting layout cannot drift (review finding /
+    the band-generation lesson)."""
+    if b.num_rows == 0:
+        z = pa.array([], type=pa.int64())
+        cols = {"sid": z, "doc": z}
+        if with_n:
+            cols["n"] = z
+        cols["part"] = z
+        return pa.table(cols)
+    blobs = b["sh"].to_pylist()
+    n = b["n_sh"].to_numpy().astype(np.int64)
+    did = b["doc_id"].to_numpy().astype(np.int64)
+    sid = np.frombuffer(b"".join(blobs), dtype=np.uint64).view(np.int64)
+    cols = {"sid": pa.array(sid), "doc": pa.array(np.repeat(did, n))}
+    if with_n:
+        cols["n"] = pa.array(np.repeat(n, n))
+    cols["part"] = pa.array(_hp(sid))
+    return pa.table(cols)
+
+
+
 def prefix_filter_join(sf_dir: str):
     """Exact similarity self-join (J >= 0.5) over the FULL corpus via
     prefix filtering (the AllPairs/PPJoin core) — COMPLETE recall by
@@ -863,24 +894,8 @@ def prefix_filter_join(sf_dir: str):
         _blobify_batch, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    def _hp(x: np.ndarray) -> np.ndarray:
-        return ((x.view(np.uint64) * _PF_GOLD)
-                % np.uint64(N_PF_PARTS)).astype(np.int64)
-
     def explode(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            z = pa.array([], type=pa.int64())
-            return pa.table({"sid": z, "doc": z, "n": z, "part": z})
-        blobs = b["sh"].to_pylist()
-        n = b["n_sh"].to_numpy().astype(np.int64)
-        did = b["doc_id"].to_numpy().astype(np.int64)
-        sid = np.frombuffer(b"".join(blobs), dtype=np.uint64).view(np.int64)
-        return pa.table({
-            "sid": pa.array(sid),
-            "doc": pa.array(np.repeat(did, n)),
-            "n": pa.array(np.repeat(n, n)),
-            "part": pa.array(_hp(sid)),
-        })
+        return _pf_explode_batch(b, with_n=True)
 
     def df_attach(g: pd.DataFrame) -> pd.DataFrame:
         cols = ("sid", "doc", "n", "df", "part2")
@@ -957,6 +972,11 @@ def prefix_filter_join(sf_dir: str):
         .groupby("part2").map_groups(prefix_fold, batch_format="pandas")
         .groupby("part3").map_groups(bucket_pairs, batch_format="pandas")
         .groupby("part4").map_groups(pair_dedup, batch_format="pandas")
+        # materialize: count() streams a COPIED plan in Ray 2.49, so an
+        # unmaterialized emptiness probe would re-run all four shuffles
+        # a second time inside _verify_pairs (review finding; pairs are
+        # tiny, the materialization is cheap)
+        .materialize()
     )
     if cand.count() == 0:
         z = pa.array([], type=pa.int64())
@@ -2590,20 +2610,7 @@ def ngram_novelty(sf_dir: str):
     ).materialize()
 
     def explode(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            z = pa.array([], type=pa.int64())
-            return pa.table({"sid": z, "doc": z, "part": z})
-        blobs = b["sh"].to_pylist()
-        n = b["n_sh"].to_numpy().astype(np.int64)
-        did = b["doc_id"].to_numpy().astype(np.int64)
-        sid = np.frombuffer(b"".join(blobs), dtype=np.uint64).view(np.int64)
-        part = ((sid.view(np.uint64) * _PF_GOLD)
-                % np.uint64(N_PF_PARTS)).astype(np.int64)
-        return pa.table({
-            "sid": pa.array(sid),
-            "doc": pa.array(np.repeat(did, n)),
-            "part": pa.array(part),
-        })
+        return _pf_explode_batch(b, with_n=False)
 
     def df_fold(g: pd.DataFrame) -> pd.DataFrame:
         # postings are distinct (doc, sid) by blobify construction, so

@@ -1782,7 +1782,10 @@ def kcenter_coreset(sf_dir: str):
     })
 
 
-def ann_recall_audit(sf_dir: str, *, k: int = 5):
+ANN_AUDIT_K = 5  # the one k both the audit engine and its oracle use
+
+
+def ann_recall_audit(sf_dir: str, *, k: int = ANN_AUDIT_K):
     """Index-quality evaluation: per query, how many of the trained IVF
     index's top-k survive against the exact brute-force top-k
     (recall@k as an exact permille) — the audit a production ANN

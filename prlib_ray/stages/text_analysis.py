@@ -734,14 +734,20 @@ def _bpe_learn(sf_dir: str) -> list[tuple[str, str, int]]:
             ls = sym[:-1][adj]
             rs = sym[1:][adj]
             fw = f[wid[:-1][adj]]
-            key = np.char.add(np.char.add(ls.astype(str), "\x1f"),
-                              rs.astype(str))
-            uniq, inv = np.unique(key, return_inverse=True)
+            # pair key = integer (symbol-index, symbol-index) — no
+            # in-band string separator, so symbols containing ANY byte
+            # (merged or raw) key correctly (review finding)
+            su, sidx = np.unique(np.concatenate([ls, rs]),
+                                 return_inverse=True)
+            li, ri = sidx[:len(ls)], sidx[len(ls):]
+            pk = li * len(su) + ri
+            uniq, inv = np.unique(pk, return_inverse=True)
             cnt = np.bincount(inv, weights=fw).astype(np.int64)
-            lr = np.char.partition(uniq, "\x1f")
             return pa.table({
-                "l": pa.array(list(lr[:, 0]), type=pa.string()),
-                "r": pa.array(list(lr[:, 2]), type=pa.string()),
+                "l": pa.array(list(su[uniq // len(su)]),
+                              type=pa.string()),
+                "r": pa.array(list(su[uniq % len(su)]),
+                              type=pa.string()),
                 "cnt": pa.array(cnt),
             })
 

@@ -851,27 +851,42 @@ def test_split_no_leakage_pairs_never_cross(registry, ray_session, sf_dir):
     assert set(sp["split"]) <= {"train", "val", "test"}
 
 
-def test_bpe_train_matches_greedy_reference(ray_session, tmp_path):
-    """bpe_train on a constructed corpus equals the straight-line greedy
-    BPE — including the overlapping-candidate case ('aaaa' under merge
-    (a,a) -> '(aa)(aa)', greedy-left at even chain offsets) and the
-    lexicographic tie-break."""
+@pytest.mark.parametrize("texts", [
+    ["aaaa aaab baaa", "aaaa cc cc dd", "abab abab cc aaaa"],
+    # the parity-island collision corpus: in 'abab' the non-candidate
+    # row shares a gaps-and-islands grp with the second (a,b)
+    # candidate — the case the oracle's window must partition by cand
+    # to get right (found in review; the sf fixtures dodge it)
+    ["abab abab ab", "ab ab cc"],
+])
+def test_bpe_train_matches_greedy_reference(ray_session, tmp_path, texts):
+    """bpe_train AND its DuckDB oracle on constructed corpora equal the
+    straight-line greedy BPE — including overlapping candidates
+    ('aaaa' under (a,a)), the parity-island collision ('abab'), and
+    the lexicographic tie-break."""
     import collections
 
+    import duckdb as dd2
     import pyarrow as pa2
     import pyarrow.parquet as pq2
 
+    from prlib_ray import oracles_data as odata
     from prlib_ray.stages.text_analysis import BPE_MERGES, bpe_train
 
-    texts = ["aaaa aaab baaa", "aaaa cc cc dd", "abab abab cc aaaa"]
     pq2.write_table(
         pa2.table({
-            "doc_id": pa2.array([0, 1, 2], type=pa2.int64()),
+            "doc_id": pa2.array(range(len(texts)), type=pa2.int64()),
             "text": pa2.array(texts, type=pa2.string()),
         }),
         tmp_path / "documents.parquet",
     )
     got = bpe_train(str(tmp_path)).to_pandas()
+    con2 = dd2.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    osql = con2.sql(odata.BPE_TRAIN).fetchall()
 
     wf = collections.Counter(
         w for t in texts for w in t.split(" ") if w != "")
@@ -897,6 +912,7 @@ def test_bpe_train_matches_greedy_reference(ray_session, tmp_path):
                     i += 1
             words[w] = out
     assert list(map(tuple, got.itertuples(index=False))) == ref
+    assert [tuple(r) for r in osql] == ref
 
 
 def test_kcenter_radius_monotone(registry, ray_session, sf_dir):
