@@ -118,6 +118,14 @@ _PRIORITY = [
     # exercised by lang_agreement's sim+pytest coverage.
     "web_curate",
     "corpus_validate",  # new: pre-flight data-quality audit
+    # twentieth session: the capstone composite — the pretraining-data
+    # funnel end-to-end (exact-dedup survivors -> Gopher gate ->
+    # leakage-free cluster-keyed splits -> per-split doc/token counts),
+    # every stage a registry op composed unchanged, the oracle the same
+    # four bodies as subqueries.  Displaced pareto_orders: the skyline
+    # discipline (subset-stable local frontiers + bounded merge) stays
+    # sim+pytest covered.
+    "data_factory",
     # sixteenth session: per-source mojibake/encoding audit + the
     # Deequ-style exact column profiler (displaced q20_excess_parts —
     # the synthesized-partsupp family stays repped by q11 + q9 — and
@@ -261,9 +269,6 @@ _PRIORITY = [
     # cardinality (length_rank's bounded histogram can't) with NO global
     # sort exchange (displaced customer_running_total: the run-boundary
     # cumsum kernel is in-window via funnel_conversion's chained minima,
-    # eighteenth session: the multi-objective dominance (skyline) shape
-    # — subset-stable local frontiers + a bounded driver merge
-    "pareto_orders",
     # eighteenth session: the sliding-window COUNT(DISTINCT) — trailing
     # 7-day active users for every observed day via per-user merged
     # interval-coverage deltas + one calendar-bounded prefix sum (no
@@ -280,6 +285,9 @@ _PRIORITY = [
     # stay sim+pytest covered, and the per-part top-K + bounded-merge
     # physical plan runs in-window via q3/hot-key family)
     "search_topk",
+    # displaced in the twentieth session by data_factory (skyline
+    # discipline sim+pytest covered)
+    "pareto_orders",
     # displaced in the twentieth session by bpe_train (broadcast
     # semi-join gate repped by trade_volume + q9_product_profit)
     "bloom_semi_join",

@@ -342,6 +342,11 @@ def _register_data_ops(queries, sql) -> None:
     sql["decontaminate"] = oprep.DECONTAMINATE
     queries["pack_sequences"] = dataset_prep.pack_sequences
     sql["pack_sequences"] = oprep.PACK_SEQUENCES
+    # the capstone composite: survivors -> Gopher gate -> leakage-free
+    # splits -> per-split doc/token counts, all four stages the
+    # registry's own oracle-proven ops composed unchanged
+    queries["data_factory"] = dataset_prep.data_factory
+    sql["data_factory"] = odata.DATA_FACTORY
     queries["chunk_tokens"] = dataset_prep.chunk_tokens
     sql["chunk_tokens"] = oprep.CHUNK_TOKENS
     queries["pii_scan"] = dataset_prep.pii_scan

@@ -1373,6 +1373,30 @@ ORDER BY d.doc_id"""
 SPLIT_NO_LEAKAGE = _split_no_leakage_sql()
 
 
+def _data_factory_sql() -> str:
+    """Mirror of dataset_prep.data_factory: the four stage oracles
+    composed verbatim as subqueries (survivors, Gopher gate, token
+    counts, cluster-keyed splits) — one definition per stage, shared
+    with the standalone queries."""
+    return f"""
+WITH surv AS MATERIALIZED (SELECT doc_id FROM ({EXACT_DEDUP})),
+gp AS MATERIALIZED (SELECT doc_id, passes FROM ({GOPHER_QUALITY})),
+tok AS MATERIALIZED (SELECT doc_id, n_tokens FROM ({TOKEN_COUNT})),
+sp AS MATERIALIZED (SELECT doc_id, split FROM ({SPLIT_NO_LEAKAGE}))
+SELECT sp.split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok.n_tokens) AS BIGINT) AS n_tokens
+FROM surv
+JOIN gp USING (doc_id)
+JOIN tok USING (doc_id)
+JOIN sp USING (doc_id)
+WHERE gp.passes = 1
+GROUP BY sp.split ORDER BY sp.split"""
+
+
+DATA_FACTORY = _data_factory_sql()
+
+
 def _ann_recall_audit_sql() -> str:
     """Mirror of similarity.ann_recall_audit: the BF and IVF oracle
     bodies composed as subqueries, overlap counted per query (LEFT

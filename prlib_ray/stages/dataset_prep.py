@@ -1665,3 +1665,92 @@ def conv_extract_digest(sf_dir: str):
     )
     df = pd.DataFrame(rows).sort_values("conv_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def data_factory(sf_dir: str):
+    """The capstone composite — the pretraining-data funnel end-to-end
+    as ONE pipeline: exact-dedup SURVIVORS -> Gopher quality gate ->
+    leakage-free cluster-keyed SPLITS -> per-split document and token
+    counts.  Every stage is an already-oracle-proven registry op
+    composed unchanged (survivor rule = EXACT_DEDUP's, gate =
+    gopher_quality's conjunction, split = split_no_leakage's cluster
+    labels, tokens = token_count's regex), so the funnel cannot drift
+    from its parts; the oracle composes the same four bodies as
+    subqueries.  Output: (split, n_docs, n_tokens), <= 3 rows.
+
+    Physical plan: survivors and splits join by doc_id hash (both
+    doc-keyed Datasets — no broadcast of anything corpus-sized); the
+    quality gate and token counts ride the SAME pruned documents scan
+    in one map_batches; the final fold is a bounded 3-key partial
+    merge.  At 100 TB this is three doc-keyed hash joins and one
+    streaming scan — the shape of the real job."""
+    import ray.data as rd
+    from ray.data import from_arrow
+
+    from prlib_ray.stages.dedup import _join_partitions, split_no_leakage
+    from prlib_ray.stages.text_analysis import (
+        gopher_quality_batch,
+        token_count_batch,
+    )
+    from prlib_ray.stages import dedup as dd
+
+    npart = _join_partitions()
+
+    # survivors: one hash-group shuffle (the dedup_exact layout)
+    surv = dd.exact_dedup(sf_dir)
+    surv_ds = from_arrow(surv) if isinstance(surv, pa.Table) else surv
+    surv_ds = surv_ds.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+
+    # quality gate + token counts: one scan, two vectorized kernels
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def gate(b: pa.Table) -> pa.Table:
+        g = gopher_quality_batch(b)
+        t = token_count_batch(b)
+        keep = g["passes"].to_numpy().astype(bool)
+        return pa.table({
+            "doc_id": b["doc_id"].filter(pa.array(keep)),
+            "n_tokens": t["n_tokens"].filter(pa.array(keep)),
+        })
+
+    gated = docs.map_batches(gate, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    splits = split_no_leakage(sf_dir).map_batches(
+        lambda b: b.select(["doc_id", "split"]), batch_format="pyarrow"
+    )
+
+    joined = surv_ds.join(
+        gated, "inner", num_partitions=npart, on=("doc_id",),
+    ).repartition(npart).join(
+        splits, "inner", num_partitions=npart, on=("doc_id",),
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        sp = b["split"].to_numpy(zero_copy_only=False)
+        nt = b["n_tokens"].to_numpy().astype(np.int64)
+        names, inv = np.unique(sp, return_inverse=True)
+        return pa.table({
+            "split": pa.array(list(names), type=pa.string()),
+            "n_docs": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_tokens": pa.array(
+                np.bincount(inv, weights=nt).astype(np.int64)),
+        })
+
+    parts = joined.map_batches(fold, batch_format="pyarrow").take_all()
+    acc: dict[str, list[int]] = {}
+    for r in parts:  # bounded: <= 3 rows per batch
+        a = acc.setdefault(r["split"], [0, 0])
+        a[0] += int(r["n_docs"])
+        a[1] += int(r["n_tokens"])
+    names = sorted(acc)
+    return pa.table({
+        "split": pa.array(names, type=pa.string()),
+        "n_docs": pa.array(
+            np.asarray([acc[s][0] for s in names], dtype=np.int64)),
+        "n_tokens": pa.array(
+            np.asarray([acc[s][1] for s in names], dtype=np.int64)),
+    })

@@ -83,6 +83,8 @@ ORACLE_CASES = [
     "split_no_leakage",
     # IVF-vs-bruteforce recall@k evaluation (composed oracles)
     "ann_recall_audit",
+    # the capstone funnel composite (four stage oracles composed)
+    "data_factory",
 ]
 
 
