@@ -1324,9 +1324,21 @@ def dedup_clusters_minhash(sf_dir: str, *, max_iterations: int = 64):
     return _propagate_min_labels(pairs_ds, max_iterations=max_iterations)
 
 
-def _propagate_min_labels(pairs_ds, *, max_iterations: int = 64):
+CC_DRIVER_MAX_EDGES = 200_000  # size gate: below this, exact union-find
+
+
+def _propagate_min_labels(pairs_ds, *, max_iterations: int = 64,
+                          via: str = "auto"):
     """Min-label propagation to fixpoint over a (doc_a, doc_b) pair
-    Dataset; returns (doc_id, label) sorted by doc_id."""
+    Dataset; returns (doc_id, label) sorted by doc_id.
+
+    ``via="auto"`` (default) size-gates the physical plan — the repo's
+    standard discipline (extract meta_via / _probe_join): a verified
+    near-dup edge set below CC_DRIVER_MAX_EDGES runs the exact driver
+    union-find (identical labels, none of the per-round join/
+    materialize fixed cost that dominates small inputs); above the
+    gate, the distributed min-label loop.  ``via="distributed"`` /
+    ``"driver"`` force a layout (tests pin both byte-equal)."""
 
     def sym(b: pa.Table) -> pa.Table:
         a = b["doc_a"].to_numpy().astype(np.int64)
@@ -1339,13 +1351,44 @@ def _propagate_min_labels(pairs_ds, *, max_iterations: int = 64):
         )
 
     edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return pa.table(
             {
                 "doc_id": pa.array([], type=pa.int64()),
                 "label": pa.array([], type=pa.int64()),
             }
         )
+    if via == "driver" or (via == "auto" and n_edges <= CC_DRIVER_MAX_EDGES):
+        from ray.data import from_arrow
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for b in edges.iter_batches(batch_format="pyarrow"):
+            for s, d in zip(b["src"].to_numpy(), b["dst"].to_numpy()):
+                s, d = int(s), int(d)
+                parent.setdefault(s, s)
+                parent.setdefault(d, d)
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    # attach larger root under smaller: roots stay minima
+                    if rs < rd:
+                        parent[rd] = rs
+                    else:
+                        parent[rs] = rd
+        ids = sorted(parent)
+        return from_arrow(pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "label": pa.array([find(i) for i in ids], type=pa.int64()),
+        }))
 
     def init_labels(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b["src"], "label": b["src"]})

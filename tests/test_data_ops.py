@@ -568,9 +568,15 @@ def test_min_label_propagation_long_chain(ray_session):
             "doc_b": pa.array(list(range(1, n)), type=pa.int64()),
         }
     )
-    labels = _propagate_min_labels(from_arrow(pairs)).to_pandas()
+    labels = _propagate_min_labels(
+        from_arrow(pairs), via="distributed"
+    ).to_pandas()
     assert sorted(labels["doc_id"]) == list(range(n))
     assert set(labels["label"]) == {0}
+    # the size-gated driver union-find is byte-equal on the same input
+    drv = _propagate_min_labels(from_arrow(pairs), via="driver").to_pandas()
+    assert drv.sort_values("doc_id").reset_index(drop=True).equals(
+        labels.sort_values("doc_id").reset_index(drop=True))
 
 
 def test_min_label_propagation_iteration_guard(ray_session):
@@ -589,7 +595,8 @@ def test_min_label_propagation_iteration_guard(ray_session):
         }
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        _propagate_min_labels(from_arrow(pairs), max_iterations=2)
+        _propagate_min_labels(from_arrow(pairs), max_iterations=2,
+                              via="distributed")
 
 
 def test_pairwise_intersection_counts_vectorized():
