@@ -425,6 +425,10 @@ def _register_data_ops(queries, sql) -> None:
 
     queries["unigram_freq_score"] = corpus_stats.unigram_freq_score
     sql["unigram_freq_score"] = ocorp.UNIGRAM_FREQ_SCORE
+    # Merkle-style corpus digest: per-source leaves + root — the
+    # integrity/versioning primitive a corpus registry publishes
+    queries["corpus_merkle"] = corpus_stats.corpus_merkle
+    sql["corpus_merkle"] = ocorp.CORPUS_MERKLE
     # corpus-trained bigram LM fluency score (KenLM/CCNet filter shape)
     queries["bigram_lm_score"] = corpus_stats.bigram_lm_score
     sql["bigram_lm_score"] = ocorp.BIGRAM_LM_SCORE

@@ -589,3 +589,18 @@ FROM ranked WHERE rn <= {LIFT_K} ORDER BY cluster, w"""
 
 
 CLUSTER_TOP_TERMS = _cluster_top_terms_sql()
+
+
+# Merkle-style corpus digest: per-source sorted-content-hash leaves +
+# one root (mirror of corpus_stats.corpus_merkle; 'leaf:'||source
+# sorts identically to source since the prefix is constant).
+CORPUS_MERKLE = """
+WITH leaves AS (
+    SELECT source,
+           md5(string_agg(md5(text), '' ORDER BY md5(text))) AS h
+    FROM documents GROUP BY source
+)
+SELECT 'leaf:' || source AS node, h AS hash FROM leaves
+UNION ALL
+SELECT 'root', md5(string_agg(h, '' ORDER BY source)) FROM leaves
+ORDER BY node"""

@@ -2376,3 +2376,59 @@ def cluster_top_terms(sf_dir: str, *, k: int = LIFT_K):
         "n_cw": out["n_sw"],
         "score": out["score"],
     })
+
+
+def corpus_merkle(sf_dir: str):
+    """Merkle-style corpus digest: per SOURCE, the leaf hash = md5 of
+    the source's doc content hashes concatenated in sorted order; plus
+    one root row = md5 of the leaf hashes concatenated in source order
+    — the integrity/versioning primitive a corpus registry publishes
+    (two corpora are byte-identical per source iff leaves match; the
+    root pins the whole corpus in one value).  Output (node, hash):
+    'leaf:<source>' rows + the 'root' row, sorted.
+
+    Plan: one pruned scan emits (source, md5(text)) pairs pre-combined
+    per batch; sources are a bounded dimension (~20), so the per-source
+    sort+digest runs as per-group folds and the root folds the <= 20
+    leaf rows on the driver.  At a fan-in where one source's hash list
+    outgrows a group, the documented scale path is hierarchical leaves
+    (bucket sub-leaves by hash prefix, then per-source md5 of
+    sub-leaves) — same tree, one more level."""
+    import hashlib as hl
+
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def hashes(b: pa.Table) -> pa.Table:
+        hs = [hl.md5(t.encode("utf-8")).hexdigest()
+              for t in b["text"].to_pylist()]
+        return pa.table({
+            "source": b["source"],
+            "h": pa.array(hs, type=pa.string()),
+        })
+
+    def leaf(g: pd.DataFrame) -> pd.DataFrame:
+        hs = np.sort(g["h"].to_numpy(dtype=object))
+        digest = hl.md5("".join(hs).encode()).hexdigest()
+        return pd.DataFrame({
+            "node": ["leaf:" + str(g["source"].iloc[0])],
+            "hash": [digest],
+        })
+
+    leaves = (
+        ds.map_batches(hashes, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("source").map_groups(leaf, batch_format="pandas")
+        .take_all()
+    )  # bounded: one row per source
+    leaves.sort(key=lambda r: r["node"])
+    root = hl.md5("".join(r["hash"] for r in leaves).encode()).hexdigest()
+    nodes = [r["node"] for r in leaves] + ["root"]
+    vals = [r["hash"] for r in leaves] + [root]
+    return pa.table({
+        "node": pa.array(nodes, type=pa.string()),
+        "hash": pa.array(vals, type=pa.string()),
+    })

@@ -85,6 +85,8 @@ ORACLE_CASES = [
     "ann_recall_audit",
     # the capstone funnel composite (four stage oracles composed)
     "data_factory",
+    # Merkle-style per-source corpus digest + root
+    "corpus_merkle",
 ]
 
 
