@@ -218,7 +218,8 @@ def run_bench() -> dict:
                  "doc_stitch_candidates", "column_drift_tvd",
                  "kcenter_coreset", "bpe_train", "bpe_token_count",
                  "ngram_novelty", "split_no_leakage",
-                 "ann_recall_audit", "data_factory", "corpus_merkle"):
+                 "ann_recall_audit", "data_factory", "corpus_merkle",
+                 "token_budget_fill"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

@@ -429,6 +429,10 @@ def _register_data_ops(queries, sql) -> None:
     # integrity/versioning primitive a corpus registry publishes
     queries["corpus_merkle"] = corpus_stats.corpus_merkle
     sql["corpus_merkle"] = ocorp.CORPUS_MERKLE
+    # exact water-filling token-budget allocation across sources (the
+    # mixture-budgeting step; closed form on the bounded source dim)
+    queries["token_budget_fill"] = corpus_stats.token_budget_fill
+    sql["token_budget_fill"] = ocorp.TOKEN_BUDGET_FILL
     # corpus-trained bigram LM fluency score (KenLM/CCNet filter shape)
     queries["bigram_lm_score"] = corpus_stats.bigram_lm_score
     sql["bigram_lm_score"] = ocorp.BIGRAM_LM_SCORE

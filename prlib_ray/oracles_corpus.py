@@ -604,3 +604,46 @@ SELECT 'leaf:' || source AS node, h AS hash FROM leaves
 UNION ALL
 SELECT 'root', md5(string_agg(h, '' ORDER BY source)) FROM leaves
 ORDER BY node"""
+
+
+def _token_budget_fill_sql() -> str:
+    """Mirror of corpus_stats.token_budget_fill: the same closed-form
+    water level via window prefix sums (m* = max feasible rank, cap
+    from a scalar subquery)."""
+    from prlib_ray.stages.corpus_stats import TOKEN_BUDGET_PERMILLE
+
+    return f"""
+WITH tok AS (
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+')))
+                AS BIGINT) AS t
+    FROM documents GROUP BY source
+),
+tot AS (SELECT sum(t) AS total, count(*) AS k FROM tok),
+bud AS (SELECT total * {TOKEN_BUDGET_PERMILLE} // 1000 AS b FROM tot),
+s AS (
+    SELECT source, t,
+           row_number() OVER (ORDER BY t, source) AS rn,
+           sum(t) OVER (ORDER BY t, source
+                        ROWS UNBOUNDED PRECEDING) AS pf
+    FROM tok
+),
+m AS (
+    SELECT COALESCE(max(rn), 0) AS m, COALESCE(max(pf), 0) AS pm
+    FROM (SELECT rn, pf FROM s, tot, bud
+          WHERE pf + (k - rn) * t <= b
+          QUALIFY row_number() OVER (ORDER BY rn DESC) = 1)
+),
+cap AS (
+    SELECT CASE WHEN m.m >= tot.k THEN NULL
+                ELSE (bud.b - m.pm) // (tot.k - m.m) END AS c
+    FROM m, tot, bud
+)
+SELECT s.source, s.t AS n_tokens,
+       CAST(CASE WHEN cap.c IS NULL THEN s.t
+                 ELSE least(s.t, cap.c) END AS BIGINT) AS allocated
+FROM s, cap
+ORDER BY s.source"""
+
+
+TOKEN_BUDGET_FILL = _token_budget_fill_sql()

@@ -2432,3 +2432,71 @@ def corpus_merkle(sf_dir: str):
         "node": pa.array(nodes, type=pa.string()),
         "hash": pa.array(vals, type=pa.string()),
     })
+
+
+# Water-filling budget allocation: the mixture-budgeting step a
+# pretraining run performs when a global token budget must spread
+# across sources without letting any one source dominate (cap c = the
+# max integer water level with sum(min(tokens_s, c)) <= budget).
+TOKEN_BUDGET_PERMILLE = 600  # budget = 60% of the corpus's tokens
+
+
+def token_budget_fill(sf_dir: str):
+    """Per source: total regex tokens and the exact water-filling
+    allocation under budget = TOKEN_BUDGET_PERMILLE of the corpus
+    total.  Closed form on the ascending-sorted per-source totals:
+    m* = max { m : P_m + (k-m)·t_m <= B } (P = prefix sum), cap
+    c = (B - P_m*) // (k - m*); sources with t <= c keep everything,
+    the rest cap at c — maximality of m* guarantees c < t_{m*+1}, so
+    min(t, c) IS the exact fill (slack < k tokens from the floor).
+
+    Plan: per-source token totals fold as per-batch partials (sources
+    are a bounded dimension); the allocation itself is closed-form on
+    <= n_sources rows — one streaming scan, no shuffle."""
+    import ray.data as rd
+
+    from prlib_ray.stages.text_analysis import token_count_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = token_count_batch(b)
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "source": b["source"].to_numpy(zero_copy_only=False),
+            "n": t["n_tokens"].to_numpy(),
+        }).groupby("source", sort=False, as_index=False).agg(
+            n=("n", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    acc: dict[str, int] = {}
+    for part in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for s, n in zip(part["source"].to_pylist(),
+                        part["n"].to_pylist()):
+            acc[s] = acc.get(s, 0) + int(n)
+
+    src = np.array(sorted(acc), dtype=object)
+    t = np.asarray([acc[s] for s in src], dtype=np.int64)
+    k = len(t)
+    B = int(t.sum()) * TOKEN_BUDGET_PERMILLE // 1000
+    o = np.lexsort((src, t))  # ascending t, ties by source
+    ts = t[o]
+    pf = np.cumsum(ts)
+    # feasible(m): P_m + (k-m)*t_m <= B, m in 1..k; m*=0 if none
+    feas = np.flatnonzero(pf + (k - np.arange(1, k + 1)) * ts <= B)
+    if len(feas) == k:
+        alloc = t.copy()
+    else:
+        m = int(feas[-1]) + 1 if len(feas) else 0
+        pm = int(pf[m - 1]) if m else 0
+        c = (B - pm) // (k - m)
+        alloc = np.minimum(t, c)
+    return pa.table({
+        "source": pa.array(list(src), type=pa.string()),
+        "n_tokens": pa.array(t),
+        "allocated": pa.array(alloc.astype(np.int64)),
+    })

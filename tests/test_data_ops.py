@@ -87,6 +87,8 @@ ORACLE_CASES = [
     "data_factory",
     # Merkle-style per-source corpus digest + root
     "corpus_merkle",
+    # exact water-filling token-budget allocation
+    "token_budget_fill",
 ]
 
 
@@ -846,6 +848,40 @@ def test_split_leakage_constructed(ray_session, tmp_path):
     rows = set(zip(df["split_a"], df["split_b"], df["n_groups"]))
     assert rows == {("test", "test", 1), ("test", "val", 1),
                     ("val", "val", 1)}
+
+
+def test_token_budget_fill_skewed_sources(ray_session, tmp_path):
+    """The uniform fixture caps every source equally; a skewed
+    constructed corpus exercises PARTIAL capping — the closed-form cap
+    must equal the brute-force max water level."""
+    import pyarrow as pa2
+    import pyarrow.parquet as pq2
+
+    from prlib_ray.stages.corpus_stats import (
+        TOKEN_BUDGET_PERMILLE,
+        token_budget_fill,
+    )
+
+    sizes = {"big": 100, "mid": 10, "tiny": 1}
+    rows = [(i, " ".join(["w"] * n), s)
+            for i, (s, n) in enumerate(sizes.items())]
+    pq2.write_table(
+        pa2.table({
+            "doc_id": pa2.array([r[0] for r in rows], type=pa2.int64()),
+            "text": pa2.array([r[1] for r in rows], type=pa2.string()),
+            "source": pa2.array([r[2] for r in rows], type=pa2.string()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    df = token_budget_fill(str(tmp_path)).to_pandas()
+    got = dict(zip(df["source"], df["allocated"]))
+    total = sum(sizes.values())
+    budget = total * TOKEN_BUDGET_PERMILLE // 1000
+    best_c = max(c for c in range(total + 1)
+                 if sum(min(t, c) for t in sizes.values()) <= budget)
+    expect = {s: min(t, best_c) for s, t in sizes.items()}
+    assert got == expect
+    assert sum(got.values()) <= budget
 
 
 def test_split_no_leakage_pairs_never_cross(registry, ray_session, sf_dir):
