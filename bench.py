@@ -219,7 +219,7 @@ def run_bench() -> dict:
                  "kcenter_coreset", "bpe_train", "bpe_token_count",
                  "ngram_novelty", "split_no_leakage",
                  "ann_recall_audit", "data_factory", "corpus_merkle",
-                 "token_budget_fill"):
+                 "token_budget_fill", "dedup_threshold_curve"):
         t0 = time.time()
         out = qs[name](SF_DIR)
         if hasattr(out, "count"):

@@ -159,6 +159,10 @@ def _register_data_ops(queries, sql) -> None:
     # curation signal complementing intra-doc dup_ngram_fraction
     queries["ngram_novelty"] = dedup.ngram_novelty
     sql["ngram_novelty"] = odata.NGRAM_NOVELTY
+    # threshold-sweep curve over the COMPLETE prefix-filter pair set
+    # (every tau >= 50 exact — an LSH curve would under-count)
+    queries["dedup_threshold_curve"] = dedup.dedup_threshold_curve
+    sql["dedup_threshold_curve"] = odata.DEDUP_THRESHOLD_CURVE
     # asymmetric subset-duplication pairs (containment of the smaller
     # doc's shingles; planted snippet docs make it fire where Jaccard
     # cannot)

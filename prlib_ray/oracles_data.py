@@ -1353,6 +1353,26 @@ ORDER BY d.doc_id"""
 NGRAM_NOVELTY = _ngram_novelty_sql()
 
 
+def _dedup_threshold_curve_sql() -> str:
+    """Mirror of dedup.dedup_threshold_curve: the PREFIX_FILTER pair
+    body as a subquery, counted per threshold."""
+    from prlib_ray.stages.dedup import DEDUP_CURVE_TAUS
+
+    taus = ", ".join(str(t) for t in DEDUP_CURVE_TAUS)
+    return f"""
+WITH p AS MATERIALIZED ({PREFIX_FILTER}),
+t AS (SELECT unnest(ARRAY[{taus}]) AS tau_pct)
+SELECT CAST(t.tau_pct AS BIGINT) AS tau_pct,
+       CAST(count(p.doc_a) FILTER (
+            WHERE 100 * p.inter >= t.tau_pct * p.uni) AS BIGINT)
+           AS n_pairs
+FROM t LEFT JOIN p ON TRUE
+GROUP BY t.tau_pct ORDER BY t.tau_pct"""
+
+
+DEDUP_THRESHOLD_CURVE = _dedup_threshold_curve_sql()
+
+
 def _split_no_leakage_sql() -> str:
     """Mirror of dedup.split_no_leakage: the CLUSTERS_MINHASH labels as
     a subquery, COALESCE singletons to their own doc_id, the shared

@@ -2759,3 +2759,43 @@ def split_no_leakage(sf_dir: str):
         })
 
     return joined.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+DEDUP_CURVE_TAUS = (50, 60, 70, 80, 90, 100)  # Jaccard thresholds, pct
+
+
+def dedup_threshold_curve(sf_dir: str):
+    """How aggressive would near-dup removal be at each threshold: the
+    number of doc pairs with J >= tau for every tau in
+    DEDUP_CURVE_TAUS — the knob-setting curve a curation run consults
+    before committing to a threshold.  Built on prefix_filter_join's
+    COMPLETE J >= 0.5 pair set, so every tau >= 50 is exact (an
+    LSH-based curve would under-count by its miss rate).  Output
+    (tau_pct, n_pairs), one bounded row per tau."""
+    pairs = prefix_filter_join(sf_dir)
+    tbl = pairs if isinstance(pairs, pa.Table) else None
+
+    def fold(b: pa.Table) -> pa.Table:
+        inter = b["inter"].to_numpy().astype(np.int64)
+        uni = b["uni"].to_numpy().astype(np.int64)
+        taus = np.asarray(DEDUP_CURVE_TAUS, dtype=np.int64)
+        n = (100 * inter[None, :] >= taus[:, None] * uni[None, :]).sum(
+            axis=1).astype(np.int64)
+        return pa.table({"tau_pct": pa.array(taus), "n": pa.array(n)})
+
+    if tbl is not None:
+        part_iter = [fold(tbl)]
+    else:
+        part_iter = pairs.map_batches(
+            fold, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+    acc = {int(t): 0 for t in DEDUP_CURVE_TAUS}
+    for p in part_iter:  # bounded: len(taus) rows per batch
+        for t, n in zip(p["tau_pct"].to_pylist(), p["n"].to_pylist()):
+            acc[int(t)] += int(n)
+    taus = sorted(acc)
+    return pa.table({
+        "tau_pct": pa.array(np.asarray(taus, dtype=np.int64)),
+        "n_pairs": pa.array(np.asarray([acc[t] for t in taus],
+                                       dtype=np.int64)),
+    })

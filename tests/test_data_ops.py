@@ -89,6 +89,8 @@ ORACLE_CASES = [
     "corpus_merkle",
     # exact water-filling token-budget allocation
     "token_budget_fill",
+    # threshold-sweep pair counts over the complete prefix-filter set
+    "dedup_threshold_curve",
 ]
 
 
