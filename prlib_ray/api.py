@@ -74,425 +74,102 @@ def build_queries() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
     return _prioritize(queries, sql)
 
 
-# The driver's correctness gate recorded exactly the FIRST 50 registry
-# entries in round 1 (CORRECTNESS_r01.json), leaving the training-data /
-# relational / reassembly operators unrecorded.  Registration order is
-# therefore a coverage decision: the 50 highest-value queries — every
-# LLM-data operator, the relational core, the reassembly family, the
-# joins/sources, and one representative per doc-op family — go first;
-# the remaining binarize/doc-op variants (all driver-green in round 1
-# and still covered by tools/driver_sim.py + pytest) follow.
+# Driver-window rotation.  The driver's correctness gate records exactly
+# the FIRST 50 registry entries each round, so registration order is a
+# coverage decision.  Rounds 1-3 recorded 136 names (135 green + the
+# rows-only-by-design flagship); this round's 50 slots go to queries
+# that have NEVER had a driver-recorded green, with the remaining
+# never-recorded names at positions 51-107 so the round-5 rotation is a
+# straight block swap.  The op -> driver-green-round ledger (and the
+# pre-r4 displacement history pointer) lives in COVERAGE.md, "Driver
+# window ledger" — keep it in sync with every rotation.
 _PRIORITY = [
-    "flagship_extract",
-    # new (15th session): the flagship's oracle-backed exact-integer twin
-    # — per-turn extracted-text equality checked against a full SQL
-    # mirror at the driver gate (the rng flagship stays rows-only)
-    "extract_turns_exact",
-    # nineteenth session: the SPANS view of the same extraction —
-    # SURVEY §1.2's spans column as flat driver-hashable rows (one row
-    # per kept line, char offsets into the turn's clean_text; shares
-    # _exact_line_frame/_extract_kept_ctes with the exact twin so the
-    # keep decisions cannot drift).  Displaced dedup_semantic: the
-    # embedding near-dup discipline is in-window via dedup_embedding
-    # (same planted-pair gate) — sim+pytest covered.
-    "extract_turn_spans",
-    # eighteenth session: per-conversation structural QA (role
-    # alternation / tool turns / char budgets) over the SAME
-    # deterministic transcript as the exact twin — the transcript-shape
-    # audit the north rule's chat-data pipeline runs before packing
-    "conv_structure_audit",
-    # eighteenth session: the conversation-LEVEL ordering digest — md5
-    # of the '\n'-joined extracted turns in (conv, turn) order, so the
-    # driver's value hash checks the north rule's stable turn ordering
-    # itself, not just per-turn content.  Displaced token_count_subword:
-    # the BPE-ish regex counting is repped in-window by
-    # tokenizer_budget_curve + pack_sequences' token contract —
-    # sim+pytest covered.
-    "conv_extract_digest",
-    "curate_corpus",
-    # eighteenth session: the web-curation funnel — PageRank prior +
-    # in-degree gate composed with the Gopher content gate (one coarse
-    # id-hash shuffle unions the three signal streams).  Displaced
-    # lang_agreement: per-source QA audits are in-window via
-    # utf8_hygiene + gopher_quality, and lang_id's n-gram heuristic is
-    # exercised by lang_agreement's sim+pytest coverage.
-    "web_curate",
-    "corpus_validate",  # new: pre-flight data-quality audit
-    # twentieth session: the capstone composite — the pretraining-data
-    # funnel end-to-end (exact-dedup survivors -> Gopher gate ->
-    # leakage-free cluster-keyed splits -> per-split doc/token counts),
-    # every stage a registry op composed unchanged, the oracle the same
-    # four bodies as subqueries.  Displaced pareto_orders: the skyline
-    # discipline (subset-stable local frontiers + bounded merge) stays
-    # sim+pytest covered.
-    "data_factory",
-    # sixteenth session: per-source mojibake/encoding audit + the
-    # Deequ-style exact column profiler (displaced q20_excess_parts —
-    # the synthesized-partsupp family stays repped by q11 + q9 — and
-    # basket_part_pairs — pair mining repped by pmi_top_pairs)
-    "utf8_hygiene",
-    "profile_columns",
-    "dedup_exact",
-    "dedup_normalized",  # new: normalization-invariant exact dedup
-    # nineteenth session: sorted-neighborhood candidate pairs — exact
-    # global-order windowing with NO global sort exchange (ordered
-    # range partitions -> exact ranks -> dense-rank blocks with a
-    # forward halo).  Displaced dedup_winnow_pairs: shared-fingerprint
-    # pair mining is in-window via dedup_minhash_lsh and the winnow
-    # selection kernel runs in-window inside fingerprint_winnow's sim
-    # coverage — sim+pytest covered.
-    "dedup_sorted_neighborhood",
-    # fifteenth session: Levenshtein verification of near-dup candidates
-    # (the fuzzy-dedup verify discipline; displaced dedup_best_survivor,
-    # whose ranked _hash_min_fold variant is in-window via dedup_exact +
-    # dedup_normalized — still sim+pytest covered)
-    "dedup_edit_distance",
-    "dedup_rate_by_source",  # new: per-source dedup accounting report
-    "cross_source_dup_matrix",  # new: cross-source provenance matrix
-    "dedup_minhash_lsh",
-    # twentieth session: exact similarity self-join over the FULL corpus
-    # via prefix filtering (AllPairs/PPJoin) — the complete-recall
-    # counterpart to minhash's probabilistic candidates, with the
-    # registry's only unbounded exact-Jaccard oracle.  Displaced
-    # frequent_ngrams: the n-gram counting family stays in-window via
-    # pmi_top_pairs (same tokenized substrate, pair mining on top) —
-    # sim+pytest covered.
-    "dedup_prefix_filter",
-    # twentieth session: CDC chunk-level cross-doc duplicate inventory
-    # — content-defined boundaries re-align duplicated passages under
-    # insertions, the chunk-hash scale path the containment family
-    # documents.  Displaced funnel_conversion: the event-stream
-    # windowing discipline stays in-window via rolling_active_users —
-    # sim+pytest covered.
-    "cdc_chunk_dups",
-    "dedup_embedding",
-    "cluster_top_terms",  # new: cross-modal cluster topic labeling
-    "cluster_balance",  # new: embedding-space class-balance audit
-    "dedup_incremental",
-    # seventeenth session: CDC-style per-id snapshot reconciliation —
-    # the registry's one FULL OUTER join shape (added/removed/changed/
-    # unchanged per source; displaced followed_within, whose user-stream
-    # searchsorted pair counting is in-window via funnel_conversion +
-    # user_stickiness — still sim+pytest covered)
-    "snapshot_diff",
-    # eighteenth session: link-graph centrality — integer PageRank over
-    # the synthesized closed doc graph (the crawl-quality prior; a new
-    # family: distributed unrolled power iteration, oracle-exact via
-    # MATERIALIZED iteration CTEs)
-    "pagerank_docs",
-    # eighteenth session: inbound-link anchor aggregation over the same
-    # closed graph (the WARC anchor-text signal; n_inlinks / distinct
-    # sources / anchor chars per page).  Displaced user_stickiness: the
-    # distinct-(user, day) partials + coarse user partitions run
-    # in-window via funnel_conversion — sim+pytest covered.
-    "anchor_text_stats",
-    # nineteenth session: BFS hops-from-seeds over the same closed
-    # graph — the crawl-frontier discipline (iterative min-fold with
-    # frontier-only expansion, provably equal to the full expansion the
-    # oracle could also run; unrolled hop-for-hop mirror).  Displaced
-    # q3_top_orders: its semi-join + copart + bounded top-k physical
-    # plan is in-window via q9_product_profit (chained coparts + dim
-    # probes) and pareto_orders (bounded driver merge) — sim+pytest
-    # covered.
-    "crawl_frontier_depth",
-    # nineteenth session: wedge-join triangle census (grouped-arange
-    # pair expansion + pair-hash existence probe; planted closure arm
-    # keeps the count non-vacuous — the bare affine graph is
-    # triangle-free).  Displaced segment_price_quantiles: the exact
-    # grouped-percentile discipline is in-window via price_rank_ntile's
-    # ordered range partitions — sim+pytest covered.
-    "triangle_count",
-    "knn_label_agreement",  # new: label-noise audit (exact kNN vote)
-    # eighteenth session: MMR diversified retrieval — the greedy
-    # relevance-vs-redundancy top-k (a new retrieval discipline; its
-    # unrolled-argmax mirror rides the shared scored/ranked CTEs).
-    # Displaced hard_negatives: the broadcast exact-top-k physical plan
-    # + label masking are in-window via knn_label_agreement, and MMR
-    # runs the same shortlist plan end-to-end — sim+pytest covered.
-    "mmr_diversified_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",  # probe+score fully SQL-mirrored in round 3
-    # ann_bruteforce_topk and pq_codes moved below: the bf baseline and
-    # the code assignment are both exercised end-to-end by the windowed
-    # ann_*_topk entries (pytest ORACLE_CASES + driver_sim still check
-    # them), freeing window slots for the round's new operator families
-    "tokenizer_budget_curve",  # new: OOV mass at several vocab sizes
-    # twentieth session: distributed BPE vocabulary training — the
-    # tokenizer-training step itself as a registry op (greedy
-    # pair-merge rounds over the word-frequency table; the oracle
-    # unrolls the rounds with the gaps-and-islands greedy-left merge
-    # semantics).  Displaced bloom_semi_join: the broadcast-semi-join
-    # gate is in-window via trade_volume's size-gated broadcast and
-    # q9_product_profit's dim probes — sim+pytest covered.
-    "bpe_train",
-    "gopher_quality", "quality_classifier",
-    # twentieth session: DSIR-style importance resampling — the
-    # domain-matching data-selection discipline (hashed-unigram
-    # target-vs-raw histograms, exact-integer Laplace weights,
-    # length-normalized top-K).  Displaced price_rank_ntile: its
-    # range-partition exact-global-rank machinery runs in-window
-    # inside dedup_sorted_neighborhood, which reuses it directly.
-    "dsir_select",
-    "split_leakage",  # new: cross-split contamination audit
-    "decontaminate",
-    "pack_sequences",
-    "pii_redact",  # new: the redaction transform pii_scan measures
-    # fifteenth session: TPC-H Q9 — the heaviest join chain in the repo
-    # (TWO chained fact-fact coparts with per-stage pre-combines + dim
-    # probes).  Displaced pii_scan: pii_redact computes pii_scan's
-    # removal metric in-window and the two cross-check each other;
-    # pii_scan stays sim+pytest covered.
-    "q9_product_profit",
-    "props_field_stats",  # new: semi-structured JSON extraction
-    "weighted_sample",
-    "pmi_top_pairs",  # new: word-association mining (doc-PMI ranking)
-    # fifteenth session: the synthesized-partsupp family — two genuinely
-    # new disciplines (a whole dimension rebuilt in mirrored mod
-    # arithmetic; a COMPOSITE-key fact-fact copart).  Displaced:
-    # global_sales_opportunity (its global-scalar threshold now runs
-    # in-window via q11; the windowed anti-join via bloom_semi_join)
-    # and q18_large_orders (copart threshold fold + attach repped by
-    # q17's copart fold + trade_volume's attaches) — both sim+pytest
-    # covered.
-    # fourteenth session: two genuinely-new DISCIPLINES displace two of
-    # the seven in-window TPC-H shapes whose physical plans are
-    # family-represented: q13_custdist (per-customer-count fold — the
-    # lexsort run fold runs in-window via q18; the LEFT-JOIN zero
-    # bucket is constructed-test pinned) and q10_returned_revenue
-    # (two-level fold + winner dims — q18 holds the copart fold +
-    # attach, q3 the bounded top-k merge).  Both stay sim+pytest
-    # covered.
-    "price_zscore_outliers",  # new: exact 128-bit variance outliers
-    "trade_volume",  # new: cross-nation revenue matrix (Q7 shape)
-    # seventeenth session: exact global rank + NTILE deciles via ordered
-    # range partitions — the distributed sort-rank over row-count value
-    # cardinality (length_rank's bounded histogram can't) with NO global
-    # sort exchange (displaced customer_running_total: the run-boundary
-    # cumsum kernel is in-window via funnel_conversion's chained minima,
-    # eighteenth session: the sliding-window COUNT(DISTINCT) — trailing
-    # 7-day active users for every observed day via per-user merged
-    # interval-coverage deltas + one calendar-bounded prefix sum (no
-    # per-day distinct, no 7-day self-join).  Displaced
-    # q11_important_stock: the synthesized-partsupp discipline is
-    # in-window via q9_product_profit, and q11's global-scalar
-    # strict-above-mean compare stays constructed-test pinned and
-    # sim-covered (global_sales_opportunity runs the same shape).
-    "rolling_active_users",
-    "asof_latest_order",
-    # displaced in the fifteenth session by extract_turns_exact (the
-    # flagship's oracle-backed twin belongs in the gate above a second
-    # retrieval entry; search_topk's postings build + integer-idf ranking
-    # stay sim+pytest covered, and the per-part top-K + bounded-merge
-    # physical plan runs in-window via q3/hot-key family)
-    "search_topk",
-    # displaced in the twentieth session by data_factory (skyline
-    # discipline sim+pytest covered)
-    "pareto_orders",
-    # displaced in the twentieth session by bpe_train (broadcast
-    # semi-join gate repped by trade_volume + q9_product_profit)
-    "bloom_semi_join",
-    # displaced in the twentieth session by cdc_chunk_dups (the
-    # event-stream windowing discipline is in-window via
-    # rolling_active_users; the earliest-event chained-minima kernel
-    # stays sim+pytest covered)
-    "funnel_conversion",
-    # and the window-function family keeps this stronger global entry —
-    # still sim+pytest covered; displaced from the 50-window in the
-    # twentieth session by dsir_select (the exact-global-rank range
-    # partitions run in-window inside dedup_sorted_neighborhood)
-    "price_rank_ntile",
-    # displaced in the twentieth session by dedup_prefix_filter (n-gram
-    # counting repped in-window by pmi_top_pairs)
-    "frequent_ngrams",
-    # displaced in the nineteenth session by crawl_frontier_depth /
-    # triangle_count (q3's semi-join + copart + bounded top-k plan is
-    # in-window via q9_product_profit + pareto_orders; the exact
-    # grouped-percentile discipline via price_rank_ntile) — both
-    # sim+pytest covered
-    "q3_top_orders", "segment_price_quantiles",
-    # displaced in the nineteenth session by dedup_sorted_neighborhood
-    # (see that ledger entry) — sim+pytest covered
-    "dedup_winnow_pairs",
-    # displaced in the nineteenth session by extract_turn_spans (the
-    # embedding near-dup discipline stays in-window via dedup_embedding
-    # — same planted-pair gate; sim+pytest covered)
-    "dedup_semantic",
-    # displaced in the eighteenth session by conv_structure_audit /
-    # pagerank_docs / pareto_orders (three genuinely-new disciplines):
-    # source_word_lift's _word_lift_rank fold runs IN-WINDOW inside
-    # cluster_top_terms (shared code); source_overlap's pairwise source
-    # stats are repped by dedup_rate_by_source + cross_source_dup_matrix
-    # and its matmul pair counting by pmi_top_pairs; q17's partkey
-    # copart fold is repped by q9_product_profit's chained coparts +
-    # q11's global-scalar threshold — all three sim+pytest covered
+    # -- round-4 window: 50 never-driver-recorded names (SURVEY §2
+    # variants first, then the round-3 relational/graph/data families,
+    # then older never-recorded high-value ops) ----------------------
+    "binarize_fbcitb_edges", "binarize_fbcitb_var", "binarize_niblack_morph",
+    "binarize_wolf_morph", "binarize_feng_morph", "binarize_local_otsu_morph",
+    "binarize_cococlust_morph", "warp_crop_points",
+    "compare_extraction_fraction", "q16_supplier_cnt", "q4_order_priority",
+    "q8_market_share", "q19_disjunctive_revenue", "q21_waiting_suppliers",
+    "q13_custdist", "q10_returned_revenue", "hits_scores", "link_reciprocity",
+    "indegree_histogram", "pagerank_mass_audit", "fk_orphan_audit",
+    "column_drift_tvd", "bpe_token_count", "kcenter_coreset",
+    "ann_recall_audit", "ann_dim_truncation_audit", "entity_resolution",
+    "corpus_merkle", "token_budget_fill", "dedup_unicode", "ngram_novelty",
+    "dedup_threshold_curve", "dedup_containment", "doc_stitch_candidates",
+    "split_no_leakage", "multimodal_resize", "multimodal_frame_sample",
+    "events_hopping_window", "events_late_by_watermark", "search_topk",
+    "pareto_orders", "bloom_semi_join", "funnel_conversion",
+    "price_rank_ntile", "frequent_ngrams", "hard_negatives",
+    "segment_price_quantiles", "dedup_winnow_pairs", "dedup_semantic",
+    "pii_scan",
+    # -- never-recorded overflow: the round-5 window candidates ------
     "source_word_lift", "source_overlap", "q17_small_quantity",
-    "hard_negatives", "user_stickiness", "q11_important_stock", "lang_agreement",
-    "token_count_subword",
-    # displaced in the seventeenth session by snapshot_diff /
-    # price_rank_ntile (user-stream pair counting repped in-window by
-    # funnel_conversion + user_stickiness; the run-boundary cumsum by
-    # funnel_conversion's chained minima — both sim+pytest covered)
-    "followed_within", "customer_running_total",
-    # displaced in the sixteenth session by utf8_hygiene /
-    # profile_columns (partsupp family repped in-window by q11 + q9;
-    # pair mining by pmi_top_pairs) — both sim+pytest covered
-    "q20_excess_parts", "basket_part_pairs",
-    # displaced in the thirteenth session by dedup_rate_by_source /
-    # cross_source_dup_matrix (the embedding-audit family keeps
-    # cluster_balance in-window; the exact-percentile discipline is
-    # in-window via segment_price_quantiles, centroid geometry via
-    # knn_label_agreement / hard_negatives — both sim+pytest covered)
-    "embedding_outliers", "label_norm_quantiles",
-    # displaced in the thirteenth session by q17_small_quantity /
-    # global_sales_opportunity (cms's EXACT heavy-hitter twin
-    # frequent_ngrams holds the in-window frequency slot; the
-    # rank/percentile discipline is in-window via segment_price_
-    # quantiles; q15_top_supplier's tie-complete argmax contract is
-    # constructed-test pinned and its top-k merge physical plan runs
-    # in-window via q3_top_orders — all sim+pytest covered)
-    "cms_word_frequency", "length_rank_transform", "q15_top_supplier",
-    # displaced in the fifteenth session by q11/q20/edit-distance/the
-    # extraction twin (see the in-window comments at each insertion)
-    "q18_large_orders", "global_sales_opportunity", "dedup_best_survivor",
-    "pii_scan", "q2_min_cost_supplier", "q12_shipmode_priority",
-    # displaced in the twelfth session by the Q13/Q18/Q10/Q7 family:
-    # q14's copart+dimension layout is in-window via trade_volume
-    # (same copart union + broadcast-dim probe, richer dims);
-    # fulfillment_latency's fact-fact _sorted_key_attach + threshold
-    # fold runs in-window via q18_large_orders; brand_supplier_counts'
-    # grouped count-distinct fold via q13_custdist's per-customer
-    # order counts; user_path_topk's user-stream lexsort via
-    # funnel_conversion + user_stickiness — all four sim+pytest covered
-    "q14_promo_revenue", "fulfillment_latency",
-    "brand_supplier_counts", "user_path_topk",
-    # displaced in the eleventh session by hard_negatives / pii_redact
-    # (range_join shares asof_latest_order's exact _probe_join physical
-    # plan; customers_without_orders' anti-join is repped by
-    # bloom_semi_join + orders_with_late_items — both sim+pytest covered)
-    "range_join_recent_orders", "customers_without_orders",
-    # displaced by split_leakage (which composes the SAME split_of rule
-    # end-to-end) and embedding_outliers (rolling's run-offset-composite
-    # searchsorted axis is exercised by retention_cohorts; windowed
-    # aggregation by sales_rollup) — both still sim+pytest covered
-    "split_assign", "rolling_event_window",
-    # displaced by tokenizer_budget_curve, which runs the SAME vocab
-    # fold + (count DESC, word ASC) head contract across several sizes;
-    # the per-source is_in probe stays sim+pytest covered
-    "vocab_oov_rate",
-    # displaced by source_word_lift (the sketch twin's (a*x+b) minhash
-    # permutation contract is exercised in-window by dedup_minhash_lsh;
-    # source_overlap keeps the exact pairwise path)
-    "source_minhash_jaccard",
-    # displaced by label_norm_quantiles (pairwise label geometry's
-    # integer-score contract is in-window via the ann/knn/hard-negative
-    # family; label-level audits repped by cluster_balance)
-    "label_centroid_affinity",
-    # displaced by user_stickiness, which runs the SAME distinct
-    # (user, day) partial machinery + coarse user partitions; the
-    # cohort offset probe stays sim+pytest covered
-    "retention_cohorts",
-    # displaced by brand_supplier_counts (GROUPING SETS' one-pass
-    # distributive grains are a bounded driver fold like q3's merge;
-    # the rollup query stays sim+pytest covered)
-    "sales_rollup",
-    # displaced by q14_promo_revenue (the _copart_two_fact_union +
-    # _sorted_key_attach kernel is literally SHARED code now exercised
-    # in-window by fulfillment_latency AND q14; the once-per-order
-    # EXISTS fold stays sim+pytest covered)
-    "orders_with_late_items",
-    # displaced by cluster_top_terms (the md5_number bit-mirror parity
-    # is pytest+sim covered; minhash_lsh reps the signature family
-    # in-window, simhash_hamming its hamming-band twin outside)
-    "dedup_simhash",
-    # displaced by customer_running_total (the banding that feeds the
-    # cluster labels is in-window via dedup_minhash_lsh; the min-label
-    # fixpoint + recursive-CTE parity stay pytest+sim covered)
-    "dedup_clusters_minhash",
-    # displaced by basket_part_pairs (segment_dedup's segment_stats
-    # kernel runs IN-WINDOW inside curate_corpus's heavy-boilerplate
-    # stage; the C4 removal query itself stays sim+pytest covered)
-    "segment_dedup",
-    # displaced by fulfillment_latency / user_path_topk (the
-    # pow2-histogram + count-partial contract stays in-window via
-    # fulfillment_latency; the user-stream lexsort layout via
-    # funnel_conversion + retention_cohorts; hot_keys reps named keys)
-    "key_skew_profile", "interarrival_profile",
-    # displaced by pmi_top_pairs (orders_by_segment's grouped-rank
-    # discipline is repped by q3's bounded top-10 merge +
-    # segment_price_quantiles' per-segment ranking)
-    "orders_by_segment",
-    # close family representatives displaced from the 50-entry window
-    # (dedup_incremental covers snapshots, dup_ngram_fraction covers
-    # cross-doc windows; repetition_stats is represented by
-    # gopher_quality + quality_classifier, chunk_tokens by
-    # pack_sequences, source_term_stats by the richer source_overlap,
-    # hot_keys by key_skew_profile, shuffle_head by the
-    # weighted_sample/mix_sources sampling family, build_inverted_index
-    # by search_topk which runs the same postings build — all below
-    # remain sim+pytest covered)
-    # displaced in the eighth session by vocab_oov_rate /
-    # source_minhash_jaccard / bloom_semi_join (family-represented
-    # inside: sales_rollup + events_hopping cover windowed aggregation,
-    # funnel/retention run sessionize's coarse user-partition lexsort,
-    # weighted_sample + split_assign cover quota sampling)
-    # displaced in the ninth session by cluster_balance /
-    # interarrival_profile / label_centroid_affinity /
-    # orders_with_late_items (family-represented inside:
-    # frequent_ngrams covers the MG heavy-hitter fold and the
-    # word-hash kernel that dup_ngram_fraction and tfidf_top_term also
-    # run; interarrival/funnel/retention run event_transitions'
-    # coarse user-partition lexsort layout; all stay sim+pytest
-    # covered)
-    "heavy_hitter_words", "dup_ngram_fraction",
-    "event_transitions", "tfidf_top_term",
-    # displaced by corpus_validate / dedup_best_survivor
-    # (quality_classifier reps model-based scoring; ann_ivf/lsh rep the
-    # trained-index query path — pq_codes already covers PQ assignment)
-    "ann_pq_adc_topk", "bigram_lm_score",
-    # displaced by cms_word_frequency (top_orders_per_segment's
-    # grouped top-N was repped by orders_by_segment + hot_keys; since
-    # the eleventh session both are ALSO outside the window, so the
-    # family's in-window representatives are q3_top_orders' bounded
-    # top-10 merge + segment_price_quantiles' per-segment ranking —
-    # do not displace those two without restoring one of these)
-    "top_orders_per_segment",
-    # displaced by length_rank_transform (embedding-LSH dedup repped
-    # by dedup_embedding + ann_lsh_topk's shared hyperplane contract)
-    "dedup_embedding_lsh",
-    "events_hourly_window", "sessionize", "mix_sources",
-    "hot_keys", "shuffle_head", "build_inverted_index",
-    "repetition_stats", "chunk_tokens", "source_term_stats",
-    "corpus_diff", "dup_substring_fraction",
-    "sampled_quantiles",  # segment_price_quantiles represents the family
-    "sample_per_source",  # weighted_sample/mix_sources represent sampling
-    "length_filter_p95",  # likewise a percentile-threshold variant
-    "set_ops_users_customers", "approx_distinct_users",
-    "reassemble_events", "deskew",
-    # r02-recorded green, unchanged since — displaced from the 50-entry
-    # window by the round-3 newly-oracled dedup_simhash /
-    # ann_bruteforce_topk (their r02 evidence + driver_sim still covers
-    # them)
-    "dedup_cc_clusters", "q5_local_supplier", "q1_pricing_summary",
-    # tail (still sim+pytest covered; recorded green in earlier rounds —
-    # the rows-only dedup/ANN scale paths and three unchanged r02-green
-    # entries (fingerprint_winnow / multimodal_decode / pipeline_chain)
-    # moved here in round 3 when the new oracle-backed curation ops
-    # displaced them; their evidence lives in pytest + CORRECTNESS_r02)
-    "dedup_simhash_hamming",
-    # displaced from the window in late round 3 by dedup_normalized /
-    # dedup_winnow_pairs / retention_cohorts (family-represented inside:
-    # ann_ivf/lsh/pq cover ANN incl. the shared scoring contract,
-    # bigram_lm_score covers the LM-score family)
-    "ann_bruteforce_topk", "pq_codes", "unigram_freq_score",
-    "fingerprint_md5", "fingerprint_winnow", "multimodal_decode",
-    "pipeline_chain", "embedding_centroids", "ann_neighbor_counts",
-    "quality_score", "lang_id", "dedup_ngram_jaccard", "token_count",
-    "dedup_survivors",
-    "binarize_sauvola", "denoise_kuwahara_iterated",
-    "lsh_bucket_stats",
-    "q6_forecast_revenue", "warp_crop", "source_csv_roundtrip",
-    "top_orders", "distinct_event_types", "compare_extractions",
-    "source_jsonl_roundtrip",
+    "user_stickiness", "q11_important_stock", "lang_agreement",
+    "token_count_subword", "followed_within", "customer_running_total",
+    "q20_excess_parts", "basket_part_pairs", "embedding_outliers",
+    "label_norm_quantiles", "cms_word_frequency", "length_rank_transform",
+    "q15_top_supplier", "q18_large_orders", "global_sales_opportunity",
+    "dedup_best_survivor", "q2_min_cost_supplier", "q12_shipmode_priority",
+    "q14_promo_revenue", "fulfillment_latency", "brand_supplier_counts",
+    "user_path_topk", "customers_without_orders", "split_assign",
+    "rolling_event_window", "vocab_oov_rate", "source_minhash_jaccard",
+    "label_centroid_affinity", "retention_cohorts", "sales_rollup",
+    "orders_with_late_items", "segment_dedup", "key_skew_profile",
+    "interarrival_profile", "heavy_hitter_words", "dup_ngram_fraction",
+    "event_transitions", "tfidf_top_term", "ann_pq_adc_topk",
+    "bigram_lm_score", "mix_sources", "hot_keys", "shuffle_head",
+    "build_inverted_index", "repetition_stats", "chunk_tokens",
+    "source_term_stats", "corpus_diff", "dup_substring_fraction",
+    "sampled_quantiles", "sample_per_source", "length_filter_p95", "pq_codes",
+    "unigram_freq_score",
+    # -- driver-green in r1-r3 (round recorded per name: COVERAGE.md
+    # ledger); prior in-window order preserved ----------------------
+    "flagship_extract", "extract_turns_exact", "extract_turn_spans",
+    "conv_structure_audit", "conv_extract_digest", "curate_corpus",
+    "web_curate", "corpus_validate", "data_factory", "utf8_hygiene",
+    "profile_columns", "dedup_exact", "dedup_normalized",
+    "dedup_sorted_neighborhood", "dedup_edit_distance",
+    "dedup_rate_by_source", "cross_source_dup_matrix", "dedup_minhash_lsh",
+    "dedup_prefix_filter", "cdc_chunk_dups", "dedup_embedding",
+    "cluster_top_terms", "cluster_balance", "dedup_incremental",
+    "snapshot_diff", "pagerank_docs", "anchor_text_stats",
+    "crawl_frontier_depth", "triangle_count", "knn_label_agreement",
+    "mmr_diversified_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "tokenizer_budget_curve", "bpe_train", "gopher_quality",
+    "quality_classifier", "dsir_select", "split_leakage", "decontaminate",
+    "pack_sequences", "pii_redact", "q9_product_profit", "props_field_stats",
+    "weighted_sample", "pmi_top_pairs", "price_zscore_outliers",
+    "trade_volume", "rolling_active_users", "asof_latest_order",
+    "q3_top_orders", "range_join_recent_orders", "dedup_simhash",
+    "dedup_clusters_minhash", "orders_by_segment", "top_orders_per_segment",
+    "dedup_embedding_lsh", "events_hourly_window", "sessionize",
+    "set_ops_users_customers", "approx_distinct_users", "reassemble_events",
+    "deskew", "dedup_cc_clusters", "q5_local_supplier", "q1_pricing_summary",
+    "dedup_simhash_hamming", "ann_bruteforce_topk", "fingerprint_md5",
+    "fingerprint_winnow", "multimodal_decode", "pipeline_chain",
+    "embedding_centroids", "ann_neighbor_counts", "quality_score", "lang_id",
+    "dedup_ngram_jaccard", "token_count", "dedup_survivors",
+    "binarize_sauvola", "denoise_kuwahara_iterated", "lsh_bucket_stats",
+    "q6_forecast_revenue", "warp_crop", "source_csv_roundtrip", "top_orders",
+    "distinct_event_types", "compare_extractions", "source_jsonl_roundtrip",
+    "binarize_niblack", "binarize_nick", "binarize_wolf", "binarize_feng",
+    "binarize_pure_adaptive", "binarize_pure_adaptive_gaussian",
+    "binarize_at", "binarize_agt", "binarize_gat", "binarize_mokji",
+    "binarize_fbcitb", "binarize_cococlust", "binarize_local_variances",
+    "binarize_local_otsu", "binarize_native_adaptive",
+    "binarize_local_variances_nofilter", "binarize_wolf_global",
+    "background_normalization", "clean_background_to_white",
+    "gamma_correction", "color_balance", "correct_nuil",
+    "simple_white_balance", "denoise_salt_pepper", "denoise_nlm",
+    "basic_deblur", "denoise_kuwahara", "wiener_filter", "remove_lines",
+    "remove_dots", "remove_hole_punch", "is_blurred", "is_glared",
+    "thin_zhang_suen", "thin_guo_hall", "document_contour",
+    "document_contour_retry", "check_rectangle", "auto_crop",
+    "find_hough_line_contour", "resize", "split_page",
+    "gray_world_white_balance", "find_angle", "find_orientation", "rotate",
+    "binarize_sauvola_morph",
 ]
 
 

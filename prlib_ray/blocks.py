@@ -38,7 +38,69 @@ __all__ = [
     "window_sum",
     "doc_broadcast",
     "join_kept",
+    "int_bincount",
 ]
+
+
+_BOUND_LOG = None
+
+
+def note_bounded_input(op: str, n_total: int, bound_name: str,
+                       bound_value: int) -> bool:
+    """Loud-truncation discipline for the bounded all-pairs oracle
+    baselines (ann_neighbor_counts / embedding_near_dup_pairs /
+    the _bounded_candidate_pairs family): fixture ids are dense from 0,
+    so an input with more rows than the id bound necessarily has rows
+    outside it.  Emits ONE warning naming the bound and the scale-path
+    twin's existence — the observable-cap discipline `_pair_indices`
+    uses, applied to the driver-side baselines.  Returns True iff the
+    input was truncated (so callers/tests can assert on it)."""
+    global _BOUND_LOG
+    if n_total <= bound_value:
+        return False
+    if _BOUND_LOG is None:
+        import logging
+
+        _BOUND_LOG = logging.getLogger("prlib_ray.bounded")
+    _BOUND_LOG.warning(
+        "%s: input has %d rows but this exact baseline is bounded to "
+        "ids < %s=%d; rows outside the bound are ignored — run the "
+        "scale-path twin (LSH / prefix-filter / IVF) for full coverage",
+        op, n_total, bound_name, bound_value)
+    return True
+
+
+def int_bincount(idx, weights, minlength: int = 0) -> np.ndarray:
+    """Exact int64 grouped sum — a drop-in for
+    ``np.bincount(idx, weights=...)`` at the exact-integer fold sites.
+
+    ``np.bincount`` accumulates *weights* in float64, so grouped sums
+    >= 2^53 silently lose exactness, which would break the engine's
+    exact-integer oracle contracts at 10^12-row scale.  This
+    accumulates on an int64 array instead: when ``idx`` is already
+    sorted (the common case — these folds derive group ids as
+    ``cumsum(run_boundaries)`` over lexsorted keys) one
+    ``np.add.reduceat`` pass, exact and O(n); otherwise one stable
+    argsort first.
+    """
+    idx = np.asarray(idx, dtype=np.int64)
+    w = np.asarray(weights)
+    if w.dtype != np.int64:
+        w = w.astype(np.int64)
+    n = int(minlength)
+    if idx.size:
+        n = max(n, int(idx.max()) + 1)
+    out = np.zeros(n, dtype=np.int64)
+    if idx.size == 0:
+        return out
+    if np.all(idx[:-1] <= idx[1:]):
+        s_idx, s_w = idx, w
+    else:
+        o = np.argsort(idx, kind="stable")
+        s_idx, s_w = idx[o], w[o]
+    starts = np.flatnonzero(np.r_[True, s_idx[1:] != s_idx[:-1]])
+    out[s_idx[starts]] = np.add.reduceat(s_w, starts)
+    return out
 
 
 @dataclass

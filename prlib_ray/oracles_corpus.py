@@ -602,7 +602,11 @@ WITH leaves AS (
 )
 SELECT 'leaf:' || source AS node, h AS hash FROM leaves
 UNION ALL
-SELECT 'root', md5(string_agg(h, '' ORDER BY source)) FROM leaves
+-- COALESCE pins the zero-leaf corpus to md5('') on both sides: the
+-- engine's driver fold also emits root = md5('') over no leaves,
+-- while a bare string_agg over zero rows would yield md5(NULL) = NULL
+SELECT 'root', md5(COALESCE(string_agg(h, '' ORDER BY source), ''))
+FROM leaves
 ORDER BY node"""
 
 

@@ -38,6 +38,8 @@ import pyarrow.compute as pc
 from prlib_ray.stages.corpus_stats import N_CORPUS_PARTS, segment_stats
 from prlib_ray.stages.text_analysis import gopher_quality_batch
 
+from prlib_ray.blocks import int_bincount
+
 HEAVY_PCT = 50          # drop survivors with removed_pct >= this
 PLANT_MOD = 50          # every doc_id % 50 == 0 gets an exact duplicate
 PLANT_OFFSET = 1_000_000
@@ -81,7 +83,7 @@ def _by_source(src, values: dict[str, np.ndarray]) -> pa.Table:
             out[name] = pa.array(np.zeros(n, dtype=np.int64))
         else:
             out[name] = pa.array(
-                np.bincount(codes, weights=v, minlength=n).astype(np.int64)
+                int_bincount(codes, v, minlength=n)
             )
     return pa.table(out)
 

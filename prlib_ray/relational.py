@@ -19,6 +19,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from prlib_ray.blocks import int_bincount
+
 CUTOFF = "1996-01-01"
 
 # Broadcast-vs-partitioned gate for the fact-side joins (as-of / range
@@ -232,7 +234,7 @@ def q3_top_orders(sf_dir: str):
         k_s, r_s = k[order], r[order]
         new = np.r_[True, k_s[1:] != k_s[:-1]]
         run = np.cumsum(new) - 1
-        rev = np.bincount(run, weights=r_s).astype(np.int64)
+        rev = int_bincount(run, r_s)
         keys_u = k_s[new]
         o = np.lexsort((keys_u, -rev))[:10]
         return pd.DataFrame(
@@ -2576,7 +2578,7 @@ def user_path_topk(sf_dir: str, *, k: int = PATH_TOPK,
         p_s, n_s = p[order], n[order]
         new = np.r_[True, p_s[1:] != p_s[:-1]]
         gid = np.cumsum(new) - 1
-        tot = np.bincount(gid, weights=n_s).astype(np.int64)
+        tot = int_bincount(gid, n_s)
         pu = p_s[new]
         o2 = np.lexsort((pu, -tot))[:k]
         return pd.DataFrame({"path": pu[o2], "n_users": tot[o2]})
@@ -2968,7 +2970,7 @@ def brand_supplier_counts(sf_dir: str):
         b_s, s_s, n_s = brand[order], size[order], n[order]
         new = np.r_[True, (b_s[1:] != b_s[:-1]) | (s_s[1:] != s_s[:-1])]
         gid = np.cumsum(new) - 1
-        tot = np.bincount(gid, weights=n_s).astype(np.int64)
+        tot = int_bincount(gid, n_s)
         return pd.DataFrame({"brand": b_s[new], "size": s_s[new],
                              "n_suppliers": tot})
 
@@ -3107,7 +3109,7 @@ def q13_custdist(sf_dir: str):
         k_s, n_s = k[order], n[order]
         new = np.r_[True, k_s[1:] != k_s[:-1]]
         run = np.cumsum(new) - 1
-        tot = np.bincount(run, weights=n_s).astype(np.int64)
+        tot = int_bincount(run, n_s)
         v, c = np.unique(tot, return_counts=True)
         return pd.DataFrame({"n_orders": v.astype(np.int64),
                              "n_customers": c.astype(np.int64)})
@@ -5213,6 +5215,10 @@ def q16_supplier_cnt(sf_dir: str):
         return out
 
     def final_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            out = g.iloc[:0][["p_brand", "p_type", "p_size"]].copy()
+            out["supplier_cnt"] = pd.Series([], dtype=np.int64)
+            return out
         key = (g["p_brand"].astype(str) + "\x1f" + g["p_type"].astype(str)
                + "\x1f" + g["p_size"].astype(str)).to_numpy(dtype=object)
         n = g["n"].to_numpy().astype(np.int64)
@@ -5220,7 +5226,7 @@ def q16_supplier_cnt(sf_dir: str):
         k_s, n_s = key[order], n[order]
         new = np.r_[True, k_s[1:] != k_s[:-1]]
         gid = np.cumsum(new) - 1
-        tot = np.bincount(gid, weights=n_s).astype(np.int64)
+        tot = int_bincount(gid, n_s)
         rows = g.iloc[order][new][["p_brand", "p_type", "p_size"]]
         rows = rows.reset_index(drop=True)
         rows["supplier_cnt"] = tot

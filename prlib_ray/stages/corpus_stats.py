@@ -35,6 +35,8 @@ import pyarrow.compute as pc
 from prlib_ray.stages.dataset_prep import _word_hashes
 from prlib_ray.stages.text_analysis import _flat_words
 
+from prlib_ray.blocks import int_bincount
+
 # Broadcast-vs-join gate for the vocabulary side.  Raw-word vocabularies
 # are zipfian: even web-scale corpora stay in the 10^8 range, but the
 # join layout exists for when they don't.
@@ -229,7 +231,7 @@ def unigram_freq_score(sf_dir: str, *, via: str = "auto"):
             d = doc_of_word[nonempty]
             cnt = vn[np.searchsorted(vw, w)]  # every word is in the vocab
             nw = np.bincount(d, minlength=ndocs).astype(np.int64)
-            fs = np.bincount(d, weights=cnt, minlength=ndocs).astype(np.int64)
+            fs = int_bincount(d, cnt, minlength=ndocs)
             # per-doc min over the (already doc-ordered) word stream
             starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
             mins = np.zeros(ndocs, dtype=np.int64)
@@ -602,8 +604,8 @@ def _crossdoc_window_fraction(ds, window_fn):
         # per-doc partial within this part, pre-keyed by the doc-side
         # coarse partition for the second fold
         ud, inv = np.unique(doc_s, return_inverse=True)
-        tot = np.bincount(inv, weights=c_s).astype(np.int64)
-        dupc = np.bincount(inv, weights=c_s * dup).astype(np.int64)
+        tot = int_bincount(inv, c_s)
+        dupc = int_bincount(inv, c_s * dup)
         return pd.DataFrame(
             {"doc_id": ud, "tot": tot, "dup": dupc,
              "dpart": ud % N_CORPUS_PARTS}
@@ -948,8 +950,8 @@ def segment_stats(ds):
         tot_per_seg = np.add.reduceat(c_s, starts)
         dup = tot_per_seg[run] >= SEG_DUP_MIN
         ud, inv = np.unique(doc_s, return_inverse=True)
-        tot = np.bincount(inv, weights=c_s).astype(np.int64)
-        rem = np.bincount(inv, weights=c_s * dup).astype(np.int64)
+        tot = int_bincount(inv, c_s)
+        rem = int_bincount(inv, c_s * dup)
         return pd.DataFrame(
             {"doc_id": ud, "tot": tot, "rem": rem,
              "dpart": ud % N_CORPUS_PARTS}
@@ -1164,8 +1166,7 @@ def bigram_lm_score(sf_dir: str, *, via: str = "auto"):
             terms = tv[np.searchsorted(gv, np.asarray(g.to_pylist(),
                                                       dtype=object))]
             nb = np.bincount(dg, minlength=ndocs).astype(np.int64)
-            lm = np.bincount(dg, weights=terms,
-                             minlength=ndocs).astype(np.int64)
+            lm = int_bincount(dg, terms, minlength=ndocs)
             keep = nb > 0
             return pa.table(
                 {
@@ -1826,8 +1827,7 @@ def cms_word_frequency(sf_dir: str):
         cells = (np.arange(CMS_D, dtype=np.int64)[None, :] * CMS_W
                  + pos).ravel()
         wts = np.repeat(c, CMS_D)
-        vec = np.bincount(cells, weights=wts,
-                          minlength=CMS_D * CMS_W).astype(np.int64)
+        vec = int_bincount(cells, wts, minlength=CMS_D * CMS_W)
         nz = np.flatnonzero(vec)
         return pa.table({"cell": pa.array(nz), "n": pa.array(vec[nz]),
                          "part": pa.array(nz % 8)})
@@ -2193,12 +2193,12 @@ def _word_lift_rank(partials, *, k: int, out_col: str) -> pa.Table:
         new = np.r_[True, (w_s[1:] != w_s[:-1]) | (s_s[1:] != s_s[:-1])]
         starts = np.flatnonzero(new)
         gid = np.cumsum(new) - 1
-        n_sw = np.bincount(gid, weights=c_s).astype(np.int64)
+        n_sw = int_bincount(gid, c_s)
         wu, su = w_s[starts], s_s[starts]
         # n_w per word: word runs over the same (w-major) order
         wnew = np.r_[True, wu[1:] != wu[:-1]]
         wid = np.cumsum(wnew) - 1
-        n_w = np.bincount(wid, weights=n_sw).astype(np.int64)[wid]
+        n_w = int_bincount(wid, n_sw)[wid]
         ns_arr = np.asarray([ns_of[x] for x in su], dtype=np.int64)
         num_ok = n_total * LIFT_SCALE <= (2**62) // max(int(n_sw.max()), 1)
         den_ok = (int(ns_arr.max(initial=1))
@@ -2411,6 +2411,10 @@ def corpus_merkle(sf_dir: str):
         })
 
     def leaf(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "node": pd.Series([], dtype=object),
+                "hash": pd.Series([], dtype=object)})
         hs = np.sort(g["h"].to_numpy(dtype=object))
         digest = hl.md5("".join(hs).encode()).hexdigest()
         return pd.DataFrame({

@@ -28,6 +28,8 @@ import pyarrow.compute as pc
 
 from prlib_ray.stages.text_analysis import TOKEN_PATTERN, _flat_words
 
+from prlib_ray.blocks import int_bincount
+
 # ---------------------------------------------------------------------------
 # source mixing (quota sampling)
 
@@ -976,7 +978,7 @@ def frequent_ngrams(sf_dir: str):
         g_s, c_s = gid[order], c[order]
         new = np.r_[True, g_s[1:] != g_s[:-1]]
         run = np.cumsum(new) - 1
-        tot = np.bincount(run, weights=c_s).astype(np.int64)
+        tot = int_bincount(run, c_s)
         gu = g_s[new]
         keep = tot >= FREQ_NGRAM_T
         return pd.DataFrame({"g": gu[keep], "n": tot[keep]})
@@ -1737,7 +1739,7 @@ def data_factory(sf_dir: str):
             "split": pa.array(list(names), type=pa.string()),
             "n_docs": pa.array(np.bincount(inv).astype(np.int64)),
             "n_tokens": pa.array(
-                np.bincount(inv, weights=nt).astype(np.int64)),
+                int_bincount(inv, nt)),
         })
 
     parts = joined.map_batches(fold, batch_format="pyarrow").take_all()

@@ -23,6 +23,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from prlib_ray.blocks import int_bincount, note_bounded_input
+
 
 def _md5(s: str) -> str:
     return hashlib.md5(s.encode("utf-8")).hexdigest()
@@ -163,6 +165,7 @@ def ngram_jaccard_pairs(sf_dir: str):
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    note_bounded_input("dedup_ngram_jaccard", ds.count(), "MAX_PAIR_ID", MAX_PAIR_ID)
     ds = ds.map_batches(
         lambda b: b.filter(pa.array(b["doc_id"].to_numpy() < MAX_PAIR_ID)),
         batch_format="pyarrow",
@@ -210,6 +213,7 @@ def containment_pairs(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
+    note_bounded_input("dedup_containment", ds.count(), "MAX_PAIR_ID", MAX_PAIR_ID)
     ds = ds.map_batches(
         lambda b: b.filter(pa.array(b["doc_id"].to_numpy() < MAX_PAIR_ID)),
         batch_format="pyarrow",
@@ -455,6 +459,7 @@ def edit_distance_pairs(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
+    note_bounded_input("dedup_edit_distance", ds.count(), "MAX_PAIR_ID", MAX_PAIR_ID)
     ds = ds.map_batches(
         lambda b: b.filter(pa.array(b["doc_id"].to_numpy() < MAX_PAIR_ID)),
         batch_format="pyarrow",
@@ -1286,6 +1291,8 @@ def dedup_survivors(sf_dir: str):
         ) if d != c
     }
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    note_bounded_input("dedup_survivors", ds.count(), "MAX_PAIR_ID",
+                       MAX_PAIR_ID)
 
     def keep(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy().astype(np.int64)
@@ -1339,6 +1346,9 @@ def _propagate_min_labels(pairs_ds, *, max_iterations: int = 64,
     materialize fixed cost that dominates small inputs); above the
     gate, the distributed min-label loop.  ``via="distributed"`` /
     ``"driver"`` force a layout (tests pin both byte-equal)."""
+    if via not in ("auto", "driver", "distributed"):
+        raise ValueError(
+            f"via must be 'auto', 'driver' or 'distributed', got {via!r}")
 
     def sym(b: pa.Table) -> pa.Table:
         a = b["doc_a"].to_numpy().astype(np.int64)
@@ -1931,7 +1941,7 @@ def split_leakage(sf_dir: str):
         h_s, c_s, n_s = hs[order], codes[order], ns[order]
         gstart = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
         gid = np.cumsum(np.r_[True, h_s[1:] != h_s[:-1]]) - 1
-        total = np.bincount(gid, weights=n_s).astype(np.int64)
+        total = int_bincount(gid, n_s)
         mask = np.bitwise_or.reduceat(
             (np.int64(1) << c_s).astype(np.int64), gstart
         )
@@ -2431,6 +2441,13 @@ def cdc_chunk_dups(sf_dir: str):
         })
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "chunk_hash": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "n_occ": pd.Series([], dtype=np.int64),
+                "min_doc": pd.Series([], dtype=np.int64),
+                "n_words": pd.Series([], dtype=np.int64)})
         ch = g["ch"].to_numpy(dtype=object)
         doc = g["doc_id"].to_numpy().astype(np.int64)
         nw = g["n_words"].to_numpy().astype(np.int64)
@@ -2587,6 +2604,11 @@ def doc_stitch_candidates(sf_dir: str):
         })
 
     def match(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "doc_tail": pd.Series([], dtype=np.int64),
+                "doc_head": pd.Series([], dtype=np.int64),
+                "chunk_hash": pd.Series([], dtype=object)})
         ch = g["ch"].to_numpy(dtype=object)
         doc = g["doc_id"].to_numpy().astype(np.int64)
         side = g["side"].to_numpy().astype(np.int64)
@@ -2672,6 +2694,11 @@ def ngram_novelty(sf_dir: str):
         })
 
     def doc_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_shingles": pd.Series([], dtype=np.int64),
+                "n_novel": pd.Series([], dtype=np.int64)})
         doc = g["doc"].to_numpy().astype(np.int64)
         nv = g["novel"].to_numpy().astype(np.int64)
         o = np.argsort(doc, kind="stable")
@@ -2679,7 +2706,7 @@ def ngram_novelty(sf_dir: str):
         new = np.r_[True, doc[1:] != doc[:-1]]
         gid = np.cumsum(new) - 1
         tot = np.bincount(gid).astype(np.int64)
-        won = np.bincount(gid, weights=nv).astype(np.int64)
+        won = int_bincount(gid, nv)
         return pd.DataFrame({"doc_id": doc[new], "n_shingles": tot,
                              "n_novel": won})
 

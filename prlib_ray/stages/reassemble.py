@@ -29,6 +29,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from prlib_ray.blocks import int_bincount
+
 N_REASSEMBLE_PARTS = 32  # coarse user partitions; raise for 10^9+ users
 
 
@@ -68,8 +70,8 @@ def _directions(user_s, ts_s, run, starts, lens):
     if len(user_s) > 1:
         same = user_s[1:] == user_s[:-1]
         nondec = (ts_s[1:] >= ts_s[:-1]) & same
-        inc = np.bincount(run[1:][same], weights=nondec[same],
-                          minlength=len(starts)).astype(np.int64)
+        inc = int_bincount(run[1:][same], nondec[same],
+                           minlength=len(starts))
     npairs = lens - 1
     return np.where(2 * inc >= npairs, 1, -1).astype(np.int64)
 

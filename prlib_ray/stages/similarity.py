@@ -23,6 +23,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from prlib_ray.blocks import note_bounded_input
+
 MAX_ANN_ID = 300
 COS_T2 = 6400  # cos >= 0.8  ->  t^2 * 10000 = 6400
 
@@ -127,6 +129,7 @@ def ann_neighbor_counts(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
+    note_bounded_input("ann_neighbor_counts", ds.count(), "MAX_ANN_ID", MAX_ANN_ID)
     ds = ds.map_batches(
         lambda b: b.filter(pa.array(b["vec_id"].to_numpy() < MAX_ANN_ID)),
         batch_format="pyarrow",
@@ -163,6 +166,7 @@ def embedding_near_dup_pairs(sf_dir: str, *, t2: int = 9025):
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
+    note_bounded_input("dedup_embedding", ds.count(), "MAX_ANN_ID", MAX_ANN_ID)
     ds = ds.map_batches(
         lambda b: _plant_dup_batch(
             b.filter(pa.array(b["vec_id"].to_numpy() < MAX_ANN_ID))
@@ -390,6 +394,7 @@ def dedup_semantic(sf_dir: str, *, t2: int = 9025):
     S, _ = _low_id_seed_matrix(ds, N_SEM_SEEDS)
     ref = ray.put(S)
 
+    note_bounded_input("dedup_semantic", ds.count(), "MAX_ANN_ID", MAX_ANN_ID)
     bounded = ds.map_batches(
         lambda b: _plant_dup_batch(
             b.filter(pa.array(b["vec_id"].to_numpy() < MAX_ANN_ID))

@@ -14,6 +14,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from prlib_ray.blocks import int_bincount
+
 TOKEN_PATTERN = "[A-Za-z0-9]+"
 
 # Marker stopword sets per language (ASCII only, deterministic argmax with
@@ -260,8 +262,7 @@ def lang_agreement(sf_dir: str):
                     np.bincount(codes, minlength=n).astype(np.int64)
                 ),
                 "n_agree": pa.array(
-                    np.bincount(codes, weights=agree,
-                                minlength=n).astype(np.int64)
+                    int_bincount(codes, agree, minlength=n)
                 ),
             }
         )
@@ -693,13 +694,19 @@ def _bpe_learn(sf_dir: str) -> list[tuple[str, str, int]]:
         })
 
     def wf_fold(g) -> pa.Table:
+        import pandas as pd
+
+        if len(g) == 0:
+            return pd.DataFrame({
+                "w": pd.Series([], dtype=object),
+                "f": pd.Series([], dtype=np.int64)})
         w = g["w"].to_numpy(dtype=object)
         f = g["f"].to_numpy().astype(np.int64)
         o = np.argsort(w, kind="stable")
         w, f = w[o], f[o]
         new = np.r_[True, w[1:] != w[:-1]]
         gid = np.cumsum(new) - 1
-        tot = np.bincount(gid, weights=f).astype(np.int64)
+        tot = int_bincount(gid, f)
         import pandas as pd
 
         return pd.DataFrame({"w": w[new], "f": tot})
@@ -742,7 +749,7 @@ def _bpe_learn(sf_dir: str) -> list[tuple[str, str, int]]:
             li, ri = sidx[:len(ls)], sidx[len(ls):]
             pk = li * len(su) + ri
             uniq, inv = np.unique(pk, return_inverse=True)
-            cnt = np.bincount(inv, weights=fw).astype(np.int64)
+            cnt = int_bincount(inv, fw)
             return pa.table({
                 "l": pa.array(list(su[uniq // len(su)]),
                               type=pa.string()),

@@ -133,6 +133,18 @@ EDGE_CASES = [
     # doc-without-embedding direction is pinned by the constructed
     # ghost-doc test in test_corpus_stats)
     "cluster_top_terms",
+    # round-4 ADVICE sweep: the map_groups folds that previously lacked
+    # the empty-group guard (np.r_[True, empty] / zero-length bincount
+    # weights) — pathological short/empty docs drive their candidate
+    # sets sparse enough to produce empty coarse partitions
+    "cdc_chunk_dups",
+    "doc_stitch_candidates",
+    "ngram_novelty",
+    "bpe_train",
+    "corpus_merkle",
+    "dedup_containment",
+    "token_budget_fill",
+    "entity_resolution",
 ]
 
 
