@@ -1695,9 +1695,17 @@ def _ann_ivf_topk_sql() -> str:
     floor-mean via the mod trick, emptied cluster keeps its previous
     centroid through the LEFT JOIN COALESCE), then corpus assignment,
     nprobe probing and the shared integer-score ranking tail."""
-    from prlib_ray.stages.similarity import BF_SCORE_SCALE, IVF_ITERS
+    from prlib_ray.stages.similarity import (
+        BF_SCORE_SCALE,
+        IVF_ITERS,
+        IVF_N_CENTROIDS,
+        IVF_N_QUERIES,
+        IVF_NPROBE,
+        IVF_TRAIN_N,
+    )
 
-    train_n, n_queries, n_centroids, nprobe = 256, 10, 32, 4
+    train_n, n_queries, n_centroids, nprobe = (
+        IVF_TRAIN_N, IVF_N_QUERIES, IVF_N_CENTROIDS, IVF_NPROBE)
     score = (
         "CASE WHEN n.nn = 0 THEN 0 ELSE CAST((s2x - (((s2x % ddn) + ddn) "
         "% ddn)) / ddn AS BIGINT) END"

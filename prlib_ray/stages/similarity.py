@@ -784,6 +784,18 @@ def ann_bruteforce_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
 
 
 IVF_ITERS = 5
+# Operating point (round 4, dialed with the ann_recall_audit telemetry +
+# a (n_centroids, nprobe) sweep at sf0.001/sf0.01): nprobe 4 -> 8 lifts
+# recall@5 vs brute force 0.82 -> 0.90 (sf0.001) and 0.70 -> 0.80
+# (sf0.01) for a probe fraction of 8/32 = 25% of lists; 64 centroids
+# measured WORSE at equal probe fraction on this corpus (0.74-0.82) —
+# the lists get too thin for k=5.  The pytest floor is 0.7 (parity with
+# the LSH path).  Production scales n_centroids ~ sqrt(corpus) and
+# re-dials nprobe by the same audit query.
+IVF_N_CENTROIDS = 32
+IVF_NPROBE = 8
+IVF_TRAIN_N = 256
+IVF_N_QUERIES = 10
 
 
 def _int_centroid_scores(x_q: np.ndarray, cents: np.ndarray) -> np.ndarray:
@@ -823,9 +835,9 @@ def _train_centroids(train_q: np.ndarray, n_centroids: int,
     return cents
 
 
-def ann_ivf_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
-                 n_centroids: int = 32, nprobe: int = 4,
-                 train_n: int = 256):
+def ann_ivf_topk(sf_dir: str, *, k: int = 5, n_queries: int = IVF_N_QUERIES,
+                 n_centroids: int = IVF_N_CENTROIDS, nprobe: int = IVF_NPROBE,
+                 train_n: int = IVF_TRAIN_N):
     """IVF-style ANN, the second scale path: TRAINED centroids
     (deterministic spherical k-means over the first ``train_n`` vectors,
     see _train_centroids) partition the corpus into inverted lists via

@@ -259,7 +259,11 @@ def test_ann_ivf_recall_and_bounds(registry, ray_session, sf_dir):
         got = set(ivf[ivf["query_id"] == qid]["vec_id"])
         hits += len(want & got)
         total += len(want)
-    assert hits / total >= 0.2, f"IVF recall too low: {hits}/{total}"
+    # fixed training data + integer Lloyd -> deterministic; 0.7 is the
+    # round-4 operating point (measured 0.90 at sf0.001 / 0.80 at
+    # sf0.01 with n_centroids=32, nprobe=8 — sweep in similarity.py),
+    # parity with the LSH floor below
+    assert hits / total >= 0.7, f"IVF recall too low: {hits}/{total}"
     again = queries["ann_ivf_topk"](sf_dir).to_pandas()
     a = ivf.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
     b = again.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
