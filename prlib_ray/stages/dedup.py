@@ -87,8 +87,19 @@ def _hash_min_fold(ds, key_batch_fn, *, counts: bool, ranked: bool = False):
             cols["n_docs"] = pa.array(cnt)
         return pa.table(cols)
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        hs = g["h"].to_numpy().astype(object)
+    def per_part(g: pa.Table) -> pa.Table:
+        # Arrow-native fold (round 4): map_groups used to run in pandas,
+        # copying every block out of Arrow; the group is int/str columns
+        # only, so the numpy kernel reads the Arrow buffers directly
+        if g.num_rows == 0:
+            e = {"h": pa.array([], type=pa.string()),
+                 "doc_id": pa.array([], type=pa.int64())}
+            if ranked:
+                e["rank"] = pa.array([], type=pa.int64())
+            if counts:
+                e["n_docs"] = pa.array([], type=pa.int64())
+            return pa.table(e)
+        hs = np.asarray(g["h"].to_pylist(), dtype=object)
         ids = g["doc_id"].to_numpy().astype(np.int64)
         if ranked:
             rank = g["rank"].to_numpy().astype(np.int64)
@@ -97,18 +108,20 @@ def _hash_min_fold(ds, key_batch_fn, *, counts: bool, ranked: bool = False):
             order = np.lexsort((ids, hs))
         h_s, i_s = hs[order], ids[order]
         starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
-        out = {"h": h_s[starts].astype(object), "doc_id": i_s[starts]}
+        out = {"h": pa.array(h_s[starts], type=pa.string()),
+               "doc_id": pa.array(i_s[starts])}
         if ranked:
-            out["rank"] = rank[order][starts]
+            out["rank"] = pa.array(rank[order][starts])
         if counts:
             ns = g["n_docs"].to_numpy().astype(np.int64)[order]
-            out["n_docs"] = np.add.reduceat(ns, starts).astype(np.int64)
-        return pd.DataFrame(out)
+            out["n_docs"] = pa.array(
+                np.add.reduceat(ns, starts).astype(np.int64))
+        return pa.table(out)
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(per_part, batch_format="pandas")
+        .map_groups(per_part, batch_format="pyarrow")
     )
 
 
@@ -654,21 +667,36 @@ def _pairs_from_buckets(bands, key_cols: list[str], cap: int = LSH_BUCKET_CAP,
         part = (acc % np.uint64(N_DEDUP_PARTS)).astype(np.int32)
         return b.append_column("part", pa.array(part))
 
-    def part_pairs(g):
-        import pandas as pd
-
-        # one composite bucket code per row; rows of a bucket are all in
-        # this part (part = hash of the bucket key)
-        codes = g.groupby(list(key_cols), sort=False).ngroup().to_numpy()
+    def part_pairs(g: pa.Table) -> pa.Table:
+        # Arrow-native fold (round 4; was a pandas map_groups with a
+        # pandas-groupby ngroup): per-column factorize + one stable
+        # lexsort groups identical bucket keys contiguously with the
+        # original within-bucket row order preserved (np.lexsort is
+        # stable), which is all the pair expansion below relies on
+        if g.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64())})
+        invs = []
+        for c in key_cols:
+            col = g[c]
+            if pa.types.is_integer(col.type):
+                v = col.to_numpy()
+            else:
+                v = np.asarray(col.to_pylist(), dtype=object)
+            _, inv = np.unique(v, return_inverse=True)
+            invs.append(inv)
         doc = g["doc_id"].to_numpy().astype(np.int64)
         ordv = (g[order_col].to_numpy().astype(np.int64)
                 if order_col is not None else None)
-        order = np.argsort(codes, kind="stable")
-        codes_s = codes[order]
+        # lexsort: last key is primary -> reversed(key_cols) order
+        order = np.lexsort(tuple(reversed(invs)))
+        inv_s = [iv[order] for iv in invs]
         doc_s = doc[order]
-        bounds = np.flatnonzero(
-            np.r_[True, codes_s[1:] != codes_s[:-1], True]
-        )
+        change = np.zeros(len(doc_s), dtype=bool)
+        change[0] = True
+        for iv in inv_s:
+            change[1:] |= iv[1:] != iv[:-1]
+        bounds = np.flatnonzero(np.r_[change, True])
         sizes = np.diff(bounds)
         out_a, out_b = [], []
         for bi in np.flatnonzero(sizes >= 2):  # multi-member buckets only
@@ -689,16 +717,16 @@ def _pairs_from_buckets(bands, key_cols: list[str], cap: int = LSH_BUCKET_CAP,
             out_a.append(np.minimum(a, b_))
             out_b.append(np.maximum(a, b_))
         if not out_a:
-            return pd.DataFrame({"doc_a": np.zeros(0, dtype=np.int64),
-                                 "doc_b": np.zeros(0, dtype=np.int64)})
-        return pd.DataFrame({"doc_a": np.concatenate(out_a),
-                             "doc_b": np.concatenate(out_b)})
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64())})
+        return pa.table({"doc_a": pa.array(np.concatenate(out_a)),
+                         "doc_b": pa.array(np.concatenate(out_b))})
 
     cand = (
         bands.map_batches(add_bucket_part, batch_format="pyarrow",
                           zero_copy_batch=True)
         .groupby("part")
-        .map_groups(part_pairs, batch_format="pandas")
+        .map_groups(part_pairs, batch_format="pyarrow")
     )
     # Distinct over (doc_a, doc_b): NOT a per-pair-key groupby — Ray's
     # aggregate pays per-GROUP Python overhead, catastrophic at ~10^5+
@@ -713,13 +741,23 @@ def _pairs_from_buckets(bands, key_cols: list[str], cap: int = LSH_BUCKET_CAP,
                 % np.uint64(N_DEDUP_PARTS)).astype(np.int32)
         return b.append_column("part", pa.array(part))
 
-    def drop_dups(g):
-        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+    def drop_dups(g: pa.Table) -> pa.Table:
+        # Arrow-native distinct (round 4; was pandas drop_duplicates):
+        # one lexsort + run-boundary mask over the two int64 columns
+        if g.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64())})
+        a = g["doc_a"].to_numpy().astype(np.int64)
+        b = g["doc_b"].to_numpy().astype(np.int64)
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        m = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table({"doc_a": pa.array(a[m]), "doc_b": pa.array(b[m])})
 
     distinct = (
         cand.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(drop_dups, batch_format="pandas")
+        .map_groups(drop_dups, batch_format="pyarrow")
         # normalize non-empty blocks to the exact (doc_a, doc_b) schema
         .map_batches(_pair_schema, batch_format="pyarrow")
         # mostly-empty partitions (small corpora) yield SCHEMA-LESS empty

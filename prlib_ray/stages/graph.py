@@ -92,21 +92,23 @@ def _pr_contribs(n_docs: int):
     return contribs
 
 
-def _pr_fold(g: pd.DataFrame) -> pd.DataFrame:
+def _pr_fold(g: pa.Table) -> pa.Table:
     """Per coarse partition (a node's contributions all land in its
-    hash partition): r_next[v] = PR_BASE + sum(contribs to v)."""
-    if len(g) == 0:
-        return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
-                             "r": pd.Series([], dtype=np.int64)})
+    hash partition): r_next[v] = PR_BASE + sum(contribs to v).
+    Arrow-native (round 4): the fold reads the int64 Arrow buffers
+    zero-copy instead of paying a pandas block conversion per group."""
+    if g.num_rows == 0:
+        z = pa.array([], type=pa.int64())
+        return pa.table({"node": z, "r": z})
     node = g["node"].to_numpy().astype(np.int64)
     c = g["c"].to_numpy().astype(np.int64)
     o = np.argsort(node, kind="stable")
     node, c = node[o], c[o]
     starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
     sums = np.add.reduceat(c, starts)
-    return pd.DataFrame({
-        "node": node[starts],
-        "r": PR_BASE + sums,
+    return pa.table({
+        "node": pa.array(node[starts]),
+        "r": pa.array(PR_BASE + sums),
     })
 
 
@@ -133,7 +135,7 @@ def pagerank_ranks(sf_dir: str):
             ranks.map_batches(_pr_contribs(n_docs), batch_format="pyarrow",
                               zero_copy_batch=True)
             .groupby("part")
-            .map_groups(_pr_fold, batch_format="pandas")
+            .map_groups(_pr_fold, batch_format="pyarrow")
         )
     return ranks
 
@@ -344,7 +346,7 @@ def pagerank_mass_audit(sf_dir: str):
             ranks.map_batches(_pr_contribs(n_docs), batch_format="pyarrow",
                               zero_copy_batch=True)
             .groupby("part")
-            .map_groups(_pr_fold, batch_format="pandas")
+            .map_groups(_pr_fold, batch_format="pyarrow")
             .materialize()
         )
         out.append(stats(ranks, t))
@@ -844,17 +846,18 @@ def hits_scores(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     n_docs = ds.count()  # parquet metadata only
 
-    def sum_fold(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
-                                 "v": pd.Series([], dtype=np.int64)})
+    def sum_fold(g: pa.Table) -> pa.Table:
+        # Arrow-native (round 4): int64-only fold, zero-copy reads
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"node": z, "v": z})
         node = g["node"].to_numpy().astype(np.int64)
         c = g["c"].to_numpy().astype(np.int64)
         o = np.argsort(node, kind="stable")
         node, c = node[o], c[o]
         starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
-        return pd.DataFrame({"node": node[starts],
-                             "v": np.add.reduceat(c, starts)})
+        return pa.table({"node": pa.array(node[starts]),
+                         "v": pa.array(np.add.reduceat(c, starts))})
 
     def init(b: pa.Table) -> pa.Table:
         ids = (b["doc_id"].to_numpy().astype(np.int64)
@@ -924,15 +927,14 @@ def hits_scores(sf_dir: str):
 
         return fn
 
-    def gather(g: pd.DataFrame) -> pd.DataFrame:
+    def gather(g: pa.Table) -> pa.Table:
         """Per part: map each edge row's dst-authority onto its source
         (one searchsorted — every dst's authority row shares the part
         by construction) and emit (src, a[dst]) + (node, 0) presence
         rows keyed by hash(src)."""
-        if len(g) == 0:
-            return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
-                                 "c": pd.Series([], dtype=np.int64),
-                                 "part": pd.Series([], dtype=np.int64)})
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"node": z, "c": z, "part": z})
         key = g["key"].to_numpy().astype(np.int64)
         aux = g["aux"].to_numpy().astype(np.int64)
         val = g["val"].to_numpy().astype(np.int64)
@@ -948,10 +950,10 @@ def hits_scores(sf_dir: str):
             np.empty(0, dtype=np.int64)
         node = np.concatenate([anodes, eu])
         cc = np.concatenate([np.zeros(len(anodes), dtype=np.int64), c])
-        return pd.DataFrame({
-            "node": node,
-            "c": cc,
-            "part": _node_part(node, N_HITS_PARTS),
+        return pa.table({
+            "node": pa.array(node),
+            "c": pa.array(cc),
+            "part": pa.array(_node_part(node, N_HITS_PARTS)),
         })
 
     h = ds.map_batches(init, batch_format="pyarrow",
@@ -962,7 +964,7 @@ def hits_scores(sf_dir: str):
             h.map_batches(scatter, batch_format="pyarrow",
                           zero_copy_batch=True)
             .groupby("part")
-            .map_groups(sum_fold, batch_format="pandas")
+            .map_groups(sum_fold, batch_format="pyarrow")
             .materialize()
         )
         h = (
@@ -971,17 +973,17 @@ def hits_scores(sf_dir: str):
             .union(ds.map_batches(edges_by_dst, batch_format="pyarrow",
                                   zero_copy_batch=True))
             .groupby("part")
-            .map_groups(gather, batch_format="pandas")
+            .map_groups(gather, batch_format="pyarrow")
             .groupby("part")
-            .map_groups(sum_fold, batch_format="pandas")
+            .map_groups(sum_fold, batch_format="pyarrow")
             .materialize()
         )
 
-    def pair_fold(g: pd.DataFrame) -> pd.DataFrame:
+    def pair_fold(g: pa.Table) -> pa.Table:
         cols = ("node", "a", "h")
-        if len(g) == 0:
-            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
-                                 for c in cols})
+        if g.num_rows == 0:
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in cols})
         key = g["key"].to_numpy().astype(np.int64)
         val = g["val"].to_numpy().astype(np.int64)
         kind = g["kind"].to_numpy().astype(np.int64)
@@ -989,10 +991,10 @@ def hits_scores(sf_dir: str):
         key, val, kind = key[o], val[o], kind[o]
         # every node has exactly one kind-0 (authority) and one kind-1
         # (hub) row — adjacent after the lexsort
-        return pd.DataFrame({
-            "node": key[kind == 0],
-            "a": val[kind == 0],
-            "h": val[kind == 1],
+        return pa.table({
+            "node": pa.array(key[kind == 0]),
+            "a": pa.array(val[kind == 0]),
+            "h": pa.array(val[kind == 1]),
         })
 
     def local_top(b: pa.Table) -> pa.Table:
@@ -1012,7 +1014,7 @@ def hits_scores(sf_dir: str):
         .union(h.map_batches(tag_scores(1), batch_format="pyarrow",
                              zero_copy_batch=True))
         .groupby("part")
-        .map_groups(pair_fold, batch_format="pandas")
+        .map_groups(pair_fold, batch_format="pyarrow")
         .map_batches(local_top, batch_format="pyarrow",
                      zero_copy_batch=True)
         .take_all()  # bounded: <= HITS_TOPK rows per block
