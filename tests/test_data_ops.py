@@ -677,6 +677,67 @@ def test_decoder_real_path_with_pil():
     assert (n, w, h, f) == (len(payload), 37, 21, 1)
 
 
+def _mk_bmp(w: int, h: int) -> bytes:
+    """Minimal valid uncompressed 24bpp BMP (BITMAPINFOHEADER)."""
+    row = ((w * 24 + 31) // 32) * 4
+    size = 54 + row * h
+    header = (b"BM" + size.to_bytes(4, "little") + b"\x00" * 4
+              + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True)
+              + h.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + b"\x00" * 24)
+    assert len(header) == 54
+    return header + bytes(row * h)
+
+
+def test_decoder_builtin_real_formats():
+    """Round 4: the REAL no-library decode path — constructed BMP / P6 /
+    P5(16-bit) / P3 images decode to their true geometry; truncated
+    pixel arrays are rejected to the stub path."""
+    from prlib_ray.stages.multimodal import DecoderStub, decode_builtin
+
+    d = DecoderStub()
+    bmp = _mk_bmp(37, 21)
+    assert d._decode(bmp) == (len(bmp), 37, 21, 1)
+    p6 = b"P6\n# comment\n37 21\n255\n" + bytes(37 * 21 * 3)
+    assert d._decode(p6) == (len(p6), 37, 21, 1)
+    p5_16 = b"P5\n5 4\n65535\n" + bytes(5 * 4 * 2)
+    assert d._decode(p5_16) == (len(p5_16), 5, 4, 1)
+    p3 = b"P3\n2 2\n255\n" + b" ".join(b"7" for _ in range(12))
+    assert d._decode(p3) == (len(p3), 2, 2, 1)
+    # truncated pixel arrays must NOT claim a decode
+    assert decode_builtin(bmp[:-8]) is None
+    assert decode_builtin(p6[:-8]) is None
+    # stub fallback for the truncated BMP: deterministic geometry
+    n = len(bmp) - 8
+    assert d._decode(bmp[:-8]) == (n, n % 640, n % 480, (n + 1023) // 1024)
+
+
+def test_decoder_builtin_through_actor_pool(ray_session):
+    """The real decode path end-to-end through the Ray actor-pool stage:
+    binary Arrow column in, pinned (width, height, n_frames) out."""
+    import pyarrow as pa2
+    import ray.data as rd
+
+    from prlib_ray.stages.multimodal import DecoderStub
+
+    payloads = [_mk_bmp(37, 21), b"P6\n8 6\n255\n" + bytes(8 * 6 * 3),
+                b"not an image"]
+    ds = rd.from_arrow(pa2.table({
+        "doc_id": pa2.array([0, 1, 2], type=pa2.int64()),
+        "payload": pa2.array(payloads, type=pa2.binary()),
+    }))
+    out = (ds.map_batches(DecoderStub, batch_format="pyarrow",
+                          batch_size=2, concurrency=1, num_cpus=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, ["width", "height", "n_frames"]].tolist() == [37, 21, 1]
+    assert out.loc[1, ["width", "height", "n_frames"]].tolist() == [8, 6, 1]
+    n = len(b"not an image")
+    assert out.loc[2, ["width", "height", "n_frames"]].tolist() == [
+        n % 640, n % 480, 1]
+
+
 def test_decoder_stub_fallback_on_undecodable():
     """Non-image payloads take the deterministic stub path regardless of
     whether PIL is installed (the oracle contract)."""
