@@ -25,7 +25,6 @@ iteration chains exponentially).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 PR_ITERS = 3          # unrolled power-iteration count (oracle mirrors each)
@@ -252,11 +251,11 @@ def anchor_text_stats(sf_dir: str):
             "part": pa.array(part),
         })
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
+    def fold(g: pa.Table) -> pa.Table:
         cols = ("doc_id", "n_inlinks", "n_sources", "sum_anchor_chars")
-        if len(g) == 0:
-            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
-                                 for c in cols})
+        if g.num_rows == 0:
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in cols})
         node = g["node"].to_numpy().astype(np.int64)
         src = g["src"].to_numpy().astype(np.int64)
         alen = g["alen"].to_numpy().astype(np.int64)
@@ -272,17 +271,17 @@ def anchor_text_stats(sf_dir: str):
         distinct = np.add.reduceat((new_pair & (src >= 0)).astype(np.int64),
                                    starts)
         tot = np.add.reduceat(alen, starts)
-        return pd.DataFrame({
-            "doc_id": node[starts],
-            "n_inlinks": n_in,
-            "n_sources": distinct,
-            "sum_anchor_chars": tot,
+        return pa.table({
+            "doc_id": pa.array(node[starts]),
+            "n_inlinks": pa.array(n_in),
+            "n_sources": pa.array(distinct),
+            "sum_anchor_chars": pa.array(tot),
         })
 
     return (
         ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
     )
 
 
@@ -442,20 +441,19 @@ def crawl_frontier_depth(sf_dir: str):
 
         return fn
 
-    def min_fold(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
-                                 "d": pd.Series([], dtype=np.int64),
-                                 "part": pd.Series([], dtype=np.int64)})
+    def min_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"node": z, "d": z, "part": z})
         node = g["node"].to_numpy().astype(np.int64)
         d = g["d"].to_numpy().astype(np.int64)
         o = np.lexsort((d, node))
         node, d = node[o], d[o]
         starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
-        return pd.DataFrame({
-            "node": node[starts],
-            "d": d[starts],
-            "part": _node_part(node[starts], N_BFS_PARTS),
+        return pa.table({
+            "node": pa.array(node[starts]),
+            "d": pa.array(d[starts]),
+            "part": pa.array(_node_part(node[starts], N_BFS_PARTS)),
         })
 
     best = ds.map_batches(init, batch_format="pyarrow",
@@ -465,7 +463,7 @@ def crawl_frontier_depth(sf_dir: str):
             best.map_batches(expand(t), batch_format="pyarrow",
                              zero_copy_batch=True)
             .groupby("part")
-            .map_groups(min_fold, batch_format="pandas")
+            .map_groups(min_fold, batch_format="pyarrow")
             .materialize()
         )
 
@@ -521,10 +519,10 @@ def indegree_histogram(sf_dir: str):
             "part": pa.array(_node_part(node, N_DEG_PARTS)),
         })
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({"indeg": pd.Series([], dtype=np.int64),
-                                 "n_nodes": pd.Series([], dtype=np.int64)})
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"indeg": z, "n_nodes": z})
         node = g["node"].to_numpy().astype(np.int64)
         c = g["c"].to_numpy().astype(np.int64)
         o = np.argsort(node, kind="stable")
@@ -532,13 +530,13 @@ def indegree_histogram(sf_dir: str):
         starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
         indeg = np.add.reduceat(c, starts)
         vals, counts = np.unique(indeg, return_counts=True)
-        return pd.DataFrame({"indeg": vals,
-                             "n_nodes": counts.astype(np.int64)})
+        return pa.table({"indeg": pa.array(vals),
+                         "n_nodes": pa.array(counts.astype(np.int64))})
 
     rows = (
         ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .take_all()  # bounded: <= N_DEG_PARTS x distinct-degree rows
     )
     acc: dict[int, int] = {}
@@ -591,11 +589,11 @@ def link_reciprocity(sf_dir: str):
             "part": pa.array(_pair_part(lo, hi, N_DEG_PARTS)),
         })
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
+    def fold(g: pa.Table) -> pa.Table:
         cols = ("n_edges_distinct", "n_self_loops", "n_reciprocal")
-        if len(g) == 0:
-            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
-                                 for c in cols})
+        if g.num_rows == 0:
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in cols})
         lo = g["lo"].to_numpy().astype(np.int64)
         hi = g["hi"].to_numpy().astype(np.int64)
         drn = g["dir"].to_numpy().astype(np.int64)
@@ -612,16 +610,16 @@ def link_reciprocity(sf_dir: str):
         has0 = np.add.reduceat((drn == 0).astype(np.int64), starts) > 0
         has1 = np.add.reduceat((drn == 1).astype(np.int64), starts) > 0
         n_recip = int((has0 & has1).sum())
-        return pd.DataFrame({
-            "n_edges_distinct": np.array([n_edges], dtype=np.int64),
-            "n_self_loops": np.array([n_self], dtype=np.int64),
-            "n_reciprocal": np.array([n_recip], dtype=np.int64),
+        return pa.table({
+            "n_edges_distinct": pa.array([n_edges], type=pa.int64()),
+            "n_self_loops": pa.array([n_self], type=pa.int64()),
+            "n_reciprocal": pa.array([n_recip], type=pa.int64()),
         })
 
     rows = (
         ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .take_all()  # bounded: one row per part
     )
     return pa.table({
@@ -710,21 +708,22 @@ def triangle_count(sf_dir: str):
             "part": pa.array(_pair_part(lo, hi, N_TRI_PARTS)),
         })
 
-    def dedup_fold(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({"lo": pd.Series([], dtype=np.int64),
-                                 "hi": pd.Series([], dtype=np.int64)})
+    def dedup_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"lo": z, "hi": z})
         lo = g["lo"].to_numpy().astype(np.int64)
         hi = g["hi"].to_numpy().astype(np.int64)
         o = np.lexsort((hi, lo))
         lo, hi = lo[o], hi[o]
         first = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
-        return pd.DataFrame({"lo": lo[first], "hi": hi[first]})
+        return pa.table({"lo": pa.array(lo[first]),
+                         "hi": pa.array(hi[first])})
 
     eu = (
         ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(dedup_fold, batch_format="pandas")
+        .map_groups(dedup_fold, batch_format="pyarrow")
         .materialize()  # feeds count + wedge explode + edge probe
     )
     n_edges = eu.count()
@@ -735,10 +734,10 @@ def triangle_count(sf_dir: str):
         return b.append_column("part2",
                                pa.array(_node_part(lo, N_TRI_PARTS)))
 
-    def wedge_fold(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({"v": pd.Series([], dtype=np.int64),
-                                 "w": pd.Series([], dtype=np.int64)})
+    def wedge_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"v": z, "w": z})
         lo = g["lo"].to_numpy().astype(np.int64)
         hi = g["hi"].to_numpy().astype(np.int64)
         o = np.lexsort((hi, lo))
@@ -753,12 +752,12 @@ def triangle_count(sf_dir: str):
         v = np.repeat(hi, cnt)
         off = np.repeat(np.cumsum(cnt) - cnt, cnt)
         w = hi[np.arange(cnt.sum()) - off + np.repeat(idx + 1, cnt)]
-        return pd.DataFrame({"v": v, "w": w})
+        return pa.table({"v": pa.array(v), "w": pa.array(w)})
 
     wedges = (
         eu.map_batches(tag_lo, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part2")
-        .map_groups(wedge_fold, batch_format="pandas")
+        .map_groups(wedge_fold, batch_format="pyarrow")
         .materialize()  # feeds count + probe union
     )
     n_wedges = wedges.count()
@@ -779,9 +778,9 @@ def triangle_count(sf_dir: str):
 
         return fn
 
-    def match_fold(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({"n": pd.Series([], dtype=np.int64)})
+    def match_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"n": pa.array([], type=pa.int64())})
         v = g["v"].to_numpy().astype(np.int64)
         w = g["w"].to_numpy().astype(np.int64)
         kind = g["kind"].to_numpy().astype(np.int64)
@@ -792,7 +791,7 @@ def triangle_count(sf_dir: str):
         has_edge = np.add.reduceat((kind == 0).astype(np.int64), starts) > 0
         n_wedge_rows = np.add.reduceat((kind == 1).astype(np.int64), starts)
         n = int(n_wedge_rows[has_edge].sum())
-        return pd.DataFrame({"n": np.array([n], dtype=np.int64)})
+        return pa.table({"n": pa.array([n], type=pa.int64())})
 
     probe = wedges.map_batches(
         tag_pair(1, "v", "w"), batch_format="pyarrow", zero_copy_batch=True
@@ -801,7 +800,7 @@ def triangle_count(sf_dir: str):
         zero_copy_batch=True))
     rows = (
         probe.groupby("part3")
-        .map_groups(match_fold, batch_format="pandas")
+        .map_groups(match_fold, batch_format="pyarrow")
         .take_all()  # bounded: one row per part
     )
     n_tri = sum(int(r["n"]) for r in rows)
