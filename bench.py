@@ -25,6 +25,11 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# headline layout knobs, so --scaling can run the distributed-meta
+# (meta_via="join") and total-order (physical="sort") layouts under the
+# same pre-registered protocol (VERDICT r3 item 7); defaults unchanged
+HEADLINE_META_VIA = os.environ.get("PRLIB_BENCH_META_VIA", "broadcast")
+HEADLINE_PHYSICAL = os.environ.get("PRLIB_BENCH_PHYSICAL", "bucket")
 FIXTURE_VERSION = 3
 # bench-scale turn multiplier: ~4M turns at sf0.1 so fixed costs amortize
 BENCH_TURNS_MULT = os.environ.setdefault("GRAFT_TURNS_MULT", "100")
@@ -119,7 +124,10 @@ def run_bench() -> dict:
     for _ in range(2):
         t0 = time.time()
         ts = rd.read_parquet(tpath)
-        n_turns = extract_pipeline(ts, include_spans=False).count()
+        n_turns = extract_pipeline(
+            ts, include_spans=False,
+            meta_via=HEADLINE_META_VIA, physical=HEADLINE_PHYSICAL,
+        ).count()
         headline_reps.append(round(time.time() - t0, 3))
     headline = min(headline_reps)
     queries["flagship_extract"] = round(headline, 3)
@@ -138,6 +146,7 @@ def run_bench() -> dict:
             # both scaling legs run this same code so the estimator is
             # symmetric across legs)
             "headline_reps_sec": headline_reps,
+            "headline_layout": f"{HEADLINE_META_VIA}/{HEADLINE_PHYSICAL}",
         }
         ray.shutdown()
         return result
@@ -236,6 +245,7 @@ def run_bench() -> dict:
         "n_turns": int(n_turns),
         "turns_per_sec": round(n_turns / headline, 1),
         "headline_reps_sec": headline_reps,
+        "headline_layout": f"{HEADLINE_META_VIA}/{HEADLINE_PHYSICAL}",
     }
     ray.shutdown()
     return result
@@ -313,6 +323,7 @@ def run_scaling() -> dict:
         "scaling_efficiency_best": round(eff_best, 3),
         "sf": SF_DIR,
         "n_turns": lo.get("n_turns"),
+        "headline_layout": f"{HEADLINE_META_VIA}/{HEADLINE_PHYSICAL}",
     }
     if os.environ.get("PRLIB_SCALING_ALSO_8_32"):
         lo8, hi32 = leg_once(8), leg_once(32)

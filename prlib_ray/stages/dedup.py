@@ -1098,12 +1098,27 @@ def minhash_lsh_dedup(sf_dir: str, *, jaccard_threshold: float = 0.5):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     # the shingle-id sets are the md5-heavy substrate shared by BOTH the
-    # banding and the verification joins: compute ONCE, materialize; the
-    # minhash signatures then derive from the stored uint64 blobs (no
-    # second md5 pass over the corpus)
-    blob = ds.map_batches(
+    # banding and the verification joins: compute ONCE.  Default: pin in
+    # the object store (materialize).  PRLIB_BLOB_SPILL_DIR switches to
+    # the 100-TB layout — write the blob table to storage and re-read it
+    # for each consumer: materialize() pins the WHOLE set, and when the
+    # blobs exceed the object store the restore-evict loop livelocks
+    # (measured in tools/memory_pressure.py at 256x docs / <=1 GiB
+    # store); the parquet roundtrip streams instead.
+    import os as _os
+
+    blob_src = ds.map_batches(
         _blobify_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    )
+    spill_dir = _os.environ.get("PRLIB_BLOB_SPILL_DIR")
+    if spill_dir:
+        import shutil as _shutil
+
+        _shutil.rmtree(spill_dir, ignore_errors=True)
+        blob_src.write_parquet(spill_dir)
+        blob = rd.read_parquet(spill_dir)
+    else:
+        blob = blob_src.materialize()
 
     bands = blob.map_batches(
         _bands_from_blob_batch, batch_format="pyarrow", zero_copy_batch=True
