@@ -165,9 +165,17 @@ def run_flagship(physical: str = "bucket") -> dict:
 
 def _big_docs_dir(mult: int) -> str:
     """documents.parquet replicated ``mult`` times with offset doc_ids
-    (deterministic; cached).  Same schema, so every dedup op runs
-    unchanged over the directory."""
-    out = f"/tmp/prlib_bench/bigdocs_m{mult}"
+    and PER-REPLICA text perturbation (deterministic; cached).
+
+    The perturbation matters: verbatim replicas make EVERY doc a
+    128-way near-dup, so every LSH band bucket saturates its hot-cap
+    and the candidate-pair volume explodes ~ mult x corpus — an
+    adversarial all-duplicate corpus, not a scale test (measured: 80+
+    GiB of shuffle spill at mult=128).  Interleaving a replica-unique
+    token every few words keeps shingle overlap between replicas low,
+    so bucket populations stay realistic while the corpus volume
+    scales."""
+    out = f"/tmp/prlib_bench/bigdocs_m{mult}_v2"
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
@@ -178,10 +186,21 @@ def _big_docs_dir(mult: int) -> str:
     t = pq.read_table(f"{SF_DIR}/documents.parquet")
     os.makedirs(os.path.join(out, "documents.parquet"), exist_ok=True)
     ids = t["doc_id"].to_numpy().astype(np.int64)
+    texts = t["text"].to_pylist()
+    col = t.schema.get_field_index("text")
     for k in range(mult):
-        t2 = t.set_column(
-            t.schema.get_field_index("doc_id"), "doc_id",
-            pa.array(ids + k * 10_000_000))
+        perturbed = []
+        for i, s in enumerate(texts):
+            w = s.split(" ")
+            tok = f"u{k}x{i % 97}"
+            # a unique token every 2 words breaks every 3-shingle
+            perturbed.append(" ".join(
+                x for j, ww in enumerate(w)
+                for x in ((ww, f"{tok}n{j}") if j % 2 == 1 else (ww,))))
+        t2 = (t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                           pa.array(ids + k * 10_000_000))
+              .set_column(col, "text",
+                          pa.array(perturbed, type=pa.string())))
         # documents.parquet is a DIRECTORY here — every dedup op's
         # read_parquet(f"{sf_dir}/documents.parquet") accepts it
         pq.write_table(t2, os.path.join(
