@@ -957,6 +957,12 @@ def hits_scores(sf_dir: str):
 
     h = ds.map_batches(init, batch_format="pyarrow",
                        zero_copy_batch=True).materialize()
+    # the (dst-keyed) edge rows are loop-invariant: build them ONCE and
+    # union the materialized table into every round (round 4; the loop
+    # previously re-scanned documents and re-derived the edge set each
+    # iteration — at 10^12 nodes that is HITS_ITERS-1 wasted edge builds)
+    edge_rows = ds.map_batches(edges_by_dst, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
     a = None
     for _ in range(HITS_ITERS):
         a = (
@@ -969,8 +975,7 @@ def hits_scores(sf_dir: str):
         h = (
             a.map_batches(tag_scores(0), batch_format="pyarrow",
                           zero_copy_batch=True)
-            .union(ds.map_batches(edges_by_dst, batch_format="pyarrow",
-                                  zero_copy_batch=True))
+            .union(edge_rows)
             .groupby("part")
             .map_groups(gather, batch_format="pyarrow")
             .groupby("part")
