@@ -940,11 +940,11 @@ def prefix_filter_join(sf_dir: str):
     def explode(b: pa.Table) -> pa.Table:
         return _pf_explode_batch(b, with_n=True)
 
-    def df_attach(g: pd.DataFrame) -> pd.DataFrame:
+    def df_attach(g: pa.Table) -> pa.Table:
         cols = ("sid", "doc", "n", "df", "part2")
-        if len(g) == 0:
-            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
-                                 for c in cols})
+        if g.num_rows == 0:
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in cols})
         sid = g["sid"].to_numpy().astype(np.int64)
         doc = g["doc"].to_numpy().astype(np.int64)
         n = g["n"].to_numpy().astype(np.int64)
@@ -953,14 +953,15 @@ def prefix_filter_join(sf_dir: str):
         starts = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]])
         lens = np.diff(np.r_[starts, len(sid)])
         df = np.repeat(lens, lens)
-        return pd.DataFrame({"sid": sid, "doc": doc, "n": n, "df": df,
-                             "part2": _hp(doc)})
+        return pa.table({"sid": pa.array(sid), "doc": pa.array(doc),
+                         "n": pa.array(n), "df": pa.array(df),
+                         "part2": pa.array(_hp(doc))})
 
-    def prefix_fold(g: pd.DataFrame) -> pd.DataFrame:
+    def prefix_fold(g: pa.Table) -> pa.Table:
         cols = ("sid", "doc", "part3")
-        if len(g) == 0:
-            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
-                                 for c in cols})
+        if g.num_rows == 0:
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in cols})
         sid = g["sid"].to_numpy().astype(np.int64)
         doc = g["doc"].to_numpy().astype(np.int64)
         n = g["n"].to_numpy().astype(np.int64)
@@ -973,14 +974,15 @@ def prefix_filter_join(sf_dir: str):
                                                             len(doc)]))
         p = n - (n + 1) // 2 + 1
         keep = pos < p
-        return pd.DataFrame({"sid": sid[keep], "doc": doc[keep],
-                             "part3": _hp(sid[keep])})
+        return pa.table({"sid": pa.array(sid[keep]),
+                         "doc": pa.array(doc[keep]),
+                         "part3": pa.array(_hp(sid[keep]))})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pa.Table) -> pa.Table:
         cols = ("doc_a", "doc_b", "part4")
-        if len(g) == 0:
-            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
-                                 for c in cols})
+        if g.num_rows == 0:
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in cols})
         sid = g["sid"].to_numpy().astype(np.int64)
         doc = g["doc"].to_numpy().astype(np.int64)
         o = np.lexsort((doc, sid))
@@ -995,26 +997,28 @@ def prefix_filter_join(sf_dir: str):
         bb = doc[np.arange(cnt.sum()) - off + np.repeat(idx + 1, cnt)]
         pp = (((a.view(np.uint64) * _PF_GOLD + bb.view(np.uint64))
                * _PF_GOLD) % np.uint64(N_PF_PARTS)).astype(np.int64)
-        return pd.DataFrame({"doc_a": a, "doc_b": bb, "part4": pp})
+        return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(bb),
+                         "part4": pa.array(pp)})
 
-    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64)})
+    def pair_dedup(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_a": z, "doc_b": z})
         a = g["doc_a"].to_numpy().astype(np.int64)
         bb = g["doc_b"].to_numpy().astype(np.int64)
         o = np.lexsort((bb, a))
         a, bb = a[o], bb[o]
         first = np.r_[True, (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])]
-        return pd.DataFrame({"doc_a": a[first], "doc_b": bb[first]})
+        return pa.table({"doc_a": pa.array(a[first]),
+                         "doc_b": pa.array(bb[first])})
 
     cand = (
         blob.map_batches(explode, batch_format="pyarrow",
                          zero_copy_batch=True)
-        .groupby("part").map_groups(df_attach, batch_format="pandas")
-        .groupby("part2").map_groups(prefix_fold, batch_format="pandas")
-        .groupby("part3").map_groups(bucket_pairs, batch_format="pandas")
-        .groupby("part4").map_groups(pair_dedup, batch_format="pandas")
+        .groupby("part").map_groups(df_attach, batch_format="pyarrow")
+        .groupby("part2").map_groups(prefix_fold, batch_format="pyarrow")
+        .groupby("part3").map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby("part4").map_groups(pair_dedup, batch_format="pyarrow")
         # materialize: count() streams a COPIED plan in Ray 2.49, so an
         # unmaterialized emptiness probe would re-run all four shuffles
         # a second time inside _verify_pairs (review finding; pairs are
