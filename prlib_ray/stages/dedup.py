@@ -336,25 +336,25 @@ def sorted_neighborhood_pairs(sf_dir: str):
         totals[int(r["kpart"])] += int(r["n"])
     offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
 
-    def rank_fold(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({
-                "h": pd.Series([], dtype=object),
-                "doc_id": pd.Series([], dtype=np.int64),
-                "rank": pd.Series([], dtype=np.int64)})
-        h = g["h"].to_numpy().astype("U32")
+    def rank_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "h": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64())})
+        h = np.asarray(g["h"].to_pylist(), dtype="U32")
         did = g["doc_id"].to_numpy().astype(np.int64)
         o = np.lexsort((did, h))
-        base = offsets[int(g["kpart"].iloc[0])]
-        return pd.DataFrame({
-            "h": h[o].astype(object),
-            "doc_id": did[o],
-            "rank": base + np.arange(len(o), dtype=np.int64),
+        base = offsets[int(g["kpart"][0].as_py())]
+        return pa.table({
+            "h": pa.array(h[o], type=pa.string()),
+            "doc_id": pa.array(did[o]),
+            "rank": pa.array(base + np.arange(len(o), dtype=np.int64)),
         })
 
     ranked = (
         keyed_ds.groupby("kpart")
-        .map_groups(rank_fold, batch_format="pandas")
+        .map_groups(rank_fold, batch_format="pyarrow")
     )
 
     def route(b: pa.Table) -> pa.Table:
@@ -383,15 +383,15 @@ def sorted_neighborhood_pairs(sf_dir: str):
             "block": pa.array(np.concatenate([own, fwd[extra]])),
         })
 
-    def window_fold(g: pd.DataFrame) -> pd.DataFrame:
+    def window_fold(g: pa.Table) -> pa.Table:
         cols = ("doc_a", "doc_b", "dist", "key_equal")
-        if len(g) == 0:
-            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
-                                 for c in cols})
-        blk = int(g["block"].iloc[0])
+        if g.num_rows == 0:
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in cols})
+        blk = int(g["block"][0].as_py())
         rank = g["rank"].to_numpy().astype(np.int64)
         did = g["doc_id"].to_numpy().astype(np.int64)
-        h = g["h"].to_numpy().astype("U32")
+        h = np.asarray(g["h"].to_pylist(), dtype="U32")
         o = np.argsort(rank, kind="stable")
         rank, did, h = rank[o], did[o], h[o]
         # halo copies duplicate ranks only across blocks, never within
@@ -404,18 +404,18 @@ def sorted_neighborhood_pairs(sf_dir: str):
         jj = np.repeat(j, cnt)
         off = np.repeat(np.cumsum(cnt) - cnt, cnt)
         ii = np.arange(cnt.sum()) - off + np.repeat(lo[j], cnt)
-        return pd.DataFrame({
-            "doc_a": did[ii],
-            "doc_b": did[jj],
-            "dist": rank[jj] - rank[ii],
-            "key_equal": (h[ii] == h[jj]).astype(np.int64),
+        return pa.table({
+            "doc_a": pa.array(did[ii]),
+            "doc_b": pa.array(did[jj]),
+            "dist": pa.array(rank[jj] - rank[ii]),
+            "key_equal": pa.array((h[ii] == h[jj]).astype(np.int64)),
         })
 
     return (
         ranked.map_batches(route, batch_format="pyarrow",
                            zero_copy_batch=True)
         .groupby("block")
-        .map_groups(window_fold, batch_format="pandas")
+        .map_groups(window_fold, batch_format="pyarrow")
     )
 
 
@@ -1172,10 +1172,26 @@ def lsh_bucket_stats(sf_dir: str):
         )
         return b.append_column("part", pa.array(part))
 
-    def sum_counts(g):
-        return (
-            g.groupby(["band", "sig"], as_index=False)["doc_id_count"].sum()
-        )
+    def sum_counts(g: pa.Table) -> pa.Table:
+        # Arrow-native fold (round 4): factorize (band, sig) + one
+        # stable lexsort + reduceat, replacing the pandas groupby-sum
+        if g.num_rows == 0:
+            return pa.table({"band": pa.array([], type=pa.int32()),
+                             "sig": pa.array([], type=pa.string()),
+                             "doc_id_count": pa.array([], type=pa.int64())})
+        band = g["band"].to_numpy().astype(np.int64)
+        sig = np.asarray(g["sig"].to_pylist(), dtype=object)
+        cnt = g["doc_id_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, sinv = np.unique(sig, return_inverse=True)
+        o = np.lexsort((sinv, band))
+        band, sig, sinv, cnt = band[o], sig[o], sinv[o], cnt[o]
+        new = np.r_[True, (band[1:] != band[:-1]) | (sinv[1:] != sinv[:-1])]
+        starts = np.flatnonzero(new)
+        return pa.table({
+            "band": pa.array(band[starts].astype(np.int32)),
+            "sig": pa.array(sig[starts], type=pa.string()),
+            "doc_id_count": pa.array(np.add.reduceat(cnt, starts)),
+        })
 
     sizes = (
         ds.map_batches(_blobify_batch, batch_format="pyarrow",
@@ -1185,7 +1201,7 @@ def lsh_bucket_stats(sf_dir: str):
         .map_batches(partial_counts, batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(sum_counts, batch_format="pandas")
+        .map_groups(sum_counts, batch_format="pyarrow")
     )
 
     def flag(b: pa.Table) -> pa.Table:
@@ -1503,10 +1519,19 @@ def _min_by_doc(labels):
                 % np.uint64(N_DEDUP_PARTS)).astype(np.int32)
         return b.append_column("part", pa.array(part))
 
-    def min_label(g):
-        return (
-            g.groupby("doc_id", as_index=False)["label"].min()
-        )
+    def min_label(g: pa.Table) -> pa.Table:
+        # Arrow-native fold (round 4): lexsort by (label, doc) and keep
+        # each doc run's first row == its min label
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "label": pa.array([], type=pa.int64())})
+        d = g["doc_id"].to_numpy().astype(np.int64)
+        l = g["label"].to_numpy().astype(np.int64)
+        o = np.lexsort((l, d))
+        d, l = d[o], l[o]
+        first = np.r_[True, d[1:] != d[:-1]]
+        return pa.table({"doc_id": pa.array(d[first]),
+                         "label": pa.array(l[first])})
 
     def label_schema(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "doc_id" not in b.column_names:
@@ -1517,7 +1542,7 @@ def _min_by_doc(labels):
     return (
         labels.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(min_label, batch_format="pandas")
+        .map_groups(min_label, batch_format="pyarrow")
         .map_batches(label_schema, batch_format="pyarrow")
         # coalesce schema-less empty blocks (they bypass map UDFs and
         # would crash the next round's join)
@@ -1633,10 +1658,11 @@ def incremental_dedup(sf_dir: str):
             }
         )
 
-    import pandas as pd
-
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        f = g["f"].to_numpy().astype(object)
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "f": pa.array([], type=pa.string())})
+        f = np.asarray(g["f"].to_pylist(), dtype=object)
         doc = g["doc_id"].to_numpy().astype(np.int64)
         src = g["src"].to_numpy().astype(np.int64)
         is_old = src < OLD_SNAPSHOT_MAX_SRC
@@ -1647,14 +1673,15 @@ def incremental_dedup(sf_dir: str):
         # a new-side row survives iff its fingerprint run contains no old row
         seen_old = np.bincount(run, weights=olds).astype(np.int64) > 0
         keep = (~olds) & (~seen_old[run])
-        return pd.DataFrame(
-            {"doc_id": docs_[keep], "f": fs[keep].astype(object)}
+        return pa.table(
+            {"doc_id": pa.array(docs_[keep]),
+             "f": pa.array(fs[keep], type=pa.string())}
         )
 
     return (
         ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(per_part, batch_format="pandas")
+        .map_groups(per_part, batch_format="pyarrow")
     )
 
 
@@ -1708,8 +1735,11 @@ def corpus_diff(sf_dir: str):
              "is_new": pa.array(n_u), "part": pa.array(part)}
         )
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        f = g["f"].to_numpy().astype(object)
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"status": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        f = np.asarray(g["f"].to_pylist(), dtype=object)
         new = g["is_new"].to_numpy().astype(np.int64)
         order = np.argsort(f, kind="stable")
         f_s, n_s = f[order], new[order]
@@ -1720,15 +1750,16 @@ def corpus_diff(sf_dir: str):
         added = int((has_new & ~has_old).sum())
         removed = int((has_old & ~has_new).sum())
         common = int((has_new & has_old).sum())
-        return pd.DataFrame(
-            {"status": ["added", "removed", "common"],
-             "n": np.array([added, removed, common], dtype=np.int64)}
+        return pa.table(
+            {"status": pa.array(["added", "removed", "common"],
+                                type=pa.string()),
+             "n": pa.array([added, removed, common], type=pa.int64())}
         )
 
     return (
         ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(per_part, batch_format="pandas")
+        .map_groups(per_part, batch_format="pyarrow")
         .groupby("status")
         .aggregate(Sum("n", alias_name="n_fingerprints"))
     )
@@ -1990,8 +2021,12 @@ def split_leakage(sf_dir: str):
             "part": pa.array(part),
         })
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        hs = g["h"].to_numpy().astype(object)
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"split_a": pa.array([], type=pa.string()),
+                             "split_b": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        hs = np.asarray(g["h"].to_pylist(), dtype=object)
         codes = g["code"].to_numpy().astype(np.int64)
         ns = g["n"].to_numpy().astype(np.int64)
         order = np.lexsort((codes, hs))
@@ -2005,14 +2040,12 @@ def split_leakage(sf_dir: str):
         slots = mask_mat[mask[total >= 2]].sum(axis=0)
         # all six rows every part (consistent non-empty schema for the
         # final aggregate); globally-zero pairs drop after the fold
-        return pd.DataFrame({
-            "split_a": np.asarray(
-                [_SL_SPLITS[i] for i, _ in pair_slots], dtype=object
-            ),
-            "split_b": np.asarray(
-                [_SL_SPLITS[j] for _, j in pair_slots], dtype=object
-            ),
-            "n": slots,
+        return pa.table({
+            "split_a": pa.array([_SL_SPLITS[i] for i, _ in pair_slots],
+                                type=pa.string()),
+            "split_b": pa.array([_SL_SPLITS[j] for _, j in pair_slots],
+                                type=pa.string()),
+            "n": pa.array(slots),
         })
 
     def drop_zero(b: pa.Table) -> pa.Table:
@@ -2021,7 +2054,7 @@ def split_leakage(sf_dir: str):
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(per_part, batch_format="pandas")
+        .map_groups(per_part, batch_format="pyarrow")
         .groupby(["split_a", "split_b"])
         .aggregate(Sum("n", alias_name="n_groups"))
         .map_batches(drop_zero, batch_format="pyarrow")
@@ -2066,7 +2099,10 @@ def winnow_pair_dedup(sf_dir: str):
                 ).astype(np.int64)
         return t.append_column("part", pa.array(part))
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_a": z, "doc_b": z})
         h = g["h"].to_numpy().astype(np.int64)
         doc = g["doc_id"].to_numpy().astype(np.int64)
         order = np.lexsort((doc, h))
@@ -2081,10 +2117,10 @@ def winnow_pair_dedup(sf_dir: str):
             out_a.append(ids[i])
             out_b.append(ids[j])
         if not out_a:
-            return pd.DataFrame({"doc_a": np.zeros(0, dtype=np.int64),
-                                 "doc_b": np.zeros(0, dtype=np.int64)})
-        return pd.DataFrame({"doc_a": np.concatenate(out_a),
-                             "doc_b": np.concatenate(out_b)})
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_a": z, "doc_b": z})
+        return pa.table({"doc_a": pa.array(np.concatenate(out_a)),
+                         "doc_b": pa.array(np.concatenate(out_b))})
 
     def pair_part(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "doc_a" not in b.column_names:
@@ -2097,7 +2133,10 @@ def winnow_pair_dedup(sf_dir: str):
         return pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
                          "part": pa.array(part)})
 
-    def count_shared(g: pd.DataFrame) -> pd.DataFrame:
+    def count_shared(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_a": z, "doc_b": z, "n_shared": z})
         a = g["doc_a"].to_numpy().astype(np.int64)
         b_ = g["doc_b"].to_numpy().astype(np.int64)
         order = np.lexsort((b_, a))
@@ -2107,17 +2146,17 @@ def winnow_pair_dedup(sf_dir: str):
         )
         n = np.diff(np.r_[starts, len(a_s)]).astype(np.int64)
         keep = n >= WINNOW_MIN_SHARED
-        return pd.DataFrame({"doc_a": a_s[starts][keep],
-                             "doc_b": b_s[starts][keep],
-                             "n_shared": n[keep]})
+        return pa.table({"doc_a": pa.array(a_s[starts][keep]),
+                         "doc_b": pa.array(b_s[starts][keep]),
+                         "n_shared": pa.array(n[keep])})
 
     return (
         ds.map_batches(fp_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
         .map_batches(pair_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(count_shared, batch_format="pandas")
+        .map_groups(count_shared, batch_format="pyarrow")
     )
 
 
@@ -2265,24 +2304,27 @@ def dedup_rate_by_source(sf_dir: str):
             "part": pa.array(part),
         })
 
-    def surv_fold(g: pd.DataFrame) -> pd.DataFrame:
-        hs = g["h"].to_numpy().astype(object)
+    def surv_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        hs = np.asarray(g["h"].to_pylist(), dtype=object)
         ids = g["doc_id"].to_numpy().astype(np.int64)
-        src = g["src"].to_numpy().astype(object)
+        src = np.asarray(g["src"].to_pylist(), dtype=object)
         order = np.lexsort((ids, hs))
         h_s, s_s = hs[order], src[order]
         starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
         su, counts = np.unique(s_s[starts].astype(str),
                                return_counts=True)
-        return pd.DataFrame({
-            "source": su.astype(object),
-            "n": counts.astype(np.int64),
+        return pa.table({
+            "source": pa.array(su, type=pa.string()),
+            "n": pa.array(counts.astype(np.int64)),
         })
 
     surv_rows = (
         ds.map_batches(cand, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(surv_fold, batch_format="pandas")
+        .map_groups(surv_fold, batch_format="pyarrow")
         .groupby("source")
         .aggregate(Sum("n", alias_name="n_survivors"))
         .take_all()  # bounded: one row per source
@@ -2343,15 +2385,17 @@ def cross_source_dup_matrix(sf_dir: str):
             "part": pa.array(part),
         })
 
-    empty = pd.DataFrame({
-        "source_a": np.array([], dtype=object),
-        "source_b": np.array([], dtype=object),
-        "n": np.array([], dtype=np.int64),
+    empty = pa.table({
+        "source_a": pa.array([], type=pa.string()),
+        "source_b": pa.array([], type=pa.string()),
+        "n": pa.array([], type=pa.int64()),
     })
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        hs = g["h"].to_numpy().astype(object)
-        src = g["src"].to_numpy().astype(str)
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        hs = np.asarray(g["h"].to_pylist(), dtype=object)
+        src = np.asarray(g["src"].to_pylist(), dtype=str)
         order = np.lexsort((src, hs))
         h_s, s_s = hs[order], src[order]
         # global distinct within the part (batches overlap)
@@ -2376,17 +2420,17 @@ def cross_source_dup_matrix(sf_dir: str):
         pair = np.char.add(np.char.add(sa, "|"), sb)
         pu, counts = np.unique(pair, return_counts=True)
         split = np.char.partition(pu, "|")
-        return pd.DataFrame({
-            "source_a": split[:, 0].astype(object),
-            "source_b": split[:, 2].astype(object),
-            "n": counts.astype(np.int64),
+        return pa.table({
+            "source_a": pa.array(split[:, 0], type=pa.string()),
+            "source_b": pa.array(split[:, 2], type=pa.string()),
+            "n": pa.array(counts.astype(np.int64)),
         })
 
     rows = (
         ds.map_batches(pairs_partial, batch_format="pyarrow",
                        zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .take_all()  # bounded: <= n_sources^2 rows per part
     )
     counts: dict[tuple[str, str], int] = {}
@@ -2497,15 +2541,13 @@ def cdc_chunk_dups(sf_dir: str):
                             for c in ch], dtype=np.int64)),
         })
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({
-                "chunk_hash": pd.Series([], dtype=object),
-                "n_docs": pd.Series([], dtype=np.int64),
-                "n_occ": pd.Series([], dtype=np.int64),
-                "min_doc": pd.Series([], dtype=np.int64),
-                "n_words": pd.Series([], dtype=np.int64)})
-        ch = g["ch"].to_numpy(dtype=object)
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({
+                "chunk_hash": pa.array([], type=pa.string()),
+                "n_docs": z, "n_occ": z, "min_doc": z, "n_words": z})
+        ch = np.asarray(g["ch"].to_pylist(), dtype=object)
         doc = g["doc_id"].to_numpy().astype(np.int64)
         nw = g["n_words"].to_numpy().astype(np.int64)
         o = np.lexsort((doc, ch))
@@ -2519,18 +2561,18 @@ def cdc_chunk_dups(sf_dir: str):
         n_docs = np.bincount(gid[dnew]).astype(np.int64)
         min_doc = doc[new]
         keep = n_docs >= 2
-        return pd.DataFrame({
-            "chunk_hash": ch[new][keep],
-            "n_docs": n_docs[keep],
-            "n_occ": n_occ[keep],
-            "min_doc": min_doc[keep],
-            "n_words": nw[new][keep],
+        return pa.table({
+            "chunk_hash": pa.array(ch[new][keep], type=pa.string()),
+            "n_docs": pa.array(n_docs[keep]),
+            "n_occ": pa.array(n_occ[keep]),
+            "min_doc": pa.array(min_doc[keep]),
+            "n_words": pa.array(nw[new][keep]),
         })
 
     return (
         ds.map_batches(chunks, batch_format="pyarrow",
                        zero_copy_batch=True)
-        .groupby("part").map_groups(fold, batch_format="pandas")
+        .groupby("part").map_groups(fold, batch_format="pyarrow")
         .sort("chunk_hash")
     )
 
@@ -2660,13 +2702,12 @@ def doc_stitch_candidates(sf_dir: str):
                             for c in chs], dtype=np.int64)),
         })
 
-    def match(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({
-                "doc_tail": pd.Series([], dtype=np.int64),
-                "doc_head": pd.Series([], dtype=np.int64),
-                "chunk_hash": pd.Series([], dtype=object)})
-        ch = g["ch"].to_numpy(dtype=object)
+    def match(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_tail": z, "doc_head": z,
+                             "chunk_hash": pa.array([], type=pa.string())})
+        ch = np.asarray(g["ch"].to_pylist(), dtype=object)
         doc = g["doc_id"].to_numpy().astype(np.int64)
         side = g["side"].to_numpy().astype(np.int64)
         o = np.lexsort((doc, side, ch))
@@ -2685,25 +2726,23 @@ def doc_stitch_candidates(sf_dir: str):
         # head index arithmetic: heads occupy [start, start+n_heads)
         total = int(h_counts.sum())
         if total == 0:
-            return pd.DataFrame({
-                "doc_tail": pd.Series([], dtype=np.int64),
-                "doc_head": pd.Series([], dtype=np.int64),
-                "chunk_hash": pd.Series([], dtype=object),
-            })
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_tail": z, "doc_head": z,
+                             "chunk_hash": pa.array([], type=pa.string())})
         off = np.cumsum(h_counts) - h_counts
         pos = np.arange(total) - np.repeat(off, h_counts)
         heads = doc[np.repeat(h_base, h_counts) + pos]
         chh = ch[np.repeat(h_base, h_counts)]
         keep = tails != heads
-        return pd.DataFrame({
-            "doc_tail": tails[keep],
-            "doc_head": heads[keep],
-            "chunk_hash": chh[keep],
+        return pa.table({
+            "doc_tail": pa.array(tails[keep]),
+            "doc_head": pa.array(heads[keep]),
+            "chunk_hash": pa.array(chh[keep], type=pa.string()),
         })
 
     return (
         ds.map_batches(ends, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("part").map_groups(match, batch_format="pandas")
+        .groupby("part").map_groups(match, batch_format="pyarrow")
         .sort(["doc_tail", "doc_head"])
     )
 
@@ -2734,9 +2773,12 @@ def ngram_novelty(sf_dir: str):
     def explode(b: pa.Table) -> pa.Table:
         return _pf_explode_batch(b, with_n=False)
 
-    def df_fold(g: pd.DataFrame) -> pd.DataFrame:
+    def df_fold(g: pa.Table) -> pa.Table:
         # postings are distinct (doc, sid) by blobify construction, so
         # run length per sid IS its document frequency
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc": z, "novel": z, "part2": z})
         sid = g["sid"].to_numpy().astype(np.int64)
         doc = g["doc"].to_numpy().astype(np.int64)
         o = np.argsort(sid, kind="stable")
@@ -2744,18 +2786,16 @@ def ngram_novelty(sf_dir: str):
         starts = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]])
         lens = np.diff(np.r_[starts, len(sid)])
         novel = np.repeat(lens == 1, lens)
-        return pd.DataFrame({
-            "doc": doc,
-            "novel": novel.astype(np.int64),
-            "part2": (doc % N_PF_PARTS).astype(np.int64),
+        return pa.table({
+            "doc": pa.array(doc),
+            "novel": pa.array(novel.astype(np.int64)),
+            "part2": pa.array((doc % N_PF_PARTS).astype(np.int64)),
         })
 
-    def doc_fold(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({
-                "doc_id": pd.Series([], dtype=np.int64),
-                "n_shingles": pd.Series([], dtype=np.int64),
-                "n_novel": pd.Series([], dtype=np.int64)})
+    def doc_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": z, "n_shingles": z, "n_novel": z})
         doc = g["doc"].to_numpy().astype(np.int64)
         nv = g["novel"].to_numpy().astype(np.int64)
         o = np.argsort(doc, kind="stable")
@@ -2764,14 +2804,15 @@ def ngram_novelty(sf_dir: str):
         gid = np.cumsum(new) - 1
         tot = np.bincount(gid).astype(np.int64)
         won = int_bincount(gid, nv)
-        return pd.DataFrame({"doc_id": doc[new], "n_shingles": tot,
-                             "n_novel": won})
+        return pa.table({"doc_id": pa.array(doc[new]),
+                         "n_shingles": pa.array(tot),
+                         "n_novel": pa.array(won)})
 
     counts = (
         blob.map_batches(explode, batch_format="pyarrow",
                          zero_copy_batch=True)
-        .groupby("part").map_groups(df_fold, batch_format="pandas")
-        .groupby("part2").map_groups(doc_fold, batch_format="pandas")
+        .groupby("part").map_groups(df_fold, batch_format="pyarrow")
+        .groupby("part2").map_groups(doc_fold, batch_format="pyarrow")
     )
 
     npart = _join_partitions()
