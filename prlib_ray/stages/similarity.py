@@ -428,22 +428,26 @@ def dedup_semantic(sf_dir: str, *, t2: int = 9025):
             }
         )
 
-    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["vec_id"].to_numpy().astype(np.int64)
+    def per_cluster(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"vec_id": z, "cluster": z, "keep": z})
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
-        V = np.stack(g["q"].to_numpy()[order]).astype(np.int64)
+        V = np.asarray(g["q"].to_pylist(), dtype=np.int64)[order]
         D = V @ V.T
         n2 = np.einsum("ij,ij->i", V, V)
         iu, ju = np.triu_indices(len(ids), k=1)
         mask = _exact_cos_mask(D[iu, ju], n2[iu], n2[ju], t2)
         keep = np.ones(len(ids), dtype=np.int64)
         keep[np.unique(ju[mask])] = 0  # a lower-id near-dup exists
-        return pd.DataFrame(
+        cl = g["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
             {
-                "vec_id": ids,
-                "cluster": g["cluster"].to_numpy()[order],
-                "keep": keep,
+                "vec_id": pa.array(ids),
+                "cluster": pa.array(cl[order]),
+                "keep": pa.array(keep),
             }
         )
 
@@ -454,7 +458,7 @@ def dedup_semantic(sf_dir: str, *, t2: int = 9025):
         bounded.map_batches(assign, batch_format="pyarrow",
                             zero_copy_batch=True)
         .groupby("cluster")
-        .map_groups(per_cluster, batch_format="pandas")
+        .map_groups(per_cluster, batch_format="pyarrow")
     )
 
 
@@ -650,18 +654,23 @@ def ann_pq_adc_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
     local = emb.map_batches(local_topk, batch_format="pyarrow",
                             zero_copy_batch=True)
 
-    def merge(g):
+    def merge(g: pa.Table) -> pa.Table:
         # global ADC shortlist first (deterministic: a global order
         # statistic — the global top-R is always inside the union of
         # per-batch top-Rs), exact re-rank second
-        g = g.sort_values(["adc_dist", "vec_id"],
-                          ascending=[True, True],
-                          kind="mergesort").head(shortlist)
-        g = g.sort_values(["d2", "vec_id"], ascending=[True, True],
-                          kind="mergesort").head(k)
-        return g[["query_id", "vec_id", "d2"]]
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"query_id": z, "vec_id": z, "d2": z})
+        a = g["adc_dist"].to_numpy().astype(np.int64)
+        v = g["vec_id"].to_numpy().astype(np.int64)
+        o = np.lexsort((v, a))[:shortlist]
+        g = g.take(o)
+        d2 = g["d2"].to_numpy().astype(np.int64)
+        v2 = g["vec_id"].to_numpy().astype(np.int64)
+        o2 = np.lexsort((v2, d2))[:k]
+        return g.take(o2).select(["query_id", "vec_id", "d2"])
 
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return local.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 
 BF_SCORE_SCALE = 10_000  # score = floor(sign*cos^2 * SCALE), int64-exact
@@ -760,12 +769,16 @@ def _broadcast_exact_topk(sf_dir: str, *, k: int, n_queries: int,
     local = emb.map_batches(local_topk, batch_format="pyarrow",
                             zero_copy_batch=True)
 
-    def merge(g):
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
-                          kind="mergesort")
-        return g.head(k)
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"query_id": z, "vec_id": z, "score": z})
+        s = g["score"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((v, -s))[:k]
+        return g.take(o)
 
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return local.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 
 def ann_bruteforce_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10):
@@ -902,16 +915,19 @@ def ann_ivf_topk(sf_dir: str, *, k: int = 5, n_queries: int = IVF_N_QUERIES,
 
     assigned = emb.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
-    def list_topk(g):
-        import pandas as pd
-
+    def list_topk(g: pa.Table) -> pa.Table:
+        zt = pa.table({"query_id": pa.array([], type=pa.int64()),
+                       "vec_id": pa.array([], type=pa.int64()),
+                       "score": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return zt
         _, qids_, qmat_, qn_, probes_ = ray.get(ref)
-        bucket = int(g["centroid"].iloc[0])
+        bucket = int(g["centroid"][0].as_py())
         active = [i for i, q in enumerate(qids_) if bucket in probes_[int(q)]]
         if not active:
-            return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
-        vids = g["vec_id"].to_numpy()
-        m = np.stack(_quantize(list(g["embedding"])))
+            return zt
+        vids = g["vec_id"].to_numpy(zero_copy_only=False)
+        m = np.stack(_quantize(g["embedding"].to_pylist()))
         xn = (m * m).sum(axis=1)
         score = _int_cosine_scores(qmat_[active], qn_[active], m, xn)
         out = []
@@ -922,16 +938,25 @@ def ann_ivf_topk(sf_dir: str, *, k: int = 5, n_queries: int = IVF_N_QUERIES,
             sel = np.flatnonzero(mask)[order]
             for idx in sel:
                 out.append((qid, int(vids[idx]), int(score[row][idx])))
-        return pd.DataFrame(out, columns=["query_id", "vec_id", "score"])
+        if not out:
+            return zt
+        q_, v_, s_ = zip(*out)
+        return pa.table({"query_id": pa.array(q_, type=pa.int64()),
+                         "vec_id": pa.array(v_, type=pa.int64()),
+                         "score": pa.array(s_, type=pa.int64())})
 
-    local = assigned.groupby("centroid").map_groups(list_topk, batch_format="pandas")
+    local = assigned.groupby("centroid").map_groups(list_topk, batch_format="pyarrow")
 
-    def merge(g):
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
-                          kind="mergesort")
-        return g.head(k)
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"query_id": z, "vec_id": z, "score": z})
+        s = g["score"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((v, -s))[:k]
+        return g.take(o)
 
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return local.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 
 ANN_LSH_BANDS = 32       # independent plane sets (OR-construction)
@@ -1081,17 +1106,20 @@ def ann_lsh_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
     exploded = emb.map_batches(explode, batch_format="pyarrow",
                                zero_copy_batch=True)
 
-    def bucket_topk(g):
-        import pandas as pd
-
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        zt = pa.table({"query_id": pa.array([], type=pa.int64()),
+                       "vec_id": pa.array([], type=pa.int64()),
+                       "score": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return zt
         qids_, qmat_, qn_, qbuck_, _ = ray.get(ref)
-        band = int(g["band"].iloc[0])
-        bucket = int(g["bucket"].iloc[0])
+        band = int(g["band"][0].as_py())
+        bucket = int(g["bucket"][0].as_py())
         active = np.flatnonzero(qbuck_[:, band] == bucket)
         if len(active) == 0:
-            return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
-        vids = g["vec_id"].to_numpy()
-        mat = np.stack(_quantize(list(g["embedding"])))
+            return zt
+        vids = g["vec_id"].to_numpy(zero_copy_only=False)
+        mat = np.stack(_quantize(g["embedding"].to_pylist()))
         xn = (mat * mat).sum(axis=1)
         score = _int_cosine_scores(qmat_[active], qn_[active], mat, xn)
         out = []
@@ -1102,20 +1130,32 @@ def ann_lsh_topk(sf_dir: str, *, k: int = 5, n_queries: int = 10,
             sel = np.flatnonzero(mask)[order]
             for idx in sel:
                 out.append((qid, int(vids[idx]), int(score[row][idx])))
-        return pd.DataFrame(out, columns=["query_id", "vec_id", "score"])
+        if not out:
+            return zt
+        q_, v_, s_ = zip(*out)
+        return pa.table({"query_id": pa.array(q_, type=pa.int64()),
+                         "vec_id": pa.array(v_, type=pa.int64()),
+                         "score": pa.array(s_, type=pa.int64())})
 
     local = exploded.groupby(["band", "bucket"]).map_groups(
-        bucket_topk, batch_format="pandas"
+        bucket_topk, batch_format="pyarrow"
     )
 
-    def merge(g):
+    def merge(g: pa.Table) -> pa.Table:
         # a vector reached via two bands appears twice, same score
-        g = g.drop_duplicates(["vec_id"])
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
-                          kind="mergesort")
-        return g.head(k)
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"query_id": z, "vec_id": z, "score": z})
+        v = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        first = np.zeros(len(v), dtype=bool)
+        first[np.unique(v, return_index=True)[1]] = True
+        g = g.take(np.flatnonzero(first))
+        s = g["score"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((v, -s))[:k]
+        return g.take(o)
 
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return local.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -1483,22 +1523,27 @@ def label_norm_quantiles(sf_dir: str):
             "vec_id": pa.array(b["vec_id"].to_numpy().astype(np.int64)),
         })
 
-    def quant(g: pd.DataFrame) -> pd.DataFrame:
+    def quant(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"label": z, "p50_norm2": z,
+                             "p90_norm2": z, "n_vecs": z})
         (p50, p90), n = _exact_pctiles(
             g["n2"].to_numpy().astype(np.int64),
             g["vec_id"].to_numpy().astype(np.int64),
         )
-        return pd.DataFrame({
-            "label": [np.int64(g["label"].iloc[0])],
-            "p50_norm2": [np.int64(p50)],
-            "p90_norm2": [np.int64(p90)],
-            "n_vecs": [np.int64(n)],
+        return pa.table({
+            "label": pa.array([int(g["label"][0].as_py())],
+                              type=pa.int64()),
+            "p50_norm2": pa.array([int(p50)], type=pa.int64()),
+            "p90_norm2": pa.array([int(p90)], type=pa.int64()),
+            "n_vecs": pa.array([int(n)], type=pa.int64()),
         })
 
     return (
         ds.map_batches(norms, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("label")
-        .map_groups(quant, batch_format="pandas")
+        .map_groups(quant, batch_format="pyarrow")
         .sort("label")
     )
 
