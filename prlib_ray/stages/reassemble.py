@@ -26,7 +26,6 @@ oracle; the same functions power the transcript flagship.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from prlib_ray.blocks import int_bincount
@@ -83,21 +82,25 @@ def reassemble_events(sf_dir: str):
     (ts, event_id) — the `groupby(conv).sort(turn_idx)` reassembly.
     """
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        user = g["user_id"].to_numpy().astype(np.int64)
-        ts = g["ts"].to_numpy()
-        eid = g["event_id"].to_numpy().astype(np.int64)
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()), "event_id": pa.array([], type=pa.int64()), "seq": pa.array([], type=pa.int64())})
+        user = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((eid, ts, user))
         u_s, e_s = user[order], eid[order]
         _, starts, lens = _runs(u_s)
         seq = (np.arange(len(u_s), dtype=np.int64)
                - np.repeat(starts, lens) + 1)
-        return pd.DataFrame({"user_id": u_s, "event_id": e_s, "seq": seq})
+        return pa.table({"user_id": pa.array(u_s),
+                         "event_id": pa.array(e_s),
+                         "seq": pa.array(seq)})
 
     return (
         _events_by_part(sf_dir)
         .groupby("part")
-        .map_groups(per_part, batch_format="pandas")
+        .map_groups(per_part, batch_format="pyarrow")
     )
 
 
@@ -108,20 +111,23 @@ def find_angle_events(sf_dir: str):
     Single-pair-less users (one event) vote +1.
     """
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        user = g["user_id"].to_numpy().astype(np.int64)
-        ts = g["ts"].to_numpy()
-        eid = g["event_id"].to_numpy().astype(np.int64)
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()), "direction": pa.array([], type=pa.int64())})
+        user = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((eid, user))
         u_s, t_s = user[order], ts[order]
         run, starts, lens = _runs(u_s)
         d = _directions(u_s, t_s, run, starts, lens)
-        return pd.DataFrame({"user_id": u_s[starts], "direction": d})
+        return pa.table({"user_id": pa.array(u_s[starts]),
+                         "direction": pa.array(d)})
 
     return (
         _events_by_part(sf_dir)
         .groupby("part")
-        .map_groups(per_part, batch_format="pandas")
+        .map_groups(per_part, batch_format="pyarrow")
     )
 
 
@@ -130,27 +136,28 @@ def find_orientation_events(sf_dir: str):
     180 when the first event (by event_id) has a later ts than the last,
     else 0."""
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        user = g["user_id"].to_numpy().astype(np.int64)
-        ts = g["ts"].to_numpy()
-        eid = g["event_id"].to_numpy().astype(np.int64)
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()), "orientation": pa.array([], type=pa.int64())})
+        user = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((eid, user))
         u_s, t_s = user[order], ts[order]
         _, starts, lens = _runs(u_s)
         first, last = t_s[starts], t_s[starts + lens - 1]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "user_id": u_s[starts],
-                "orientation": np.where(first > last, 180, 0).astype(
-                    np.int64
-                ),
+                "user_id": pa.array(u_s[starts]),
+                "orientation": pa.array(
+                    np.where(first > last, 180, 0).astype(np.int64)),
             }
         )
 
     return (
         _events_by_part(sf_dir)
         .groupby("part")
-        .map_groups(per_part, batch_format="pandas")
+        .map_groups(per_part, batch_format="pyarrow")
     )
 
 
@@ -160,10 +167,12 @@ def rotate_events(sf_dir: str):
     path), others keep it (identity; the warpAffine path is the transcript
     pipeline's span re-layout)."""
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        user = g["user_id"].to_numpy().astype(np.int64)
-        ts = g["ts"].to_numpy()
-        eid = g["event_id"].to_numpy().astype(np.int64)
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()), "event_id": pa.array([], type=pa.int64()), "seq": pa.array([], type=pa.int64())})
+        user = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((eid, user))
         u_s, e_s, t_s = user[order], eid[order], ts[order]
         run, starts, lens = _runs(u_s)
@@ -171,12 +180,14 @@ def rotate_events(sf_dir: str):
         flip = t_s[starts] > t_s[starts + lens - 1]
         n_of = np.repeat(lens, lens)
         seq = np.where(np.repeat(flip, lens), n_of - pos, pos + 1)
-        return pd.DataFrame({"user_id": u_s, "event_id": e_s, "seq": seq})
+        return pa.table({"user_id": pa.array(u_s),
+                         "event_id": pa.array(e_s),
+                         "seq": pa.array(seq)})
 
     return (
         _events_by_part(sf_dir)
         .groupby("part")
-        .map_groups(per_part, batch_format="pandas")
+        .map_groups(per_part, batch_format="pyarrow")
     )
 
 
@@ -186,10 +197,12 @@ def deskew_events(sf_dir: str):
     events ranked by (ts, event_id), flipped when the majority direction
     (scanning event_id order) is decreasing."""
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        user = g["user_id"].to_numpy().astype(np.int64)
-        ts = g["ts"].to_numpy()
-        eid = g["event_id"].to_numpy().astype(np.int64)
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()), "event_id": pa.array([], type=pa.int64()), "seq": pa.array([], type=pa.int64())})
+        user = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         # pass 1: direction vote in event_id order
         o1 = np.lexsort((eid, user))
         run, starts, lens = _runs(user[o1])
@@ -201,10 +214,12 @@ def deskew_events(sf_dir: str):
         pos = np.arange(len(u_s), dtype=np.int64) - np.repeat(starts, lens)
         n_of = np.repeat(lens, lens)
         seq = np.where(np.repeat(d, lens) < 0, n_of - pos, pos + 1)
-        return pd.DataFrame({"user_id": u_s, "event_id": e_s, "seq": seq})
+        return pa.table({"user_id": pa.array(u_s),
+                         "event_id": pa.array(e_s),
+                         "seq": pa.array(seq)})
 
     return (
         _events_by_part(sf_dir)
         .groupby("part")
-        .map_groups(per_part, batch_format="pandas")
+        .map_groups(per_part, batch_format="pyarrow")
     )
