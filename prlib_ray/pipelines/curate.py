@@ -145,20 +145,22 @@ def curate_corpus(sf_dir: str):
         _base_batch, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    # Every funnel-partial UDF returns PANDAS so all three streams union
+    # Every funnel-partial UDF returns ARROW so all three streams union
     # into one uniform block type (mixed pandas/arrow blocks crash the
-    # final output iterator); the map_groups-derived streams are
-    # repartition-coalesced first because sparse sort partitions emit
-    # schema-less empty blocks that BYPASS map UDFs (the repo-wide
-    # empty-block lesson, tests/test_edge_corpus.py).
-    def s1(b: pa.Table) -> pd.DataFrame:
+    # final output iterator; round 4 flipped the uniform type from
+    # pandas to Arrow when the group folds went Arrow-native); the
+    # map_groups-derived streams are repartition-coalesced first because
+    # sparse sort partitions emit schema-less empty blocks that BYPASS
+    # map UDFs (the repo-wide empty-block lesson,
+    # tests/test_edge_corpus.py).
+    def s1(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return _empty_funnel().to_pandas()
+            return _empty_funnel()
         return _by_source(
             b["source"],
             {"n_docs": np.ones(b.num_rows, dtype=np.int64),
              "n_gopher": b["passes"].to_numpy().astype(np.int64)},
-        ).to_pandas()
+        )
 
     p1 = base.map_batches(s1, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -170,50 +172,57 @@ def curate_corpus(sf_dir: str):
         zero_copy_batch=True,
     )
 
-    def surv_fold(g: pd.DataFrame) -> pd.DataFrame:
-        h = g["h"].to_numpy().astype(np.uint64)
-        ids = g["doc_id"].to_numpy().astype(np.int64)
+    def surv_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": z,
+                             "source": pa.array([], type=pa.string()),
+                             "n_words": z, "tag": z, "dpart": z})
+        h = g["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((ids, h))
         first = np.r_[True, h[order][1:] != h[order][:-1]]
         sel = order[first]
-        return pd.DataFrame(
+        srcs = np.asarray(g["source"].to_pylist(), dtype=object)
+        nw = g["n_words"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
             {
-                "doc_id": ids[sel],
-                "source": g["source"].to_numpy()[sel],
-                "n_words": g["n_words"].to_numpy()[sel].astype(np.int64),
-                "tag": np.zeros(len(sel), dtype=np.int64),
-                "dpart": ids[sel] % N_CORPUS_PARTS,
+                "doc_id": pa.array(ids[sel]),
+                "source": pa.array(srcs[sel], type=pa.string()),
+                "n_words": pa.array(nw[sel]),
+                "tag": pa.array(np.zeros(len(sel), dtype=np.int64)),
+                "dpart": pa.array(ids[sel] % N_CORPUS_PARTS),
             }
         )
 
     survivors = (
         passing.groupby("hpart")
-        .map_groups(surv_fold, batch_format="pandas")
+        .map_groups(surv_fold, batch_format="pyarrow")
         .materialize()
         .repartition(8)  # coalesce the sparse sort partitions' empties
     )
 
-    def s2(b: pa.Table) -> pd.DataFrame:
+    def s2(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return _empty_funnel().to_pandas()
+            return _empty_funnel()
         return _by_source(
             b["source"], {"n_dedup": np.ones(b.num_rows, dtype=np.int64)}
-        ).to_pandas()
+        )
 
     p2 = survivors.map_batches(s2, batch_format="pyarrow")
 
     # stage 3: heavy-boilerplate doc ids from the (augmented) segment
     # accounting, anti-joined against the survivors per doc partition
-    def heavy_rows(df: pd.DataFrame) -> pd.DataFrame:
+    def heavy_rows(df: pd.DataFrame) -> pa.Table:
         m = df["removed_pct"].to_numpy() >= HEAVY_PCT
         ids = df["doc_id"].to_numpy().astype(np.int64)[m]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": ids,
-                "source": np.full(len(ids), "", dtype=object),
-                "n_words": np.zeros(len(ids), dtype=np.int64),
-                "tag": np.ones(len(ids), dtype=np.int64),
-                "dpart": ids % N_CORPUS_PARTS,
+                "doc_id": pa.array(ids),
+                "source": pa.array([""] * len(ids), type=pa.string()),
+                "n_words": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                "tag": pa.array(np.ones(len(ids), dtype=np.int64)),
+                "dpart": pa.array(ids % N_CORPUS_PARTS),
             }
         )
 
@@ -223,28 +232,26 @@ def curate_corpus(sf_dir: str):
         .map_batches(heavy_rows, batch_format="pandas")
     )
 
-    def anti(g: pd.DataFrame) -> pd.DataFrame:
-        tag = g["tag"].to_numpy().astype(np.int64)
-        ids = g["doc_id"].to_numpy().astype(np.int64)
-        kept = g[(tag == 0) & ~np.isin(ids, ids[tag == 1])]
-        if len(kept) == 0:
-            return pd.DataFrame(
-                {"source": pd.Series([], dtype=object),
-                 **{c: pd.Series([], dtype=np.int64) for c in FUNNEL_COLS}}
-            )
-        return (
-            _by_source(
-                pa.array(kept["source"].to_numpy(), type=pa.string()),
-                {"n_final": np.ones(len(kept), dtype=np.int64),
-                 "tokens_final": kept["n_words"].to_numpy().astype(np.int64)},
-            )
-            .to_pandas()
+    def anti(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _empty_funnel()
+        tag = g["tag"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (tag == 0) & ~np.isin(ids, ids[tag == 1])
+        if not keep.any():
+            return _empty_funnel()
+        kept = g.take(np.flatnonzero(keep))
+        return _by_source(
+            kept["source"],
+            {"n_final": np.ones(kept.num_rows, dtype=np.int64),
+             "tokens_final": kept["n_words"].to_numpy(
+                 zero_copy_only=False).astype(np.int64)},
         )
 
     p3 = (
         survivors.union(heavy)
         .groupby("dpart")
-        .map_groups(anti, batch_format="pandas")
+        .map_groups(anti, batch_format="pyarrow")
     )
 
     return (
@@ -357,17 +364,17 @@ def web_curate(sf_dir: str):
         )
     )
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
+    def fold(g: pa.Table) -> pa.Table:
         cols = ("source", "n_docs", "n_gopher", "n_prior", "n_final")
-        if len(g) == 0:
-            return pd.DataFrame({
-                "source": pd.Series([], dtype=object),
-                **{c: pd.Series([], dtype=np.int64) for c in cols[1:]},
+        if g.num_rows == 0:
+            return pa.table({
+                "source": pa.array([], type=pa.string()),
+                **{c: pa.array([], type=pa.int64()) for c in cols[1:]},
             })
-        ids = g["id"].to_numpy().astype(np.int64)
-        kind = g["kind"].to_numpy().astype(np.int64)
-        a = g["a"].to_numpy().astype(np.int64)
-        src = g["src"].to_numpy()
+        ids = g["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kind = g["kind"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = g["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.asarray(g["src"].to_pylist(), dtype=object)
         o = np.lexsort((kind, ids))
         ids, kind, a, src = ids[o], kind[o], a[o], src[o]
         starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
@@ -377,24 +384,25 @@ def web_curate(sf_dir: str):
         n_in = np.add.reduceat(a * (kind == 2), starts)
         prior = (passes == 1) & (r >= WEB_PRIOR_MIN)
         final = prior & (n_in >= WEB_MIN_INLINKS)
-        codes, uniq = pd.factorize(src[starts], sort=True)
+        uniq, codes = np.unique(src[starts], return_inverse=True)
         nsrc = len(uniq)
         # masked integer bincounts (never float weights= — the repo's
         # 2^53 exactness rule)
-        return pd.DataFrame({
-            "source": uniq,
-            "n_docs": np.bincount(codes, minlength=nsrc).astype(np.int64),
-            "n_gopher": np.bincount(
-                codes[passes == 1], minlength=nsrc).astype(np.int64),
-            "n_prior": np.bincount(
-                codes[prior], minlength=nsrc).astype(np.int64),
-            "n_final": np.bincount(
-                codes[final], minlength=nsrc).astype(np.int64),
+        return pa.table({
+            "source": pa.array(uniq, type=pa.string()),
+            "n_docs": pa.array(
+                np.bincount(codes, minlength=nsrc).astype(np.int64)),
+            "n_gopher": pa.array(np.bincount(
+                codes[passes == 1], minlength=nsrc).astype(np.int64)),
+            "n_prior": pa.array(np.bincount(
+                codes[prior], minlength=nsrc).astype(np.int64)),
+            "n_final": pa.array(np.bincount(
+                codes[final], minlength=nsrc).astype(np.int64)),
         })
 
     out = (
         stream.groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .groupby("source")
         .aggregate(Sum("n_docs", alias_name="n_docs"),
                    Sum("n_gopher", alias_name="n_gopher"),
