@@ -208,20 +208,28 @@ def sample_per_source(sf_dir: str):
             }
         )
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        src = g["source"].to_numpy().astype(object)
-        ids = g["doc_id"].to_numpy().astype(np.int64)
-        hs = g["h"].to_numpy().astype(object)
+    def final_topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "rank": z, "doc_id": z,
+                             "h": pa.array([], type=pa.string())})
+        src = np.asarray(g["source"].to_pylist(), dtype=object)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = np.asarray(g["h"].to_pylist(), dtype=object)
         s, i, h, r = _ranked_topk(src, ids, hs)
-        return pd.DataFrame(
-            {"source": s, "rank": r.astype(np.int64), "doc_id": i, "h": h}
+        return pa.table(
+            {"source": pa.array(s, type=pa.string()),
+             "rank": pa.array(r.astype(np.int64)),
+             "doc_id": pa.array(i),
+             "h": pa.array(h, type=pa.string())}
         )
 
     return (
         ds.map_batches(local_topk, batch_format="pyarrow",
                        zero_copy_batch=True)
         .groupby("source")
-        .map_groups(final_topk, batch_format="pandas")
+        .map_groups(final_topk, batch_format="pyarrow")
     )
 
 
@@ -431,17 +439,23 @@ def pack_sequences(sf_dir: str):
     # chunk-key cardinality scales with the corpus (ndocs / PACK_CHUNK):
     # fold the partials per chunk-side coarse partition, one vectorized
     # pandas groupby each, not Ray's per-key aggregate
-    def chunk_fold(g: pd.DataFrame) -> pd.DataFrame:
-        return (
-            g.groupby("chunk", sort=False, as_index=False)
-            .agg(tot=("ntok_sum", "sum"))
-        )
+    def chunk_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"chunk": z, "tot": z})
+        ch = g["chunk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = g["ntok_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(ch, kind="stable")
+        ch, ns = ch[o], ns[o]
+        starts = np.flatnonzero(np.r_[True, ch[1:] != ch[:-1]])
+        return pa.table({"chunk": pa.array(ch[starts]),
+                         "tot": pa.array(np.add.reduceat(ns, starts))})
 
     totals = (
         small.map_batches(chunk_partial, batch_format="pyarrow",
                           zero_copy_batch=True)
         .groupby("part")
-        .map_groups(chunk_fold, batch_format="pandas")
+        .map_groups(chunk_fold, batch_format="pyarrow")
     )
     cols = _collect_columns(totals, ["chunk", "tot"])
     chunks = cols["chunk"].astype(np.int64)
@@ -451,10 +465,14 @@ def pack_sequences(sf_dir: str):
     offs = np.concatenate(([0], np.cumsum(tots[o])[:-1]))
     ref = ray.put((chunks, offs))
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        doc = g["doc_id"].to_numpy().astype(np.int64)
-        ntok = g["ntok"].to_numpy().astype(np.int64)
-        chunk = g["chunk"].to_numpy().astype(np.int64)
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": z, "tok_start": z,
+                             "first_bin": z, "n_bins": z})
+        doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = g["ntok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chunk = g["chunk"].to_numpy(zero_copy_only=False).astype(np.int64)
         o = np.argsort(doc, kind="stable")  # chunk = doc // C => grouped
         doc_s, ntok_s, ch_s = doc[o], ntok[o], chunk[o]
         cs = np.cumsum(ntok_s) - ntok_s  # within-part exclusive prefix
@@ -469,16 +487,16 @@ def pack_sequences(sf_dir: str):
             ntok_s > 0, (tok_start + ntok_s - 1) // PACK_BUDGET, first_bin
         )
         n_bins = np.where(ntok_s > 0, last_bin - first_bin + 1, 0)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": doc_s,
-                "tok_start": tok_start,
-                "first_bin": first_bin,
-                "n_bins": n_bins.astype(np.int64),
+                "doc_id": pa.array(doc_s),
+                "tok_start": pa.array(tok_start),
+                "first_bin": pa.array(first_bin),
+                "n_bins": pa.array(n_bins.astype(np.int64)),
             }
         )
 
-    return small.groupby("part").map_groups(per_part, batch_format="pandas")
+    return small.groupby("part").map_groups(per_part, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -799,16 +817,31 @@ def source_term_stats(sf_dir: str):
         )
         return t.append_column("part", pa.array(part))
 
-    def term_fold(g: pd.DataFrame) -> pd.DataFrame:
-        return (
-            g.groupby(["source", "term"], sort=False, as_index=False)
-            .agg(c=("c_sum", "sum"))
-        )
+    def term_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "term": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        srcs = np.asarray(g["source"].to_pylist(), dtype=object)
+        terms = np.asarray(g["term"].to_pylist(), dtype=object)
+        cs = g["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, si = np.unique(srcs, return_inverse=True)
+        _, ti = np.unique(terms, return_inverse=True)
+        o = np.lexsort((ti, si))
+        si_s, ti_s, c_s = si[o], ti[o], cs[o]
+        new = np.r_[True, (si_s[1:] != si_s[:-1]) | (ti_s[1:] != ti_s[:-1])]
+        starts = np.flatnonzero(new)
+        sel = o[starts]
+        return pa.table({
+            "source": pa.array(srcs[sel], type=pa.string()),
+            "term": pa.array(terms[sel], type=pa.string()),
+            "c": pa.array(np.add.reduceat(c_s, starts)),
+        })
 
     per_term = (
         ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(term_fold, batch_format="pandas")
+        .map_groups(term_fold, batch_format="pyarrow")
     )
 
     def fold(b: pa.Table) -> pa.Table:
@@ -971,9 +1004,12 @@ def frequent_ngrams(sf_dir: str):
             }
         )
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        gid = g["g"].to_numpy().astype(np.uint64)
-        c = g["c"].to_numpy().astype(np.int64)
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"g": pa.array([], type=pa.uint64()),
+                             "n": pa.array([], type=pa.int64())})
+        gid = g["g"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(gid, kind="stable")
         g_s, c_s = gid[order], c[order]
         new = np.r_[True, g_s[1:] != g_s[:-1]]
@@ -981,13 +1017,14 @@ def frequent_ngrams(sf_dir: str):
         tot = int_bincount(run, c_s)
         gu = g_s[new]
         keep = tot >= FREQ_NGRAM_T
-        return pd.DataFrame({"g": gu[keep], "n": tot[keep]})
+        return pa.table({"g": pa.array(gu[keep]),
+                         "n": pa.array(tot[keep])})
 
     winners = (
         ds.map_batches(count_partial, batch_format="pyarrow",
                        zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
     )
     cols = _collect_columns(winners, ["g", "n"])
     wg = cols["g"].astype(np.uint64)
@@ -1037,22 +1074,27 @@ def frequent_ngrams(sf_dir: str):
             }
         )
 
-    def distinct(g: pd.DataFrame) -> pd.DataFrame:
-        gid = g["g"].to_numpy().astype(np.uint64)
+    def distinct(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"gram": pa.array([], type=pa.string()),
+                             "n_count": pa.array([], type=pa.int64())})
+        gid = g["g"].to_numpy(zero_copy_only=False).astype(np.uint64)
         o = np.argsort(gid, kind="stable")
         first = np.r_[True, gid[o][1:] != gid[o][:-1]]
         sel = o[first]
-        return pd.DataFrame(
+        grams = np.asarray(g["gram"].to_pylist(), dtype=object)
+        nc = g["n_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
             {
-                "gram": g["gram"].to_numpy().astype(object)[sel],
-                "n_count": g["n_count"].to_numpy().astype(np.int64)[sel],
+                "gram": pa.array(grams[sel], type=pa.string()),
+                "n_count": pa.array(nc[sel]),
             }
         )
 
     return (
         ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(distinct, batch_format="pandas")
+        .map_groups(distinct, batch_format="pyarrow")
     )
 
 
@@ -1188,9 +1230,19 @@ def heavy_hitter_words(sf_dir: str, *, k: int = MG_K):
     n_total = int(sketched.aggregate(Sum("n", alias_name="s"))["s"] or 0)
     threshold = n_total // MG_T_DIV
 
-    def exact_fold(g: pd.DataFrame) -> pd.DataFrame:
-        f = g.groupby("w", sort=False, as_index=False).agg(n=("c", "sum"))
-        return f[f["n"] >= threshold]
+    def exact_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"w": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        w = np.asarray(g["w"].to_pylist(), dtype=object)
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(w, kind="stable")
+        w_s, c_s = w[o], c[o]
+        starts = np.flatnonzero(np.r_[True, w_s[1:] != w_s[:-1]])
+        tot = np.add.reduceat(c_s, starts)
+        keep = tot >= threshold
+        return pa.table({"w": pa.array(w_s[starts][keep], type=pa.string()),
+                         "n": pa.array(tot[keep])})
 
     if threshold * (k + 1) <= 2 * n_total:
         if threshold * (MG_K + 1) > 2 * n_total:
@@ -1233,7 +1285,7 @@ def heavy_hitter_words(sf_dir: str, *, k: int = MG_K):
                 exact_partial, batch_format="pyarrow", zero_copy_batch=True
             )
             .groupby("part")
-            .map_groups(exact_fold, batch_format="pandas")
+            .map_groups(exact_fold, batch_format="pyarrow")
         )
         return out.sort("w")
 
@@ -1300,7 +1352,7 @@ def heavy_hitter_words(sf_dir: str, *, k: int = MG_K):
     out = (
         ds.map_batches(rescan, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(exact_fold, batch_format="pandas")
+        .map_groups(exact_fold, batch_format="pyarrow")
     )
     return out.sort("w")
 
@@ -1447,15 +1499,18 @@ def snapshot_diff(sf_dir: str):
             "part": pa.array(part),
         })
 
-    def diff_fold(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({"source": pd.Series([], dtype=object),
-                                 "st": pd.Series([], dtype=np.int64),
-                                 "n": pd.Series([], dtype=np.int64)})
-        ids = g["id"].to_numpy().astype(np.int64)
-        side = g["side"].to_numpy().astype(np.int64)
-        codes, uniq = pd.factorize(g["source"].to_numpy(), sort=True)
-        hc = pd.factorize(g["h"].to_numpy())[0]
+    def diff_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "st": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        ids = g["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = g["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, codes = np.unique(
+            np.asarray(g["source"].to_pylist(), dtype=object),
+            return_inverse=True)
+        hc = np.unique(np.asarray(g["h"].to_pylist(), dtype=object),
+                       return_inverse=True)[1]
         o = np.lexsort((side, ids))
         ids, side, codes, hc = ids[o], side[o], codes[o], hc[o]
         starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
@@ -1468,16 +1523,16 @@ def snapshot_diff(sf_dir: str):
         status[two] = np.where(eq, 3, 2)
         comp = codes[starts] * 4 + status
         cu, tot = np.unique(comp, return_counts=True)
-        return pd.DataFrame({
-            "source": uniq[cu // 4],
-            "st": (cu % 4).astype(np.int64),
-            "n": tot.astype(np.int64),
+        return pa.table({
+            "source": pa.array(uniq[cu // 4], type=pa.string()),
+            "st": pa.array((cu % 4).astype(np.int64)),
+            "n": pa.array(tot.astype(np.int64)),
         })
 
     parts = (
         ds.map_batches(sides, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(diff_fold, batch_format="pandas")
+        .map_groups(diff_fold, batch_format="pyarrow")
         .take_all()  # bounded: <= 4 * n_sources * N_SNAP_PARTS count rows
     )
     src = np.asarray([r["source"] for r in parts], dtype=object)
@@ -1561,16 +1616,16 @@ def conv_structure_audit(sf_dir: str):
             "part": pa.array(conv % N_CONV_PARTS),
         })
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
+    def fold(g: pa.Table) -> pa.Table:
         cols = ("conv_id", "n_turns", "n_role_violations", "n_tool_turns",
                 "total_chars", "max_turn_chars")
-        if len(g) == 0:
-            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
-                                 for c in cols})
-        conv = g["conv_id"].to_numpy().astype(np.int64)
-        ids = g["doc_id"].to_numpy().astype(np.int64)
-        role = g["role"].to_numpy().astype(np.int64)
-        chars = g["chars"].to_numpy().astype(np.int64)
+        if g.num_rows == 0:
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in cols})
+        conv = g["conv_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        role = g["role"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = g["chars"].to_numpy(zero_copy_only=False).astype(np.int64)
         o = np.lexsort((ids, conv))
         conv, role, chars = conv[o], role[o], chars[o]
         starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
@@ -1583,19 +1638,19 @@ def conv_structure_audit(sf_dir: str):
         tool = np.add.reduceat((role == 2).astype(np.int64), starts)
         tot = np.add.reduceat(chars, starts)
         mx = np.maximum.reduceat(chars, starts)
-        return pd.DataFrame({
-            "conv_id": conv[starts],
-            "n_turns": n_turns.astype(np.int64),
-            "n_role_violations": viol.astype(np.int64),
-            "n_tool_turns": tool,
-            "total_chars": tot,
-            "max_turn_chars": mx,
+        return pa.table({
+            "conv_id": pa.array(conv[starts]),
+            "n_turns": pa.array(n_turns.astype(np.int64)),
+            "n_role_violations": pa.array(viol.astype(np.int64)),
+            "n_tool_turns": pa.array(tool),
+            "total_chars": pa.array(tot),
+            "max_turn_chars": pa.array(mx),
         })
 
     rows = (
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .take_all()  # bounded: <= EXACT_NCONV conversation rows
     )
     df = pd.DataFrame(rows).sort_values("conv_id").reset_index(drop=True)
@@ -1636,15 +1691,15 @@ def conv_extract_digest(sf_dir: str):
             "part": pa.array(conv % N_CONV_PARTS),
         })
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        cols = {"conv_id": np.int64, "n_turns": np.int64,
-                "n_chars": np.int64, "digest": object}
-        if len(g) == 0:
-            return pd.DataFrame({c: pd.Series([], dtype=d)
-                                 for c, d in cols.items()})
-        conv = g["conv_id"].to_numpy().astype(np.int64)
-        turn = g["turn_idx"].to_numpy().astype(np.int64)
-        txt = g["clean_text"].to_numpy()
+    def fold(g: pa.Table) -> pa.Table:
+        cols = ("conv_id", "n_turns", "n_chars", "digest")
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"conv_id": z, "n_turns": z, "n_chars": z,
+                             "digest": pa.array([], type=pa.string())})
+        conv = g["conv_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        turn = g["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = np.asarray(g["clean_text"].to_pylist(), dtype=object)
         o = np.lexsort((turn, conv))
         conv, txt = conv[o], txt[o]
         starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
@@ -1657,12 +1712,17 @@ def conv_extract_digest(sf_dir: str):
             out["n_chars"].append(len(joined))
             out["digest"].append(
                 hashlib.md5(joined.encode("utf-8")).hexdigest())
-        return pd.DataFrame(out)
+        return pa.table({
+            "conv_id": pa.array(out["conv_id"], type=pa.int64()),
+            "n_turns": pa.array(out["n_turns"], type=pa.int64()),
+            "n_chars": pa.array(out["n_chars"], type=pa.int64()),
+            "digest": pa.array(out["digest"], type=pa.string()),
+        })
 
     rows = (
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .take_all()  # bounded: <= EXACT_NCONV digest rows
     )
     df = pd.DataFrame(rows).sort_values("conv_id").reset_index(drop=True)
