@@ -151,17 +151,23 @@ def _vocab_dataset(sf_dir: str, partial_fn):
         t = partial_fn(b)
         return t.append_column("part", _word_part_tags(t["w"].to_pylist()))
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        return (
-            g.groupby("w", sort=False, as_index=False)
-            .agg(n=("c", "sum"))
-        )
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"w": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        w = np.asarray(g["w"].to_pylist(), dtype=object)
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(w, kind="stable")
+        w_s, c_s = w[o], c[o]
+        starts = np.flatnonzero(np.r_[True, w_s[1:] != w_s[:-1]])
+        return pa.table({"w": pa.array(w_s[starts], type=pa.string()),
+                         "n": pa.array(np.add.reduceat(c_s, starts))})
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow",
                        zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
     )
 
 
@@ -309,21 +315,30 @@ def unigram_freq_score(sf_dir: str, *, via: str = "auto"):
     # doc-key cardinality is corpus-scale: fold per DOC-side coarse
     # partition (one vectorized pandas groupby each), not Ray's
     # per-key aggregate (the dup_ngram_fraction lesson)
-    def doc_fold(g: pd.DataFrame) -> pd.DataFrame:
-        return (
-            g.groupby("doc_id", sort=False, as_index=False)
-            .agg(
-                n_words=("nw", "sum"),
-                freq_sum=("fs", "sum"),
-                min_freq=("mn", "min"),
-            )
-        )
+    def doc_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": z, "n_words": z,
+                             "freq_sum": z, "min_freq": z})
+        d = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nw = g["nw"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fs = g["fs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mn = g["mn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(d, kind="stable")
+        d_s = d[o]
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        return pa.table({
+            "doc_id": pa.array(d_s[starts]),
+            "n_words": pa.array(np.add.reduceat(nw[o], starts)),
+            "freq_sum": pa.array(np.add.reduceat(fs[o], starts)),
+            "min_freq": pa.array(np.minimum.reduceat(mn[o], starts)),
+        })
 
     return (
         joined.map_batches(weighted, batch_format="pyarrow",
                            zero_copy_batch=True)
         .groupby("dpart")
-        .map_groups(doc_fold, batch_format="pandas")
+        .map_groups(doc_fold, batch_format="pyarrow")
     )
 
 
@@ -440,17 +455,24 @@ def tfidf_top_term(sf_dir: str, *, via: str = "auto"):
               num_partitions=_n_join_parts(), on=("w",), right_on=("vw",))
     )
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy().astype(np.int64)
-        terms = g["w"].to_numpy().astype(object)
-        tf = g["tf"].to_numpy().astype(np.int64)
-        df = g["n"].to_numpy().astype(np.int64)
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": z,
+                             "term": pa.array([], type=pa.string()),
+                             "tf": z, "df": z})
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = np.asarray(g["w"].to_pylist(), dtype=object)
+        tf = g["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
         di, dt, dtf, ddf = _argmax(ids, terms, tf, df)
-        return pd.DataFrame(
-            {"doc_id": di, "term": dt.astype(object), "tf": dtf, "df": ddf}
+        return pa.table(
+            {"doc_id": pa.array(di),
+             "term": pa.array(dt, type=pa.string()),
+             "tf": pa.array(dtf), "df": pa.array(ddf)}
         )
 
-    return joined.groupby("part").map_groups(per_part, batch_format="pandas")
+    return joined.groupby("part").map_groups(per_part, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -591,10 +613,13 @@ def _crossdoc_window_fraction(ds, window_fn):
             }
         )
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        gid = g["g"].to_numpy().astype(np.uint64)
-        doc = g["doc_id"].to_numpy().astype(np.int64)
-        c = g["c"].to_numpy().astype(np.int64)
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": z, "tot": z, "dup": z, "dpart": z})
+        gid = g["g"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(gid, kind="stable")
         gs, doc_s, c_s = gid[order], doc[order], c[order]
         new = np.r_[True, gs[1:] != gs[:-1]]
@@ -606,9 +631,10 @@ def _crossdoc_window_fraction(ds, window_fn):
         ud, inv = np.unique(doc_s, return_inverse=True)
         tot = int_bincount(inv, c_s)
         dupc = int_bincount(inv, c_s * dup)
-        return pd.DataFrame(
-            {"doc_id": ud, "tot": tot, "dup": dupc,
-             "dpart": ud % N_CORPUS_PARTS}
+        return pa.table(
+            {"doc_id": pa.array(ud), "tot": pa.array(tot),
+             "dup": pa.array(dupc),
+             "dpart": pa.array(ud % N_CORPUS_PARTS)}
         )
 
     # Second fold: per-doc totals via DOC-side coarse partitions, one
@@ -618,27 +644,29 @@ def _crossdoc_window_fraction(ds, window_fn):
     # emits) — the same per-key lesson as dedup's candidate pairs.  Each
     # dpart group holds ~ndocs/N_CORPUS_PARTS 4-int rows; raise
     # N_CORPUS_PARTS for 10^9+ doc corpora (same knob note as PACK_CHUNK).
-    def merge_docs(g: pd.DataFrame) -> pd.DataFrame:
-        doc = g["doc_id"].to_numpy().astype(np.int64)
+    def merge_docs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": z, "n_windows": z,
+                             "dup_windows": z})
+        doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ud, inv = np.unique(doc, return_inverse=True)
-        return pd.DataFrame(
+        tot = g["tot"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = g["dup"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
             {
-                "doc_id": ud,
-                "n_windows": np.bincount(
-                    inv, weights=g["tot"].to_numpy()
-                ).astype(np.int64),
-                "dup_windows": np.bincount(
-                    inv, weights=g["dup"].to_numpy()
-                ).astype(np.int64),
+                "doc_id": pa.array(ud),
+                "n_windows": pa.array(int_bincount(inv, tot)),
+                "dup_windows": pa.array(int_bincount(inv, dup)),
             }
         )
 
     agg = (
         ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(per_part, batch_format="pandas")
+        .map_groups(per_part, batch_format="pyarrow")
         .groupby("dpart")
-        .map_groups(merge_docs, batch_format="pandas")
+        .map_groups(merge_docs, batch_format="pyarrow")
     )
 
     def pct(b: pa.Table) -> pa.Table:
@@ -709,24 +737,29 @@ def build_inverted_index(sf_dir: str):
             }
         )
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        w = g["w"].to_numpy().astype(object)
-        doc = g["doc_id"].to_numpy().astype(np.int64)
-        tf = g["tf"].to_numpy().astype(np.int64)
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "doc_id": z, "tf": z, "df": z})
+        w = np.asarray(g["w"].to_pylist(), dtype=object)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = g["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((doc, w))
         ws, ds_, tfs = w[order], doc[order], tf[order]
         new = np.r_[True, ws[1:] != ws[:-1]]
         run = np.cumsum(new) - 1
         df = np.bincount(run)  # (term, doc) rows are distinct
-        return pd.DataFrame(
-            {"term": ws, "doc_id": ds_, "tf": tfs,
-             "df": df[run].astype(np.int64)}
+        return pa.table(
+            {"term": pa.array(ws, type=pa.string()),
+             "doc_id": pa.array(ds_), "tf": pa.array(tfs),
+             "df": pa.array(df[run].astype(np.int64))}
         )
 
     return (
         ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(per_part, batch_format="pandas")
+        .map_groups(per_part, batch_format="pyarrow")
     )
 
 
@@ -815,22 +848,26 @@ def search_topk(sf_dir: str):
             }
         )
 
-    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy().astype(np.int64)
-        sc = g["score"].to_numpy().astype(np.int64)
+    def local_topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": z, "score": z})
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = g["score"].to_numpy(zero_copy_only=False).astype(np.int64)
         ud, inv = np.unique(ids, return_inverse=True)
         # int64 accumulation (bincount's float64 weights would round
         # past 2^53, breaking the exact-integer scoring contract)
         tot = np.zeros(len(ud), dtype=np.int64)
         np.add.at(tot, inv, sc)
         order = np.lexsort((ud, -tot))[:SEARCH_K]
-        return pd.DataFrame({"doc_id": ud[order], "score": tot[order]})
+        return pa.table({"doc_id": pa.array(ud[order]),
+                         "score": pa.array(tot[order])})
 
     cand = (
         tfq.map_batches(score_part, batch_format="pyarrow",
                         zero_copy_batch=True)
         .groupby("part")
-        .map_groups(local_topk, batch_format="pandas")
+        .map_groups(local_topk, batch_format="pyarrow")
         .take_all()  # <= SEARCH_K * N_CORPUS_PARTS bounded rows
     )
     cand.sort(key=lambda r: (-int(r["score"]), int(r["doc_id"])))
@@ -936,10 +973,13 @@ def segment_stats(ds):
             }
         )
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        gid = g["g"].to_numpy().astype(np.uint64)
-        doc = g["doc_id"].to_numpy().astype(np.int64)
-        c = g["c"].to_numpy().astype(np.int64)
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": z, "tot": z, "rem": z, "dpart": z})
+        gid = g["g"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(gid, kind="stable")
         gs, doc_s, c_s = gid[order], doc[order], c[order]
         new = np.r_[True, gs[1:] != gs[:-1]]
@@ -952,32 +992,35 @@ def segment_stats(ds):
         ud, inv = np.unique(doc_s, return_inverse=True)
         tot = int_bincount(inv, c_s)
         rem = int_bincount(inv, c_s * dup)
-        return pd.DataFrame(
-            {"doc_id": ud, "tot": tot, "rem": rem,
-             "dpart": ud % N_CORPUS_PARTS}
+        return pa.table(
+            {"doc_id": pa.array(ud), "tot": pa.array(tot),
+             "rem": pa.array(rem),
+             "dpart": pa.array(ud % N_CORPUS_PARTS)}
         )
 
-    def merge_docs(g: pd.DataFrame) -> pd.DataFrame:
-        doc = g["doc_id"].to_numpy().astype(np.int64)
+    def merge_docs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": z, "n_segments": z,
+                             "removed_segments": z})
+        doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ud, inv = np.unique(doc, return_inverse=True)
-        return pd.DataFrame(
+        tot = g["tot"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rem = g["rem"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
             {
-                "doc_id": ud,
-                "n_segments": np.bincount(
-                    inv, weights=g["tot"].to_numpy()
-                ).astype(np.int64),
-                "removed_segments": np.bincount(
-                    inv, weights=g["rem"].to_numpy()
-                ).astype(np.int64),
+                "doc_id": pa.array(ud),
+                "n_segments": pa.array(int_bincount(inv, tot)),
+                "removed_segments": pa.array(int_bincount(inv, rem)),
             }
         )
 
     agg = (
         ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(per_part, batch_format="pandas")
+        .map_groups(per_part, batch_format="pyarrow")
         .groupby("dpart")
-        .map_groups(merge_docs, batch_format="pandas")
+        .map_groups(merge_docs, batch_format="pyarrow")
     )
 
     def pct(b: pa.Table) -> pa.Table:
@@ -1078,17 +1121,28 @@ def _bigram_term_dataset(sf_dir: str):
         )
         return t.append_column("part", pa.array(part))
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        return (
-            g.groupby("g", sort=False, as_index=False)
-            .agg(w1=("w1", "first"), c2=("c", "sum"))
-        )
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"g": pa.array([], type=pa.string()),
+                             "w1": pa.array([], type=pa.string()),
+                             "c2": pa.array([], type=pa.int64())})
+        gk = np.asarray(g["g"].to_pylist(), dtype=object)
+        w1 = np.asarray(g["w1"].to_pylist(), dtype=object)
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(gk, kind="stable")
+        g_s, c_s = gk[o], c[o]
+        starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]])
+        return pa.table({
+            "g": pa.array(g_s[starts], type=pa.string()),
+            "w1": pa.array(w1[o][starts], type=pa.string()),
+            "c2": pa.array(np.add.reduceat(c_s, starts)),
+        })
 
     bigrams = (
         ds.map_batches(add_part, batch_format="pyarrow",
                        zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .repartition(_n_join_parts())  # coalesce pre-join
     )
     unigrams = _vocab_dataset(sf_dir, _word_count_partial)
@@ -1238,17 +1292,27 @@ def bigram_lm_score(sf_dir: str, *, via: str = "auto"):
             }
         )
 
-    def doc_fold(g: pd.DataFrame) -> pd.DataFrame:
-        return (
-            g.groupby("doc_id", sort=False, as_index=False)
-            .agg(n_bigrams=("nb", "sum"), lm_score=("lm", "sum"))
-        )
+    def doc_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": z, "n_bigrams": z, "lm_score": z})
+        d = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = g["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lm = g["lm"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(d, kind="stable")
+        d_s = d[o]
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        return pa.table({
+            "doc_id": pa.array(d_s[starts]),
+            "n_bigrams": pa.array(np.add.reduceat(nb[o], starts)),
+            "lm_score": pa.array(np.add.reduceat(lm[o], starts)),
+        })
 
     return (
         joined.map_batches(weighted, batch_format="pyarrow",
                            zero_copy_batch=True)
         .groupby("dpart")
-        .map_groups(doc_fold, batch_format="pandas")
+        .map_groups(doc_fold, batch_format="pyarrow")
     )
 
 
@@ -1346,11 +1410,16 @@ def source_overlap(sf_dir: str):
 
     n_sources = len(sources)
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        m = g["mask"].to_numpy().astype(np.int64)
-        # hash-table factorize (C) groups duplicate words exactly,
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"i": z, "j": z, "n": z})
+        m = g["mask"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # dictionary-encode (Arrow C) groups duplicate words exactly,
         # replacing the object-array stable sort + run boundaries
-        codes, uniques = pd.factorize(g["w"], sort=False)
+        denc = pc.dictionary_encode(g["w"].combine_chunks())
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniques = denc.dictionary
         om = np.zeros(len(uniques), dtype=np.int64)
         np.bitwise_or.at(om, codes, m)
         # collapse to the part-local mask histogram FIRST (bounded by
@@ -1371,18 +1440,18 @@ def source_overlap(sf_dir: str):
                     ii.append(i)
                     jj.append(j)
                     nn.append(int(cnts[both].sum()))
-        return pd.DataFrame(
+        return pa.table(
             {
-                "i": np.asarray(ii, dtype=np.int64),
-                "j": np.asarray(jj, dtype=np.int64),
-                "n": np.asarray(nn, dtype=np.int64),
+                "i": pa.array(ii, type=pa.int64()),
+                "j": pa.array(jj, type=pa.int64()),
+                "n": pa.array(nn, type=pa.int64()),
             }
         )
 
     pair_rows = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
     ).take_all()
 
     agg: collections.Counter = collections.Counter()
@@ -1751,19 +1820,21 @@ def corpus_validate(sf_dir: str):
             "n": pa.array(n),
         })
 
-    def part_dups(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy().astype(np.int64)
-        n = g["n"].to_numpy().astype(np.int64)
-        return pd.DataFrame({
-            "n_dup": np.array([int(n.sum()) - len(np.unique(ids))],
-                              dtype=np.int64),
+    def part_dups(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"n_dup": pa.array([0], type=pa.int64())})
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n_dup": pa.array([int(n.sum()) - len(np.unique(ids))],
+                              type=pa.int64()),
         })
 
     dup_rows = (
         ds.map_batches(id_counts, batch_format="pyarrow",
                        zero_copy_batch=True)
         .groupby("part")
-        .map_groups(part_dups, batch_format="pandas")
+        .map_groups(part_dups, batch_format="pyarrow")
         .aggregate(Sum("n_dup", alias_name="n_dup"))
     )
     return pa.table({
@@ -1832,22 +1903,25 @@ def cms_word_frequency(sf_dir: str):
         return pa.table({"cell": pa.array(nz), "n": pa.array(vec[nz]),
                          "part": pa.array(nz % 8)})
 
-    def cell_fold(g: pd.DataFrame) -> pd.DataFrame:
-        cells = g["cell"].to_numpy().astype(np.int64)
-        n = g["n"].to_numpy().astype(np.int64)
+    def cell_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"cell": z, "n": z})
+        cells = g["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
         o = np.argsort(cells, kind="stable")
         cells, n = cells[o], n[o]
         starts = np.flatnonzero(np.r_[True, cells[1:] != cells[:-1]])
-        return pd.DataFrame({
-            "cell": cells[starts],
-            "n": np.add.reduceat(n, starts).astype(np.int64),
+        return pa.table({
+            "cell": pa.array(cells[starts]),
+            "n": pa.array(np.add.reduceat(n, starts).astype(np.int64)),
         })
 
     rows = (
         vocab.map_batches(sketch_partial, batch_format="pyarrow",
                           zero_copy_batch=True)
         .groupby("part")
-        .map_groups(cell_fold, batch_format="pandas")
+        .map_groups(cell_fold, batch_format="pyarrow")
         .take_all()  # bounded: <= CMS_D * CMS_W cells
     )
     sketch = np.zeros(CMS_D * CMS_W, dtype=np.int64)
@@ -2183,10 +2257,15 @@ def _word_lift_rank(partials, *, k: int, out_col: str) -> pa.Table:
     if n_total == 0:
         return empty
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        w = g["w"].to_numpy().astype(object)
-        s = g["s"].to_numpy().astype(object)
-        c = g["c"].to_numpy().astype(np.int64)
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"s": pa.array([], type=pa.string()),
+                             "w": pa.array([], type=pa.string()),
+                             "n_sw": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.int64())})
+        w = np.asarray(g["w"].to_pylist(), dtype=object)
+        s = np.asarray(g["s"].to_pylist(), dtype=object)
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((s, w))
         w_s, s_s, c_s = w[order], s[order], c[order]
         # combine per (w, group) across batches
@@ -2219,12 +2298,14 @@ def _word_lift_rank(partials, *, k: int, out_col: str) -> pa.Table:
         run = np.cumsum(new2) - 1
         pos = np.arange(len(s2)) - starts2[run]
         keep = o2[pos < k]
-        return pd.DataFrame({"s": su[keep], "w": wu[keep],
-                             "n_sw": n_sw[keep], "score": score[keep]})
+        return pa.table({"s": pa.array(su[keep], type=pa.string()),
+                         "w": pa.array(wu[keep], type=pa.string()),
+                         "n_sw": pa.array(n_sw[keep]),
+                         "score": pa.array(score[keep])})
 
     cand = (
         partials.groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
     ).take_all()
     if not cand:
         return empty
@@ -2332,39 +2413,43 @@ def cluster_top_terms(sf_dir: str, *, k: int = LIFT_K):
         doc_norm, batch_format="pyarrow", zero_copy_batch=True
     ))
 
-    def attach_and_count(g: pd.DataFrame) -> pd.DataFrame:
-        is_doc = g["cluster"].to_numpy() == -1
-        e = g[~is_doc]
-        d = g[is_doc]
-        if len(e) == 0 or len(d) == 0:
-            return pd.DataFrame({"w": np.array([], dtype=object),
-                                 "s": np.array([], dtype=object),
-                                 "c": np.array([], dtype=np.int64),
-                                 "part": np.array([], dtype=np.int64)})
+    def attach_and_count(g: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        empty = pa.table({"w": pa.array([], type=pa.string()),
+                          "s": pa.array([], type=pa.string()),
+                          "c": z, "part": z})
+        if g.num_rows == 0:
+            return empty
+        cl = g["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_doc = cl == -1
+        e_idx = np.flatnonzero(~is_doc)
+        d_idx = np.flatnonzero(is_doc)
+        if len(e_idx) == 0 or len(d_idx) == 0:
+            return empty
         from prlib_ray.relational import _sorted_key_attach
 
-        did = d["id"].to_numpy().astype(np.int64)
+        ids = g["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did = ids[d_idx]
         es, _, pos, hit = _sorted_key_attach(
-            e["id"].to_numpy().astype(np.int64), did
+            ids[e_idx], did
         )  # docs without an embedding drop
-        ecl_s = e["cluster"].to_numpy().astype(np.int64)[es]
-        texts = d["text"].to_numpy()[hit]
+        ecl_s = cl[e_idx][es]
+        texts = np.asarray(g["text"].to_pylist(), dtype=object)[d_idx][hit]
         clus = ecl_s[pos[hit]]
         t = pa.table({
             "text": pa.array(texts.tolist(), type=pa.string()),
             "source": pa.array([str(c) for c in clus], type=pa.string()),
         })
         p = _source_word_partial(t)
-        return pd.DataFrame({
-            "w": np.asarray(p["w"].to_pylist(), dtype=object),
-            "s": np.asarray(p["s"].to_pylist(), dtype=object),
-            "c": p["c"].to_numpy(zero_copy_only=False).astype(np.int64),
-            "part": _word_part_tags(p["w"].to_pylist()).to_numpy(
-                zero_copy_only=False).astype(np.int64),
+        return pa.table({
+            "w": p["w"],
+            "s": p["s"],
+            "c": p["c"],
+            "part": _word_part_tags(p["w"].to_pylist()),
         })
 
     partials = both.groupby("part").map_groups(
-        attach_and_count, batch_format="pandas"
+        attach_and_count, batch_format="pyarrow"
     )
     out = _word_lift_rank(partials, k=k, out_col="cluster_s")
     return pa.table({
@@ -2410,22 +2495,23 @@ def corpus_merkle(sf_dir: str):
             "h": pa.array(hs, type=pa.string()),
         })
 
-    def leaf(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({
-                "node": pd.Series([], dtype=object),
-                "hash": pd.Series([], dtype=object)})
-        hs = np.sort(g["h"].to_numpy(dtype=object))
+    def leaf(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "node": pa.array([], type=pa.string()),
+                "hash": pa.array([], type=pa.string())})
+        hs = np.sort(np.asarray(g["h"].to_pylist(), dtype=object))
         digest = hl.md5("".join(hs).encode()).hexdigest()
-        return pd.DataFrame({
-            "node": ["leaf:" + str(g["source"].iloc[0])],
-            "hash": [digest],
+        return pa.table({
+            "node": pa.array(["leaf:" + str(g["source"][0].as_py())],
+                             type=pa.string()),
+            "hash": pa.array([digest], type=pa.string()),
         })
 
     leaves = (
         ds.map_batches(hashes, batch_format="pyarrow",
                        zero_copy_batch=True)
-        .groupby("source").map_groups(leaf, batch_format="pandas")
+        .groupby("source").map_groups(leaf, batch_format="pyarrow")
         .take_all()
     )  # bounded: one row per source
     leaves.sort(key=lambda r: r["node"])
