@@ -693,28 +693,24 @@ def _bpe_learn(sf_dir: str) -> list[tuple[str, str, int]]:
             "part": pa.array(part),
         })
 
-    def wf_fold(g) -> pa.Table:
-        import pandas as pd
-
-        if len(g) == 0:
-            return pd.DataFrame({
-                "w": pd.Series([], dtype=object),
-                "f": pd.Series([], dtype=np.int64)})
-        w = g["w"].to_numpy(dtype=object)
-        f = g["f"].to_numpy().astype(np.int64)
+    def wf_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"w": pa.array([], type=pa.string()),
+                             "f": pa.array([], type=pa.int64())})
+        w = np.asarray(g["w"].to_pylist(), dtype=object)
+        f = g["f"].to_numpy(zero_copy_only=False).astype(np.int64)
         o = np.argsort(w, kind="stable")
         w, f = w[o], f[o]
         new = np.r_[True, w[1:] != w[:-1]]
         gid = np.cumsum(new) - 1
         tot = int_bincount(gid, f)
-        import pandas as pd
-
-        return pd.DataFrame({"w": w[new], "f": tot})
+        return pa.table({"w": pa.array(w[new], type=pa.string()),
+                         "f": pa.array(tot)})
 
     wf = (
         ds.map_batches(wf_partial, batch_format="pyarrow",
                        zero_copy_batch=True)
-        .groupby("part").map_groups(wf_fold, batch_format="pandas")
+        .groupby("part").map_groups(wf_fold, batch_format="pyarrow")
         .materialize()
     )
 

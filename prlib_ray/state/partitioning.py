@@ -109,20 +109,30 @@ def conv_stats(ds, *, merge: str = "auto"):
             )
             return b.append_column("cpart", pa.array(cp))
 
-        def fold(g):
-            out = (g.drop(columns=["cpart"])
-                   .groupby("conv_id", sort=False, as_index=False)
-                   .sum())
-            return out.rename(columns={
-                "n_sum": "n", "sx_sum": "sx", "sy_sum": "sy",
-                "sxy_hi_sum": "sxy_hi", "sxy_lo_sum": "sxy_lo",
-            })
+        def fold(g: pa.Table) -> pa.Table:
+            cols = ("n", "sx", "sy", "sxy_hi", "sxy_lo")
+            src_cols = ("n_sum", "sx_sum", "sy_sum",
+                        "sxy_hi_sum", "sxy_lo_sum")
+            if g.num_rows == 0:
+                return pa.table({"conv_id": pa.array([], type=pa.string()),
+                                 **{c: pa.array([], type=pa.int64())
+                                    for c in cols}})
+            conv = np.asarray(g["conv_id"].to_pylist(), dtype=object)
+            o = np.argsort(conv, kind="stable")
+            c_s = conv[o]
+            starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+            out = {"conv_id": pa.array(c_s[starts], type=pa.string())}
+            for dst, srcc in zip(cols, src_cols):
+                v = g[srcc].to_numpy(zero_copy_only=False).astype(
+                    np.int64)[o]
+                out[dst] = pa.array(np.add.reduceat(v, starts))
+            return pa.table(out)
 
         return (
             partials.map_batches(tag, batch_format="pyarrow",
                                  zero_copy_batch=True)
             .groupby("cpart")
-            .map_groups(fold, batch_format="pandas")
+            .map_groups(fold, batch_format="pyarrow")
         )
     import ray
 
