@@ -227,9 +227,12 @@ def q3_top_orders(sf_dir: str):
     # sum per part, local top-10, then the <= 64*10 survivors rank on
     # the driver.  A key never spans parts, and per-part top-10 cannot
     # lose a global top-10 row.
-    def fold_topk(g: pd.DataFrame) -> pd.DataFrame:
-        k = g["l_orderkey"].to_numpy().astype(np.int64)
-        r = g["rev_sum"].to_numpy().astype(np.int64)
+    def fold_topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"l_orderkey": z, "revenue_cents": z})
+        k = g["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = g["rev_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(k, kind="stable")
         k_s, r_s = k[order], r[order]
         new = np.r_[True, k_s[1:] != k_s[:-1]]
@@ -237,14 +240,15 @@ def q3_top_orders(sf_dir: str):
         rev = int_bincount(run, r_s)
         keys_u = k_s[new]
         o = np.lexsort((keys_u, -rev))[:10]
-        return pd.DataFrame(
-            {"l_orderkey": keys_u[o], "revenue_cents": rev[o]}
+        return pa.table(
+            {"l_orderkey": pa.array(keys_u[o]),
+             "revenue_cents": pa.array(rev[o])}
         )
 
     survivors = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold_topk, batch_format="pandas")
+        .map_groups(fold_topk, batch_format="pyarrow")
         .take_all()  # <= 640 rows: per-part winners, not a fact side
     )
     sk = np.array([r["l_orderkey"] for r in survivors], dtype=np.int64)
@@ -535,19 +539,34 @@ def events_hourly(sf_dir: str):
             "part", pa.array(t["hour"].to_numpy() % 32)
         )
 
-    def final_fold(g: pd.DataFrame) -> pd.DataFrame:
-        return (
-            g.groupby(["event_type", "hour"], sort=False, as_index=False)
-            .agg(
-                sum_value_cents=("cents_sum", "sum"),
-                n_events=("one_sum", "sum"),
-            )
-        )
+    def final_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "hour": z, "sum_value_cents": z,
+                             "n_events": z})
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        hr = g["hour"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = g["cents_sum"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ones = g["one_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, ei = np.unique(et, return_inverse=True)
+        o = np.lexsort((hr, ei))
+        new = np.r_[True, (ei[o][1:] != ei[o][:-1])
+                    | (hr[o][1:] != hr[o][:-1])]
+        starts = np.flatnonzero(new)
+        sel = o[starts]
+        return pa.table({
+            "event_type": pa.array(et[sel], type=pa.string()),
+            "hour": pa.array(hr[sel]),
+            "sum_value_cents": pa.array(np.add.reduceat(cents[o], starts)),
+            "n_events": pa.array(np.add.reduceat(ones[o], starts)),
+        })
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(final_fold, batch_format="pandas")
+        .map_groups(final_fold, batch_format="pyarrow")
     )
 
 
@@ -567,21 +586,27 @@ def events_late_by_watermark(sf_dir: str, *, lateness_min: int = 10):
     )
     late_us = np.timedelta64(lateness_min * 60 * 1_000_000, "us")
 
-    def count_late(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("event_id", kind="mergesort")
-        ts = g["ts"].to_numpy()
+    def count_late(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "n_late": z, "n_events": z})
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(eid, kind="stable")
+        ts = g["ts"].to_numpy(zero_copy_only=False)[o]
         run_max = np.maximum.accumulate(ts)
         late = np.zeros(len(ts), dtype=bool)
         late[1:] = ts[1:] < run_max[:-1] - late_us  # first arrival never late
-        return pd.DataFrame(
+        return pa.table(
             {
-                "event_type": [g["event_type"].iloc[0]],
-                "n_late": [np.int64(late.sum())],
-                "n_events": [np.int64(len(ts))],
+                "event_type": pa.array([g["event_type"][0].as_py()],
+                                       type=pa.string()),
+                "n_late": pa.array([int(late.sum())], type=pa.int64()),
+                "n_events": pa.array([len(ts)], type=pa.int64()),
             }
         )
 
-    return ds.groupby("event_type").map_groups(count_late, batch_format="pandas")
+    return ds.groupby("event_type").map_groups(count_late, batch_format="pyarrow")
 
 
 HOP_US = 1_800_000_000  # 30 min hop, 60 min window = 2 hops
@@ -647,9 +672,12 @@ def sessionize(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     gap = np.timedelta64(30 * 60 * 1_000_000, "us")
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        user = g["user_id"].to_numpy().astype(np.int64)
-        ts = g["ts"].to_numpy()
+    def sess(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"user_id": z, "n_sessions": z})
+        user = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ts, user))
         u_s, t_s = user[order], ts[order]
         run, starts, lens = _runs(u_s)
@@ -661,13 +689,14 @@ def sessionize(sf_dir: str):
             # float-weighted sum)
             n += np.bincount(run[1:][gapped],
                              minlength=len(starts)).astype(np.int64)
-        return pd.DataFrame({"user_id": u_s[starts], "n_sessions": n})
+        return pa.table({"user_id": pa.array(u_s[starts]),
+                         "n_sessions": pa.array(n)})
 
     return (
         ds.map_batches(_add_user_part, batch_format="pyarrow",
                        zero_copy_batch=True)
         .groupby("part")
-        .map_groups(sess, batch_format="pandas")
+        .map_groups(sess, batch_format="pyarrow")
     )
 
 
@@ -720,14 +749,20 @@ def rolling_event_window(sf_dir: str):
         columns=["event_id", "user_id", "ts", "value"],
     )
 
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        user = g["user_id"].to_numpy().astype(np.int64)
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        eid = g["event_id"].to_numpy().astype(np.int64)
+    def roll(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"event_id": z, "trailing_count": z,
+                             "trailing_cents": z})
+        user = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         # same IEEE rounding expression as the oracle's
         # floor(value * 100 + 0.5)
         cents = np.floor(
-            g["value"].to_numpy().astype(np.float64) * 100.0 + 0.5
+            g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0 + 0.5
         ).astype(np.int64)
         order = np.lexsort((ts, user))
         u, t, e, c = user[order], ts[order], eid[order], cents[order]
@@ -738,11 +773,11 @@ def rolling_event_window(sf_dir: str):
         lo = np.searchsorted(shifted, shifted - HOUR_US, side="left")
         hi = np.searchsorted(shifted, shifted, side="right")
         pref = np.r_[0, np.cumsum(c)]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "event_id": e,
-                "trailing_count": (hi - lo).astype(np.int64),
-                "trailing_cents": pref[hi] - pref[lo],
+                "event_id": pa.array(e),
+                "trailing_count": pa.array((hi - lo).astype(np.int64)),
+                "trailing_cents": pa.array(pref[hi] - pref[lo]),
             }
         )
 
@@ -750,7 +785,7 @@ def rolling_event_window(sf_dir: str):
         ds.map_batches(_add_user_part, batch_format="pyarrow",
                        zero_copy_batch=True)
         .groupby("part")
-        .map_groups(roll, batch_format="pandas")
+        .map_groups(roll, batch_format="pyarrow")
     )
 
 
@@ -811,24 +846,30 @@ def sampled_quantiles(sf_dir: str):
             }
         )
 
-    def qtile(g: pd.DataFrame) -> pd.DataFrame:
+    def qtile(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "p50_cents": z, "p90_cents": z,
+                             "n_sample": z})
         (p50, p90), n = _exact_pctiles(
-            g["cents"].to_numpy().astype(np.int64),
-            g["event_id"].to_numpy().astype(np.int64),
+            g["cents"].to_numpy(zero_copy_only=False).astype(np.int64),
+            g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64),
         )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "event_type": [g["event_type"].iloc[0]],
-                "p50_cents": [np.int64(p50)],
-                "p90_cents": [np.int64(p90)],
-                "n_sample": [np.int64(n)],
+                "event_type": pa.array([g["event_type"][0].as_py()],
+                                       type=pa.string()),
+                "p50_cents": pa.array([int(p50)], type=pa.int64()),
+                "p90_cents": pa.array([int(p90)], type=pa.int64()),
+                "n_sample": pa.array([int(n)], type=pa.int64()),
             }
         )
 
     return (
         ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("event_type")
-        .map_groups(qtile, batch_format="pandas")
+        .map_groups(qtile, batch_format="pyarrow")
     )
 
 
