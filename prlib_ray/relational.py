@@ -993,28 +993,33 @@ def event_transitions(sf_dir: str):
         columns=["event_id", "user_id", "ts", "event_type"],
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        user = g["user_id"].to_numpy().astype(np.int64)
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        eid = g["event_id"].to_numpy().astype(np.int64)
+    def pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"prev": pa.array([], type=pa.string()),
+                             "event_type": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        user = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((eid, ts, user))
         u = user[order]
-        # hash-table factorize (C) replaces the object-array np.unique
-        # sort; code order is irrelevant (names map back through uniq)
-        codes, uniq = pd.factorize(
-            g["event_type"].iloc[order].reset_index(drop=True), sort=False
-        )
-        uniq = np.asarray(uniq, dtype=object)
+        # Arrow dictionary-encode (C hash table) replaces the
+        # object-array np.unique sort; code order is irrelevant
+        denc = pc.dictionary_encode(g["event_type"].combine_chunks())
+        codes = denc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)[order]
+        uniq = np.asarray(denc.dictionary.to_pylist(), dtype=object)
         k = len(uniq)
         same = u[1:] == u[:-1]
         key = codes[:-1][same] * k + codes[1:][same]
         cnt = np.bincount(key, minlength=k * k).astype(np.int64)
         nz = np.flatnonzero(cnt)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "prev": uniq[nz // k],
-                "event_type": uniq[nz % k],
-                "n": cnt[nz],
+                "prev": pa.array(uniq[nz // k], type=pa.string()),
+                "event_type": pa.array(uniq[nz % k], type=pa.string()),
+                "n": pa.array(cnt[nz]),
             }
         )
 
@@ -1022,7 +1027,7 @@ def event_transitions(sf_dir: str):
         ds.map_batches(_add_user_part, batch_format="pyarrow",
                        zero_copy_batch=True)
         .groupby("part")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(pairs, batch_format="pyarrow")
         .groupby(["prev", "event_type"])
         .aggregate(Sum("n", alias_name="n"))
     )
@@ -1055,24 +1060,27 @@ def set_ops_users_customers(sf_dir: str):
                 % np.uint64(n_parts)).astype(np.int32)
         return pa.table({"part": pa.array(part), "user_id": pa.array(u)})
 
-    def part_counts(g: pd.DataFrame) -> pd.DataFrame:
+    def part_counts(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"n_users": z, "n_inter": z})
         # exact per-part distinct + membership vs the broadcast keys;
         # parts partition the user space, so the per-part counts sum to
         # the global answer — the coarse-partition distinct layout (no
         # driver fold of the user set)
         ck = ray.get(ref)
-        u = np.unique(g["user_id"].to_numpy())
+        u = np.unique(g["user_id"].to_numpy(zero_copy_only=False))
         idx = np.searchsorted(ck, u)
         in_cust = (idx < len(ck)) & (ck[np.minimum(idx, len(ck) - 1)] == u)
-        return pd.DataFrame(
-            {"n_users": [np.int64(len(u))],
-             "n_inter": [np.int64(in_cust.sum())]}
+        return pa.table(
+            {"n_users": pa.array([len(u)], type=pa.int64()),
+             "n_inter": pa.array([int(in_cust.sum())], type=pa.int64())}
         )
 
     counts = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(part_counts, batch_format="pandas")
+        .map_groups(part_counts, batch_format="pyarrow")
         .take_all()
     )
     n_users = int(sum(r["n_users"] for r in counts))
@@ -1203,12 +1211,15 @@ def top_orders_per_segment(sf_dir: str, *, k: int = 3):
 
     local = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True], kind="mergesort")
-        return g.head(k)
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g
+        tp = g["o_totalprice"].to_numpy(zero_copy_only=False)
+        ok = g["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((ok, -tp))[:k]
+        return g.take(o)
 
-    return local.groupby("c_mktsegment").map_groups(merge, batch_format="pandas")
+    return local.groupby("c_mktsegment").map_groups(merge, batch_format="pyarrow")
 
 
 # --- as-of / range join: shared probe kernels + size-gated layouts ----------
@@ -1380,24 +1391,28 @@ def _probe_join(sf_dir: str, *, with_keys: bool, out_col: str,
         ord_ds.map_batches(ord_norm, batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    def probe_group(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["side"].to_numpy()
-        o = g[side == 0]
-        e = g[side == 1]
-        if len(e) == 0:
-            return pd.DataFrame({"event_id": np.zeros(0, dtype=np.int64),
-                                 out_col: np.zeros(0, dtype=np.int64)})
-        ock_ = o["key"].to_numpy()
-        ot_ = o["t"].to_numpy()
-        oid_ = o["id"].to_numpy()
+    def probe_group(g: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if g.num_rows == 0:
+            return pa.table({"event_id": z, out_col: z})
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = g["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gid = g["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        om = side == 0
+        em = side == 1
+        if not em.any():
+            return pa.table({"event_id": z, out_col: z})
+        ock_, ot_, oid_ = key[om], t[om], gid[om]
         order = np.lexsort((oid_, ot_, ock_))
-        vals = probe(e["key"].to_numpy(), e["t"].to_numpy(),
+        vals = probe(key[em], t[em],
                      ock_[order], ot_[order], oid_[order])
-        return pd.DataFrame(
-            {"event_id": e["id"].to_numpy(), out_col: vals}
+        return pa.table(
+            {"event_id": pa.array(gid[em]),
+             out_col: pa.array(vals, type=pa.int64())}
         )
 
-    out = both.groupby("part").map_groups(probe_group, batch_format="pandas")
+    out = both.groupby("part").map_groups(probe_group, batch_format="pyarrow")
 
     def fix_schema(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "event_id" not in b.column_names:
