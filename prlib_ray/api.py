@@ -76,17 +76,42 @@ def build_queries() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
 
 # Driver-window rotation.  The driver's correctness gate records exactly
 # the FIRST 50 registry entries each round, so registration order is a
-# coverage decision.  Rounds 1-3 recorded 136 names (135 green + the
-# rows-only-by-design flagship); this round's 50 slots go to queries
-# that have NEVER had a driver-recorded green, with the remaining
-# never-recorded names at positions 51-107 so the round-5 rotation is a
-# straight block swap.  The op -> driver-green-round ledger (and the
-# pre-r4 displacement history pointer) lives in COVERAGE.md, "Driver
-# window ledger" — keep it in sync with every rotation.
+# coverage decision.  Rounds 1-4 recorded 180 oracle-green names (plus
+# the 6 r2 `no_oracle` LSH/SimHash rows whose oracles only landed in r3
+# — those count as never oracle-recorded).  This round's 50 slots go to
+# the 63-name never-oracle-recorded set: the 6 LSH/SimHash names first
+# (VERDICT r4 item 1), then the TPC-H / corpus-stats tail; the 13
+# lowest-risk shapes (trivial sampling/profile ops, all sim+pytest
+# green) stay at positions 51-63.  The op -> driver-green-round ledger
+# lives in COVERAGE.md, "Driver window ledger" — keep it in sync with
+# every rotation.
 _PRIORITY = [
-    # -- round-4 window: 50 never-driver-recorded names (SURVEY §2
-    # variants first, then the round-3 relational/graph/data families,
-    # then older never-recorded high-value ops) ----------------------
+    # -- round-5 window: 50 never-oracle-recorded names --------------
+    "dedup_simhash", "dedup_simhash_hamming", "dedup_clusters_minhash",
+    "dedup_embedding_lsh", "lsh_bucket_stats", "ann_bruteforce_topk",
+    "ann_pq_adc_topk", "pq_codes", "q2_min_cost_supplier",
+    "q11_important_stock", "q12_shipmode_priority", "q14_promo_revenue",
+    "q15_top_supplier", "q17_small_quantity", "q18_large_orders",
+    "q20_excess_parts", "basket_part_pairs", "bigram_lm_score",
+    "brand_supplier_counts", "build_inverted_index", "chunk_tokens",
+    "cms_word_frequency", "corpus_diff", "dedup_best_survivor",
+    "dup_ngram_fraction", "dup_substring_fraction", "embedding_outliers",
+    "event_transitions", "followed_within", "fulfillment_latency",
+    "global_sales_opportunity", "label_centroid_affinity",
+    "label_norm_quantiles", "lang_agreement", "orders_with_late_items",
+    "repetition_stats", "retention_cohorts", "rolling_event_window",
+    "sales_rollup", "segment_dedup", "source_minhash_jaccard",
+    "source_overlap", "source_term_stats", "source_word_lift",
+    "tfidf_top_term", "token_count_subword", "unigram_freq_score",
+    "user_path_topk", "user_stickiness", "vocab_oov_rate",
+    # -- remaining never-recorded (13): trivial sampling/profile
+    # shapes, sim+pytest green; final-sweep candidates ---------------
+    "shuffle_head", "hot_keys", "mix_sources", "sample_per_source",
+    "split_assign", "length_filter_p95", "key_skew_profile",
+    "interarrival_profile", "length_rank_transform",
+    "customer_running_total", "customers_without_orders",
+    "heavy_hitter_words", "sampled_quantiles",
+    # -- driver-green in r4 (50 ops; round per name: COVERAGE.md) ----
     "binarize_fbcitb_edges", "binarize_fbcitb_var", "binarize_niblack_morph",
     "binarize_wolf_morph", "binarize_feng_morph", "binarize_local_otsu_morph",
     "binarize_cococlust_morph", "warp_crop_points",
@@ -104,26 +129,6 @@ _PRIORITY = [
     "price_rank_ntile", "frequent_ngrams", "hard_negatives",
     "segment_price_quantiles", "dedup_winnow_pairs", "dedup_semantic",
     "pii_scan",
-    # -- never-recorded overflow: the round-5 window candidates ------
-    "source_word_lift", "source_overlap", "q17_small_quantity",
-    "user_stickiness", "q11_important_stock", "lang_agreement",
-    "token_count_subword", "followed_within", "customer_running_total",
-    "q20_excess_parts", "basket_part_pairs", "embedding_outliers",
-    "label_norm_quantiles", "cms_word_frequency", "length_rank_transform",
-    "q15_top_supplier", "q18_large_orders", "global_sales_opportunity",
-    "dedup_best_survivor", "q2_min_cost_supplier", "q12_shipmode_priority",
-    "q14_promo_revenue", "fulfillment_latency", "brand_supplier_counts",
-    "user_path_topk", "customers_without_orders", "split_assign",
-    "rolling_event_window", "vocab_oov_rate", "source_minhash_jaccard",
-    "label_centroid_affinity", "retention_cohorts", "sales_rollup",
-    "orders_with_late_items", "segment_dedup", "key_skew_profile",
-    "interarrival_profile", "heavy_hitter_words", "dup_ngram_fraction",
-    "event_transitions", "tfidf_top_term", "ann_pq_adc_topk",
-    "bigram_lm_score", "mix_sources", "hot_keys", "shuffle_head",
-    "build_inverted_index", "repetition_stats", "chunk_tokens",
-    "source_term_stats", "corpus_diff", "dup_substring_fraction",
-    "sampled_quantiles", "sample_per_source", "length_filter_p95", "pq_codes",
-    "unigram_freq_score",
     # -- driver-green in r1-r3 (round recorded per name: COVERAGE.md
     # ledger); prior in-window order preserved ----------------------
     "flagship_extract", "extract_turns_exact", "extract_turn_spans",
@@ -142,16 +147,16 @@ _PRIORITY = [
     "pack_sequences", "pii_redact", "q9_product_profit", "props_field_stats",
     "weighted_sample", "pmi_top_pairs", "price_zscore_outliers",
     "trade_volume", "rolling_active_users", "asof_latest_order",
-    "q3_top_orders", "range_join_recent_orders", "dedup_simhash",
-    "dedup_clusters_minhash", "orders_by_segment", "top_orders_per_segment",
-    "dedup_embedding_lsh", "events_hourly_window", "sessionize",
+    "q3_top_orders", "range_join_recent_orders",
+    "orders_by_segment", "top_orders_per_segment",
+    "events_hourly_window", "sessionize",
     "set_ops_users_customers", "approx_distinct_users", "reassemble_events",
     "deskew", "dedup_cc_clusters", "q5_local_supplier", "q1_pricing_summary",
-    "dedup_simhash_hamming", "ann_bruteforce_topk", "fingerprint_md5",
+    "fingerprint_md5",
     "fingerprint_winnow", "multimodal_decode", "pipeline_chain",
     "embedding_centroids", "ann_neighbor_counts", "quality_score", "lang_id",
     "dedup_ngram_jaccard", "token_count", "dedup_survivors",
-    "binarize_sauvola", "denoise_kuwahara_iterated", "lsh_bucket_stats",
+    "binarize_sauvola", "denoise_kuwahara_iterated",
     "q6_forecast_revenue", "warp_crop", "source_csv_roundtrip", "top_orders",
     "distinct_event_types", "compare_extractions", "source_jsonl_roundtrip",
     "binarize_niblack", "binarize_nick", "binarize_wolf", "binarize_feng",
