@@ -1586,22 +1586,22 @@ def customers_without_orders(sf_dir: str, *, via: str = "auto"):
                 "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
             })
 
-        def fold(g: pd.DataFrame) -> pd.DataFrame:
-            side = g["side"].to_numpy()
-            o = g[side == 0]
-            c = g[side == 1]
-            if len(c) == 0:
-                return pd.DataFrame({
-                    "c_mktsegment": np.array([], dtype=object),
-                    "one_sum": np.array([], dtype=np.int64),
+        def fold(g: pa.Table) -> pa.Table:
+            side = g["side"].to_numpy(zero_copy_only=False)
+            key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c_mask = side == 1
+            if not c_mask.any():
+                return pa.table({
+                    "c_mktsegment": pa.array([], type=pa.string()),
+                    "one_sum": pa.array([], type=pa.int64()),
                 })
-            have = np.unique(o["key"].to_numpy().astype(np.int64))
-            keep = _anti_probe(have, c["key"].to_numpy().astype(np.int64))
-            seg = c["seg"].to_numpy()[keep]
+            have = np.unique(key[side == 0])
+            keep = _anti_probe(have, key[c_mask])
+            seg = np.asarray(g["seg"].to_pylist(), dtype=object)[c_mask][keep]
             su, counts = np.unique(seg, return_counts=True)
-            return pd.DataFrame({
-                "c_mktsegment": su.astype(object),
-                "one_sum": counts.astype(np.int64),
+            return pa.table({
+                "c_mktsegment": pa.array(su, type=pa.string()),
+                "one_sum": pa.array(counts.astype(np.int64)),
             })
 
         partials = (
@@ -1610,7 +1610,7 @@ def customers_without_orders(sf_dir: str, *, via: str = "auto"):
             .union(cust.map_batches(c_norm, batch_format="pyarrow",
                                     zero_copy_batch=True))
             .groupby("part")
-            .map_groups(fold, batch_format="pandas")
+            .map_groups(fold, batch_format="pyarrow")
         )
 
     return (
@@ -1651,23 +1651,29 @@ def segment_price_quantiles(sf_dir: str):
             }
         )
 
-    def quant(g: pd.DataFrame) -> pd.DataFrame:
+    def quant(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"c_mktsegment": pa.array([], type=pa.string()),
+                             "p50_cents": z, "p90_cents": z, "n_orders": z})
         (p50, p90), n = _exact_pctiles(
-            g["cents"].to_numpy(), g["o_orderkey"].to_numpy()
+            g["cents"].to_numpy(zero_copy_only=False),
+            g["o_orderkey"].to_numpy(zero_copy_only=False),
         )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "c_mktsegment": [g["c_mktsegment"].iloc[0]],
-                "p50_cents": [np.int64(p50)],
-                "p90_cents": [np.int64(p90)],
-                "n_orders": [np.int64(n)],
+                "c_mktsegment": pa.array([g["c_mktsegment"][0].as_py()],
+                                         type=pa.string()),
+                "p50_cents": pa.array([int(p50)], type=pa.int64()),
+                "p90_cents": pa.array([int(p90)], type=pa.int64()),
+                "n_orders": pa.array([int(n)], type=pa.int64()),
             }
         )
 
     return (
         ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("c_mktsegment")
-        .map_groups(quant, batch_format="pandas")
+        .map_groups(quant, batch_format="pyarrow")
     )
 
 
@@ -1698,11 +1704,11 @@ def _user_count_partial(b: pa.Table) -> pa.Table:
     )
 
 
-def _fold_user_totals(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+def _fold_user_totals(g: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """Exact per-user totals within one coarse partition: one stable
     lexsort + run-boundary reduceat (no per-key group anywhere)."""
-    u = g["user_id"].to_numpy().astype(np.int64)
-    n = g["n"].to_numpy().astype(np.int64)
+    u = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
     o = np.argsort(u, kind="stable")
     u, n = u[o], n[o]
     first = np.r_[True, u[1:] != u[:-1]]
@@ -1727,7 +1733,10 @@ def key_skew_profile(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
 
-    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"bucket": z, "n_keys": z, "n_rows": z})
         _, tot = _fold_user_totals(g)
         bucket = np.searchsorted(_POW2, tot, side="right") - 1
         keys = np.bincount(bucket, minlength=64)
@@ -1736,11 +1745,11 @@ def key_skew_profile(sf_dir: str):
         rows_ = np.zeros(64, dtype=np.int64)
         np.add.at(rows_, bucket, tot)
         nz = np.flatnonzero(keys)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "bucket": nz.astype(np.int64),
-                "n_keys": keys[nz].astype(np.int64),
-                "n_rows": rows_[nz].astype(np.int64),
+                "bucket": pa.array(nz.astype(np.int64)),
+                "n_keys": pa.array(keys[nz].astype(np.int64)),
+                "n_rows": pa.array(rows_[nz]),
             }
         )
 
@@ -1748,7 +1757,7 @@ def key_skew_profile(sf_dir: str):
         ds.map_batches(_user_count_partial, batch_format="pyarrow",
                        zero_copy_batch=True)
         .groupby("part")
-        .map_groups(bucket_fold, batch_format="pandas")
+        .map_groups(bucket_fold, batch_format="pyarrow")
         .groupby("bucket")
         .aggregate(Sum("n_keys", alias_name="n_keys"),
                    Sum("n_rows", alias_name="n_rows"))
@@ -1768,18 +1777,21 @@ def hot_keys(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
 
-    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+    def local_topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"user_id": z, "n_rows": z})
         u, tot = _fold_user_totals(g)
         o = np.lexsort((u, -tot))[:HOT_KEYS_K]
-        return pd.DataFrame(
-            {"user_id": u[o], "n_rows": tot[o].astype(np.int64)}
+        return pa.table(
+            {"user_id": pa.array(u[o]), "n_rows": pa.array(tot[o])}
         )
 
     cand = (
         ds.map_batches(_user_count_partial, batch_format="pyarrow",
                        zero_copy_batch=True)
         .groupby("part")
-        .map_groups(local_topk, batch_format="pandas")
+        .map_groups(local_topk, batch_format="pyarrow")
     ).take_all()
     u = np.asarray([r["user_id"] for r in cand], dtype=np.int64)
     n = np.asarray([r["n_rows"] for r in cand], dtype=np.int64)
@@ -1959,10 +1971,15 @@ def funnel_conversion(sf_dir: str):
 
     INF = np.iinfo(np.int64).max
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        u = g["user_id"].to_numpy().astype(np.int64)
-        t = g["t"].to_numpy().astype(np.int64)
-        st = g["stage"].to_numpy().astype(np.int64)
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"stage": z,
+                             "event_type": pa.array([], type=pa.string()),
+                             "n_users": z})
+        u = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = g["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        st = g["stage"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((t, u))
         u, t, st = u[order], t[order], st[order]
         run, starts, _ = _runs(u)
@@ -1978,16 +1995,17 @@ def funnel_conversion(sf_dir: str):
             mk = np.minimum.reduceat(cand, starts)
             ns.append(int((mk < INF).sum()))
             prev = mk[run]
-        return pd.DataFrame({
-            "stage": np.arange(1, len(stages) + 1, dtype=np.int64),
-            "event_type": stages,
-            "n_users": np.asarray(ns, dtype=np.int64),
+        return pa.table({
+            "stage": pa.array(np.arange(1, len(stages) + 1,
+                                        dtype=np.int64)),
+            "event_type": pa.array(stages, type=pa.string()),
+            "n_users": pa.array(ns, type=pa.int64()),
         })
 
     agg = (
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .groupby(["stage", "event_type"])
         .aggregate(Sum("n_users", alias_name="n_users"))
     ).take_all()  # bounded: <= len(stages) rows
@@ -2060,15 +2078,13 @@ def retention_cohorts(sf_dir: str):
             "part": pa.array(u_u % N_REASSEMBLE_PARTS),
         })
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({
-                "cohort_day": np.zeros(0, dtype=np.int64),
-                "day_offset": np.zeros(0, dtype=np.int64),
-                "n_users": np.zeros(0, dtype=np.int64),
-            })
-        u = g["user_id"].to_numpy().astype(np.int64)
-        d = g["day"].to_numpy().astype(np.int64)
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"cohort_day": z, "day_offset": z,
+                             "n_users": z})
+        u = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = g["day"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((d, u))
         u, d = u[order], d[order]
         # cross-batch distinct within the part
@@ -2093,16 +2109,20 @@ def retention_cohorts(sf_dir: str):
             out_c.append(hc[b_])
             out_o.append(np.full(len(b_), off, dtype=np.int64))
             out_n.append(np.diff(np.r_[b_, len(hc)]).astype(np.int64))
-        return pd.DataFrame({
-            "cohort_day": np.concatenate(out_c),
-            "day_offset": np.concatenate(out_o),
-            "n_users": np.concatenate(out_n),
+        if not out_c:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"cohort_day": z, "day_offset": z,
+                             "n_users": z})
+        return pa.table({
+            "cohort_day": pa.array(np.concatenate(out_c)),
+            "day_offset": pa.array(np.concatenate(out_o)),
+            "n_users": pa.array(np.concatenate(out_n)),
         })
 
     return (
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .groupby(["cohort_day", "day_offset"])
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
@@ -2178,21 +2198,27 @@ def bloom_semi_join(sf_dir: str, *, segment: str = BLOOM_SEGMENT):
         pos = np.unique(_bloom_positions(k, m))
         return pa.table({"pos": pa.array(pos), "part": pa.array(pos // seg_len)})
 
-    def bitmap_fold(g: pd.DataFrame) -> pd.DataFrame:
-        part = int(g["part"].iloc[0])
+    def bitmap_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"part": pa.array([], type=pa.int64()),
+                             "blob": pa.array([], type=pa.binary())})
+        part = int(g["part"][0].as_py())
         lo = part * seg_len
         ln = min(seg_len, m - lo)
         bits = np.zeros(ln, dtype=bool)
-        bits[g["pos"].to_numpy().astype(np.int64) - lo] = True
-        return pd.DataFrame(
-            {"part": [part], "blob": [np.packbits(bits).tobytes()]}
+        pos = g["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bits[pos - lo] = True
+        return pa.table(
+            {"part": pa.array([part], type=pa.int64()),
+             "blob": pa.array([np.packbits(bits).tobytes()],
+                              type=pa.binary())}
         )
 
     blob_rows = (
         cust.map_batches(build_partial, batch_format="pyarrow",
                          zero_copy_batch=True)
         .groupby("part")
-        .map_groups(bitmap_fold, batch_format="pandas")
+        .map_groups(bitmap_fold, batch_format="pyarrow")
     ).take_all()
     full = np.zeros(m, dtype=bool)
     for r in blob_rows:
@@ -2336,25 +2362,27 @@ def interarrival_profile(sf_dir: str):
             "part": pa.array(u % N_REASSEMBLE_PARTS),
         })
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        u = g["user_id"].to_numpy().astype(np.int64)
-        t = g["ts_us"].to_numpy().astype(np.int64)
+    def fold(g: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if g.num_rows == 0:
+            return pa.table({"bucket": z, "n_gaps": z})
+        u = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = g["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
         o = np.lexsort((t, u))
         u, t = u[o], t[o]
         same = u[1:] == u[:-1]
         if not same.any():
-            return pd.DataFrame({"bucket": np.array([], dtype=np.int64),
-                                 "n_gaps": np.array([], dtype=np.int64)})
+            return pa.table({"bucket": z, "n_gaps": z})
         gap_s = (t[1:] - t[:-1])[same] // 1_000_000
         bucket = np.searchsorted(_POW2, gap_s, side="right") - 1
         bk, cnt = np.unique(bucket, return_counts=True)
-        return pd.DataFrame({"bucket": bk.astype(np.int64),
-                             "n_gaps": cnt.astype(np.int64)})
+        return pa.table({"bucket": pa.array(bk.astype(np.int64)),
+                         "n_gaps": pa.array(cnt.astype(np.int64))})
 
     return (
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .groupby("bucket")
         .aggregate(Sum("n_gaps", alias_name="n_gaps"))
         .sort("bucket")
@@ -2459,36 +2487,40 @@ def orders_with_late_items(sf_dir: str, *, days: int = LATE_SHIP_DAYS):
         left_extra=(("prio", "o_orderpriority"),),
     )
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["side"].to_numpy()
-        o = g[side == 0]
-        l = g[side == 1]
-        empty = pd.DataFrame({
-            "o_orderpriority": np.array([], dtype=object),
-            "n_orders": np.array([], dtype=np.int64),
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "o_orderpriority": pa.array([], type=pa.string()),
+            "n_orders": pa.array([], type=pa.int64()),
         })
-        if len(o) == 0 or len(l) == 0:
+        if g.num_rows == 0:
             return empty
-        lk = l["key"].to_numpy().astype(np.int64)
-        lt = l["t"].to_numpy().astype(np.int64)
-        osort, ok, pos, hit = _sorted_key_attach(
-            o["key"].to_numpy().astype(np.int64), lk
-        )  # orphan lineitems drop
-        ot = o["t"].to_numpy().astype(np.int64)[osort]
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = g["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o_mask = side == 0
+        l_mask = ~o_mask
+        if not o_mask.any() or not l_mask.any():
+            return empty
+        lk = key[l_mask]
+        lt = t[l_mask]
+        osort, ok, pos, hit = _sorted_key_attach(key[o_mask], lk)
+        # orphan lineitems drop
+        ot = t[o_mask][osort]
         late = np.zeros(len(ok), dtype=bool)
         lm = hit & (lt > ot[pos] + span)
         np.logical_or.at(late, pos[lm], True)
         if not late.any():
             return empty
-        prio = o["prio"].to_numpy()[osort][late]
-        codes, uniq = pd.factorize(prio, sort=True)
-        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
-        return pd.DataFrame({"o_orderpriority": uniq.astype(object),
-                             "n_orders": cnt})
+        prio = np.asarray(g["prio"].to_pylist(),
+                          dtype=object)[o_mask][osort][late]
+        uniq, cnt = np.unique(prio, return_counts=True)
+        return pa.table({"o_orderpriority": pa.array(uniq,
+                                                     type=pa.string()),
+                         "n_orders": pa.array(cnt.astype(np.int64))})
 
     return (
         both.groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .groupby("o_orderpriority")
         .aggregate(Sum("n_orders", alias_name="n_orders"))
         .sort("o_orderpriority")
@@ -2526,20 +2558,23 @@ def fulfillment_latency(sf_dir: str):
         right_key="l_orderkey", right_t="l_shipdate",
     )
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["side"].to_numpy()
-        o = g[side == 0]
-        l = g[side == 1]
-        empty = pd.DataFrame({"bucket": np.array([], dtype=np.int64),
-                              "n": np.array([], dtype=np.int64)})
-        if len(o) == 0 or len(l) == 0:
+    def fold(g: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        empty = pa.table({"bucket": z, "n": z})
+        if g.num_rows == 0:
             return empty
-        lk = l["key"].to_numpy().astype(np.int64)
-        lt = l["t"].to_numpy().astype(np.int64)
-        osort, ok, pos, hit = _sorted_key_attach(
-            o["key"].to_numpy().astype(np.int64), lk
-        )  # orphan lineitems drop
-        ot = o["t"].to_numpy().astype(np.int64)[osort]
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = g["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o_mask = side == 0
+        l_mask = ~o_mask
+        if not o_mask.any() or not l_mask.any():
+            return empty
+        lk = key[l_mask]
+        lt = t[l_mask]
+        osort, ok, pos, hit = _sorted_key_attach(key[o_mask], lk)
+        # orphan lineitems drop
+        ot = t[o_mask][osort]
         gap_us = lt[hit] - ot[pos[hit]]
         neg = gap_us < 0
         gap_days = gap_us[~neg] // day_us
@@ -2548,12 +2583,12 @@ def fulfillment_latency(sf_dir: str):
         if neg.any():
             bu = np.r_[np.int64(-2), bu]
             cnt = np.r_[int(neg.sum()), cnt]
-        return pd.DataFrame({"bucket": bu.astype(np.int64),
-                             "n": cnt.astype(np.int64)})
+        return pa.table({"bucket": pa.array(bu.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
 
     return (
         both.groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .groupby("bucket")
         .aggregate(Sum("n", alias_name="n_items"))
         .sort("bucket")
@@ -2603,11 +2638,15 @@ def user_path_topk(sf_dir: str, *, k: int = PATH_TOPK,
         })
         return _add_user_part(t)
 
-    def paths(g: pd.DataFrame) -> pd.DataFrame:
-        u = g["user_id"].to_numpy().astype(np.int64)
-        ts = g["ts"].to_numpy().astype(np.int64)
-        eid = g["event_id"].to_numpy().astype(np.int64)
-        et = g["event_type"].to_numpy().astype(object)
+    def paths(g: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if g.num_rows == 0:
+            return pa.table({"path": pa.array([], type=pa.string()),
+                             "n": z, "ppart": z})
+        u = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
         order = np.lexsort((eid, ts, u))
         u_s = u[order]
         new = np.r_[True, u_s[1:] != u_s[:-1]]
@@ -2615,21 +2654,30 @@ def user_path_topk(sf_dir: str, *, k: int = PATH_TOPK,
         run = np.cumsum(new) - 1
         pos = np.arange(len(u_s)) - starts[run]
         keep = pos < prefix
-        df = pd.DataFrame({"u": u_s[keep], "t": et[order][keep]})
-        p = df.groupby("u", sort=False)["t"].agg(">".join)
-        cnt = p.value_counts()
+        # per-user prefix join — inherent per-user string building
+        # (like per-doc md5); kept rows stay (u, pos)-sorted
+        et_k = et[order][keep]
+        bounds = np.r_[np.flatnonzero(np.r_[True, run[keep][1:]
+                                            != run[keep][:-1]]), len(et_k)]
+        p = np.asarray(
+            [">".join(et_k[s:e]) for s, e in zip(bounds[:-1], bounds[1:])],
+            dtype=object,
+        )
+        pu, cnt = np.unique(p, return_counts=True)
         part = np.asarray(
-            [zlib.crc32(s.encode()) % N_COPART
-             for s in cnt.index],
+            [zlib.crc32(s.encode()) % N_COPART for s in pu],
             dtype=np.int64,
         )
-        return pd.DataFrame({"path": cnt.index.to_numpy(dtype=object),
-                             "n": cnt.to_numpy().astype(np.int64),
-                             "ppart": part})
+        return pa.table({"path": pa.array(pu, type=pa.string()),
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "ppart": pa.array(part)})
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        p = g["path"].to_numpy().astype(object)
-        n = g["n"].to_numpy().astype(np.int64)
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"path": pa.array([], type=pa.string()),
+                             "n_users": pa.array([], type=pa.int64())})
+        p = np.asarray(g["path"].to_pylist(), dtype=object)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((p,))
         p_s, n_s = p[order], n[order]
         new = np.r_[True, p_s[1:] != p_s[:-1]]
@@ -2637,14 +2685,15 @@ def user_path_topk(sf_dir: str, *, k: int = PATH_TOPK,
         tot = int_bincount(gid, n_s)
         pu = p_s[new]
         o2 = np.lexsort((pu, -tot))[:k]
-        return pd.DataFrame({"path": pu[o2], "n_users": tot[o2]})
+        return pa.table({"path": pa.array(pu[o2], type=pa.string()),
+                         "n_users": pa.array(tot[o2])})
 
     cand = (
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(paths, batch_format="pandas")
+        .map_groups(paths, batch_format="pyarrow")
         .groupby("ppart")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
     ).take_all()
     if not cand:
         return pa.table({"path": pa.array([], type=pa.string()),
@@ -2709,16 +2758,22 @@ def basket_part_pairs(sf_dir: str, *, k: int = BASKET_K):
     dp = ds.map_batches(distinct_pairs, batch_format="pyarrow",
                         zero_copy_batch=True).materialize()
 
-    def df_fold(g: pd.DataFrame) -> pd.DataFrame:
-        _, pk_d = _distinct_rows2(g["ok"].to_numpy().astype(np.int64),
-                                  g["pk"].to_numpy().astype(np.int64))
+    def df_fold(g: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if g.num_rows == 0:
+            return pa.table({"pk": z, "n": z})
+        _, pk_d = _distinct_rows2(
+            g["ok"].to_numpy(zero_copy_only=False).astype(np.int64),
+            g["pk"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
         pku, cnt = np.unique(pk_d, return_counts=True)
         o = np.lexsort((pku, -cnt))[:BASKET_F]
-        return pd.DataFrame({"pk": pku[o], "n": cnt[o].astype(np.int64)})
+        return pa.table({"pk": pa.array(pku[o]),
+                         "n": pa.array(cnt[o].astype(np.int64))})
 
     cand = (
         dp.groupby("part")
-        .map_groups(df_fold, batch_format="pandas")
+        .map_groups(df_fold, batch_format="pyarrow")
     ).take_all()
     pks = np.asarray([r["pk"] for r in cand], dtype=np.int64)
     ns = np.asarray([r["n"] for r in cand], dtype=np.int64)
@@ -2735,23 +2790,28 @@ def basket_part_pairs(sf_dir: str, *, k: int = BASKET_K):
                          "rank": pa.array(pos[m].astype(np.int64)),
                          "part": pa.array((ok[m] % N_COPART).astype(np.int64))})
 
-    def pair_fold(g: pd.DataFrame) -> pd.DataFrame:
-        ok_d, rk_d = _distinct_rows2(g["ok"].to_numpy().astype(np.int64),
-                                     g["rank"].to_numpy().astype(np.int64))
+    def pair_fold(g: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if g.num_rows == 0:
+            return pa.table({"i": z, "j": z, "n": z})
+        ok_d, rk_d = _distinct_rows2(
+            g["ok"].to_numpy(zero_copy_only=False).astype(np.int64),
+            g["rank"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
         oku, inv = np.unique(ok_d, return_inverse=True)
         B = np.zeros((len(oku), len(top)), dtype=np.int64)
         B[inv, rk_d] = 1
         C = B.T @ B
         iu, ju = np.triu_indices(len(top), k=1)
         nz = C[iu, ju] > 0
-        return pd.DataFrame({"i": iu[nz].astype(np.int64),
-                             "j": ju[nz].astype(np.int64),
-                             "n": C[iu, ju][nz]})
+        return pa.table({"i": pa.array(iu[nz].astype(np.int64)),
+                         "j": pa.array(ju[nz].astype(np.int64)),
+                         "n": pa.array(C[iu, ju][nz])})
 
     folded = (
         dp.map_batches(in_f, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(pair_fold, batch_format="pandas")
+        .map_groups(pair_fold, batch_format="pyarrow")
         .groupby(["i", "j"])
         .aggregate(Sum("n", alias_name="n"))
     ).take_all()
@@ -2798,11 +2858,15 @@ def customer_running_total(sf_dir: str):
             "cents": pa.array(_cents(b["o_totalprice"].to_numpy())),
         })
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        ck = g["ck"].to_numpy().astype(np.int64)
-        ok = g["ok"].to_numpy().astype(np.int64)
-        d = g["d"].to_numpy().astype(np.int64)
-        c = g["cents"].to_numpy().astype(np.int64)
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"o_orderkey": z, "o_custkey": z,
+                             "running_cents": z, "order_seq": z})
+        ck = g["ck"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = g["ok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = g["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = g["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((ok, d, ck))
         ck_s, ok_s, c_s = ck[order], ok[order], c[order]
         new = np.r_[True, ck_s[1:] != ck_s[:-1]]
@@ -2811,17 +2875,17 @@ def customer_running_total(sf_dir: str):
         cum = np.cumsum(c_s)
         base = np.r_[np.int64(0), cum[starts[1:] - 1]][run]
         seq = np.arange(len(ck_s), dtype=np.int64) - starts[run] + 1
-        return pd.DataFrame({
-            "o_orderkey": ok_s,
-            "o_custkey": ck_s,
-            "running_cents": cum - base,
-            "order_seq": seq,
+        return pa.table({
+            "o_orderkey": pa.array(ok_s),
+            "o_custkey": pa.array(ck_s),
+            "running_cents": pa.array(cum - base),
+            "order_seq": pa.array(seq),
         })
 
     return (
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
     )
 
 
@@ -2885,30 +2949,35 @@ def q14_promo_revenue(sf_dir: str):
         li_norm, batch_format="pyarrow", zero_copy_batch=True
     ))
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["side"].to_numpy()
-        p = g[side == 0]
-        l = g[side == 1]
-        if len(p) == 0 or len(l) == 0:
-            return pd.DataFrame({
-                "promo_cents": np.array([0], dtype=np.int64),
-                "total_cents": np.array([0], dtype=np.int64),
-            })
-        lk = l["key"].to_numpy().astype(np.int64)
-        rev = l["v"].to_numpy().astype(np.int64)
-        osort, pk, pos, hit = _sorted_key_attach(
-            p["key"].to_numpy().astype(np.int64), lk
-        )  # lineitems with an unknown part drop (inner-join parity)
-        promo = p["v"].to_numpy().astype(np.int64)[osort]
+    def fold(g: pa.Table) -> pa.Table:
+        zero = pa.table({
+            "promo_cents": pa.array([0], type=pa.int64()),
+            "total_cents": pa.array([0], type=pa.int64()),
+        })
+        if g.num_rows == 0:
+            return zero
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p_mask = side == 0
+        l_mask = ~p_mask
+        if not p_mask.any() or not l_mask.any():
+            return zero
+        lk = key[l_mask]
+        rev = v[l_mask]
+        osort, pk, pos, hit = _sorted_key_attach(key[p_mask], lk)
+        # lineitems with an unknown part drop (inner-join parity)
+        promo = v[p_mask][osort]
         total = int(rev[hit].sum())
         pro = int((rev[hit] * promo[pos[hit]]).sum())
-        return pd.DataFrame({"promo_cents": np.array([pro], dtype=np.int64),
-                             "total_cents": np.array([total],
-                                                     dtype=np.int64)})
+        return pa.table({
+            "promo_cents": pa.array([pro], type=pa.int64()),
+            "total_cents": pa.array([total], type=pa.int64()),
+        })
 
     agg = (
         both.groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .aggregate(Sum("promo_cents", alias_name="p"),
                    Sum("total_cents", alias_name="t"))
     )
@@ -2973,70 +3042,105 @@ def brand_supplier_counts(sf_dir: str):
         li_norm, batch_format="pyarrow", zero_copy_batch=True
     ))
 
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["side"].to_numpy()
-        p = g[side == 0]
-        l = g[side == 1]
-        empty = pd.DataFrame({
-            "brand": np.array([], dtype=object),
-            "size": np.array([], dtype=np.int64),
-            "supp": np.array([], dtype=np.int64),
-            "spart": np.array([], dtype=np.int64),
+    def attach(g: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        empty = pa.table({
+            "brand": pa.array([], type=pa.string()),
+            "size": z, "supp": z, "spart": z,
         })
-        if len(p) == 0 or len(l) == 0:
+        if g.num_rows == 0:
             return empty
-        lk = l["key"].to_numpy().astype(np.int64)
-        osort, pk, pos, hit = _sorted_key_attach(
-            p["key"].to_numpy().astype(np.int64), lk
-        )  # lineitems with an unknown part drop
-        brand = p["brand"].to_numpy()[osort]
-        size = p["size"].to_numpy().astype(np.int64)[osort]
-        supp = l["supp"].to_numpy().astype(np.int64)
-        t = pd.DataFrame({
-            "brand": brand[pos[hit]],
-            "size": size[pos[hit]],
-            "supp": supp[hit],
-        }).drop_duplicates()
-        t["spart"] = (t["supp"].to_numpy() % N_COPART).astype(np.int64)
-        return t
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p_mask = side == 0
+        l_mask = ~p_mask
+        if not p_mask.any() or not l_mask.any():
+            return empty
+        lk = key[l_mask]
+        osort, pk, pos, hit = _sorted_key_attach(key[p_mask], lk)
+        # lineitems with an unknown part drop
+        brand = np.asarray(g["brand"].to_pylist(), dtype=object)[p_mask][osort]
+        size = g["size"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[p_mask][osort]
+        supp = g["supp"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[l_mask]
+        b_h, s_h, u_h = brand[pos[hit]], size[pos[hit]], supp[hit]
+        # distinct (brand, size, supp): brand determined by the part key,
+        # so (size, supp) + brand codes dedup in one lexsort pass
+        _, bc = np.unique(b_h, return_inverse=True)
+        o = np.lexsort((u_h, s_h, bc))
+        bc_s, s_s, u_s = bc[o], s_h[o], u_h[o]
+        keep = np.r_[True, (bc_s[1:] != bc_s[:-1]) | (s_s[1:] != s_s[:-1])
+                     | (u_s[1:] != u_s[:-1])]
+        sel = o[keep]
+        return pa.table({
+            "brand": pa.array(b_h[sel], type=pa.string()),
+            "size": pa.array(s_h[sel]),
+            "supp": pa.array(u_h[sel]),
+            "spart": pa.array((u_h[sel] % N_COPART).astype(np.int64)),
+        })
 
-    def count_fold(g: pd.DataFrame) -> pd.DataFrame:
+    def count_fold(g: pa.Table) -> pa.Table:
         import zlib
 
-        d = g[["brand", "size", "supp"]].drop_duplicates()
-        out = (d.groupby(["brand", "size"], sort=False, as_index=False)
-               .agg(n=("supp", "size")))
-        out["n"] = out["n"].astype(np.int64)
+        z = pa.array([], type=pa.int64())
+        if g.num_rows == 0:
+            return pa.table({"brand": pa.array([], type=pa.string()),
+                             "size": z, "n": z, "bpart": z})
+        brand = np.asarray(g["brand"].to_pylist(), dtype=object)
+        size = g["size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        supp = g["supp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, bc = np.unique(brand, return_inverse=True)
+        o = np.lexsort((supp, size, bc))
+        bc_s, s_s, u_s = bc[o], size[o], supp[o]
+        keep = np.r_[True, (bc_s[1:] != bc_s[:-1]) | (s_s[1:] != s_s[:-1])
+                     | (u_s[1:] != u_s[:-1])]
+        # distinct triples, then per-(brand, size) counts in the same
+        # sorted order
+        bg, sg = bc_s[keep], s_s[keep]
+        new = np.r_[True, (bg[1:] != bg[:-1]) | (sg[1:] != sg[:-1])]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.r_[starts, len(bg)]).astype(np.int64)
+        sel = o[keep][starts]
+        bsel = brand[sel]
         # coarse final partition by brand (a (brand, size) group lives in
         # exactly one bpart) — Ray's groupby().aggregate() pays per-KEY
         # scheduling on the ~brands*sizes grouped keys (measured 12.6 s
         # of this query's 20 s at sf0.1); one vectorized fold per coarse
         # part is the repo-standard fix (user_path_topk, corpus_stats)
-        out["bpart"] = np.asarray(
-            [zlib.crc32(s.encode()) % N_COPART for s in out["brand"]],
+        bpart = np.asarray(
+            [zlib.crc32(s.encode()) % N_COPART for s in bsel],
             dtype=np.int64,
         )
-        return out
+        return pa.table({"brand": pa.array(bsel, type=pa.string()),
+                         "size": pa.array(size[sel]),
+                         "n": pa.array(n),
+                         "bpart": pa.array(bpart)})
 
-    def final_fold(g: pd.DataFrame) -> pd.DataFrame:
-        brand = g["brand"].to_numpy().astype(object)
-        size = g["size"].to_numpy().astype(np.int64)
-        n = g["n"].to_numpy().astype(np.int64)
+    def final_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"brand": pa.array([], type=pa.string()),
+                             "size": z, "n_suppliers": z})
+        brand = np.asarray(g["brand"].to_pylist(), dtype=object)
+        size = g["size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((size, brand))
         b_s, s_s, n_s = brand[order], size[order], n[order]
         new = np.r_[True, (b_s[1:] != b_s[:-1]) | (s_s[1:] != s_s[:-1])]
         gid = np.cumsum(new) - 1
         tot = int_bincount(gid, n_s)
-        return pd.DataFrame({"brand": b_s[new], "size": s_s[new],
-                             "n_suppliers": tot})
+        return pa.table({"brand": pa.array(b_s[new], type=pa.string()),
+                         "size": pa.array(s_s[new]),
+                         "n_suppliers": pa.array(tot)})
 
     return (
         both.groupby("part")
-        .map_groups(attach, batch_format="pandas")
+        .map_groups(attach, batch_format="pyarrow")
         .groupby("spart")
-        .map_groups(count_fold, batch_format="pandas")
+        .map_groups(count_fold, batch_format="pyarrow")
         .groupby("bpart")
-        .map_groups(final_fold, batch_format="pandas")
+        .map_groups(final_fold, batch_format="pyarrow")
         .sort(["brand", "size"])
     )
 
@@ -3070,23 +3174,28 @@ def user_stickiness(sf_dir: str):
         t = pa.table({"user_id": pa.array(ud), "day": pa.array(dd)})
         return _add_user_part(t)
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        ud, dd = _distinct_rows2(g["user_id"].to_numpy().astype(np.int64),
-                                 g["day"].to_numpy().astype(np.int64))
+    def fold(g: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        if g.num_rows == 0:
+            return pa.table({"kind": z, "key": z, "n": z})
+        ud, dd = _distinct_rows2(
+            g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            g["day"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
         days, dn = np.unique(dd, return_counts=True)
         uw, ww = _distinct_rows2(ud, dd // 7)
         weeks, wn = np.unique(ww, return_counts=True)
-        return pd.DataFrame({
-            "kind": np.r_[np.zeros(len(days), dtype=np.int64),
-                          np.ones(len(weeks), dtype=np.int64)],
-            "key": np.r_[days, weeks],
-            "n": np.r_[dn, wn].astype(np.int64),
+        return pa.table({
+            "kind": pa.array(np.r_[np.zeros(len(days), dtype=np.int64),
+                                   np.ones(len(weeks), dtype=np.int64)]),
+            "key": pa.array(np.r_[days, weeks]),
+            "n": pa.array(np.r_[dn, wn].astype(np.int64)),
         })
 
     rows = (
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
     ).take_all()
     dau: dict[int, int] = {}
     wau: dict[int, int] = {}
@@ -3158,23 +3267,26 @@ def q13_custdist(sf_dir: str):
             "part": pa.array(_copart_tag(ku)),
         })
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        k = g["custkey"].to_numpy().astype(np.int64)
-        n = g["n"].to_numpy().astype(np.int64)
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"n_orders": z, "n_customers": z})
+        k = g["custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(k, kind="stable")
         k_s, n_s = k[order], n[order]
         new = np.r_[True, k_s[1:] != k_s[:-1]]
         run = np.cumsum(new) - 1
         tot = int_bincount(run, n_s)
         v, c = np.unique(tot, return_counts=True)
-        return pd.DataFrame({"n_orders": v.astype(np.int64),
-                             "n_customers": c.astype(np.int64)})
+        return pa.table({"n_orders": pa.array(v.astype(np.int64)),
+                         "n_customers": pa.array(c.astype(np.int64))})
 
     hist = (
         ord_ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .groupby("n_orders")
         .aggregate(Sum("n_customers", alias_name="n_customers"))
         .take_all()  # bounded: one row per distinct per-customer count
