@@ -3356,42 +3356,47 @@ def q18_large_orders(sf_dir: str, *, min_qty_cents: int = Q18_MIN_QTY_CENTS,
         l_norm, batch_format="pyarrow", zero_copy_batch=True
     ))
 
-    empty = pd.DataFrame({
-        "o_orderkey": np.array([], dtype=np.int64),
-        "o_orderdate_us": np.array([], dtype=np.int64),
-        "o_totalprice_cents": np.array([], dtype=np.int64),
-        "sum_qty_cents": np.array([], dtype=np.int64),
+    _z = pa.array([], type=pa.int64())
+    empty = pa.table({
+        "o_orderkey": _z,
+        "o_orderdate_us": _z,
+        "o_totalprice_cents": _z,
+        "sum_qty_cents": _z,
     })
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["side"].to_numpy()
-        o = g[side == 0]
-        l = g[side == 1]
-        if len(o) == 0 or len(l) == 0:
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
             return empty
-        lk = l["key"].to_numpy().astype(np.int64)
-        osort, ok, pos, hit = _sorted_key_attach(
-            o["key"].to_numpy().astype(np.int64), lk
-        )  # orphan lineitems drop
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = g["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o_mask = side == 0
+        l_mask = ~o_mask
+        if not o_mask.any() or not l_mask.any():
+            return empty
+        lk = key[l_mask]
+        osort, ok, pos, hit = _sorted_key_attach(key[o_mask], lk)
+        # orphan lineitems drop
         qty = np.zeros(len(ok), dtype=np.int64)
-        np.add.at(qty, pos[hit], l["a"].to_numpy().astype(np.int64)[hit])
+        np.add.at(qty, pos[hit], a[l_mask][hit])
         big = qty > min_qty_cents
         if not big.any():
             return empty
-        price = o["a"].to_numpy().astype(np.int64)[osort][big]
-        date = o["b"].to_numpy().astype(np.int64)[osort][big]
+        price = a[o_mask][osort][big]
+        date = g["b"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[o_mask][osort][big]
         keys = ok[big]
         top = np.lexsort((keys, -price))[:k]
-        return pd.DataFrame({
-            "o_orderkey": keys[top],
-            "o_orderdate_us": date[top],
-            "o_totalprice_cents": price[top],
-            "sum_qty_cents": qty[big][top],
+        return pa.table({
+            "o_orderkey": pa.array(keys[top]),
+            "o_orderdate_us": pa.array(date[top]),
+            "o_totalprice_cents": pa.array(price[top]),
+            "sum_qty_cents": pa.array(qty[big][top]),
         })
 
     survivors = (
         both.groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .take_all()  # <= N_COPART * k per-part winners
     )
     keys = np.array([r["o_orderkey"] for r in survivors], dtype=np.int64)
@@ -3484,34 +3489,37 @@ def q10_returned_revenue(sf_dir: str, *, k: int = Q10_TOPK):
         l_norm, batch_format="pyarrow", zero_copy_batch=True
     ))
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["side"].to_numpy()
-        o = g[side == 0]
-        l = g[side == 1]
-        empty = pd.DataFrame({
-            "custkey": np.array([], dtype=np.int64),
-            "rev": np.array([], dtype=np.int64),
-            "cpart": np.array([], dtype=np.int64),
-        })
-        if len(o) == 0 or len(l) == 0:
+    def fold(g: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        empty = pa.table({"custkey": z, "rev": z, "cpart": z})
+        if g.num_rows == 0:
             return empty
-        lk = l["key"].to_numpy().astype(np.int64)
-        osort, ok, pos, hit = _sorted_key_attach(
-            o["key"].to_numpy().astype(np.int64), lk
-        )  # lineitems of out-of-window orders drop
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = g["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o_mask = side == 0
+        l_mask = ~o_mask
+        if not o_mask.any() or not l_mask.any():
+            return empty
+        lk = key[l_mask]
+        osort, ok, pos, hit = _sorted_key_attach(key[o_mask], lk)
+        # lineitems of out-of-window orders drop
         if not hit.any():
             return empty
-        ck = o["a"].to_numpy().astype(np.int64)[osort][pos[hit]]
-        rev = l["a"].to_numpy().astype(np.int64)[hit]
+        ck = a[o_mask][osort][pos[hit]]
+        rev = a[l_mask][hit]
         ku, inv = np.unique(ck, return_inverse=True)
         r = np.zeros(len(ku), dtype=np.int64)
         np.add.at(r, inv, rev)
-        return pd.DataFrame({"custkey": ku, "rev": r,
-                             "cpart": _copart_tag(ku)})
+        return pa.table({"custkey": pa.array(ku), "rev": pa.array(r),
+                         "cpart": pa.array(_copart_tag(ku))})
 
-    def fold_topk(g: pd.DataFrame) -> pd.DataFrame:
-        ckey = g["custkey"].to_numpy().astype(np.int64)
-        rev = g["rev"].to_numpy().astype(np.int64)
+    def fold_topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"custkey": z, "rev": z})
+        ckey = g["custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = g["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ckey, kind="stable")
         k_s, r_s = ckey[order], rev[order]
         new = np.r_[True, k_s[1:] != k_s[:-1]]
@@ -3520,13 +3528,14 @@ def q10_returned_revenue(sf_dir: str, *, k: int = Q10_TOPK):
         np.add.at(tot, run, r_s)
         keys_u = k_s[new]
         top = np.lexsort((keys_u, -tot))[:k]
-        return pd.DataFrame({"custkey": keys_u[top], "rev": tot[top]})
+        return pa.table({"custkey": pa.array(keys_u[top]),
+                         "rev": pa.array(tot[top])})
 
     survivors = (
         both.groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .groupby("cpart")
-        .map_groups(fold_topk, batch_format="pandas")
+        .map_groups(fold_topk, batch_format="pyarrow")
         .take_all()  # <= N_COPART * k per-part winners
     )
     ckeys = np.array([r["custkey"] for r in survivors], dtype=np.int64)
@@ -3675,7 +3684,7 @@ def trade_volume(sf_dir: str, *, via: str = "auto"):
         l_norm, batch_format="pyarrow", zero_copy_batch=True
     ))
 
-    def _code_fold(sn, cn, year, rev) -> pd.DataFrame:
+    def _code_fold(sn, cn, year, rev) -> pa.Table:
         # composite (snat, cnat, year) code: nationkeys < 2^10,
         # years < 2^12 — bounded key space, one bincount-free fold.
         # fpart coarse-partitions the final fold (a code lives in
@@ -3688,75 +3697,79 @@ def trade_volume(sf_dir: str, *, via: str = "auto"):
         # in 2 of the 8 parts
         code = ((sn << np.int64(22)) | (cn << np.int64(12))) | year
         cu, r = _sum_by_key(code, rev)
-        return pd.DataFrame({"code": cu, "rev": r,
-                             "fpart": (cu >> np.int64(12)) % np.int64(8)})
+        return pa.table({"code": pa.array(cu), "rev": pa.array(r),
+                         "fpart": pa.array((cu >> np.int64(12))
+                                           % np.int64(8))})
 
-    _code_empty = pd.DataFrame({
-        "code": np.array([], dtype=np.int64),
-        "rev": np.array([], dtype=np.int64),
-        "fpart": np.array([], dtype=np.int64),
-    })
+    _zi = pa.array([], type=pa.int64())
+    _code_empty = pa.table({"code": _zi, "rev": _zi, "fpart": _zi})
 
-    def _split_attach(g: pd.DataFrame):
+    def _split_attach(g: pa.Table):
         """Split a co-partition into (left, fact) and attach the left
         side's `a` column onto fact rows via the shared sorted probe;
+        returns (attached, fact_a, fact_b, fact_c) hit-filtered, or
         None when either side is empty or nothing matches."""
-        side = g["side"].to_numpy()
-        o = g[side == 0]
-        l = g[side == 1]
-        if len(o) == 0 or len(l) == 0:
+        if g.num_rows == 0:
             return None
-        lk = l["key"].to_numpy().astype(np.int64)
-        osort, ok, pos, hit = _sorted_key_attach(
-            o["key"].to_numpy().astype(np.int64), lk
-        )  # orphan fact rows drop (oracle inner-join parity)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o_mask = side == 0
+        l_mask = ~o_mask
+        if not o_mask.any() or not l_mask.any():
+            return None
+        lk = key[l_mask]
+        osort, ok, pos, hit = _sorted_key_attach(key[o_mask], lk)
+        # orphan fact rows drop (oracle inner-join parity)
         if not hit.any():
             return None
-        attached = o["a"].to_numpy().astype(np.int64)[osort][pos[hit]]
-        return attached, l, hit
+        a = g["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        attached = a[o_mask][osort][pos[hit]]
+        la = a[l_mask][hit]
+        lb = g["b"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[l_mask][hit]
+        lc = g["c"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[l_mask][hit]
+        return attached, la, lb, lc
 
     if via == "broadcast":
 
-        def fold(g: pd.DataFrame) -> pd.DataFrame:
+        def fold(g: pa.Table) -> pa.Table:
             import ray as _ray
 
             hitrow = _split_attach(g)
             if hitrow is None:
                 return _code_empty
-            ck, l, hit = hitrow
-            sk = l["a"].to_numpy().astype(np.int64)[hit]
-            rev = l["b"].to_numpy().astype(np.int64)[hit]
-            year = l["c"].to_numpy().astype(np.int64)[hit]
+            ck, sk, rev, year = hitrow
             skeys, snat = _ray.get(supp_ref)
             ckeys, cnat = _ray.get(cust_ref)
             sn = snat[np.searchsorted(skeys, sk)]
             cn = cnat[np.searchsorted(ckeys, ck)]
             return _code_fold(sn, cn, year, rev)
 
-        coded = both.groupby("part").map_groups(fold, batch_format="pandas")
+        coded = both.groupby("part").map_groups(fold,
+                                                batch_format="pyarrow")
     else:
         # Stage 1 (orderkey copart): attach custkey, emit raw
         # (ck, sk, year, rev) rows — cardinality is fact-scale, so no
         # pre-fold is possible before the nation attach.
-        _row_empty = pd.DataFrame({
-            c: np.array([], dtype=np.int64)
-            for c in ("ck", "sk", "year", "rev")
+        _row_empty = pa.table({
+            c: _zi for c in ("ck", "sk", "year", "rev")
         })
 
-        def fold1(g: pd.DataFrame) -> pd.DataFrame:
+        def fold1(g: pa.Table) -> pa.Table:
             hitrow = _split_attach(g)
             if hitrow is None:
                 return _row_empty
-            ck, l, hit = hitrow
-            return pd.DataFrame({
-                "ck": ck,
-                "sk": l["a"].to_numpy().astype(np.int64)[hit],
-                "year": l["c"].to_numpy().astype(np.int64)[hit],
-                "rev": l["b"].to_numpy().astype(np.int64)[hit],
+            ck, sk, rev, year = hitrow
+            return pa.table({
+                "ck": pa.array(ck),
+                "sk": pa.array(sk),
+                "year": pa.array(year),
+                "rev": pa.array(rev),
             })
 
         rows1 = both.groupby("part").map_groups(fold1,
-                                                batch_format="pandas")
+                                                batch_format="pyarrow")
 
         # Stage 2 (suppkey copart): attach s_nationkey.
         def s_norm(b: pa.Table) -> pa.Table:
@@ -3779,16 +3792,18 @@ def trade_volume(sf_dir: str, *, via: str = "auto"):
                 "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
             })
 
-        def fold2(g: pd.DataFrame) -> pd.DataFrame:
+        def fold2(g: pa.Table) -> pa.Table:
             hitrow = _split_attach(g)
             if hitrow is None:
-                return _row_empty.rename(columns={"sk": "snat"})
-            snat, l, hit = hitrow
-            return pd.DataFrame({
-                "ck": l["a"].to_numpy().astype(np.int64)[hit],
-                "snat": snat,
-                "year": l["c"].to_numpy().astype(np.int64)[hit],
-                "rev": l["b"].to_numpy().astype(np.int64)[hit],
+                return pa.table({
+                    c: _zi for c in ("ck", "snat", "year", "rev")
+                })
+            snat, ck, rev, year = hitrow
+            return pa.table({
+                "ck": pa.array(ck),
+                "snat": pa.array(snat),
+                "year": pa.array(year),
+                "rev": pa.array(rev),
             })
 
         rows2 = (
@@ -3796,7 +3811,7 @@ def trade_volume(sf_dir: str, *, via: str = "auto"):
             .union(supp_ds.map_batches(s_norm, batch_format="pyarrow",
                                        zero_copy_batch=True))
             .groupby("part")
-            .map_groups(fold2, batch_format="pandas")
+            .map_groups(fold2, batch_format="pyarrow")
         )
 
         # Stage 3 (custkey copart): attach c_nationkey, fold to the
@@ -3821,14 +3836,11 @@ def trade_volume(sf_dir: str, *, via: str = "auto"):
                 "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
             })
 
-        def fold3(g: pd.DataFrame) -> pd.DataFrame:
+        def fold3(g: pa.Table) -> pa.Table:
             hitrow = _split_attach(g)
             if hitrow is None:
                 return _code_empty
-            cn, l, hit = hitrow
-            sn = l["a"].to_numpy().astype(np.int64)[hit]
-            rev = l["b"].to_numpy().astype(np.int64)[hit]
-            year = l["c"].to_numpy().astype(np.int64)[hit]
+            cn, sn, rev, year = hitrow
             return _code_fold(sn, cn, year, rev)
 
         coded = (
@@ -3836,17 +3848,23 @@ def trade_volume(sf_dir: str, *, via: str = "auto"):
             .union(cust_ds.map_batches(c_norm, batch_format="pyarrow",
                                        zero_copy_batch=True))
             .groupby("part")
-            .map_groups(fold3, batch_format="pandas")
+            .map_groups(fold3, batch_format="pyarrow")
         )
 
-    def _final_code_fold(g: pd.DataFrame) -> pd.DataFrame:
-        cu, r = _sum_by_key(g["code"].to_numpy().astype(np.int64),
-                            g["rev"].to_numpy().astype(np.int64))
-        return pd.DataFrame({"code": cu, "revenue_cents": r})
+    def _final_code_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"code": z, "revenue_cents": z})
+        cu, r = _sum_by_key(
+            g["code"].to_numpy(zero_copy_only=False).astype(np.int64),
+            g["rev"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        return pa.table({"code": pa.array(cu),
+                         "revenue_cents": pa.array(r)})
 
     agg = (
         coded.groupby("fpart")
-        .map_groups(_final_code_fold, batch_format="pandas")
+        .map_groups(_final_code_fold, batch_format="pyarrow")
         .take_all()  # bounded: <= nations^2 * n_years rows
     )
     nat = _collect_columns(
@@ -3907,10 +3925,13 @@ def q17_small_quantity(sf_dir: str):
             "pc": pa.array(_cents(b["l_extendedprice"].to_numpy())),
         })
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        k = g["key"].to_numpy().astype(np.int64)
-        qc = g["qc"].to_numpy().astype(np.int64)
-        pcents = g["pc"].to_numpy().astype(np.int64)
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            zero = pa.array([0], type=pa.int64())
+            return pa.table({"total": zero, "n": zero})
+        k = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qc = g["qc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pcents = g["pc"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(k, kind="stable")
         k_s, q_s, p_s = k[order], qc[order], pcents[order]
         new = np.r_[True, k_s[1:] != k_s[:-1]]
@@ -3920,15 +3941,15 @@ def q17_small_quantity(sf_dir: str):
         np.add.at(sumq, run, q_s)
         n = np.bincount(run, minlength=nrun).astype(np.int64)
         small = 5 * q_s * n[run] < sumq[run]
-        return pd.DataFrame({
-            "total": np.array([int(p_s[small].sum())], dtype=np.int64),
-            "n": np.array([int(small.sum())], dtype=np.int64),
+        return pa.table({
+            "total": pa.array([int(p_s[small].sum())], type=pa.int64()),
+            "n": pa.array([int(small.sum())], type=pa.int64()),
         })
 
     parts = (
         li.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .take_all()  # <= N_COPART one-row partials
     )
     return pa.table({
@@ -3987,9 +4008,12 @@ def q15_top_supplier(sf_dir: str):
             "rev": pa.array(r),
         })
 
-    def fold_max(g: pd.DataFrame) -> pd.DataFrame:
-        k = g["key"].to_numpy().astype(np.int64)
-        rev = g["rev"].to_numpy().astype(np.int64)
+    def fold_max(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"key": z, "rev": z})
+        k = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = g["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(k, kind="stable")
         k_s, r_s = k[order], rev[order]
         new = np.r_[True, k_s[1:] != k_s[:-1]]
@@ -3999,13 +4023,14 @@ def q15_top_supplier(sf_dir: str):
         keys_u = k_s[new]
         m = tot.max()
         win = tot == m  # the part's local max, ties included
-        return pd.DataFrame({"key": keys_u[win], "rev": tot[win]})
+        return pa.table({"key": pa.array(keys_u[win]),
+                         "rev": pa.array(tot[win])})
 
     cand = (
         li.map_batches(partial, batch_format="pyarrow",
                        zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold_max, batch_format="pandas")
+        .map_groups(fold_max, batch_format="pyarrow")
         .take_all()  # <= N_COPART * per-part ties
     )
     empty = pa.table({
@@ -4183,23 +4208,26 @@ def global_sales_opportunity(sf_dir: str, *, via: str = "auto"):
                 "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
             })
 
-        def fold(g: pd.DataFrame) -> pd.DataFrame:
-            side = g["side"].to_numpy()
-            o = g[side == 0]
-            c = g[side == 1]
-            if len(c) == 0:
-                return pd.DataFrame({
-                    "nationkey": np.array([], dtype=np.int64),
-                    "n": np.array([], dtype=np.int64),
-                    "s": np.array([], dtype=np.int64),
-                })
-            have = np.unique(o["key"].to_numpy().astype(np.int64))
-            k = c["key"].to_numpy().astype(np.int64)
-            cents = c["cents"].to_numpy().astype(np.int64)
+        def fold(g: pa.Table) -> pa.Table:
+            z = pa.array([], type=pa.int64())
+            empty = pa.table({"nationkey": z, "n": z, "s": z})
+            if g.num_rows == 0:
+                return empty
+            side = g["side"].to_numpy(zero_copy_only=False)
+            key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c_mask = side == 1
+            if not c_mask.any():
+                return empty
+            have = np.unique(key[side == 0])
+            k = key[c_mask]
+            cents = g["cents"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[c_mask]
             keep = _anti_probe(have, k) & (cents * n_pos > sum_pos)
-            nk = c["nat"].to_numpy().astype(np.int64)[keep]
+            nk = g["nat"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[c_mask][keep]
             ku, n, s = _nation_partial(cents[keep], nk)
-            return pd.DataFrame({"nationkey": ku, "n": n, "s": s})
+            return pa.table({"nationkey": pa.array(ku),
+                             "n": pa.array(n), "s": pa.array(s)})
 
         partials = (
             ord_ds.map_batches(o_norm, batch_format="pyarrow",
@@ -4207,7 +4235,7 @@ def global_sales_opportunity(sf_dir: str, *, via: str = "auto"):
             .union(cust_ds.map_batches(c_norm, batch_format="pyarrow",
                                        zero_copy_batch=True))
             .groupby("part")
-            .map_groups(fold, batch_format="pandas")
+            .map_groups(fold, batch_format="pyarrow")
         )
 
     agg = (
