@@ -4341,33 +4341,35 @@ def q19_disjunctive_revenue(sf_dir: str):
         li_norm, batch_format="pyarrow", zero_copy_batch=True
     ))
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["side"].to_numpy()
-        p = g[side == 0]
-        l = g[side == 1]
-        empty = pd.DataFrame({
-            "revenue_cents": np.array([0], dtype=np.int64),
-            "n_lineitems": np.array([0], dtype=np.int64),
-        })
-        if len(p) == 0 or len(l) == 0:
+    def fold(g: pa.Table) -> pa.Table:
+        zero = pa.array([0], type=pa.int64())
+        empty = pa.table({"revenue_cents": zero, "n_lineitems": zero})
+        if g.num_rows == 0:
             return empty
-        lk = l["key"].to_numpy().astype(np.int64)
-        osort, pk, pos, hit = _sorted_key_attach(
-            p["key"].to_numpy().astype(np.int64), lk
-        )  # lineitems with an unknown part drop (inner-join parity)
-        pmask = p["v"].to_numpy().astype(np.int64)[osort][pos[hit]]
-        qmask = l["v"].to_numpy().astype(np.int64)[hit]
-        rev = l["w"].to_numpy().astype(np.int64)[hit]
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p_mask = side == 0
+        l_mask = ~p_mask
+        if not p_mask.any() or not l_mask.any():
+            return empty
+        lk = key[l_mask]
+        osort, pk, pos, hit = _sorted_key_attach(key[p_mask], lk)
+        # lineitems with an unknown part drop (inner-join parity)
+        pmask = v[p_mask][osort][pos[hit]]
+        qmask = v[l_mask][hit]
+        rev = g["w"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[l_mask][hit]
         keep = (pmask & qmask) != 0
-        return pd.DataFrame({
-            "revenue_cents": np.array([int(rev[keep].sum())],
-                                      dtype=np.int64),
-            "n_lineitems": np.array([int(keep.sum())], dtype=np.int64),
+        return pa.table({
+            "revenue_cents": pa.array([int(rev[keep].sum())],
+                                      type=pa.int64()),
+            "n_lineitems": pa.array([int(keep.sum())], type=pa.int64()),
         })
 
     parts = (
         both.groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .take_all()  # <= N_COPART one-row partials
     )
     return pa.table({
@@ -4440,24 +4442,25 @@ def q21_waiting_suppliers(sf_dir: str, *, k: int = Q21_TOPK,
         right_extra=(("sk", "l_suppkey"),),
     )
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["side"].to_numpy()
-        o = g[side == 0]
-        l = g[side == 1]
-        empty = pd.DataFrame({
-            "s_suppkey": np.array([], dtype=np.int64),
-            "numwait": np.array([], dtype=np.int64),
-            "spart": np.array([], dtype=np.int64),
-        })
-        if len(o) == 0 or len(l) == 0:
+    def fold(g: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        empty = pa.table({"s_suppkey": z, "numwait": z, "spart": z})
+        if g.num_rows == 0:
             return empty
-        lk = l["key"].to_numpy().astype(np.int64)
-        lt = l["t"].to_numpy().astype(np.int64)
-        sk = l["sk"].to_numpy().astype(np.int64)
-        osort, ok, pos, hit = _sorted_key_attach(
-            o["key"].to_numpy().astype(np.int64), lk
-        )  # lineitems of non-'F' / unknown orders drop
-        ot = o["t"].to_numpy().astype(np.int64)[osort]
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = g["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o_mask = side == 0
+        l_mask = ~o_mask
+        if not o_mask.any() or not l_mask.any():
+            return empty
+        lk = key[l_mask]
+        lt = t[l_mask]
+        sk = g["sk"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[l_mask]
+        osort, ok, pos, hit = _sorted_key_attach(key[o_mask], lk)
+        # lineitems of non-'F' / unknown orders drop
+        ot = t[o_mask][osort]
         lk, lt, sk = lk[hit], lt[hit], sk[hit]
         if len(lk) == 0:
             return empty
@@ -4487,20 +4490,26 @@ def q21_waiting_suppliers(sf_dir: str, *, k: int = Q21_TOPK,
         # supplier lives in exactly one spart): groupby(s_suppkey)
         # .aggregate() would pay per-KEY scheduling on n_suppliers
         # pandas-block keys (the brand_supplier_counts lesson)
-        return pd.DataFrame({"s_suppkey": wk.astype(np.int64),
-                             "numwait": cnt.astype(np.int64),
-                             "spart": (wk % 8).astype(np.int64)})
+        return pa.table({"s_suppkey": pa.array(wk.astype(np.int64)),
+                         "numwait": pa.array(cnt.astype(np.int64)),
+                         "spart": pa.array((wk % 8).astype(np.int64))})
 
-    def final_fold(g: pd.DataFrame) -> pd.DataFrame:
-        ku, tot = _sum_by_key(g["s_suppkey"].to_numpy().astype(np.int64),
-                              g["numwait"].to_numpy().astype(np.int64))
-        return pd.DataFrame({"s_suppkey": ku, "numwait": tot})
+    def final_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"s_suppkey": z, "numwait": z})
+        ku, tot = _sum_by_key(
+            g["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            g["numwait"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        return pa.table({"s_suppkey": pa.array(ku),
+                         "numwait": pa.array(tot)})
 
     totals = (
         both.groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .groupby("spart")
-        .map_groups(final_fold, batch_format="pandas")
+        .map_groups(final_fold, batch_format="pyarrow")
         .take_all()  # dimension-bounded: <= n_suppliers rows
     )
     empty = pa.table({
@@ -4650,20 +4659,21 @@ def followed_within(sf_dir: str, *, window_us: int = HOUR_US):
         columns=["user_id", "ts", "event_type"],
     )
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            "trigger_type": np.array([], dtype=object),
-            "target_type": np.array([], dtype=object),
-            "n_pairs": np.array([], dtype=np.int64),
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "trigger_type": pa.array([], type=pa.string()),
+            "target_type": pa.array([], type=pa.string()),
+            "n_pairs": pa.array([], type=pa.int64()),
         })
-        if len(g) == 0:
+        if g.num_rows == 0:
             return empty
-        user = g["user_id"].to_numpy().astype(np.int64)
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        et = g["event_type"].to_numpy().astype(object)
+        user = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
         order = np.lexsort((ts, user))
         u, t, e = user[order], ts[order], et[order]
-        codes, types = pd.factorize(e, sort=True)
+        types, codes = np.unique(e, return_inverse=True)
         run, starts, _ = _runs(u)
         rel = t - t.min()
         span = int(rel.max()) + window_us + 2
@@ -4680,17 +4690,17 @@ def followed_within(sf_dir: str, *, window_us: int = HOUR_US):
         ti, bi = np.nonzero(mat)
         if len(ti) == 0:
             return empty
-        return pd.DataFrame({
-            "trigger_type": types[ti].astype(object),
-            "target_type": types[bi].astype(object),
-            "n_pairs": mat[ti, bi],
+        return pa.table({
+            "trigger_type": pa.array(types[ti], type=pa.string()),
+            "target_type": pa.array(types[bi], type=pa.string()),
+            "n_pairs": pa.array(mat[ti, bi]),
         })
 
     return (
         ds.map_batches(_add_user_part, batch_format="pyarrow",
                        zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .groupby(["trigger_type", "target_type"])
         .aggregate(Sum("n_pairs", alias_name="n_pairs"))
         .sort(["trigger_type", "target_type"])
@@ -4998,16 +5008,14 @@ def fk_orphan_audit(sf_dir: str, *, via: str = "auto"):
         plant,
     )
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({
-                "edge": pd.Series([], dtype=np.int64),
-                "n_rows": pd.Series([], dtype=np.int64),
-                "n_orphans": pd.Series([], dtype=np.int64)})
-        key = g["key"].to_numpy().astype(np.int64)
-        n = g["n"].to_numpy().astype(np.int64)
-        side = g["side"].to_numpy().astype(np.int64)
-        edge = g["edge"].to_numpy().astype(np.int64)
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"edge": z, "n_rows": z, "n_orphans": z})
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = g["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+        edge = g["edge"].to_numpy(zero_copy_only=False).astype(np.int64)
         o = np.lexsort((side, key, edge))
         key, n, side, edge = key[o], n[o], side[o], edge[o]
         starts = np.flatnonzero(np.r_[True, edge[1:] != edge[:-1]])
@@ -5020,15 +5028,16 @@ def fk_orphan_audit(sf_dir: str, *, via: str = "auto"):
             miss = _anti_probe(have, fk_keys)
             rows.append((int(edge[st]), int(fn.sum()),
                          int(fn[miss].sum())))
-        return pd.DataFrame({
-            "edge": np.array([r[0] for r in rows], dtype=np.int64),
-            "n_rows": np.array([r[1] for r in rows], dtype=np.int64),
-            "n_orphans": np.array([r[2] for r in rows], dtype=np.int64),
+        return pa.table({
+            "edge": pa.array([r[0] for r in rows], type=pa.int64()),
+            "n_rows": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_orphans": pa.array([r[2] for r in rows],
+                                  type=pa.int64()),
         })
 
     parts = (
         both.groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .take_all()  # <= 4 x N_COPART one-row partials
     )
     out_n = [0] * 4
@@ -5177,15 +5186,21 @@ def q11_important_stock(sf_dir: str):
             "v": pa.array(val),
         })
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        ku, tot = _sum_by_key(g["key"].to_numpy().astype(np.int64),
-                              g["v"].to_numpy().astype(np.int64))
-        return pd.DataFrame({"ps_partkey": ku, "value_cents": tot})
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"ps_partkey": z, "value_cents": z})
+        ku, tot = _sum_by_key(
+            g["key"].to_numpy(zero_copy_only=False).astype(np.int64),
+            g["v"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        return pa.table({"ps_partkey": pa.array(ku),
+                         "value_cents": pa.array(tot)})
 
     pv = (
         ps.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .materialize()
     )
     n_parts = int(pv.count())
@@ -5259,15 +5274,14 @@ def q20_excess_parts(sf_dir: str):
         li_norm, batch_format="pyarrow", zero_copy_batch=True
     ))
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["side"].to_numpy()
-        key = g["key"].to_numpy().astype(np.int64)
-        t = g["t"].to_numpy().astype(np.int64)
-        empty = pd.DataFrame({
-            "spart": np.array([], dtype=np.int64),
-            "s_suppkey": np.array([], dtype=np.int64),
-            "n": np.array([], dtype=np.int64),
-        })
+    def fold(g: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        empty = pa.table({"spart": z, "s_suppkey": z, "n": z})
+        if g.num_rows == 0:
+            return empty
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = g["t"].to_numpy(zero_copy_only=False).astype(np.int64)
         pm = side == 0
         lm = side == 1
         if not pm.any() or not lm.any():
@@ -5282,20 +5296,26 @@ def q20_excess_parts(sf_dir: str):
             return empty
         sk = (ok[excess] & ((1 << 32) - 1)).astype(np.int64)
         su, sn = _sum_by_key(sk, np.ones(len(sk), dtype=np.int64))
-        return pd.DataFrame({
-            "spart": _copart_tag(su).astype(np.int64),
-            "s_suppkey": su,
-            "n": sn,
+        return pa.table({
+            "spart": pa.array(_copart_tag(su).astype(np.int64)),
+            "s_suppkey": pa.array(su),
+            "n": pa.array(sn),
         })
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        ku, tot = _sum_by_key(g["s_suppkey"].to_numpy().astype(np.int64),
-                              g["n"].to_numpy().astype(np.int64))
-        return pd.DataFrame({"s_suppkey": ku, "n_excess_parts": tot})
+    def final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"s_suppkey": z, "n_excess_parts": z})
+        ku, tot = _sum_by_key(
+            g["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            g["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        return pa.table({"s_suppkey": pa.array(ku),
+                         "n_excess_parts": pa.array(tot)})
 
     return (
-        both.groupby("part").map_groups(fold, batch_format="pandas")
-        .groupby("spart").map_groups(final, batch_format="pandas")
+        both.groupby("part").map_groups(fold, batch_format="pyarrow")
+        .groupby("spart").map_groups(final, batch_format="pyarrow")
         .map_batches(lambda b: b.select(["s_suppkey", "n_excess_parts"]),
                      batch_format="pyarrow")
     )
@@ -5397,42 +5417,74 @@ def q16_supplier_cnt(sf_dir: str):
             ("spart", pa.int64()),
         ]))
 
-    def count_fold(g: pd.DataFrame) -> pd.DataFrame:
+    def count_fold(g: pa.Table) -> pa.Table:
         import zlib
 
-        d = g[["p_brand", "p_type", "p_size", "supp"]].drop_duplicates()
-        out = (d.groupby(["p_brand", "p_type", "p_size"], sort=False,
-                         as_index=False)
-               .agg(n=("supp", "size")))
-        out["n"] = out["n"].astype(np.int64)
-        out["bpart"] = np.asarray(
-            [zlib.crc32(s.encode()) % N_COPART for s in out["p_brand"]],
+        z = pa.array([], type=pa.int64())
+        if g.num_rows == 0:
+            return pa.table({"p_brand": pa.array([], type=pa.string()),
+                             "p_type": pa.array([], type=pa.string()),
+                             "p_size": z, "n": z, "bpart": z})
+        brand = np.asarray(g["p_brand"].to_pylist(), dtype=object)
+        ptype = np.asarray(g["p_type"].to_pylist(), dtype=object)
+        size = g["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        supp = g["supp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, bc = np.unique(brand, return_inverse=True)
+        _, tc = np.unique(ptype, return_inverse=True)
+        o = np.lexsort((supp, size, tc, bc))
+        b_s, t_s, s_s, u_s = bc[o], tc[o], size[o], supp[o]
+        keep = np.r_[True, (b_s[1:] != b_s[:-1]) | (t_s[1:] != t_s[:-1])
+                     | (s_s[1:] != s_s[:-1]) | (u_s[1:] != u_s[:-1])]
+        # distinct quads, then per-(brand, type, size) counts in the
+        # same sorted order
+        bg, tg, sg = b_s[keep], t_s[keep], s_s[keep]
+        new = np.r_[True, (bg[1:] != bg[:-1]) | (tg[1:] != tg[:-1])
+                    | (sg[1:] != sg[:-1])]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.r_[starts, len(bg)]).astype(np.int64)
+        sel = o[keep][starts]
+        bsel = brand[sel]
+        bpart = np.asarray(
+            [zlib.crc32(s.encode()) % N_COPART for s in bsel],
             dtype=np.int64)
-        return out
+        return pa.table({"p_brand": pa.array(bsel, type=pa.string()),
+                         "p_type": pa.array(ptype[sel],
+                                            type=pa.string()),
+                         "p_size": pa.array(size[sel]),
+                         "n": pa.array(n),
+                         "bpart": pa.array(bpart)})
 
-    def final_fold(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            out = g.iloc[:0][["p_brand", "p_type", "p_size"]].copy()
-            out["supplier_cnt"] = pd.Series([], dtype=np.int64)
-            return out
-        key = (g["p_brand"].astype(str) + "\x1f" + g["p_type"].astype(str)
-               + "\x1f" + g["p_size"].astype(str)).to_numpy(dtype=object)
-        n = g["n"].to_numpy().astype(np.int64)
-        order = np.argsort(key, kind="stable")
-        k_s, n_s = key[order], n[order]
-        new = np.r_[True, k_s[1:] != k_s[:-1]]
+    def final_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"p_brand": pa.array([], type=pa.string()),
+                             "p_type": pa.array([], type=pa.string()),
+                             "p_size": z, "supplier_cnt": z})
+        brand = np.asarray(g["p_brand"].to_pylist(), dtype=object)
+        ptype = np.asarray(g["p_type"].to_pylist(), dtype=object)
+        size = g["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, bc = np.unique(brand, return_inverse=True)
+        _, tc = np.unique(ptype, return_inverse=True)
+        order = np.lexsort((size, tc, bc))
+        b_s, t_s, s_s, n_s = bc[order], tc[order], size[order], n[order]
+        new = np.r_[True, (b_s[1:] != b_s[:-1]) | (t_s[1:] != t_s[:-1])
+                    | (s_s[1:] != s_s[:-1])]
         gid = np.cumsum(new) - 1
         tot = int_bincount(gid, n_s)
-        rows = g.iloc[order][new][["p_brand", "p_type", "p_size"]]
-        rows = rows.reset_index(drop=True)
-        rows["supplier_cnt"] = tot
-        return rows
+        sel = order[new]
+        return pa.table({"p_brand": pa.array(brand[sel],
+                                             type=pa.string()),
+                         "p_type": pa.array(ptype[sel],
+                                            type=pa.string()),
+                         "p_size": pa.array(size[sel]),
+                         "supplier_cnt": pa.array(tot)})
 
     return (
         part.map_batches(synth, batch_format="pyarrow",
                          zero_copy_batch=True)
-        .groupby("spart").map_groups(count_fold, batch_format="pandas")
-        .groupby("bpart").map_groups(final_fold, batch_format="pandas")
+        .groupby("spart").map_groups(count_fold, batch_format="pyarrow")
+        .groupby("bpart").map_groups(final_fold, batch_format="pyarrow")
         .sort(["p_brand", "p_type", "p_size"])
     )
 
