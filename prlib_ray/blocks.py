@@ -43,6 +43,7 @@ __all__ = [
 
 
 _BOUND_LOG = None
+_BOUND_SEEN: set[str] = set()
 
 
 def note_bounded_input(op: str, n_total: int, bound_name: str,
@@ -51,13 +52,18 @@ def note_bounded_input(op: str, n_total: int, bound_name: str,
     baselines (ann_neighbor_counts / embedding_near_dup_pairs /
     the _bounded_candidate_pairs family): fixture ids are dense from 0,
     so an input with more rows than the id bound necessarily has rows
-    outside it.  Emits ONE warning naming the bound and the scale-path
-    twin's existence — the observable-cap discipline `_pair_indices`
-    uses, applied to the driver-side baselines.  Returns True iff the
-    input was truncated (so callers/tests can assert on it)."""
+    outside it.  Emits a warning (once per op name per process) naming
+    the bound and the scale-path twin's existence — the observable-cap
+    discipline `_pair_indices` uses, applied to the driver-side
+    baselines.  The check itself runs at every query construction
+    (n_total is a parquet-metadata count, no extra scan).  Returns True
+    iff the input was truncated (so callers/tests can assert on it)."""
     global _BOUND_LOG
     if n_total <= bound_value:
         return False
+    if op in _BOUND_SEEN:
+        return True
+    _BOUND_SEEN.add(op)
     if _BOUND_LOG is None:
         import logging
 
@@ -98,6 +104,10 @@ def int_bincount(idx, weights, minlength: int = 0) -> np.ndarray:
     else:
         o = np.argsort(idx, kind="stable")
         s_idx, s_w = idx[o], w[o]
+    if s_idx[0] < 0:
+        # np.bincount raises on negatives; Python-style negative
+        # indexing here would silently corrupt other groups' sums
+        raise ValueError("int_bincount: negative group ids")
     starts = np.flatnonzero(np.r_[True, s_idx[1:] != s_idx[:-1]])
     out[s_idx[starts]] = np.add.reduceat(s_w, starts)
     return out

@@ -31,7 +31,6 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -213,9 +212,10 @@ def curate_corpus(sf_dir: str):
 
     # stage 3: heavy-boilerplate doc ids from the (augmented) segment
     # accounting, anti-joined against the survivors per doc partition
-    def heavy_rows(df: pd.DataFrame) -> pa.Table:
-        m = df["removed_pct"].to_numpy() >= HEAVY_PCT
-        ids = df["doc_id"].to_numpy().astype(np.int64)[m]
+    def heavy_rows(b: pa.Table) -> pa.Table:
+        m = b["removed_pct"].to_numpy(zero_copy_only=False) >= HEAVY_PCT
+        ids = b["doc_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[m]
         return pa.table(
             {
                 "doc_id": pa.array(ids),
@@ -229,7 +229,7 @@ def curate_corpus(sf_dir: str):
     heavy = (
         segment_stats(aug)
         .repartition(8)
-        .map_batches(heavy_rows, batch_format="pandas")
+        .map_batches(heavy_rows, batch_format="pyarrow")
     )
 
     def anti(g: pa.Table) -> pa.Table:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 SALT_THRESHOLD = 64  # convs with more turns than this get sharded keys
 SHARD_SIZE = 64
@@ -148,12 +149,13 @@ def extract_pipeline(ts_ds, *, reassemble: bool = True,
         cleaned, meta_ref, salt_threshold=SALT_THRESHOLD, shard_size=SHARD_SIZE
     )
 
-    def order_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("order_idx", kind="mergesort").reset_index(drop=True)
-        return g.drop(columns=["salt_key"])
+    def order_group(g: pa.Table) -> pa.Table:
+        idx = g["order_idx"].to_numpy(zero_copy_only=False)
+        o = np.argsort(idx, kind="stable")
+        return g.take(pa.array(o)).drop_columns(["salt_key"])
 
     return salted.groupby("salt_key").map_groups(
-        order_group, batch_format="pandas"
+        order_group, batch_format="pyarrow"
     )
 
 

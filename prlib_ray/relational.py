@@ -15,7 +15,6 @@ evaluates — so all sums are exact int64 in any accumulation order.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -2539,7 +2538,6 @@ def fulfillment_latency(sf_dir: str):
     and <= 66 bucket-count rows per part reach the bounded final
     groupby.  Bucket contract shared with interarrival_profile
     (searchsorted over 2^k == SQL length(format-bin) - 1)."""
-    import pandas as pd
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -2621,7 +2619,6 @@ def user_path_topk(sf_dir: str, *, k: int = PATH_TOPK,
     driver."""
     import zlib
 
-    import pandas as pd
     import ray.data as rd
 
     ds = rd.read_parquet(
@@ -2739,7 +2736,6 @@ def basket_part_pairs(sf_dir: str, *, k: int = BASKET_K):
     matrix, and one B.T @ B matmul yields all pair supports —
     <= F(F+1)/2 rows per partition into a bounded groupby; the <= F^2
     final rows rank on the driver."""
-    import pandas as pd
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -2840,7 +2836,6 @@ def customer_running_total(sf_dir: str):
     cumsum resolves every customer's running series — no per-customer
     group, no per-row loop.  Output is one row per order (a transform,
     not an aggregate), so nothing ever funnels to the driver."""
-    import pandas as pd
     import ray.data as rd
 
     ds = rd.read_parquet(
@@ -2904,7 +2899,6 @@ def q14_promo_revenue(sf_dir: str):
     that still holds when the part catalog is itself huge; the date
     filter pushes into the parquet scan so only the window's row
     groups leave storage."""
-    import pandas as pd
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -3006,7 +3000,6 @@ def brand_supplier_counts(sf_dir: str):
     1-per-distinct-supplier) count partials reach the crc32(brand)
     coarse final fold (<= brands x sizes rows per part, one lexsort +
     bincount pass — NOT a per-key groupby().aggregate())."""
-    import pandas as pd
     import ray.data as rd
 
     li = rd.read_parquet(
@@ -3158,7 +3151,6 @@ def user_stickiness(sf_dir: str):
     partials; the day/week key space is calendar-bounded, so the final
     fold is a tiny driver merge (no per-key Ray group for ~10^3
     keys)."""
-    import pandas as pd
     import ray.data as rd
 
     day_us = 86_400_000_000
@@ -4288,7 +4280,6 @@ def q19_disjunctive_revenue(sf_dir: str):
     compare in exact cents (BETWEEN is inclusive on both ends,
     mirrored literally).  Each part emits one revenue partial; the
     driver folds <= N_COPART rows."""
-    import pandas as pd
     import ray.data as rd
 
     li = rd.read_parquet(
@@ -5355,7 +5346,6 @@ def q16_supplier_cnt(sf_dir: str):
     part, so per-part drop_duplicates is globally exact); bounded
     (brand, type, size, n) count partials fold in coarse brand-hash
     parts — never a per-key groupby().aggregate()."""
-    import pandas as pd
     import ray
     import ray.data as rd
     import pyarrow.compute as pc
@@ -5395,27 +5385,37 @@ def q16_supplier_cnt(sf_dir: str):
         pos = np.minimum(pos, max(len(bad) - 1, 0))
         keep = ~((bad[pos] == sk) if len(bad)
                  else np.zeros(len(sk), bool))
-        quads = pd.DataFrame({
-            "p_brand": np.repeat(
-                t["p_brand"].to_numpy(zero_copy_only=False), PS_PER_PART
-            )[keep],
-            "p_type": np.repeat(
-                t["p_type"].to_numpy(zero_copy_only=False), PS_PER_PART
-            )[keep],
-            "p_size": np.repeat(
-                t["p_size"].to_numpy().astype(np.int64), PS_PER_PART
-            )[keep],
-            "supp": sk[keep],
-        }).drop_duplicates()
-        quads["spart"] = (quads["supp"].to_numpy()
-                          % N_COPART).astype(np.int64)
+        brand = np.repeat(np.asarray(t["p_brand"].to_pylist(),
+                                     dtype=object), PS_PER_PART)[keep]
+        ptype = np.repeat(np.asarray(t["p_type"].to_pylist(),
+                                     dtype=object), PS_PER_PART)[keep]
+        size = np.repeat(t["p_size"].to_numpy().astype(np.int64),
+                         PS_PER_PART)[keep]
+        sku = sk[keep]
+        # distinct quads via per-column codes + one lexsort (the fold
+        # pattern); brand/type are per-part attributes so the codes
+        # dedup exactly
+        _, bc = np.unique(brand, return_inverse=True)
+        _, tc = np.unique(ptype, return_inverse=True)
+        o = np.lexsort((sku, size, tc, bc))
+        if len(o):
+            kd = np.r_[True,
+                       (bc[o][1:] != bc[o][:-1])
+                       | (tc[o][1:] != tc[o][:-1])
+                       | (size[o][1:] != size[o][:-1])
+                       | (sku[o][1:] != sku[o][:-1])]
+        else:
+            kd = np.zeros(0, dtype=bool)
+        sel = o[kd]
         # explicit schema: an all-filtered batch must not emit
         # null-typed empty string columns into the block union
-        return pa.Table.from_pandas(quads, preserve_index=False, schema=pa.schema([
-            ("p_brand", pa.string()), ("p_type", pa.string()),
-            ("p_size", pa.int64()), ("supp", pa.int64()),
-            ("spart", pa.int64()),
-        ]))
+        return pa.table({
+            "p_brand": pa.array(brand[sel], type=pa.string()),
+            "p_type": pa.array(ptype[sel], type=pa.string()),
+            "p_size": pa.array(size[sel], type=pa.int64()),
+            "supp": pa.array(sku[sel], type=pa.int64()),
+            "spart": pa.array((sku[sel] % N_COPART).astype(np.int64)),
+        })
 
     def count_fold(g: pa.Table) -> pa.Table:
         import zlib
@@ -5522,22 +5522,26 @@ def q2_min_cost_supplier(sf_dir: str):
             "cost": pa.array(cost[hit]),
         })
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        k = g["key"].to_numpy().astype(np.int64)
-        sk = g["sk"].to_numpy().astype(np.int64)
-        c = g["cost"].to_numpy().astype(np.int64)
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"ps_partkey": z, "ps_suppkey": z,
+                             "cost_cents": z})
+        k = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = g["sk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = g["cost"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((sk, c, k))
         k_s = k[order]
-        first = np.r_[True, k_s[1:] != k_s[:-1]] if len(k_s) else np.zeros(0, bool)
-        return pd.DataFrame({
-            "ps_partkey": k_s[first],
-            "ps_suppkey": sk[order][first],
-            "cost_cents": c[order][first],
+        first = np.r_[True, k_s[1:] != k_s[:-1]]
+        return pa.table({
+            "ps_partkey": pa.array(k_s[first]),
+            "ps_suppkey": pa.array(sk[order][first]),
+            "cost_cents": pa.array(c[order][first]),
         })
 
     return (
         part.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("part").map_groups(fold, batch_format="pandas")
+        .groupby("part").map_groups(fold, batch_format="pyarrow")
         .map_batches(
             lambda b: b.select(["ps_partkey", "ps_suppkey", "cost_cents"]),
             batch_format="pyarrow")
@@ -5621,25 +5625,27 @@ def q9_product_profit(sf_dir: str):
         l_norm, batch_format="pyarrow", zero_copy_batch=True
     ))
 
-    def fold_a(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["side"].to_numpy()
-        empty = pd.DataFrame({
-            "part": np.array([], dtype=np.int64),
-            "key": np.array([], dtype=np.int64),
-            "c1": np.array([], dtype=np.int64),
-            "c2": np.array([], dtype=np.int64),
-            "c3": np.array([], dtype=np.int64),
-            "side": np.array([], dtype=np.int8),
+    def fold_a(g: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        empty = pa.table({
+            "part": z, "key": z, "c1": z, "c2": z, "c3": z,
+            "side": pa.array([], type=pa.int8()),
         })
+        if g.num_rows == 0:
+            return empty
+        side = g["side"].to_numpy(zero_copy_only=False)
         om, lm = side == 0, side == 1
         if not om.any() or not lm.any():
             return empty
-        key = g["key"].to_numpy().astype(np.int64)
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = g["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
         osort, ok_s, pos, hit = _sorted_key_attach(key[om], key[lm])
-        yr = g["c1"].to_numpy().astype(np.int64)[om][osort][pos][hit]
-        packed = g["c1"].to_numpy().astype(np.int64)[lm][hit]
-        rev = g["c2"].to_numpy().astype(np.int64)[lm][hit]
-        qty = g["c3"].to_numpy().astype(np.int64)[lm][hit]
+        yr = c1[om][osort][pos][hit]
+        packed = c1[lm][hit]
+        rev = g["c2"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[lm][hit]
+        qty = g["c3"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[lm][hit]
         # pre-combine per (pair, year): one lexsort + run sums
         order = np.lexsort((yr, packed))
         p_s, y_s = packed[order], yr[order]
@@ -5651,19 +5657,16 @@ def q9_product_profit(sf_dir: str):
         np.add.at(rsum, run, rev[order])
         np.add.at(qsum, run, qty[order])
         kk, yy = p_s[new], y_s[new]
-        return pd.DataFrame({
-            "part": _copart_tag(kk).astype(np.int64), "key": kk,
-            "c1": yy, "c2": rsum, "c3": qsum,
-            "side": np.ones(n, dtype=np.int8),
+        return pa.table({
+            "part": pa.array(_copart_tag(kk).astype(np.int64)),
+            "key": pa.array(kk),
+            "c1": pa.array(yy), "c2": pa.array(rsum),
+            "c3": pa.array(qsum),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
         })
 
-    # coerce the fold's pandas blocks back to Arrow before the union —
-    # mixed pandas/arrow blocks in one union crash Ray's output iterator
-    # (NOTES_r3 item 22)
-    pairs = (
-        stage_a.groupby("part").map_groups(fold_a, batch_format="pandas")
-        .map_batches(lambda b: b, batch_format="pyarrow")
-    )
+    pairs = stage_a.groupby("part").map_groups(fold_a,
+                                               batch_format="pyarrow")
 
     # ---- stage B: composite-key copart (pairs + synthesized partsupp) ---
     part_ds = rd.read_parquet(f"{sf_dir}/part.parquet",
@@ -5698,21 +5701,24 @@ def q9_product_profit(sf_dir: str):
         ps_norm, batch_format="pyarrow", zero_copy_batch=True
     ).union(pairs)
 
-    def fold_b(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["side"].to_numpy()
-        empty = pd.DataFrame({
-            "code": np.array([], dtype=np.int64),
-            "profit": np.array([], dtype=np.int64),
-        })
+    def fold_b(g: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        empty = pa.table({"code": z, "profit": z})
+        if g.num_rows == 0:
+            return empty
+        side = g["side"].to_numpy(zero_copy_only=False)
         psm, prm = side == 0, side == 1
         if not psm.any() or not prm.any():
             return empty
-        key = g["key"].to_numpy().astype(np.int64)
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = g["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
         osort, ok_s, pos, hit = _sorted_key_attach(key[psm], key[prm])
-        cost = g["c1"].to_numpy().astype(np.int64)[psm][osort][pos][hit]
-        yr = g["c1"].to_numpy().astype(np.int64)[prm][hit]
-        rev = g["c2"].to_numpy().astype(np.int64)[prm][hit]
-        qty = g["c3"].to_numpy().astype(np.int64)[prm][hit]
+        cost = c1[psm][osort][pos][hit]
+        yr = c1[prm][hit]
+        rev = g["c2"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[prm][hit]
+        qty = g["c3"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[prm][hit]
         sk = (key[prm][hit] & ((1 << 32) - 1)).astype(np.int64)
         skeys, snat = ray.get(supp_ref)
         if not len(skeys):
@@ -5723,10 +5729,10 @@ def q9_product_profit(sf_dir: str):
         profit = 100 * rev - cost * qty
         code = snat[spos][shit] * 10_000 + yr[shit]
         cu, ptot = _sum_by_key(code, profit[shit])
-        return pd.DataFrame({"code": cu, "profit": ptot})
+        return pa.table({"code": pa.array(cu), "profit": pa.array(ptot)})
 
     folded = (
-        stage_b.groupby("part").map_groups(fold_b, batch_format="pandas")
+        stage_b.groupby("part").map_groups(fold_b, batch_format="pyarrow")
         .groupby("code").aggregate(Sum("profit"))  # bounded: nations*years
         .take_all()
     )
@@ -5805,32 +5811,34 @@ def q4_order_priority(sf_dir: str):
         left_extra=(("prio", "o_orderpriority"),),
     )
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            "o_orderpriority": np.array([], dtype=object),
-            "n": np.array([], dtype=np.int64),
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "o_orderpriority": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
         })
-        side = g["side"].to_numpy()
+        if g.num_rows == 0:
+            return empty
+        side = g["side"].to_numpy(zero_copy_only=False)
         om, lm = side == 0, side == 1
         if not om.any() or not lm.any():
             return empty
-        key = g["key"].to_numpy().astype(np.int64)
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
         late = np.unique(key[lm])
         okeys = key[om]
         idx = np.searchsorted(late, okeys)
         ex = (idx < len(late)) & (late[np.minimum(idx, len(late) - 1)]
                                   == okeys)
-        prio = g["prio"].to_numpy()[om][ex]
+        prio = np.asarray(g["prio"].to_pylist(), dtype=object)[om][ex]
         if len(prio) == 0:
             return empty
         vals, counts = np.unique(prio.astype(str), return_counts=True)
-        return pd.DataFrame({
-            "o_orderpriority": vals.astype(object),
-            "n": counts.astype(np.int64),
+        return pa.table({
+            "o_orderpriority": pa.array(vals, type=pa.string()),
+            "n": pa.array(counts.astype(np.int64)),
         })
 
     rows = (
-        both.groupby("part").map_groups(fold, batch_format="pandas")
+        both.groupby("part").map_groups(fold, batch_format="pyarrow")
         .groupby("o_orderpriority").aggregate(Sum("n"))  # <= 5 keys
         .take_all()
     )
@@ -5900,27 +5908,29 @@ def q12_shipmode_priority(sf_dir: str):
         left_extra=(("prio", "o_orderpriority"),),
     )
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["side"].to_numpy()
-        empty = pd.DataFrame({
-            "mode": np.array([], dtype=np.int64),
-            "high": np.array([], dtype=np.int64),
-            "n": np.array([], dtype=np.int64),
-        })
+    def fold(g: pa.Table) -> pa.Table:
+        z = pa.array([], type=pa.int64())
+        empty = pa.table({"mode": z, "high": z, "n": z})
+        if g.num_rows == 0:
+            return empty
+        side = g["side"].to_numpy(zero_copy_only=False)
         om, lm = side == 0, side == 1
         if not om.any() or not lm.any():
             return empty
-        key = g["key"].to_numpy().astype(np.int64)
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.int64)
         osort, ok_s, pos, hit = _sorted_key_attach(key[om], key[lm])
-        prio = g["prio"].to_numpy()[om][osort][pos][hit]
-        mode = g["t"].to_numpy().astype(np.int64)[lm][hit]
+        prio = np.asarray(g["prio"].to_pylist(),
+                          dtype=object)[om][osort][pos][hit]
+        mode = g["t"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[lm][hit]
         high = np.isin(prio, np.asarray(Q12_HIGH_PRIOS, dtype=object))
         code = mode * 2 + high.astype(np.int64)
         cu, n = _sum_by_key(code, np.ones(len(code), dtype=np.int64))
-        return pd.DataFrame({"mode": cu // 2, "high": cu % 2, "n": n})
+        return pa.table({"mode": pa.array(cu // 2),
+                         "high": pa.array(cu % 2), "n": pa.array(n)})
 
     rows = (
-        both.groupby("part").map_groups(fold, batch_format="pandas")
+        both.groupby("part").map_groups(fold, batch_format="pyarrow")
         .groupby(["mode", "high"]).aggregate(Sum("n"))  # <= 8 keys
         .take_all()
     )
@@ -6053,31 +6063,33 @@ def profile_columns(sf_dir: str):
             "vi": pa.array(np.concatenate(vi), type=pa.int64()),
         })
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return pd.DataFrame({
-                "col": pd.array([], dtype="int64"),
-                "nd": pd.array([], dtype="int64"),
-                "mini": pd.array([], dtype="int64"),
-                "maxi": pd.array([], dtype="int64"),
-                "mins": pd.array([], dtype="object"),
-                "maxs": pd.array([], dtype="object"),
-            })
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            s = pa.array([], type=pa.string())
+            return pa.table({"col": z, "nd": z, "mini": z, "maxi": z,
+                             "mins": s, "maxs": s})
         # gpart carries the column id; values within one group belong
         # to exactly one column
-        cid = int(g["gpart"].iloc[0]) // P
+        cid = int(g["gpart"][0].as_py()) // P
         kind = _PROFILE_COLS[cid][2]
+        one = pa.array([cid], type=pa.int64())
         if kind == "str":
-            u = g["vs"].drop_duplicates()
-            return pd.DataFrame({
-                "col": [cid], "nd": [len(u)], "mini": [0], "maxi": [0],
-                "mins": [u.min()], "maxs": [u.max()],
+            u = np.unique(np.asarray(g["vs"].to_pylist(), dtype=object))
+            return pa.table({
+                "col": one, "nd": pa.array([len(u)], type=pa.int64()),
+                "mini": pa.array([0], type=pa.int64()),
+                "maxi": pa.array([0], type=pa.int64()),
+                "mins": pa.array([u[0]], type=pa.string()),
+                "maxs": pa.array([u[-1]], type=pa.string()),
             })
-        vi = pd.unique(g["vi"].to_numpy())
-        return pd.DataFrame({
-            "col": [cid], "nd": [len(vi)],
-            "mini": [int(vi.min())], "maxi": [int(vi.max())],
-            "mins": [""], "maxs": [""],
+        vi = np.unique(g["vi"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "col": one, "nd": pa.array([len(vi)], type=pa.int64()),
+            "mini": pa.array([int(vi.min())], type=pa.int64()),
+            "maxi": pa.array([int(vi.max())], type=pa.int64()),
+            "mins": pa.array([""], type=pa.string()),
+            "maxs": pa.array([""], type=pa.string()),
         })
 
     cnt_rows = (
@@ -6089,7 +6101,7 @@ def profile_columns(sf_dir: str):
     dis_rows = (
         ds.map_batches(distinct, batch_format="pyarrow",
                        zero_copy_batch=True)
-        .groupby("gpart").map_groups(fold, batch_format="pandas")
+        .groupby("gpart").map_groups(fold, batch_format="pyarrow")
         .take_all()  # bounded: <= 6 * PROFILE_DISTINCT_PARTS rows
     )
 
@@ -6201,26 +6213,28 @@ def price_rank_ntile(sf_dir: str):
     q, r = divmod(n_total, NTILE_BUCKETS)
     ref = ray.put(offsets)
 
-    def rank_fold(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({"o_orderkey": pd.Series([], dtype=np.int64),
-                                 "cents": pd.Series([], dtype=np.int64),
-                                 "rnk": pd.Series([], dtype=np.int64),
-                                 "tile": pd.Series([], dtype=np.int64)})
-        off = ray.get(ref)[int(g["rpart"].iloc[0])]
-        keys = g["o_orderkey"].to_numpy().astype(np.int64)
-        cents = g["cents"].to_numpy().astype(np.int64)
+    def rank_fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"o_orderkey": z, "cents": z,
+                             "rnk": z, "tile": z})
+        off = ray.get(ref)[int(g["rpart"][0].as_py())]
+        keys = g["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = g["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
         o = np.lexsort((keys, cents))
-        rnk = np.empty(len(g), dtype=np.int64)
-        rnk[o] = off + np.arange(len(g), dtype=np.int64)
+        n = len(keys)
+        rnk = np.empty(n, dtype=np.int64)
+        rnk[o] = off + np.arange(n, dtype=np.int64)
         cut = r * (q + 1)
         tile = np.where(rnk < cut, rnk // (q + 1),
                         r + (rnk - cut) // max(q, 1))
-        return pd.DataFrame({"o_orderkey": keys, "cents": cents,
-                             "rnk": rnk, "tile": tile.astype(np.int64)})
+        return pa.table({"o_orderkey": pa.array(keys),
+                         "cents": pa.array(cents),
+                         "rnk": pa.array(rnk),
+                         "tile": pa.array(tile.astype(np.int64))})
 
     return tagged.groupby("rpart").map_groups(rank_fold,
-                                              batch_format="pandas")
+                                              batch_format="pyarrow")
 
 
 def _skyline_2d(cents: np.ndarray, ts: np.ndarray) -> np.ndarray:
@@ -6358,13 +6372,12 @@ def rolling_active_users(sf_dir: str):
             "part": pa.array(pair[:, 0] % N_REASSEMBLE_PARTS),
         })
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        cols = ("day", "delta", "kind")
-        if len(g) == 0:
-            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
-                                 for c in cols})
-        u = g["user_id"].to_numpy().astype(np.int64)
-        d = g["day"].to_numpy().astype(np.int64)
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"day": z, "delta": z, "kind": z})
+        u = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = g["day"].to_numpy(zero_copy_only=False).astype(np.int64)
         o = np.lexsort((d, u))
         u, d = u[o], d[o]
         # cross-batch duplicate (user, day) pairs collapse here (a user
@@ -6385,16 +6398,17 @@ def rolling_active_users(sf_dir: str):
         np.add.at(deltas, s_day - base, 1)
         np.add.at(deltas, e_day - base, -1)
         nz = np.flatnonzero(deltas)
-        return pd.DataFrame({
-            "day": np.r_[base + nz, lo, hi],
-            "delta": np.r_[deltas[nz], 0, 0],
-            "kind": np.r_[np.zeros(len(nz), dtype=np.int64), 1, 2],
+        return pa.table({
+            "day": pa.array(np.r_[base + nz, lo, hi]),
+            "delta": pa.array(np.r_[deltas[nz], 0, 0]),
+            "kind": pa.array(np.r_[np.zeros(len(nz), dtype=np.int64),
+                                   1, 2]),
         })
 
     rows = (
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
         .take_all()  # bounded: <= (2*span + 2) rows per part
     )
     empty_out = pa.table({"day": pa.array([], type=pa.int64()),

@@ -1118,9 +1118,24 @@ def minhash_lsh_dedup(sf_dir: str, *, jaccard_threshold: float = 0.5):
     if spill_dir:
         import shutil as _shutil
 
-        _shutil.rmtree(spill_dir, ignore_errors=True)
-        blob_src.write_parquet(spill_dir)
-        blob = rd.read_parquet(spill_dir)
+        # tool-owned subdirectory + sentinel: never rmtree whatever the
+        # env var happens to point at (a misconfigured value naming an
+        # existing data directory must not be silently deleted)
+        blob_dir = _os.path.join(spill_dir, "prlib_blob")
+        sentinel = _os.path.join(blob_dir, ".prlib_blob_owned")
+        if _os.path.isdir(blob_dir):
+            if not _os.path.exists(sentinel):
+                raise RuntimeError(
+                    f"refusing to clear {blob_dir!r}: missing the "
+                    "prlib-owned sentinel (set PRLIB_BLOB_SPILL_DIR to "
+                    "a scratch directory)"
+                )
+            _shutil.rmtree(blob_dir)
+        _os.makedirs(blob_dir, exist_ok=True)
+        with open(sentinel, "w") as f:
+            f.write("created by prlib_ray minhash_lsh blob spill\n")
+        blob_src.write_parquet(blob_dir)
+        blob = rd.read_parquet(blob_dir)
     else:
         blob = blob_src.materialize()
 

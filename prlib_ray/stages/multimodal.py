@@ -29,11 +29,105 @@ def encode_payload_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (3 = palette: one byte per pixel)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _decode_png(payload: bytes):
+    """Pure-python PNG decode for the non-interlaced 8-bit subset
+    (color types 0/2/3/4/6): chunk walk, zlib inflate (stdlib), and a
+    REAL per-scanline de-filter (Sub/Up/Average/Paeth in numpy int16
+    arithmetic) so a non-None return means the pixel array was actually
+    reconstructed — not just a header sniff.  Returns (w, h, 1) or
+    None (wrong signature / unsupported variant / corrupt stream)."""
+    import zlib
+
+    if len(payload) < 45 or payload[:8] != _PNG_SIG:
+        return None
+    # IHDR must be first (PNG spec); 13-byte payload
+    if payload[8:16] != b"\x00\x00\x00\x0dIHDR":
+        return None
+    w = int.from_bytes(payload[16:20], "big")
+    h = int.from_bytes(payload[20:24], "big")
+    bit_depth = payload[24]
+    color_type = payload[25]
+    interlace = payload[28]
+    if (w <= 0 or h <= 0 or bit_depth != 8 or interlace != 0
+            or color_type not in _PNG_CHANNELS):
+        return None
+    ch = _PNG_CHANNELS[color_type]
+    # chunk walk: concatenate IDAT payloads up to IEND
+    idat = []
+    i = 33  # 8 sig + 25 IHDR chunk
+    n = len(payload)
+    while i + 8 <= n:
+        clen = int.from_bytes(payload[i:i + 4], "big")
+        ctype = payload[i + 4:i + 8]
+        if i + 12 + clen > n:
+            return None  # truncated chunk
+        if ctype == b"IDAT":
+            idat.append(payload[i + 8:i + 8 + clen])
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    if not idat:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        return None  # wrong geometry for the declared IHDR
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    filters = rows[:, 0]
+    if filters.max(initial=0) > 4:
+        return None
+    # de-filter (the decode): row-sequential, vectorized within a row
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        f = int(filters[y])
+        cur = rows[y, 1:].astype(np.int16)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prior) & 0xFF
+        else:
+            rec = cur.copy()
+            if f == 1:  # Sub
+                for x in range(ch, stride):
+                    rec[x] = (rec[x] + rec[x - ch]) & 0xFF
+            elif f == 3:  # Average
+                for x in range(stride):
+                    left = rec[x - ch] if x >= ch else 0
+                    rec[x] = (rec[x] + ((left + prior[x]) >> 1)) & 0xFF
+            else:  # Paeth
+                for x in range(stride):
+                    a = int(rec[x - ch]) if x >= ch else 0
+                    b = int(prior[x])
+                    c = int(prior[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    if pa_ <= pb and pa_ <= pc_:
+                        pred = a
+                    elif pb <= pc_:
+                        pred = b
+                    else:
+                        pred = c
+                    rec[x] = (rec[x] + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+        prior = rec.astype(np.int16)
+    return int(w), int(h), 1
+
+
 def decode_builtin(payload: bytes):
-    """REAL image decode with no external libraries: uncompressed BMP
-    and the binary/ASCII PNM family (P2/P3/P5/P6), parsed directly from
-    the bytes with numpy.  Returns (width, height, n_frames) or None if
-    the payload is not one of these formats.
+    """REAL image decode with no external libraries: uncompressed BMP,
+    the binary/ASCII PNM family (P2/P3/P5/P6), and non-interlaced
+    8-bit PNG (stdlib zlib inflate + numpy de-filter — _decode_png),
+    parsed directly from the bytes.  Returns (width, height, n_frames)
+    or None if the payload is not one of these formats.
 
     This is the analogue of the reference's format-conversion library
     boundary (formatConvert.cpp:38-140: OpenCV Mat <-> Leptonica PIX);
@@ -95,6 +189,8 @@ def decode_builtin(payload: bytes):
             if len(vals) < w * h * ch:
                 return None
         return int(w), int(h), 1
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     return None
 
 

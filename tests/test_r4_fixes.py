@@ -57,6 +57,14 @@ class TestIntBincount:
         np.testing.assert_array_equal(int_bincount(idx, w),
                                       np.array([1, 2], dtype=np.int64))
 
+    def test_negative_ids_raise(self):
+        # np.bincount raises on negatives; the int64 fold must not
+        # wrap Python-style into other groups' sums (round-5 ADVICE)
+        with pytest.raises(ValueError, match="negative"):
+            int_bincount(np.array([-1, 0, 1]), np.array([5, 6, 7]))
+        with pytest.raises(ValueError, match="negative"):
+            int_bincount(np.array([2, 0, -3]), np.array([5, 6, 7]))
+
 
 def test_bounded_baselines_are_loud(sf_dir, ray_session, caplog):
     """VERDICT r3 item 4: the bounded all-pairs baselines must announce
@@ -68,7 +76,12 @@ def test_bounded_baselines_are_loud(sf_dir, ray_session, caplog):
 
     assert note_bounded_input("x", 10, "B", 10) is False
     assert note_bounded_input("x", 11, "B", 10) is True
+    # once-per-op: the repeat truncation still returns True, silently
+    assert note_bounded_input("x", 11, "B", 10) is True
 
+    from prlib_ray import blocks as _blocks
+
+    _blocks._BOUND_SEEN.clear()  # earlier tests may have warned already
     queries, _ = build_queries()
     with caplog.at_level(logging.WARNING, logger="prlib_ray.bounded"):
         queries["dedup_ngram_jaccard"](sf_dir)
