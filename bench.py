@@ -48,12 +48,23 @@ def materialize_transcripts(sf_dir: str) -> str:
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
-    from prlib_ray.fixtures import transcripts_dataset
+    import ray.data as rd
+
+    from prlib_ray.fixtures import synth_batch
 
     os.makedirs(out, exist_ok=True)
     # 128 files so the read stage yields enough blocks to keep every core
-    # busy (task granularity follows input blocks)
-    transcripts_dataset(sf_dir).repartition(128).write_parquet(out)
+    # busy (task granularity follows input blocks).  Repartition the
+    # SMALL documents table before the 1->N synthesis, not the
+    # multi-GiB transcript table after it — the post-synth repartition
+    # was an all-to-all over the full output (48 GiB at mult=3000) and
+    # ran the materialization out of disk via spill (round 5)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).repartition(128)
+    docs.map_batches(
+        synth_batch, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=256,
+    ).write_parquet(out)
     with open(done, "w") as f:
         f.write("ok")
     return out

@@ -831,49 +831,51 @@ def hits_scores(sf_dir: str):
 
     The h-step is a different physical shape from PageRank's
     scatter-fold: hub(u) GATHERS authority at u's out-neighbors, so the
-    engine co-locates regenerated (dst, src) edge rows with the
-    authority rows by hash(dst) (the authority of v and every edge INTO
-    v land in one part — one searchsorted gather per part), then folds
-    the emitted (src, a[dst]) contributions by hash(src).  Per round:
-    one scatter-fold shuffle (a-step) + two shuffles (h-step gather +
-    fold); every intermediate is 2-3 int64 columns; a and h materialize
-    per round (each feeds the next step AND the final output — the
-    materialize-the-fork lesson).  At 10^12 nodes the plan holds:
-    payloads are |E| int64 pairs, folds are one lexsort per part."""
+    engine co-locates (dst, src) edge rows with the scatter
+    contributions by hash(dst) and FUSES the a-fold with the gather
+    (round 5, VERDICT r4 item 8): one part-local pass sums authority
+    per dst AND maps it onto each in-edge's source, emitting authority
+    rows plus per-source pre-combined hub contributions keyed by
+    hash(src); a second fold assembles the (node, a, h) state.  Per
+    round: TWO shuffles (was three — scatter-fold + gather + fold),
+    one materialized state table instead of two, and the final a/h
+    pairing falls out of the state for free (the old union + pair_fold
+    shuffle is gone).  Every intermediate is 2-4 int64 columns; the
+    state materializes per round (it feeds the next round AND the
+    final output — the materialize-the-fork lesson).  At 10^12 nodes
+    the plan holds: payloads are |E| int64 pairs pre-combined per
+    (src, dst-part), folds are one lexsort per part."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     n_docs = ds.count()  # parquet metadata only
 
-    def sum_fold(g: pa.Table) -> pa.Table:
-        # Arrow-native (round 4): int64-only fold, zero-copy reads
-        if g.num_rows == 0:
-            z = pa.array([], type=pa.int64())
-            return pa.table({"node": z, "v": z})
-        node = g["node"].to_numpy().astype(np.int64)
-        c = g["c"].to_numpy().astype(np.int64)
+    def _sum_runs(node: np.ndarray, c: np.ndarray):
+        """Exact int64 per-node sums: one stable argsort + reduceat."""
         o = np.argsort(node, kind="stable")
         node, c = node[o], c[o]
         starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
-        return pa.table({"node": pa.array(node[starts]),
-                         "v": pa.array(np.add.reduceat(c, starts))})
+        return node[starts], np.add.reduceat(c, starts)
 
-    def init(b: pa.Table) -> pa.Table:
+    def init_state(b: pa.Table) -> pa.Table:
         ids = (b["doc_id"].to_numpy().astype(np.int64)
                if b.num_rows else np.empty(0, dtype=np.int64))
         return pa.table({
             "node": pa.array(ids),
-            "v": pa.array(np.full(len(ids), HITS_SCALE, dtype=np.int64)),
+            "a": pa.array(np.zeros(len(ids), dtype=np.int64)),
+            "h": pa.array(np.full(len(ids), HITS_SCALE, dtype=np.int64)),
         })
 
     def scatter(b: pa.Table) -> pa.Table:
-        """(node, v) rows -> per-out-edge (dst, v) contribution rows
-        plus (node, 0) self rows, keyed by hash(dst)."""
+        """(node, a, h) state rows -> per-out-edge (dst, h) contribution
+        rows plus (node, 0) presence rows, keyed by hash(dst) — the
+        kind=0 side of the fused fold's input."""
+        z = pa.array([], type=pa.int64())
         if b.num_rows == 0:
-            z = pa.array([], type=pa.int64())
-            return pa.table({"node": z, "c": z, "part": z})
+            return pa.table({"key": z, "aux": z, "val": z, "kind": z,
+                             "part": z})
         node = b["node"].to_numpy().astype(np.int64)
-        v = b["v"].to_numpy().astype(np.int64)
+        v = b["h"].to_numpy().astype(np.int64)
         nodes = [node]
         cs = [np.zeros(len(node), dtype=np.int64)]
         for _, live, dst in iter_out_edges(node, n_docs):
@@ -881,8 +883,10 @@ def hits_scores(sf_dir: str):
             cs.append(v[live])
         out = np.concatenate(nodes)
         return pa.table({
-            "node": pa.array(out),
-            "c": pa.array(np.concatenate(cs)),
+            "key": pa.array(out),
+            "aux": pa.array(np.full(len(out), -1, dtype=np.int64)),
+            "val": pa.array(np.concatenate(cs)),
+            "kind": pa.array(np.zeros(len(out), dtype=np.int64)),
             "part": pa.array(_node_part(out, N_HITS_PARTS)),
         })
 
@@ -908,98 +912,84 @@ def hits_scores(sf_dir: str):
             "part": pa.array(_node_part(v, N_HITS_PARTS)),
         })
 
-    def tag_scores(kind: int):
-        def fn(b: pa.Table) -> pa.Table:
-            if b.num_rows == 0:
-                z = pa.array([], type=pa.int64())
-                return pa.table({"key": z, "aux": z, "val": z, "kind": z,
-                                 "part": z})
-            node = b["node"].to_numpy().astype(np.int64)
-            v = b["v"].to_numpy().astype(np.int64)
-            return pa.table({
-                "key": pa.array(node),
-                "aux": pa.array(np.full(len(node), -1, dtype=np.int64)),
-                "val": pa.array(v),
-                "kind": pa.array(np.full(len(node), kind, dtype=np.int64)),
-                "part": pa.array(_node_part(node, N_HITS_PARTS)),
-            })
-
-        return fn
-
-    def gather(g: pa.Table) -> pa.Table:
-        """Per part: map each edge row's dst-authority onto its source
-        (one searchsorted — every dst's authority row shares the part
-        by construction) and emit (src, a[dst]) + (node, 0) presence
-        rows keyed by hash(src)."""
+    def fused_fold(g: pa.Table) -> pa.Table:
+        """Per dst-part, ONE pass does both halves of the round (the
+        round-5 fusion): kind=0 rows are scatter contributions
+        (key=dst, val=h[src]) whose per-dst sums ARE the new authority
+        — and the part's edge rows (kind=1: key=dst, aux=src) gather
+        that authority onto their sources in place (one searchsorted —
+        every dst's contribution rows share the part by construction).
+        Emits, keyed by hash(node): one kind=0 authority row per node,
+        one kind=1 hub presence row per node, and per-source
+        PRE-COMBINED kind=1 hub contributions (sum of a[dst] over this
+        part's src->dst edges), so the downstream fold's payload is
+        bounded by distinct sources per part, not |E|."""
+        z = pa.array([], type=pa.int64())
+        empty = pa.table({"key": z, "val": z, "kind": z, "part": z})
         if g.num_rows == 0:
-            z = pa.array([], type=pa.int64())
-            return pa.table({"node": z, "c": z, "part": z})
+            return empty
         key = g["key"].to_numpy().astype(np.int64)
         aux = g["aux"].to_numpy().astype(np.int64)
         val = g["val"].to_numpy().astype(np.int64)
         kind = g["kind"].to_numpy().astype(np.int64)
-        am = kind == 0
-        anodes = key[am]
-        avals = val[am]
-        o = np.argsort(anodes, kind="stable")
-        anodes, avals = anodes[o], avals[o]
-        ev = key[~am]
-        eu = aux[~am]
-        c = avals[np.searchsorted(anodes, ev)] if len(ev) else \
-            np.empty(0, dtype=np.int64)
-        node = np.concatenate([anodes, eu])
-        cc = np.concatenate([np.zeros(len(anodes), dtype=np.int64), c])
+        cm = kind == 0
+        anodes, avals = _sum_runs(key[cm], val[cm])  # new authority
+        ev = key[~cm]
+        eu = aux[~cm]
+        if len(ev):
+            su, csum = _sum_runs(eu, avals[np.searchsorted(anodes, ev)])
+        else:
+            su = csum = np.empty(0, dtype=np.int64)
+        out_key = np.concatenate([anodes, anodes, su])
+        out_val = np.concatenate(
+            [avals, np.zeros(len(anodes), dtype=np.int64), csum])
+        out_kind = np.concatenate(
+            [np.zeros(len(anodes), dtype=np.int64),
+             np.ones(len(anodes) + len(su), dtype=np.int64)])
         return pa.table({
-            "node": pa.array(node),
-            "c": pa.array(cc),
-            "part": pa.array(_node_part(node, N_HITS_PARTS)),
+            "key": pa.array(out_key),
+            "val": pa.array(out_val),
+            "kind": pa.array(out_kind),
+            "part": pa.array(_node_part(out_key, N_HITS_PARTS)),
         })
 
-    h = ds.map_batches(init, batch_format="pyarrow",
-                       zero_copy_batch=True).materialize()
+    def state_fold(g: pa.Table) -> pa.Table:
+        """Per node-part: assemble the round's (node, a, h) state —
+        kind=0 authority rows arrive exactly once per node (from the
+        node's own dst-part), kind=1 hub rows sum per node."""
+        z = pa.array([], type=pa.int64())
+        if g.num_rows == 0:
+            return pa.table({"node": z, "a": z, "h": z})
+        key = g["key"].to_numpy().astype(np.int64)
+        val = g["val"].to_numpy().astype(np.int64)
+        kind = g["kind"].to_numpy().astype(np.int64)
+        am = kind == 0
+        o = np.argsort(key[am], kind="stable")
+        an, av = key[am][o], val[am][o]
+        hn, hv = _sum_runs(key[~am], val[~am])
+        # presence rows guarantee hn == an (both = the part's node set)
+        return pa.table({"node": pa.array(an), "a": pa.array(av),
+                         "h": pa.array(hv)})
+
+    state = ds.map_batches(init_state, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
     # the (dst-keyed) edge rows are loop-invariant: build them ONCE and
     # union the materialized table into every round (round 4; the loop
     # previously re-scanned documents and re-derived the edge set each
     # iteration — at 10^12 nodes that is HITS_ITERS-1 wasted edge builds)
     edge_rows = ds.map_batches(edges_by_dst, batch_format="pyarrow",
                                zero_copy_batch=True).materialize()
-    a = None
     for _ in range(HITS_ITERS):
-        a = (
-            h.map_batches(scatter, batch_format="pyarrow",
-                          zero_copy_batch=True)
-            .groupby("part")
-            .map_groups(sum_fold, batch_format="pyarrow")
-            .materialize()
-        )
-        h = (
-            a.map_batches(tag_scores(0), batch_format="pyarrow",
-                          zero_copy_batch=True)
+        state = (
+            state.map_batches(scatter, batch_format="pyarrow",
+                              zero_copy_batch=True)
             .union(edge_rows)
             .groupby("part")
-            .map_groups(gather, batch_format="pyarrow")
+            .map_groups(fused_fold, batch_format="pyarrow")
             .groupby("part")
-            .map_groups(sum_fold, batch_format="pyarrow")
+            .map_groups(state_fold, batch_format="pyarrow")
             .materialize()
         )
-
-    def pair_fold(g: pa.Table) -> pa.Table:
-        cols = ("node", "a", "h")
-        if g.num_rows == 0:
-            return pa.table({c: pa.array([], type=pa.int64())
-                             for c in cols})
-        key = g["key"].to_numpy().astype(np.int64)
-        val = g["val"].to_numpy().astype(np.int64)
-        kind = g["kind"].to_numpy().astype(np.int64)
-        o = np.lexsort((kind, key))
-        key, val, kind = key[o], val[o], kind[o]
-        # every node has exactly one kind-0 (authority) and one kind-1
-        # (hub) row — adjacent after the lexsort
-        return pa.table({
-            "node": pa.array(key[kind == 0]),
-            "a": pa.array(val[kind == 0]),
-            "h": pa.array(val[kind == 1]),
-        })
 
     def local_top(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -1013,14 +1003,8 @@ def hits_scores(sf_dir: str):
                          "h": pa.array(hv[o])})
 
     cands = (
-        a.map_batches(tag_scores(0), batch_format="pyarrow",
-                      zero_copy_batch=True)
-        .union(h.map_batches(tag_scores(1), batch_format="pyarrow",
-                             zero_copy_batch=True))
-        .groupby("part")
-        .map_groups(pair_fold, batch_format="pyarrow")
-        .map_batches(local_top, batch_format="pyarrow",
-                     zero_copy_batch=True)
+        state.map_batches(local_top, batch_format="pyarrow",
+                          zero_copy_batch=True)
         .take_all()  # bounded: <= HITS_TOPK rows per block
     )
     node = np.asarray([c["node"] for c in cands], dtype=np.int64)

@@ -131,7 +131,8 @@ def _input_mem_bytes(path_glob_dir: str) -> int:
     return one * len(files)
 
 
-def run_flagship(physical: str = "bucket") -> dict:
+def run_flagship(physical: str = "bucket",
+                 meta_via: str = "broadcast") -> dict:
     os.environ.setdefault("GRAFT_TURNS_MULT", "1000")
     store_mb = int(os.environ.get("PRLIB_STORE_MB", "2048"))
     ray = _init(store_mb)
@@ -146,10 +147,10 @@ def run_flagship(physical: str = "bucket") -> dict:
     mon = SpillMonitor().start()
     t0 = time.time()
     n = extract_pipeline(rd.read_parquet(tpath), include_spans=False,
-                         physical=physical).count()
+                         physical=physical, meta_via=meta_via).count()
     wall = time.time() - t0
     out = {
-        "job": f"flagship_extract[{physical}]",
+        "job": f"flagship_extract[{meta_via}/{physical}]",
         "turns_mult": os.environ["GRAFT_TURNS_MULT"],
         "n_turns": int(n),
         "object_store_mb": store_mb,
@@ -250,6 +251,11 @@ if __name__ == "__main__":
         # the all-to-all variant: materializing the total order must
         # hold the dataset through the shuffle -> exercises real spill
         res = run_flagship(physical="sort")
+    elif job == "joinsort":
+        # the distributed-meta 10^12-conversation layout (meta via hash
+        # join + total order via sort) — the shape scaling run 1 proved
+        # superlinear, now driven under store pressure (r5 item 5)
+        res = run_flagship(physical="sort", meta_via="join")
     else:
         res = run_dedup()
     print(json.dumps(res))
